@@ -1,13 +1,718 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.dedup.Dedup
+import graft.etl.MergePipeline
+import graft.model.Tables
+import graft.multimodal.Multimodal
+import graft.ops.Relational
+import graft.sim.Similarity
+import graft.streaming.EventStreams
+import graft.text.TextAnalysis
+
+/** Driver contract (SURVEY.md §7): one `queries` entry per implemented
+  * operator from SURVEY.md §2, each paired with DuckDB-runnable ANSI SQL in
+  * `oracleSql` on the same parquet tables.
+  *
+  * Determinism rules used throughout (SURVEY.md §5):
+  *  - every oracle-checked query ends with a total ORDER BY;
+  *  - float SUMs go through DECIMAL (exact, order-independent) and are cast
+  *    back to double; AVG/ratios are rounded;
+  *  - all hashing is md5 (identical in Spark and DuckDB);
+  *  - derived integers are cast to BIGINT on both sides;
+  *  - raw nanosecond timestamps are never output (Spark truncates to µs);
+  *    they are bucketed/format­ted to strings instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's merge-plan query (main.py:105-165) recast as
+    * one full-outer diff; driver smoke-checks rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    MergePipeline.mergePlan(spark, "/root/testdata/sf0.001")
+
+  // ---- helpers ------------------------------------------------------------
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Order-independent exact sum of a double column: via DECIMAL. */
+  private def dsum(c: Column, prec: Int = 18, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(prec, scale))).cast("double")
+
+  private val sqlDsum = (e: String, p: Int, s: Int) =>
+    s"CAST(SUM(CAST($e AS DECIMAL($p,$s))) AS DOUBLE)"
+
+  // words / shingles / signature CTEs shared by the text oracles
+  private val wordsCte =
+    "w AS (SELECT doc_id, lang, source, text, list_filter(string_split(text, ' '), x -> x <> '') ws FROM documents)"
+  private val shinglesCte =
+    """sh AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i FROM w))""".stripMargin
+  private val sigCte = {
+    val hs = (0 until 8).map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+    s"sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id)"
+  }
+  private val wdCte =
+    """wd AS (SELECT DISTINCT doc_id, wrd FROM
+      |  (SELECT doc_id, unnest(ws) AS wrd FROM w)),
+      |szs AS (SELECT doc_id, count(*) AS sz FROM wd GROUP BY doc_id)""".stripMargin
+  private def jaccardSql(candCte: String): String =
+    s"""WITH $wordsCte, $shinglesCte, $sigCte, $wdCte, $candCte,
+       |itr AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+       |  JOIN wd wa ON wa.doc_id = c.a
+       |  JOIN wd wb ON wb.doc_id = c.b AND wb.wrd = wa.wrd
+       |  GROUP BY c.a, c.b)
+       |SELECT c.a, c.b,
+       |  round(CAST(coalesce(itr.inter, 0) AS DOUBLE)
+       |    / CAST(sa.sz + sb.sz - coalesce(itr.inter, 0) AS DOUBLE), 6) AS jaccard
+       |FROM cand c
+       |LEFT JOIN itr ON itr.a = c.a AND itr.b = c.b
+       |JOIN szs sa ON sa.doc_id = c.a
+       |JOIN szs sb ON sb.doc_id = c.b
+       |ORDER BY c.a, c.b""".stripMargin
+  private val bandCte =
+    """bnd AS (SELECT doc_id, 0 AS band, h0 || '_' || h1 AS bucket FROM sig
+      |  UNION ALL SELECT doc_id, 1, h2 || '_' || h3 FROM sig
+      |  UNION ALL SELECT doc_id, 2, h4 || '_' || h5 FROM sig
+      |  UNION ALL SELECT doc_id, 3, h6 || '_' || h7 FROM sig)""".stripMargin
+
+  private def langScoreSql: String = TextAnalysis.langMarkers.map { case (l, m) =>
+    val lst = m.map(x => s"'$x'").mkString(", ")
+    s"CAST(len(list_filter(ws, x -> x IN ($lst))) AS BIGINT) AS s_$l"
+  }.mkString(", ")
+
+  private def simhashSql: String = (1 to 16).map { i =>
+    s"""CASE WHEN list_sum(list_transform(ws, x -> CASE WHEN substring(md5(x), $i, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"""
+  }.mkString("(", " || ", ")")
+
+  // ---- queries ------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 P1-P4: scan + filter + projection, pushed down to parquet
+    "q01_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // §2.3 J1/J2: broadcast lookup-join enrichment + grouped agg
+    "q02_lookup_join" -> ((s, d) => {
+      val enr = Relational.lookupEnrich(
+        Relational.lookupEnrich(t(s, d, "customer"), t(s, d, "nation"),
+          col("c_nationkey"), col("n_nationkey")),
+        t(s, d, "region"), col("n_regionkey"), col("r_regionkey"))
+      enr.groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("r_name"))
+    }),
+
+    // §2.3 J3+J4: the reference's merge diff as ONE full-outer join
+    "q03_merge_diff" -> ((s, d) =>
+      MergePipeline.mergePlan(s, d)
+        .select(col("name"), col("op_flag"), col("target_id"))
+        .orderBy(col("op_flag"), coalesce(col("name"), lit("")),
+          coalesce(col("target_id"), lit(-1L)))),
+
+    // §2.3 J4: anti join (customers with no orders)
+    "q04_anti_join" -> ((s, d) =>
+      Relational.antiJoin(t(s, d, "customer"), t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    // §2.3 ⊕J7: semi join (suppliers with recent shipments)
+    "q05_semi_join" -> ((s, d) =>
+      Relational.semiJoin(t(s, d, "supplier"), t(s, d, "lineitem"),
+          col("s_suppkey") === col("l_suppkey") &&
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))),
+
+    // §2.4 ⊕A4: TPC-H Q1-style grouped aggregation (partial+final hash agg)
+    "q06_agg_pricing" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 24, 6).as("sum_disc"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 24, 6).as("sum_charge"),
+          round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // §2.4 ⊕A5: distinct aggregation
+    "q07_distinct" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))),
+
+    // §2.4 ⊕A6: rollup with grouping flags
+    "q08_rollup" -> ((s, d) => {
+      val enr = Relational.lookupEnrich(
+        Relational.lookupEnrich(t(s, d, "customer"), t(s, d, "nation"),
+          col("c_nationkey"), col("n_nationkey")),
+        t(s, d, "region"), col("n_regionkey"), col("r_regionkey"))
+      enr.rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"),
+          grouping(col("r_name")).cast("long").as("g_r"),
+          grouping(col("n_name")).cast("long").as("g_n"))
+        .orderBy(col("g_r"), col("g_n"),
+          coalesce(col("r_name"), lit("")), coalesce(col("n_name"), lit("")))
+    }),
+
+    // §2.5 windows: per-group top-k by ranking
+    "q09_window_rank" -> ((s, d) =>
+      Relational.topKPerGroup(t(s, d, "orders"), 3,
+          Seq(col("o_orderstatus")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"))
+        .orderBy(col("o_orderstatus"), col("rn"))),
+
+    // §2.5 windows: lag + rolling frame aggregate (decimal-exact)
+    "q10_window_rolling" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("mov_sum",
+          sum(col("value").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(-4, 0)).cast("double"))
+        .select(col("event_id"), col("user_id"), col("prev_value"), col("mov_sum"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.6: global top-k (TakeOrderedAndProject — no full sort at scale)
+    "q11_topk" -> ((s, d) =>
+      Relational.topK(t(s, d, "orders"), 10,
+          col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // §2.7: set operations
+    "q12_set_ops" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("ckey")).distinct()
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("ckey")).distinct()
+      a.intersect(b).withColumn("tag", lit("both"))
+        .unionByName(a.except(b).withColumn("tag", lit("o_only")))
+        .select(col("tag"), col("ckey"))
+        .orderBy(col("tag"), col("ckey"))
+    }),
+
+    // §2.8 F1/F2/F9: string function suite
+    "q13_string_funcs" -> ((s, d) =>
+      t(s, d, "part").select(
+          col("p_partkey"),
+          lower(col("p_name")).as("lname"),
+          upper(col("p_brand")).as("ubrand"),
+          substring(col("p_type"), 1, 5).as("t5"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          element_at(split(col("p_type"), " "), 1).as("type_head"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("bt"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"))
+        .orderBy(col("p_partkey"))),
+
+    // §2.8 F4/F5: datetime suite (year/month/day, format, diff, trunc)
+    "q14_datetime" -> ((s, d) =>
+      t(s, d, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          datediff(lit("1996-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_96"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+        .orderBy(col("o_orderkey"))),
+
+    // §2.8 ⊕F9: JSON extraction (events.props)
+    "q15_json" -> ((s, d) =>
+      t(s, d, "events").select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy(col("event_id"))),
+
+    // §2.8 F3/F8: conditional buckets + pluralization shape
+    "q16_case_when" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 1000, lit("low"))
+            .when(col("o_totalprice") < 100000, lit("mid"))
+            .otherwise(lit("high")))
+        .groupBy(col("o_orderstatus"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("label",
+          concat(col("n").cast("string"), lit(" order"),
+            when(col("n") === 1, lit("")).otherwise(lit("s"))))
+        .orderBy(col("o_orderstatus"), col("bucket"))),
+
+    // §2.2 P3: null handling (coalesce / nullif)
+    "q17_coalesce" -> ((s, d) =>
+      t(s, d, "customer").select(
+          col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(default)")).as("seg2"),
+          coalesce(when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")), lit(0.0)).as("posbal"))
+        .orderBy(col("c_custkey"))),
+
+    // §2.4 A3 / §2.8 F7: array fold / join / slice on the words array
+    "q18_array_funcs" -> ((s, d) => {
+      val ws = TextAnalysis.words(col("text"))
+      t(s, d, "documents").select(
+          col("doc_id"),
+          size(ws).cast("long").as("n_words"),
+          array_join(slice(ws, 1, 3), " ").as("head3"),
+          concat(size(ws).cast("string"), lit(" word"),
+            when(size(ws) === 1, lit("")).otherwise(lit("s"))).as("label"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ⊕ dedup: exact, fingerprint-keyed keep-first
+    "q20_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), col("text"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))),
+
+    // ⊕ dedup: MinHash signatures (md5-based, engine-portable)
+    "q21_minhash" -> ((s, d) =>
+      Dedup.minhashSignature(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))),
+
+    // ⊕ dedup: LSH banding -> candidate pairs -> exact Jaccard verify
+    "q22_lsh_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sig = Dedup.minhashSignature(docs, "doc_id", col("text"))
+      val cand = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2)
+      Dedup.jaccardVerify(cand, docs, "doc_id", col("text"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ⊕ dedup: n-gram Jaccard similarity (consecutive-id pair probe)
+    "q23_jaccard_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ids = docs.select(col("doc_id"))
+      val cand = ids.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      Dedup.jaccardVerify(cand, docs, "doc_id", col("text"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ⊕ similarity search: exact brute-force cosine top-k
+    "q24_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .select(col("qid"), col("nid"), col("sim"), col("rank").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // ⊕ text analysis: heuristic language ID
+    "q25_langid" -> ((s, d) => {
+      val scores = TextAnalysis.langMarkers.map { case (l, m) =>
+        TextAnalysis.langScore(col("text"), m).as(s"s_$l")
+      }
+      t(s, d, "documents")
+        .select((col("doc_id") +: scores :+ TextAnalysis.langId(col("text")).as("pred_lang")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ⊕ text analysis: quality scoring
+    "q26_quality" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(t(s, d, "documents"), col("text"))
+        .select(col("doc_id"), col("n_words"), col("stop_ratio"),
+          col("mean_word_len"), col("quality"))
+        .orderBy(col("doc_id"))),
+
+    // ⊕ text analysis: token counting per language
+    "q27_tokens" -> ((s, d) =>
+      TextAnalysis.tokenCounts(t(s, d, "documents"), col("text"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens_ws")).as("t_ws"), sum(col("n_tokens_bpe")).as("t_bpe"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))),
+
+    // ⊕ text analysis: content fingerprint + 16-bit SimHash
+    "q28_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          Dedup.simhash16(col("text")).as("sh"))
+        .orderBy(col("doc_id"))),
+
+    // ⊕A7: typed Aggregator — per-label embedding centroid (first 4 dims)
+    "q29_centroids" -> ((s, d) =>
+      Similarity.centroids(t(s, d, "embeddings"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))
+        .withColumn("dim", (col("pos") + 1).cast("long"))
+        .filter(col("dim") <= 4)
+        .select(col("label"), col("dim"), round(col("v"), 6).as("c"))
+        .orderBy(col("label"), col("dim"))),
+
+    // ⊕J6: as-of alignment via window (last prior purchase per user)
+    "q30_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "events")
+        .withColumn("last_purchase",
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("last_purchase"), lit(-1.0)).as("last_purchase"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ⊕J6: range (interval) join — shipments within 30 days of order date
+    "q31_range_join" -> ((s, d) => {
+      val probe = Relational.topK(t(s, d, "orders"), 20, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = t(s, d, "lineitem")
+      broadcast(probe).join(li,
+          col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left")
+        .groupBy(col("o_orderkey"))
+        .agg(count(col("l_orderkey")).as("n"),
+          coalesce(dsum(col("l_extendedprice")), lit(0.0)).as("total"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ⊕ sessionization (gap > 30 min) — streaming-state precursor
+    "q32_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, d, "events")
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            (col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double")) > 1800, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // pivot-shaped conditional aggregation (lang × source buckets)
+    "q33_pivot" -> ((s, d) =>
+      t(s, d, "documents").groupBy(col("lang"))
+        .agg(
+          sum(when(col("source") === "src0", 1).otherwise(0)).cast("long").as("n_src0"),
+          sum(when(col("source") === "src1", 1).otherwise(0)).cast("long").as("n_src1"),
+          sum(when(col("source") === "src2", 1).otherwise(0)).cast("long").as("n_src2"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))),
+
+    // ⊕ multimodal: binary payload + typed metadata plumbing (oracle-checked)
+    "q34_binary_meta" -> ((s, d) =>
+      Multimodal.attachPayload(t(s, d, "documents"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          md5(col("payload")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // streaming: tumbling-window counts via Trigger.AvailableNow (oracle = batch SQL)
+    "q35_stream_tumbling" -> ((s, d) =>
+      EventStreams.runToCompletion(s, d)(EventStreams.tumblingCounts(_))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // ---- rows-only checks (not ANSI-SQL-expressible; oracle omitted) ----
+
+    // ⊕A5: HLL++ approximate distinct (sketch differs from DuckDB's)
+    "q90_approx_distinct" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type"))),
+
+    // ⊕ similarity: LSH-bucketed ANN top-k (recall<1 by construction)
+    "q91_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, 5, planes = 8)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ⊕ multimodal: per-partition decode stub (mapPartitions batch shape)
+    "q92_media_features" -> ((s, d) => {
+      val withPayload = Multimodal.attachPayload(t(s, d, "documents"))
+      Multimodal.extractFeatures(withPayload, "doc_id")
+        .select(col("id").as("doc_id"), round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  l_extendedprice * (1 - l_discount) AS net_price
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_lookup_join" ->
+      s"""SELECT r_name, count(*) AS n_cust, ${sqlDsum("c_acctbal", 18, 2)} AS total_bal
+         |FROM customer
+         |LEFT JOIN nation ON c_nationkey = n_nationkey
+         |LEFT JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q03_merge_diff" ->
+      """WITH src AS (SELECT c_name AS name, lower(c_name) AS k FROM customer WHERE c_acctbal > 0),
+        |tgt AS (SELECT id, k FROM (
+        |  SELECT c_custkey AS id, lower(c_name) AS k,
+        |         row_number() OVER (PARTITION BY lower(c_name) ORDER BY c_custkey) AS rn
+        |  FROM customer WHERE c_mktsegment = 'BUILDING') WHERE rn = 1)
+        |SELECT s.name,
+        |  CASE WHEN s.name IS NULL THEN 'delete'
+        |       WHEN t.id IS NULL THEN 'create' ELSE 'update' END AS op_flag,
+        |  t.id AS target_id
+        |FROM src s FULL OUTER JOIN tgt t ON s.k = t.k
+        |ORDER BY op_flag, coalesce(s.name, ''), coalesce(t.id, -1)""".stripMargin,
+
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '1997-01-01')
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q06_agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity", 18, 2)} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice", 18, 2)} AS sum_base,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 24, 6)} AS sum_disc,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 24, 6)} AS sum_charge,
+         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+         |  count(*) AS n
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q07_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q08_rollup" ->
+      s"""SELECT r_name, n_name, count(*) AS n, ${sqlDsum("c_acctbal", 18, 2)} AS total_bal,
+         |  CAST(GROUPING(r_name) AS BIGINT) AS g_r, CAST(GROUPING(n_name) AS BIGINT) AS g_n
+         |FROM customer
+         |LEFT JOIN nation ON c_nationkey = n_nationkey
+         |LEFT JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY g_r, g_n, coalesce(r_name, ''), coalesce(n_name, '')""".stripMargin,
+
+    "q09_window_rank" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "q10_window_rolling" ->
+      """SELECT event_id, user_id,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q11_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q12_set_ops" ->
+      """SELECT 'both' AS tag, ckey FROM (
+        |  SELECT o_custkey AS ckey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT 'o_only' AS tag, ckey FROM (
+        |  SELECT o_custkey AS ckey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY tag, ckey""".stripMargin,
+
+    "q13_string_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+        |  substring(p_type, 1, 5) AS t5, CAST(length(p_name) AS BIGINT) AS name_len,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |  string_split(p_type, ' ')[1] AS type_head,
+        |  concat_ws('-', p_brand, p_type) AS bt,
+        |  trim('  ' || p_name || '  ') AS trimmed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q14_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS BIGINT) AS days_to_96,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q15_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q16_case_when" ->
+      """SELECT o_orderstatus, bucket, n,
+        |  CAST(n AS VARCHAR) || ' order' || (CASE WHEN n = 1 THEN '' ELSE 's' END) AS label
+        |FROM (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_totalprice < 1000 THEN 'low'
+        |         WHEN o_totalprice < 100000 THEN 'mid' ELSE 'high' END AS bucket,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |ORDER BY o_orderstatus, bucket""".stripMargin,
+
+    "q17_coalesce" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(default)') AS seg2,
+        |  coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS posbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q18_array_funcs" ->
+      s"""WITH $wordsCte
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |  array_to_string(ws[1:3], ' ') AS head3,
+         |  CAST(len(ws) AS VARCHAR) || ' word' || (CASE WHEN len(ws) = 1 THEN '' ELSE 's' END) AS label
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT doc_id, fp FROM (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q21_minhash" ->
+      s"""WITH $wordsCte, $shinglesCte, $sigCte
+         |SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q22_lsh_pairs" -> jaccardSql(
+      s"""$bandCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin),
+
+    "q23_jaccard_pairs" -> jaccardSql(
+      """cand AS (SELECT d1.doc_id AS a, d2.doc_id AS b
+        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1)""".stripMargin),
+
+    "q24_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |  round(list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS sim
+        |  FROM q, c WHERE qid <> nid),
+        |r AS (SELECT qid, nid, sim,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk FROM s)
+        |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "q25_langid" ->
+      s"""WITH $wordsCte,
+         |s AS (SELECT doc_id, $langScoreSql FROM w),
+         |g AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS best FROM s)
+         |SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+         |  CASE WHEN best = 0 THEN 'und'
+         |       WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+         |       WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q26_quality" ->
+      s"""WITH $wordsCte,
+         |f AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop,
+         |  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) AS char_sum
+         |  FROM w)
+         |SELECT doc_id, n_words,
+         |  round(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END, 6) AS stop_ratio,
+         |  round(CASE WHEN n_words > 0 THEN char_sum / n_words ELSE 0.0 END, 6) AS mean_word_len,
+         |  round(0.5 * least(n_words / 20.0, 1.0)
+         |    + 0.3 * (CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END)
+         |    + 0.2 * least((CASE WHEN n_words > 0 THEN char_sum / n_words ELSE 0.0 END) / 8.0, 1.0), 6) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q27_tokens" ->
+      s"""WITH $wordsCte,
+         |f AS (SELECT lang, CAST(len(ws) AS BIGINT) AS nw,
+         |  greatest(CAST(len(ws) AS BIGINT), CAST(ceil(length(text) / 4.0) AS BIGINT)) AS bpe
+         |  FROM w)
+         |SELECT lang, CAST(SUM(nw) AS BIGINT) AS t_ws, CAST(SUM(bpe) AS BIGINT) AS t_bpe,
+         |  count(*) AS n_docs
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q28_fingerprint" ->
+      s"""WITH $wordsCte
+         |SELECT doc_id,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |  $simhashSql AS sh
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q29_centroids" ->
+      """SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS c
+        |FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |        unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings) t
+        |WHERE dim <= 4 GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q30_asof" ->
+      """SELECT event_id, user_id, last_purchase FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    coalesce(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1.0) AS last_purchase
+        |  FROM events)
+        |WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+
+    "q31_range_join" ->
+      s"""WITH probe AS (SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey LIMIT 20)
+         |SELECT o_orderkey, count(l_orderkey) AS n,
+         |  coalesce(${sqlDsum("l_extendedprice", 18, 2)}, 0.0) AS total
+         |FROM probe LEFT JOIN lineitem
+         |  ON l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q32_sessions" ->
+      """WITH m AS (SELECT user_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q33_pivot" ->
+      """SELECT lang,
+        |  CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_src0,
+        |  CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_src1,
+        |  CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS n_src2,
+        |  count(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q34_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 512 + 64 AS INTEGER) AS width,
+        |  CAST((ascii(substring(text, 1, 1)) * 7) % 512 + 64 AS INTEGER) AS height,
+        |  md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q35_stream_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+  )
 }

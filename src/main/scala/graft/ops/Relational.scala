@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators re-expressing the reference's interpreted joins
+  * (SURVEY.md §2.3) as declarative Spark plans, plus the generic engine
+  * surface (dedup-keep-first, top-k, skew-safe join).
+  *
+  * Scale notes (100 TB): every function here is a pure LogicalPlan
+  * transformation — no driver-side iteration, no collect. Joins against
+  * dimension tables are explicitly broadcast; the merge diff is one shuffle
+  * on the join key on each side (sort-merge at fact scale, AQE-skew-safe).
+  */
+object Relational {
+
+  /** J1/J2 (main.py:107-110,120,123): broadcast lookup-join enrichment.
+    * The reference builds a Python dict and probes it per row — the exact
+    * hand-rolled build side of a broadcast hash join. `left` semantics with
+    * a coalesce default mirrors `MAP_ROOMS[...] or ""` (main.py:120) without
+    * the reference's KeyError on unknown keys.
+    */
+  def lookupEnrich(facts: DataFrame, dim: DataFrame, factKey: Column,
+                   dimKey: Column): DataFrame =
+    facts.join(broadcast(dim), factKey === dimKey, "left")
+
+  /** J3+J4 (main.py:134-163) as ONE full-outer join instead of two O(n*m)
+    * nested loops: matched -> update, source-only -> create, target-only ->
+    * delete. Keys are case-normalized on both sides (main.py:135,137,152,155).
+    *
+    * `srcKey`/`tgtKey` name key columns of `source`/`target`; output carries
+    * all source columns, the target id column, and `op_flag`.
+    * The reference's "first match wins" (main.py:142) is nondeterministic
+    * API-page order; we make it deterministic by deduplicating the target on
+    * the lowered key, keeping the smallest `tgtId` (SURVEY.md §2.3 note).
+    */
+  def mergePlan(source: DataFrame, target: DataFrame, srcKey: String,
+                tgtKey: String, tgtId: String): DataFrame = {
+    val src = source.withColumn("__k", lower(col(srcKey)))
+    val tgt = dedupKeepFirst(
+        target.withColumn("__k", lower(col(tgtKey))), Seq("__k"), Seq(col(tgtId)))
+      .select(col("__k"), col(tgtId).as("__tid"))
+    src.join(tgt, Seq("__k"), "full_outer")
+      .withColumn("op_flag",
+        when(col(srcKey).isNull, lit("delete"))
+          .when(col("__tid").isNull, lit("create"))
+          .otherwise(lit("update")))
+      .withColumn("target_id", col("__tid"))
+      .drop("__k", "__tid")
+  }
+
+  /** J4 alone (main.py:150-163): rows of `left` with no key match in `right`. */
+  def antiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_anti")
+
+  /** ⊕J7: EXISTS dual of the anti join. */
+  def semiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_semi")
+
+  /** Dedup-keep-first: row_number over (keys, orderBy tiebreak) == 1.
+    * Deterministic version of the reference's first-match-wins (main.py:142)
+    * and the exact-dedup north-star operator. One shuffle on `keys`.
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Global top-k with a total-order tiebreak. Spark plans this as
+    * TakeOrderedAndProject: per-partition heap + driver merge of k rows,
+    * no full sort and no full shuffle — safe at any scale for small k. */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Per-group top-k via ranking window (one shuffle on the group key). */
+  def topKPerGroup(df: DataFrame, k: Int, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Skew-safe equi-join: salt the skewed (left) side into `buckets`
+    * sub-keys and explode the build side to match. Use when AQE skew
+    * handling isn't enough (e.g. one hot key holding >1 partition of data).
+    * At 100 TB hot keys are the norm, not the exception — this keeps a
+    * single reducer from receiving an entire key's data.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 buckets: Int): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+    val exploded = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+}

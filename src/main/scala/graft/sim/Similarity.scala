@@ -1,0 +1,125 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (north-star ⊕): brute-force
+  * cosine top-k as the exact baseline, and an LSH-bucketed (random
+  * hyperplane / SimHash-for-vectors) variant as the 100 TB scale path.
+  *
+  * Scale notes:
+  *  - brute force is O(|queries| × |corpus|): correct tool for small query
+  *    batches (re-ranking, evaluation); the per-pair kernel is codegen'd
+  *    higher-order functions (`zip_with` + `aggregate`), no UDF.
+  *  - the LSH path buckets both sides by hyperplane-sign signature so the
+  *    join is equi on the bucket key: shuffle is data-size-linear and the
+  *    cross product happens only inside a bucket. Hyperplane signs are
+  *    md5-derived constants — deterministic across runs, executors, engines.
+  *  - top-k per query = row_number window over the (small) scored side.
+  */
+object Similarity {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Sequential-fold dot product (deterministic order — both Spark and the
+    * DuckDB oracle fold left-to-right, so doubles match bit-for-bit). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + d(x) * d(x)))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * Queries are broadcast (small side); corpus streams through codegen. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qId: String = "qid", cId: String = "nid"): DataFrame = {
+    val q = queries.select(col("vec_id").as(qId), col("embedding").as("__qe"))
+    val c = corpus.select(col("vec_id").as(cId), col("embedding").as("__ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("sim", round(cosine(col("__qe"), col("__ce")), 6))
+    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic ±1 hyperplane signs: sign(plane p, dim d) = +1 iff the
+    * first hex digit of md5("p_d") has its high bit set. Computed once on
+    * the driver; identical everywhere. */
+  def hyperplaneSigns(planes: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dims) { (p, dd) =>
+      val h = md.digest(s"${p}_$dd".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1.0 else -1.0
+    }
+  }
+
+  /** Random-hyperplane LSH bucket key: one char per plane, '1' iff the
+    * projection of the vector onto the plane is positive. Vectors in the
+    * same bucket are near-duplicates/high-cosine candidates. */
+  def lshBucket(vec: Column, planes: Int = 8, dims: Int = 64): Column = {
+    val signs = hyperplaneSigns(planes, dims)
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, lit(signs(p)), (x, s) => d(x) * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** ANN top-k: candidates restricted to the query's LSH bucket, then exact
+    * cosine re-rank inside the bucket. Equi-join on the bucket key — the
+    * scale path (no cross join). Recall < 1 by construction; raise `planes`
+    * ↓bucket size, or probe multiple buckets for higher recall. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Int = 8): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("__qe"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("__ce"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val scored = c.join(q, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosine(col("__qe"), col("__ce")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Typed Aggregator (⊕A7): element-wise vector mean. Buffer = (sums,
+    * count); merge is associative so Spark runs it partial+final like any
+    * hash aggregate. Exposed untyped via functions.udaf. */
+  class CentroidAggregator(dims: Int)
+      extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+    def zero: (Array[Double], Long) = (Array.fill(dims)(0.0), 0L)
+    def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+      var i = 0
+      while (i < dims && i < v.length) { b._1(i) += v(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dims) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+    def finish(r: (Array[Double], Long)): Seq[Double] =
+      if (r._2 == 0) Seq.empty else r._1.map(_ / r._2).toSeq
+    def bufferEncoder: Encoder[(Array[Double], Long)] =
+      Encoders.tuple(ExprEnc.arrayDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Seq[Double]] = ExprEnc.seqDouble
+  }
+
+  private object ExprEnc {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val arrayDouble: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+    val seqDouble: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Per-label centroid of the embedding column via the typed Aggregator. */
+  def centroids(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    val agg = udaf(new CentroidAggregator(dims))
+    embeddings.groupBy(col("label")).agg(agg(col("embedding")).as("centroid"))
+  }
+}

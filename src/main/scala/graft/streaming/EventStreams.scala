@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9): the reference is a
+  * rerunnable one-shot batch job; its "refresh" semantics map onto
+  * `Trigger.AvailableNow` — process everything currently available, then
+  * stop — which is exactly how we expose streaming results to the batch
+  * driver contract.
+  *
+  * Scale notes: watermark + windowed aggregation is the standard unbounded
+  * pattern (state pruned past the watermark); `dropDuplicates` within the
+  * watermark bounds dedup state. On a cluster the memory sink becomes a
+  * parquet/Kafka sink; nothing else changes.
+  */
+object EventStreams {
+
+  /** ts is TIMESTAMP(NANOS) in the parquet — read as a nanosecond long
+    * (spark.sql.legacy.parquet.nanosAsLong) and convert to µs timestamps. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Run a streaming transform over the events parquet to completion
+    * (AvailableNow) and return the materialized result. */
+  def runToCompletion(spark: SparkSession, dir: String,
+                      outputMode: String = "complete")
+                     (transform: DataFrame => DataFrame): DataFrame = {
+    // `$dir/events.parquet` is a single file; FileStreamSource needs a
+    // directory to scan, so expose the file through a temp dir symlink.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    srcDir.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val src = spark.readStream.schema(eventsSchema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val name = s"graft_stream_${sinkId.incrementAndGet()}"
+    val q = transform(src).writeStream
+      .outputMode(outputMode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    // Block until every available batch is processed, snapshot the memory
+    // sink BEFORE the query fully terminates (termination cleanup races
+    // with lazy reads of the sink table), then stop. Streaming aggregate
+    // results are small (bounded by windows × groups), so collecting to
+    // the driver is fine here.
+    q.processAllAvailable()
+    val out = spark.table(name)
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    q.stop()
+    q.awaitTermination()
+    spark.createDataFrame(rows, out.schema)
+  }
+
+  /** Tumbling-window counts/sums per event_type with a watermark. */
+  def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        // decimal sum -> order-independent, matches the batch oracle exactly
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Sliding-window counts (width/slide) per event_type. */
+  def slidingCounts(events: DataFrame, width: String, slide: String): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"))
+
+  /** Streaming dedup on the natural key within the watermark — the
+    * reference's re-run idempotency (main.py re-create semantics),
+    * expressed as exactly-once-per-key. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .dropDuplicates("event_id")
+}
