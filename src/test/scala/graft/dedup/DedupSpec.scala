@@ -1,0 +1,79 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps one row per normalized text, smallest id first") {
+    val d = docs(
+      1L -> "Hello  World",
+      2L -> "hello world",   // dup of 1 after normalization
+      3L -> "different text")
+    val out = Dedup.exact(d, col("text"), Seq(col("doc_id")))
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
+  test("shingles produces n-k+1 word 3-grams, none for short docs") {
+    val d = docs(1L -> "a b c d", 2L -> "x y")
+    val sh = Dedup.shingles(d, "doc_id", col("text"))
+      .as[(Long, String)].collect().toSet
+    assert(sh === Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("minhash signatures are equal iff shingle sets are equal (here: dup docs)") {
+    val d = docs(
+      1L -> "the quick brown fox jumps",
+      2L -> "the quick brown fox jumps",
+      3L -> "a completely different sentence here")
+    val sig = Dedup.minhashSignature(d, "doc_id", col("text")).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i)))
+      .toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+  }
+
+  test("lshCandidates surfaces exact duplicates as a candidate pair") {
+    val d = docs(
+      1L -> "one two three four five six",
+      2L -> "one two three four five six",
+      3L -> "seven eight nine ten eleven twelve")
+    val sig = Dedup.minhashSignature(d, "doc_id", col("text"))
+    val cand = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.exists { case (a, b) => a >= b }) // canonical a < b, no self-pairs
+  }
+
+  test("jaccardVerify computes exact word-set jaccard") {
+    val d = docs(1L -> "a b c", 2L -> "b c d", 3L -> "x y z")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val j = Dedup.jaccardVerify(pairs, d, "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect().map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(j((1L, 2L)) === 0.5)  // {b,c} / {a,b,c,d}
+    assert(j((1L, 3L)) === 0.0)
+  }
+
+  test("simhash16 is deterministic and equal for identical texts") {
+    val d = docs(1L -> "spark engine test", 2L -> "spark engine test", 3L -> "other words")
+    val sh = d.select(col("doc_id"), Dedup.simhash16(col("text")).as("sh"))
+      .as[(Long, String)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L).length === 16)
+    assert(sh(1L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("near-duplicate texts have small simhash hamming distance vs unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base.replace("dog", "cat")
+    val far  = "completely unrelated words about database engines and columnar storage"
+    val d = docs(1L -> base, 2L -> near, 3L -> far)
+    val sh = d.select(col("doc_id"), Dedup.simhash16(col("text")).as("sh"))
+      .as[(Long, String)].collect().toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sh(1L), sh(2L)) <= ham(sh(1L), sh(3L)))
+  }
+}

@@ -1,0 +1,33 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("attachPayload: payload bytes round-trip the text; meta struct is typed") {
+    val d = Seq((1L, "hello")).toDF("doc_id", "text")
+    val row = Multimodal.attachPayload(d).select("payload", "meta.width", "meta.mime").head()
+    assert(new String(row.getAs[Array[Byte]](0), "UTF-8") === "hello")
+    assert(row.getInt(1) === 5 % 512 + 64)
+    assert(row.getString(2) === "application/octet-stream")
+  }
+
+  test("extractFeatures: deterministic 8-dim features, one row per input") {
+    val d = Seq((1L, "abc"), (2L, "abc"), (3L, "zzzz")).toDF("doc_id", "text")
+    val f = Multimodal.extractFeatures(Multimodal.attachPayload(d), "doc_id")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(f.size === 3)
+    assert(f(1L) === f(2L))          // same bytes → same features
+    assert(f(1L).length === 8)
+    assert(f(1L) !== f(3L))
+  }
+
+  test("sampleChunks keeps every stride-th fixed-size chunk") {
+    val d = Seq((1L, "aabbccddee")).toDF("doc_id", "text") // 10 bytes, chunk=2 → 5 chunks
+    val frames = Multimodal.sampleChunks(Multimodal.attachPayload(d), chunkBytes = 2, stride = 2)
+      .select("frames").as[Seq[Array[Byte]]].head()
+    assert(frames.map(new String(_, "UTF-8")) === Seq("aa", "cc", "ee"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergePlan: matched→update carrying target id, source-only→create, target-only→delete") {
+    val src = Seq(("Alice", 10), ("Bob", 20), ("Carol", 30)).toDF("name", "v")
+    val tgt = Seq((101L, "ALICE"), (102L, "bob"), (103L, "Zed")).toDF("id", "tag")
+    val plan = Relational.mergePlan(src, tgt, "name", "tag", "id")
+      .select("name", "op_flag", "target_id").as[(String, String, Option[Long])]
+      .collect().toSet
+    assert(plan === Set(
+      ("Alice", "update", Some(101L)),
+      ("Bob", "update", Some(102L)),
+      ("Carol", "create", None),
+      (null, "delete", Some(103L))))
+  }
+
+  test("mergePlan: duplicate target keys deduplicate deterministically (smallest id wins)") {
+    val src = Seq(("a", 1)).toDF("name", "v")
+    val tgt = Seq((9L, "A"), (2L, "a"), (5L, "A")).toDF("id", "tag")
+    val plan = Relational.mergePlan(src, tgt, "name", "tag", "id")
+    val row = plan.select("op_flag", "target_id").as[(String, Long)].collect()
+    assert(row.toSeq === Seq(("update", 2L)))
+  }
+
+  test("dedupKeepFirst keeps exactly one row per key, by the given order") {
+    val df = Seq(("k1", 3), ("k1", 1), ("k1", 2), ("k2", 9)).toDF("k", "v")
+    val out = Relational.dedupKeepFirst(df, Seq("k"), Seq(col("v"))).as[(String, Int)]
+      .collect().toSet
+    assert(out === Set(("k1", 1), ("k2", 9)))
+  }
+
+  test("anti and semi joins partition the left side") {
+    val l = Seq(1, 2, 3, 4).toDF("k")
+    val r = Seq(2, 4, 6).toDF("rk")
+    val anti = Relational.antiJoin(l, r, col("k") === col("rk")).as[Int].collect().toSet
+    val semi = Relational.semiJoin(l, r, col("k") === col("rk")).as[Int].collect().toSet
+    assert(anti === Set(1, 3))
+    assert(semi === Set(2, 4))
+    assert((anti ++ semi) === Set(1, 2, 3, 4))
+  }
+
+  test("topK returns k rows in total order; plan is TakeOrderedAndProject (no full sort)") {
+    val df = (1 to 100).toDF("v")
+    val top = Relational.topK(df, 5, col("v").desc)
+    assert(top.as[Int].collect().toSeq === Seq(100, 99, 98, 97, 96))
+    val phys = top.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$phys")
+  }
+
+  test("topKPerGroup bounds each group independently") {
+    val df = Seq(("g1", 1), ("g1", 2), ("g1", 3), ("g2", 7)).toDF("g", "v")
+    val out = Relational.topKPerGroup(df, 2, Seq(col("g")), Seq(col("v").desc))
+      .select("g", "v").as[(String, Int)].collect().toSet
+    assert(out === Set(("g1", 3), ("g1", 2), ("g2", 7)))
+  }
+
+  test("saltedJoin matches the plain equi-join result") {
+    val big = Seq(("k", 1), ("k", 2), ("k", 3), ("j", 4)).toDF("key", "v")
+    val dim = Seq(("k", "hot"), ("j", "cold")).toDF("key", "name")
+    val salted = Relational.saltedJoin(big, dim, "key", buckets = 4)
+      .select("key", "v", "name").as[(String, Int, String)].collect().toSet
+    val plain = big.join(dim, "key")
+      .select("key", "v", "name").as[(String, Int, String)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("lookupEnrich broadcasts the dimension side") {
+    val facts = (1 to 50).map(i => (i, i % 3)).toDF("id", "dk")
+    val dim = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+    val out = Relational.lookupEnrich(facts, dim, col("dk"), col("k"))
+    assert(out.count() === 50)
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in:\n$phys")
+  }
+}

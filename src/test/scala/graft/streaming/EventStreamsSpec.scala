@@ -1,0 +1,30 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Tables
+
+class EventStreamsSpec extends SparkSpec {
+
+  test("tumblingCounts over AvailableNow equals the batch windowed aggregation") {
+    val streamed = EventStreams.runToCompletion(spark, sfDir)(EventStreams.tumblingCounts(_))
+      .select("win_start", "event_type", "n", "total").collect().toSet
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+      .collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("streaming dedup emits each event_id at most once") {
+    val out = EventStreams.runToCompletion(spark, sfDir, outputMode = "append")(
+      EventStreams.dedupedEvents(_).select("event_id"))
+    val ids = out.collect().map(_.getLong(0))
+    assert(ids.length === ids.distinct.length)
+    assert(ids.nonEmpty)
+  }
+}

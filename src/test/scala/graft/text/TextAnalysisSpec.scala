@@ -1,0 +1,50 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("words drops empty tokens from repeated/trailing spaces") {
+    val out = Seq("a  b c ").toDF("t")
+      .select(TextAnalysis.words(col("t"))).as[Seq[String]].head()
+    assert(out === Seq("a", "b", "c"))
+  }
+
+  test("fingerprint is invariant under case and whitespace runs") {
+    val df = Seq(("Hello  World", "hello world"), ("a b", "a   B ")).toDF("x", "y")
+    val eq = df.select((TextAnalysis.fingerprint(col("x")) ===
+      TextAnalysis.fingerprint(col("y"))).as("eq")).as[Boolean].collect()
+    assert(eq.forall(identity))
+  }
+
+  test("langId picks the language with most marker hits; und when none") {
+    val df = Seq(
+      "the fast dog and the slow cat",  // en markers
+      "gruppe wert zeile",              // de markers
+      "qqq www zzz").toDF("t")          // none
+    val out = df.select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
+    assert(out === Seq("en", "de", "und"))
+  }
+
+  test("qualityFeatures: ratios and composite bounded in [0,1]") {
+    val d = Seq((1L, "the quick brown fox of the lazy dog"), (2L, "")).toDF("doc_id", "text")
+    val f = TextAnalysis.qualityFeatures(d, col("text"))
+      .select("doc_id", "n_words", "stop_ratio", "quality")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(f(1L)._2 === 8L)
+    assert(f(1L)._3 === 0.375) // the, of, the
+    assert(f.values.forall(r => r._3 >= 0 && r._3 <= 1 && r._4 >= 0 && r._4 <= 1))
+    assert(f(2L)._2 === 0L && f(2L)._3 === 0.0)
+  }
+
+  test("tokenCounts: bpe-ish estimate >= word count") {
+    val d = Seq((1L, "internationalization considerations"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenCounts(d, col("text"))
+      .select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (_, ws, bpe) => assert(bpe >= ws) }
+    assert(out.find(_._1 == 1L).get._3 >= 9) // 35 chars / 4 ≈ 9
+  }
+}
