@@ -433,6 +433,29 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // the reference's full ETL (S1 pretalx scan → transform → S2 paginated
+    // DSv2 scan → merge diff) on a deterministic inline fixture; rows-only
+    // (inputs are reference-shaped JSON, not the sfDir tables)
+    "q93_pretalx_etl" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("pretalx_fix")
+      java.nio.file.Files.writeString(dir.resolve("schedule.json"),
+        """{"talks": [
+          |  {"code": "T-1", "title": "Keynote", "room": 1, "abstract": "A",
+          |   "speakers": ["s1"], "start": "2026-08-01T10:00:00+02:00", "duration": "30"},
+          |  {"code": "T-2", "title": "Workshop", "room": 2, "abstract": null,
+          |   "speakers": ["s1", "s2"], "start": "2026-08-01T11:00:00+02:00", "duration": "90"}
+          | ],
+          | "speakers": [{"code": "s1", "name": "Ada"}, {"code": "s2", "name": "Grace"}]}""".stripMargin)
+      val pages = dir.resolve("pages"); java.nio.file.Files.createDirectory(pages)
+      java.nio.file.Files.writeString(pages.resolve("page_1.json"),
+        """{"data": [{"id": "e1", "name": "Keynote", "tags": ["t-1"]},
+          |          {"id": "e2", "name": "Old", "tags": ["gone"]}],
+          | "pagination": {"total": 2, "page": 1, "page_size": 100}}""".stripMargin)
+      graft.sources.HubEtl.run(s, dir.resolve("schedule.json").toString, pages.toString)
+        .select(col("code"), col("name"), col("op_flag"), col("hub_id"))
+        .orderBy(coalesce(col("code"), lit("")), col("op_flag"))
+    }),
+
     // ⊕ multimodal: per-partition decode stub (mapPartitions batch shape)
     "q92_media_features" -> ((s, d) => {
       val withPayload = Multimodal.attachPayload(t(s, d, "documents"))

@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Golden end-to-end test of the reference pipeline (SURVEY.md §5.4) on the
+  * FIXTURES.md A1/A2 shapes, including every listed edge case: null
+  * title/abstract, 1-vs-3 speakers, case-differing keys, unknown room,
+  * duplicate target tags, empty target tags. */
+class HubEtlSpec extends SparkSpec {
+
+  private def write(dir: Path, name: String, body: String): Unit =
+    Files.writeString(dir.resolve(name), body)
+
+  private lazy val fixtureDir: Path = {
+    val d = Files.createTempDirectory("hub_etl_fixture")
+    write(d, "schedule.json",
+      """{
+        |  "talks": [
+        |    {"code": "TALK-A", "title": "Alpha Talk", "room": 1, "abstract": "About A",
+        |     "speakers": ["s1"], "start": "2026-08-01T10:00:00+02:00", "duration": "30"},
+        |    {"code": "talk-b", "title": null, "room": 2, "abstract": null,
+        |     "speakers": ["s1", "s2", "s3"], "start": "2026-08-01T11:00:00+02:00", "duration": "45"},
+        |    {"code": "TALK-C", "title": "Gamma", "room": 99, "abstract": "About C",
+        |     "speakers": [], "start": "2026-08-01T12:00:00+02:00", "duration": "60"}
+        |  ],
+        |  "speakers": [
+        |    {"code": "s1", "name": "Ada"},
+        |    {"code": "s2", "name": "Grace"},
+        |    {"code": "s3", "name": "Edsger"}
+        |  ]
+        |}""".stripMargin)
+    val pages = d.resolve("pages")
+    Files.createDirectory(pages)
+    write(pages, "page_1.json",
+      """{"data": [
+        |  {"id": "e1", "name": "Alpha Talk (old)", "tags": ["talk-a"]},
+        |  {"id": "e2", "name": "Stale Event", "tags": ["GONE-1"]}
+        |], "pagination": {"total": 4, "page": 1, "page_size": 2}}""".stripMargin)
+    write(pages, "page_2.json",
+      """{"data": [
+        |  {"id": "e3", "name": "Dup Tag", "tags": ["talk-a"]},
+        |  {"id": "e4", "name": "No Tags", "tags": []}
+        |], "pagination": {"total": 4, "page": 2, "page_size": 2}}""".stripMargin)
+    d
+  }
+
+  test("paginated DSv2 source reads all pages, one partition per page") {
+    val df = HubEtl.targetEvents(spark, fixtureDir.resolve("pages").toString)
+    assert(df.count() === 4)
+    assert(df.rdd.getNumPartitions === 2)
+    val e1 = df.filter(col("id") === "e1").select("name", "tags").head()
+    assert(e1.getString(0) === "Alpha Talk (old)")
+    assert(e1.getSeq[String](1) === Seq("talk-a"))
+  }
+
+  test("talksToEvents: projection, constants, coalesce, speaker mapping, ts parse") {
+    val schedule = Pretalx.readSchedule(spark, fixtureDir.resolve("schedule.json").toString)
+    val events = Pretalx.talksToEvents(
+      Pretalx.talks(schedule), Pretalx.speakerMapOf(schedule))
+    val rows = events.orderBy("code").collect()
+
+    val a = rows.find(_.getAs[String]("code") == "TALK-A").get
+    assert(a.getAs[String]("name") === "Alpha Talk")
+    assert(a.getAs[String]("room_name") === "CDC Triangle")
+    assert(a.getAs[String]("description") === "Speaker: Ada")  // singular
+    assert(a.getAs[java.sql.Timestamp]("schedule_start").toInstant.toString
+      === "2026-08-01T08:00:00Z")  // +02:00 offset honored
+
+    val b = rows.find(_.getAs[String]("code") == "talk-b").get
+    assert(b.getAs[String]("name") === "")                      // null title coalesced
+    assert(b.getAs[String]("abstract") === "")
+    assert(b.getAs[Seq[String]]("speakers") === Seq("Ada", "Grace", "Edsger")) // order kept
+    assert(b.getAs[String]("description") === "Speakers: Ada, Grace, Edsger") // plural
+
+    val c = rows.find(_.getAs[String]("code") == "TALK-C").get
+    assert(c.getAs[String]("room_name") === "")                 // unknown room → "" not error
+  }
+
+  test("end-to-end merge plan: update on case-insensitive match, create, delete") {
+    val plan = HubEtl.run(spark,
+      fixtureDir.resolve("schedule.json").toString,
+      fixtureDir.resolve("pages").toString)
+    val flags = plan.select("code", "op_flag", "hub_id").collect()
+      .map(r => (r.getAs[String]("code"), r.getAs[String]("op_flag"), r.getAs[String]("hub_id")))
+
+    // TALK-A matches tags[0]="talk-a" case-insensitively; duplicate target
+    // tag (e1, e3) resolves deterministically to the smaller id e1
+    assert(flags.contains(("TALK-A", "update", "e1")))
+    assert(flags.contains(("talk-b", "create", null)))
+    assert(flags.contains(("TALK-C", "create", null)))
+    // GONE-1 has no source match → delete; empty-tags e4 → delete (null key)
+    val deletes = flags.filter(_._2 == "delete").map(_._3).toSet
+    assert(deletes === Set("e2", "e4"))
+  }
+
+  test("resolveAssemblyId: hit returns id, miss fails like the reference") {
+    import spark.implicits._
+    val assemblies = Seq(("a-1", "cdc"), ("a-2", "other")).toDF("id", "slug")
+    assert(HubEtl.resolveAssemblyId(assemblies, "cdc") === "a-1")
+    val e = intercept[IllegalArgumentException] {
+      HubEtl.resolveAssemblyId(assemblies, "missing")
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
+  test("validate flags rows whose sink message contains 'invalid' (incl. index 0)") {
+    import spark.implicits._
+    val plan = Seq(
+      ("r1", "all good"),
+      ("r2", "invalid form field"),   // match at index 0 — reference bug misses this
+      ("r3", "form was Invalid")).toDF("k", "sink_message")
+    val out = HubEtl.validate(plan).select("k", "valid").as[(String, Boolean)].collect().toMap
+    assert(out === Map("r1" -> true, "r2" -> false, "r3" -> false))
+  }
+
+  test("write sink partitions by op_flag and re-running overwrites idempotently") {
+    val plan = HubEtl.run(spark,
+      fixtureDir.resolve("schedule.json").toString,
+      fixtureDir.resolve("pages").toString)
+    val out = Files.createTempDirectory("hub_etl_sink").toString
+    HubEtl.writePlan(plan, out)
+    HubEtl.writePlan(plan, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === plan.count())
+    assert(back.columns.contains("valid"))
+  }
+}
