@@ -10,7 +10,7 @@ import graft.model.Tables
 import graft.multimodal.Multimodal
 import graft.ops.Relational
 import graft.sim.Similarity
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, Stateful}
 import graft.text.TextAnalysis
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
@@ -433,6 +433,27 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ⊕ dedup: embedding-cosine near-dup pairs (LSH bucket join + native
+    // cosine verify; oracle mirrors the bucket logic with sign literals)
+    "q36_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(t(s, d, "embeddings"), threshold = 0.3)
+        .orderBy(col("a"), col("b"))),
+
+    // §2.9: sliding-window counts (width 10m, slide 5m)
+    "q37_stream_sliding" -> ((s, d) =>
+      EventStreams.runToCompletion(s, d)(EventStreams.slidingCounts(_, "10 minutes", "5 minutes"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // §2.9: session windows (gap-merged), batch plan of the streaming op
+    "q38_session_window" -> ((s, d) =>
+      EventStreams.sessionAgg(Tables.events(s, d))
+        .orderBy(col("user_id"), col("sess_start"))),
+
+    // §2.9/§2.10: custom per-key state via mapGroupsWithState
+    "q39_stateful_sessions" -> ((s, d) =>
+      Stateful.sessionCounts(Tables.events(s, d))
+        .orderBy(col("user_id"))),
+
     // the reference's full ETL (S1 pretalx scan → transform → S2 paginated
     // DSv2 scan → merge diff) on a deterministic inline fixture; rows-only
     // (inputs are reference-shaped JSON, not the sfDir tables)
@@ -736,6 +757,53 @@ object SparkEntry {
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q36_embed_neardup" -> {
+      // mirror the LSH bucket assignment exactly: the hyperplane signs are
+      // deterministic md5-derived constants, embedded as literals
+      val signs = Similarity.hyperplaneSigns(8, 64)
+      val bucketExpr = (0 until 8).map { p =>
+        val arr = signs(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(emb, $arr) > 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e),
+         |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |  round(list_dot_product(x.emb, y.emb)
+         |    / (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))), 6) AS sim
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT DISTINCT a, b, sim FROM p WHERE sim >= 0.3 ORDER BY a, b""".stripMargin
+    },
+
+    "q37_stream_sliding" ->
+      """SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, count(*) AS n
+        |FROM (SELECT event_type,
+        |        time_bucket(INTERVAL '5 minutes', ts)
+        |          - (CASE WHEN i.i = 1 THEN INTERVAL '5 minutes' ELSE INTERVAL '0 minutes' END) AS win_start
+        |      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q38_session_window" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS sess_end,
+        |  user_id, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
+
+    "q39_stateful_sessions" ->
+      """WITH m AS (SELECT user_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -96,6 +96,23 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rank").cast("long").as("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (north-star dedup tier): LSH
+    * bucket equi-self-join → native-cosine verify → threshold. The bucket
+    * join bounds candidate generation (no n² cross join); at 100 TB the
+    * shuffle key is the bucket string and hot buckets are the skew unit
+    * (more planes → smaller buckets). */
+  def nearDupPairs(vectors: DataFrame, threshold: Double,
+                   planes: Int = 8): DataFrame = {
+    val b = vectors.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("__ea"))
+    val r = b.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("__eb"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("sim", round(cosineNative(vectors, col("__ea"), col("__eb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim")).distinct()
+  }
+
   /** Typed Aggregator (⊕A7): element-wise vector mean. Buffer = (sums,
     * count); merge is associative so Spark runs it partial+final like any
     * hash aggregate. Exposed untyped via functions.udaf. */

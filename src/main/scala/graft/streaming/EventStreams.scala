@@ -85,6 +85,20 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"))
 
+  /** Session windows (gap-merged): consecutive events of a user closer than
+    * `gap` coalesce into one session. Works identically in batch and
+    * streaming plans (streaming adds watermark-driven state eviction). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("user_id"), col("n_events"), col("total"))
+
   /** Streaming dedup on the natural key within the watermark — the
     * reference's re-run idempotency (main.py re-create semantics),
     * expressed as exactly-once-per-key. */
