@@ -449,6 +449,37 @@ object SparkEntry {
       EventStreams.sessionAgg(Tables.events(s, d))
         .orderBy(col("user_id"), col("sess_start"))),
 
+    // ⊕ text analysis: TF-IDF, top-3 terms per document (probe slice)
+    "q40_tfidf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = TextAnalysis.tfidf(docs, "doc_id", col("text"))
+        .filter(col("doc_id") < 50) // df/N over the full corpus; probe slice after
+      Relational.topKPerGroup(scored, 3, Seq(col("doc_id")),
+          Seq(col("tfidf").desc, col("term").asc))
+        .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
+          col("rn").cast("long").as("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // §2.8 ⊕F9: from_json with an explicit schema (vs q15's path extraction)
+    "q41_from_json" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("k INT")))
+        .filter(col("p.k") > 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("p.k").cast("long")).as("sum_k"))
+        .orderBy(col("event_type"))),
+
+    // §2.4: exact interpolated percentiles per group
+    "q42_percentiles" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        .orderBy(col("o_orderstatus"))),
+
     // §2.9/§2.10: custom per-key state via mapGroupsWithState
     "q39_stateful_sessions" -> ((s, d) =>
       Stateful.sessionCounts(Tables.events(s, d))
@@ -475,6 +506,13 @@ object SparkEntry {
       graft.sources.HubEtl.run(s, dir.resolve("schedule.json").toString, pages.toString)
         .select(col("code"), col("name"), col("op_flag"), col("hub_id"))
         .orderBy(coalesce(col("code"), lit("")), col("op_flag"))
+    }),
+
+    // ⊕ similarity: IVF-partitioned ANN top-k (recall<1 by construction)
+    "q94_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 50), emb, 5)
+        .orderBy(col("qid"), col("rank"))
     }),
 
     // ⊕ multimodal: per-partition decode stub (mapPartitions batch shape)
@@ -797,6 +835,35 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, sess_start""".stripMargin,
+
+    "q40_tfidf" ->
+      s"""WITH $wordsCte,
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |terms AS (SELECT doc_id, unnest(ws) AS term FROM w WHERE doc_id < 50),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |alldocs AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM alldocs) GROUP BY term),
+         |scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+         |    round(tf.tf * ln(CAST((SELECT n FROM nn) AS DOUBLE) / df.df), 6) AS tfidf
+         |  FROM tf JOIN dfreq df ON tf.term = df.term),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rnk FROM scored)
+         |SELECT doc_id, term, tf, tfidf, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q41_from_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q42_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q39_stateful_sessions" ->
       """WITH m AS (SELECT user_id,

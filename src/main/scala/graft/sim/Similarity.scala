@@ -113,6 +113,67 @@ object Similarity {
       .select(col("a"), col("b"), col("sim")).distinct()
   }
 
+  // ---- IVF (inverted-file) ANN ---------------------------------------------
+
+  /** Cosine of a vector column against each centroid literal, as one array
+    * column (k native-kernel calls fused in codegen). */
+  private def centroidSims(df: DataFrame, vec: Column, cents: Array[Seq[Float]]): Column =
+    array(cents.map(c => cosineNative(df, vec, typedLit(c))): _*)
+
+  /** Coarse IVF centroids via Lloyd iterations, deterministic end to end:
+    * init = vectors of the `k` smallest vec_ids, fixed `iters`, cosine
+    * assignment. Centroids live on the driver (k × dims floats) and enter
+    * plans as literals — the k-means "broadcast" that never shuffles the
+    * corpus; each iteration is one scan + one k-row aggregate. */
+  def ivfCentroids(vectors: DataFrame, k: Int = 16, iters: Int = 3,
+                   dims: Int = 64): Array[Seq[Float]] = {
+    var cents: Array[Seq[Float]] = vectors.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0))
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(vectors, cents)
+      val agg = udaf(new CentroidAggregator(dims))
+      val next = assigned.groupBy(col("cell"))
+        .agg(agg(col("embedding")).as("c")).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat)).toMap
+      cents = cents.indices.map(i => next.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** Assign each vector to its nearest (max-cosine) centroid cell. */
+  def ivfAssign(vectors: DataFrame, cents: Array[Seq[Float]]): DataFrame = {
+    val sims = centroidSims(vectors, col("embedding"), cents)
+    vectors.withColumn("__sims", sims)
+      .withColumn("cell",
+        (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("int"))
+      .drop("__sims")
+  }
+
+  /** IVF ANN top-k: corpus partitioned into cells once; each query probes
+    * its `nprobe` closest cells and re-ranks exactly inside them. The join
+    * is equi on the cell id — scan cost ≈ nprobe/k of brute force, recall
+    * < 1 by construction (raise nprobe → recall→1). This is the other
+    * standard scale path next to [[lshTopK]]; at 100 TB the assigned corpus
+    * is written bucketed by `cell` so probes touch only matching files. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nprobe: Int = 2, cells: Int = 16): DataFrame = {
+    val cents = ivfCentroids(corpus, cells)
+    val c = ivfAssign(corpus, cents)
+      .select(col("vec_id").as("nid"), col("embedding").as("__ce"), col("cell"))
+    // query → its nprobe closest cells (posexplode + per-query top-nprobe)
+    val qSims = queries.select(col("vec_id").as("qid"), col("embedding").as("__qe"),
+      posexplode(centroidSims(queries, col("embedding"), cents)).as(Seq("cell", "csim")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell").asc)
+    val qCells = qSims.withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= nprobe).drop("__pr", "csim")
+    val scored = c.join(qCells, Seq("cell")).filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosineNative(corpus, col("__qe"), col("__ce")), 6))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(wr)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** Typed Aggregator (⊕A7): element-wise vector mean. Buffer = (sums,
     * count); merge is associative so Spark runs it partial+final like any
     * hash aggregate. Exposed untyped via functions.udaf. */

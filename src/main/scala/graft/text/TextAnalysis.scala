@@ -73,6 +73,20 @@ object TextAnalysis {
     df.withColumn("n_tokens_ws", nWords).withColumn("n_tokens_bpe", bpeIsh)
   }
 
+  /** TF-IDF: term frequency per (doc, term) × ln(N / doc-frequency).
+    * Two shuffles (explode→count per doc-term, then per-term df joined
+    * back); the df side aggregates to |vocabulary| rows — broadcastable at
+    * any corpus size with a bounded vocabulary. */
+  def tfidf(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    val n = docs.count() // one count job; the scalar N lands in the plan as a literal
+    val terms = docs.select(col(idCol), explode(words(text)).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+  }
+
   /** Content fingerprint: md5 of the normalized text (lowercase, trimmed,
     * runs of whitespace collapsed). Two docs share a fingerprint iff they
     * are exact duplicates post-normalization — the cheap first dedup tier. */

@@ -1,0 +1,45 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Tables
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivfAssign puts every vector in exactly one of k cells") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.ivfCentroids(emb, k = 8, iters = 2)
+    assert(cents.length === 8)
+    val assigned = Similarity.ivfAssign(emb, cents)
+    assert(assigned.count() === emb.count())
+    val cellIds = assigned.select("cell").distinct().as[Int].collect()
+    assert(cellIds.forall(c => c >= 0 && c < 8))
+  }
+
+  test("ivfTopK finds an exact duplicate vector (same cell by construction)") {
+    val base = Seq.tabulate(64)(i => math.sin(i.toDouble).toFloat)
+    val d = (0L until 40L).map { i =>
+      val v = if (i == 1L) base
+        else Seq.tabulate(64)(j => math.cos(j * (i + 2.0)).toFloat)
+      (i, v, (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val dup = Seq((99L, base, 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfTopK(dup, d, k = 1, nprobe = 1, cells = 4)
+      .select("nid", "sim").as[(Long, Double)].collect()
+    assert(out.length === 1)
+    assert(out(0)._1 === 1L)
+    assert(out(0)._2 === 1.0)
+  }
+
+  test("ivf recall vs brute force is high at nprobe=4 of 8 cells") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, 5, nprobe = 4, cells = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+}
