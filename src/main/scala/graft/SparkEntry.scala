@@ -480,6 +480,26 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
         .orderBy(col("o_orderstatus"))),
 
+    // §2.4 ⊕A6: full cube with grouping flags
+    "q43_cube" -> ((s, d) => {
+      val enr = Relational.lookupEnrich(t(s, d, "customer"), t(s, d, "nation"),
+        col("c_nationkey"), col("n_nationkey"))
+      enr.cube(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"),
+          grouping(col("n_name")).cast("long").as("g_n"),
+          grouping(col("c_mktsegment")).cast("long").as("g_m"))
+        .orderBy(col("g_n"), col("g_m"),
+          coalesce(col("n_name"), lit("")), coalesce(col("c_mktsegment"), lit("")))
+    }),
+
+    // §2.8 F7: explode_outer keeps rows whose array is empty
+    "q44_explode_outer" -> ((s, d) => {
+      val lw = filter(TextAnalysis.words(col("text")), w => length(w) >= 10)
+      t(s, d, "documents")
+        .select(col("doc_id"), explode_outer(lw).as("long_word"))
+        .orderBy(col("doc_id"), coalesce(col("long_word"), lit("")))
+    }),
+
     // §2.9/§2.10: custom per-key state via mapGroupsWithState
     "q39_stateful_sessions" -> ((s, d) =>
       Stateful.sessionCounts(Tables.events(s, d))
@@ -864,6 +884,20 @@ object SparkEntry {
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q43_cube" ->
+      s"""SELECT n_name, c_mktsegment, count(*) AS n, ${sqlDsum("c_acctbal", 18, 2)} AS total_bal,
+         |  CAST(GROUPING(n_name) AS BIGINT) AS g_n, CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_m
+         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY CUBE(n_name, c_mktsegment)
+         |ORDER BY g_n, g_m, coalesce(n_name, ''), coalesce(c_mktsegment, '')""".stripMargin,
+
+    "q44_explode_outer" ->
+      s"""WITH $wordsCte,
+         |lw AS (SELECT doc_id, list_filter(ws, x -> length(x) >= 10) AS l FROM w)
+         |SELECT doc_id,
+         |  unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE l END) AS long_word
+         |FROM lw ORDER BY doc_id, coalesce(long_word, '')""".stripMargin,
 
     "q39_stateful_sessions" ->
       """WITH m AS (SELECT user_id,
