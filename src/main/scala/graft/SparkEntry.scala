@@ -500,6 +500,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), coalesce(col("long_word"), lit("")))
     }),
 
+    // ⊕ text analysis: auditable quality filter (Gopher/C4-style rules)
+    "q45_quality_filter" -> ((s, d) =>
+      TextAnalysis.qualityFilter(t(s, d, "documents"), col("text"), minWords = 8)
+        .select(col("doc_id"), col("n_words_f"),
+          array_join(col("reasons"), ",").as("reasons"),
+          col("keep"))
+        .orderBy(col("doc_id"))),
+
+    // ⊕ text analysis: within-doc k-gram repetition ratio
+    "q46_repetition" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text"), 3).as("distinct_ratio"))
+        .orderBy(col("doc_id"))),
+
     // §2.9/§2.10: custom per-key state via mapGroupsWithState
     "q39_stateful_sessions" -> ((s, d) =>
       Stateful.sessionCounts(Tables.events(s, d))
@@ -898,6 +913,36 @@ object SparkEntry {
          |SELECT doc_id,
          |  unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE l END) AS long_word
          |FROM lw ORDER BY doc_id, coalesce(long_word, '')""".stripMargin,
+
+    "q45_quality_filter" ->
+      s"""WITH $wordsCte,
+         |f AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words_f,
+         |  CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) ELSE 0.0 END AS mean_len
+         |  FROM w),
+         |r AS (SELECT doc_id, n_words_f,
+         |  list_filter([
+         |    CASE WHEN n_words_f < 8 THEN 'too_short' END,
+         |    CASE WHEN n_words_f > 100000 THEN 'too_long' END,
+         |    CASE WHEN mean_len > 12.0 THEN 'words_too_long' END,
+         |    CASE WHEN FALSE THEN 'low_stopwords' END], x -> x IS NOT NULL) AS rs
+         |  FROM f)
+         |SELECT doc_id, n_words_f, coalesce(array_to_string(rs, ','), '') AS reasons,
+         |  len(rs) = 0 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q46_repetition" ->
+      s"""WITH $wordsCte,
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(ws) >= 3
+         |       THEN list_transform(generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], ' '))
+         |       ELSE [] END AS grams
+         |  FROM w)
+         |SELECT doc_id,
+         |  CASE WHEN len(grams) > 0
+         |       THEN round(CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+         |       ELSE 1.0 END AS distinct_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     "q39_stateful_sessions" ->
       """WITH m AS (SELECT user_id,

@@ -87,6 +87,49 @@ object TextAnalysis {
       .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
   }
 
+  /** Gopher/C4-style quality filter: rule columns + a keep flag. Each rule
+    * is a named boolean; the reasons array makes the filter auditable
+    * (standard practice when a pipeline must explain *why* a document was
+    * dropped). All built-ins — the filter runs in the scan's codegen stage. */
+  def qualityFilter(df: DataFrame, text: Column,
+                    minWords: Int = 5, maxWords: Int = 100000,
+                    maxMeanWordLen: Double = 12.0,
+                    minStopRatio: Double = 0.0): DataFrame = {
+    val ws = words(text)
+    val nWords = size(ws).cast("long")
+    val meanLen = when(nWords > 0,
+      aggregate(ws, lit(0L), (a, w) => a + length(w).cast("long")).cast("double")
+        / nWords.cast("double")).otherwise(lit(0.0))
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val stopRatio = when(nWords > 0,
+      size(filter(ws, w => w.isInCollection(stop))).cast("double") / nWords.cast("double"))
+      .otherwise(lit(0.0))
+    val rules = Seq(
+      "too_short" -> (nWords < minWords),
+      "too_long" -> (nWords > maxWords),
+      "words_too_long" -> (meanLen > maxMeanWordLen),
+      "low_stopwords" -> (stopRatio < minStopRatio))
+    val reasons = array_compact(array(rules.map { case (name, cond) =>
+      when(cond, lit(name)).otherwise(lit(null).cast("string")) }: _*))
+    df.withColumn("n_words_f", nWords)
+      .withColumn("reasons", reasons)
+      .withColumn("keep", size(reasons) === 0)
+  }
+
+  /** Within-document repetition: distinct-to-total ratio of word k-grams —
+    * near-0 for highly repetitive docs, 1.0 for no repeated k-gram
+    * (C4/Gopher "duplicate n-gram fraction" family). */
+  def repetitionRatio(text: Column, k: Int = 3): Column = {
+    val ws = words(text)
+    val n = size(ws)
+    val grams = when(n >= k, transform(sequence(lit(1), n - (k - 1)),
+        i => array_join(slice(ws, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+    when(size(grams) > 0,
+      round(size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6))
+      .otherwise(lit(1.0))
+  }
+
   /** Content fingerprint: md5 of the normalized text (lowercase, trimmed,
     * runs of whitespace collapsed). Two docs share a fingerprint iff they
     * are exact duplicates post-normalization — the cheap first dedup tier. */
