@@ -515,6 +515,29 @@ object SparkEntry {
           TextAnalysis.repetitionRatio(col("text"), 3).as("distinct_ratio"))
         .orderBy(col("doc_id"))),
 
+    // §2.3 ⊕J5: full star join (TPC-H Q5 shape) — facts sort-merge, dims
+    // broadcast, local-supplier condition after the join
+    "q47_star_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val cust = t(s, d, "customer")
+      val supp = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region").filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 24, 6).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_name"))
+    }),
+
     // §2.9/§2.10: custom per-key state via mapGroupsWithState
     "q39_stateful_sessions" -> ((s, d) =>
       Stateful.sessionCounts(Tables.events(s, d))
@@ -943,6 +966,21 @@ object SparkEntry {
          |       THEN round(CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
          |       ELSE 1.0 END AS distinct_ratio
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q47_star_join" ->
+      s"""SELECT n_name,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 24, 6)} AS revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q39_stateful_sessions" ->
       """WITH m AS (SELECT user_id,

@@ -107,6 +107,30 @@ object EventStreams {
         date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
         col("user_id"), col("n_events"), col("total"))
 
+  /** Streaming load path (the reference's K1 sink as a stream): foreachBatch
+    * writing each micro-batch to a batch-id-keyed directory with overwrite —
+    * replaying a batch after failure rewrites the same directory, giving
+    * exactly-once output on top of at-least-once delivery (the standard
+    * idempotent-sink recipe; swap the directory write for a MERGE INTO on a
+    * transactional table without touching the query). */
+  def streamToParquet(spark: SparkSession, dir: String, outDir: String,
+                      transform: DataFrame => DataFrame = identity): Unit = {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_sink_src")
+    srcDir.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val src = spark.readStream.schema(eventsSchema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val q = transform(src).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Streaming dedup on the natural key within the watermark — the
     * reference's re-run idempotency (main.py re-create semantics),
     * expressed as exactly-once-per-key. */

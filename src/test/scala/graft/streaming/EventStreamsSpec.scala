@@ -20,6 +20,15 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("foreachBatch parquet sink lands every row exactly once, keyed by batch id") {
+    val out = java.nio.file.Files.createTempDirectory("stream_sink_out").toString
+    EventStreams.streamToParquet(spark, sfDir, out)
+    val back = spark.read.parquet(out)
+    val batch = Tables.events(spark, sfDir)
+    assert(back.count() === batch.count())
+    assert(back.select("event_id").distinct().count() === batch.count())
+  }
+
   test("streaming dedup emits each event_id at most once") {
     val out = EventStreams.runToCompletion(spark, sfDir, outputMode = "append")(
       EventStreams.dedupedEvents(_).select("event_id"))
