@@ -1,0 +1,36 @@
+package graft
+
+import graft.SparkSpec
+
+/** Driver-contract invariants: the oracle map stays in lockstep with the
+  * query map, and every query at least executes on the smoke tier. */
+class SparkEntrySpec extends SparkSpec {
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("rows-only queries (no oracle) are the documented exceptions") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("q90_approx_distinct", "q91_ann_lsh",
+      "q92_media_features", "q93_pretalx_etl", "q94_ann_ivf"))
+  }
+
+  test("every oracle SQL ends with a total ORDER BY (determinism rule)") {
+    val bad = SparkEntry.oracleSql.filterNot(_._2.toUpperCase.contains("ORDER BY")).keys
+    assert(bad.isEmpty, s"oracle without ORDER BY: $bad")
+  }
+
+  test("entry() returns rows on the smoke tier (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query executes and returns a non-empty schema on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.schema.nonEmpty, s"$name: empty schema")
+      df.count() // executes the plan; throws on any runtime error
+    }
+  }
+}
