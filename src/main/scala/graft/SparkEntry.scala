@@ -538,6 +538,20 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // §2.3 ⊕J6: generic two-table as-of join (error events ← last purchase)
+    "q48_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      Relational.asofJoin(errors, purchases, key = "user_id",
+          leftTs = "ts", rightTs = "ts", carry = Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("purchase_value"), lit(-1.0)).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // §2.9/§2.10: custom per-key state via mapGroupsWithState
     "q39_stateful_sessions" -> ((s, d) =>
       Stateful.sessionCounts(Tables.events(s, d))
@@ -981,6 +995,15 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1995-01-01'
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q48_asof_join" ->
+      """WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |pur AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT err.event_id, err.user_id,
+        |  coalesce(pur.value, -1.0) AS purchase_value
+        |FROM err ASOF LEFT JOIN pur
+        |  ON err.user_id = pur.user_id AND pur.ts <= err.ts
+        |ORDER BY err.event_id""".stripMargin,
 
     "q39_stateful_sessions" ->
       """WITH m AS (SELECT user_id,

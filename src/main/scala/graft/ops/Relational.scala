@@ -80,6 +80,35 @@ object Relational {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** ⊕J6: generic as-of join — for each left row, the latest right row with
+    * `rightTs <= leftTs` per key. Implemented as union + running `last`
+    * window rather than a range join: one shuffle on (key), no
+    * per-row range probe, no candidate blow-up — the scalable form when the
+    * right side is large (a range join materializes |left|×|matching-range|
+    * candidates; this materializes |left|+|right| rows exactly).
+    * Right columns to carry are given in `carry` (renamed as-is). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    // tag sides, align schemas: left rows carry null payload, right rows null left-cols
+    val rTagged = right.select(
+      (col(key).as("__key") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        carry.map(c => col(c).as(s"__c_$c")) ++: lCols.map(c => lit(null).cast(
+          left.schema(c).dataType).as(c))): _*)
+    val lTagged = left.select(
+      (col(key).as("__key") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
+        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__c_$c")) ++:
+        lCols.map(col(_))): _*)
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rTagged.unionByName(lTagged)
+      .select((col("*") +: carry.map(c =>
+        last(col(s"__c_$c"), ignoreNulls = true).over(w).as(c))): _*)
+    carried.filter(col("__side") === 1)
+      .select(lCols.map(col(_)) ++ carry.map(col(_)): _*)
+  }
+
   /** Skew-safe equi-join: salt the skewed (left) side into `buckets`
     * sub-keys and explode the build side to match. Use when AQE skew
     * handling isn't enough (e.g. one hot key holding >1 partition of data).
