@@ -28,6 +28,17 @@ object Bench {
         graft.model.Tables(spark, sfDir, t).groupBy().count().collect()
       }
       spark.range(1000000).selectExpr("sum(id)").collect()
+      // prime janino/JIT over the operator shapes the queries use:
+      // window ranking, sort-merge + broadcast joins, string/hash exprs
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val a = spark.range(10000).select(col("id"), (col("id") % 100).as("k"),
+        md5(col("id").cast("string")).as("s"))
+      val b = spark.range(1000).select(col("id").as("bid"), (col("id") % 100).as("k"))
+      a.join(b.hint("merge"), Seq("k")).groupBy("k").count().collect()
+      a.join(broadcast(b), Seq("k"), "full_outer")
+        .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("id")))
+        .filter(col("rn") === 1).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

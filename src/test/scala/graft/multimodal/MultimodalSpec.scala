@@ -24,6 +24,15 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L) !== f(3L))
   }
 
+  test("resizeBytes stride-decimates the payload, empty payload passes through") {
+    val d = Seq((1L, "abcdefgh"), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.resizeBytes(Multimodal.attachPayload(d), factor = 3)
+      .select("doc_id", "payload_small").collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(out(1L) === "adg") // bytes 0,3,6
+    assert(out(2L) === "")
+  }
+
   test("sampleChunks keeps every stride-th fixed-size chunk") {
     val d = Seq((1L, "aabbccddee")).toDF("doc_id", "text") // 10 bytes, chunk=2 → 5 chunks
     val frames = Multimodal.sampleChunks(Multimodal.attachPayload(d), chunkBytes = 2, stride = 2)
