@@ -1,0 +1,45 @@
+package graft
+
+import graft.SparkSpec
+
+/** Plan-shape regressions: the properties that make these queries scale are
+  * asserted here so a refactor can't silently lose them (SURVEY.md §4). */
+class PlanQualitySpec extends SparkSpec {
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q01: filter is pushed to the parquet scan and columns are pruned") {
+    val p = physical("q01_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    // projection pruning: the 11-column lineitem scan reads only the 6 needed
+    assert(p.contains("FileScan parquet [l_orderkey#"), p)
+    assert(!p.contains("l_quantity"), s"unpruned column in scan: $p")
+  }
+
+  test("q02: dimension joins are broadcast, not shuffled") {
+    val p = physical("q02_lookup_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q06: aggregation is partial+final (map-side combine before the shuffle)") {
+    val p = physical("q06_agg_pricing")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q11: global top-k plans TakeOrderedAndProject, never a full sort") {
+    val p = physical("q11_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q09: per-group top-k uses WindowGroupLimit (partial rank pruning)") {
+    val p = physical("q09_window_rank")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q24: similarity kernel is the native expression inside codegen") {
+    val p = physical("q24_cosine_topk")
+    assert(p.contains("vec_cosine"), p)
+  }
+}
