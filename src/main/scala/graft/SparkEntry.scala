@@ -792,11 +792,11 @@ object SparkEntry {
          |  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) AS char_sum
          |  FROM w)
          |SELECT doc_id, n_words,
-         |  round(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END, 6) AS stop_ratio,
-         |  round(CASE WHEN n_words > 0 THEN char_sum / n_words ELSE 0.0 END, 6) AS mean_word_len,
-         |  round(0.5 * least(n_words / 20.0, 1.0)
+         |  floor((CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 1e6) / 1e6 AS stop_ratio,
+         |  floor((CASE WHEN n_words > 0 THEN char_sum / n_words ELSE 0.0 END) * 1e6) / 1e6 AS mean_word_len,
+         |  floor((0.5 * least(n_words / 20.0, 1.0)
          |    + 0.3 * (CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END)
-         |    + 0.2 * least((CASE WHEN n_words > 0 THEN char_sum / n_words ELSE 0.0 END) / 8.0, 1.0), 6) AS quality
+         |    + 0.2 * least((CASE WHEN n_words > 0 THEN char_sum / n_words ELSE 0.0 END) / 8.0, 1.0)) * 1e6) / 1e6 AS quality
          |FROM f ORDER BY doc_id""".stripMargin,
 
     "q27_tokens" ->

@@ -56,13 +56,17 @@ object TextAnalysis {
     val stopRatio = when(nWords > 0,
       nStop.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
     val lenScore = least(nWords.cast("double") / lit(20.0), lit(1.0))
+    // 6-decimal truncation, not round: floor on a bit-identical double is
+    // exact in every engine, while round() ties (x.xxxxxx5) break
+    // differently between Spark and DuckDB at large row counts
+    def trunc6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)
     df.withColumn("n_words", nWords)
       .withColumn("n_chars_m", nChars)
-      .withColumn("stop_ratio", round(stopRatio, 6))
-      .withColumn("mean_word_len", round(meanWordLen, 6))
+      .withColumn("stop_ratio", trunc6(stopRatio))
+      .withColumn("mean_word_len", trunc6(meanWordLen))
       .withColumn("quality",
-        round(lit(0.5) * lenScore + lit(0.3) * stopRatio
-          + lit(0.2) * least(meanWordLen / lit(8.0), lit(1.0)), 6))
+        trunc6(lit(0.5) * lenScore + lit(0.3) * stopRatio
+          + lit(0.2) * least(meanWordLen / lit(8.0), lit(1.0))))
   }
 
   /** Token count, two ways: whitespace words and a BPE-ish estimate
