@@ -552,6 +552,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // §2.3 ⊕J6 / §4(c): the custom LogicalPlan+Strategy+SparkPlan as-of join
+    "q49_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value").as("purchase_value"))
+      graft.plans.AsofJoin(errors, purchases, "user_id", "ts", "pts")
+        .select(col("event_id"), errors.col("user_id"),
+          coalesce(col("purchase_value"), lit(-1.0)).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // §2.9/§2.10: custom per-key state via mapGroupsWithState
     "q39_stateful_sessions" -> ((s, d) =>
       Stateful.sessionCounts(Tables.events(s, d))
@@ -997,6 +1010,15 @@ object SparkEntry {
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q48_asof_join" ->
+      """WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |pur AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT err.event_id, err.user_id,
+        |  coalesce(pur.value, -1.0) AS purchase_value
+        |FROM err ASOF LEFT JOIN pur
+        |  ON err.user_id = pur.user_id AND pur.ts <= err.ts
+        |ORDER BY err.event_id""".stripMargin,
+
+    "q49_asof_native" ->
       """WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
         |pur AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
         |SELECT err.event_id, err.user_id,

@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Tables
+import graft.ops.Relational
+
+class AsofJoinPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native as-of join matches hand semantics on a tiny case") {
+    val left = Seq((1L, "u", 100L), (2L, "u", 205L), (3L, "v", 50L), (4L, "w", 10L))
+      .toDF("id", "k", "t")
+    val right = Seq(("u", 90L, "a"), ("u", 100L, "b"), ("u", 200L, "c"), ("v", 60L, "d"))
+      .toDF("k", "t", "tag")
+    val out = AsofJoin(left, right, "k", "t", "t")
+      .select(col("id"), col("tag"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out === Map(
+      1L -> Some("b"),  // ts-equality included, latest wins
+      2L -> Some("c"),
+      3L -> None,       // right row after left ts
+      4L -> None))      // key absent on right
+  }
+
+  test("native as-of equals the union+window formulation on sf0.001 events") {
+    val ev = Tables.events(spark, sfDir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value").as("purchase_value"))
+
+    val native = AsofJoin(errors, purchases, "user_id", "ts", "pts")
+      .select(col("event_id"), col("purchase_value"))
+      .as[(Long, Option[Double])].collect().toMap
+    val windowed = Relational.asofJoin(
+        errors, purchases.withColumnRenamed("pts", "ts"),
+        "user_id", "ts", "ts", Seq("purchase_value"))
+      .select(col("event_id"), col("purchase_value"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(native === windowed)
+    assert(native.nonEmpty)
+  }
+
+  test("physical plan is the custom exec with one exchange per side") {
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+    val plan = AsofJoin(l, r, "user_id", "ts", "pts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin user_id"), plan)  // nodeName strips "Exec"
+    assert(plan.split("Exchange hashpartitioning").length == 3, plan)  // exactly one per side
+  }
+}
