@@ -565,6 +565,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // §2.4: native pivot API (vs q33's manual conditional aggregation)
+    "q50_pivot" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .pivot("source", Seq("src0", "src1", "src2"))
+        .count()
+        .select(col("lang"),
+          coalesce(col("src0"), lit(0L)).as("n_src0"),
+          coalesce(col("src1"), lit(0L)).as("n_src1"),
+          coalesce(col("src2"), lit(0L)).as("n_src2"))
+        .orderBy(col("lang"))),
+
     // §2.9/§2.10: custom per-key state via mapGroupsWithState
     "q39_stateful_sessions" -> ((s, d) =>
       Stateful.sessionCounts(Tables.events(s, d))
@@ -1026,6 +1038,13 @@ object SparkEntry {
         |FROM err ASOF LEFT JOIN pur
         |  ON err.user_id = pur.user_id AND pur.ts <= err.ts
         |ORDER BY err.event_id""".stripMargin,
+
+    "q50_pivot" ->
+      """SELECT lang,
+        |  CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_src0,
+        |  CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_src1,
+        |  CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS n_src2
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q39_stateful_sessions" ->
       """WITH m AS (SELECT user_id,

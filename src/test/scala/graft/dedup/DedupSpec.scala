@@ -66,6 +66,18 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L).forall(c => c == '0' || c == '1'))
   }
 
+  test("exact dedup is idempotent and stable across runs") {
+    val d = docs((1L to 20L).map(i => i -> s"text number ${i % 7}"): _*)
+    val once = Dedup.exact(d, col("text"), Seq(col("doc_id")))
+    val twice = Dedup.exact(once.drop("fp"), col("text"), Seq(col("doc_id")))
+    assert(once.count() === 7)
+    assert(twice.count() === once.count())
+    val a = once.select("doc_id").as[Long].collect().toSet
+    val b = Dedup.exact(d, col("text"), Seq(col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("near-duplicate texts have small simhash hamming distance vs unrelated") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val near = base.replace("dog", "cat")

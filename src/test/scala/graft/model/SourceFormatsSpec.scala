@@ -21,6 +21,32 @@ class SourceFormatsSpec extends SparkSpec {
     assert(math.abs(a - b) < 1e-6)
   }
 
+  test("orders round-trip parquet → orc → DataFrame") {
+    val o = Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("src_orc").toString
+    o.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === o.count())
+    assert(back.schema === o.schema)
+  }
+
+  test("sort-on-write enables row-group skipping for selective scans (zone maps)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val dir = Files.createTempDirectory("src_sorted").toString
+    // the 100 TB layout pattern: range-partition + sort on the hot filter
+    // column so parquet min/max stats prune row groups
+    li.repartitionByRange(4, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(dir)
+    val filtered = spark.read.parquet(dir)
+      .filter(col("l_shipdate") < lit("1993-01-01").cast("timestamp"))
+    val expected = li.filter(col("l_shipdate") < lit("1993-01-01").cast("timestamp")).count()
+    assert(filtered.count() === expected)
+    // pushdown reaches the scan
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), plan)
+  }
+
   test("customer round-trips parquet → csv (header) → DataFrame with explicit schema") {
     val c = Tables.customer(spark, sfDir)
     val dir = Files.createTempDirectory("src_csv").toString
