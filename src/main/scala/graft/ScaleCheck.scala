@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scale smoke: multiplies the sf0.1 tables in-memory (union of shifted
+  * copies — unique keys preserved) and times the headline operator shapes
+  * at ~10-100× the bench tier, printing rows/sec per operator. This is the
+  * local stand-in for the 1000-executor question: does throughput stay
+  * data-parallel when the data no longer fits a single task?
+  *
+  * Usage: runMain graft.ScaleCheck [multiplier]
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.nonEmpty) args(0).toInt else 16
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+
+    def amplify(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val n = df.count()
+      (0 until mult).map { i =>
+        keyCols.foldLeft(df)((acc, k) => acc.withColumn(k, col(k) + lit(i * n * 10)))
+      }.reduce(_ union _)
+    }
+
+    val li = amplify(model.Tables.lineitem(spark, d), Seq("l_orderkey"))
+    val docs = (0 until mult).map { i =>
+      model.Tables.documents(spark, d)
+        .withColumn("doc_id", col("doc_id") + lit(i * 100000))
+        // vary the text per copy so dedup/fingerprint work isn't degenerate
+        .withColumn("text", concat(col("text"), lit(" v" + i)))
+    }.reduce(_ union _)
+
+    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+    def time(label: String, rows: Long)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label: $s%.2f s  (${rows / s / 1e6}%.1f M rows/s)")
+    }
+
+    val nLi = li.count()
+    val nDocs = docs.count()
+    println(s"[scale] lineitem rows: $nLi, documents rows: $nDocs (mult=$mult)")
+
+    time("agg_q1_shape", nLi) {
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"),
+          count(lit(1)).as("n")).collect()
+    }
+    time("window_topk_per_group", nLi) {
+      ops.Relational.topKPerGroup(li, 3,
+        Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc)).count()
+    }
+    time("exact_dedup_fingerprint", nDocs) {
+      dedup.Dedup.exact(docs, col("text"), Seq(col("doc_id"))).count()
+    }
+    time("quality_filter", nDocs) {
+      text.TextAnalysis.qualityFilter(docs, col("text")).filter(col("keep")).count()
+    }
+    time("sort_merge_self_join", nLi) {
+      val o = li.select(col("l_orderkey").as("k"), col("l_extendedprice").as("p"))
+      o.hint("merge").join(o.hint("merge"), Seq("k")).count()
+    }
+    spark.stop()
+  }
+}

@@ -45,7 +45,8 @@ object TextAnalysis {
     * mean word length, plus a composite in [0,1]. Mirrors the usual
     * pretraining-filter heuristics (C4/Gopher-style length+ratio rules). */
   def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
-    val ws = words(text)
+    val staged = df.withColumn("__ws", words(text))
+    val ws = col("__ws")
     val nWords = size(ws).cast("long")
     val nChars = length(text).cast("long")
     val stop = Seq("the", "a", "of", "and", "to", "in")
@@ -60,13 +61,14 @@ object TextAnalysis {
     // exact in every engine, while round() ties (x.xxxxxx5) break
     // differently between Spark and DuckDB at large row counts
     def trunc6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)
-    df.withColumn("n_words", nWords)
+    staged.withColumn("n_words", nWords)
       .withColumn("n_chars_m", nChars)
       .withColumn("stop_ratio", trunc6(stopRatio))
       .withColumn("mean_word_len", trunc6(meanWordLen))
       .withColumn("quality",
         trunc6(lit(0.5) * lenScore + lit(0.3) * stopRatio
           + lit(0.2) * least(meanWordLen / lit(8.0), lit(1.0))))
+      .drop("__ws")
   }
 
   /** Token count, two ways: whitespace words and a BPE-ish estimate
@@ -99,7 +101,11 @@ object TextAnalysis {
                     minWords: Int = 5, maxWords: Int = 100000,
                     maxMeanWordLen: Double = 12.0,
                     minStopRatio: Double = 0.0): DataFrame = {
-    val ws = words(text)
+    // stage the split once: every rule below reuses the materialized array
+    // instead of re-tokenizing (a row-width tradeoff that wins whenever
+    // ≥2 expressions consume the words)
+    val staged = df.withColumn("__ws", words(text))
+    val ws = col("__ws")
     val nWords = size(ws).cast("long")
     val meanLen = when(nWords > 0,
       aggregate(ws, lit(0L), (a, w) => a + length(w).cast("long")).cast("double")
@@ -115,9 +121,10 @@ object TextAnalysis {
       "low_stopwords" -> (stopRatio < minStopRatio))
     val reasons = array_compact(array(rules.map { case (name, cond) =>
       when(cond, lit(name)).otherwise(lit(null).cast("string")) }: _*))
-    df.withColumn("n_words_f", nWords)
+    staged.withColumn("n_words_f", nWords)
       .withColumn("reasons", reasons)
       .withColumn("keep", size(reasons) === 0)
+      .drop("__ws")
   }
 
   /** Within-document repetition: distinct-to-total ratio of word k-grams —
