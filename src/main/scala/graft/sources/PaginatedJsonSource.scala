@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -54,9 +55,14 @@ class PaginatedJsonTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+      private var required: StructType = PaginatedJsonSource.schema
+      // column pruning: the projection above the scan reaches the reader,
+      // which then parses only the requested fields per page row
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = PaginatedJsonSource.schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
         // one partition per page file — the reference's `while more` loop
@@ -64,23 +70,25 @@ class PaginatedJsonTable(path: String) extends Table with SupportsRead {
         val dir = new java.io.File(path)
         val pages = Option(dir.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".json")).map(_.getAbsolutePath).sorted
-        pages.map(p => PagePartition(p): InputPartition)
+        pages.map(p => PagePartition(p, required.fieldNames): InputPartition)
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new PageReaderFactory
     }
 }
 
-case class PagePartition(file: String) extends InputPartition
+case class PagePartition(file: String, fields: Array[String]) extends InputPartition
 
 class PageReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PageReader(partition.asInstanceOf[PagePartition].file)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagePartition]
+    new PageReader(p.file, p.fields)
+  }
 }
 
 /** Parses one page envelope with Jackson (ships with Spark) and emits the
   * `data` array rows. */
-class PageReader(file: String) extends PartitionReader[InternalRow] {
+class PageReader(file: String, fields: Array[String]) extends PartitionReader[InternalRow] {
   private val rows: Iterator[JsonNode] = {
     val root = new ObjectMapper().readTree(new java.io.File(file))
     val data = root.get("data")
@@ -99,12 +107,15 @@ class PageReader(file: String) extends PartitionReader[InternalRow] {
   }
 
   override def get(): InternalRow = {
-    val tagsNode = current.get("tags")
-    val tags =
-      if (tagsNode == null || !tagsNode.isArray) null
-      else new GenericArrayData(tagsNode.elements().asScala
-        .map(t => if (t.isNull) null else UTF8String.fromString(t.asText())).toArray[Any])
-    InternalRow(utf8(current, "id"), utf8(current, "name"), tags)
+    val values: Array[Any] = fields.map {
+      case "tags" =>
+        val tagsNode = current.get("tags")
+        if (tagsNode == null || !tagsNode.isArray) null
+        else new GenericArrayData(tagsNode.elements().asScala
+          .map(t => if (t.isNull) null else UTF8String.fromString(t.asText())).toArray[Any])
+      case f => utf8(current, f)
+    }
+    InternalRow(values: _*)
   }
 
   override def close(): Unit = ()

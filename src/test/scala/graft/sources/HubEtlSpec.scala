@@ -56,6 +56,16 @@ class HubEtlSpec extends SparkSpec {
     assert(e1.getSeq[String](1) === Seq("talk-a"))
   }
 
+  test("DSv2 source prunes columns: a name-only projection reads a 1-column schema") {
+    val df = HubEtl.targetEvents(spark, fixtureDir.resolve("pages").toString)
+      .select("name")
+    val plan = df.queryExecution.executedPlan.toString
+    // DSv2 BatchScan prints its pruned output attrs in brackets
+    assert(plan.matches("(?s).*BatchScan paginated_json[^\\[]*\\[name#\\d+\\].*"), plan)
+    assert(!plan.contains("tags#"), plan)
+    assert(df.count() === 4)
+  }
+
   test("talksToEvents: projection, constants, coalesce, speaker mapping, ts parse") {
     val schedule = Pretalx.readSchedule(spark, fixtureDir.resolve("schedule.json").toString)
     val events = Pretalx.talksToEvents(
