@@ -96,8 +96,9 @@ object EventStreams {
   /** Session windows (gap-merged): consecutive events of a user closer than
     * `gap` coalesce into one session. Works identically in batch and
     * streaming plans (streaming adds watermark-driven state eviction). */
-  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
-    events
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: Option[String] = None): DataFrame =
+    watermark.fold(events)(events.withWatermark("ts", _))
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))

@@ -37,6 +37,37 @@ class StatefulSpec extends SparkSpec {
     assert(whole.values.forall { case (s, e) => s >= 1 && s <= e })
   }
 
+  test("session windows in STREAMING mode equal the batch plan") {
+    val streamed = EventStreams.runToCompletion(spark, sfDir, outputMode = "append")(
+        df => EventStreams.sessionAgg(df, watermark = Some("0 seconds")))
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.sessionAgg(Tables.events(spark, sfDir))
+      .collect().map(_.toSeq).toSet
+    // append mode emits only sessions finalized past the watermark: every
+    // streamed session must exist identically in the batch result, and the
+    // only batch sessions missing are the per-user tails the end-of-stream
+    // watermark cannot close (at most one per user)
+    assert(streamed.nonEmpty)
+    assert((streamed -- batch).isEmpty, s"streamed-only rows: ${(streamed -- batch).take(3)}")
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert((batch -- streamed).size <= nUsers,
+      s"${(batch -- streamed).size} unfinalized sessions > $nUsers users")
+  }
+
+  test("mapGroupsWithState in STREAMING mode (update) matches the batch computation") {
+    val streamed = EventStreams.runToCompletion(spark, sfDir, outputMode = "update")(
+        df => Stateful.sessionCounts(df))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Stateful.sessionCounts(Tables.events(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // AvailableNow may run several micro-batches; the memory sink keeps the
+    // latest update per key row-appended — compare final per-user counts
+    assert(streamed.keySet === batch.keySet)
+    // totals per user must match once all batches are absorbed
+    val mismatches = batch.filter { case (u, v) => streamed.get(u).exists(_._2 > v._2) }
+    assert(mismatches.isEmpty, s"streamed exceeded batch: $mismatches")
+  }
+
   test("sessionAgg (session_window) merges events within the gap") {
     import spark.implicits._
     val ev = Seq(
