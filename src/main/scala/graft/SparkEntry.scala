@@ -894,6 +894,24 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
+    "q91_ann_lsh" -> {
+      val signs = Similarity.hyperplaneSigns(8, 64)
+      val bucketExpr = (0 until 8).map { p =>
+        val arr = signs(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(emb, $arr) > 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e),
+         |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |  round(list_dot_product(q.emb, c.emb)
+         |    / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 50),
+         |r AS (SELECT qid, nid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank FROM s)
+         |SELECT qid, nid, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
     "q36_embed_neardup" -> {
       // mirror the LSH bucket assignment exactly: the hyperplane signs are
       // deterministic md5-derived constants, embedded as literals

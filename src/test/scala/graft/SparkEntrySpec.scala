@@ -13,7 +13,7 @@ class SparkEntrySpec extends SparkSpec {
 
   test("rows-only queries (no oracle) are the documented exceptions") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q90_approx_distinct", "q91_ann_lsh",
+    assert(rowsOnly === Set("q90_approx_distinct",
       "q92_media_features", "q93_pretalx_etl", "q94_ann_ivf"))
   }
 
