@@ -577,6 +577,11 @@ object SparkEntry {
           coalesce(col("src2"), lit(0L)).as("n_src2"))
         .orderBy(col("lang"))),
 
+    // ⊕ dedup: near-dup CLUSTERS — LSH pairs → connected components
+    "q51_neardup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))),
+
     // §2.9/§2.10: custom per-key state via mapGroupsWithState
     "q39_stateful_sessions" -> ((s, d) =>
       Stateful.sessionCounts(Tables.events(s, d))
@@ -1063,6 +1068,20 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_src1,
         |  CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS n_src2
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q51_neardup_clusters" ->
+      s"""WITH RECURSIVE $wordsCte, $shinglesCte, $sigCte, $bandCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |und AS (SELECT a AS x, b AS y FROM cand UNION SELECT b, a FROM cand),
+         |walk AS (
+         |  SELECT x AS src, y AS dst FROM und
+         |  UNION
+         |  SELECT w.src, u.y FROM walk w JOIN und u ON w.dst = u.x),
+         |comp AS (SELECT src AS id, min(dst) AS m FROM walk GROUP BY src)
+         |SELECT d.doc_id, CAST(coalesce(least(c.id, c.m), d.doc_id) AS BIGINT) AS component
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q39_stateful_sessions" ->
       """WITH m AS (SELECT user_id,

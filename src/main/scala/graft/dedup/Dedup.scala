@@ -93,6 +93,58 @@ object Dedup {
           (col("sza") + col("szb") - col("inter")).cast("double"), 6).as("jaccard"))
   }
 
+  /** Connected components over an undirected edge list (a, b) — the step
+    * that turns near-dup candidate PAIRS into dedup CLUSTERS (keep one doc
+    * per component). Iterative minimum-label propagation: each round every
+    * vertex takes the min label among itself and its neighbors; converges
+    * in O(component diameter) rounds, each round one shuffle on the vertex
+    * id. For pretraining-dedup graphs (tiny diameter, mostly size-2
+    * components) this beats any driver-side union-find because the edge
+    * list never leaves the cluster. `maxIter` bounds pathological chains.
+    * Returns (id, component) with component = min id in the component. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("a").as("x"), col("b").as("y"))
+      .union(edges.select(col("b").as("x"), col("a").as("y")))
+    val verts = und.select(col("x").as("id")).distinct()
+    var labels = verts.withColumn("component", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = und
+        .join(labels.withColumnRenamed("id", "y").withColumnRenamed("component", "nc"), Seq("y"))
+        .groupBy(col("x").as("id")).agg(min(col("nc")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup clusters end-to-end: MinHash → LSH candidates → (optionally
+    * Jaccard-verified) edges → connected components; docs not in any pair
+    * are their own singleton component. */
+  def nearDupClusters(docs: DataFrame, idCol: String, text: Column,
+                      bands: Int = 4, rowsPerBand: Int = 2,
+                      minJaccard: Double = 0.0): DataFrame = {
+    val sig = minhashSignature(docs, idCol, text, bands * rowsPerBand)
+    val cand = lshCandidates(sig, idCol, bands, rowsPerBand)
+    val edges =
+      if (minJaccard > 0)
+        jaccardVerify(cand, docs, idCol, text).filter(col("jaccard") >= minJaccard)
+          .select("a", "b")
+      else cand
+    val cc = connectedComponents(edges)
+    docs.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+  }
+
   /** 16-bit SimHash over the word multiset, engine-portable: bit i of a
     * word's hash = high bit of hex digit i of md5(word); signature bit i =
     * 1 iff Σ_words (±1) > 0. Returned as a 16-char '0'/'1' string (stable

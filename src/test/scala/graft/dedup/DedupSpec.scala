@@ -78,6 +78,25 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("connectedComponents: chains collapse to min id, separate components stay apart") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("nearDupClusters: duplicate docs share a component, unique docs are singletons") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",   // dup of 1
+      5L -> "alpha beta gamma delta epsilon",   // dup of 1
+      7L -> "zeta eta theta iota kappa lambda")
+    val cl = Dedup.nearDupClusters(d, "doc_id", col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(cl(1L) === 1L && cl(2L) === 1L && cl(5L) === 1L)
+    assert(cl(7L) === 7L)
+  }
+
   test("near-duplicate texts have small simhash hamming distance vs unrelated") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val near = base.replace("dog", "cat")
