@@ -582,6 +582,34 @@ object SparkEntry {
       Dedup.nearDupClusters(t(s, d, "documents"), "doc_id", col("text"))
         .orderBy(col("doc_id"))),
 
+    // ⊕ data mixing: deterministic stratified sample (20% per language,
+    // keep-lowest-id — reproducible across runs and engines, unlike rand())
+    "q52_stratified" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val counts = t(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(counts), Seq("lang"))
+        .filter(col("rn") <= ceil(col("n_lang") * 0.2))
+        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ⊕ context packing: shard documents into ~5000-token groups per
+    // language (exclusive running token count / budget)
+    "q53_token_shards" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      TextAnalysis.tokenCounts(t(s, d, "documents"), col("text"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens_ws")).over(w), lit(0L)))
+        .withColumn("shard", floor(col("cum_before") / 5000).cast("long"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens_ws")).as("shard_tokens"))
+        .orderBy(col("lang"), col("shard"))
+    }),
+
     // §2.9/§2.10: custom per-key state via mapGroupsWithState
     "q39_stateful_sessions" -> ((s, d) =>
       Stateful.sessionCounts(Tables.events(s, d))
@@ -1082,6 +1110,26 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(least(c.id, c.m), d.doc_id) AS BIGINT) AS component
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q52_stratified" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang)
+        |SELECT doc_id, r.lang, rn FROM r JOIN c ON r.lang = c.lang
+        |WHERE rn <= ceil(n_lang * 0.2)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q53_token_shards" ->
+      s"""WITH $wordsCte,
+         |tk AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS nt FROM w),
+         |sh AS (SELECT lang, nt,
+         |  coalesce(SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM tk)
+         |SELECT lang, CAST(floor(cum_before / 5000) AS BIGINT) AS shard,
+         |  count(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS shard_tokens
+         |FROM sh GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin,
 
     "q39_stateful_sessions" ->
       """WITH m AS (SELECT user_id,
