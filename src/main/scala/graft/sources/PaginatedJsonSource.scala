@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+import org.apache.spark.sql.connector.read.{SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -55,45 +56,69 @@ class PaginatedJsonTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+    new ScanBuilder with Scan with Batch
+        with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       private var required: StructType = PaginatedJsonSource.schema
+      private var pushed: Array[Filter] = Array.empty
       // column pruning: the projection above the scan reaches the reader,
       // which then parses only the requested fields per page row
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+      // filter pushdown — the engine-side analogue of the reference's
+      // server-side query-param filtering (slug main.py:32, assemblyID
+      // main.py:62): string-equality predicates are evaluated inside the
+      // reader while parsing, everything else stays a post-scan Filter
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (accepted, rejected) = filters.partition {
+          case EqualTo(a, _: String) => a == "id" || a == "name"
+          case _ => false
+        }
+        pushed = accepted
+        rejected
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def description(): String =
+        s"PaginatedJsonScan pushedFilters=[${pushed.mkString(", ")}], " +
+          s"readSchema=[${required.fieldNames.mkString(", ")}]"
       override def build(): Scan = this
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
         // one partition per page file — the reference's `while more` loop
         // (main.py:75-89) turned into split planning
+        val eqs = pushed.collect { case EqualTo(a, v: String) => (a, v) }
         val dir = new java.io.File(path)
         val pages = Option(dir.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".json")).map(_.getAbsolutePath).sorted
-        pages.map(p => PagePartition(p, required.fieldNames): InputPartition)
+        pages.map(p => PagePartition(p, required.fieldNames, eqs): InputPartition)
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new PageReaderFactory
     }
 }
 
-case class PagePartition(file: String, fields: Array[String]) extends InputPartition
+case class PagePartition(file: String, fields: Array[String],
+                         eqFilters: Seq[(String, String)]) extends InputPartition
 
 class PageReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
-    new PageReader(p.file, p.fields)
+    new PageReader(p.file, p.fields, p.eqFilters)
   }
 }
 
 /** Parses one page envelope with Jackson (ships with Spark) and emits the
   * `data` array rows. */
-class PageReader(file: String, fields: Array[String]) extends PartitionReader[InternalRow] {
+class PageReader(file: String, fields: Array[String],
+                 eqFilters: Seq[(String, String)] = Nil)
+    extends PartitionReader[InternalRow] {
   private val rows: Iterator[JsonNode] = {
     val root = new ObjectMapper().readTree(new java.io.File(file))
     val data = root.get("data")
-    if (data == null || !data.isArray) Iterator.empty
-    else data.elements().asScala
+    val all = if (data == null || !data.isArray) Iterator.empty else data.elements().asScala
+    all.filter(n => eqFilters.forall { case (f, v) =>
+      val x = n.get(f); x != null && !x.isNull && x.asText() == v
+    })
   }
   private var current: JsonNode = _
 

@@ -66,6 +66,22 @@ class HubEtlSpec extends SparkSpec {
     assert(df.count() === 4)
   }
 
+  test("DSv2 source pushes id/name equality filters into the page reader") {
+    val df = HubEtl.targetEvents(spark, fixtureDir.resolve("pages").toString)
+      .filter(col("id") === "e3")
+    val plan = df.queryExecution.executedPlan.toString
+    // the EqualTo is consumed by the source: only isnotnull survives post-scan
+    assert(plan.contains("pushedFilters=[EqualTo(id,e3)]"), plan)
+    assert(!plan.contains("= e3)"), s"filter not consumed by the scan: $plan")
+    val rows = df.collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("name") === "Dup Tag")
+    // non-pushable predicate still works (post-scan filter)
+    val nf = HubEtl.targetEvents(spark, fixtureDir.resolve("pages").toString)
+      .filter(size(col("tags")) === 0)
+    assert(nf.count() === 1)
+  }
+
   test("talksToEvents: projection, constants, coalesce, speaker mapping, ts parse") {
     val schedule = Pretalx.readSchedule(spark, fixtureDir.resolve("schedule.json").toString)
     val events = Pretalx.talksToEvents(
