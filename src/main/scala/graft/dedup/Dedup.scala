@@ -63,8 +63,13 @@ object Dedup {
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("_", hs: _*).as("bucket"))
     }
+    // cache: the bucket table feeds BOTH sides of the self-join below (and
+    // every CC iteration downstream) — without it the whole shingle→minhash
+    // pipeline executes once per consumer. Size is |docs| × bands rows of
+    // (id, int, string): tiny relative to the corpus.
     val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .cache()
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
     a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
@@ -103,24 +108,43 @@ object Dedup {
     * list never leaves the cluster. `maxIter` bounds pathological chains.
     * Returns (id, component) with component = min id in the component. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once: every round joins against it, and an
+    // uncached lineage would re-run the upstream candidate generation
+    // (shingle→minhash→bands) once per iteration
     val und = edges.select(col("a").as("x"), col("b").as("y"))
       .union(edges.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint()
     val verts = und.select(col("x").as("id")).distinct()
-    var labels = verts.withColumn("component", col("id"))
+    // localCheckpoint (not cache) each round: caching leaves the logical
+    // plan growing — the jump self-join doubles the subtree per iteration,
+    // so analysis time explodes exponentially; checkpointing truncates the
+    // lineage so every round plans O(1) nodes
+    var labels = verts.withColumn("component", col("id")).localCheckpoint()
+    var prevSum = Long.MaxValue
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // (1) propagate: take the min label among self and direct neighbors
       val nbrMin = und
         .join(labels.withColumnRenamed("id", "y").withColumnRenamed("component", "nc"), Seq("y"))
         .groupBy(col("x").as("id")).agg(min(col("nc")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+        .localCheckpoint()
+      // (2) pointer-jump: also adopt the label OF my label — doubles the
+      // effective hop distance per round, so chains converge in
+      // O(log diameter) rounds instead of O(diameter)
+      val lbl2 = prop.select(col("id").as("cid"), col("component").as("c2"))
+      labels = prop.join(lbl2, col("component") === col("cid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("c2"), col("component"))).as("component"))
+        .localCheckpoint()
+      // labels only ever decrease, so an unchanged sum ⇔ a fixpoint —
+      // one cheap aggregate instead of a join-based diff
+      val sumNow = labels.agg(sum(col("component"))).head().getLong(0)
+      converged = sumNow == prevSum
+      prevSum = sumNow
       i += 1
     }
     labels
