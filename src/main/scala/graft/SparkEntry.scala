@@ -420,11 +420,15 @@ object SparkEntry {
 
     // ---- rows-only checks (not ANSI-SQL-expressible; oracle omitted) ----
 
-    // ⊕A5: HLL++ approximate distinct (sketch differs from DuckDB's)
-    "q90_approx_distinct" -> ((s, d) =>
+    // ⊕A5: approximate distinct, two sketches — built-in HLL++ and the
+    // custom KMV TypedImperativeAggregate (both mergeable partial+final)
+    "q90_approx_distinct" -> ((s, d) => {
+      graft.functions.KmvFunctions.ensureRegistered(s)
       t(s, d, "events").groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-        .orderBy(col("event_type"))),
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          expr("kmv_distinct(user_id, 256)").as("kmv_users"))
+        .orderBy(col("event_type"))
+    }),
 
     // ⊕ similarity: LSH-bucketed ANN top-k (recall<1 by construction)
     "q91_ann_lsh" -> ((s, d) => {
