@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, KmvDistinct}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
@@ -18,5 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+      (children: Seq[Expression]) => {
+        val k = if (children.length > 1)
+          children(1).eval(null).asInstanceOf[Number].intValue() else 256
+        KmvDistinct(children.head, k).toAggregateExpression()
+      }))
   }
 }
