@@ -14,6 +14,9 @@ import graft.functions.{CosineSimilarity, KmvDistinct}
   * instead — the operators do so themselves, defensively. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the custom as-of join strategy (graft.plans) for config-based
+    // sessions; imperative sessions get it via AsofJoin.ensureStrategy
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
