@@ -71,9 +71,10 @@ object Similarity {
   def lshBucket(vec: Column, planes: Int = 8, dims: Int = 64): Column = {
     val signs = hyperplaneSigns(planes, dims)
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, lit(signs(p)), (x, s) => d(x) * s),
-        lit(0.0), (acc, x) => acc + x)
+      // native fused-loop dot (same fold order as the zip_with+aggregate
+      // form → bit-identical signs); 8 plane dots per row is the
+      // bucket-assignment hot kernel at corpus scale
+      val proj = graft.functions.VectorFunctions.vecDot(vec, typedLit(signs(p)))
       when(proj > 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)

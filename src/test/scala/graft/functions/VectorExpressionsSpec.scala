@@ -45,6 +45,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(q.count() === 100)
   }
 
+  test("vec_dot (float × double) is bit-identical to the zip_with+aggregate fold") {
+    val df = Seq((Seq(0.1f, -2f, 3.5f), Seq(4.0, 5.5, -6.25))).toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)).as[Double].head()
+    val native = df.select(VectorFunctions.vecDot(col("a"), col("b"))).as[Double].head()
+    assert(java.lang.Double.doubleToLongBits(hof) === java.lang.Double.doubleToLongBits(native))
+  }
+
   test("mismatched lengths: dot over common prefix, norms over full arrays") {
     val df = Seq((Seq(3f, 4f), Seq(1f, 0f, 0f))).toDF("a", "b")
     val v = df.select(Similarity.cosineNative(df, col("a"), col("b"))).as[Double].head()
