@@ -614,6 +614,15 @@ object SparkEntry {
         .orderBy(col("lang"), col("shard"))
     }),
 
+    // ⊕ multimodal: chunked frame sampling (every 2nd 64-byte chunk)
+    "q54_frame_sample" -> ((s, d) =>
+      Multimodal.sampleChunks(
+          Multimodal.attachPayload(t(s, d, "documents")), chunkBytes = 64, stride = 2)
+        .select(col("doc_id"),
+          size(col("frames")).cast("long").as("n_frames"),
+          md5(element_at(col("frames"), 1)).as("first_frame_fp"))
+        .orderBy(col("doc_id"))),
+
     // §2.9/§2.10: custom per-key state via mapGroupsWithState
     "q39_stateful_sessions" -> ((s, d) =>
       Stateful.sessionCounts(Tables.events(s, d))
@@ -1134,6 +1143,15 @@ object SparkEntry {
          |SELECT lang, CAST(floor(cum_before / 5000) AS BIGINT) AS shard,
          |  count(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS shard_tokens
          |FROM sh GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin,
+
+    "q54_frame_sample" ->
+      """WITH p AS (SELECT doc_id, text,
+        |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(range(0, greatest(n_chunks - 1, 0) + 1), i -> i % 2 = 0)) AS BIGINT) AS n_frames,
+        |  md5(substring(text, 1, 64)) AS first_frame_fp
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q39_stateful_sessions" ->
       """WITH m AS (SELECT user_id,
