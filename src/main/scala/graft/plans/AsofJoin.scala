@@ -85,24 +85,36 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       lIter.map { lRow =>
         val k = lk.eval(lRow)
         val t = lt.eval(lRow)
-        // advance the right side through every row at or before (k, t)
-        var advancing = true
-        while (advancing && rCur != null) {
-          val rKeyV = rk.eval(rCur)
-          val c = keyOrd.compare(rKeyV.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef])
-          if (c < 0) {
-            // earlier key: skip (its matches can never serve later keys)
-            rCur = if (rIter.hasNext) rIter.next() else null
-          } else if (c == 0 &&
-              tsOrd.lteq(rt.eval(rCur).asInstanceOf[AnyRef], t.asInstanceOf[AnyRef])) {
-            lastMatch = rCur.copy() // candidate; later ones overwrite (latest wins)
-            lastMatchKey = rKeyV
-            rCur = if (rIter.hasNext) rIter.next() else null
-          } else advancing = false
+        if (k == null || t == null) {
+          // null key/ts never matches (ASOF join null semantics); the sort
+          // puts null-key rows first, so no right-side state is disturbed
+          proj(joined(lRow, nullRight))
+        } else {
+          // advance the right side through every row at or before (k, t)
+          var advancing = true
+          while (advancing && rCur != null) {
+            val rKeyV = rk.eval(rCur)
+            val rTsV = if (rKeyV == null) null else rt.eval(rCur)
+            if (rKeyV == null || rTsV == null) {
+              // null-keyed right rows sort first and match nothing: skip
+              rCur = if (rIter.hasNext) rIter.next() else null
+            } else {
+              val c = keyOrd.compare(rKeyV.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef])
+              if (c < 0) {
+                // earlier key: skip (its matches can never serve later keys)
+                rCur = if (rIter.hasNext) rIter.next() else null
+              } else if (c == 0 &&
+                  tsOrd.lteq(rTsV.asInstanceOf[AnyRef], t.asInstanceOf[AnyRef])) {
+                lastMatch = rCur.copy() // candidate; later ones overwrite (latest wins)
+                lastMatchKey = rKeyV
+                rCur = if (rIter.hasNext) rIter.next() else null
+              } else advancing = false
+            }
+          }
+          val matched = lastMatch != null && lastMatchKey != null &&
+            keyOrd.compare(lastMatchKey.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef]) == 0
+          proj(joined(lRow, if (matched) lastMatch else nullRight))
         }
-        val matched = lastMatch != null && lastMatchKey != null &&
-          keyOrd.compare(lastMatchKey.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef]) == 0
-        proj(joined(lRow, if (matched) lastMatch else nullRight))
       }
     }
   }

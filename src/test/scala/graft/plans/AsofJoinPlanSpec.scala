@@ -42,6 +42,22 @@ class AsofJoinPlanSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("null keys and timestamps never match and never crash the merge") {
+    val left = Seq(
+      (1L, Some("u"), Some(100L)),
+      (2L, None, Some(100L)),       // null key
+      (3L, Some("u"), None))        // null ts
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (Some("u"), Some(90L), "a"),
+      (None, Some(50L), "x"),       // null key on the right
+      (Some("u"), None, "y"))       // null ts on the right
+      .toDF("k", "t", "tag")
+    val out = AsofJoin(left, right, "k", "t", "t")
+      .select(col("id"), col("tag")).as[(Long, Option[String])].collect().toMap
+    assert(out === Map(1L -> Some("a"), 2L -> None, 3L -> None))
+  }
+
   test("physical plan is the custom exec with one exchange per side") {
     val ev = Tables.events(spark, sfDir)
     val l = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
