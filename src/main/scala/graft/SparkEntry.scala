@@ -623,6 +623,19 @@ object SparkEntry {
           md5(element_at(col("frames"), 1)).as("first_frame_fp"))
         .orderBy(col("doc_id"))),
 
+    // skew path: salted equi-join must be semantics-identical to the plain
+    // join (oracle = unsalted SQL join)
+    "q55_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("key"), col("l_extendedprice"))
+      val supp = t(s, d, "supplier")
+        .select(col("s_suppkey").as("key"), col("s_name"))
+      Relational.saltedJoin(li, supp, "key", buckets = 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy(col("s_name"))
+    }),
+
     // §2.9/§2.10: custom per-key state via mapGroupsWithState
     "q39_stateful_sessions" -> ((s, d) =>
       Stateful.sessionCounts(Tables.events(s, d))
@@ -1152,6 +1165,11 @@ object SparkEntry {
         |  CAST(len(list_filter(range(0, greatest(n_chunks - 1, 0) + 1), i -> i % 2 = 0)) AS BIGINT) AS n_frames,
         |  md5(substring(text, 1, 64)) AS first_frame_fp
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q55_salted_join" ->
+      s"""SELECT s_name, count(*) AS n, ${sqlDsum("l_extendedprice", 18, 2)} AS total
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
     "q39_stateful_sessions" ->
       """WITH m AS (SELECT user_id,
