@@ -10,7 +10,7 @@ object PerfCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    val names = if (args.nonEmpty) args.toSeq else Seq("q20_dedup_exact", "q24_cosine_topk", "q07_distinct", "q22_lsh_pairs", "q35_stream_tumbling")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q22_lsh_pairs", "q51_neardup_clusters", "q35_stream_tumbling", "q03_merge_diff", "q94_ann_ivf")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     for (n <- names; i <- 1 to 2) {
       val t0 = System.nanoTime()
