@@ -93,12 +93,12 @@ object Relational {
     // tag sides, align schemas: left rows carry null payload, right rows null left-cols
     val rTagged = right.select(
       (col(key).as("__key") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        carry.map(c => col(c).as(s"__c_$c")) ++: lCols.map(c => lit(null).cast(
+        carry.map(c => col(c).as(s"__c_$c")) ++: lCols.toIndexedSeq.map(c => lit(null).cast(
           left.schema(c).dataType).as(c))): _*)
     val lTagged = left.select(
       (col(key).as("__key") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
         carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__c_$c")) ++:
-        lCols.map(col(_))): _*)
+        lCols.toIndexedSeq.map(col(_))): _*)
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -106,7 +106,7 @@ object Relational {
       .select((col("*") +: carry.map(c =>
         last(col(s"__c_$c"), ignoreNulls = true).over(w).as(c))): _*)
     carried.filter(col("__side") === 1)
-      .select(lCols.map(col(_)) ++ carry.map(col(_)): _*)
+      .select(lCols.toIndexedSeq.map(col(_)) ++ carry.map(col(_)): _*)
   }
 
   /** Skew-safe equi-join: salt the skewed (left) side into `buckets`

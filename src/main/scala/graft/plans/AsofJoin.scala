@@ -140,7 +140,7 @@ object AsofJoin {
     // re-alias the right side to fresh exprIds: custom nodes bypass the
     // analyzer's join-dedup, so a self-join would otherwise share attribute
     // ids across children and break binding/pruning
-    val rPlan = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val rPlan = right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
       .queryExecution.analyzed
     def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))

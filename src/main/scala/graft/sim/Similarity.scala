@@ -119,7 +119,7 @@ object Similarity {
   /** Cosine of a vector column against each centroid literal, as one array
     * column (k native-kernel calls fused in codegen). */
   private def centroidSims(df: DataFrame, vec: Column, cents: Array[Seq[Float]]): Column =
-    array(cents.map(c => cosineNative(df, vec, typedLit(c))): _*)
+    array(cents.toIndexedSeq.map(c => cosineNative(df, vec, typedLit(c))): _*)
 
   /** Coarse IVF centroids via Lloyd iterations, deterministic end to end:
     * init = vectors of the `k` smallest vec_ids, fixed `iters`, cosine

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util
 
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -90,14 +90,14 @@ class PaginatedJsonTable(path: String) extends Table with SupportsRead {
         val dir = new java.io.File(path)
         val pages = Option(dir.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".json")).map(_.getAbsolutePath).sorted
-        pages.map(p => PagePartition(p, required.fieldNames, eqs): InputPartition)
+        pages.map(p => PagePartition(p, required.fieldNames.toIndexedSeq, eqs.toIndexedSeq): InputPartition)
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new PageReaderFactory
     }
 }
 
-case class PagePartition(file: String, fields: Array[String],
+case class PagePartition(file: String, fields: Seq[String],
                          eqFilters: Seq[(String, String)]) extends InputPartition
 
 class PageReaderFactory extends PartitionReaderFactory {
@@ -109,7 +109,7 @@ class PageReaderFactory extends PartitionReaderFactory {
 
 /** Parses one page envelope with Jackson (ships with Spark) and emits the
   * `data` array rows. */
-class PageReader(file: String, fields: Array[String],
+class PageReader(file: String, fields: Seq[String],
                  eqFilters: Seq[(String, String)] = Nil)
     extends PartitionReader[InternalRow] {
   private val rows: Iterator[JsonNode] = {
@@ -132,7 +132,7 @@ class PageReader(file: String, fields: Array[String],
   }
 
   override def get(): InternalRow = {
-    val values: Array[Any] = fields.map {
+    val values: Seq[Any] = fields.map {
       case "tags" =>
         val tagsNode = current.get("tags")
         if (tagsNode == null || !tagsNode.isArray) null
