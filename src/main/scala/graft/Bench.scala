@@ -38,17 +38,33 @@ object Bench {
       a.join(b.hint("merge"), Seq("k")).groupBy("k").count().collect()
       a.join(broadcast(b), Seq("k"), "full_outer")
         .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("id")))
-        .filter(col("rn") === 1).count()
+        .filter(col("rn") === 1)
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // Timed action = full materialization through the noop sink: every
+    // projection is evaluated and every row serialized, exactly like the
+    // Verify parquet write minus the disk I/O. A count() action would let
+    // Catalyst prune unreferenced projections and under-time the
+    // expression-heavy queries.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
+      } catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v, err) =>
+      // a failed query is reported as NEGATIVE elapsed so it can never make
+      // the benchmark look faster, and lands in the errors object below
+      s"\"" + k + "\":" + (if (err.isDefined) -v else v)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) =>
+      s"\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "'") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

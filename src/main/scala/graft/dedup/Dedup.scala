@@ -56,20 +56,36 @@ object Dedup {
 
   /** LSH candidate pairs: signatures split into `bands` bands of
     * `rowsPerBand` hashes; docs sharing any band bucket become a candidate
-    * pair (a < b). Equi self-join on (band, bucket) — no cross join. */
+    * pair (a < b). Equi self-join on (band, bucket) — no cross join.
+    *
+    * `maxBucketSize` caps the self-join blow-up: a degenerate bucket (e.g.
+    * near-empty docs all sharing one signature) contributes |bucket|² pairs,
+    * which at corpus scale is an n² bomb inside one reducer. Standard
+    * MinHashLSH practice is to drop over-full buckets — their members are
+    * (a) almost always caught in another, smaller band bucket, and (b) so
+    * generic that the pairs are low-value. The size filter is a window count
+    * over the SAME (band, bucket) key the join shuffles on, so it adds no
+    * extra exchange. */
   def lshCandidates(sig: DataFrame, idCol: String,
-                    bands: Int, rowsPerBand: Int): DataFrame = {
+                    bands: Int, rowsPerBand: Int,
+                    maxBucketSize: Int = 10000): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("_", hs: _*).as("bucket"))
     }
-    // cache: the bucket table feeds BOTH sides of the self-join below (and
-    // every CC iteration downstream) — without it the whole shingle→minhash
-    // pipeline executes once per consumer. Size is |docs| × bands rows of
+    // localCheckpoint (not cache): the bucket table feeds BOTH sides of the
+    // self-join below (and every CC iteration downstream) — without reuse
+    // the whole shingle→minhash pipeline executes once per consumer. Unlike
+    // cache(), checkpoint blocks are released by the ContextCleaner when the
+    // DataFrame goes out of scope, so repeated calls in a long-lived session
+    // don't accumulate cached blocks. Size is |docs| × bands rows of
     // (id, int, string): tiny relative to the corpus.
-    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+    val sized = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .cache()
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+    val buckets = sized.filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+      .localCheckpoint()
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
     a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
@@ -82,8 +98,18 @@ object Dedup {
     * count, never n². Returns (a, b, jaccard). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     text: Column): DataFrame = {
+    // Only docs that appear in a candidate pair need tokenizing — a semi
+    // join bounds the exploded word table by the candidate count, not the
+    // corpus size. localCheckpoint materializes it ONCE for its three
+    // consumers (two intersection joins + the size agg) instead of
+    // re-deriving the tokenization from raw text per consumer; blocks are
+    // freed by the ContextCleaner when the result goes out of scope.
+    val ids = pairs.select(col("a").as("__id"))
+      .union(pairs.select(col("b").as("__id"))).distinct()
     val w = docs.select(col(idCol).as("__id"),
-      explode(array_distinct(TextAnalysis.words(text))).as("w"))
+        explode(array_distinct(TextAnalysis.words(text))).as("w"))
+      .join(ids, Seq("__id"), "left_semi")
+      .localCheckpoint()
     val sizes = w.groupBy("__id").agg(count("*").as("sz"))
     val inter = pairs
       .join(w.select(col("__id").as("a"), col("w")), Seq("a"))
@@ -115,6 +141,9 @@ object Dedup {
       .union(edges.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint()
     val verts = und.select(col("x").as("id")).distinct()
+    // zero edges ⇒ zero vertices: the loop below would read a NULL sum
+    // aggregate (NPE); every doc is its own singleton component upstream
+    if (und.isEmpty) return verts.withColumn("component", col("id"))
     // localCheckpoint (not cache) each round: caching leaves the logical
     // plan growing — the jump self-join doubles the subtree per iteration,
     // so analysis time explodes exponentially; checkpointing truncates the
@@ -141,8 +170,10 @@ object Dedup {
           least(col("component"), coalesce(col("c2"), col("component"))).as("component"))
         .localCheckpoint()
       // labels only ever decrease, so an unchanged sum ⇔ a fixpoint —
-      // one cheap aggregate instead of a join-based diff
-      val sumNow = labels.agg(sum(col("component"))).head().getLong(0)
+      // one cheap aggregate instead of a join-based diff (null-safe read:
+      // sum over zero rows is NULL, treated as converged-at-0)
+      val sumRow = labels.agg(sum(col("component"))).head()
+      val sumNow = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       converged = sumNow == prevSum
       prevSum = sumNow
       i += 1

@@ -79,21 +79,12 @@ object Multimodal {
   /** "Resize" for the opaque-binary pipeline: stride-decimate the payload
     * (keep every `factor`-th byte) — the byte-level stand-in for an image
     * resize, keeping the columnar shape (binary in → binary out) so a real
-    * resampler slots in without plan changes. Pure built-ins: the stride
-    * positions come from `sequence`, bytes via 1-byte `substr`, reassembled
-    * with `concat`. */
-  def resizeBytes(withPayload: DataFrame, factor: Int): DataFrame = {
-    val n = length(col("payload"))
-    val idx = filter(sequence(lit(0), greatest(n - 1, lit(0))),
-      i => i % factor === 0 && i < n)
+    * resampler slots in without plan changes. Native O(n) codegen kernel
+    * ([[graft.functions.BinaryStride]]); the earlier built-in formulation
+    * (per-byte substr folded with concat) was O(n²) per row. */
+  def resizeBytes(withPayload: DataFrame, factor: Int): DataFrame =
     withPayload.withColumn("payload_small",
-      when(n > 0,
-        aggregate(
-          transform(idx, i => col("payload").substr(i + 1, lit(1))),
-          lit(Array.emptyByteArray),
-          (acc, b) => concat(acc, b)))
-        .otherwise(col("payload")))
-  }
+      graft.functions.BinaryFunctions.binaryStride(col("payload"), lit(factor)))
 
   /** "Frame sampling" for a chunked binary stream: split the payload into
     * fixed-size chunks and keep every `stride`-th — pure built-ins

@@ -37,17 +37,23 @@ object Relational {
     */
   def mergePlan(source: DataFrame, target: DataFrame, srcKey: String,
                 tgtKey: String, tgtId: String): DataFrame = {
+    // Sides are identified by explicit marker literals, NOT by key
+    // nullness: a source row with a NULL key never joins (NULL != NULL in
+    // the equi-join) and must classify as `create`, not be mistaken for a
+    // target-only `delete`. Likewise a target row with a NULL id stays an
+    // `update` when matched.
     val src = source.withColumn("__k", lower(col(srcKey)))
+      .withColumn("__src", lit(true))
     val tgt = dedupKeepFirst(
         target.withColumn("__k", lower(col(tgtKey))), Seq("__k"), Seq(col(tgtId)))
-      .select(col("__k"), col(tgtId).as("__tid"))
+      .select(col("__k"), col(tgtId).as("__tid"), lit(true).as("__tgt"))
     src.join(tgt, Seq("__k"), "full_outer")
       .withColumn("op_flag",
-        when(col(srcKey).isNull, lit("delete"))
-          .when(col("__tid").isNull, lit("create"))
+        when(col("__src").isNull, lit("delete"))
+          .when(col("__tgt").isNull, lit("create"))
           .otherwise(lit("update")))
       .withColumn("target_id", col("__tid"))
-      .drop("__k", "__tid")
+      .drop("__k", "__tid", "__src", "__tgt")
   }
 
   /** J4 alone (main.py:150-163): rows of `left` with no key match in `right`. */
@@ -99,8 +105,16 @@ object Relational {
       (col(key).as("__key") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
         carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__c_$c")) ++:
         lCols.toIndexedSeq.map(col(_))): _*)
+    // Deterministic tiebreak: among right rows sharing the same (key, ts),
+    // the carried value is whichever sorts LAST by the carry columns — an
+    // explicit total order instead of shuffle-arrival nondeterminism.
+    // Non-orderable carry types (maps) are excluded from the sort key.
+    val tiebreak = carry
+      .filter(c => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType))
+      .map(c => col(s"__c_$c").asc)
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy((col("__ts").asc +: col("__side").asc +: tiebreak): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rTagged.unionByName(lTagged)
       .select((col("*") +: carry.map(c =>
@@ -109,18 +123,35 @@ object Relational {
       .select(lCols.toIndexedSeq.map(col(_)) ++ carry.map(col(_)): _*)
   }
 
-  /** Skew-safe equi-join: salt the skewed (left) side into `buckets`
-    * sub-keys and explode the build side to match. Use when AQE skew
-    * handling isn't enough (e.g. one hot key holding >1 partition of data).
-    * At 100 TB hot keys are the norm, not the exception — this keeps a
-    * single reducer from receiving an entire key's data.
+  /** Skew-safe equi-join: salt ONLY the hot keys of the skewed (left) side
+    * into `buckets` sub-keys and explode the matching build rows; all other
+    * keys take the plain join. Use when AQE skew handling isn't enough
+    * (e.g. one hot key holding >1 partition of data).
+    *
+    * Hot keys are detected first with a cheap count aggregate (map-side
+    * partial combine makes it one light shuffle); rows above `hotThreshold`
+    * are salted, the rest join unsalted. Salting everything would pay a
+    * `buckets`× replication of the ENTIRE build side to fix a handful of
+    * keys — at 100 TB that 8× build shuffle dwarfs the skew it fixes. The
+    * hot-key list is tiny by construction (keys whose row count exceeds the
+    * threshold) and is broadcast into the semi/anti splits.
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
-                 buckets: Int): DataFrame = {
-    val salted = skewed.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(buckets)))
-    val exploded = other.withColumn("__salt",
-      explode(sequence(lit(0), lit(buckets - 1))))
-    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+                 buckets: Int, hotThreshold: Long = 2000000): DataFrame = {
+    val hot = broadcast(hotKeys(skewed, key, hotThreshold))
+    val saltedHot = skewed.join(hot, Seq(key), "left_semi")
+      .withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(buckets)))
+    val explodedHot = other.join(hot, Seq(key), "left_semi")
+      .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    val hotJoined = saltedHot.join(explodedHot, Seq(key, "__salt")).drop("__salt")
+    val coldJoined = skewed.join(hot, Seq(key), "left_anti")
+      .join(other.join(hot, Seq(key), "left_anti"), Seq(key))
+    hotJoined.unionByName(coldJoined)
   }
+
+  /** Keys of `df` whose row count exceeds `threshold` — the salted-join
+    * split criterion, exposed so callers (and tests) can size the hot set. */
+  def hotKeys(df: DataFrame, key: String, threshold: Long): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > threshold).select(col(key))
 }

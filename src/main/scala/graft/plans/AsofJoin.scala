@@ -54,12 +54,31 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
-  override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+  // Pin BOTH children to the same explicit partition count: a bare
+  // ClusteredDistribution would accept any pre-existing hash clustering on
+  // the key, so AQE or an upstream repartition could hand the two children
+  // DIFFERENT partition counts and the zipPartitions below would throw at
+  // runtime. With requiredNumPartitions set, EnsureRequirements re-shuffles
+  // any child whose count disagrees; AQE's partition coalescing is applied
+  // uniformly across sibling shuffles, so co-partitioning is preserved.
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = conf.numShufflePartitions
+    Seq(ClusteredDistribution(Seq(leftKey), requiredNumPartitions = Some(n)),
+        ClusteredDistribution(Seq(rightKey), requiredNumPartitions = Some(n)))
+  }
 
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+  // Right-side tiebreak over all remaining orderable columns: rows sharing
+  // (key, ts) otherwise resolve by shuffle-arrival order, and "latest wins"
+  // would be nondeterministic run to run.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    val rightTiebreak = right.output
+      .filterNot(a => rightKey.references.contains(a) || rightTs.references.contains(a))
+      .filter(a => org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType))
+      .map(a => SortOrder(a, Ascending))
+    Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++ rightTiebreak)
+  }
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering

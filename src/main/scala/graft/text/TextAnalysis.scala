@@ -81,16 +81,21 @@ object TextAnalysis {
 
   /** TF-IDF: term frequency per (doc, term) × ln(N / doc-frequency).
     * Two shuffles (explode→count per doc-term, then per-term df joined
-    * back); the df side aggregates to |vocabulary| rows — broadcastable at
-    * any corpus size with a bounded vocabulary. */
+    * back). No broadcast hint on the doc-frequency side: a web-scale corpus
+    * has a multi-billion-term vocabulary that would OOM the driver — the
+    * tf⋈df join shuffles on `term` (sort-merge at scale) and AQE downgrades
+    * it to a broadcast when the vocabulary actually fits. N is folded in as
+    * a 1-row cross join (one extra stage, no driver-side count action). */
   def tfidf(docs: DataFrame, idCol: String, text: Column): DataFrame = {
-    val n = docs.count() // one count job; the scalar N lands in the plan as a literal
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
     val terms = docs.select(col(idCol), explode(words(text)).as("term"))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = terms.select(col(idCol), col("term")).distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), Seq("term"))
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    tf.join(df, Seq("term"))
+      .crossJoin(n) // single-row side ⇒ planned as a trivial broadcast
+      .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 6))
+      .drop("__n")
   }
 
   /** Gopher/C4-style quality filter: rule columns + a keep flag. Each rule

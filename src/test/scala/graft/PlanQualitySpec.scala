@@ -42,4 +42,12 @@ class PlanQualitySpec extends SparkSpec {
     val p = physical("q24_cosine_topk")
     assert(p.contains("vec_cosine"), p)
   }
+
+  test("q40: tf-idf carries no broadcast hint (vocabulary must not pin to driver)") {
+    // a broadcast HINT would force the multi-billion-term vocabulary of a
+    // web-scale corpus through the driver; the join must be left to AQE
+    val opt = SparkEntry.queries("q40_tfidf")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("broadcast"), s"broadcast hint survived:\n$opt")
+  }
 }

@@ -48,6 +48,21 @@ class DedupSpec extends SparkSpec {
     assert(!cand.exists { case (a, b) => a >= b }) // canonical a < b, no self-pairs
   }
 
+  test("lshCandidates drops over-full buckets: a mega-bucket never goes n²") {
+    // 30 identical docs share every band bucket; with maxBucketSize=10 those
+    // buckets are dropped, so the 30·29/2=435-pair blow-up never happens.
+    // A small distinct pair in its own bucket must survive the cap.
+    val mega = (1L to 30L).map(i => i -> "same words everywhere all along")
+    val pair = Seq(40L -> "rare unique sentence appears twice", 41L -> "rare unique sentence appears twice")
+    val sig = Dedup.minhashSignature(docs((mega ++ pair): _*), "doc_id", col("text"))
+    val capped = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2,
+      maxBucketSize = 10).as[(Long, Long)].collect().toSet
+    assert(capped === Set((40L, 41L)))
+    val uncapped = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 30 * 29 / 2 + 1)
+  }
+
   test("jaccardVerify computes exact word-set jaccard") {
     val d = docs(1L -> "a b c", 2L -> "b c d", 3L -> "x y z")
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
@@ -83,6 +98,22 @@ class DedupSpec extends SparkSpec {
     val cc = Dedup.connectedComponents(edges)
       .as[(Long, Long)].collect().toMap
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents on an empty edge list returns empty, not NPE") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(edges).count() === 0)
+  }
+
+  test("nearDupClusters: zero candidate pairs yields all-singleton components") {
+    // every doc unique → LSH produces no pairs → empty edge list downstream
+    val d = docs(
+      1L -> "first totally distinct sentence one",
+      2L -> "second entirely different words here",
+      3L -> "third unrelated phrase altogether now")
+    val cl = Dedup.nearDupClusters(d, "doc_id", col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(cl === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
   test("nearDupClusters: duplicate docs share a component, unique docs are singletons") {

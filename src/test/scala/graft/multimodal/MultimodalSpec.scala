@@ -33,6 +33,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) === "")
   }
 
+  test("resizeBytes on a 1 MB payload is O(n): finishes fast with exact output") {
+    // the old substr+concat formulation was O(n²) per row — a 1 MB payload
+    // would copy ~10¹² bytes and effectively hang; the native kernel is one
+    // pass. Correctness: byte i of the output is byte i*factor of the input.
+    val payload = Array.tabulate[Byte](1 << 20)(i => (i % 251).toByte)
+    val d = Seq((1L, payload)).toDF("doc_id", "payload")
+    val t0 = System.nanoTime()
+    val out = Multimodal.resizeBytes(d, factor = 4)
+      .select("payload_small").head().getAs[Array[Byte]](0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.length === (1 << 20) / 4)
+    assert(out.toSeq === Seq.tabulate(1 << 18)(j => ((j * 4) % 251).toByte))
+    assert(secs < 30, s"1 MB resize took ${secs}s — not O(n)")
+  }
+
+  test("binary_stride SQL registration evaluates like the Column door") {
+    graft.functions.BinaryFunctions.ensureRegistered(spark)
+    val d = Seq((1L, "abcdefgh".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    d.createOrReplaceTempView("bin_t")
+    val viaSql = spark.sql("SELECT binary_stride(payload, 3) AS p FROM bin_t")
+      .head().getAs[Array[Byte]](0)
+    assert(new String(viaSql, "UTF-8") === "adg")
+  }
+
   test("sampleChunks keeps every stride-th fixed-size chunk") {
     val d = Seq((1L, "aabbccddee")).toDF("doc_id", "text") // 10 bytes, chunk=2 → 5 chunks
     val frames = Multimodal.sampleChunks(Multimodal.attachPayload(d), chunkBytes = 2, stride = 2)

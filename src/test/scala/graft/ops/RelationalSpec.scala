@@ -69,6 +69,44 @@ class RelationalSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("mergePlan: a NULL source key classifies as create, never delete") {
+    val src = Seq((Some("a"), 1), (None, 2)).toDF("name", "v")
+    val tgt = Seq((101L, "A")).toDF("id", "tag")
+    val plan = Relational.mergePlan(src, tgt, "name", "tag", "id")
+      .select("v", "op_flag").as[(Option[Int], String)].collect().toSet
+    assert(plan === Set((Some(1), "update"), (Some(2), "create")))
+  }
+
+  test("asofJoin: ties on (key, ts) resolve deterministically (max carry wins)") {
+    val left = Seq((1L, "u", 100L)).toDF("id", "k", "t")
+    // three right rows at the exact same (key, ts) — without a tiebreak the
+    // carried value is shuffle-arrival order
+    val right = Seq(("u", 100L, "a"), ("u", 100L, "c"), ("u", 100L, "b"))
+      .toDF("k", "t", "tag")
+    val got = (1 to 5).map { _ =>
+      Relational.asofJoin(left, right.repartition(4), "k", "t", "t", Seq("tag"))
+        .select("tag").as[String].head()
+    }
+    assert(got.toSet === Set("c")) // greatest by the carry column, every run
+  }
+
+  test("saltedJoin salts only hot keys; cold keys are not replicated") {
+    // key "h" has 6 rows (hot at threshold 3); "c" has 1 (cold)
+    val big = ((1 to 6).map(i => ("h", i)) :+ (("c", 99))).toDF("key", "v")
+    val dim = Seq(("h", "x"), ("c", "y")).toDF("key", "name")
+    val hot = Relational.hotKeys(big, "key", 3).as[String].collect().toSeq
+    assert(hot === Seq("h")) // only the hot key is salted/replicated
+    val salted = Relational.saltedJoin(big, dim, "key", buckets = 4, hotThreshold = 3)
+      .select("key", "v", "name").as[(String, Int, String)].collect().toSet
+    val plain = big.join(dim, "key")
+      .select("key", "v", "name").as[(String, Int, String)].collect().toSet
+    assert(salted === plain)
+    // no hot keys at a high threshold → degenerates to the plain join result
+    val nohot = Relational.saltedJoin(big, dim, "key", buckets = 4, hotThreshold = 100)
+      .select("key", "v", "name").as[(String, Int, String)].collect().toSet
+    assert(nohot === plain)
+  }
+
   test("lookupEnrich broadcasts the dimension side") {
     val facts = (1 to 50).map(i => (i, i % 3)).toDF("id", "dk")
     val dim = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")

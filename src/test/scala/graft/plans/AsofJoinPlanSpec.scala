@@ -58,6 +58,40 @@ class AsofJoinPlanSpec extends SparkSpec {
     assert(out === Map(1L -> Some("a"), 2L -> None, 3L -> None))
   }
 
+  test("mismatched pre-partitioned children are re-shuffled, AQE on and off") {
+    // children arrive hash-partitioned on the key with DIFFERENT partition
+    // counts — a bare ClusteredDistribution would accept both layouts and
+    // zipPartitions would throw; requiredNumPartitions forces re-shuffle
+    val left = Seq((1L, "u", 100L), (2L, "v", 205L), (3L, "w", 50L))
+      .toDF("id", "k", "t").repartition(7, col("k"))
+    val right = Seq(("u", 90L, "a"), ("v", 200L, "b"), ("w", 60L, "c"))
+      .toDF("k", "t", "tag").repartition(3, col("k"))
+    val expect = Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None)
+    for (aqe <- Seq("true", "false")) {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      try {
+        val out = AsofJoin(left, right, "k", "t", "t")
+          .select(col("id"), col("tag"))
+          .as[(Long, Option[String])].collect().toMap
+        assert(out === expect, s"aqe=$aqe")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+  }
+
+  test("right rows tied on (key, ts) resolve deterministically") {
+    val left = Seq((1L, "u", 100L)).toDF("id", "k", "t")
+    val right = Seq(("u", 100L, "a"), ("u", 100L, "c"), ("u", 100L, "b"))
+      .toDF("k", "t", "tag")
+    val got = (1 to 5).map { _ =>
+      AsofJoin(left, right.repartition(4), "k", "t", "t")
+        .select("tag").as[String].head()
+    }
+    // requiredChildOrdering tiebreaks on the remaining right columns, so
+    // "latest wins" is a fixed total order: the greatest tag
+    assert(got.toSet === Set("c"))
+  }
+
   test("physical plan is the custom exec with one exchange per side") {
     val ev = Tables.events(spark, sfDir)
     val l = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
