@@ -46,25 +46,38 @@ object Bench {
     // Verify parquet write minus the disk I/O. A count() action would let
     // Catalyst prune unreferenced projections and under-time the
     // expression-heavy queries.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
-      } catch { case e: Throwable =>
-        Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+    // SPARK_GRAFT_ONLY=q46_repetition,q51_... restricts the run for local
+    // iteration; unset (the driver's mode) runs everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
+        } catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
+        (name, (System.nanoTime() - t0) / 1e9, err)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
-    }
     val qs = results.map { case (k, v, err) =>
       // a failed query is reported as NEGATIVE elapsed so it can never make
       // the benchmark look faster, and lands in the errors object below
       s"\"" + k + "\":" + (if (err.isDefined) -v else v)
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
-      s"\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "'") + "\""
+      // strip control chars (AnalysisException messages embed multi-line
+      // plans) so the output line stays valid JSON
+      s"\"" + k + "\":\"" + m.replaceAll("[\\p{Cntrl}]", " ")
+        .replace("\\", "\\\\").replace("\"", "'") + "\""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
+    val nFailed = results.count(_._3.isDefined)
+    // headline value counts SUCCESSFUL queries only, and is -1 (obviously
+    // invalid) when anything failed: a fast-erroring query must never make
+    // the benchmark look faster than a clean run
+    val totalOk = results.collect { case (_, v, None) => v }.sum
+    val value = if (nFailed > 0) -1.0 else totalOk
+    println(s"""{"metric":"total","value":$value,"unit":"sec","total_ok":$totalOk,"queries":$qs,"errors":$errs,"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -83,8 +83,12 @@ object SparkEntry {
     s"CAST(len(list_filter(ws, x -> x IN ($lst))) AS BIGINT) AS s_$l"
   }.mkString(", ")
 
+  // mirrors Dedup.simhash16's staging: md5 per word computed once into hws,
+  // then 16 substring folds (same values, so hashes stay aligned)
+  private val hashedWordsCte =
+    "hw AS (SELECT doc_id, text, list_transform(ws, x -> md5(x)) AS hws FROM w)"
   private def simhashSql: String = (1 to 16).map { i =>
-    s"""CASE WHEN list_sum(list_transform(ws, x -> CASE WHEN substring(md5(x), $i, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"""
+    s"""CASE WHEN list_sum(list_transform(hws, h -> CASE WHEN substring(h, $i, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"""
   }.mkString("(", " || ", ")")
 
   // ---- queries ------------------------------------------------------------
@@ -335,12 +339,13 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))),
 
-    // ⊕ text analysis: content fingerprint + 16-bit SimHash
+    // ⊕ text analysis: content fingerprint + 16-bit SimHash (md5 per word
+    // staged once; the 16 bit folds read the hashed array)
     "q28_fingerprint" -> ((s, d) =>
-      t(s, d, "documents").select(
-          col("doc_id"),
+      Dedup.simhash16(t(s, d, "documents"), col("text"), "sh")
+        .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"),
-          Dedup.simhash16(col("text")).as("sh"))
+          col("sh"))
         .orderBy(col("doc_id"))),
 
     // ⊕A7: typed Aggregator — per-label embedding centroid (first 4 dims)
@@ -512,11 +517,10 @@ object SparkEntry {
           col("keep"))
         .orderBy(col("doc_id"))),
 
-    // ⊕ text analysis: within-doc k-gram repetition ratio
+    // ⊕ text analysis: within-doc k-gram repetition ratio (grams staged once)
     "q46_repetition" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.repetitionRatio(col("text"), 3).as("distinct_ratio"))
+      TextAnalysis.repetitionRatio(t(s, d, "documents"), col("text"), 3)
+        .select(col("doc_id"), col("distinct_ratio"))
         .orderBy(col("doc_id"))),
 
     // §2.3 ⊕J5: full star join (TPC-H Q5 shape) — facts sort-merge, dims
@@ -893,11 +897,11 @@ object SparkEntry {
          |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q28_fingerprint" ->
-      s"""WITH $wordsCte
+      s"""WITH $wordsCte, $hashedWordsCte
          |SELECT doc_id,
          |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
          |  $simhashSql AS sh
-         |FROM w ORDER BY doc_id""".stripMargin,
+         |FROM hw ORDER BY doc_id""".stripMargin,
 
     "q29_centroids" ->
       """SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS c

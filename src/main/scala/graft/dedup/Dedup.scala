@@ -141,15 +141,25 @@ object Dedup {
       .union(edges.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint()
     val verts = und.select(col("x").as("id")).distinct()
-    // zero edges ⇒ zero vertices: the loop below would read a NULL sum
-    // aggregate (NPE); every doc is its own singleton component upstream
-    if (und.isEmpty) return verts.withColumn("component", col("id"))
-    // localCheckpoint (not cache) each round: caching leaves the logical
+    // localCheckpoint (not cache) ONCE per round: caching leaves the logical
     // plan growing — the jump self-join doubles the subtree per iteration,
     // so analysis time explodes exponentially; checkpointing truncates the
-    // lineage so every round plans O(1) nodes
+    // lineage so every round plans O(1) nodes. Fusing propagate + jump into
+    // a single checkpointed plan halves the per-round job count; the
+    // propagate subtree feeds both sides of the jump self-join, and its
+    // internal shuffle stages run once (exchange/stage reuse dedupes the
+    // identical subtrees — AQE caches shuffle stages by semantic equality).
     var labels = verts.withColumn("component", col("id")).localCheckpoint()
-    var prevSum = Long.MaxValue
+    // labels only ever decrease, so an unchanged sum ⇔ a fixpoint — one
+    // cheap scan of the just-checkpointed labels instead of a join-based
+    // diff. Initializing prevSum from the vertex ids also covers the
+    // zero-edge case without a separate isEmpty action: empty verts sum
+    // to 0 (null-safe read), round 1 sums to 0 again, loop exits.
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("component"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -160,7 +170,6 @@ object Dedup {
       val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .localCheckpoint()
       // (2) pointer-jump: also adopt the label OF my label — doubles the
       // effective hop distance per round, so chains converge in
       // O(log diameter) rounds instead of O(diameter)
@@ -169,11 +178,10 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("c2"), col("component"))).as("component"))
         .localCheckpoint()
-      // labels only ever decrease, so an unchanged sum ⇔ a fixpoint —
-      // one cheap aggregate instead of a join-based diff (null-safe read:
-      // sum over zero rows is NULL, treated as converged-at-0)
-      val sumRow = labels.agg(sum(col("component"))).head()
-      val sumNow = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+      // probe every round: the probe is one parallel scan of checkpointed
+      // blocks (no shuffle beyond the final reduce) while a skipped-probe
+      // extra round costs a full join+agg+self-join pipeline
+      val sumNow = labelSum(labels)
       converged = sumNow == prevSum
       prevSum = sumNow
       i += 1
@@ -203,16 +211,25 @@ object Dedup {
   /** 16-bit SimHash over the word multiset, engine-portable: bit i of a
     * word's hash = high bit of hex digit i of md5(word); signature bit i =
     * 1 iff Σ_words (±1) > 0. Returned as a 16-char '0'/'1' string (stable
-    * lexicographic grouping key; hamming distance = differing chars). */
-  def simhash16(text: Column): Column = {
-    val ws = TextAnalysis.words(text)
+    * lexicographic grouping key; hamming distance = differing chars).
+    *
+    * DataFrame-level so the per-word md5 is STAGED once (`__hw` = hashed
+    * word array) before the 16 bit folds: each fold then does a substring
+    * over a 32-char hex string instead of re-hashing every word — a bare
+    * Column form would compute md5(word) 16× per word, because each bit
+    * lambda owns its own copy of the expression tree and Spark does not
+    * CSE interpreted higher-order functions. */
+  def simhash16(df: DataFrame, text: Column, out: String = "sh"): DataFrame = {
+    val hw = col("__hw")
     val bits = (1 to 16).map { i =>
-      val contrib = aggregate(ws, lit(0),
-        (acc, w) => acc + when(substring(md5(w), i, 1)
+      val contrib = aggregate(hw, lit(0),
+        (acc, h) => acc + when(substring(h, i, 1)
           .isInCollection(Seq("8", "9", "a", "b", "c", "d", "e", "f")), 1)
           .otherwise(-1))
       when(contrib > 0, lit("1")).otherwise(lit("0"))
     }
-    concat(bits: _*)
+    df.withColumn("__hw", transform(TextAnalysis.words(text), w => md5(w)))
+      .withColumn(out, concat(bits: _*))
+      .drop("__hw")
   }
 }

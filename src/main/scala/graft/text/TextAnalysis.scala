@@ -134,16 +134,28 @@ object TextAnalysis {
 
   /** Within-document repetition: distinct-to-total ratio of word k-grams —
     * near-0 for highly repetitive docs, 1.0 for no repeated k-gram
-    * (C4/Gopher "duplicate n-gram fraction" family). */
-  def repetitionRatio(text: Column, k: Int = 3): Column = {
+    * (C4/Gopher "duplicate n-gram fraction" family).
+    *
+    * DataFrame-level (not a bare Column) so the grams array is STAGED once
+    * in its own projection — the same `__`-staging trick as [[qualityFilter]].
+    * A single Column expression would reference the grams subtree three
+    * times (`size`, `array_distinct`, `size` again) and Spark does not CSE
+    * interpreted higher-order-function trees, so every copy would re-run
+    * `transform(sequence)+slice+array_join` over the whole document. */
+  def repetitionRatio(df: DataFrame, text: Column, k: Int = 3,
+                      out: String = "distinct_ratio"): DataFrame = {
     val ws = words(text)
     val n = size(ws)
-    val grams = when(n >= k, transform(sequence(lit(1), n - (k - 1)),
+    val gramsExpr = when(n >= k, transform(sequence(lit(1), n - (k - 1)),
         i => array_join(slice(ws, i, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
-    when(size(grams) > 0,
-      round(size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6))
-      .otherwise(lit(1.0))
+    val g = col("__grams")
+    df.withColumn("__grams", gramsExpr)
+      .withColumn(out,
+        when(size(g) > 0,
+          round(size(array_distinct(g)).cast("double") / size(g).cast("double"), 6))
+        .otherwise(lit(1.0)))
+      .drop("__grams")
   }
 
   /** Content fingerprint: md5 of the normalized text (lowercase, trimmed,
