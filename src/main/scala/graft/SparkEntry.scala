@@ -339,13 +339,13 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))),
 
-    // ⊕ text analysis: content fingerprint + 16-bit SimHash (md5 per word
-    // staged once; the 16 bit folds read the hashed array)
+    // ⊕ text analysis: content fingerprint + 16-bit SimHash (native fused
+    // kernel: one md5 per word; oracle mirrors via a staged hashed-word CTE)
     "q28_fingerprint" -> ((s, d) =>
-      Dedup.simhash16(t(s, d, "documents"), col("text"), "sh")
-        .select(col("doc_id"),
+      t(s, d, "documents").select(
+          col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"),
-          col("sh"))
+          Dedup.simhash16(col("text")).as("sh"))
         .orderBy(col("doc_id"))),
 
     // ⊕A7: typed Aggregator — per-label embedding centroid (first 4 dims)
@@ -517,10 +517,11 @@ object SparkEntry {
           col("keep"))
         .orderBy(col("doc_id"))),
 
-    // ⊕ text analysis: within-doc k-gram repetition ratio (grams staged once)
+    // ⊕ text analysis: within-doc k-gram repetition ratio (native kernel)
     "q46_repetition" -> ((s, d) =>
-      TextAnalysis.repetitionRatio(t(s, d, "documents"), col("text"), 3)
-        .select(col("doc_id"), col("distinct_ratio"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text"), 3).as("distinct_ratio"))
         .orderBy(col("doc_id"))),
 
     // §2.3 ⊕J5: full star join (TPC-H Q5 shape) — facts sort-merge, dims

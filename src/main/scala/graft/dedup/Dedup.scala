@@ -212,14 +212,21 @@ object Dedup {
     * word's hash = high bit of hex digit i of md5(word); signature bit i =
     * 1 iff Σ_words (±1) > 0. Returned as a 16-char '0'/'1' string (stable
     * lexicographic grouping key; hamming distance = differing chars).
-    *
-    * DataFrame-level so the per-word md5 is STAGED once (`__hw` = hashed
-    * word array) before the 16 bit folds: each fold then does a substring
-    * over a 32-char hex string instead of re-hashing every word — a bare
-    * Column form would compute md5(word) 16× per word, because each bit
-    * lambda owns its own copy of the expression tree and Spark does not
-    * CSE interpreted higher-order functions. */
-  def simhash16(df: DataFrame, text: Column, out: String = "sh"): DataFrame = {
+    * Native codegen kernel ([[graft.functions.SimHash16]]): one md5 per
+    * word and one fused counter loop, instead of 16 interpreted folds. */
+  def simhash16(text: Column): Column =
+    graft.functions.TextFunctions.simhash16(text)
+
+  /** Portable built-ins-only reference implementation of [[simhash16]]
+    * (no custom kernel — runs on any stock Spark). DataFrame-level so the
+    * per-word md5 is STAGED once (`__hw` = hashed word array) before the
+    * 16 bit folds: each fold then does a substring over a 32-char hex
+    * string instead of re-hashing every word — a bare Column form would
+    * compute md5(word) 16× per word, because each bit lambda owns its own
+    * copy of the expression tree and Spark does not CSE interpreted
+    * higher-order functions. Kept as the cross-check oracle for the native
+    * kernel (parity spec). */
+  def simhash16Hof(df: DataFrame, text: Column, out: String = "sh"): DataFrame = {
     val hw = col("__hw")
     val bits = (1 to 16).map { i =>
       val contrib = aggregate(hw, lit(0),

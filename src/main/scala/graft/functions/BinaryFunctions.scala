@@ -69,7 +69,14 @@ object BinaryFunctions {
       registry.registerFunction(
         id,
         new ExpressionInfo(classOf[BinaryStride].getName, "binary_stride"),
-        (children: Seq[Expression]) => BinaryStride(children(0), children(1)))
+        (children: Seq[Expression]) => {
+          // arity first: a wrong argument count must fail with the expected
+          // signature, not IndexOutOfBoundsException
+          if (children.size != 2)
+            throw new IllegalArgumentException(
+              s"binary_stride(payload, factor) expects 2 arguments but got ${children.size}")
+          BinaryStride(children(0), children(1))
+        })
     }
   }
 

@@ -107,6 +107,9 @@ object KmvFunctions {
         id,
         new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
         (children: Seq[Expression]) => {
+          if (children.isEmpty || children.size > 2)
+            throw new IllegalArgumentException(
+              s"kmv_distinct(col[, k]) expects 1 or 2 arguments but got ${children.size}")
           val k = if (children.length > 1)
             children(1).eval(null).asInstanceOf[Number].intValue() else 256
           KmvDistinct(children.head, k).toAggregateExpression()

@@ -1,0 +1,232 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst kernels for the two text-analysis hot paths the bench
+  * flagged (SURVEY.md §4 tier-(b) Expression, same justification as
+  * [[CosineSimilarity]]): the built-in higher-order-function formulations
+  * are evaluated interpretively per element — for a 50-word document,
+  * `repetitionRatio` walks ~150 lambda frames to build+join+dedup the gram
+  * array, and `simhash16` folds the word array 16 times. Each kernel here
+  * is one fused loop compiled into WholeStageCodegen.
+  *
+  * Both keep the HOF formulations' EXACT semantics (incl. null → 1.0 /
+  * all-zero signature, Spark HALF_UP rounding, md5-hex bit derivation) so
+  * results stay hash-identical to the DuckDB oracle and to the portable
+  * `*Hof` reference implementations they replace in the hot path.
+  */
+case class RepetitionRatio(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, positive gram size), got " +
+        s"${child.dataType.simpleString} with k=$k")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "repetition_ratio"
+  // a null document has no repeated k-gram: the HOF form's when/otherwise
+  // chain yields 1.0, never null — so this expression is non-nullable
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 1.0
+    else RepetitionRatio.compute(v.asInstanceOf[UTF8String], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      $javaType ${ev.value} = 1.0;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.RepetitionRatio.compute(${c.value}, $k);
+      }""", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionRatio =
+    copy(child = newChild)
+}
+
+object RepetitionRatio {
+  /** Shared by interpreted eval and generated code. Tokenization matches
+    * `filter(split(text, " "), _ =!= "")`: single-space separator, empty
+    * tokens dropped. Ratio = distinct/total word k-grams, Spark-round
+    * (HALF_UP) to 6 decimals; fewer than k words ⇒ 1.0. */
+  def compute(text: UTF8String, k: Int): Double = {
+    val s = text.toString
+    val parts = s.split(" ")
+    val words = new Array[String](parts.length)
+    var n = 0
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) { words(n) = parts(i); n += 1 }
+      i += 1
+    }
+    if (n < k) return 1.0
+    val total = n - k + 1
+    val seen = new java.util.HashSet[String](total * 2)
+    var distinct = 0
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      if (seen.add(sb.toString)) distinct += 1
+      i += 1
+    }
+    // identical to Spark's round(col, 6) on DoubleType (BigDecimal HALF_UP)
+    java.math.BigDecimal.valueOf(distinct.toDouble / total)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+}
+
+/** 16-bit SimHash signature as a '0'/'1' string — bit i = 1 iff
+  * Σ_words (±1 from the high bit of hex digit i of md5(word)) > 0.
+  * Bit-identical to the staged-HOF form ([[graft.dedup.Dedup.simhash16Hof]])
+  * and the oracle SQL: hex digit i (1-based) of the md5 hex string is the
+  * high (odd i) / low (even i) nibble of digest byte (i-1)/2, and
+  * "digit in 8..f" ⇔ nibble ≥ 8. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash16"
+  // null text ⇒ every bit-sum is 0 ⇒ all-zero signature (the HOF form's
+  // when/otherwise emits '0' per bit on null input), never null
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) SimHash16.ZEROS
+    else SimHash16.compute(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      $javaType ${ev.value} = graft.functions.SimHash16.zeros();
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.SimHash16.compute(${c.value});
+      }""", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+  val ZEROS: UTF8String = UTF8String.fromString("0" * 16)
+
+  /** Method (not field) access for generated Java: Scala object vals have
+    * no static field forwarder, so codegen must call a static method. */
+  def zeros(): UTF8String = ZEROS
+
+  // one digest instance per executor thread; reset() per word is free
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val counters = new Array[Int](16)
+    val digest = md.get()
+    val len = s.length
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) { // empty tokens dropped, same as the split+filter form
+          digest.reset()
+          val h = digest.digest(s.substring(start, i).getBytes(StandardCharsets.UTF_8))
+          var b = 0
+          while (b < 16) {
+            val byteV = h(b >> 1) & 0xff
+            val nib = if ((b & 1) == 0) byteV >>> 4 else byteV & 0xf
+            counters(b) += (if (nib >= 8) 1 else -1)
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val chars = new Array[Char](16)
+    var b = 0
+    while (b < 16) {
+      chars(b) = if (counters(b) > 0) '1' else '0'
+      b += 1
+    }
+    UTF8String.fromString(new String(chars))
+  }
+}
+
+object TextFunctions {
+  private def requireArity(name: String, children: Seq[Expression], n: Int): Unit =
+    if (children.size != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s) but got ${children.size}")
+
+  /** Idempotently register `repetition_ratio(text, k)` / `simhash16(text)`
+    * for SQL use. Builders validate arity up front (a wrong argument count
+    * fails with a clear message, not IndexOutOfBounds). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val rid = FunctionIdentifier("repetition_ratio")
+    if (!registry.functionExists(rid)) {
+      registry.registerFunction(
+        rid,
+        new ExpressionInfo(classOf[RepetitionRatio].getName, "repetition_ratio"),
+        (children: Seq[Expression]) => {
+          requireArity("repetition_ratio(text, k)", children, 2)
+          val k = children(1) match {
+            case Literal(v: Int, IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              s"repetition_ratio(text, k): k must be an integer literal, got $other")
+          }
+          RepetitionRatio(children(0), k)
+        })
+    }
+    val sid = FunctionIdentifier("simhash16")
+    if (!registry.functionExists(sid)) {
+      registry.registerFunction(
+        sid,
+        new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+        (children: Seq[Expression]) => {
+          requireArity("simhash16(text)", children, 1)
+          SimHash16(children(0))
+        })
+    }
+  }
+
+  /** Column-level doors. */
+  def repetitionRatio(text: Column, k: Int): Column =
+    Bridge.columnOf(RepetitionRatio(Bridge.expressionOf(text), k))
+
+  def simhash16(text: Column): Column =
+    Bridge.columnOf(SimHash16(Bridge.expressionOf(text)))
+}

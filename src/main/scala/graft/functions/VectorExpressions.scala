@@ -145,14 +145,24 @@ object VectorFunctions {
       registry.registerFunction(
         id,
         new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
-        (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+        (children: Seq[Expression]) => {
+          if (children.size != 2)
+            throw new IllegalArgumentException(
+              s"vec_cosine(a, b) expects 2 arguments but got ${children.size}")
+          CosineSimilarity(children(0), children(1))
+        })
     }
     val did = FunctionIdentifier("vec_dot")
     if (!registry.functionExists(did)) {
       registry.registerFunction(
         did,
         new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-        (children: Seq[Expression]) => VecDot(children(0), children(1)))
+        (children: Seq[Expression]) => {
+          if (children.size != 2)
+            throw new IllegalArgumentException(
+              s"vec_dot(a, b) expects 2 arguments but got ${children.size}")
+          VecDot(children(0), children(1))
+        })
     }
   }
 

@@ -134,16 +134,24 @@ object TextAnalysis {
 
   /** Within-document repetition: distinct-to-total ratio of word k-grams —
     * near-0 for highly repetitive docs, 1.0 for no repeated k-gram
-    * (C4/Gopher "duplicate n-gram fraction" family).
-    *
+    * (C4/Gopher "duplicate n-gram fraction" family). Native codegen kernel
+    * ([[graft.functions.RepetitionRatio]]): one fused loop per row instead
+    * of interpreted transform/slice/array_join/array_distinct lambda frames
+    * — the bench showed the HOF formulation ~10× over the oracle engine. */
+  def repetitionRatio(text: Column, k: Int = 3): Column =
+    graft.functions.TextFunctions.repetitionRatio(text, k)
+
+  /** Portable built-ins-only reference implementation of
+    * [[repetitionRatio]] (no custom kernel — runs on any stock Spark).
     * DataFrame-level (not a bare Column) so the grams array is STAGED once
     * in its own projection — the same `__`-staging trick as [[qualityFilter]].
     * A single Column expression would reference the grams subtree three
     * times (`size`, `array_distinct`, `size` again) and Spark does not CSE
     * interpreted higher-order-function trees, so every copy would re-run
-    * `transform(sequence)+slice+array_join` over the whole document. */
-  def repetitionRatio(df: DataFrame, text: Column, k: Int = 3,
-                      out: String = "distinct_ratio"): DataFrame = {
+    * `transform(sequence)+slice+array_join` over the whole document.
+    * Kept as the cross-check oracle for the native kernel (parity spec). */
+  def repetitionRatioHof(df: DataFrame, text: Column, k: Int = 3,
+                         out: String = "distinct_ratio"): DataFrame = {
     val ws = words(text)
     val n = size(ws)
     val gramsExpr = when(n >= k, transform(sequence(lit(1), n - (k - 1)),

@@ -74,7 +74,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhash16 is deterministic and equal for identical texts") {
     val d = docs(1L -> "spark engine test", 2L -> "spark engine test", 3L -> "other words")
-    val sh = Dedup.simhash16(d, col("text"), "sh").select(col("doc_id"), col("sh"))
+    val sh = d.select(col("doc_id"), Dedup.simhash16(col("text")).as("sh"))
       .as[(Long, String)].collect().toMap
     assert(sh(1L) === sh(2L))
     assert(sh(1L).length === 16)
@@ -133,7 +133,7 @@ class DedupSpec extends SparkSpec {
     val near = base.replace("dog", "cat")
     val far  = "completely unrelated words about database engines and columnar storage"
     val d = docs(1L -> base, 2L -> near, 3L -> far)
-    val sh = Dedup.simhash16(d, col("text"), "sh").select(col("doc_id"), col("sh"))
+    val sh = d.select(col("doc_id"), Dedup.simhash16(col("text")).as("sh"))
       .as[(Long, String)].collect().toMap
     def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
     assert(ham(sh(1L), sh(2L)) <= ham(sh(1L), sh(3L)))

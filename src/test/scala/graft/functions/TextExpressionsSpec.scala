@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.model.Tables
+import graft.text.TextAnalysis
+
+/** Parity: the native text kernels must be value-identical to the portable
+  * built-ins-only HOF reference implementations on the real documents table
+  * (the same invariant the DuckDB oracle checks end-to-end on q46/q28). */
+class TextExpressionsSpec extends SparkSpec {
+
+  private def docs = Tables(spark, sfDir, "documents")
+
+  test("RepetitionRatio kernel matches the staged-HOF reference on documents") {
+    val native = docs.select(col("doc_id"),
+      TextAnalysis.repetitionRatio(col("text"), 3).as("r"))
+    val hof = TextAnalysis.repetitionRatioHof(docs, col("text"), 3, "r")
+      .select(col("doc_id"), col("r"))
+    assert(native.except(hof).isEmpty && hof.except(native).isEmpty)
+  }
+
+  test("RepetitionRatio edge cases: null, empty, short, repetitive") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, ""),
+      (3L, "one two"),                    // fewer than k words
+      (4L, "a b a b a b a b"),            // highly repetitive
+      (5L, "  spaced   out   words  ")    // empty tokens dropped
+    ).toDF("id", "text")
+    val got = d.select(col("id"), TextAnalysis.repetitionRatio(col("text"), 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) === 1.0)
+    assert(got(2L) === 1.0)
+    assert(got(3L) === 1.0)
+    // grams of 8 words, k=3: 6 total, distinct {aba, bab} = 2 → 0.333333
+    assert(got(4L) === 0.333333)
+    assert(got(5L) === 1.0) // "spaced out words" → 1 gram
+  }
+
+  test("SimHash16 kernel matches the staged-HOF reference on documents") {
+    val native = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("sh"))
+    val hof = Dedup.simhash16Hof(docs, col("text"), "sh")
+      .select(col("doc_id"), col("sh"))
+    assert(native.except(hof).isEmpty && hof.except(native).isEmpty)
+  }
+
+  test("SimHash16 edge cases: null and empty give the all-zero signature") {
+    import spark.implicits._
+    val d = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "))
+      .toDF("id", "text")
+    val got = d.select(col("id"), Dedup.simhash16(col("text")).as("sh"))
+      .as[(Long, String)].collect().toMap
+    assert(got.values.toSet === Set("0" * 16))
+  }
+
+  test("SQL registration works and validates arity") {
+    TextFunctions.ensureRegistered(spark)
+    val r = spark.sql("SELECT repetition_ratio('a b a b a b a b', 3) AS r, simhash16('x y') AS s")
+      .collect()(0)
+    assert(r.getDouble(0) === 0.333333)
+    assert(r.getString(1).length === 16)
+    val e = intercept[Exception](spark.sql("SELECT simhash16('a', 'b')").collect())
+    assert(e.getMessage.contains("expects 1 argument"))
+  }
+}

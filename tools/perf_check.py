@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Per-query perf guardrail: flag engine queries slower than N x their
+DuckDB-oracle time, so plan regressions surface in-round instead of at
+judging.
+
+Usage:
+  # 1. time the oracle SQL in DuckDB and write the fixture
+  python3 tools/perf_check.py time <sfDir> <oracle_sql.json> <fixture.json>
+
+  # 2. compare a graft.Bench JSON line against the fixture
+  python3 tools/perf_check.py check <fixture.json> <bench.json> [ratio] [min_spark_sec]
+
+`bench.json` is the one-line JSON that graft.Bench prints (or a file whose
+last '{"metric"' line is that JSON). Default ratio 4.0; queries faster than
+min_spark_sec (default 1.0 s) are never flagged — sub-second numbers are
+noise-band. Exit code = number of violations.
+"""
+import json
+import re
+import sys
+import time
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def time_oracle(sf_dir: str, oracle_path: str, fixture_path: str) -> int:
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(oracle_path))
+    times = {}
+    for name, sql in sorted(oracle.items()):
+        best = None
+        for _ in range(2):  # best-of-2: first run pays buffer warmup
+            t0 = time.monotonic()
+            try:
+                con.sql(sql).fetchall()
+            except Exception as e:
+                print(f"ERR  {name}: {e}")
+                best = None
+                break
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            times[name] = round(best, 4)
+            print(f"{name:28s} {best:8.3f}s")
+    json.dump({"sf_dir": sf_dir, "engine": "duckdb", "times": times},
+              open(fixture_path, "w"), indent=1)
+    print(f"wrote {fixture_path} ({len(times)} queries)")
+    return 0
+
+
+def load_bench(path: str) -> dict:
+    txt = open(path).read()
+    m = None
+    for m in re.finditer(r'\{"metric".*\}', txt):
+        pass
+    if m is None:
+        raise SystemExit(f"no graft.Bench JSON line found in {path}")
+    return json.loads(m.group(0))
+
+
+def check(fixture_path: str, bench_path: str, ratio: float, min_spark: float) -> int:
+    fixture = json.load(open(fixture_path))["times"]
+    bench = load_bench(bench_path)["queries"]
+    violations = 0
+    for name, spark_s in sorted(bench.items()):
+        if spark_s < 0:
+            print(f"FAIL {name}: errored in bench")
+            violations += 1
+            continue
+        duck_s = fixture.get(name)
+        if duck_s is None:
+            continue  # rows-only query, no oracle timing
+        if spark_s >= min_spark and spark_s > ratio * duck_s:
+            print(f"FLAG {name}: spark {spark_s:.2f}s > {ratio:g}x duckdb {duck_s:.2f}s"
+                  f" ({spark_s / duck_s:.1f}x)")
+            violations += 1
+        else:
+            print(f"ok   {name}: spark {spark_s:.2f}s vs duckdb {duck_s:.2f}s")
+    print(f"{violations} violation(s)")
+    return violations
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1]
+    if mode == "time":
+        sys.exit(time_oracle(sys.argv[2], sys.argv[3], sys.argv[4]))
+    elif mode == "check":
+        r = float(sys.argv[4]) if len(sys.argv) > 4 else 4.0
+        ms = float(sys.argv[5]) if len(sys.argv) > 5 else 1.0
+        sys.exit(check(sys.argv[2], sys.argv[3], r, ms))
+    else:
+        sys.exit(__doc__)
