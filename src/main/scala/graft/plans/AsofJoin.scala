@@ -3,10 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.Bridge
@@ -54,17 +54,40 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
-  // Pin BOTH children to the same explicit partition count: a bare
-  // ClusteredDistribution would accept any pre-existing hash clustering on
-  // the key, so AQE or an upstream repartition could hand the two children
-  // DIFFERENT partition counts and the zipPartitions below would throw at
-  // runtime. With requiredNumPartitions set, EnsureRequirements re-shuffles
-  // any child whose count disagrees; AQE's partition coalescing is applied
-  // uniformly across sibling shuffles, so co-partitioning is preserved.
+  // Both children must be hash-clustered on the key with EQUAL partition
+  // counts (the zipPartitions merge is positional). Pinning an explicit
+  // count is only needed when the children's existing layouts could
+  // otherwise end up unequal — pinning unconditionally (as a first cut of
+  // this operator did) forces both sides to exactly
+  // conf.numShufflePartitions and blocks AQE from coalescing a small
+  // input's exchanges.
   override def requiredChildDistribution: Seq[Distribution] = {
-    val n = conf.numShufflePartitions
-    Seq(ClusteredDistribution(Seq(leftKey), requiredNumPartitions = Some(n)),
-        ClusteredDistribution(Seq(rightKey), requiredNumPartitions = Some(n)))
+    val bareL = ClusteredDistribution(Seq(leftKey))
+    val bareR = ClusteredDistribution(Seq(rightKey))
+    val lSat = left.outputPartitioning.satisfies(bareL)
+    val rSat = right.outputPartitioning.satisfies(bareR)
+    if (lSat && rSat &&
+        left.outputPartitioning.numPartitions == right.outputPartitioning.numPartitions) {
+      // already co-partitioned: accept as-is, no exchange
+      Seq(bareL, bareR)
+    } else if (!lSat && !rSat) {
+      // both sides get fresh sibling exchanges: EnsureRequirements gives
+      // each conf.numShufflePartitions, and AQE's CoalesceShufflePartitions
+      // treats sibling shuffle stages under one consumer as a single
+      // coalesce group with identical partition specs — counts stay equal
+      // and co-partitioning is preserved while a small input may coalesce
+      // far below the static default
+      Seq(bareL, bareR)
+    } else {
+      // asymmetric (one side pre-clustered) or counts disagree: pin both to
+      // the pre-clustered side's count so that side keeps its layout and
+      // only the other side is exchanged
+      val n = if (lSat) left.outputPartitioning.numPartitions
+              else if (rSat) right.outputPartitioning.numPartitions
+              else conf.numShufflePartitions
+      Seq(ClusteredDistribution(Seq(leftKey), requiredNumPartitions = Some(n)),
+          ClusteredDistribution(Seq(rightKey), requiredNumPartitions = Some(n)))
+    }
   }
 
   // Right-side tiebreak over all remaining orderable columns: rows sharing
@@ -84,27 +107,46 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lk = BindReferences.bindReference(leftKey, left.output)
-    val lt = BindReferences.bindReference(leftTs, left.output)
-    val rk = BindReferences.bindReference(rightKey, right.output)
-    val rt = BindReferences.bindReference(rightTs, right.output)
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    // serializable ingredients for the per-partition generated kernels:
+    //  - a 2-field (key, ts) extraction UnsafeProjection per side
+    //  - codegen'd orderings over field 0 (key) and field 1 (ts)
+    // versus the first cut's per-row interpreted `expr.eval` + boxed
+    // TypeUtils orderings, every comparison below is generated code over
+    // UnsafeRows (compiled once per partition, cached by code shape).
+    val lKeyTs: Seq[Expression] = Seq(leftKey, leftTs)
+    val rKeyTs: Seq[Expression] = Seq(rightKey, rightTs)
+    val keyType = leftKey.dataType
+    val tsType = leftTs.dataType
     val rightWidth = right.output.size
     val outAttrs = output
+    val lOut = left.output
+    val rOut = right.output
 
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // positional merge precondition; requiredChildDistribution guarantees
+    // this, so a violation is a planner bug — fail loud, not row-garbage
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"as-of join children must have equal partition counts, got " +
+        s"${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions}")
+
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val lProj = UnsafeProjection.create(lKeyTs, lOut)
+      val rProj = UnsafeProjection.create(rKeyTs, rOut)
+      val keyOrd = GenerateOrdering.generate(
+        Seq(SortOrder(BoundReference(0, keyType, nullable = true), Ascending)))
+      val tsOrd = GenerateOrdering.generate(
+        Seq(SortOrder(BoundReference(1, tsType, nullable = true), Ascending)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       var rCur: InternalRow = if (rIter.hasNext) rIter.next() else null
       var lastMatch: InternalRow = null
-      var lastMatchKey: Any = null
+      var lastMatchKT: InternalRow = null
 
       lIter.map { lRow =>
-        val k = lk.eval(lRow)
-        val t = lt.eval(lRow)
-        if (k == null || t == null) {
+        val lKT = lProj(lRow)
+        if (lKT.isNullAt(0) || lKT.isNullAt(1)) {
           // null key/ts never matches (ASOF join null semantics); the sort
           // puts null-key rows first, so no right-side state is disturbed
           proj(joined(lRow, nullRight))
@@ -112,26 +154,24 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           // advance the right side through every row at or before (k, t)
           var advancing = true
           while (advancing && rCur != null) {
-            val rKeyV = rk.eval(rCur)
-            val rTsV = if (rKeyV == null) null else rt.eval(rCur)
-            if (rKeyV == null || rTsV == null) {
+            val rKT = rProj(rCur)
+            if (rKT.isNullAt(0) || rKT.isNullAt(1)) {
               // null-keyed right rows sort first and match nothing: skip
               rCur = if (rIter.hasNext) rIter.next() else null
             } else {
-              val c = keyOrd.compare(rKeyV.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef])
+              val c = keyOrd.compare(rKT, lKT)
               if (c < 0) {
                 // earlier key: skip (its matches can never serve later keys)
                 rCur = if (rIter.hasNext) rIter.next() else null
-              } else if (c == 0 &&
-                  tsOrd.lteq(rTsV.asInstanceOf[AnyRef], t.asInstanceOf[AnyRef])) {
+              } else if (c == 0 && tsOrd.compare(rKT, lKT) <= 0) {
                 lastMatch = rCur.copy() // candidate; later ones overwrite (latest wins)
-                lastMatchKey = rKeyV
+                lastMatchKT = rKT.copy() // projection buffer is reused: copy
                 rCur = if (rIter.hasNext) rIter.next() else null
               } else advancing = false
             }
           }
-          val matched = lastMatch != null && lastMatchKey != null &&
-            keyOrd.compare(lastMatchKey.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef]) == 0
+          val matched = lastMatch != null && lastMatchKT != null &&
+            keyOrd.compare(lastMatchKT, lKT) == 0
           proj(joined(lRow, if (matched) lastMatch else nullRight))
         }
       }
