@@ -71,6 +71,18 @@ object ScaleCheck {
       val o = li.select(col("l_orderkey").as("k"), col("l_extendedprice").as("p"))
       o.hint("merge").join(o.hint("merge"), Seq("k")).count()
     }
+    time("neardup_clusters", nDocs) {
+      // full LSH -> connected-components pipeline; the amplified corpus has
+      // mult x the docs AND mult x the near-dup density (each source doc's
+      // shingle-sharing copies land in shared band buckets)
+      dedup.Dedup.nearDupClusters(docs, "doc_id", col("text")).count()
+    }
+    time("simhash16_native", nDocs) {
+      docs.select(max(dedup.Dedup.simhash16(col("text")))).collect()
+    }
+    time("repetition_ratio_native", nDocs) {
+      docs.select(max(text.TextAnalysis.repetitionRatio(col("text"), 3))).collect()
+    }
     spark.stop()
   }
 }
