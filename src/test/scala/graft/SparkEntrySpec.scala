@@ -12,9 +12,12 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("rows-only queries (no oracle) are the documented exceptions") {
+    // q93: inputs are reference-shaped JSON fixtures, not the sfDir tables;
+    // q94: ANN result is recall-GATED inline (empty on regression) — the
+    // candidate set itself is approximate by construction, so there is no
+    // deterministic row set for an oracle to hash
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q90_approx_distinct",
-      "q92_media_features", "q93_pretalx_etl", "q94_ann_ivf"))
+    assert(rowsOnly === Set("q93_pretalx_etl", "q94_ann_ivf"))
   }
 
   test("every oracle SQL ends with a total ORDER BY (determinism rule)") {
