@@ -59,13 +59,19 @@ object Dedup {
     * pair (a < b). Equi self-join on (band, bucket) — no cross join.
     *
     * `maxBucketSize` caps the self-join blow-up: a degenerate bucket (e.g.
-    * near-empty docs all sharing one signature) contributes |bucket|² pairs,
-    * which at corpus scale is an n² bomb inside one reducer. Standard
-    * MinHashLSH practice is to drop over-full buckets — their members are
-    * (a) almost always caught in another, smaller band bucket, and (b) so
-    * generic that the pairs are low-value. The size filter is a window count
-    * over the SAME (band, bucket) key the join shuffles on, so it adds no
-    * extra exchange. */
+    * a mega-group of identical docs) contributes |bucket|² pairs, which at
+    * corpus scale is an n² bomb inside one reducer. Buckets over the cap
+    * degrade to STAR edges — every member paired with the bucket's minimum
+    * id — which is n-1 rows instead of n²/2: connectivity for downstream
+    * [[connectedComponents]] is fully preserved (identical docs share ALL
+    * band buckets, so dropping oversized buckets outright — the first cut —
+    * would leave exactly the most-duplicated content un-deduped), while
+    * pair-level recall inside an oversized bucket is intentionally reduced
+    * to the hub's pairs. The hub doc is the residual skew unit in a
+    * downstream verify join (it appears n-1 times), bounded by the largest
+    * bucket, never by the corpus. Both the size count and the min-id hub
+    * are window functions over the SAME (band, bucket) key the join
+    * shuffles on, so the cap adds no extra exchange. */
   def lshCandidates(sig: DataFrame, idCol: String,
                     bands: Int, rowsPerBand: Int,
                     maxBucketSize: Int = 10000): DataFrame = {
@@ -73,6 +79,11 @@ object Dedup {
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("_", hs: _*).as("bucket"))
     }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val sized = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col(idCol)).over(w))
     // localCheckpoint (not cache): the bucket table feeds BOTH sides of the
     // self-join below (and every CC iteration downstream) — without reuse
     // the whole shingle→minhash pipeline executes once per consumer. Unlike
@@ -80,16 +91,16 @@ object Dedup {
     // DataFrame goes out of scope, so repeated calls in a long-lived session
     // don't accumulate cached blocks. Size is |docs| × bands rows of
     // (id, int, string): tiny relative to the corpus.
-    val sized = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-    val buckets = sized.filter(col("__bsz") <= maxBucketSize).drop("__bsz")
-      .localCheckpoint()
+    val buckets = sized.filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz", "__bmin").localCheckpoint()
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
-    a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val smallPairs = a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select("a", "b")
+    // oversized buckets: hub = min id, so a < b holds by construction
+    val starPairs = sized.filter(col("__bsz") > maxBucketSize && col(idCol) =!= col("__bmin"))
+      .select(col("__bmin").as("a"), col(idCol).as("b"))
+    smallPairs.union(starPairs).distinct()
   }
 
   /** Exact word-set Jaccard for given (a, b) id pairs — the verification
@@ -194,9 +205,10 @@ object Dedup {
     * are their own singleton component. */
   def nearDupClusters(docs: DataFrame, idCol: String, text: Column,
                       bands: Int = 4, rowsPerBand: Int = 2,
-                      minJaccard: Double = 0.0): DataFrame = {
+                      minJaccard: Double = 0.0,
+                      maxBucketSize: Int = 10000): DataFrame = {
     val sig = minhashSignature(docs, idCol, text, bands * rowsPerBand)
-    val cand = lshCandidates(sig, idCol, bands, rowsPerBand)
+    val cand = lshCandidates(sig, idCol, bands, rowsPerBand, maxBucketSize)
     val edges =
       if (minJaccard > 0)
         jaccardVerify(cand, docs, idCol, text).filter(col("jaccard") >= minJaccard)

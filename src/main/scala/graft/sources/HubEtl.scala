@@ -1,7 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, StringType}
 
 import graft.ops.Relational
 
@@ -48,6 +51,95 @@ object HubEtl {
 
   def writePlan(plan: DataFrame, outDir: String): Unit =
     validate(plan).write.mode("overwrite").partitionBy("op_flag").parquet(outDir)
+
+  /** Trace 1 (main.py:32-48): edge fetch → spool. The reference resolves
+    * its inputs over live HTTP on the driver; the engine analogue fetches
+    * once, spools to a local file, and lets the S1/S2 scans read the spool
+    * — the fetch is driver-side BY DESIGN (one small control-plane request,
+    * not data-plane work; the data-parallel part is the scan of the spool).
+    * Accepts any java.net.URL scheme: http(s) in production, file: in
+    * tests (this container has no egress). */
+  def fetchToSpool(url: String, spoolDir: Path, fileName: String): Path = {
+    Files.createDirectories(spoolDir)
+    val target = spoolDir.resolve(fileName)
+    val in = new java.net.URI(url).toURL.openStream()
+    try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    target
+  }
+
+  /** Pluggable row-at-a-time sink (K1): the engine analogue of the
+    * reference's per-event Selenium form submit (main.py:192-247).
+    * Implementations must be Serializable (shipped to executors) and are
+    * constructed once per partition — amortized connection setup, exactly
+    * like a JDBC/REST sink template. */
+  trait RowSink extends Serializable {
+    /** Submit one row; returns the sink's message text ("" = clean). The
+      * reference scrapes the form's `messages` element after each submit
+      * (main.py:234-240); a message containing "invalid" marks the row
+      * failed (K4). Exceptions are caught per row. */
+    def submit(op: String, row: Row): String
+    /** Publish one successfully-submitted row (K3, main.py:251-256). */
+    def publish(row: Row): Unit = ()
+  }
+
+  /** K1/K3/K4 faithful load step: row-at-a-time submit with per-row error
+    * capture, unknown-op-flag abort, and a publish gate. Returns the input
+    * rows annotated with (sink_message, valid, published, load_status) —
+    * the distributed analogue of the reference's per-event scrape loop:
+    *
+    *  - per-row try/catch → status column, not a job failure: one bad row
+    *    must not kill a 100 TB load (status = "error");
+    *  - `valid` uses the INTENDED `indexOf >= 0` containment (the
+    *    reference's `.find("invalid") > 0` misses a match at index 0 —
+    *    SURVEY.md §2.1 K4);
+    *  - an unknown op_flag stops the remaining rows of its PARTITION
+    *    (status "unknown_op", then "skipped_after_unknown_op") — the
+    *    single-threaded reference `break`s out of the whole loop
+    *    (main.py:201-204); per-partition abort is the data-parallel
+    *    equivalent (each task is the unit of sequential work);
+    *  - publish runs only when `autoPublish` AND the row was valid
+    *    (main.py:251 `if AUTO_PUBLISH and not is_invalid`).
+    *
+    * mapPartitions (not foreachPartition) so the per-row statuses come BACK
+    * as a DataFrame — auditable, joinable, and writable to a status table. */
+  def loadRows(plan: DataFrame, sink: RowSink, opCol: String = "op_flag",
+               knownOps: Seq[String] = Seq("create", "update"),
+               autoPublish: Boolean = true): DataFrame = {
+    val spark = plan.sparkSession
+    val outSchema = plan.schema
+      .add("sink_message", StringType, nullable = true)
+      .add("valid", BooleanType, nullable = true)
+      .add("published", BooleanType, nullable = false)
+      .add("load_status", StringType, nullable = false)
+    val opIdx = plan.schema.fieldIndex(opCol)
+    val known = knownOps.toSet
+    val rdd = plan.rdd.mapPartitions { rows =>
+      var aborted = false
+      rows.map { r =>
+        val op = Option(r.get(opIdx)).map(_.toString).getOrElse("")
+        if (aborted) {
+          Row.fromSeq(r.toSeq ++ Seq(null, null, false, "skipped_after_unknown_op"))
+        } else if (!known.contains(op)) {
+          aborted = true
+          Row.fromSeq(r.toSeq ++ Seq(null, null, false, "unknown_op"))
+        } else {
+          val (msg, status) =
+            try (sink.submit(op, r), "submitted")
+            catch { case e: Exception =>
+              (s"error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}", "error")
+            }
+          val valid = status == "submitted" &&
+            !(msg.toLowerCase.indexOf("invalid") >= 0)
+          val published = autoPublish && valid &&
+            (try { sink.publish(r); true } catch { case _: Exception => false })
+          Row.fromSeq(r.toSeq ++
+            Seq(msg, valid, published, if (valid) status else if (status == "error") "error" else "invalid"))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 
   /** The whole job: schedule.json + hub pages → op-flagged merge plan. */
   def run(spark: SparkSession, schedulePath: String, pagesDir: String,

@@ -48,19 +48,30 @@ class DedupSpec extends SparkSpec {
     assert(!cand.exists { case (a, b) => a >= b }) // canonical a < b, no self-pairs
   }
 
-  test("lshCandidates drops over-full buckets: a mega-bucket never goes n²") {
-    // 30 identical docs share every band bucket; with maxBucketSize=10 those
-    // buckets are dropped, so the 30·29/2=435-pair blow-up never happens.
-    // A small distinct pair in its own bucket must survive the cap.
+  test("lshCandidates caps over-full buckets to star edges: never n², still connected") {
+    // 30 identical docs share every band bucket; with maxBucketSize=10 the
+    // 30·29/2=435-pair blow-up degrades to 29 star edges around the min id
+    // — connectivity preserved (the mega-group still clusters downstream),
+    // quadratic pair generation avoided. A small distinct pair in its own
+    // bucket is unaffected by the cap.
     val mega = (1L to 30L).map(i => i -> "same words everywhere all along")
     val pair = Seq(40L -> "rare unique sentence appears twice", 41L -> "rare unique sentence appears twice")
     val sig = Dedup.minhashSignature(docs((mega ++ pair): _*), "doc_id", col("text"))
     val capped = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2,
       maxBucketSize = 10).as[(Long, Long)].collect().toSet
-    assert(capped === Set((40L, 41L)))
+    assert(capped === ((2L to 30L).map(i => (1L, i)).toSet + ((40L, 41L))))
     val uncapped = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2)
       .as[(Long, Long)].collect().toSet
     assert(uncapped.size === 30 * 29 / 2 + 1)
+
+    // and the end-to-end clusters still merge the capped mega-group into
+    // ONE component via the star edges (the first cut dropped the bucket,
+    // leaving 30 singletons — exactly the most-duplicated content undeduped)
+    val cl = Dedup.nearDupClusters(docs((mega ++ pair): _*), "doc_id", col("text"),
+        maxBucketSize = 10)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 30L).forall(cl(_) == 1L))
+    assert(cl(40L) === 40L && cl(41L) === 40L)
   }
 
   test("jaccardVerify computes exact word-set jaccard") {

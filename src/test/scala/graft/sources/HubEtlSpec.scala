@@ -153,4 +153,81 @@ class HubEtlSpec extends SparkSpec {
     assert(back.count() === plan.count())
     assert(back.columns.contains("valid"))
   }
+
+  test("fetchToSpool resolves a URL into the spool dir the scans read (Trace 1)") {
+    // the "edge" is a file: URL here (no egress in this container); the
+    // spooled file feeds the exact same S1 scan as a directly-given path
+    val spool = Files.createTempDirectory("hub_etl_spool")
+    val spooled = HubEtl.fetchToSpool(
+      fixtureDir.resolve("schedule.json").toUri.toString, spool, "schedule.json")
+    assert(spooled.getParent === spool)
+    val plan = HubEtl.run(spark, spooled.toString, fixtureDir.resolve("pages").toString)
+    assert(plan.filter(col("op_flag") === "update").count() === 1)
+  }
+
+  test("loadRows captures per-row sink status: clean, invalid (incl. index 0), error") {
+    import spark.implicits._
+    val plan = Seq(
+      ("r1", "create"), ("r2", "create"), ("r3", "update"), ("r4", "update"))
+      .toDF("k", "op_flag")
+    val sink = new HubEtl.RowSink {
+      def submit(op: String, row: org.apache.spark.sql.Row): String =
+        row.getString(0) match {
+          case "r1" => ""                        // clean
+          case "r2" => "invalid form field"      // match at index 0
+          case "r3" => "form was Invalid"
+          case _ => throw new RuntimeException("connection reset")
+        }
+    }
+    val out = HubEtl.loadRows(plan, sink)
+      .select("k", "valid", "load_status").collect()
+      .map(r => r.getString(0) -> (r.getAs[Boolean]("valid"), r.getString(2))).toMap
+    assert(out("r1") === ((true, "submitted")))
+    assert(out("r2") === ((false, "invalid")))
+    assert(out("r3") === ((false, "invalid")))
+    assert(out("r4") === ((false, "error")))     // caught per row, not a job failure
+  }
+
+  test("loadRows: unknown op_flag aborts the remaining rows of its partition") {
+    import spark.implicits._
+    val plan = Seq(("r1", "create"), ("r2", "upsert"), ("r3", "update"))
+      .toDF("k", "op_flag").coalesce(1) // one partition = the reference's single loop
+    val sink = new HubEtl.RowSink {
+      def submit(op: String, row: org.apache.spark.sql.Row): String = ""
+    }
+    val out = HubEtl.loadRows(plan, sink)
+      .select("k", "load_status").as[(String, String)].collect().toMap
+    assert(out === Map(
+      "r1" -> "submitted",
+      "r2" -> "unknown_op",                  // main.py:201-204 `case _: break`
+      "r3" -> "skipped_after_unknown_op"))   // rows after the break never submit
+  }
+
+  test("loadRows publish gate: only valid rows publish, and only when autoPublish") {
+    import spark.implicits._
+    val plan = Seq(("ok", "create"), ("bad", "create")).toDF("k", "op_flag")
+    HubEtlSpec.published.clear()
+    val sink = new HubEtl.RowSink {
+      def submit(op: String, row: org.apache.spark.sql.Row): String =
+        if (row.getString(0) == "bad") "invalid" else ""
+      override def publish(row: org.apache.spark.sql.Row): Unit =
+        HubEtlSpec.published.add(row.getString(0))
+    }
+    val on = HubEtl.loadRows(plan, sink, autoPublish = true)
+      .select("k", "published").as[(String, Boolean)].collect().toMap
+    assert(on === Map("ok" -> true, "bad" -> false))
+    assert(HubEtlSpec.published.toArray.toSet === Set("ok"))
+
+    HubEtlSpec.published.clear()
+    val off = HubEtl.loadRows(plan, sink, autoPublish = false)
+      .select("k", "published").as[(String, Boolean)].collect().toMap
+    assert(off === Map("ok" -> false, "bad" -> false))
+    assert(HubEtlSpec.published.isEmpty)
+  }
+}
+
+object HubEtlSpec {
+  // local-mode test hook: executors share the JVM, so a static queue can
+  // observe publish() calls from sink tasks
+  val published = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
