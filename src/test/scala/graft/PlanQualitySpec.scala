@@ -50,4 +50,33 @@ class PlanQualitySpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!opt.toLowerCase.contains("broadcast"), s"broadcast hint survived:\n$opt")
   }
+
+  test("q46/q28: text kernels are the native expressions, not interpreted HOF chains") {
+    val p46 = physical("q46_repetition")
+    assert(p46.contains("repetition_ratio"), p46)
+    assert(!p46.contains("array_distinct"), s"HOF formulation leaked back in: $p46")
+    val p28 = physical("q28_fingerprint")
+    assert(p28.contains("simhash16"), p28)
+    assert(!p28.contains("aggregate("), s"interpreted fold leaked back in: $p28")
+  }
+
+  test("q49: as-of plan keeps one exchange per side and no unconditional repartition") {
+    val p = physical("q49_asof_native")
+    assert(p.contains("AsofJoin"), p)
+    // exactly one hash exchange per child — a regression that re-pins
+    // partition counts shows up as extra exchanges here
+    assert(p.split("Exchange hashpartitioning").length == 3, p)
+  }
+
+  test("q94: recall gate stays a lazy plan (no driver-side action at build time)") {
+    // building the DataFrame must not trigger jobs; the gate is a filtered
+    // 1-row aggregate cross-joined into the plan
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = SparkEntry.queries("q94_ann_ivf")(spark, sfDir)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(df.columns.contains("rank"))
+    // ivfCentroids legitimately runs k-means driver iterations (documented
+    // collect of k x dims floats); beyond that, no full-corpus action
+    assert(after - before <= 10, s"unexpected job storm at plan-build time: ${after - before}")
+  }
 }
