@@ -36,7 +36,7 @@ object Bench {
         md5(col("id").cast("string")).as("s"))
       val b = spark.range(1000).select(col("id").as("bid"), (col("id") % 100).as("k"))
       a.join(b.hint("merge"), Seq("k")).groupBy("k").count().collect()
-      a.join(broadcast(b), Seq("k"), "full_outer")
+      a.join(b, Seq("k"), "full_outer") // no broadcast: unsupported for full outer (warns)
         .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("id")))
         .filter(col("rn") === 1)
         .write.format("noop").mode("overwrite").save()
