@@ -80,19 +80,21 @@ object Dedup {
       struct(lit(b).as("band"), concat_ws("_", hs: _*).as("bucket"))
     }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    // localCheckpoint (not cache): the sized bucket table feeds THREE
+    // consumers — both sides of the self-join below and the star-edge
+    // branch (and every CC iteration downstream) — without reuse the whole
+    // shingle→minhash→window pipeline executes once per consumer. Unlike
+    // cache(), checkpoint blocks are released by the ContextCleaner when the
+    // DataFrame goes out of scope, so repeated calls in a long-lived session
+    // don't accumulate cached blocks. Size is |docs| × bands rows of
+    // (id, int, string, long, id): tiny relative to the corpus.
     val sized = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .withColumn("__bsz", count(lit(1)).over(w))
       .withColumn("__bmin", min(col(idCol)).over(w))
-    // localCheckpoint (not cache): the bucket table feeds BOTH sides of the
-    // self-join below (and every CC iteration downstream) — without reuse
-    // the whole shingle→minhash pipeline executes once per consumer. Unlike
-    // cache(), checkpoint blocks are released by the ContextCleaner when the
-    // DataFrame goes out of scope, so repeated calls in a long-lived session
-    // don't accumulate cached blocks. Size is |docs| × bands rows of
-    // (id, int, string): tiny relative to the corpus.
+      .localCheckpoint()
     val buckets = sized.filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz", "__bmin").localCheckpoint()
+      .drop("__bsz", "__bmin")
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
     val smallPairs = a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
