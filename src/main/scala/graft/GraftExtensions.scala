@@ -2,17 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, KmvDistinct}
+import graft.functions.{BinaryStride, CosineSimilarity, KmvDistinct, RepetitionRatio, SimHash16, VecDot}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   * Injects the engine's native functions into every session built from that
   * config (SQL and `call_function` both resolve them). Sessions not built
-  * with the config can call [[graft.functions.VectorFunctions.ensureRegistered]]
+  * with the config can call the per-package `ensureRegistered` helpers
   * instead — the operators do so themselves, defensively. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def arity(name: String, children: Seq[Expression], n: Int): Unit =
+    if (children.size != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s) but got ${children.size}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // the custom as-of join strategy (graft.plans) for config-based
     // sessions; imperative sessions get it via AsofJoin.ensureStrategy
@@ -20,14 +27,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity("vec_cosine(a, b)", children, 2)
+        CosineSimilarity(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        arity("vec_dot(a, b)", children, 2)
+        VecDot(children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
       (children: Seq[Expression]) => {
+        if (children.isEmpty || children.size > 2)
+          throw new IllegalArgumentException(
+            s"kmv_distinct(col[, k]) expects 1 or 2 arguments but got ${children.size}")
         val k = if (children.length > 1)
           children(1).eval(null).asInstanceOf[Number].intValue() else 256
         KmvDistinct(children.head, k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("binary_stride"),
+      new ExpressionInfo(classOf[BinaryStride].getName, "binary_stride"),
+      (children: Seq[Expression]) => {
+        arity("binary_stride(payload, factor)", children, 2)
+        BinaryStride(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_ratio"),
+      new ExpressionInfo(classOf[RepetitionRatio].getName, "repetition_ratio"),
+      (children: Seq[Expression]) => {
+        arity("repetition_ratio(text, k)", children, 2)
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"repetition_ratio(text, k): k must be an integer literal, got $other")
+        }
+        RepetitionRatio(children(0), k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (children: Seq[Expression]) => {
+        arity("simhash16(text)", children, 1)
+        SimHash16(children(0))
       }))
   }
 }
