@@ -678,6 +678,24 @@ object SparkEntry {
         .orderBy(coalesce(col("code"), lit("")), col("op_flag"))
     }),
 
+    // K1/K3/K4: the row-at-a-time sink template, hash-verified — a
+    // deterministic RowSink (invalid iff doc_id % 97 == 0) drives
+    // HubEtl.loadRows over the documents table; per-row status capture,
+    // the intended `indexOf >= 0` invalid containment, and the publish
+    // gate are all visible in the oracle-checked output columns.
+    "q95_load_sink" -> ((s, d) => {
+      val plan = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, "update").otherwise("create").as("op_flag"))
+      val sink = new graft.sources.HubEtl.RowSink {
+        def submit(op: String, row: org.apache.spark.sql.Row): String =
+          if (row.getLong(0) % 97 == 0) "invalid field" else ""
+      }
+      graft.sources.HubEtl.loadRows(plan, sink)
+        .select(col("doc_id"), col("op_flag"), col("valid"), col("published"),
+          col("load_status"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ⊕ similarity: IVF-partitioned ANN top-k (recall<1 by construction).
     // Rows-only check WITH teeth: mean recall against the exact brute-force
     // baseline on the probe slice gates the output — below threshold the
@@ -1204,6 +1222,14 @@ object SparkEntry {
       s"""SELECT s_name, count(*) AS n, ${sqlDsum("l_extendedprice", 18, 2)} AS total
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q95_load_sink" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'update' ELSE 'create' END AS op_flag,
+        |  doc_id % 97 <> 0 AS valid,
+        |  doc_id % 97 <> 0 AS published,
+        |  CASE WHEN doc_id % 97 = 0 THEN 'invalid' ELSE 'submitted' END AS load_status
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q90_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
