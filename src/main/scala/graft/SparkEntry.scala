@@ -371,17 +371,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
-    // ⊕J6: range (interval) join — shipments within 30 days of order date
+    // ⊕J6: range (interval) join — shipments within 30 days of order date.
+    // Binned: equi hash join on the 30-day bucket (interval side exploded
+    // to its 2 covering bins) + exact range filter, instead of the
+    // BroadcastNestedLoopJoin a raw interval condition plans (O(n×m)
+    // predicate evals). Unmatched probes are restored by the outer join of
+    // the aggregate back onto the probe list.
     "q31_range_join" -> ((s, d) => {
       val probe = Relational.topK(t(s, d, "orders"), 20, col("o_orderkey").asc)
         .select(col("o_orderkey"), col("o_orderdate"))
-      val li = t(s, d, "lineitem")
-      broadcast(probe).join(li,
-          col("l_shipdate") >= col("o_orderdate") &&
-            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left")
-        .groupBy(col("o_orderkey"))
-        .agg(count(col("l_orderkey")).as("n"),
-          coalesce(dsum(col("l_extendedprice")), lit(0.0)).as("total"))
+      val li = t(s, d, "lineitem").select(col("l_shipdate"), col("l_extendedprice"))
+      val matched = Relational.rangeJoinBinned(li, probe,
+        "l_shipdate", "o_orderdate", widthSeconds = 30L * 24 * 3600)
+      val agg = matched.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+      probe.select(col("o_orderkey")).join(agg, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total"), lit(0.0)).as("total"))
         .orderBy(col("o_orderkey"))
     }),
 

@@ -86,6 +86,32 @@ object Relational {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** ⊕J6: binned (bucketed) range join — facts joined to intervals
+    * `[start, start + width)` via an EQUI join on the `floor(ts / width)`
+    * bin, with the interval side exploded to its two covering bins and the
+    * exact range predicate applied after the hash match. A naive interval
+    * join plans BroadcastNestedLoopJoin — every (fact, interval) pair
+    * evaluated, O(|facts| × |intervals|), the classic range-join
+    * scale-killer. Here each fact row hashes ONCE and meets only the
+    * intervals sharing its bin (every interval of length `width` spans at
+    * most two width-sized bins), so cost is O(|facts| + matches) and the
+    * join is a plain broadcast/shuffle HASH join that AQE can manage.
+    * Returns the inner bin-join; aggregate-then-outer-join-back to keep
+    * unmatched intervals (see q31). */
+  def rangeJoinBinned(facts: DataFrame, intervals: DataFrame,
+                      factTsCol: String, startCol: String,
+                      widthSeconds: Long,
+                      broadcastIntervals: Boolean = true): DataFrame = {
+    val startBin = floor(unix_timestamp(col(startCol)) / widthSeconds)
+    val binned = intervals.withColumn("__bin", explode(array(startBin, startBin + 1)))
+    val side = if (broadcastIntervals) broadcast(binned) else binned
+    facts.withColumn("__bin", floor(unix_timestamp(col(factTsCol)) / widthSeconds))
+      .join(side, Seq("__bin"))
+      .filter(col(factTsCol) >= col(startCol) &&
+        col(factTsCol) < col(startCol) + expr(s"INTERVAL $widthSeconds SECONDS"))
+      .drop("__bin")
+  }
+
   /** ⊕J6: generic as-of join — for each left row, the latest right row with
     * `rightTs <= leftTs` per key. Implemented as union + running `last`
     * window rather than a range join: one shuffle on (key), no

@@ -115,4 +115,26 @@ class RelationalSpec extends SparkSpec {
     val phys = out.queryExecution.executedPlan.toString
     assert(phys.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in:\n$phys")
   }
+
+  test("rangeJoinBinned equals the naive interval join and plans a hash join") {
+    val width = 3600L // 1-hour intervals
+    // facts every 10 minutes over 3 days; intervals at uneven offsets so
+    // matches straddle bin boundaries both ways
+    val facts = (0 until 3 * 24 * 6).map(i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 600000L))).toDF("fid", "ts")
+    val intervals = Seq(0L, 1L, 2L, 3L).map(j =>
+      (j, new java.sql.Timestamp(1700000000000L + j * 7130000L))).toDF("iid", "start")
+    val binned = Relational.rangeJoinBinned(facts, intervals, "ts", "start", width)
+      .select("fid", "iid").as[(Long, Long)].collect().toSet
+    val naive = facts.join(intervals,
+        col("ts") >= col("start") &&
+          col("ts") < col("start") + expr(s"INTERVAL $width SECONDS"))
+      .select("fid", "iid").as[(Long, Long)].collect().toSet
+    assert(binned === naive)
+    assert(naive.nonEmpty)
+    val phys = Relational.rangeJoinBinned(facts, intervals, "ts", "start", width)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), s"expected hash join, got:\n$phys")
+    assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+  }
 }
