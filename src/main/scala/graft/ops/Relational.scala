@@ -15,6 +15,29 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Co-located (bucketed) join path: write both fact tables bucketed+sorted
+    * on the join key, and the sort-merge join between them needs NO exchange
+    * and NO sort — each bucket pair merges directly. At 100 TB this converts
+    * the recurring fact⋈fact shuffle (the single largest cost in a star
+    * pipeline run repeatedly over the same tables) into a one-time layout
+    * decision at ingest. Requires a catalog table (`saveAsTable`); plain
+    * parquet paths do not carry bucket metadata.
+    *
+    * The repartition on the bucket key makes each bucket a SINGLE file —
+    * the defense against the many-small-files problem of bucketed writes
+    * from wide stages, and the precondition for Sort elision. Note: the
+    * EXCHANGE is what bucketing removes by default; since Spark 3.0 the
+    * scan only reports `sortBy` order (eliding the join-side Sort too) when
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` — the
+    * remaining Sort is in-partition over one already-sorted file, i.e.
+    * near-free, while the eliminated shuffle was the 100 TB cost. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
   /** J1/J2 (main.py:107-110,120,123): broadcast lookup-join enrichment.
     * The reference builds a Python dict and probes it per row — the exact
     * hand-rolled build side of a broadcast hash join. `left` semantics with

@@ -116,6 +116,29 @@ class RelationalSpec extends SparkSpec {
     assert(phys.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in:\n$phys")
   }
 
+  test("bucketed tables sort-merge join with no exchange and no sort") {
+    val a = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, i * 3)).toDF("k", "vb")
+    Relational.writeBucketed(a, "bkt_a", "k", 4)
+    Relational.writeBucketed(b, "bkt_b", "k", 4)
+    try {
+      val j = spark.table("bkt_a").hint("merge")
+        .join(spark.table("bkt_b"), Seq("k"))
+      val phys = j.queryExecution.executedPlan.toString
+      assert(phys.contains("SortMergeJoin"), phys)
+      // the whole point of the bucketed layout: ZERO exchanges — the join
+      // reads co-located buckets directly. (The in-partition Sort remains
+      // unless the legacy bucketed-scan-ordering conf is on; it is a local
+      // pass over one already-sorted file, not a shuffle.)
+      assert(!phys.contains("Exchange"), s"bucketed join still shuffles:\n$phys")
+      assert(phys.contains("Bucketed: true"), phys)
+      assert(j.count() === 1000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("rangeJoinBinned equals the naive interval join and plans a hash join") {
     val width = 3600L // 1-hour intervals
     // facts every 10 minutes over 3 days; intervals at uneven offsets so
