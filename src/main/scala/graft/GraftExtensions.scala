@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BinaryStride, CosineSimilarity, KmvDistinct, RepetitionRatio, SimHash16, VecDot}
+import graft.functions.{BinaryStride, CosineSimilarity, KmvDistinct, RepetitionRatio, SimHash16, VecDot, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
@@ -74,6 +74,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("simhash16(text)", children, 1)
         SimHash16(children(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"),
+      (children: Seq[Expression]) => {
+        arity("winnow_fps(text, k, w)", children, 3)
+        val intLit = (arg: String, e: Expression) => e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_fps: $arg must be an integer literal, got $other")
+        }
+        WinnowFingerprints(children(0),
+          intLit("k", children(1)), intLit("w", children(2)))
       }))
   }
 }

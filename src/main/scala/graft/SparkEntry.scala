@@ -91,6 +91,38 @@ object SparkEntry {
     s"""CASE WHEN list_sum(list_transform(hws, h -> CASE WHEN substring(h, $i, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"""
   }.mkString("(", " || ", ")")
 
+  /** Winnowing fingerprint set per doc, mirroring the native kernel
+    * ([[graft.functions.WinnowFingerprints]], k=8 w=4 B=131 P=1e9+7):
+    * normalize → rolling-hash char 8-grams over code points → min per
+    * 4-gram window (>= 1 window even for short docs) → sorted distinct.
+    * Gram hashes are STAGED in their own CTE column (computed once per
+    * row) — inlining them into the window transform would re-hash every
+    * gram once per window reference. */
+  private def winnowCte: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(t) >= 8 THEN
+      |      list_transform(range(1, length(t) - 8 + 2),
+      |        p -> list_reduce(
+      |               list_transform(range(p, p + 8),
+      |                 j -> CAST(unicode(substring(t, CAST(j AS INTEGER), 1)) AS BIGINT)),
+      |               (a, b) -> (a * 131 + b) % 1000000007))
+      |    ELSE CAST([] AS BIGINT[]) END AS gs
+      |  FROM d
+      |), fset AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[])
+      |    ELSE list_sort(list_distinct(
+      |      list_transform(range(1, greatest(len(gs) - 4 + 1, 1) + 1),
+      |        i -> list_min(list_slice(gs, i, least(i + 4 - 1, len(gs)))))))
+      |    END AS fps
+      |  FROM grams
+      |)""".stripMargin
+
   // ---- queries ------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -656,6 +688,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
         .orderBy(col("s_name"))
     }),
+
+    // ⊕ text: winnowing document fingerprints (rolling-hash k-gram min-
+    // sampling, native codegen kernel) — per-doc fingerprint-set stats
+    "q56_winnow_fps" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.winnowFingerprints(col("text")).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          element_at(col("fps"), 1).as("min_fp"),
+          element_at(col("fps"), -1).as("max_fp"),
+          aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"))
+        .orderBy(col("doc_id"))),
+
+    // ⊕ dedup: winnowing-fingerprint candidate pairs (docs sharing >= 2
+    // verbatim 8-char runs, stopword fingerprints df-filtered first)
+    "q57_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowingCandidates(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("a"), col("b"))),
 
     // §2.9/§2.10: custom per-key state via mapGroupsWithState
     "q39_stateful_sessions" -> ((s, d) =>
@@ -1229,6 +1280,21 @@ object SparkEntry {
       s"""SELECT s_name, count(*) AS n, ${sqlDsum("l_extendedprice", 18, 2)} AS total
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q56_winnow_fps" -> s"""$winnowCte
+         |SELECT doc_id, len(fps) AS n_fps, fps[1] AS min_fp,
+         |  fps[len(fps)] AS max_fp,
+         |  CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
+         |FROM fset ORDER BY doc_id""".stripMargin,
+
+    "q57_winnow_pairs" -> s"""$winnowCte,
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM fset),
+         |rare AS (SELECT doc_id, fp FROM (
+         |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM e)
+         |  WHERE df <= 10)
+         |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+         |FROM rare x JOIN rare y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a, b""".stripMargin,
 
     "q95_load_sink" ->
       """SELECT doc_id,

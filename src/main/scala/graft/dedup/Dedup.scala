@@ -222,6 +222,41 @@ object Dedup {
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
   }
 
+  /** Winnowing-fingerprint near-dup candidates (the rolling-hash tier of
+    * the dedup ladder — exact ⊂ winnowing ⊂ MinHash/LSH): docs sharing at
+    * least `minShared` winnowing fingerprints
+    * ([[graft.text.TextAnalysis.winnowFingerprints]]), i.e. at least
+    * `minShared` verbatim `k`-char runs. Complements MinHash: winnowing
+    * catches *contained* copies (a paragraph pasted into an otherwise
+    * different doc) that whole-doc Jaccard dilutes below threshold.
+    *
+    * Scale shape, same discipline as [[lshCandidates]]:
+    *  - fingerprints explode to (fp, id) and every downstream step —
+    *    document-frequency count and self-join — shuffles on the SAME `fp`
+    *    key, so the df-filter window adds no extra exchange;
+    *  - `maxDocFreq` drops "stopword" fingerprints (a fp shared by more
+    *    docs than that is boilerplate, not copying — the winnowing paper's
+    *    own recommendation) BEFORE the self-join, bounding every bucket at
+    *    maxDocFreq² pairs: no degenerate-bucket n² blow-up, the same bomb
+    *    [[lshCandidates]]' maxBucketSize defuses;
+    *  - output is grouped on (a, b) — count(shared fps) is a map-side
+    *    partial agg on the join's own partitioning. */
+  def winnowingCandidates(docs: DataFrame, idCol: String, text: Column,
+                          k: Int = 8, w: Int = 4,
+                          maxDocFreq: Int = 10,
+                          minShared: Int = 2): DataFrame = {
+    val fps = docs.select(col(idCol),
+      explode(TextAnalysis.winnowFingerprints(text, k, w)).as("fp"))
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val rare = fps.withColumn("__df", count(lit(1)).over(dfw))
+      .filter(col("__df") <= maxDocFreq).drop("__df")
+    val a = rare.select(col("fp"), col(idCol).as("a"))
+    val b = rare.select(col("fp"), col(idCol).as("b"))
+    a.join(b, Seq("fp")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 16-bit SimHash over the word multiset, engine-portable: bit i of a
     * word's hash = high bit of hex digit i of md5(word); signature bit i =
     * 1 iff Σ_words (±1) > 0. Returned as a 16-char '0'/'1' string (stable

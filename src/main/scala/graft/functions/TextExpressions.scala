@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -185,6 +186,115 @@ object SimHash16 {
   }
 }
 
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD'03
+  * "Winnowing: Local Algorithms for Document Fingerprinting"): hash every
+  * char `k`-gram with a Rabin-Karp ROLLING polynomial hash (O(1) per gram
+  * after the first — the built-in alternative re-hashes every gram from
+  * scratch, O(k) each), then keep the minimum hash of every `w`-gram window
+  * (monotonic-deque sliding min, O(1) amortized). Output is the doc's
+  * sorted distinct fingerprint set — sharing a fingerprint means sharing a
+  * verbatim `k`-char run, the candidate signal for near-dup detection.
+  *
+  * One fused O(n) loop per row inside WholeStageCodegen. Value-identical
+  * to the staged-HOF twin ([[graft.text.TextAnalysis.winnowFingerprintsHof]])
+  * and to the DuckDB oracle formulation (code-point hashing, same window
+  * scheme: `max(1, grams - w + 1)` windows, a shorter-than-`w` tail doc
+  * still yields one fingerprint). Null / shorter-than-`k` text ⇒ empty
+  * array, never null. Hash = fold (h*131 + codepoint) mod 1e9+7: the
+  * modulus keeps every intermediate in BIGINT range so the identical
+  * arithmetic runs on any ANSI SQL engine. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1 && w >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, positive gram size, positive window), " +
+        s"got ${child.dataType.simpleString} with k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+  // null text fingerprints to the empty set, never null
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WinnowFingerprints.empty()
+    else WinnowFingerprints.compute(v.asInstanceOf[UTF8String], k, w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      $javaType ${ev.value} = graft.functions.WinnowFingerprints.empty();
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.WinnowFingerprints.compute(${c.value}, $k, $w);
+      }""", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  private val EMPTY: ArrayData = new GenericArrayData(Array.emptyLongArray)
+  /** Method (not field): generated Java needs a static call. */
+  def empty(): ArrayData = EMPTY
+
+  private val B = 131L
+  private val P = 1000000007L
+
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    // code points, not UTF-16 units: matches ANSI `unicode(char)` hashing
+    val cp = text.toString.codePoints().toArray
+    val n = cp.length
+    if (n < k) return EMPTY
+    val g = n - k + 1
+    val grams = new Array[Long](g)
+    var pow = 1L // B^(k-1) mod P: weight of the outgoing char
+    var i = 1
+    while (i < k) { pow = pow * B % P; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + cp(i)) % P; i += 1 }
+    grams(0) = h
+    i = 1
+    while (i < g) {
+      // roll: drop cp(i-1), shift, append cp(i+k-1) — O(1) per gram
+      h = ((h - cp(i - 1) * pow % P + P) % P * B + cp(i + k - 1)) % P
+      grams(i) = h
+      i += 1
+    }
+    // sliding min over w grams via monotonic deque (indices, values
+    // increasing front to back): O(g) total. Windows complete at indices
+    // min(w,g)-1 .. g-1, so a doc with fewer than w grams still emits the
+    // min of what it has (the winnowing paper's tail guarantee).
+    val dq = new Array[Int](g)
+    var head = 0
+    var tail = 0
+    val firstComplete = math.min(w, g) - 1
+    val set = new java.util.HashSet[java.lang.Long]()
+    i = 0
+    while (i < g) {
+      while (tail > head && grams(dq(tail - 1)) >= grams(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= firstComplete) set.add(grams(dq(head)))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
   private def requireArity(name: String, children: Seq[Expression], n: Int): Unit =
     if (children.size != n)
@@ -221,7 +331,26 @@ object TextFunctions {
           SimHash16(children(0))
         })
     }
+    val wid = FunctionIdentifier("winnow_fps")
+    if (!registry.functionExists(wid)) {
+      registry.registerFunction(
+        wid,
+        new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"),
+        (children: Seq[Expression]) => {
+          requireArity("winnow_fps(text, k, w)", children, 3)
+          WinnowFingerprints(children(0),
+            TextFunctions.intLiteral("winnow_fps", "k", children(1)),
+            TextFunctions.intLiteral("winnow_fps", "w", children(2)))
+        })
+    }
   }
+
+  private[functions] def intLiteral(fn: String, arg: String, e: Expression): Int =
+    e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
 
   /** Column-level doors. */
   def repetitionRatio(text: Column, k: Int): Column =
@@ -229,4 +358,7 @@ object TextFunctions {
 
   def simhash16(text: Column): Column =
     Bridge.columnOf(SimHash16(Bridge.expressionOf(text)))
+
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    Bridge.columnOf(WinnowFingerprints(Bridge.expressionOf(text), k, w))
 }

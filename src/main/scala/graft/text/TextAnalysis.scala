@@ -171,4 +171,52 @@ object TextAnalysis {
     * are exact duplicates post-normalization — the cheap first dedup tier. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** The normalization every fingerprint tier shares: null-safe lowercase,
+    * trimmed, whitespace runs collapsed to one space. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(coalesce(text, lit("")), "\\s+", " ")))
+
+  /** Winnowing fingerprints (rolling-hash document fingerprinting,
+    * Schleimer et al. SIGMOD'03): sorted distinct set of the per-window
+    * minimum Rabin-Karp char-`k`-gram hashes of the normalized text.
+    * Native codegen kernel ([[graft.functions.WinnowFingerprints]]) — one
+    * fused O(n) pass per row: the hash ROLLS (O(1) per gram) and the
+    * window minimum is a monotonic deque (O(1) amortized), where built-in
+    * expressions would re-hash every gram from scratch and re-scan every
+    * window. Sharing a fingerprint ⇔ sharing a verbatim `k`-char run, the
+    * candidate signal [[graft.dedup.Dedup.winnowingCandidates]] joins on. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.TextFunctions.winnowFps(normalized(text), k, w)
+
+  /** Portable built-ins-only reference implementation of
+    * [[winnowFingerprints]] (no custom kernel — runs on any stock Spark),
+    * kept as the cross-check oracle for the native kernel (parity spec).
+    * DataFrame-level so the char and gram-hash arrays are STAGED in their
+    * own projections (`__cs`, `__grams`) — the `qualityFilter` trick: a
+    * single Column expression would re-run the O(n·k) gram hashing once
+    * per window reference, and Spark does not CSE interpreted
+    * higher-order-function trees. O(n·k) + O(g·w) per row vs the kernel's
+    * O(n) — correct everywhere, hot-path-worthy nowhere. */
+  def winnowFingerprintsHof(df: DataFrame, text: Column, k: Int = 8,
+                            w: Int = 4, out: String = "fps"): DataFrame = {
+    val B = 131L
+    val P = 1000000007L
+    val cs = col("__cs")
+    val g = col("__grams")
+    val gramHash = (i: Column) =>
+      aggregate(slice(cs, i, lit(k)), lit(0L), (h, c) => (h * B + ascii(c)) % P)
+    val mins = transform(
+      sequence(lit(1), greatest(size(g) - (w - 1), lit(1))),
+      i => array_min(slice(g, i, lit(w))))
+    df.withColumn("__cs", split(normalized(text), ""))
+      .withColumn("__grams",
+        when(size(cs) >= k,
+          transform(sequence(lit(1), size(cs) - (k - 1)), gramHash))
+          .otherwise(array().cast("array<long>")))
+      .withColumn(out,
+        when(size(g) === 0, array().cast("array<long>"))
+          .otherwise(array_sort(array_distinct(mins))))
+      .drop("__cs", "__grams")
+  }
 }
