@@ -462,6 +462,14 @@ object SparkEntry {
       EventStreams.runToCompletion(s, d)(EventStreams.tumblingCounts(_))
         .orderBy(col("win_start"), col("event_type"))),
 
+    // §2.9: stream-stream interval join (funnel attribution: each view
+    // paired with the same user's clicks within 30 min), append mode —
+    // oracle is the identical batch self-join
+    "q58_stream_join" -> ((s, d) =>
+      EventStreams.runToCompletion(s, d, "append")(
+          EventStreams.intervalJoin(_, "view", "click"))
+        .orderBy(col("user_id"), col("l_id"), col("r_id"))),
+
     // ⊕A5: approximate distinct, two sketches — built-in HLL++ and the
     // custom KMV TypedImperativeAggregate (both mergeable partial+final).
     // Oracle-checked: the exact countDistinct column must hash-match, and
@@ -1062,6 +1070,15 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q58_stream_join" ->
+      """SELECT a.user_id, a.event_id AS l_id, b.event_id AS r_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'click'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY a.user_id, l_id, r_id""".stripMargin,
 
     "q91_ann_lsh" -> {
       val signs = Similarity.hyperplaneSigns(8, 64)

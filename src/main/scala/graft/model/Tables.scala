@@ -32,11 +32,14 @@ object Tables {
     * nanosecond long (spark.sql.legacy.parquet.nanosAsLong=true, set in
     * Verify/Bench) and we convert to µs TimestampType here. */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     val raw = s.read.parquet(s"$d/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer `div`, NOT `/`: Column./ is double division, and at
+        // ~1.7e18 ns a double's ulp is ≈1µs — enough to shift a truncated
+        // timestamp by a microsecond vs the exact value
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -20,6 +20,33 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Stream-stream interval join (§2.9): pair every `leftType` event with
+    * the same user's `rightType` events that follow within `within`. Both
+    * sides are branches of ONE streaming source (Spark plans a genuine
+    * stream-stream join with two scans); the watermarks plus the range
+    * bound on the join condition are what let the join PRUNE buffered
+    * state — without them a stream-stream join buffers both sides forever.
+    * At scale this is the standard funnel/attribution shape: state per key
+    * is bounded by (watermark + interval) of events, not history. Append
+    * mode: each match is emitted exactly once. */
+  def intervalJoin(events: DataFrame, leftType: String, rightType: String,
+                   within: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("__ru"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col("user_id") === col("__ru") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("lag_us"))
+  }
+
   /** ts is TIMESTAMP(NANOS) in the parquet — read as a nanosecond long
     * (spark.sql.legacy.parquet.nanosAsLong) and convert to µs timestamps. */
   val eventsSchema: StructType = StructType(Seq(
@@ -43,7 +70,7 @@ object EventStreams {
       srcDir.resolve("events.parquet"))
     val src = spark.readStream.schema(eventsSchema)
       .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
     val name = s"graft_stream_${sinkId.incrementAndGet()}"
     // Streaming aggregations allocate one state-store instance per shuffle
     // partition per operator; at this data size 8 partitions cut fixed
@@ -123,7 +150,7 @@ object EventStreams {
       srcDir.resolve("events.parquet"))
     val src = spark.readStream.schema(eventsSchema)
       .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
     val q = transform(src).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")

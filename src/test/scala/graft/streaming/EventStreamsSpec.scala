@@ -20,6 +20,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join equals the batch self-join") {
+    val streamed = EventStreams.runToCompletion(spark, sfDir, "append")(
+        EventStreams.intervalJoin(_, "view", "click"))
+      .collect().toSet
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("r_id"), col("user_id").as("ru"),
+        col("ts").as("r_ts"))
+    val batch = l.join(r, col("user_id") === col("ru") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 30 minutes"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("lag_us"))
+      .collect().toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("foreachBatch parquet sink lands every row exactly once, keyed by batch id") {
     val out = java.nio.file.Files.createTempDirectory("stream_sink_out").toString
     EventStreams.streamToParquet(spark, sfDir, out)
