@@ -462,6 +462,22 @@ object SparkEntry {
       EventStreams.runToCompletion(s, d)(EventStreams.tumblingCounts(_))
         .orderBy(col("win_start"), col("event_type"))),
 
+    // ⊕ layout: hive-partitioned + in-file-sorted write, read back through
+    // directory pruning (the scan lists only the two matching partition
+    // dirs) — the write-side of the 100 TB layout story, oracle-checked
+    // for losslessness against the source table
+    "q59_partition_prune" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_layout")
+        .toString + "/events"
+      graft.layout.DataLayout.writePartitionedSorted(
+        Tables.events(s, d), tmp, Seq("event_type"), Seq("ts"))
+      s.read.parquet(tmp)
+        .filter(col("event_type").isin("view", "click"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
     // §2.9: stream-stream interval join (funnel attribution: each view
     // paired with the same user's clicks within 30 min), append mode —
     // oracle is the identical batch self-join
@@ -1070,6 +1086,11 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q59_partition_prune" ->
+      s"""SELECT event_type, count(*) AS n, ${sqlDsum("value", 18, 2)} AS total
+         |FROM events WHERE event_type IN ('view', 'click')
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q58_stream_join" ->
       """SELECT a.user_id, a.event_id AS l_id, b.event_id AS r_id,
