@@ -83,6 +83,15 @@ object ScaleCheck {
     time("repetition_ratio_native", nDocs) {
       docs.select(max(text.TextAnalysis.repetitionRatio(col("text"), 3))).collect()
     }
+    time("winnow_fps_native", nDocs) {
+      docs.select(max(size(text.TextAnalysis.winnowFingerprints(col("text"))))).collect()
+    }
+    time("winnow_candidates", nDocs) {
+      // full fingerprint -> df-filter -> bucket-join pipeline; the
+      // amplified corpus multiplies both docs and fingerprint sharing, so
+      // this probes the df-cap's bucket bound, not just the kernel
+      dedup.Dedup.winnowingCandidates(docs, "doc_id", col("text")).count()
+    }
     spark.stop()
   }
 }

@@ -68,6 +68,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length == 3, p)
   }
 
+  test("q56: winnowing runs the native rolling-hash kernel, not a HOF chain") {
+    val p = physical("q56_winnow_fps")
+    assert(p.contains("winnow_fps"), p)
+    assert(!p.contains("array_sort"), s"HOF formulation leaked back in: $p")
+  }
+
+  test("q57: df-filter window and candidate self-join share the fp partitioning") {
+    // the document-frequency window and the self-join both key on `fp`;
+    // the window's exchange must be reusable by the join — more than 3
+    // hash exchanges means a key mismatch re-shuffled the exploded table
+    val p = physical("q57_winnow_pairs")
+    val n = p.split("Exchange hashpartitioning").length - 1
+    assert(n <= 3, s"expected <=3 hash exchanges (fp window, join sides), got $n:\n$p")
+  }
+
   test("q94: recall gate stays a lazy plan (no driver-side action at build time)") {
     // building the DataFrame must not trigger jobs; the gate is a filtered
     // 1-row aggregate cross-joined into the plan
