@@ -478,6 +478,22 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ⊕ similarity: symmetric int8 embedding quantization (4× memory at
+    // the 100 TB ANN tier) with per-vector reconstruction cosine — scale
+    // and quantized array staged once, portable floor(x+0.5) rounding
+    "q60_quantize_int8" -> ((s, d) => {
+      val staged = t(s, d, "embeddings")
+        .withColumn("__s", Similarity.quantScale(col("embedding")))
+        .withColumn("__q", Similarity.quantizeInt8(col("embedding"), col("__s")))
+      staged.select(col("vec_id"),
+          array_min(col("__q")).as("q_min"),
+          array_max(col("__q")).as("q_max"),
+          aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          round(Similarity.cosine(col("embedding"),
+            Similarity.dequantize(col("__q"), col("__s"))), 6).as("recon_cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // §2.9: stream-stream interval join (funnel attribution: each view
     // paired with the same user's clicks within 30 min), append mode —
     // oracle is the identical batch self-join
@@ -1086,6 +1102,21 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q60_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS sc
+        |      FROM (SELECT vec_id, v,
+        |              list_max(list_transform(v, x -> abs(x))) AS m FROM e)),
+        |q AS (SELECT vec_id, v, sc,
+        |        list_transform(v, x -> CAST(floor(x / sc + 0.5) AS INTEGER)) AS qv
+        |      FROM s),
+        |dq AS (SELECT vec_id, v, qv, list_transform(qv, i -> i * sc) AS dv FROM q)
+        |SELECT vec_id, list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |  CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
+        |  round(list_dot_product(v, dv)
+        |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dv, dv))), 6) AS recon_cos
+        |FROM dq ORDER BY vec_id""".stripMargin,
 
     "q59_partition_prune" ->
       s"""SELECT event_type, count(*) AS n, ${sqlDsum("value", 18, 2)} AS total

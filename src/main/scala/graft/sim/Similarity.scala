@@ -40,6 +40,28 @@ object Similarity {
     call_function("vec_cosine", a, b)
   }
 
+  /** Per-vector scale for symmetric int8 quantization: max|x| / 127
+    * (1.0 for the all-zero vector so dequantization stays total). */
+  def quantScale(v: Column): Column = {
+    val m = array_max(transform(v, x => abs(d(x))))
+    when(m === 0.0, lit(1.0)).otherwise(m / lit(127.0))
+  }
+
+  /** Symmetric int8 scalar quantization: q_i = floor(x_i/scale + 0.5),
+    * range [-127, 127]. At 100 TB of embeddings this is the difference
+    * between a corpus that fits executor memory and one that doesn't —
+    * 4× smaller vectors (and int SIMD distance kernels) for a recall loss
+    * the recon-cosine column makes measurable per vector. `floor(x+0.5)`
+    * rather than `round`: round-half-up in every engine (ANSI round() ties
+    * break half-even in some engines, half-up in others — floor is
+    * portable, so the oracle quantizes bit-identically). */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x => floor(d(x) / scale + lit(0.5)).cast("int"))
+
+  /** Dequantize back to doubles: q_i * scale. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, i => d(i) * scale)
+
   /** Exact brute-force top-k neighbors for each query vector.
     * Queries are broadcast (small side); corpus streams through codegen. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,

@@ -53,4 +53,24 @@ class SimilaritySpec extends SparkSpec {
     assert(c("x") === Seq(2.0, 3.0))
     assert(c("y") === Seq(10.0, 20.0))
   }
+
+  test("int8 quantization: bounded range, high recon cosine, zero-vector total") {
+    val d = vecs(
+      (0L, Seq(0.5f, -1.0f, 0.25f, 0.75f), "a"),
+      (1L, Seq(0f, 0f, 0f, 0f), "z"))   // zero vector: scale falls back to 1
+      .withColumn("__s", Similarity.quantScale(col("embedding")))
+      .withColumn("__q", Similarity.quantizeInt8(col("embedding"), col("__s")))
+    val rows = d.select(col("vec_id"), col("__q"),
+        // ANSI mode: guard the zero-norm vector (cosine undefined there)
+        when(col("vec_id") === 0L,
+          Similarity.cosine(col("embedding"),
+            Similarity.dequantize(col("__q"), col("__s")))).as("rc"))
+      .as[(Long, Seq[Int], Option[Double])].collect()
+      .map { case (id, q, rc) => id -> (q, rc) }.toMap
+    val (q0, rc0) = rows(0L)
+    assert(q0.forall(v => v >= -127 && v <= 127))
+    assert(q0 === Seq(64, -127, 32, 95)) // x / (1/127), half-up
+    assert(rc0.get > 0.9999)             // 4x smaller, sub-1e-4 angle error
+    assert(rows(1L)._1 === Seq(0, 0, 0, 0)) // zero vector quantizes to zeros
+  }
 }
