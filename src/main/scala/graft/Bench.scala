@@ -46,9 +46,30 @@ object Bench {
       a.select(
           md5(regexp_replace(lower(trim(col("s"))), "\\s+", " ")).as("fp"),
           graft.dedup.Dedup.simhash16(col("s")).as("sh"),
-          graft.text.TextAnalysis.repetitionRatio(col("s"), 3).as("rr"))
+          graft.text.TextAnalysis.repetitionRatio(col("s"), 3).as("rr"),
+          graft.text.TextAnalysis.winnowFingerprints(col("s")).as("wf"))
         .orderBy(col("fp"))
         .write.format("noop").mode("overwrite").save()
+      // JSON parse path (q41 shape): the first JsonToStructs evaluation
+      // JIT-compiles the Jackson+codegen stack (~2-5 s measured cold)
+      a.select(from_json(
+          concat(lit("{\"k\":"), (col("id") % 100).cast("string"), lit("}")),
+          org.apache.spark.sql.types.DataType.fromDDL("k INT")).as("p"))
+        .filter(col("p.k") > 50).groupBy().count().collect()
+      // vector kernel path (q24/q91 shapes)
+      val v = array((0 until 8).map(i => (col("id") + lit(i)).cast("float")): _*)
+      spark.range(1000).select(
+          graft.sim.Similarity.cosineNative(spark.range(1).toDF, v, v).as("c"))
+        .groupBy().max("c").collect()
+      // streaming machinery: one AvailableNow micro-batch query primes the
+      // state store, streaming planner, and file stream source — otherwise
+      // the first streaming query pays ~1-2 s of one-time setup
+      graft.streaming.EventStreams.runToCompletion(spark, sfDir)(
+        _.groupBy(col("event_type")).count())
+      // ...and the stream-stream join operator separately: symmetric join
+      // state stores are their own one-time setup on top of the agg path
+      graft.streaming.EventStreams.runToCompletion(spark, sfDir, "append")(
+        graft.streaming.EventStreams.intervalJoin(_, "signup", "error", "1 minute"))
     } catch { case _: Throwable => () }
     // Timed action = full materialization through the noop sink: every
     // projection is evaluated and every row serialized, exactly like the
