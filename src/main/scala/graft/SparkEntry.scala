@@ -478,6 +478,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ⊕ dedup: incremental ingest dedup — a new batch (doc_id % 4 == 0)
+    // against the existing corpus via broadcast Bloom prefilter + exact
+    // anti-join verify on the mightContain sliver; result is exactly the
+    // anti-join's (bloom false positives verified away, no false negatives)
+    "q61_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 4 === 0),
+          docs.filter(col("doc_id") % 4 =!= 0),
+          col("text"), col("text"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ⊕ similarity: symmetric int8 embedding quantization (4× memory at
     // the 100 TB ANN tier) with per-vector reconstruction cosine — scale
     // and quantized array staged once, portable floor(x+0.5) rounding
@@ -1102,6 +1116,14 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q61_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id, lang, doc_id % 4 AS m,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents)
+        |SELECT doc_id, lang FROM fp b WHERE m = 0
+        |  AND NOT EXISTS (SELECT 1 FROM fp c WHERE c.m <> 0 AND c.f = b.f)
+        |ORDER BY doc_id""".stripMargin,
 
     "q60_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -222,6 +222,44 @@ object Dedup {
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
   }
 
+  /** Incremental exact dedup: keep only the rows of a NEW batch whose
+    * normalized-text fingerprint is absent from an existing corpus.
+    *
+    * A plain anti-join would shuffle the ENTIRE corpus's fingerprints
+    * against every ingest batch — at the 100 TB tier that is the corpus
+    * scan dominating a (comparatively tiny) daily batch. Instead:
+    *  1. build a Bloom filter over the corpus fingerprints with a
+    *     distributed `stat.bloomFilter` (treeAggregate: partial filters
+    *     OR-merged up, only the final bit array — sized by
+    *     `expectedItems`/`fpp`, e.g. ~1.2 GB for 1e9 docs at 1% — lands
+    *     on the driver and broadcasts);
+    *  2. rows whose fingerprint the bloom DEFINITELY does not contain
+    *     (no false negatives) pass through with no join at all — at a
+    *     mostly-novel ingest that is almost the whole batch;
+    *  3. only the `mightContain` sliver (true dups + fpp false positives)
+    *     anti-joins the corpus for exact verification.
+    * The result is exactly the anti-join's (the oracle checks that), but
+    * the shuffled volume is fpp-proportional, not corpus-proportional.
+    *
+    * §2.10 note: the bloom probe is the engine's one deliberate scalar
+    * UDF — the probe of a broadcast native structure; there is no built-in
+    * Column form for a driver-built BloomFilter, and the codegen loss on
+    * the already-pruned sliver is noise next to the avoided shuffle. */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
+                       text: Column, corpusText: Column,
+                       expectedItems: Long = 1000000L,
+                       fpp: Double = 0.01): DataFrame = {
+    val fresh = newDocs.withColumn("__fp", TextAnalysis.fingerprint(text))
+    val seen = corpus.select(TextAnalysis.fingerprint(corpusText).as("__fp"))
+    val bloom = seen.stat.bloomFilter("__fp", expectedItems, fpp)
+    val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
+    val definiteNew = fresh.filter(!mightContain(col("__fp")))
+    val verifiedNew = fresh.filter(mightContain(col("__fp")))
+      .join(seen, Seq("__fp"), "left_anti")
+    definiteNew.unionByName(verifiedNew).drop("__fp")
+  }
+
   /** Winnowing-fingerprint near-dup candidates (the rolling-hash tier of
     * the dedup ladder — exact ⊂ winnowing ⊂ MinHash/LSH): docs sharing at
     * least `minShared` winnowing fingerprints

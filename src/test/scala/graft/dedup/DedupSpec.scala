@@ -149,4 +149,26 @@ class DedupSpec extends SparkSpec {
     def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
     assert(ham(sh(1L), sh(2L)) <= ham(sh(1L), sh(3L)))
   }
+
+  test("incrementalDedup equals the plain anti-join (bloom has no false negatives)") {
+    val corpus = docs(
+      1L -> "already ingested document one",
+      2L -> "already ingested document two",
+      3L -> "Already   Ingested Document ONE")   // normalized dup of 1
+    val batch = docs(
+      10L -> "already ingested document one",    // exact dup -> dropped
+      11L -> "ALREADY ingested   document two",  // normalized dup -> dropped
+      12L -> "a genuinely new document",
+      13L -> "another genuinely new document")
+    val got = Dedup.incrementalDedup(batch, corpus, col("text"), col("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === Seq(12L, 13L))
+    // and the result is exactly what the full anti-join computes
+    val expected = batch
+      .withColumn("f", graft.text.TextAnalysis.fingerprint(col("text")))
+      .join(corpus.select(graft.text.TextAnalysis.fingerprint(col("text")).as("f")),
+        Seq("f"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === expected)
+  }
 }
