@@ -286,6 +286,16 @@ object Dedup {
     val fps = docs.select(col(idCol),
       explode(TextAnalysis.winnowFingerprints(text, k, w)).as("fp"))
     val dfw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    // No localCheckpoint here, deliberately (contrast [[lshCandidates]],
+    // whose bucket table feeds an ITERATIVE consumer): both self-join
+    // sides shuffle on the same `fp` key, so ReuseExchange serves the
+    // second side from the first side's shuffle files — the kernel,
+    // explode, and shuffle write run ONCE (ReusedExchange asserted in
+    // PlanQualitySpec). Only the post-shuffle Sort+Window re-execute per
+    // side, and they read local shuffle blocks. A measured checkpoint
+    // variant was strictly slower: materialization costs more than the
+    // post-shuffle re-execution it avoids, at every scale where shuffle
+    // reuse holds.
     val rare = fps.withColumn("__df", count(lit(1)).over(dfw))
       .filter(col("__df") <= maxDocFreq).drop("__df")
     val a = rare.select(col("fp"), col(idCol).as("a"))

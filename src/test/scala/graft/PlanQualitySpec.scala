@@ -83,6 +83,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(n <= 3, s"expected <=3 hash exchanges (fp window, join sides), got $n:\n$p")
   }
 
+  test("q57: the exploded fingerprint shuffle is computed once, then reused") {
+    // both self-join sides derive from the same kernel+explode+shuffle
+    // subtree; at execution the second side must read the first side's
+    // shuffle (AQE stage reuse / ReusedExchange), not recompute the scan —
+    // the reason winnowingCandidates needs no materialization barrier
+    val df = SparkEntry.queries("q57_winnow_pairs")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"no exchange reuse in executed plan:\n$p")
+  }
+
   test("q94: recall gate stays a lazy plan (no driver-side action at build time)") {
     // building the DataFrame must not trigger jobs; the gate is a filtered
     // 1-row aggregate cross-joined into the plan
