@@ -37,6 +37,10 @@ object SparkEntry {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** Fixed spool for the q93 fixture: must be a stable absolute path
+    * because the DuckDB oracle reads it after the Verify run ends. */
+  val Q93FixtureDir = "/tmp/graft_pretalx_fixture"
+
   /** Order-independent exact sum of a double column: via DECIMAL. */
   private def dsum(c: Column, prec: Int = 18, scale: Int = 2): Column =
     sum(c.cast(DecimalType(prec, scale))).cast("double")
@@ -467,7 +471,8 @@ object SparkEntry {
     // dirs) — the write-side of the 100 TB layout story, oracle-checked
     // for losslessness against the source table
     "q59_partition_prune" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_layout")
+      val tmp = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_layout"))
         .toString + "/events"
       graft.layout.DataLayout.writePartitionedSorted(
         Tables.events(s, d), tmp, Seq("event_type"), Seq("ts"))
@@ -768,10 +773,21 @@ object SparkEntry {
         .orderBy(col("user_id"))),
 
     // the reference's full ETL (S1 pretalx scan → transform → S2 paginated
-    // DSv2 scan → merge diff) on a deterministic inline fixture; rows-only
-    // (inputs are reference-shaped JSON, not the sfDir tables)
+    // DSv2 scan → merge diff) on a deterministic inline fixture. The scan
+    // outputs (talks, target pages) are ALSO spooled as parquet at a fixed
+    // path so the DuckDB oracle can recompute the transform+merge in SQL
+    // from the same inputs — the fixture is reference-shaped JSON, not an
+    // sfDir table, so this spool IS what makes q93 hash-checkable. The
+    // fixed path is overwritten per run (no accumulation) and must outlive
+    // the query: the oracle reads it after the Verify pass.
     "q93_pretalx_etl" -> ((s, _) => {
-      val dir = java.nio.file.Files.createTempDirectory("pretalx_fix")
+      val dir = java.nio.file.Paths.get(Q93FixtureDir)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(dir.resolve("schedule.json"),
         """{"talks": [
           |  {"code": "T-1", "title": "Keynote", "room": 1, "abstract": "A",
@@ -785,9 +801,35 @@ object SparkEntry {
         """{"data": [{"id": "e1", "name": "Keynote", "tags": ["t-1"]},
           |          {"id": "e2", "name": "Old", "tags": ["gone"]}],
           | "pagination": {"total": 2, "page": 1, "page_size": 100}}""".stripMargin)
-      graft.sources.HubEtl.run(s, dir.resolve("schedule.json").toString, pages.toString)
+      val schedule = graft.sources.Pretalx.readSchedule(s, dir.resolve("schedule.json").toString)
+      val talks = graft.sources.Pretalx.talks(schedule)
+      val target = graft.sources.HubEtl.targetEvents(s, pages.toString)
+      talks.coalesce(1).write.mode("overwrite").parquet(s"$Q93FixtureDir/talks.parquet")
+      target.coalesce(1).write.mode("overwrite").parquet(s"$Q93FixtureDir/target.parquet")
+      val events = graft.sources.Pretalx.talksToEvents(
+        talks, graft.sources.Pretalx.speakerMapOf(schedule))
+      graft.sources.HubEtl.mergePlan(events, target)
         .select(col("code"), col("name"), col("op_flag"), col("hub_id"))
         .orderBy(coalesce(col("code"), lit("")), col("op_flag"))
+    }),
+
+    // K1-K4 complete: the row-at-a-time sink template with "delete" as a
+    // first-class op (main.py:182-188) — delete rows submit through the
+    // same sink session and are never published (the publish step follows
+    // the create/update form submit only, main.py:251-256)
+    "q96_load_sink_delete" -> ((s, d) => {
+      val plan = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, "delete")
+          .when(col("doc_id") % 2 === 0, "update")
+          .otherwise("create").as("op_flag"))
+      val sink = new graft.sources.HubEtl.RowSink {
+        def submit(op: String, row: org.apache.spark.sql.Row): String =
+          if (row.getLong(0) % 97 == 0) "invalid field" else ""
+      }
+      graft.sources.HubEtl.loadRows(plan, sink)
+        .select(col("doc_id"), col("op_flag"), col("valid"), col("published"),
+          col("load_status"))
+        .orderBy(col("doc_id"))
     }),
 
     // K1/K3/K4: the row-at-a-time sink template, hash-verified — a
@@ -1394,6 +1436,36 @@ object SparkEntry {
         |  doc_id % 97 <> 0 AS published,
         |  CASE WHEN doc_id % 97 = 0 THEN 'invalid' ELSE 'submitted' END AS load_status
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q96_load_sink_delete" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'delete'
+        |       WHEN doc_id % 2 = 0 THEN 'update' ELSE 'create' END AS op_flag,
+        |  doc_id % 97 <> 0 AS valid,
+        |  (doc_id % 97 <> 0 AND doc_id % 7 <> 0) AS published,
+        |  CASE WHEN doc_id % 97 = 0 THEN 'invalid' ELSE 'submitted' END AS load_status
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // recomputes the transform+merge from the parquet spool the q93 query
+    // writes (see Q93FixtureDir): name/code coalescing (main.py:116,132),
+    // key = lower(code) vs lower(tags[1]) (main.py:135,137,152,155),
+    // deterministic first-match (min id) target dedup, full-outer op_flag
+    "q93_pretalx_etl" ->
+      s"""WITH src AS (
+         |  SELECT coalesce(title, '') AS name, coalesce(code, '') AS code,
+         |         lower(coalesce(code, '')) AS k
+         |  FROM read_parquet('$Q93FixtureDir/talks.parquet/*.parquet')),
+         |tgt AS (
+         |  SELECT id, k FROM (
+         |    SELECT id, lower(tags[1]) AS k,
+         |           row_number() OVER (PARTITION BY lower(tags[1]) ORDER BY id) AS rn
+         |    FROM read_parquet('$Q93FixtureDir/target.parquet/*.parquet')) WHERE rn = 1)
+         |SELECT s.code, s.name,
+         |  CASE WHEN s.code IS NULL THEN 'delete'
+         |       WHEN t.id IS NULL THEN 'create' ELSE 'update' END AS op_flag,
+         |  t.id AS hub_id
+         |FROM src s FULL OUTER JOIN tgt t ON s.k = t.k
+         |ORDER BY coalesce(s.code, ''), op_flag""".stripMargin,
 
     "q90_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,

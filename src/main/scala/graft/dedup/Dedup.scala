@@ -252,7 +252,11 @@ object Dedup {
     val fresh = newDocs.withColumn("__fp", TextAnalysis.fingerprint(text))
     val seen = corpus.select(TextAnalysis.fingerprint(corpusText).as("__fp"))
     val bloom = seen.stat.bloomFilter("__fp", expectedItems, fpp)
-    val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
+    // registered for deterministic destroy: the harness drains after the
+    // consuming action; un-drained sessions fall back to the ContextCleaner
+    // (see graft.util.Cleanup)
+    val bc = graft.util.Cleanup.registerBroadcast(
+      newDocs.sparkSession.sparkContext.broadcast(bloom))
     val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
     val definiteNew = fresh.filter(!mightContain(col("__fp")))
     val verifiedNew = fresh.filter(mightContain(col("__fp")))

@@ -98,14 +98,22 @@ object HubEtl {
     *    single-threaded reference `break`s out of the whole loop
     *    (main.py:201-204); per-partition abort is the data-parallel
     *    equivalent (each task is the unit of sequential work);
+    *  - "delete" is a first-class op (main.py:182-188: the reference runs
+    *    the delete loop through the same browser session before the
+    *    create/update loop), gated by `autoDelete` (AUTO_DELETE_EVENTS,
+    *    settings.py.template:22): gate off ⇒ delete rows pass through
+    *    untouched as "delete_skipped" — skipped, not unknown;
     *  - publish runs only when `autoPublish` AND the row was valid
-    *    (main.py:251 `if AUTO_PUBLISH and not is_invalid`).
+    *    (main.py:251 `if AUTO_PUBLISH and not is_invalid`), and never for
+    *    deletes (the reference publishes after the create/update form
+    *    submit only, main.py:251-256).
     *
     * mapPartitions (not foreachPartition) so the per-row statuses come BACK
     * as a DataFrame — auditable, joinable, and writable to a status table. */
   def loadRows(plan: DataFrame, sink: RowSink, opCol: String = "op_flag",
-               knownOps: Seq[String] = Seq("create", "update"),
-               autoPublish: Boolean = true): DataFrame = {
+               knownOps: Seq[String] = Seq("create", "update", "delete"),
+               autoPublish: Boolean = true,
+               autoDelete: Boolean = true): DataFrame = {
     val spark = plan.sparkSession
     val outSchema = plan.schema
       .add("sink_message", StringType, nullable = true)
@@ -123,6 +131,8 @@ object HubEtl {
         } else if (!known.contains(op)) {
           aborted = true
           Row.fromSeq(r.toSeq ++ Seq(null, null, false, "unknown_op"))
+        } else if (op == "delete" && !autoDelete) {
+          Row.fromSeq(r.toSeq ++ Seq(null, null, false, "delete_skipped"))
         } else {
           val (msg, status) =
             try (sink.submit(op, r), "submitted")
@@ -131,7 +141,7 @@ object HubEtl {
             }
           val valid = status == "submitted" &&
             !(msg.toLowerCase.indexOf("invalid") >= 0)
-          val published = autoPublish && valid &&
+          val published = autoPublish && valid && op != "delete" &&
             (try { sink.publish(r); true } catch { case _: Exception => false })
           Row.fromSeq(r.toSeq ++
             Seq(msg, valid, published, if (valid) status else if (status == "error") "error" else "invalid"))

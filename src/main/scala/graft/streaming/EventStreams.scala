@@ -62,9 +62,13 @@ object EventStreams {
                       outputMode: String = "complete")
                      (transform: DataFrame => DataFrame): DataFrame = {
     // `$dir/events.parquet` is a single file; FileStreamSource needs a
-    // directory to scan, so expose the file through a temp dir symlink.
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    srcDir.toFile.deleteOnExit()
+    // directory to scan, so COPY the file into a scratch dir (a copy, not a
+    // symlink: the source lives on read-only storage in the harness; at
+    // cluster scale the stream reads a real landing directory and this shim
+    // disappears). The dir is registered for deterministic deletion at the
+    // harness's next Cleanup.drain().
+    val srcDir = graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft_stream_src"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(dir, "events.parquet"),
       srcDir.resolve("events.parquet"))
@@ -143,8 +147,8 @@ object EventStreams {
     * transactional table without touching the query). */
   def streamToParquet(spark: SparkSession, dir: String, outDir: String,
                       transform: DataFrame => DataFrame = identity): Unit = {
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_sink_src")
-    srcDir.toFile.deleteOnExit()
+    val srcDir = graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft_stream_sink_src"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(dir, "events.parquet"),
       srcDir.resolve("events.parquet"))

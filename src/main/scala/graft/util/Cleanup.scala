@@ -1,0 +1,57 @@
+package graft.util
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.broadcast.Broadcast
+
+/** Deterministic release of per-query resources that outlive a lazy plan:
+  * driver-built broadcasts (e.g. the Bloom filter in
+  * [[graft.dedup.Dedup.incrementalDedup]]) and scratch directories written
+  * by layout/fixture queries.
+  *
+  * Why a registry and not `bc.destroy()` at the call site: the operators
+  * return LAZY DataFrames, so at construction time nothing has executed and
+  * destroying the broadcast would break the plan. The harness (Verify,
+  * Bench) calls [[drain]] after each query's terminal action, when the
+  * resources are provably no longer referenced by a running job. Library
+  * users in a long-lived session do the same, or fall back to Spark's
+  * ContextCleaner (broadcasts are weak-referenced and destroyed on GC) —
+  * drain just makes it deterministic instead of GC-timed. */
+object Cleanup {
+  private val broadcasts = new ConcurrentLinkedQueue[Broadcast[_]]()
+  private val tempDirs = new ConcurrentLinkedQueue[Path]()
+
+  /** Register a broadcast to be destroyed at the next [[drain]]. */
+  def registerBroadcast[T](bc: Broadcast[T]): Broadcast[T] = {
+    broadcasts.add(bc); bc
+  }
+
+  /** Register a scratch directory to be recursively deleted at the next
+    * [[drain]]. */
+  def registerTempDir(p: Path): Path = { tempDirs.add(p); p }
+
+  /** Destroy all registered broadcasts and delete all registered temp dirs.
+    * Call only after the actions consuming them have completed. */
+  def drain(): Unit = {
+    var bc = broadcasts.poll()
+    while (bc != null) {
+      try bc.destroy() catch { case _: Exception => () }
+      bc = broadcasts.poll()
+    }
+    var dir = tempDirs.poll()
+    while (dir != null) {
+      deleteRecursively(dir)
+      dir = tempDirs.poll()
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    try {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(deleteRecursively(_)) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    } catch { case _: Exception => () }
+}

@@ -203,6 +203,40 @@ class HubEtlSpec extends SparkSpec {
       "r3" -> "skipped_after_unknown_op"))   // rows after the break never submit
   }
 
+  test("loadRows: delete is a first-class op — submitted, never published, gated by autoDelete") {
+    import spark.implicits._
+    val plan = Seq(("r1", "delete"), ("r2", "create"), ("r3", "delete"))
+      .toDF("k", "op_flag").coalesce(1)
+    HubEtlSpec.published.clear()
+    HubEtlSpec.submitted.clear()
+    val sink = new HubEtl.RowSink {
+      def submit(op: String, row: org.apache.spark.sql.Row): String = {
+        HubEtlSpec.submitted.add(op -> row.getString(0)); ""
+      }
+      override def publish(row: org.apache.spark.sql.Row): Unit =
+        HubEtlSpec.published.add(row.getString(0))
+    }
+    // gate on (AUTO_DELETE_EVENTS, main.py:182): deletes submit through the
+    // same session as create/update and do NOT abort the partition...
+    val on = HubEtl.loadRows(plan, sink)
+      .select("k", "load_status", "published").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(on === Map(
+      "r1" -> (("submitted", false)),   // ...and are never published (main.py:251-256)
+      "r2" -> (("submitted", true)),
+      "r3" -> (("submitted", false))))
+    assert(HubEtlSpec.submitted.toArray.toSet === Set("delete" -> "r1", "create" -> "r2", "delete" -> "r3"))
+    assert(HubEtlSpec.published.toArray.toSet === Set("r2"))
+
+    // gate off: delete rows pass through untouched — skipped, not unknown
+    HubEtlSpec.submitted.clear()
+    val off = HubEtl.loadRows(plan, sink, autoDelete = false)
+      .select("k", "load_status").as[(String, String)].collect().toMap
+    assert(off === Map(
+      "r1" -> "delete_skipped", "r2" -> "submitted", "r3" -> "delete_skipped"))
+    assert(HubEtlSpec.submitted.toArray.toSet === Set("create" -> "r2"))
+  }
+
   test("loadRows publish gate: only valid rows publish, and only when autoPublish") {
     import spark.implicits._
     val plan = Seq(("ok", "create"), ("bad", "create")).toDF("k", "op_flag")
@@ -227,7 +261,9 @@ class HubEtlSpec extends SparkSpec {
 }
 
 object HubEtlSpec {
-  // local-mode test hook: executors share the JVM, so a static queue can
-  // observe publish() calls from sink tasks
+  // local-mode test hooks: executors share the JVM, so static queues can
+  // observe sink calls from tasks (a local val would be serialized into the
+  // task closure and the tasks would mutate a copy)
   val published = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val submitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
 }
