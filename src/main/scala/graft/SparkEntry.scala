@@ -54,9 +54,14 @@ object SparkEntry {
   private val shinglesCte =
     """sh AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i FROM w))""".stripMargin
+  // mirrors Dedup.minhashSignature's staging: 2 seeded md5s per shingle,
+  // each digest sliced into four 8-hex (32-bit) hashes
   private val sigCte = {
-    val hs = (0 until 8).map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
-    s"sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id)"
+    val hs = (0 until 8).map { i =>
+      s"min(substring(m${i / 4}, ${(i % 4) * 8 + 1}, 8)) AS h$i"
+    }.mkString(", ")
+    s"""shm AS (SELECT doc_id, md5('0|' || shingle) AS m0, md5('1|' || shingle) AS m1 FROM sh),
+       |sig AS (SELECT doc_id, $hs FROM shm GROUP BY doc_id)""".stripMargin
   }
   private val wdCte =
     """wd AS (SELECT DISTINCT doc_id, wrd FROM
@@ -323,11 +328,20 @@ object SparkEntry {
       Dedup.minhashSignature(t(s, d, "documents"), "doc_id", col("text"))
         .orderBy(col("doc_id"))),
 
-    // ⊕ dedup: LSH banding -> candidate pairs -> exact Jaccard verify
+    // ⊕ dedup: LSH banding -> candidate pairs with the MinHash-estimate
+    // prefilter FUSED into the bucket self-join (signature agreement
+    // >= 3/8, i.e. more than one band's worth) -> exact Jaccard verify.
+    // Low-similarity band collisions die before the word-table
+    // explode+double-join of the exact verify, at zero extra shuffles: the
+    // signature rides the bucket table the join shuffles anyway.
     "q22_lsh_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val sig = Dedup.minhashSignature(docs, "doc_id", col("text"))
-      val cand = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2)
+      // the pair list is tiny (band collisions surviving the prefilter) and
+      // jaccardVerify consumes it four times (ids union ×2, intersection,
+      // final join) — one checkpoint beats four re-derivations
+      val cand = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2,
+        minAgree = 3).localCheckpoint()
       Dedup.jaccardVerify(cand, docs, "doc_id", col("text"))
         .orderBy(col("a"), col("b"))
     }),
@@ -510,6 +524,26 @@ object SparkEntry {
           aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
           round(Similarity.cosine(col("embedding"),
             Similarity.dequantize(col("__q"), col("__s"))), 6).as("recon_cos"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ⊕ similarity × layout: the ANN-at-rest story — corpus IVF-assigned
+    // and written hive-partitioned by cell (one directory per inverted
+    // list), read back through the layout. Oracle-checked for
+    // LOSSLESSNESS against the source table (the cell assignment itself is
+    // data-dependent — IvfLayoutSpec asserts the probe-side directory
+    // pruning and path-vs-memory equivalence).
+    "q62_ivf_layout" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, 16)
+      val tmp = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_ivf")).toString + "/ivf"
+      Similarity.writeIvfLayout(emb, cents, tmp)
+      s.read.parquet(tmp)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).cast("long").as("dims"),
+          round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double")), 6)
+            .as("emb_sum"))
         .orderBy(col("vec_id"))
     }),
 
@@ -1044,10 +1078,19 @@ object SparkEntry {
       s"""WITH $wordsCte, $shinglesCte, $sigCte
          |SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sig ORDER BY doc_id""".stripMargin,
 
-    "q22_lsh_pairs" -> jaccardSql(
-      s"""$bandCte,
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin),
+    "q22_lsh_pairs" -> {
+      // mirror the MinHash-estimate prefilter: signature agreement >= 3/8
+      val agree = (0 until 8)
+        .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      jaccardSql(
+        s"""$bandCte,
+           |cand0 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           |cand AS (SELECT c.a, c.b FROM cand0 c
+           |  JOIN sig sa ON sa.doc_id = c.a
+           |  JOIN sig sb ON sb.doc_id = c.b
+           |  WHERE $agree >= 3)""".stripMargin)
+    },
 
     "q23_jaccard_pairs" -> jaccardSql(
       """cand AS (SELECT d1.doc_id AS a, d2.doc_id AS b
@@ -1186,6 +1229,11 @@ object SparkEntry {
       s"""SELECT event_type, count(*) AS n, ${sqlDsum("value", 18, 2)} AS total
          |FROM events WHERE event_type IN ('view', 'click')
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q62_ivf_layout" ->
+      """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dims,
+        |  round(coalesce(list_sum(CAST(embedding AS DOUBLE[])), 0.0), 6) AS emb_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q58_stream_join" ->
       """SELECT a.user_id, a.event_id AS l_id, b.event_id AS r_id,

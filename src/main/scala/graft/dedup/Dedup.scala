@@ -41,17 +41,27 @@ object Dedup {
         array_join(slice(col("__ws"), col("__i"), lit(k)), " ").as("shingle"))
   }
 
-  /** MinHash signature: numHashes columns h0..h{n-1}, where
-    * h_i = min over shingles of md5(i || '|' || shingle). Lexicographic min
-    * over fixed-width lowercase hex == numeric min over the 128-bit hash,
-    * so no hex→int conversion is needed (and the oracle can reproduce it).
+  /** MinHash signature: numHashes columns h0..h{n-1}, where h_i is the min
+    * over shingles of a 32-bit (8-hex-char) hash slice. Hashes come in
+    * groups of four per md5 call: digest ⌈n/4⌉ seeded md5s per shingle and
+    * slice each 32-hex digest into four 8-char hashes — md5 is the hot op
+    * of the whole dedup pipeline, and 2 calls/shingle beats 8 with no loss
+    * that matters (32-bit min-hash is the standard width; ties across docs
+    * need ~2³² shingles). The md5s are STAGED in a projection before the
+    * groupBy so each digest is computed once, not once per slice.
+    * Lexicographic min over fixed-width lowercase hex == numeric min, so
+    * no hex→int conversion is needed (and the oracle can reproduce it).
     * One shuffle (groupBy doc id); map-side partial min keeps it cheap. */
   def minhashSignature(docs: DataFrame, idCol: String, text: Column,
                        numHashes: Int = 8, k: Int = 3): DataFrame = {
-    val sh = shingles(docs, idCol, text, k)
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"h$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val seeds = (numHashes + 3) / 4
+    val staged = shingles(docs, idCol, text, k).select(
+      col(idCol) +: (0 until seeds).map(s =>
+        md5(concat(lit(s.toString), lit("|"), col("shingle"))).as(s"__m$s")): _*)
+    val aggs = (0 until numHashes).map { i =>
+      min(substring(col(s"__m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")
+    }
+    staged.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: signatures split into `bands` bands of
@@ -74,7 +84,9 @@ object Dedup {
     * shuffles on, so the cap adds no extra exchange. */
   def lshCandidates(sig: DataFrame, idCol: String,
                     bands: Int, rowsPerBand: Int,
-                    maxBucketSize: Int = 10000): DataFrame = {
+                    maxBucketSize: Int = 10000,
+                    minAgree: Int = 0): DataFrame = {
+    val numHashes = bands * rowsPerBand
     val bandCols = (0 until bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("_", hs: _*).as("bucket"))
@@ -87,22 +99,67 @@ object Dedup {
     // cache(), checkpoint blocks are released by the ContextCleaner when the
     // DataFrame goes out of scope, so repeated calls in a long-lived session
     // don't accumulate cached blocks. Size is |docs| × bands rows of
-    // (id, int, string, long, id): tiny relative to the corpus.
-    val sized = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // (id, int, string, long, id [, 8 hash slices]): tiny relative to the
+    // corpus.
+    // minAgree > 0 fuses the MinHash-estimate prefilter INTO the self-join:
+    // the full signature rides along in the bucket table (one array column)
+    // and pairs must agree on >= minAgree of numHashes positions — same
+    // semantics as [[minhashPrefilter]] after the fact, minus its two extra
+    // joins and the second materialization of sig. Star edges from
+    // oversized buckets are exempt (they exist to preserve connectivity,
+    // not to estimate similarity).
+    val sigCols =
+      if (minAgree > 0) Seq(array((0 until numHashes).map(i => col(s"h$i")): _*).as("__sig"))
+      else Nil
+    val sized = sig.select(col(idCol) +: explode(array(bandCols: _*)).as("bb") +: sigCols: _*)
+      .select(col(idCol) +: col("bb.band").as("band") +: col("bb.bucket").as("bucket") +:
+        sigCols.map(_ => col("__sig")): _*)
       .withColumn("__bsz", count(lit(1)).over(w))
       .withColumn("__bmin", min(col(idCol)).over(w))
       .localCheckpoint()
     val buckets = sized.filter(col("__bsz") <= maxBucketSize)
       .drop("__bsz", "__bmin")
-    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
-    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
-    val smallPairs = a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
+    val aCols = col("band") +: col("bucket") +: col(idCol).as("a") +:
+      sigCols.map(_ => col("__sig").as("__siga"))
+    val bCols = col("band") +: col("bucket") +: col(idCol).as("b") +:
+      sigCols.map(_ => col("__sig").as("__sigb"))
+    val joined = buckets.select(aCols: _*).join(buckets.select(bCols: _*), Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+    val smallPairs = (if (minAgree > 0)
+        joined.filter(
+          aggregate(zip_with(col("__siga"), col("__sigb"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _) >= minAgree)
+      else joined)
       .select("a", "b")
     // oversized buckets: hub = min id, so a < b holds by construction
     val starPairs = sized.filter(col("__bsz") > maxBucketSize && col(idCol) =!= col("__bmin"))
       .select(col("__bmin").as("a"), col(idCol).as("b"))
     smallPairs.union(starPairs).distinct()
+  }
+
+  /** MinHash-estimate prefilter between candidate generation and exact
+    * verification: keep only pairs whose signatures agree on at least
+    * `minAgree` of `numHashes` positions (agreement fraction is an unbiased
+    * Jaccard estimate). The exact-verify stage explodes a word table and
+    * joins it twice per pair — at corpus scale that is the expensive step,
+    * and the signatures ALREADY EXIST from candidate generation, so this
+    * filter costs two narrow joins against the (|docs| × numHashes) sig
+    * table and typically removes the low-similarity majority of band
+    * collisions before any text is re-tokenized. Pass the same
+    * (localCheckpoint'd) sig both here and to [[lshCandidates]] so the
+    * shingle→minhash pipeline materializes once. */
+  def minhashPrefilter(pairs: DataFrame, sig: DataFrame, idCol: String,
+                       numHashes: Int, minAgree: Int): DataFrame = {
+    val sa = sig.select(col(idCol).as("a") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"__a$i")): _*)
+    val sb = sig.select(col(idCol).as("b") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"__b$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, Seq("a")).join(sb, Seq("b"))
+      .filter(agree >= minAgree)
+      .select(col("a"), col("b"))
   }
 
   /** Exact word-set Jaccard for given (a, b) id pairs — the verification

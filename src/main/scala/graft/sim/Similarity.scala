@@ -173,25 +173,72 @@ object Similarity {
       .drop("__sims")
   }
 
+  /** Each query's `nprobe` closest cells (posexplode + per-query
+    * top-nprobe): (qid, __qe, cell). */
+  def probeCells(queries: DataFrame, cents: Array[Seq[Float]],
+                 nprobe: Int): DataFrame = {
+    val qSims = queries.select(col("vec_id").as("qid"), col("embedding").as("__qe"),
+      posexplode(centroidSims(queries, col("embedding"), cents)).as(Seq("cell", "csim")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell").asc)
+    qSims.withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= nprobe).drop("__pr", "csim")
+  }
+
+  /** Score+rank stage shared by the in-memory and at-rest IVF paths:
+    * `assigned` must carry (nid, __ce, cell). */
+  private def ivfRank(queries: DataFrame, assigned: DataFrame,
+                      cents: Array[Seq[Float]], k: Int, nprobe: Int): DataFrame = {
+    val scored = assigned.join(probeCells(queries, cents, nprobe), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosineNative(queries, col("__qe"), col("__ce")), 6))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(wr)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** IVF ANN top-k: corpus partitioned into cells once; each query probes
     * its `nprobe` closest cells and re-ranks exactly inside them. The join
     * is equi on the cell id — scan cost ≈ nprobe/k of brute force, recall
     * < 1 by construction (raise nprobe → recall→1). This is the other
     * standard scale path next to [[lshTopK]]; at 100 TB the assigned corpus
-    * is written bucketed by `cell` so probes touch only matching files. */
+    * is written partitioned by `cell` ([[writeIvfLayout]]) so probes touch
+    * only matching directories ([[ivfTopKFromLayout]]). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nprobe: Int = 2, cells: Int = 16): DataFrame = {
     val cents = ivfCentroids(corpus, cells)
     val c = ivfAssign(corpus, cents)
       .select(col("vec_id").as("nid"), col("embedding").as("__ce"), col("cell"))
-    // query → its nprobe closest cells (posexplode + per-query top-nprobe)
-    val qSims = queries.select(col("vec_id").as("qid"), col("embedding").as("__qe"),
-      posexplode(centroidSims(queries, col("embedding"), cents)).as(Seq("cell", "csim")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell").asc)
-    val qCells = qSims.withColumn("__pr", row_number().over(w))
-      .filter(col("__pr") <= nprobe).drop("__pr", "csim")
+    ivfRank(queries, c, cents, k, nprobe)
+  }
+
+  /** The ANN-at-rest layout: the assigned corpus written hive-partitioned
+    * by `cell` with in-file order on `vec_id` — at 100 TB the partition
+    * directory IS the inverted list, so a probe reads nprobe/k of the
+    * corpus FILES, not just nprobe/k of its rows. */
+  def writeIvfLayout(corpus: DataFrame, cents: Array[Seq[Float]],
+                     outDir: String): Unit =
+    graft.layout.DataLayout.writePartitionedSorted(
+      ivfAssign(corpus, cents), outDir, Seq("cell"), Seq("vec_id"))
+
+  /** IVF ANN top-k against the at-rest layout: the union of the queries'
+    * probe cells becomes a LITERAL `isin` partition filter (the set is
+    * bounded by the total cell count — a handful of ints, collected
+    * driver-side exactly like the centroids themselves), so the scan lists
+    * only the probed `cell=` directories — PartitionFilters, asserted by
+    * IvfLayoutSpec. Semantically identical to [[ivfTopK]] with the same
+    * centroids. */
+  def ivfTopKFromLayout(queries: DataFrame, layoutDir: String,
+                        cents: Array[Seq[Float]], k: Int,
+                        nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    // one materialization feeds the driver-side cell collect AND the join
+    val qCells = probeCells(queries, cents, nprobe).localCheckpoint()
+    val probed = qCells.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val c = spark.read.parquet(layoutDir)
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .select(col("vec_id").as("nid"), col("embedding").as("__ce"), col("cell"))
     val scored = c.join(qCells, Seq("cell")).filter(col("qid") =!= col("nid"))
-      .withColumn("sim", round(cosineNative(corpus, col("__qe"), col("__ce")), 6))
+      .withColumn("sim", round(cosineNative(queries, col("__qe"), col("__ce")), 6))
     val wr = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(wr)).filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("sim"), col("rank").cast("long").as("rank"))

@@ -48,6 +48,25 @@ class DedupSpec extends SparkSpec {
     assert(!cand.exists { case (a, b) => a >= b }) // canonical a < b, no self-pairs
   }
 
+  test("fused minAgree prefilter equals standalone minhashPrefilter, subset of raw candidates") {
+    val d = graft.model.Tables.documents(spark, sfDir)
+    val sig = Dedup.minhashSignature(d, "doc_id", col("text")).localCheckpoint()
+    val raw = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    val standalone = Dedup.minhashPrefilter(
+        Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2),
+        sig, "doc_id", numHashes = 8, minAgree = 3)
+      .as[(Long, Long)].collect().toSet
+    val fused = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2,
+        minAgree = 3).as[(Long, Long)].collect().toSet
+    assert(fused === standalone)
+    assert(fused.subsetOf(raw))
+    // sanity: a full-agreement threshold keeps only signature-identical pairs
+    val all8 = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2,
+        minAgree = 8).as[(Long, Long)].collect().toSet
+    assert(all8.subsetOf(fused))
+  }
+
   test("lshCandidates caps over-full buckets to star edges: never n², still connected") {
     // 30 identical docs share every band bucket; with maxBucketSize=10 the
     // 30·29/2=435-pair blow-up degrades to 29 star edges around the min id
