@@ -328,18 +328,34 @@ object SparkEntry {
       Dedup.minhashSignature(t(s, d, "documents"), "doc_id", col("text"))
         .orderBy(col("doc_id"))),
 
-    // ⊕ dedup: LSH banding -> candidate pairs with the MinHash-estimate
-    // prefilter FUSED into the bucket self-join (signature agreement
-    // >= 3/8, i.e. more than one band's worth) -> exact Jaccard verify.
-    // Low-similarity band collisions die before the word-table
-    // explode+double-join of the exact verify, at zero extra shuffles: the
-    // signature rides the bucket table the join shuffles anyway.
+    // ⊕ dedup: LSH banding -> candidate pairs -> exact Jaccard verify. This
+    // is the FULL-RECALL pipeline (every band collision exactly verified);
+    // q65 is the same pipeline with the MinHash-estimate prefilter fused in
+    // (a recall/cost tradeoff — a deliberately separate operator, not a
+    // flag on this one, so both semantics stay oracle-checked).
     "q22_lsh_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val sig = Dedup.minhashSignature(docs, "doc_id", col("text"))
-      // the pair list is tiny (band collisions surviving the prefilter) and
-      // jaccardVerify consumes it four times (ids union ×2, intersection,
-      // final join) — one checkpoint beats four re-derivations
+      // the pair list is small (band collisions only) and jaccardVerify
+      // consumes it four times (ids union ×2, intersection, final join) —
+      // one checkpoint beats four re-derivations
+      val cand = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2)
+        .localCheckpoint()
+      Dedup.jaccardVerify(cand, docs, "doc_id", col("text"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ⊕ dedup: q22 with the MinHash-estimate prefilter FUSED into the
+    // bucket self-join (signature agreement >= 3/8, i.e. more than one
+    // band's worth). Low-similarity band collisions die before the
+    // word-table explode+double-join of the exact verify, at zero extra
+    // shuffles: the signature rides the bucket table the join shuffles
+    // anyway. Cuts the verify stage's input superlinearly at crawl scale;
+    // the cost is recall at the τ boundary (pairs whose true Jaccard
+    // clears τ but whose 8-hash estimate lands < 3/8).
+    "q65_lsh_prefilter" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sig = Dedup.minhashSignature(docs, "doc_id", col("text"))
       val cand = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2,
         minAgree = 3).localCheckpoint()
       Dedup.jaccardVerify(cand, docs, "doc_id", col("text"))
@@ -545,6 +561,43 @@ object SparkEntry {
           round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double")), 6)
             .as("emb_sum"))
         .orderBy(col("vec_id"))
+    }),
+
+    // ⊕K-merge: the transactional upsert table end to end — two MERGE
+    // commits (create the base, then a mixed create/update/delete batch)
+    // against the copy-on-write snapshot table; the second commit rewrites
+    // only the buckets its keys hash into. The oracle expresses the final
+    // state closed-form over `orders` (`+ 1.0` not `* 1.1`: IEEE-identical
+    // in both engines, no round-tie hazard).
+    "q63_merge_upsert" -> ((s, d) => {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_merge_tbl")).toString + "/t"
+      val o = t(s, d, "orders").select(col("o_orderkey").as("okey"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+      val base = o.filter(col("okey") % 7 < 3).withColumn("op_flag", lit("create"))
+      val delta = o.filter(col("okey") % 7 === 1)
+          .withColumn("price", col("price") + lit(1.0))
+          .withColumn("status", lit("U"))
+          .withColumn("op_flag", lit("update"))
+        .unionByName(o.filter(col("okey") % 7 === 3).withColumn("op_flag", lit("create")))
+        .unionByName(o.filter(col("okey") % 7 === 2).withColumn("op_flag", lit("delete")))
+      graft.layout.MergeTable.merge(s, dir, base, "okey", numBuckets = 32)
+      graft.layout.MergeTable.merge(s, dir, delta, "okey")
+      graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
+    }),
+
+    // §2.9 × ⊕K-merge: streaming foreachBatch upsert — micro-batches MERGE
+    // into the snapshot table with batchId replay protection and a
+    // newer-wins condition; the final table is each user's latest event,
+    // independent of batch order, which the oracle states as an argmax.
+    "q64_stream_upsert" -> ((s, d) => {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_stream_tbl")).toString + "/t"
+      EventStreams.streamUpsert(s, d, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
     }),
 
     // §2.9: stream-stream interval join (funnel attribution: each view
@@ -1078,7 +1131,12 @@ object SparkEntry {
       s"""WITH $wordsCte, $shinglesCte, $sigCte
          |SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sig ORDER BY doc_id""".stripMargin,
 
-    "q22_lsh_pairs" -> {
+    "q22_lsh_pairs" -> jaccardSql(
+      s"""$bandCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin),
+
+    "q65_lsh_prefilter" -> {
       // mirror the MinHash-estimate prefilter: signature agreement >= 3/8
       val agree = (0 until 8)
         .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
@@ -1234,6 +1292,18 @@ object SparkEntry {
       """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dims,
         |  round(coalesce(list_sum(CAST(embedding AS DOUBLE[])), 0.0), 6) AS emb_sum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q63_merge_upsert" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 1.0 ELSE o_totalprice END AS price,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN 'U' ELSE o_orderstatus END AS status
+        |FROM orders WHERE o_orderkey % 7 IN (0, 1, 3) ORDER BY okey""".stripMargin,
+
+    "q64_stream_upsert" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q58_stream_join" ->
       """SELECT a.user_id, a.event_id AS l_id, b.event_id AS r_id,

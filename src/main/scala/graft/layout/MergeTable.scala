@@ -1,0 +1,265 @@
+package graft.layout
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Properties
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+
+/** MERGE INTO-shaped transactional upsert table over plain parquet — the
+  * Load story the reference's upsert semantics imply (main.py:171-260
+  * applies a create/update/delete plan row by row against a stateful
+  * target; SURVEY.md §5's roundtrip property: re-running the same load
+  * must be a no-op). Re-expressed as the standard copy-on-write table
+  * pattern every open table format builds on (snapshot directories + an
+  * atomically-swapped manifest pointer), reduced to its minimal public
+  * core:
+  *
+  *  - **Hash-bucketed layout.** Rows live in `pmod(hash(key), numBuckets)`
+  *    buckets, written hive-partitioned by [[BucketCol]] and sorted by the
+  *    key inside each file. A merge rewrites ONLY the buckets its change
+  *    keys hash into — cost scales with the delta, not the table. At
+  *    100 TB that is the difference between rewriting gigabytes and
+  *    rewriting everything.
+  *  - **Snapshot isolation.** Each commit writes a NEW `v<n>/` directory;
+  *    the manifest maps each bucket to the version that last rewrote it.
+  *    Readers resolve the manifest once and read immutable directories —
+  *    a concurrent reader never sees a half-written merge, and a failed
+  *    merge leaves no visible state (its directory is unreferenced).
+  *  - **Atomic commit.** The manifest swap is a same-directory
+  *    `ATOMIC_MOVE` rename — atomic on POSIX and HDFS. (On a
+  *    rename-less object store this one primitive becomes a
+  *    conditional-put; everything else is already immutable.)
+  *  - **Idempotent replay.** Commits record the streaming `batchId` that
+  *    produced them; [[merge]] skips any batch at-or-below the recorded
+  *    one, which is exactly the `foreachBatch` exactly-once recipe — a
+  *    retried micro-batch re-merges and is ignored ([[upsertBatch]]).
+  *  - **ANSI MERGE semantics.** `op_flag` drives WHEN NOT MATCHED THEN
+  *    INSERT / WHEN MATCHED THEN UPDATE / WHEN MATCHED THEN DELETE;
+  *    `updateWhen` is WHEN MATCHED **AND <cond>** THEN UPDATE (a stale
+  *    update leaves the target row in place), and a batch with two rows
+  *    for one key is rejected like ANSI MERGE's duplicate-source-row
+  *    error. An op of "update" on an unmatched key inserts — so a plain
+  *    last-write-wins upsert needs no op column bookkeeping at all.
+  *
+  * Single-writer by design (the reference is a one-shot job; multi-writer
+  * needs a lock service or CAS on the manifest — out of scope and
+  * documented rather than faked). Driver-side state is one Properties
+  * file and a bucket→version map of at most `numBuckets` entries.
+  */
+object MergeTable {
+
+  /** Reserved layout column: `pmod(hash(key), numBuckets)`. */
+  val BucketCol = "__pk_bucket"
+
+  private val KnownOps = Seq("create", "update", "delete")
+
+  private case class Manifest(version: Long, batchId: Long, key: String,
+                              numBuckets: Int, schemaJson: String,
+                              buckets: Map[Int, Long]) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  private def manifestPath(dir: String): Path = Paths.get(dir, "_latest")
+
+  private def readManifest(dir: String): Option[Manifest] = {
+    val p = manifestPath(dir)
+    if (!Files.exists(p)) None
+    else {
+      val props = new Properties()
+      val in = Files.newInputStream(p)
+      try props.load(in) finally in.close()
+      val buckets = props.getProperty("buckets", "") match {
+        case "" => Map.empty[Int, Long]
+        case s => s.split(",").iterator.map { kv =>
+          val Array(b, v) = kv.split(":"); b.toInt -> v.toLong
+        }.toMap
+      }
+      Some(Manifest(props.getProperty("version").toLong,
+        props.getProperty("batchId").toLong, props.getProperty("key"),
+        props.getProperty("numBuckets").toInt, props.getProperty("schema"),
+        buckets))
+    }
+  }
+
+  /** Properties (not JSON) for the manifest: `Properties.store` handles
+    * every escaping concern (the embedded schema JSON is one value), and
+    * the tmp-write + same-dir ATOMIC_MOVE rename is the whole commit
+    * protocol. */
+  private def commit(dir: String, m: Manifest): Unit = {
+    val props = new Properties()
+    props.setProperty("version", m.version.toString)
+    props.setProperty("batchId", m.batchId.toString)
+    props.setProperty("key", m.key)
+    props.setProperty("numBuckets", m.numBuckets.toString)
+    props.setProperty("schema", m.schemaJson)
+    props.setProperty("buckets",
+      m.buckets.toSeq.sorted.map { case (b, v) => s"$b:$v" }.mkString(","))
+    val tmp = Paths.get(dir, s"_commit_tmp_v${m.version}")
+    val out = Files.newOutputStream(tmp)
+    try props.store(out, "graft MergeTable manifest") finally out.close()
+    Files.move(tmp, manifestPath(dir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Current table contents (payload columns only). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readBuckets(spark, dir, requireManifest(dir), None).drop(BucketCol)
+
+  /** Last committed streaming batch id, -1 if none / no table. */
+  def lastBatchId(dir: String): Long =
+    readManifest(dir).map(_.batchId).getOrElse(-1L)
+
+  private def requireManifest(dir: String): Manifest =
+    readManifest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no MergeTable manifest at $dir"))
+
+  /** Read the live buckets (optionally restricted), [[BucketCol]] kept.
+    * Buckets are grouped by owning version and each version contributes
+    * one pruned scan of only its owned `__pk_bucket=` directories — a
+    * bucket dir can be absent (every row deleted), which is simply no
+    * rows. */
+  private def readBuckets(spark: SparkSession, dir: String, m: Manifest,
+                          only: Option[Set[Int]]): DataFrame = {
+    val schema = m.schema
+    val withBucket = schema.add(BucketCol, IntegerType, nullable = false)
+    val live = m.buckets.filter { case (b, _) => only.forall(_.contains(b)) }
+    val scans = live.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (v, bs) =>
+      val vDir = s"$dir/v$v"
+      val dirs = bs.keys.toSeq.sorted.map(b => s"$vDir/$BucketCol=$b")
+        .filter(d => Files.isDirectory(Paths.get(d)))
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("basePath", vDir).schema(withBucket)
+        .parquet(dirs: _*))
+    }
+    scans.reduceOption(_.unionByName(_)).getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withBucket))
+      .select((schema.fieldNames.toSeq :+ BucketCol).map(col): _*)
+  }
+
+  /** Apply one change batch. `changes` carries the payload columns plus
+    * `opCol` ∈ {create, update, delete}; at most one row per key (ANSI
+    * MERGE duplicate-source-row error otherwise). `updateWhen(src, tgt)`
+    * is the WHEN MATCHED AND condition: when it does not hold (false OR
+    * null), the existing target row is kept. Returns the committed
+    * version, or None when `batchId` was already applied (idempotent
+    * replay). One shuffle-join of the changes against ONLY their hashed
+    * buckets; untouched buckets are not read, not rewritten, and keep
+    * their manifest entry. */
+  def merge(spark: SparkSession, dir: String, changes: DataFrame, key: String,
+            opCol: String = "op_flag", numBuckets: Int = 16,
+            batchId: Long = -1L,
+            updateWhen: Option[(String => Column, String => Column) => Column] = None): Option[Long] = {
+    Files.createDirectories(Paths.get(dir))
+    val prior = readManifest(dir)
+    if (batchId >= 0 && prior.exists(_.batchId >= batchId)) return None
+    prior.foreach(m => require(m.key == key,
+      s"MergeTable at $dir is keyed by '${m.key}', not '$key'"))
+    val nb = prior.map(_.numBuckets).getOrElse(numBuckets)
+    val payload = prior.map(_.schema.fieldNames.toSeq)
+      .getOrElse(changes.columns.toSeq.filterNot(_ == opCol))
+    require(payload.contains(key), s"key '$key' not in payload $payload")
+
+    // checkpointed once: three consumers (stats action, join, write) must
+    // not recompute an arbitrarily expensive upstream plan
+    val ch = changes.select(payload.map(col) :+
+        coalesce(col(opCol).cast("string"), lit("<null>")).as("__op") :+
+        pmod(hash(col(key)), lit(nb)).as(BucketCol): _*)
+      .localCheckpoint()
+    // one action: changed buckets + key uniqueness + unknown-op detection
+    val st = ch.agg(
+      collect_set(col(BucketCol)), count(lit(1)), count_distinct(col(key)),
+      collect_set(when(!col("__op").isin(KnownOps: _*), col("__op")))).head()
+    require(st.getSeq[String](3).isEmpty,
+      s"unknown op(s) ${st.getSeq[String](3).mkString(", ")}: expected $KnownOps")
+    require(st.getLong(1) == st.getLong(2),
+      s"duplicate keys in merge source (${st.getLong(1)} rows, ${st.getLong(2)} distinct '$key') — ANSI MERGE forbids multiple source rows per target row")
+    val changed = st.getSeq[Int](0).toSet
+    val schemaJson = prior.map(_.schemaJson).getOrElse(
+      StructType(changes.schema.filter(f => payload.contains(f.name))).json)
+    val newV = prior.map(_.version + 1).getOrElse(0L)
+
+    // initial commit (or no changed bucket has any prior data): nothing to
+    // match against, so skip the target read AND the full-outer join — the
+    // batch's create/update rows all insert
+    val priorData = prior.filter(m => changed.exists(m.buckets.contains))
+    if (changed.nonEmpty && priorData.isEmpty) {
+      DataLayout.writePartitionedSorted(
+        ch.filter(col("__op") =!= "delete").drop("__op"),
+        s"$dir/v$newV", Seq(BucketCol), Seq(key))
+    } else if (changed.nonEmpty) {
+      val cur = readBuckets(spark, dir, priorData.get, Some(changed))
+      val tgt = cur.select(payload.map(c => col(c).as(s"__t_$c")) :+
+        col(BucketCol).as("__t_bucket"): _*)
+      val j = ch.join(tgt, col(key) === col(s"__t_$key"), "full_outer")
+      val matched = col("__op").isNotNull && col(s"__t_$key").isNotNull
+      val condOk = coalesce(
+        updateWhen.map(f => f(n => col(n), n => col(s"__t_$n")))
+          .getOrElse(lit(true)),
+        lit(false))
+      // source wins: non-delete, and either unmatched (insert) or the
+      // update condition holds; target survives: untouched by this batch,
+      // or matched by a conditionally-rejected update. Matched deletes and
+      // unmatched deletes produce nothing.
+      val takeSrc = col("__op").isNotNull && col("__op") =!= "delete" &&
+        (col(s"__t_$key").isNull || condOk)
+      val keepTgt = (col("__op").isNull && col(s"__t_$key").isNotNull) ||
+        (matched && col("__op") =!= "delete" && !condOk)
+      val out = j.filter(takeSrc || keepTgt).select(
+        payload.map(c => when(takeSrc, col(c)).otherwise(col(s"__t_$c")).as(c)) :+
+          when(takeSrc, col(BucketCol)).otherwise(col("__t_bucket")).as(BucketCol): _*)
+      DataLayout.writePartitionedSorted(out, s"$dir/v$newV", Seq(BucketCol), Seq(key))
+    }
+    commit(dir, Manifest(newV, batchId, key, nb, schemaJson,
+      prior.map(_.buckets).getOrElse(Map.empty) ++ changed.map(_ -> newV)))
+    Some(newV)
+  }
+
+  /** `foreachBatch` adapter: idempotent streaming upsert sink. A retried
+    * micro-batch (same batchId) is skipped via the manifest's recorded id
+    * — the standard exactly-once recipe for non-transactional sinks. */
+  def upsertBatch(dir: String, key: String, opCol: String = "op_flag",
+                  numBuckets: Int = 16,
+                  updateWhen: Option[(String => Column, String => Column) => Column] = None)
+                 : (DataFrame, Long) => Unit =
+    (batch, id) => {
+      merge(batch.sparkSession, dir, batch, key, opCol, numBuckets, id, updateWhen)
+      ()
+    }
+
+  /** Rewrite every live bucket into one new version (the read-side cost of
+    * accumulating versions is one pruned scan per distinct version — this
+    * folds them back to one), dropping all-deleted buckets from the
+    * manifest. Follow with [[vacuum]] to reclaim the orphaned versions. */
+  def compact(spark: SparkSession, dir: String): Long = {
+    val m = requireManifest(dir)
+    val newV = m.version + 1
+    val vDir = s"$dir/v$newV"
+    DataLayout.writePartitionedSorted(
+      readBuckets(spark, dir, m, None), vDir, Seq(BucketCol), Seq(m.key))
+    val liveDirs = Option(new java.io.File(vDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
+      .map(_.getName.stripPrefix(s"$BucketCol=").toInt)
+    commit(dir, m.copy(version = newV, buckets = liveDirs.map(_ -> newV).toMap))
+    newV
+  }
+
+  /** Delete version directories no manifest bucket references (superseded
+    * snapshots and failed merges). Safe for the single-writer model; with
+    * concurrent readers a grace period goes here. Returns deleted dirs. */
+  def vacuum(dir: String): Seq[String] = {
+    val m = requireManifest(dir)
+    val referenced = m.buckets.values.toSet + m.version
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        !referenced.contains(f.getName.stripPrefix("v").toLong))
+      .map { f =>
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete(); ()
+        }
+        rm(f); f.getName
+      }
+  }
+}

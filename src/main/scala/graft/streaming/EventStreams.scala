@@ -163,6 +163,48 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming MERGE load (§2.9 × the transactional sink): each micro-batch
+    * upserts into a [[graft.layout.MergeTable]] via foreachBatch — batchId
+    * replay protection makes the sink exactly-once, and the newer-wins
+    * `updateWhen` condition makes the final table independent of batch
+    * arrival order (each key ends at its max-(ts, event_id) event — the
+    * streaming materialized-view shape: "current state per key" maintained
+    * incrementally, merge cost per batch proportional to the batch's
+    * buckets, not the table). The events file is split into `nFiles`
+    * range-partitioned files streamed one per micro-batch, so the merge
+    * genuinely runs multiple incremental commits. */
+  def streamUpsert(spark: SparkSession, dir: String, tableDir: String,
+                   nFiles: Int = 3): DataFrame = {
+    import graft.layout.MergeTable
+    val srcDir = graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft_stream_upsert"))
+    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+      .repartitionByRange(nFiles, col("event_id"))
+      .write.parquet(s"$srcDir/files")
+    val src = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/files")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val newerWins = Some((s: String => org.apache.spark.sql.Column,
+                          t: String => org.apache.spark.sql.Column) =>
+      s("ts") > t("ts") || (s("ts") === t("ts") && s("event_id") > t("event_id")))
+    val q = src.writeStream
+      .option("checkpointLocation", s"$srcDir/ck")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // MERGE wants one row per key per batch: keep the batch's newest
+        val latest = graft.ops.Relational.dedupKeepFirst(batch, Seq("user_id"),
+            Seq(col("ts").desc, col("event_id").desc))
+          .withColumn("op_flag", lit("update")) // update-of-unmatched inserts
+        MergeTable.merge(batch.sparkSession, tableDir, latest, "user_id",
+          batchId = id, updateWhen = newerWins)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    MergeTable.read(spark, tableDir)
+  }
+
   /** Streaming dedup on the natural key within the watermark — the
     * reference's re-run idempotency (main.py re-create semantics),
     * expressed as exactly-once-per-key. */

@@ -1,0 +1,147 @@
+package graft.layout
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Relational
+
+/** The transactional upsert table (VERDICT r3 stretch): snapshot-isolated
+  * copy-on-write merges, delta-proportional rewrites, idempotent batch
+  * replay, and SURVEY §5's end-to-end roundtrip property — a second run of
+  * the same load produces only updates and changes nothing. */
+class MergeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("merge_table").toString + "/t"
+
+  private def people(rows: (Long, String, Double)*): DataFrame =
+    rows.toDF("id", "name", "score")
+
+  private def changes(rows: (Long, String, Double, String)*): DataFrame =
+    rows.toDF("id", "name", "score", "op_flag")
+
+  private def contents(dir: String): Set[(Long, String, Double)] =
+    MergeTable.read(spark, dir).as[(Long, String, Double)].collect().toSet
+
+  test("create/update/delete merge semantics over two commits") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir,
+      changes((1L, "a", 1.0, "create"), (2L, "b", 2.0, "create"),
+        (3L, "c", 3.0, "create")), "id")
+    assert(contents(dir) === Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    MergeTable.merge(spark, dir,
+      changes((2L, "b2", 2.5, "update"), (3L, "c", 3.0, "delete"),
+        (4L, "d", 4.0, "create"), (9L, "ghost", 0.0, "delete")), "id")
+    assert(contents(dir) ===
+      Set((1L, "a", 1.0), (2L, "b2", 2.5), (4L, "d", 4.0)))
+  }
+
+  test("an 'update' of an unmatched key inserts (pure upsert, no op bookkeeping)") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir, changes((7L, "x", 7.0, "update")), "id")
+    assert(contents(dir) === Set((7L, "x", 7.0)))
+  }
+
+  test("SURVEY §5 roundtrip: rerunning the same load yields only updates and is a no-op") {
+    val dir = freshDir()
+    val source = people((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+    def plan(target: DataFrame) =
+      Relational.mergePlan(source, target.withColumn("tid", col("id")),
+          srcKey = "name", tgtKey = "name", tgtId = "tid")
+        .select(col("id"), col("name"), col("score"), col("op_flag"))
+    // run 1 against an empty target: all creates
+    val empty = people().filter(lit(false))
+    val p1 = plan(empty)
+    assert(p1.select("op_flag").distinct().as[String].collect().toSeq === Seq("create"))
+    MergeTable.merge(spark, dir, p1, "id")
+    // run 2 against the loaded table: only updates, and merging them changes nothing
+    val p2 = plan(MergeTable.read(spark, dir))
+    assert(p2.select("op_flag").distinct().as[String].collect().toSeq === Seq("update"))
+    val before = contents(dir)
+    MergeTable.merge(spark, dir, p2, "id")
+    assert(contents(dir) === before)
+  }
+
+  test("merge rewrites ONLY the buckets its keys hash into") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir,
+      changes((1L, "a", 1.0, "create"), (2L, "b", 2.0, "create"),
+        (3L, "c", 3.0, "create"), (4L, "d", 4.0, "create")),
+      "id", numBuckets = 16)
+    // touch one key: exactly the buckets of {2} move to v1, rest stay v0
+    MergeTable.merge(spark, dir, changes((2L, "b2", 2.2, "update")), "id")
+    val back = spark.read.option("basePath", s"$dir/v1")
+      .parquet(s"$dir/v1").select("id").as[Long].collect().toSet
+    assert(back === Set(2L), s"v1 should hold only key 2's bucket, got $back")
+    assert(contents(dir) ===
+      Set((1L, "a", 1.0), (2L, "b2", 2.2), (3L, "c", 3.0), (4L, "d", 4.0)))
+  }
+
+  test("batchId replay is skipped (foreachBatch exactly-once)") {
+    val dir = freshDir()
+    assert(MergeTable.merge(spark, dir, changes((1L, "a", 1.0, "create")), "id",
+      batchId = 0L).contains(0L))
+    assert(MergeTable.lastBatchId(dir) === 0L)
+    // a retry of batch 0 must not apply
+    assert(MergeTable.merge(spark, dir, changes((1L, "a", 99.0, "update")), "id",
+      batchId = 0L).isEmpty)
+    assert(contents(dir) === Set((1L, "a", 1.0)))
+    assert(MergeTable.merge(spark, dir, changes((1L, "a", 2.0, "update")), "id",
+      batchId = 1L).isDefined)
+    assert(contents(dir) === Set((1L, "a", 2.0)))
+  }
+
+  test("updateWhen: a stale update leaves the target row in place") {
+    val dir = freshDir()
+    val newerWins = Some((src: String => org.apache.spark.sql.Column,
+                          tgt: String => org.apache.spark.sql.Column) =>
+      src("score") > tgt("score"))
+    MergeTable.merge(spark, dir, changes((1L, "a", 5.0, "create")), "id")
+    MergeTable.merge(spark, dir, changes((1L, "stale", 3.0, "update")), "id",
+      updateWhen = newerWins)
+    assert(contents(dir) === Set((1L, "a", 5.0)))
+    MergeTable.merge(spark, dir, changes((1L, "fresh", 9.0, "update")), "id",
+      updateWhen = newerWins)
+    assert(contents(dir) === Set((1L, "fresh", 9.0)))
+  }
+
+  test("duplicate source keys are rejected like ANSI MERGE") {
+    val dir = freshDir()
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, dir,
+        changes((1L, "a", 1.0, "create"), (1L, "a2", 2.0, "update")), "id")
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
+  test("unknown op is rejected, table untouched") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir, changes((1L, "a", 1.0, "create")), "id")
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, dir, changes((2L, "b", 2.0, "upsert")), "id")
+    }
+    assert(contents(dir) === Set((1L, "a", 1.0)))
+  }
+
+  test("deleting every row of a bucket leaves a readable table; compact+vacuum fold versions") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir,
+      changes((1L, "a", 1.0, "create"), (2L, "b", 2.0, "create")), "id",
+      numBuckets = 4)
+    MergeTable.merge(spark, dir, changes((1L, "a", 1.0, "delete")), "id")
+    assert(contents(dir) === Set((2L, "b", 2.0)))
+    MergeTable.merge(spark, dir, changes((3L, "c", 3.0, "create")), "id")
+    val before = contents(dir)
+    MergeTable.compact(spark, dir)
+    val removed = MergeTable.vacuum(dir)
+    assert(contents(dir) === before)
+    assert(removed.nonEmpty, "vacuum should reclaim superseded versions")
+    val versionDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+")).map(_.getName)
+    assert(versionDirs.length === 1, s"expected one live version, got ${versionDirs.toSeq}")
+  }
+}
