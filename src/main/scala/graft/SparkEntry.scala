@@ -37,6 +37,29 @@ object SparkEntry {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** Shared by q63/q66/q67: a two-commit MergeTable load over `orders` —
+    * commit 0 creates keys with okey%7<3, commit 1 updates %7==1 (price+1,
+    * status 'U'), creates %7==3, deletes %7==2. Both commit states are
+    * closed-form expressible, which is what makes the read/time-travel/CDC
+    * trio oracle-checkable. */
+  private def ordersMergeTable(s: SparkSession, d: String): String = {
+    val dir = graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft_merge_tbl")).toString + "/t"
+    val o = t(s, d, "orders").select(col("o_orderkey").as("okey"),
+      col("o_custkey").as("cust"), col("o_totalprice").as("price"),
+      col("o_orderstatus").as("status"))
+    val base = o.filter(col("okey") % 7 < 3).withColumn("op_flag", lit("create"))
+    val delta = o.filter(col("okey") % 7 === 1)
+        .withColumn("price", col("price") + lit(1.0))
+        .withColumn("status", lit("U"))
+        .withColumn("op_flag", lit("update"))
+      .unionByName(o.filter(col("okey") % 7 === 3).withColumn("op_flag", lit("create")))
+      .unionByName(o.filter(col("okey") % 7 === 2).withColumn("op_flag", lit("delete")))
+    graft.layout.MergeTable.merge(s, dir, base, "okey", numBuckets = 32)
+    graft.layout.MergeTable.merge(s, dir, delta, "okey")
+    dir
+  }
+
   /** Fixed spool for the q93 fixture: must be a stable absolute path
     * because the DuckDB oracle reads it after the Verify run ends. */
   val Q93FixtureDir = "/tmp/graft_pretalx_fixture"
@@ -362,6 +385,17 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ⊕ dedup: SimHash Hamming-ball adjacency — pigeonhole banding
+    // (maxDist+1 contiguous fingerprint cuts) over DISTINCT fingerprints,
+    // exact Hamming check only inside collisions, first-matching-band rule
+    // instead of a distinct, multiplicities instead of expanded doc pairs
+    // (the synthetic corpus is fingerprint-dense: distance-2 balls hold
+    // 1.5M doc pairs at sf0.1; the cluster graph is ~3k rows with the
+    // identical information).
+    "q68_simhash_adjacency" -> ((s, d) =>
+      Dedup.simhashAdjacency(t(s, d, "documents"), "doc_id", col("text"), maxDist = 2)
+        .orderBy(col("sha"), col("shb"))),
+
     // ⊕ dedup: n-gram Jaccard similarity (consecutive-id pair probe)
     "q23_jaccard_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -569,23 +603,23 @@ object SparkEntry {
     // only the buckets its keys hash into. The oracle expresses the final
     // state closed-form over `orders` (`+ 1.0` not `* 1.1`: IEEE-identical
     // in both engines, no round-tie hazard).
-    "q63_merge_upsert" -> ((s, d) => {
-      val dir = graft.util.Cleanup.registerTempDir(
-        java.nio.file.Files.createTempDirectory("graft_merge_tbl")).toString + "/t"
-      val o = t(s, d, "orders").select(col("o_orderkey").as("okey"),
-        col("o_custkey").as("cust"), col("o_totalprice").as("price"),
-        col("o_orderstatus").as("status"))
-      val base = o.filter(col("okey") % 7 < 3).withColumn("op_flag", lit("create"))
-      val delta = o.filter(col("okey") % 7 === 1)
-          .withColumn("price", col("price") + lit(1.0))
-          .withColumn("status", lit("U"))
-          .withColumn("op_flag", lit("update"))
-        .unionByName(o.filter(col("okey") % 7 === 3).withColumn("op_flag", lit("create")))
-        .unionByName(o.filter(col("okey") % 7 === 2).withColumn("op_flag", lit("delete")))
-      graft.layout.MergeTable.merge(s, dir, base, "okey", numBuckets = 32)
-      graft.layout.MergeTable.merge(s, dir, delta, "okey")
-      graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
-    }),
+    "q63_merge_upsert" -> ((s, d) =>
+      graft.layout.MergeTable.read(s, ordersMergeTable(s, d)).orderBy(col("okey"))),
+
+    // ⊕K7: time travel — the same table read AS OF its first commit via
+    // the immutable per-version manifest; the oracle states commit 0's
+    // state closed-form.
+    "q66_time_travel" -> ((s, d) =>
+      graft.layout.MergeTable.readAt(s, ordersMergeTable(s, d), 0)
+        .orderBy(col("okey"))),
+
+    // ⊕K7: CDC — the diff between the two commits, computed by comparing
+    // manifests first (only buckets whose owning version changed are read)
+    // then a null-safe full-outer join inside them. Emits insert/update/
+    // delete per key that actually changed value.
+    "q67_cdc_diff" -> ((s, d) =>
+      graft.layout.MergeTable.changesBetween(s, ordersMergeTable(s, d), 0, 1)
+        .orderBy(col("okey"))),
 
     // §2.9 × ⊕K-merge: streaming foreachBatch upsert — micro-batches MERGE
     // into the snapshot table with batchId replay protection and a
@@ -1150,6 +1184,37 @@ object SparkEntry {
            |  WHERE $agree >= 3)""".stripMargin)
     },
 
+    "q68_simhash_adjacency" -> {
+      // mirror simhashAdjacency: identical band cuts, identical char-wise
+      // Hamming distance over the 16-char bit string, identical
+      // first-matching-band uniqueness rule (no DISTINCT)
+      val cuts = Dedup.simhashBandCuts(3)
+      val bandSelects = cuts.zipWithIndex.map { case ((st, ln), i) =>
+        s"SELECT sh, n, $i AS band, substring(sh, $st, $ln) AS bval FROM grp"
+      }.mkString("\n  UNION ALL ")
+      val firstMatch = cuts.indices.map { i =>
+        (s"x.band = $i" +: cuts.take(i).map { case (st, ln) =>
+          s"substring(x.sh, $st, $ln) <> substring(y.sh, $st, $ln)"
+        }).mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val dist = (1 to 16).map(i =>
+        s"(CASE WHEN substring(sha, $i, 1) <> substring(shb, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $wordsCte, $hashedWordsCte,
+         |sims AS (SELECT doc_id, $simhashSql AS sh FROM hw),
+         |grp AS (SELECT sh, count(*) AS n FROM sims GROUP BY sh),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT x.sh AS sha, y.sh AS shb, x.n AS na, y.n AS nb
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bval = y.bval AND x.sh < y.sh
+         |  WHERE $firstMatch)
+         |SELECT sha, shb, CAST($dist AS BIGINT) AS dist,
+         |  CAST(na * nb AS BIGINT) AS n_pairs
+         |FROM cand WHERE $dist <= 2
+         |UNION ALL
+         |SELECT sh, sh, 0, CAST(n * (n - 1) / 2 AS BIGINT) FROM grp WHERE n >= 2
+         |ORDER BY sha, shb""".stripMargin
+    },
+
     "q23_jaccard_pairs" -> jaccardSql(
       """cand AS (SELECT d1.doc_id AS a, d2.doc_id AS b
         |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1)""".stripMargin),
@@ -1304,6 +1369,23 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q66_time_travel" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS price,
+        |  o_orderstatus AS status
+        |FROM orders WHERE o_orderkey % 7 < 3 ORDER BY okey""".stripMargin,
+
+    "q67_cdc_diff" ->
+      """SELECT 'update' AS op_flag, o_orderkey AS okey, o_custkey AS cust,
+        |  o_totalprice + 1.0 AS price, 'U' AS status
+        |FROM orders WHERE o_orderkey % 7 = 1
+        |UNION ALL
+        |SELECT 'insert', o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 7 = 3
+        |UNION ALL
+        |SELECT 'delete', o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 7 = 2
+        |ORDER BY okey""".stripMargin,
 
     "q58_stream_join" ->
       """SELECT a.user_id, a.event_id AS l_id, b.event_id AS r_id,

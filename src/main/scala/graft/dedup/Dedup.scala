@@ -375,6 +375,104 @@ object Dedup {
   def simhash16(text: Column): Column =
     graft.functions.TextFunctions.simhash16(text)
 
+  /** Contiguous band cuts distributing `bits` fingerprint positions over
+    * `bands` bands: (1-indexed start, length) per band. Shared by the
+    * Spark plan and the oracle-SQL mirror so both engines cut identically. */
+  def simhashBandCuts(bands: Int, bits: Int = 16): Seq[(Int, Int)] = {
+    val base = bits / bands
+    val rem = bits % bands
+    (0 until bands).map { b =>
+      (b * base + math.min(b, rem) + 1, base + (if (b < rem) 1 else 0))
+    }
+  }
+
+  /** SimHash near-duplicate pairs: all (a, b) whose fingerprints lie
+    * within Hamming distance `maxDist`, plus the distance. The classic
+    * pigeonhole banding (Manku et al.'s near-duplicate detection shape):
+    * cut the fingerprint into `maxDist + 1` contiguous bands — two
+    * fingerprints within `maxDist` differ in at most `maxDist` positions,
+    * so at least one band matches EXACTLY — generate candidates from the
+    * band equi-self-join (one shuffle on (band, value)) and run the exact
+    * Hamming check only inside collisions. Never an n² cross join.
+    *
+    * Scale note: 16-bit fingerprints (this kernel's width) make band
+    * values 5-6 bits, so bucket sizes are corpus/2^5-ish — fine for
+    * dedup-after-exact-dedup tiers; a 100 TB crawl wants the same plan
+    * over a 64-bit kernel (band values 16-21 bits), which changes ONLY
+    * the kernel width, not this plan shape. */
+  def simhashPairs(docs: DataFrame, idCol: String, text: Column,
+                   maxDist: Int = 2): DataFrame = {
+    val cuts = simhashBandCuts(maxDist + 1)
+    val fp = docs.select(col(idCol), simhash16(text).as("sh"))
+    val exploded = fp.select(col(idCol), col("sh"),
+      posexplode(array(cuts.map { case (st, ln) =>
+        substring(col("sh"), st, ln) }: _*)).as(Seq("band", "bval")))
+    val l = exploded.select(col("band"), col("bval"), col(idCol).as("a"),
+      col("sh").as("__sa"))
+    val r = exploded.select(col("band"), col("bval"), col(idCol).as("b"),
+      col("sh").as("__sb"))
+    val dist = (1 to 16).map(i =>
+        when(substring(col("__sa"), i, 1) =!= substring(col("__sb"), i, 1), 1)
+          .otherwise(0))
+      .reduce(_ + _)
+    // each qualifying pair collides in up to maxDist+1 bands; keep it ONLY
+    // in its FIRST matching band (band i survives iff every earlier cut
+    // differs) — a codegen predicate on data already in the join row, so
+    // uniqueness costs zero extra shuffles where a distinct() would
+    // re-shuffle the (dense) pair set
+    val firstMatch = cuts.indices.map { i =>
+      cuts.take(i).map { case (st, ln) =>
+        substring(col("__sa"), st, ln) =!= substring(col("__sb"), st, ln)
+      }.foldLeft(col("band") === i)(_ && _)
+    }.reduce(_ || _)
+    l.join(r, Seq("band", "bval"))
+      .filter(col("a") < col("b") && firstMatch)
+      .select(col("a"), col("b"), dist.cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** [[simhashPairs]] at the FINGERPRINT level — the form that survives a
+    * dense corpus: the band self-join runs over DISTINCT fingerprints
+    * (collision work bounded by the 2^16 fingerprint space, never the
+    * corpus), and the output is cluster adjacency with multiplicities —
+    * (sha, shb, dist, n_pairs) where sha = shb rows carry the
+    * within-cluster n·(n-1)/2 and sha < shb rows the cross-cluster na·nb.
+    * Downstream consumers (connected components, dedup keep-one) want
+    * exactly this graph; expanding it to doc pairs (what [[simhashPairs]]
+    * does directly) multiplies a 223-doc identical cluster into 24k rows
+    * for no information gain. */
+  def simhashAdjacency(docs: DataFrame, idCol: String, text: Column,
+                       maxDist: Int = 2): DataFrame = {
+    val cuts = simhashBandCuts(maxDist + 1)
+    val groups = docs.select(simhash16(text).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("n"))
+    val within = groups.filter(col("n") >= 2)
+      .select(col("sh").as("sha"), col("sh").as("shb"), lit(0L).as("dist"),
+        (col("n") * (col("n") - 1) / 2).cast("long").as("n_pairs"))
+    val exploded = groups.select(col("sh"), col("n"),
+      posexplode(array(cuts.map { case (st, ln) =>
+        substring(col("sh"), st, ln) }: _*)).as(Seq("band", "bval")))
+    val l = exploded.select(col("band"), col("bval"), col("sh").as("sha"),
+      col("n").as("__na"))
+    val r = exploded.select(col("band"), col("bval"), col("sh").as("shb"),
+      col("n").as("__nb"))
+    val dist = (1 to 16).map(i =>
+        when(substring(col("sha"), i, 1) =!= substring(col("shb"), i, 1), 1)
+          .otherwise(0))
+      .reduce(_ + _)
+    val firstMatch = cuts.indices.map { i =>
+      cuts.take(i).map { case (st, ln) =>
+        substring(col("sha"), st, ln) =!= substring(col("shb"), st, ln)
+      }.foldLeft(col("band") === i)(_ && _)
+    }.reduce(_ || _)
+    val cross = l.join(r, Seq("band", "bval"))
+      .filter(col("sha") < col("shb") && firstMatch)
+      .select(col("sha"), col("shb"), dist.cast("long").as("dist"),
+        (col("__na") * col("__nb")).cast("long").as("n_pairs"))
+      .filter(col("dist") <= maxDist)
+    within.union(cross)
+  }
+
   /** Portable built-ins-only reference implementation of [[simhash16]]
     * (no custom kernel — runs on any stock Spark). DataFrame-level so the
     * per-word md5 is STAGED once (`__hw` = hashed word array) before the

@@ -63,30 +63,35 @@ object MergeTable {
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_latest")
 
+  private def parseManifest(p: Path): Manifest = {
+    val props = new Properties()
+    val in = Files.newInputStream(p)
+    try props.load(in) finally in.close()
+    val buckets = props.getProperty("buckets", "") match {
+      case "" => Map.empty[Int, Long]
+      case s => s.split(",").iterator.map { kv =>
+        val Array(b, v) = kv.split(":"); b.toInt -> v.toLong
+      }.toMap
+    }
+    Manifest(props.getProperty("version").toLong,
+      props.getProperty("batchId").toLong, props.getProperty("key"),
+      props.getProperty("numBuckets").toInt, props.getProperty("schema"),
+      buckets)
+  }
+
   private def readManifest(dir: String): Option[Manifest] = {
     val p = manifestPath(dir)
-    if (!Files.exists(p)) None
-    else {
-      val props = new Properties()
-      val in = Files.newInputStream(p)
-      try props.load(in) finally in.close()
-      val buckets = props.getProperty("buckets", "") match {
-        case "" => Map.empty[Int, Long]
-        case s => s.split(",").iterator.map { kv =>
-          val Array(b, v) = kv.split(":"); b.toInt -> v.toLong
-        }.toMap
-      }
-      Some(Manifest(props.getProperty("version").toLong,
-        props.getProperty("batchId").toLong, props.getProperty("key"),
-        props.getProperty("numBuckets").toInt, props.getProperty("schema"),
-        buckets))
-    }
+    if (Files.exists(p)) Some(parseManifest(p)) else None
   }
 
   /** Properties (not JSON) for the manifest: `Properties.store` handles
     * every escaping concern (the embedded schema JSON is one value), and
     * the tmp-write + same-dir ATOMIC_MOVE rename is the whole commit
-    * protocol. */
+    * protocol. Every commit ALSO writes an immutable `_manifest_v<n>`
+    * copy — the version history that makes [[readAt]] time travel and
+    * [[changesBetween]] CDC possible; written BEFORE the `_latest` swap so
+    * a crash between the two leaves history consistent with the still-
+    * current `_latest`. */
   private def commit(dir: String, m: Manifest): Unit = {
     val props = new Properties()
     props.setProperty("version", m.version.toString)
@@ -96,11 +101,22 @@ object MergeTable {
     props.setProperty("schema", m.schemaJson)
     props.setProperty("buckets",
       m.buckets.toSeq.sorted.map { case (b, v) => s"$b:$v" }.mkString(","))
-    val tmp = Paths.get(dir, s"_commit_tmp_v${m.version}")
-    val out = Files.newOutputStream(tmp)
-    try props.store(out, "graft MergeTable manifest") finally out.close()
-    Files.move(tmp, manifestPath(dir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    def write(target: Path): Unit = {
+      val tmp = Paths.get(dir, s"_commit_tmp_v${m.version}")
+      val out = Files.newOutputStream(tmp)
+      try props.store(out, "graft MergeTable manifest") finally out.close()
+      Files.move(tmp, target,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    write(Paths.get(dir, s"_manifest_v${m.version}"))
+    write(manifestPath(dir))
+  }
+
+  private def manifestAt(dir: String, version: Long): Manifest = {
+    val p = Paths.get(dir, s"_manifest_v$version")
+    require(Files.exists(p),
+      s"no manifest for version $version at $dir (expired or never committed)")
+    parseManifest(p)
   }
 
   /** Current table contents (payload columns only). */
@@ -245,12 +261,70 @@ object MergeTable {
     newV
   }
 
-  /** Delete version directories no manifest bucket references (superseded
-    * snapshots and failed merges). Safe for the single-writer model; with
-    * concurrent readers a grace period goes here. Returns deleted dirs. */
+  /** Table contents AS OF `version` — time travel via the immutable
+    * per-version manifest. Same pruned-scan mechanics as [[read]]: cost is
+    * the snapshot's live data, regardless of how much history followed. */
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame =
+    readBuckets(spark, dir, manifestAt(dir, version), None).drop(BucketCol)
+
+  /** Committed versions still readable (manifest history present),
+    * ascending. */
+  def versions(dir: String): Seq[Long] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+      .map(_.getName).filter(_.matches("_manifest_v\\d+"))
+      .map(_.stripPrefix("_manifest_v").toLong).sorted
+
+  /** CDC between two committed versions: one row per key whose value
+    * CHANGED (op ∈ insert/update/delete; insert/update rows carry the
+    * `toVersion` values, delete rows the `fromVersion` values). Computed
+    * by DIFFING the snapshots, not replaying change batches — a merge row
+    * that rewrote a key to an identical value emits nothing. The two
+    * manifests are compared FIRST and only buckets whose owning version
+    * differs are read on either side, so at 100 TB the diff scans the
+    * touched fraction of the table, not two full snapshots; inside those
+    * buckets a null-safe full-outer join classifies each key. */
+  def changesBetween(spark: SparkSession, dir: String, fromVersion: Long,
+                     toVersion: Long, opCol: String = "op_flag"): DataFrame = {
+    val m1 = manifestAt(dir, fromVersion)
+    val m2 = manifestAt(dir, toVersion)
+    val payload = m2.schema.fieldNames.toSeq
+    val key = m2.key
+    val touched = (m1.buckets.keySet ++ m2.buckets.keySet)
+      .filter(b => m1.buckets.get(b) != m2.buckets.get(b))
+    val old = readBuckets(spark, dir, m1, Some(touched))
+      .select(payload.map(c => col(c).as(s"__o_$c")): _*)
+    val neu = readBuckets(spark, dir, m2, Some(touched)).drop(BucketCol)
+    val j = neu.join(old, col(key) === col(s"__o_$key"), "full_outer")
+    val inserted = col(s"__o_$key").isNull
+    val deleted = col(key).isNull
+    val changed = payload.map(c => !(col(c) <=> col(s"__o_$c"))).reduce(_ || _)
+    j.filter(changed).select(
+      when(inserted, lit("insert")).when(deleted, lit("delete"))
+        .otherwise(lit("update")).as(opCol) +:
+        payload.map(c => when(deleted, col(s"__o_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** Drop manifest history older than the newest `keepLast` versions so
+    * [[vacuum]] can reclaim the snapshot directories only they reference.
+    * Returns the expired version numbers. */
+  def expireVersions(dir: String, keepLast: Int = 1): Seq[Long] = {
+    val vs = versions(dir)
+    val expired = vs.dropRight(keepLast)
+    expired.foreach(v => Files.deleteIfExists(Paths.get(dir, s"_manifest_v$v")))
+    expired
+  }
+
+  /** Delete version directories referenced by NO retained manifest
+    * (superseded snapshots and failed merges). Time travel bounds what is
+    * reclaimable: every version in [[versions]] keeps its referenced dirs
+    * alive — [[expireVersions]] first, then vacuum. Safe for the
+    * single-writer model; with concurrent readers a grace period goes
+    * here. Returns deleted dirs. */
   def vacuum(dir: String): Seq[String] = {
     val m = requireManifest(dir)
-    val referenced = m.buckets.values.toSet + m.version
+    val referenced = versions(dir).map(manifestAt(dir, _))
+      .flatMap(h => h.buckets.values.toSeq :+ h.version)
+      .toSet ++ m.buckets.values + m.version
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
         !referenced.contains(f.getName.stripPrefix("v").toLong))

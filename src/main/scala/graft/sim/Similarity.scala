@@ -185,12 +185,13 @@ object Similarity {
   }
 
   /** Score+rank stage shared by the in-memory and at-rest IVF paths:
-    * `assigned` must carry (nid, __ce, cell). */
-  private def ivfRank(queries: DataFrame, assigned: DataFrame,
-                      cents: Array[Seq[Float]], k: Int, nprobe: Int): DataFrame = {
-    val scored = assigned.join(probeCells(queries, cents, nprobe), Seq("cell"))
+    * `assigned` must carry (nid, __ce, cell), `qCells` (qid, __qe, cell)
+    * from [[probeCells]]. */
+  private def ivfRank(session: DataFrame, assigned: DataFrame,
+                      qCells: DataFrame, k: Int): DataFrame = {
+    val scored = assigned.join(qCells, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", round(cosineNative(queries, col("__qe"), col("__ce")), 6))
+      .withColumn("sim", round(cosineNative(session, col("__qe"), col("__ce")), 6))
     val wr = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(wr)).filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("sim"), col("rank").cast("long").as("rank"))
@@ -208,7 +209,7 @@ object Similarity {
     val cents = ivfCentroids(corpus, cells)
     val c = ivfAssign(corpus, cents)
       .select(col("vec_id").as("nid"), col("embedding").as("__ce"), col("cell"))
-    ivfRank(queries, c, cents, k, nprobe)
+    ivfRank(queries, c, probeCells(queries, cents, nprobe), k)
   }
 
   /** The ANN-at-rest layout: the assigned corpus written hive-partitioned
@@ -237,11 +238,7 @@ object Similarity {
     val c = spark.read.parquet(layoutDir)
       .filter(col("cell").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id").as("nid"), col("embedding").as("__ce"), col("cell"))
-    val scored = c.join(qCells, Seq("cell")).filter(col("qid") =!= col("nid"))
-      .withColumn("sim", round(cosineNative(queries, col("__qe"), col("__ce")), 6))
-    val wr = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(wr)).filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("sim"), col("rank").cast("long").as("rank"))
+    ivfRank(queries, c, qCells, k)
   }
 
   /** Typed Aggregator (⊕A7): element-wise vector mean. Buffer = (sums,

@@ -67,6 +67,34 @@ class DedupSpec extends SparkSpec {
     assert(all8.subsetOf(fused))
   }
 
+  test("simhashPairs equals the brute-force Hamming ball (banding loses nothing)") {
+    val d = graft.model.Tables.documents(spark, sfDir).limit(80).localCheckpoint()
+    val banded = Dedup.simhashPairs(d, "doc_id", col("text"), maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val fp = d.select(col("doc_id"), Dedup.simhash16(col("text")).as("sh"))
+    val l = fp.select(col("doc_id").as("a"), col("sh").as("__sa"))
+    val r = fp.select(col("doc_id").as("b"), col("sh").as("__sb"))
+    val dist = (1 to 16).map(i =>
+        when(substring(col("__sa"), i, 1) =!= substring(col("__sb"), i, 1), 1)
+          .otherwise(0)).reduce(_ + _)
+    val brute = l.crossJoin(r).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), dist.cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded === brute)
+  }
+
+  test("simhashAdjacency multiplicities account for every simhashPairs doc pair") {
+    val d = graft.model.Tables.documents(spark, sfDir).localCheckpoint()
+    val pairCount = Dedup.simhashPairs(d, "doc_id", col("text"), maxDist = 2).count()
+    val adj = Dedup.simhashAdjacency(d, "doc_id", col("text"), maxDist = 2)
+    val total = adj.agg(sum(col("n_pairs"))).head().getLong(0)
+    assert(total === pairCount)
+    // within-cluster rows are symmetric markers, cross rows strictly ordered
+    assert(adj.filter(col("sha") > col("shb")).count() === 0)
+    assert(adj.filter(col("sha") === col("shb") && col("dist") =!= 0).count() === 0)
+  }
+
   test("lshCandidates caps over-full buckets to star edges: never n², still connected") {
     // 30 identical docs share every band bucket; with maxBucketSize=10 the
     // 30·29/2=435-pair blow-up degrades to 29 star edges around the min id

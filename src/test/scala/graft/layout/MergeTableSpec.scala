@@ -137,11 +137,47 @@ class MergeTableSpec extends SparkSpec {
     MergeTable.merge(spark, dir, changes((3L, "c", 3.0, "create")), "id")
     val before = contents(dir)
     MergeTable.compact(spark, dir)
+    // vacuum reclaims nothing while history manifests still reference old
+    // versions (time travel keeps them alive), everything after expiry
+    assert(MergeTable.vacuum(dir).isEmpty)
+    MergeTable.expireVersions(dir, keepLast = 1)
     val removed = MergeTable.vacuum(dir)
     assert(contents(dir) === before)
     assert(removed.nonEmpty, "vacuum should reclaim superseded versions")
     val versionDirs = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.matches("v\\d+")).map(_.getName)
     assert(versionDirs.length === 1, s"expected one live version, got ${versionDirs.toSeq}")
+  }
+
+  test("time travel: readAt returns each committed snapshot") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir,
+      changes((1L, "a", 1.0, "create"), (2L, "b", 2.0, "create")), "id")
+    MergeTable.merge(spark, dir,
+      changes((1L, "a2", 1.5, "update"), (2L, "b", 2.0, "delete"),
+        (3L, "c", 3.0, "create")), "id")
+    assert(MergeTable.versions(dir) === Seq(0L, 1L))
+    assert(MergeTable.readAt(spark, dir, 0).as[(Long, String, Double)].collect().toSet
+      === Set((1L, "a", 1.0), (2L, "b", 2.0)))
+    assert(MergeTable.readAt(spark, dir, 1).as[(Long, String, Double)].collect().toSet
+      === contents(dir))
+  }
+
+  test("CDC diff classifies insert/update/delete and drops no-op rewrites") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir,
+      changes((1L, "a", 1.0, "create"), (2L, "b", 2.0, "create"),
+        (4L, "d", 4.0, "create")), "id")
+    // 1 really changes, 2 is rewritten to the identical value (no CDC row),
+    // 4 is deleted, 5 is new
+    MergeTable.merge(spark, dir,
+      changes((1L, "a2", 1.5, "update"), (2L, "b", 2.0, "update"),
+        (4L, "d", 4.0, "delete"), (5L, "e", 5.0, "create")), "id")
+    val diff = MergeTable.changesBetween(spark, dir, 0, 1)
+      .as[(String, Long, String, Double)].collect().toSet
+    assert(diff === Set(
+      ("update", 1L, "a2", 1.5),
+      ("delete", 4L, "d", 4.0),
+      ("insert", 5L, "e", 5.0)))
   }
 }

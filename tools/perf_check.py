@@ -27,13 +27,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def time_oracle(sf_dir: str, oracle_path: str, fixture_path: str) -> int:
+def time_oracle(sf_dir: str, oracle_path: str, fixture_path: str,
+                only: set = None) -> int:
     import duckdb
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(oracle_path))
     times = {}
+    if only:  # incremental: retime named queries, keep the rest
+        oracle = {k: v for k, v in oracle.items() if k in only}
+        times = json.load(open(fixture_path))["times"]
+        # drop fixture entries for queries no longer in the oracle map
+        current = set(json.load(open(oracle_path)))
+        times = {k: v for k, v in times.items() if k in current}
     for name, sql in sorted(oracle.items()):
         best = None
         for _ in range(2):  # best-of-2: first run pays buffer warmup
@@ -83,7 +90,10 @@ STREAMING_MIN_SPARK = 4.0
 # measures protocol I/O that amortizes at scale (commit cost is delta-
 # proportional), not plan inefficiency. Measured 3.6-5.4 s at sf0.1
 # depending on JIT warmth.
-MULTI_COMMIT = {"q63_merge_upsert", "q64_stream_upsert"}
+MULTI_COMMIT = {"q63_merge_upsert", "q64_stream_upsert",
+                # time-travel / CDC read the same two-commit table and pay
+                # the identical build protocol before their (cheap) read
+                "q66_time_travel", "q67_cdc_diff"}
 MULTI_COMMIT_MIN_SPARK = 6.0
 
 
@@ -117,7 +127,8 @@ def check(fixture_path: str, bench_path: str, ratio: float, min_spark: float) ->
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "time":
-        sys.exit(time_oracle(sys.argv[2], sys.argv[3], sys.argv[4]))
+        only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
+        sys.exit(time_oracle(sys.argv[2], sys.argv[3], sys.argv[4], only))
     elif mode == "check":
         r = float(sys.argv[4]) if len(sys.argv) > 4 else 4.0
         ms = float(sys.argv[5]) if len(sys.argv) > 5 else 2.5
