@@ -92,6 +92,37 @@ object ScaleCheck {
       // this probes the df-cap's bucket bound, not just the kernel
       dedup.Dedup.winnowingCandidates(docs, "doc_id", col("text")).count()
     }
+    time("simhash_adjacency", nDocs) {
+      dedup.Dedup.simhashAdjacency(docs, "doc_id", col("text")).count()
+    }
+
+    // The MergeTable claim to verify at scale: commit cost follows the
+    // DELTA, not the table. Build a mult-scaled table once, then commit a
+    // FIXED-size delta (the sf0.1-sized slice) against it — if merges read
+    // or rewrote the whole table, this time would grow ~linearly with
+    // mult; delta-proportional cost keeps it ~flat (modulo the bucket
+    // fraction touched).
+    {
+      val mtDir = java.nio.file.Files.createTempDirectory("scale_merge").toString + "/t"
+      val orders = amplify(model.Tables.orders(spark, d), Seq("o_orderkey"))
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        .withColumn("op_flag", lit("create"))
+      val nOrders = orders.count()
+      time(s"merge_base_load_${nOrders}_rows", nOrders) {
+        layout.MergeTable.merge(spark, mtDir, orders, "k", numBuckets = 64)
+      }
+      val fixedDelta = model.Tables.orders(spark, d)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") + lit(1.0)).as("p"))
+        .withColumn("op_flag", lit("update"))
+      val nDelta = fixedDelta.count()
+      time(s"merge_fixed_delta_${nDelta}_rows", nDelta) {
+        layout.MergeTable.merge(spark, mtDir, fixedDelta, "k")
+      }
+      util.Cleanup.registerTempDir(
+        java.nio.file.Paths.get(mtDir).getParent)
+      util.Cleanup.drain()
+    }
     spark.stop()
   }
 }

@@ -396,6 +396,36 @@ object SparkEntry {
       Dedup.simhashAdjacency(t(s, d, "documents"), "doc_id", col("text"), maxDist = 2)
         .orderBy(col("sha"), col("shb"))),
 
+    // ⊕ text: PII redaction — the synthetic corpus has no natural PII, so
+    // each doc gets a deterministic injected email + phone (mirrored in
+    // the oracle) and the match counts prove every injection was caught;
+    // patterns are deliberately RE2-safe so both engines agree.
+    "q69_pii_redact" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("__pii", concat(col("text"), lit(" contact user"),
+          col("doc_id"), lit("@example.com or call +1-555-01"),
+          col("doc_id"), lit(" now")))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("__pii")).as("red"),
+          regexp_count(col("__pii"), lit(TextAnalysis.EmailRe)).cast("long").as("n_email"),
+          regexp_count(col("__pii"), lit(TextAnalysis.PhoneRe)).cast("long").as("n_phone"))
+        .orderBy(col("doc_id"))),
+
+    // §2.4: GROUPING SETS beyond rollup/cube — three explicit
+    // granularities in ONE pass (one shuffle, partial agg per set);
+    // coalesce labels keep the oracle free of engine-specific
+    // grouping_id bit orders.
+    "q70_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem").groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls"))),
+
     // ⊕ dedup: n-gram Jaccard similarity (consecutive-id pair probe)
     "q23_jaccard_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1214,6 +1244,27 @@ object SparkEntry {
          |SELECT sh, sh, 0, CAST(n * (n - 1) / 2 AS BIGINT) FROM grp WHERE n >= 2
          |ORDER BY sha, shb""".stripMargin
     },
+
+    "q69_pii_redact" -> {
+      val em = graft.text.TextAnalysis.EmailRe
+      val ph = graft.text.TextAnalysis.PhoneRe
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@example.com or call +1-555-01' || doc_id || ' now' AS pii
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(pii, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g') AS red,
+         |  CAST(len(regexp_extract_all(pii, '$em')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(pii, '$ph')) AS BIGINT) AS n_phone
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    "q70_grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag, '<all>') AS rf,
+         |  coalesce(l_linestatus, '<all>') AS ls,
+         |  ${sqlDsum("l_quantity", 18, 2)} AS sum_qty, count(*) AS n
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY rf, ls""".stripMargin,
 
     "q23_jaccard_pairs" -> jaccardSql(
       """cand AS (SELECT d1.doc_id AS a, d2.doc_id AS b

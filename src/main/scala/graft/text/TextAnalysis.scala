@@ -177,6 +177,23 @@ object TextAnalysis {
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(coalesce(text, lit("")), "\\s+", " ")))
 
+  /** PII patterns for training-corpus redaction. Deliberately RE2-safe (no
+    * lookaround, no backreferences) so Java regex (Spark) and RE2-family
+    * engines (the DuckDB oracle) compile them with identical semantics —
+    * a lookbehind here would silently diverge between engines. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction for training corpora: emails then phone-number-like
+    * runs replaced by typed placeholder tokens (typed, not blanked, so a
+    * model sees "<EMAIL>" as a category instead of a hole, and audits can
+    * count redactions downstream). Plain codegen'd `regexp_replace` —
+    * scales like any scan-side projection; at 100 TB the regex cost is
+    * embarrassingly parallel and pipelined with the read. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting,
     * Schleimer et al. SIGMOD'03): sorted distinct set of the per-window
     * minimum Rabin-Karp char-`k`-gram hashes of the normalized text.
