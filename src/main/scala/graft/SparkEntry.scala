@@ -411,6 +411,29 @@ object SparkEntry {
           regexp_count(col("__pii"), lit(TextAnalysis.PhoneRe)).cast("long").as("n_phone"))
         .orderBy(col("doc_id"))),
 
+    // ⊕ relational: SCD2 dimension history from the event log — per-user
+    // runs of the same event_type collapse to validity intervals
+    // (valid_from/valid_to/is_current), one shuffle, no self-join.
+    "q71_scd2" -> ((s, d) =>
+      Relational.scd2FromLog(
+          t(s, d, "events").select("user_id", "event_id", "event_type", "ts"),
+          key = "user_id", attr = "event_type", ts = "ts", tiebreak = "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))),
+
+    // §2.7: unpivot/melt — wide metrics to long (id, metric, val) rows;
+    // the oracle states it as the portable UNION ALL equivalent.
+    "q72_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
+
     // §2.4: GROUPING SETS beyond rollup/cube — three explicit
     // granularities in ONE pass (one shuffle, partial agg per set);
     // coalesce labels keep the oracle free of engine-specific
@@ -1257,6 +1280,28 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(pii, '$ph')) AS BIGINT) AS n_phone
          |FROM p ORDER BY doc_id""".stripMargin
     },
+
+    "q71_scd2" ->
+      """WITH ordered AS (SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER w AS prev, lag(event_id) OVER w AS prev_id
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |chg AS (SELECT user_id, event_id, event_type, ts FROM ordered
+        |  WHERE prev_id IS NULL OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS valid_from_us,
+        |  epoch_us(lead(ts) OVER w2) AS valid_to_us,
+        |  (lead(ts) OVER w2) IS NULL AS is_current
+        |FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    "q72_unpivot" ->
+      """WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM f
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM f
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM f
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "q70_grouping_sets" ->
       s"""SELECT coalesce(l_returnflag, '<all>') AS rf,

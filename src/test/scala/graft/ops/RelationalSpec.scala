@@ -160,4 +160,35 @@ class RelationalSpec extends SparkSpec {
     assert(phys.contains("BroadcastHashJoin"), s"expected hash join, got:\n$phys")
     assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
   }
+
+  test("scd2FromLog collapses runs into validity intervals that tile the key's timeline") {
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // user 1: A A B A (runs A, B, A); user 2: single X; attr null handled
+    val log = Seq(
+      (1L, 10L, Some("A"), ts(0)), (1L, 11L, Some("A"), ts(1)),
+      (1L, 12L, Some("B"), ts(2)), (1L, 13L, Some("A"), ts(3)),
+      (2L, 20L, Some("X"), ts(0)),
+      (3L, 30L, None: Option[String], ts(0)), (3L, 31L, None, ts(1)),
+      (3L, 32L, Some("Y"), ts(2))
+    ).toDF("user_id", "event_id", "attr", "ts")
+    val h = Relational.scd2FromLog(log, "user_id", "attr", "ts", "event_id")
+      .select(col("user_id"), col("event_id"), col("attr"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .as[(Long, Long, Option[String], java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._4.getTime))
+    assert(h.map(r => (r._1, r._2, r._3, r._6)).toSeq === Seq(
+      (1L, 10L, Some("A"), false), (1L, 12L, Some("B"), false),
+      (1L, 13L, Some("A"), true),
+      (2L, 20L, Some("X"), true),
+      (3L, 30L, None, false), (3L, 32L, Some("Y"), true)))
+    // each closed interval's valid_to equals the next interval's valid_from
+    h.groupBy(_._1).values.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a._5.contains(b._4))
+        case _ => ()
+      }
+    }
+    // exactly one current row per key
+    assert(h.filter(_._6).map(_._1).toSeq.sorted === Seq(1L, 2L, 3L))
+  }
 }
