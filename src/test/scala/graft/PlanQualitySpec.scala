@@ -95,6 +95,32 @@ class PlanQualitySpec extends SparkSpec {
       s"no exchange reuse in executed plan:\n$p")
   }
 
+  test("q71: SCD2 shuffles ONCE — both windows and the filter share the key partitioning") {
+    val p = physical("q71_scd2")
+    val n = p.split("Exchange hashpartitioning").length - 1
+    assert(n == 1, s"expected exactly 1 hash exchange for scd2, got $n:\n$p")
+  }
+
+  test("q70: grouping sets is one Expand + one partial/final aggregate, not a union of scans") {
+    val p = physical("q70_grouping_sets")
+    assert(p.contains("Expand"), p)
+    val n = p.split("Exchange hashpartitioning").length - 1
+    assert(n == 1, s"expected 1 exchange (single agg over Expand), got $n:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+    // one scan of lineitem, not one per grouping set
+    assert(p.split("FileScan parquet").length - 1 == 1, p)
+  }
+
+  test("q68: simhash adjacency joins on band buckets — no cartesian, no distinct re-shuffle") {
+    val p = physical("q68_simhash_adjacency")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // first-matching-band rule replaced distinct(): no HashAggregate
+    // keyed on (sha, shb) pair dedup after the join
+    assert(!p.contains("partial_first"), p)
+    val joins = p.split("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin").length - 1
+    assert(joins == 1, s"expected exactly the band self-join, got $joins joins:\n$p")
+  }
+
   test("q94: recall gate stays a lazy plan (no driver-side action at build time)") {
     // building the DataFrame must not trigger jobs; the gate is a filtered
     // 1-row aggregate cross-joined into the plan

@@ -163,6 +163,42 @@ class MergeTableSpec extends SparkSpec {
       === contents(dir))
   }
 
+  test("CDC reads ONLY buckets whose owning version changed between the manifests") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir,
+      changes((1L, "a", 1.0, "create"), (2L, "b", 2.0, "create"),
+        (3L, "c", 3.0, "create"), (4L, "d", 4.0, "create")), "id",
+      numBuckets = 16)
+    MergeTable.merge(spark, dir, changes((2L, "b2", 2.2, "update")), "id")
+    val diff = MergeTable.changesBetween(spark, dir, 0, 1)
+    assert(diff.as[(String, Long, String, Double)].collect().toSet ===
+      Set(("update", 2L, "b2", 2.2)))
+    diff.collect()
+    // the scans under the diff plan list only key 2's bucket directory
+    // (recursive: AQE nests scans inside materialized query stages)
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => findScans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+    val locations = findScans(diff.queryExecution.executedPlan)
+      .map(_.metadata.getOrElse("Location", ""))
+    val bucketDirs = locations.flatMap(
+      s"""$BucketColPattern=(\\d+)""".r.findAllMatchIn(_).map(_.group(1))).toSet
+    val expected = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.lit(2L)),
+        org.apache.spark.sql.functions.lit(16))).head().getInt(0)
+    assert(bucketDirs === Set(expected.toString),
+      s"CDC scanned buckets $bucketDirs, expected only $expected from $locations")
+  }
+
+  private val BucketColPattern = java.util.regex.Pattern.quote(MergeTable.BucketCol)
+
   test("CDC diff classifies insert/update/delete and drops no-op rewrites") {
     val dir = freshDir()
     MergeTable.merge(spark, dir,
