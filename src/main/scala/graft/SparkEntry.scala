@@ -411,6 +411,60 @@ object SparkEntry {
           regexp_count(col("__pii"), lit(TextAnalysis.PhoneRe)).cast("long").as("n_phone"))
         .orderBy(col("doc_id"))),
 
+    // ⊕ layout: DYNAMIC partition pruning — the fact table is partitioned
+    // on the join key; the dim-side filter's surviving keys become a
+    // runtime partition filter on the fact scan (Spark's DPP), so the scan
+    // never lists the pruned event_type directories even though no static
+    // predicate names them. DataLayoutSpec asserts the dynamicpruning
+    // expression; at 100 TB this is what makes star joins read the
+    // touched fraction of a partitioned fact, not all of it.
+    "q73_dynamic_prune" -> ((s, d) => {
+      import s.implicits._
+      val base = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_dpp")).toString
+      graft.layout.DataLayout.writePartitionedSorted(
+        Tables.events(s, d), s"$base/events", Seq("event_type"), Seq("ts"))
+      // the dim must be a FILE table: a local Seq folds the filter away
+      // and leaves DPP nothing to prune with
+      Seq(("view", 1.0), ("click", 2.0), ("purchase", 5.0),
+          ("signup", 3.0), ("error", 0.5)).toDF("event_type", "weight")
+        .write.parquet(s"$base/dim")
+      val facts = s.read.parquet(s"$base/events")
+      val dim = s.read.parquet(s"$base/dim")
+        .filter(col("weight") >= 2.0) // selective dim filter drives the DPP
+      facts.join(broadcast(dim), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value") * col("weight"), 24, 6).as("weighted"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ⊕ layout: bucketed CO-LOCATED join — both sides written
+    // bucketed+sorted on the join key as external catalog tables, so the
+    // sort-merge join reads matching buckets directly with NO exchange
+    // below the join (BucketingSpec asserts the plan; hint("merge") keeps
+    // the SMJ the 100 TB plan uses where a broadcast would hide it). The
+    // one-time layout write replaces the recurring fact⋈fact shuffle.
+    "q74_bucketed_join" -> ((s, d) => {
+      val wh = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_bktq")).toString
+      Relational.writeBucketed(t(s, d, "orders"), "graft_q74_orders",
+        "o_orderkey", 8, Some(s"$wh/orders_b"))
+      Relational.writeBucketed(t(s, d, "lineitem"), "graft_q74_lineitem",
+        "l_orderkey", 8, Some(s"$wh/lineitem_b"))
+      graft.util.Cleanup.registerHook(() => {
+        s.sql("DROP TABLE IF EXISTS graft_q74_orders")
+        s.sql("DROP TABLE IF EXISTS graft_q74_lineitem")
+        ()
+      })
+      s.table("graft_q74_lineitem").hint("merge")
+        .join(s.table("graft_q74_orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ⊕ relational: SCD2 dimension history from the event log — per-user
     // runs of the same event_type collapse to validity intervals
     // (valid_from/valid_to/is_current), one shuffle, no self-join.
@@ -1280,6 +1334,21 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(pii, '$ph')) AS BIGINT) AS n_phone
          |FROM p ORDER BY doc_id""".stripMargin
     },
+
+    "q74_bucketed_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${sqlDsum("l_extendedprice", 18, 2)} AS rev
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q73_dynamic_prune" ->
+      """WITH dim(event_type, weight) AS (VALUES ('view', 1.0), ('click', 2.0),
+        |  ('purchase', 5.0), ('signup', 3.0), ('error', 0.5))
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(SUM(CAST(e.value * d.weight AS DECIMAL(24,6))) AS DOUBLE) AS weighted
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |WHERE d.weight >= 2.0
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q71_scd2" ->
       """WITH ordered AS (SELECT user_id, event_id, event_type, ts,

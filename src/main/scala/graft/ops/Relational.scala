@@ -32,11 +32,12 @@ object Relational {
     * remaining Sort is in-partition over one already-sorted file, i.e.
     * near-free, while the eliminated shuffle was the 100 TB cost. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
-    df.repartition(buckets, col(key))
+                    buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.repartition(buckets, col(key))
       .write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** J1/J2 (main.py:107-110,120,123): broadcast lookup-join enrichment.
     * The reference builds a Python dict and probes it per row — the exact

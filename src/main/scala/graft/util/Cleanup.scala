@@ -21,6 +21,11 @@ import org.apache.spark.broadcast.Broadcast
 object Cleanup {
   private val broadcasts = new ConcurrentLinkedQueue[Broadcast[_]]()
   private val tempDirs = new ConcurrentLinkedQueue[Path]()
+  private val hooks = new ConcurrentLinkedQueue[() => Unit]()
+
+  /** Register an arbitrary release action (e.g. DROP TABLE for a
+    * catalog-backed query) to run at the next [[drain]]. */
+  def registerHook(f: () => Unit): Unit = { hooks.add(f); () }
 
   /** Register a broadcast to be destroyed at the next [[drain]]. */
   def registerBroadcast[T](bc: Broadcast[T]): Broadcast[T] = {
@@ -34,6 +39,11 @@ object Cleanup {
   /** Destroy all registered broadcasts and delete all registered temp dirs.
     * Call only after the actions consuming them have completed. */
   def drain(): Unit = {
+    var h = hooks.poll()
+    while (h != null) {
+      try h() catch { case _: Exception => () }
+      h = hooks.poll()
+    }
     var bc = broadcasts.poll()
     while (bc != null) {
       try bc.destroy() catch { case _: Exception => () }

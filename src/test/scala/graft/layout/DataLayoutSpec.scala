@@ -33,6 +33,27 @@ class DataLayoutSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value === clickFiles)
   }
 
+  test("dim-side filter becomes a DYNAMIC partition filter on the fact scan (DPP)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("layout_dpp").toString
+    DataLayout.writePartitionedSorted(events, s"$base/events", Seq("event_type"), Seq("ts"))
+    // dim as a FILE table — a local Seq is constant-folded and DPP never fires
+    Seq(("view", 1.0), ("click", 2.0), ("purchase", 5.0),
+        ("signup", 3.0), ("error", 0.5)).toDF("event_type", "weight")
+      .write.parquet(s"$base/dim")
+    val facts = spark.read.parquet(s"$base/events")
+    val dim = spark.read.parquet(s"$base/dim").filter(col("weight") >= 2.0)
+    val joined = facts.join(broadcast(dim), Seq("event_type"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val rows = joined.collect()
+    // only the 3 dim-surviving types appear — and the fact scan carries a
+    // runtime dynamicpruning partition filter, no static predicate names them
+    assert(rows.map(_.getString(0)).sorted === Array("click", "purchase", "signup"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$p")
+  }
+
   test("files are sorted on ts within each partition directory") {
     val dir = Files.createTempDirectory("layout_sort").toString + "/events"
     DataLayout.writePartitionedSorted(events, dir, Seq("event_type"), Seq("ts"))
