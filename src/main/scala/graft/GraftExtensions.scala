@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BinaryStride, CosineSimilarity, KmvDistinct, RepetitionRatio, SimHash16, VecDot, WinnowFingerprints}
+import graft.functions.{BinaryStride, CharGramJaccard, CosineSimilarity, KmvDistinct, RepetitionRatio, SimHash16, VecDot, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
@@ -87,6 +87,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WinnowFingerprints(children(0),
           intLit("k", children(1)), intLit("w", children(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("chargram_jaccard"),
+      new ExpressionInfo(classOf[CharGramJaccard].getName, "chargram_jaccard"),
+      (children: Seq[Expression]) => {
+        arity("chargram_jaccard(a, b, n)", children, 3)
+        val nLit = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"chargram_jaccard: n must be an integer literal, got $other")
+        }
+        CharGramJaccard(children(0), children(1), nLit)
       }))
   }
 }

@@ -116,8 +116,22 @@ object ScaleCheck {
           (col("o_totalprice") + lit(1.0)).as("p"))
         .withColumn("op_flag", lit("update"))
       val nDelta = fixedDelta.count()
-      time(s"merge_fixed_delta_${nDelta}_rows", nDelta) {
+      // random keys hit every bucket, so this merge reads the full table
+      // regardless of delta size — the worst case
+      time(s"merge_allbucket_delta_${nDelta}_rows", nDelta) {
         layout.MergeTable.merge(spark, mtDir, fixedDelta, "k")
+      }
+      // a delta confined to ONE of the 64 buckets (the realistic clustered
+      // update) must read/rewrite ~1/64 of the table: THE delta-
+      // proportionality claim. Compare this line across mult values — it
+      // grows with table/64, not with the table, and not with the all-
+      // bucket line above.
+      val oneBucket = fixedDelta
+        .filter(pmod(hash(col("k")), lit(64)) === 0)
+        .withColumn("p", col("p") + lit(1.0))
+      val nOne = oneBucket.count()
+      time(s"merge_one_bucket_delta_${nOne}_rows", nOne) {
+        layout.MergeTable.merge(spark, mtDir, oneBucket, "k")
       }
       util.Cleanup.registerTempDir(
         java.nio.file.Paths.get(mtDir).getParent)

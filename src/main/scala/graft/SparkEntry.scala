@@ -90,6 +90,8 @@ object SparkEntry {
     """wd AS (SELECT DISTINCT doc_id, wrd FROM
       |  (SELECT doc_id, unnest(ws) AS wrd FROM w)),
       |szs AS (SELECT doc_id, count(*) AS sz FROM wd GROUP BY doc_id)""".stripMargin
+  // LEFT size joins + COALESCE + zero-union guard mirror Dedup.setJaccard's
+  // total semantics: an empty token set yields jaccard 0, never a dropped pair
   private def jaccardSql(candCte: String): String =
     s"""WITH $wordsCte, $shinglesCte, $sigCte, $wdCte, $candCte,
        |itr AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
@@ -97,12 +99,14 @@ object SparkEntry {
        |  JOIN wd wb ON wb.doc_id = c.b AND wb.wrd = wa.wrd
        |  GROUP BY c.a, c.b)
        |SELECT c.a, c.b,
-       |  round(CAST(coalesce(itr.inter, 0) AS DOUBLE)
-       |    / CAST(sa.sz + sb.sz - coalesce(itr.inter, 0) AS DOUBLE), 6) AS jaccard
+       |  CASE WHEN coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(itr.inter, 0) = 0 THEN 0.0
+       |    ELSE round(CAST(coalesce(itr.inter, 0) AS DOUBLE)
+       |      / CAST(coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(itr.inter, 0) AS DOUBLE), 6)
+       |  END AS jaccard
        |FROM cand c
        |LEFT JOIN itr ON itr.a = c.a AND itr.b = c.b
-       |JOIN szs sa ON sa.doc_id = c.a
-       |JOIN szs sb ON sb.doc_id = c.b
+       |LEFT JOIN szs sa ON sa.doc_id = c.a
+       |LEFT JOIN szs sb ON sb.doc_id = c.b
        |ORDER BY c.a, c.b""".stripMargin
   private val bandCte =
     """bnd AS (SELECT doc_id, 0 AS band, h0 || '_' || h1 AS bucket FROM sig
@@ -395,6 +399,18 @@ object SparkEntry {
     "q68_simhash_adjacency" -> ((s, d) =>
       Dedup.simhashAdjacency(t(s, d, "documents"), "doc_id", col("text"), maxDist = 2)
         .orderBy(col("sha"), col("shb"))),
+
+    // ⊕ dedup: char-3-gram set Jaccard over consecutive-id candidate
+    // pairs — the sub-word counterpart of q23's word-set Jaccard (catches
+    // morphology/typo-level similarity); tokenization bounded by the
+    // candidate ids.
+    "q75_chargram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(docs.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      Dedup.charGramJaccard(pairs, docs, "doc_id", col("text"), n = 3)
+        .orderBy(col("a"), col("b"))
+    }),
 
     // ⊕ text: PII redaction — the synthetic corpus has no natural PII, so
     // each doc gets a deterministic injected email + phone (mirrored in
@@ -1321,6 +1337,28 @@ object SparkEntry {
          |SELECT sh, sh, 0, CAST(n * (n - 1) / 2 AS BIGINT) FROM grp WHERE n >= 2
          |ORDER BY sha, shb""".stripMargin
     },
+
+    "q75_chargram_jaccard" ->
+      """WITH nrm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt FROM documents),
+        |cg AS (SELECT DISTINCT doc_id, substring(nt, i, 3) AS g
+        |  FROM (SELECT doc_id, nt, unnest(generate_series(1, greatest(length(nt) - 2, 0))) AS i FROM nrm)),
+        |szs AS (SELECT doc_id, count(*) AS sz FROM cg GROUP BY doc_id),
+        |cand AS (SELECT d1.doc_id AS a, d2.doc_id AS b
+        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+        |itr AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+        |  JOIN cg ga ON ga.doc_id = c.a
+        |  JOIN cg gb ON gb.doc_id = c.b AND gb.g = ga.g
+        |  GROUP BY c.a, c.b)
+        |SELECT c.a, c.b,
+        |  CASE WHEN coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(itr.inter, 0) = 0 THEN 0.0
+        |    ELSE round(CAST(coalesce(itr.inter, 0) AS DOUBLE)
+        |      / CAST(coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(itr.inter, 0) AS DOUBLE), 6)
+        |  END AS jaccard
+        |FROM cand c
+        |LEFT JOIN itr ON itr.a = c.a AND itr.b = c.b
+        |LEFT JOIN szs sa ON sa.doc_id = c.a
+        |LEFT JOIN szs sb ON sb.doc_id = c.b
+        |ORDER BY c.a, c.b""".stripMargin,
 
     "q69_pii_redact" -> {
       val em = graft.text.TextAnalysis.EmailRe

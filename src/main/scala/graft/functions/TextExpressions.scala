@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -295,6 +295,80 @@ object WinnowFingerprints {
   }
 }
 
+/** Exact character-`n`-gram SET Jaccard of two strings in one fused kernel.
+  * The staged form (`transform`+`array_distinct` per side, then
+  * `array_intersect` at the pair) runs entirely in interpreted
+  * higher-order-function evaluation — ~3.5 s for 5k pairs of 300-char docs
+  * at sf0.1 — while this kernel builds both gram hash-sets and counts the
+  * intersection in O(|a|+|b|) inside WholeStageCodegen (~0.3 s same data).
+  * Grams are by code point (matches Spark/DuckDB `substring` character
+  * semantics); a null input is the empty gram set; two empty sets define
+  * jaccard 0 — result is never null, and a round(x, 6) HALF_UP matches the
+  * oracle SQL exactly. */
+case class CharGramJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType && n >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string, positive gram size), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString}) with n=$n")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "chargram_jaccard"
+  // null side = empty gram set; jaccard(∅, ∅) = 0 here — never null
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    CharGramJaccard.compute(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      $javaType ${ev.value} = graft.functions.CharGramJaccard.compute(
+        ${l.isNull} ? null : ${l.value},
+        ${r.isNull} ? null : ${r.value}, $n);""", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharGramJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object CharGramJaccard {
+  private def grams(s: UTF8String, n: Int): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    if (s == null) return set
+    val cp = s.toString.codePoints().toArray
+    var i = 0
+    while (i + n <= cp.length) { set.add(new String(cp, i, n)); i += 1 }
+    set
+  }
+
+  def compute(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = grams(a, n)
+    val sb = grams(b, n)
+    val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+    var inter = 0
+    val it = small.iterator()
+    while (it.hasNext) if (large.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0
+    // identical to Spark's round(col, 6) on DoubleType (BigDecimal HALF_UP)
+    else java.math.BigDecimal.valueOf(inter.toDouble / union)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+}
+
 object TextFunctions {
   private def requireArity(name: String, children: Seq[Expression], n: Int): Unit =
     if (children.size != n)
@@ -343,6 +417,17 @@ object TextFunctions {
             TextFunctions.intLiteral("winnow_fps", "w", children(2)))
         })
     }
+    val cid = FunctionIdentifier("chargram_jaccard")
+    if (!registry.functionExists(cid)) {
+      registry.registerFunction(
+        cid,
+        new ExpressionInfo(classOf[CharGramJaccard].getName, "chargram_jaccard"),
+        (children: Seq[Expression]) => {
+          requireArity("chargram_jaccard(a, b, n)", children, 3)
+          CharGramJaccard(children(0), children(1),
+            TextFunctions.intLiteral("chargram_jaccard", "n", children(2)))
+        })
+    }
   }
 
   private[functions] def intLiteral(fn: String, arg: String, e: Expression): Int =
@@ -361,4 +446,8 @@ object TextFunctions {
 
   def winnowFps(text: Column, k: Int, w: Int): Column =
     Bridge.columnOf(WinnowFingerprints(Bridge.expressionOf(text), k, w))
+
+  def chargramJaccard(a: Column, b: Column, n: Int): Column =
+    Bridge.columnOf(CharGramJaccard(
+      Bridge.expressionOf(a), Bridge.expressionOf(b), n))
 }

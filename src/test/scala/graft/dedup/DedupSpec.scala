@@ -84,6 +84,29 @@ class DedupSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("charGramJaccard: exact 3-gram set jaccard on a known case") {
+    val docs = Seq((1L, "abcd"), (2L, "bcde"), (3L, "  ABCD "), (4L, "zz"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val j = Dedup.charGramJaccard(pairs, docs, "doc_id", col("text"), n = 3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // {abc,bcd} vs {bcd,cde}: 1/3; normalization maps "  ABCD " -> "abcd": 1.0;
+    // "zz" is shorter than n: empty gram set, jaccard 0
+    assert(j((1L, 2L)) === 0.333333)
+    assert(j((1L, 3L)) === 1.0)
+    assert(j((1L, 4L)) === 0.0)
+  }
+
+  test("charGramJaccard kernel is value-identical to the staged-HOF twin on real docs") {
+    val docs = graft.model.Tables.documents(spark, sfDir).localCheckpoint()
+    val pairs = docs.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      .join(docs.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+    val kernel = Dedup.charGramJaccard(pairs, docs, "doc_id", col("text"), n = 3)
+    val hof = Dedup.charGramJaccardHof(pairs, docs, "doc_id", col("text"), n = 3)
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
+    assert(kernel.count() === pairs.count())
+  }
+
   test("simhashAdjacency multiplicities account for every simhashPairs doc pair") {
     val d = graft.model.Tables.documents(spark, sfDir).localCheckpoint()
     val pairCount = Dedup.simhashPairs(d, "doc_id", col("text"), maxDist = 2).count()

@@ -149,6 +149,21 @@ class MergeTableSpec extends SparkSpec {
     assert(versionDirs.length === 1, s"expected one live version, got ${versionDirs.toSeq}")
   }
 
+  test("snapshot isolation: a reader resolved before a merge keeps seeing its snapshot") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir,
+      changes((1L, "a", 1.0, "create"), (2L, "b", 2.0, "create")), "id")
+    // resolve the manifest NOW; the plan pins the immutable v0 directories
+    val reader = MergeTable.read(spark, dir)
+    MergeTable.merge(spark, dir,
+      changes((1L, "a9", 9.0, "update"), (3L, "c", 3.0, "create")), "id")
+    // collected AFTER the concurrent merge committed: still the old snapshot
+    assert(reader.as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (2L, "b", 2.0)))
+    assert(contents(dir) ===
+      Set((1L, "a9", 9.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+  }
+
   test("time travel: readAt returns each committed snapshot") {
     val dir = freshDir()
     MergeTable.merge(spark, dir,
