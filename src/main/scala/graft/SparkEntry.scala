@@ -45,6 +45,24 @@ object SparkEntry {
   private def ordersMergeTable(s: SparkSession, d: String): String = {
     val dir = graft.util.Cleanup.registerTempDir(
       java.nio.file.Files.createTempDirectory("graft_merge_tbl")).toString + "/t"
+    buildOrdersMergeTable(s, d, dir)
+  }
+
+  /** q66 (time travel) and q67 (CDC) measure READS over an
+    * already-committed table; rebuilding the two-commit load inside each
+    * timed run would charge them the merge protocol q63 already measures.
+    * Memoized per sfDir; the directory survives inter-query Cleanup.drain
+    * and is deleted at JVM exit. */
+  private val sharedMergeTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ordersMergeTableShared(s: SparkSession, d: String): String =
+    sharedMergeTables.computeIfAbsent(d, _ => {
+      val dir = graft.util.Cleanup.registerExitDir(
+        java.nio.file.Files.createTempDirectory("graft_merge_tbl_shared")).toString + "/t"
+      buildOrdersMergeTable(s, d, dir)
+    })
+
+  private def buildOrdersMergeTable(s: SparkSession, d: String, dir: String): String = {
     val o = t(s, d, "orders").select(col("o_orderkey").as("okey"),
       col("o_custkey").as("cust"), col("o_totalprice").as("price"),
       col("o_orderstatus").as("status"))
@@ -412,6 +430,30 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ⊕ flagship composition: the full pretraining-data pipeline as ONE
+    // lazy plan — quality filter → exact dedup (keep-first by fingerprint)
+    // → near-dup clustering (keep each component's min-id representative)
+    // → per-language corpus stats with the BPE-ish pretokenizer count.
+    // This is the query a training-data user actually runs; every stage is
+    // an operator that is also individually oracle-checked (q45, q20, q51,
+    // q27), so a failure here localizes to the composition, not the parts.
+    "q76_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = TextAnalysis.qualityFilter(docs, col("text"), minWords = 8)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val uniq = Dedup.exact(kept, col("text"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val reps = Dedup.nearDupClusters(uniq, "doc_id", col("text"))
+        .filter(col("doc_id") === col("component"))
+        .select(col("doc_id"))
+      val corpus = uniq.join(reps, Seq("doc_id"), "left_semi")
+      TextAnalysis.tokenCounts(corpus, col("text"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens_re")).as("t_re"))
+        .orderBy(col("lang"))
+    }),
+
     // ⊕ text: PII redaction — the synthetic corpus has no natural PII, so
     // each doc gets a deterministic injected email + phone (mirrored in
     // the oracle) and the match counts prove every injection was caught;
@@ -559,7 +601,7 @@ object SparkEntry {
       TextAnalysis.tokenCounts(t(s, d, "documents"), col("text"))
         .groupBy(col("lang"))
         .agg(sum(col("n_tokens_ws")).as("t_ws"), sum(col("n_tokens_bpe")).as("t_bpe"),
-          count(lit(1)).as("n_docs"))
+          sum(col("n_tokens_re")).as("t_re"), count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))),
 
     // ⊕ text analysis: content fingerprint + 16-bit SimHash (native fused
@@ -733,7 +775,7 @@ object SparkEntry {
     // the immutable per-version manifest; the oracle states commit 0's
     // state closed-form.
     "q66_time_travel" -> ((s, d) =>
-      graft.layout.MergeTable.readAt(s, ordersMergeTable(s, d), 0)
+      graft.layout.MergeTable.readAt(s, ordersMergeTableShared(s, d), 0)
         .orderBy(col("okey"))),
 
     // ⊕K7: CDC — the diff between the two commits, computed by comparing
@@ -741,7 +783,7 @@ object SparkEntry {
     // then a null-safe full-outer join inside them. Emits insert/update/
     // delete per key that actually changed value.
     "q67_cdc_diff" -> ((s, d) =>
-      graft.layout.MergeTable.changesBetween(s, ordersMergeTable(s, d), 0, 1)
+      graft.layout.MergeTable.changesBetween(s, ordersMergeTableShared(s, d), 0, 1)
         .orderBy(col("okey"))),
 
     // §2.9 × ⊕K-merge: streaming foreachBatch upsert — micro-batches MERGE
@@ -1360,6 +1402,41 @@ object SparkEntry {
         |LEFT JOIN szs sb ON sb.doc_id = c.b
         |ORDER BY c.a, c.b""".stripMargin,
 
+    "q76_pipeline" -> {
+      val re = graft.text.TextAnalysis.BpeRe.replace("'", "''")
+      // same stage semantics as the q45/q20/q51/q27 oracles, composed:
+      // w0/q/kept mirror qualityFilter(minWords=8) keep; uniq mirrors
+      // Dedup.exact keep-first; the shingle→sig→band→walk chain from the
+      // q51 oracle runs over `w` = the uniq survivors; reps keeps each
+      // component's min id; stats mirror tokenCounts' regex count.
+      s"""WITH RECURSIVE
+         |w0 AS (SELECT doc_id, lang, source, text, list_filter(string_split(text, ' '), x -> x <> '') ws FROM documents),
+         |q AS (SELECT *, CAST(len(ws) AS BIGINT) AS nw,
+         |  CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) ELSE 0.0 END AS ml
+         |  FROM w0),
+         |kept AS (SELECT doc_id, lang, source, text, ws FROM q
+         |  WHERE nw >= 8 AND nw <= 100000 AND ml <= 12.0),
+         |uniq AS (SELECT doc_id, lang, source, text, ws FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) ORDER BY doc_id) AS rn
+         |  FROM kept) WHERE rn = 1),
+         |w AS (SELECT doc_id, lang, source, text, ws FROM uniq),
+         |$shinglesCte, $sigCte, $bandCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |und AS (SELECT a AS x, b AS y FROM cand UNION SELECT b, a FROM cand),
+         |walk AS (
+         |  SELECT x AS src, y AS dst FROM und
+         |  UNION
+         |  SELECT wk.src, u.y FROM walk wk JOIN und u ON wk.dst = u.x),
+         |comp AS (SELECT src AS id, min(dst) AS m FROM walk GROUP BY src),
+         |reps AS (SELECT u.doc_id, u.lang, u.text
+         |  FROM uniq u LEFT JOIN comp c ON c.id = u.doc_id
+         |  WHERE coalesce(least(c.id, c.m), u.doc_id) = u.doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(SUM(CAST(len(regexp_extract_all(text, '$re')) AS BIGINT)) AS BIGINT) AS t_re
+         |FROM reps GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
     "q69_pii_redact" -> {
       val em = graft.text.TextAnalysis.EmailRe
       val ph = graft.text.TextAnalysis.PhoneRe
@@ -1458,14 +1535,17 @@ object SparkEntry {
          |    + 0.2 * least((CASE WHEN n_words > 0 THEN char_sum / n_words ELSE 0.0 END) / 8.0, 1.0)) * 1e6) / 1e6 AS quality
          |FROM f ORDER BY doc_id""".stripMargin,
 
-    "q27_tokens" ->
+    "q27_tokens" -> {
+      val re = graft.text.TextAnalysis.BpeRe.replace("'", "''")
       s"""WITH $wordsCte,
          |f AS (SELECT lang, CAST(len(ws) AS BIGINT) AS nw,
-         |  greatest(CAST(len(ws) AS BIGINT), CAST(ceil(length(text) / 4.0) AS BIGINT)) AS bpe
+         |  greatest(CAST(len(ws) AS BIGINT), CAST(ceil(length(text) / 4.0) AS BIGINT)) AS bpe,
+         |  CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS nre
          |  FROM w)
          |SELECT lang, CAST(SUM(nw) AS BIGINT) AS t_ws, CAST(SUM(bpe) AS BIGINT) AS t_bpe,
-         |  count(*) AS n_docs
-         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+         |  CAST(SUM(nre) AS BIGINT) AS t_re, count(*) AS n_docs
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "q28_fingerprint" ->
       s"""WITH $wordsCte, $hashedWordsCte

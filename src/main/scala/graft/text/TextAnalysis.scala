@@ -71,12 +71,27 @@ object TextAnalysis {
       .drop("__ws")
   }
 
-  /** Token count, two ways: whitespace words and a BPE-ish estimate
-    * (≈ one token per 4 chars, floored at the word count). */
+  /** GPT-2-style pretokenizer pattern: contractions, optionally
+    * space-prefixed letter/digit/punctuation runs, then whitespace runs.
+    * Deliberately lookaround-free so the SAME pattern runs identically
+    * under Java regex (Spark) and RE2 (DuckDB oracle); the count of its
+    * matches is the standard pre-merge token count a BPE tokenizer starts
+    * from (merges only ever shrink within a pretoken, so this upper-bounds
+    * and closely tracks real BPE token counts). */
+  val BpeRe: String = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+
+  /** Token count, three ways: whitespace words, a chars/4 BPE estimate
+    * (≈ one token per 4 chars, floored at the word count), and the match
+    * count of the GPT-2-style pretokenizer regex [[BpeRe]] — all codegen'd
+    * expressions on the scan, no UDFs. */
   def tokenCounts(df: DataFrame, text: Column): DataFrame = {
     val nWords = size(words(text)).cast("long")
     val bpeIsh = greatest(nWords, ceil(length(text).cast("double") / 4.0).cast("long"))
-    df.withColumn("n_tokens_ws", nWords).withColumn("n_tokens_bpe", bpeIsh)
+    val nRe = when(text.isNull, lit(0L))
+      .otherwise(size(regexp_extract_all(text, lit(BpeRe), lit(0))).cast("long"))
+    df.withColumn("n_tokens_ws", nWords)
+      .withColumn("n_tokens_bpe", bpeIsh)
+      .withColumn("n_tokens_re", nRe)
   }
 
   /** TF-IDF: term frequency per (doc, term) × ln(N / doc-frequency).

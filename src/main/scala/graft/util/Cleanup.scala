@@ -36,6 +36,14 @@ object Cleanup {
     * [[drain]]. */
   def registerTempDir(p: Path): Path = { tempDirs.add(p); p }
 
+  /** Register a scratch directory that must SURVIVE drains (it is shared
+    * across queries, e.g. a memoized pre-built table) and be deleted only
+    * at JVM exit. */
+  def registerExitDir(p: Path): Path = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+    p
+  }
+
   /** Destroy all registered broadcasts and delete all registered temp dirs.
     * Call only after the actions consuming them have completed. */
   def drain(): Unit = {

@@ -47,4 +47,17 @@ class TextAnalysisSpec extends SparkSpec {
     out.foreach { case (_, ws, bpe) => assert(bpe >= ws) }
     assert(out.find(_._1 == 1L).get._3 >= 9) // 35 chars / 4 ≈ 9
   }
+
+  test("tokenCounts: GPT-2-style pretokenizer regex count on known cases") {
+    val d = Seq(
+      (1L, "don't stop"),      // don | 't | _stop -> 3
+      (2L, "abc 123, x!"),     // abc | _123 | , | _x | ! -> 5
+      (3L, ""),                // no matches -> 0
+      (4L, "hello"))           // hello -> 1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenCounts(d, col("text"))
+      .select("doc_id", "n_tokens_re")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 5L, 3L -> 0L, 4L -> 1L))
+  }
 }
