@@ -454,6 +454,36 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ⊕ agg/text: heavy hitters — Misra-Gries sketch (capacity 600 < the
+    // ~930 distinct shingles, so the decrement/trim path actually runs)
+    // bounds the candidate set, then an exact semi-join-bounded count
+    // keeps exactly the shingles with frequency > n/(capacity+1): the MG
+    // guarantee makes the two-pass result EXACT and order-independent,
+    // hence oracle-checkable, while the sketch pass is one map-side-
+    // combined agg and the verify pass counts ≤ 600 candidate items. The
+    // near-uniform synthetic corpus has no natural boilerplate, so every
+    // 10th doc gets a deterministic injected tagline (mirrored in the
+    // oracle — the q69 pattern); its shingles are the hot items a real
+    // crawl's navigation chrome would be.
+    "q78_heavy_hitters" -> ((s, d) => {
+      graft.functions.HeavyHitterFunctions.ensureRegistered(s)
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" subscribe now for weekly updates")))
+          .otherwise(col("text")).as("text"))
+      val sh = Dedup.shingles(aug, "doc_id", col("text"), k = 2)
+        .select(col("shingle").as("w"))
+      val cands = sh.agg(expr("heavy_hitters(w, 600)").as("hh"))
+        .select(explode(col("hh")).as("e")).select(col("e.item").as("w"))
+      val tot = sh.agg(count(lit(1)).as("__n"))
+      sh.join(broadcast(cands), Seq("w"), "left_semi")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .crossJoin(tot)
+        .filter(col("c") * 601 > col("__n"))
+        .select(col("w"), col("c"))
+        .orderBy(col("w"))
+    }),
+
     // ⊕ text: PII redaction — the synthetic corpus has no natural PII, so
     // each doc gets a deterministic injected email + phone (mirrored in
     // the oracle) and the match counts prove every injection was caught;
@@ -785,6 +815,27 @@ object SparkEntry {
     "q67_cdc_diff" -> ((s, d) =>
       graft.layout.MergeTable.changesBetween(s, ordersMergeTableShared(s, d), 0, 1)
         .orderBy(col("okey"))),
+
+    // ⊕K7: add-column schema evolution — commit 0 loads (okey, cust,
+    // price); commit 1 updates %7==1 rows CARRYING A NEW `tag` column. The
+    // widened read null-fills pre-evolution buckets in place (explicit-
+    // schema parquet scan) — no old bucket is rewritten, which is the only
+    // evolution mechanism that survives a 100 TB table.
+    "q77_schema_evolution" -> ((s, d) => {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_evo_tbl")).toString + "/t"
+      val o = t(s, d, "orders").select(col("o_orderkey").as("okey"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("price"))
+      graft.layout.MergeTable.merge(s, dir,
+        o.filter(col("okey") % 7 < 3).withColumn("op_flag", lit("create")),
+        "okey", numBuckets = 32)
+      graft.layout.MergeTable.merge(s, dir,
+        o.filter(col("okey") % 7 === 1)
+          .withColumn("tag", concat(lit("t"), (col("okey") % 5).cast("string")))
+          .withColumn("op_flag", lit("update")),
+        "okey")
+      graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
+    }),
 
     // §2.9 × ⊕K-merge: streaming foreachBatch upsert — micro-batches MERGE
     // into the snapshot table with batchId replay protection and a
@@ -1437,6 +1488,17 @@ object SparkEntry {
          |FROM reps GROUP BY lang ORDER BY lang""".stripMargin
     },
 
+    "q78_heavy_hitters" ->
+      """WITH da AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN text || ' subscribe now for weekly updates' ELSE text END AS text
+        |  FROM documents),
+        |wa AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') ws FROM da),
+        |sh AS (SELECT array_to_string(ws[i:i+1], ' ') AS w
+        |  FROM (SELECT ws, unnest(generate_series(1, greatest(len(ws)-1, 0))) AS i FROM wa)),
+        |tot AS (SELECT count(*) AS n FROM sh),
+        |cnt AS (SELECT w, count(*) AS c FROM sh GROUP BY w)
+        |SELECT cnt.w, cnt.c FROM cnt, tot WHERE cnt.c * 601 > tot.n ORDER BY cnt.w""".stripMargin,
+
     "q69_pii_redact" -> {
       val em = graft.text.TextAnalysis.EmailRe
       val ph = graft.text.TextAnalysis.PhoneRe
@@ -1646,6 +1708,11 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 1.0 ELSE o_totalprice END AS price,
         |  CASE WHEN o_orderkey % 7 = 1 THEN 'U' ELSE o_orderstatus END AS status
         |FROM orders WHERE o_orderkey % 7 IN (0, 1, 3) ORDER BY okey""".stripMargin,
+
+    "q77_schema_evolution" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS price,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN 't' || CAST(o_orderkey % 5 AS VARCHAR) END AS tag
+        |FROM orders WHERE o_orderkey % 7 < 3 ORDER BY okey""".stripMargin,
 
     "q64_stream_upsert" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value

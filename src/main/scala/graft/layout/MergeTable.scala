@@ -42,6 +42,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *    for one key is rejected like ANSI MERGE's duplicate-source-row
   *    error. An op of "update" on an unmatched key inserts — so a plain
   *    last-write-wins upsert needs no op column bookkeeping at all.
+  *  - **Add-column schema evolution.** A batch may carry new columns:
+  *    they append to the schema as nullable, pre-evolution rows read as
+  *    null (parquet scans under an explicit schema null-fill columns a
+  *    file lacks — no old bucket is rewritten), and [[readAt]] keeps each
+  *    version's own schema. Type changes and column drops are rejected.
   *
   * Single-writer by design (the reference is a one-shot job; multi-writer
   * needs a lock service or CAS on the manifest — out of scope and
@@ -173,8 +178,32 @@ object MergeTable {
     prior.foreach(m => require(m.key == key,
       s"MergeTable at $dir is keyed by '${m.key}', not '$key'"))
     val nb = prior.map(_.numBuckets).getOrElse(numBuckets)
-    val payload = prior.map(_.schema.fieldNames.toSeq)
-      .getOrElse(changes.columns.toSeq.filterNot(_ == opCol))
+    // additive schema evolution: a batch may CARRY NEW columns (appended to
+    // the schema as nullable; pre-evolution rows read as null — parquet
+    // scans under an explicit schema null-fill columns absent from the
+    // file, so no old bucket is rewritten), must carry every existing
+    // column, and must not change an existing column's type
+    val chFields = changes.schema.fields.toSeq.filterNot(_.name == opCol)
+    prior.foreach { m =>
+      m.schema.fields.foreach { pf =>
+        chFields.find(_.name == pf.name).foreach { cf =>
+          require(cf.dataType == pf.dataType,
+            s"column '${pf.name}' would change type " +
+              s"${pf.dataType.simpleString} -> ${cf.dataType.simpleString}; " +
+              "MergeTable evolution is add-column only")
+        }
+      }
+      m.schema.fieldNames.foreach(n => require(chFields.exists(_.name == n),
+        s"batch missing existing column '$n' — evolution is add-column only"))
+    }
+    val widened: StructType = prior match {
+      case None => StructType(chFields)
+      case Some(m) =>
+        val added = chFields.filterNot(f => m.schema.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        StructType(m.schema.fields ++ added)
+    }
+    val payload = widened.fieldNames.toSeq
     require(payload.contains(key), s"key '$key' not in payload $payload")
 
     // checkpointed once: three consumers (stats action, join, write) must
@@ -192,8 +221,7 @@ object MergeTable {
     require(st.getLong(1) == st.getLong(2),
       s"duplicate keys in merge source (${st.getLong(1)} rows, ${st.getLong(2)} distinct '$key') — ANSI MERGE forbids multiple source rows per target row")
     val changed = st.getSeq[Int](0).toSet
-    val schemaJson = prior.map(_.schemaJson).getOrElse(
-      StructType(changes.schema.filter(f => payload.contains(f.name))).json)
+    val schemaJson = widened.json
     val newV = prior.map(_.version + 1).getOrElse(0L)
 
     // initial commit (or no changed bucket has any prior data): nothing to
@@ -205,7 +233,12 @@ object MergeTable {
         ch.filter(col("__op") =!= "delete").drop("__op"),
         s"$dir/v$newV", Seq(BucketCol), Seq(key))
     } else if (changed.nonEmpty) {
-      val cur = readBuckets(spark, dir, priorData.get, Some(changed))
+      // align the target side to the widened schema: columns this batch
+      // adds read as typed nulls from pre-evolution buckets
+      val cur = widened.fields.foldLeft(
+          readBuckets(spark, dir, priorData.get, Some(changed)))((df, f) =>
+        if (df.columns.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType)))
       val tgt = cur.select(payload.map(c => col(c).as(s"__t_$c")) :+
         col(BucketCol).as("__t_bucket"): _*)
       val j = ch.join(tgt, col(key) === col(s"__t_$key"), "full_outer")
@@ -291,7 +324,12 @@ object MergeTable {
     val key = m2.key
     val touched = (m1.buckets.keySet ++ m2.buckets.keySet)
       .filter(b => m1.buckets.get(b) != m2.buckets.get(b))
-    val old = readBuckets(spark, dir, m1, Some(touched))
+    // align the older snapshot to the newer schema (add-column evolution):
+    // columns added after fromVersion read as typed nulls
+    val old = m2.schema.fields.foldLeft(
+        readBuckets(spark, dir, m1, Some(touched)))((df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType)))
       .select(payload.map(c => col(c).as(s"__o_$c")): _*)
     val neu = readBuckets(spark, dir, m2, Some(touched)).drop(BucketCol)
     val j = neu.join(old, col(key) === col(s"__o_$key"), "full_outer")

@@ -149,6 +149,45 @@ class MergeTableSpec extends SparkSpec {
     assert(versionDirs.length === 1, s"expected one live version, got ${versionDirs.toSeq}")
   }
 
+  test("schema evolution: a batch adding a column widens the table, old rows read null") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir,
+      changes((1L, "a", 1.0, "create"), (2L, "b", 2.0, "create")), "id")
+    // second batch carries a NEW nullable column `tag`
+    MergeTable.merge(spark, dir,
+      Seq((2L, "b2", 2.5, "x", "update"), (3L, "c", 3.0, "y", "create"))
+        .toDF("id", "name", "score", "tag", "op_flag"), "id")
+    val out = MergeTable.read(spark, dir)
+      .as[(Long, String, Double, Option[String])].collect().toSet
+    assert(out === Set((1L, "a", 1.0, None),
+      (2L, "b2", 2.5, Some("x")), (3L, "c", 3.0, Some("y"))))
+    // time travel keeps the pre-evolution schema
+    assert(MergeTable.readAt(spark, dir, 0).columns.toSeq ===
+      Seq("id", "name", "score"))
+    // CDC across the evolution aligns the old snapshot with typed nulls
+    val cdc = MergeTable.changesBetween(spark, dir, 0, 1)
+      .as[(String, Long, String, Double, Option[String])].collect().toSet
+    assert(cdc === Set(("update", 2L, "b2", 2.5, Some("x")),
+      ("insert", 3L, "c", 3.0, Some("y"))))
+  }
+
+  test("schema evolution rejects type changes and dropped columns") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir, changes((1L, "a", 1.0, "create")), "id")
+    val typeChange = Seq((1L, "a", 2, "update")).toDF("id", "name", "score", "op_flag")
+    val e1 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, dir, typeChange, "id")
+    }
+    assert(e1.getMessage.contains("would change type"))
+    val dropped = Seq((1L, "a", "update")).toDF("id", "name", "op_flag")
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, dir, dropped, "id")
+    }
+    assert(e2.getMessage.contains("missing existing column"))
+    // table untouched by the rejected batches
+    assert(contents(dir) === Set((1L, "a", 1.0)))
+  }
+
   test("snapshot isolation: a reader resolved before a merge keeps seeing its snapshot") {
     val dir = freshDir()
     MergeTable.merge(spark, dir,
