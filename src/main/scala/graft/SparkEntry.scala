@@ -666,6 +666,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ⊕J6: as-of join with direction + tolerance (the full merge_asof
+    // surface) — for each error event, the NEAREST purchase by the same
+    // user within 30 minutes either way, ties to backward. Both direction
+    // windows share one exchange on user_id; tolerance nulls the payload
+    // (the left row survives), mirrored by coalesce(-1) here and in the
+    // oracle's double-ASOF formulation.
+    "q79_asof_nearest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      Relational.asofJoinDirectional(err, pur, "user_id", "ts", "ts",
+          Seq("value"), direction = "nearest", toleranceSeconds = Some(1800L))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("value"), lit(-1.0)).as("near_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ⊕J6: range (interval) join — shipments within 30 days of order date.
     // Binned: equi hash join on the 30-day bucket (interval side exploded
     // to its 2 covering bins) + exact range filter, instead of the
@@ -1890,6 +1909,25 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1995-01-01'
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q79_asof_nearest" ->
+      """WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |pur AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT err.event_id, pur.ts AS mts, pur.value AS mval
+        |  FROM err ASOF LEFT JOIN pur ON err.user_id = pur.user_id AND pur.ts <= err.ts),
+        |f AS (SELECT err.event_id, pur.ts AS mts, pur.value AS mval
+        |  FROM err ASOF LEFT JOIN pur ON err.user_id = pur.user_id AND pur.ts >= err.ts),
+        |j AS (SELECT e.event_id, e.user_id, b.mval AS bval, f.mval AS fval,
+        |  date_diff('second', b.mts, e.ts) AS bd,
+        |  date_diff('second', e.ts, f.mts) AS fd,
+        |  b.mts IS NOT NULL AND date_diff('second', b.mts, e.ts) <= 1800 AS bok,
+        |  f.mts IS NOT NULL AND date_diff('second', e.ts, f.mts) <= 1800 AS fok
+        |  FROM err e LEFT JOIN b ON b.event_id = e.event_id
+        |  LEFT JOIN f ON f.event_id = e.event_id)
+        |SELECT event_id, user_id,
+        |  coalesce(CASE WHEN bok AND fok THEN (CASE WHEN bd <= fd THEN bval ELSE fval END)
+        |    WHEN bok THEN bval WHEN fok THEN fval END, -1.0) AS near_value
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "q48_asof_join" ->
       """WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),

@@ -200,6 +200,81 @@ object Relational {
       .select(lCols.toIndexedSeq.map(col(_)) ++ carry.map(col(_)): _*)
   }
 
+  /** ⊕J6: as-of join with DIRECTION and TOLERANCE — the full
+    * pandas-`merge_asof` surface over the same union+window machinery as
+    * [[asofJoin]] (one shuffle on `key`, |left|+|right| rows, no range
+    * probe):
+    *  - `backward`: latest right with `rightTs <= leftTs` (the
+    *    [[asofJoin]] semantics);
+    *  - `forward`: earliest right with `rightTs >= leftTs` — the same
+    *    running-`last` window with the time axis reversed;
+    *  - `nearest`: whichever of the two is closer in time, ties to
+    *    backward (pandas' rule). Both windows share the one exchange on
+    *    `key` (same partitioning, two sort orders).
+    * `toleranceSeconds` nulls the carried values when the matched right
+    * row is further than the tolerance (merge_asof semantics: the left row
+    * survives with null payload, it is not dropped). Timestamps must be
+    * TimestampType. Among right rows sharing (key, ts) the carried value
+    * is the one sorting last by the carry columns — deterministic. */
+  def asofJoinDirectional(left: DataFrame, right: DataFrame, key: String,
+                          leftTs: String, rightTs: String, carry: Seq[String],
+                          direction: String = "backward",
+                          toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
+    val lCols = left.columns
+    val rTagged = right.select(
+      (col(key).as("__key") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        col(rightTs).as("__c___rts") +:
+        carry.map(c => col(c).as(s"__c_$c")) ++: lCols.toIndexedSeq.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val lTagged = left.select(
+      (col(key).as("__key") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
+        lit(null).cast(right.schema(rightTs).dataType).as("__c___rts") +:
+        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__c_$c")) ++:
+        lCols.toIndexedSeq.map(col(_))): _*)
+    val tiebreak = carry
+      .filter(c => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType))
+      .map(c => col(s"__c_$c").asc)
+    def win(reversed: Boolean) = {
+      val ord = if (reversed) col("__ts").desc else col("__ts").asc
+      Window.partitionBy(col("__key"))
+        .orderBy((ord +: col("__side").asc +: tiebreak): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    val dirs = direction match {
+      case "nearest" => Seq("b" -> false, "f" -> true)
+      case "backward" => Seq("b" -> false)
+      case "forward" => Seq("f" -> true)
+    }
+    val internal = "__rts" +: carry
+    val carriedCols = dirs.flatMap { case (tag, rev) =>
+      internal.map(c =>
+        last(col(s"__c_$c"), ignoreNulls = true).over(win(rev)).as(s"__${tag}_$c"))
+    }
+    val carried = rTagged.unionByName(lTagged)
+      .select(col("*") +: carriedCols: _*)
+      .filter(col("__side") === 1)
+    val tol = toleranceSeconds.map(lit(_).cast("long"))
+    def ok(tag: String, delta: Column): Column =
+      col(s"__${tag}___rts").isNotNull &&
+        tol.map(t => delta <= t).getOrElse(lit(true))
+    val bDelta = unix_timestamp(col("__ts")) - unix_timestamp(col("__b___rts"))
+    val fDelta = unix_timestamp(col("__f___rts")) - unix_timestamp(col("__ts"))
+    def pick(c: String): Column = direction match {
+      case "backward" => when(ok("b", bDelta), col(s"__b_$c"))
+      case "forward" => when(ok("f", fDelta), col(s"__f_$c"))
+      case "nearest" =>
+        when(ok("b", bDelta) && ok("f", fDelta),
+            when(bDelta <= fDelta, col(s"__b_$c")).otherwise(col(s"__f_$c")))
+          .when(ok("b", bDelta), col(s"__b_$c"))
+          .when(ok("f", fDelta), col(s"__f_$c"))
+    }
+    carried.select(lCols.toIndexedSeq.map(col(_)) ++
+      carry.map(c => pick(c).as(c)): _*)
+  }
+
   /** Skew-safe equi-join: salt ONLY the hot keys of the skewed (left) side
     * into `buckets` sub-keys and explode the matching build rows; all other
     * keys take the plain join. Use when AQE skew handling isn't enough

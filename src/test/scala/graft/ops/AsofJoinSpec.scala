@@ -17,6 +17,37 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(3L) === None)       // right row is after left ts
   }
 
+  test("asofJoinDirectional: backward/forward/nearest with tolerance") {
+    def ts(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val left = Seq((1L, "u", ts(100)), (2L, "u", ts(205)),
+      (3L, "u", ts(1000)), (4L, "v", ts(50))).toDF("id", "k", "t")
+    val right = Seq(("u", ts(90), 9.0), ("u", ts(210), 21.0),
+      ("v", ts(45), 4.5)).toDF("k", "t", "v")
+    def run(dir: String, tol: Option[Long]) =
+      Relational.asofJoinDirectional(left, right, "k", "t", "t", Seq("v"), dir, tol)
+        .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(run("backward", None) === Map(1L -> Some(9.0), 2L -> Some(9.0),
+      3L -> Some(21.0), 4L -> Some(4.5)))
+    assert(run("forward", None) === Map(1L -> Some(21.0), 2L -> Some(21.0),
+      3L -> None, 4L -> None))
+    // id1: Δb=10 < Δf=110; id2: Δb=115 > Δf=5; id3: backward only
+    assert(run("nearest", None) === Map(1L -> Some(9.0), 2L -> Some(21.0),
+      3L -> Some(21.0), 4L -> Some(4.5)))
+    // tolerance 100 s nulls id3's 790 s-away backward match, keeps the row
+    assert(run("nearest", Some(100L)) === Map(1L -> Some(9.0),
+      2L -> Some(21.0), 3L -> None, 4L -> Some(4.5)))
+  }
+
+  test("asofJoinDirectional: equidistant nearest ties to backward") {
+    def ts(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val left = Seq((1L, "u", ts(150))).toDF("id", "k", "t")
+    val right = Seq(("u", ts(100), 1.0), ("u", ts(200), 2.0)).toDF("k", "t", "v")
+    val out = Relational.asofJoinDirectional(left, right, "k", "t", "t",
+        Seq("v"), "nearest", None)
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(1L -> Some(1.0)))
+  }
+
   test("operators tolerate empty inputs") {
     val empty = Seq.empty[(String, Int)].toDF("name", "v")
     val emptyTgt = Seq.empty[(Long, String)].toDF("id", "tag")

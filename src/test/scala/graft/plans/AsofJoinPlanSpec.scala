@@ -92,6 +92,18 @@ class AsofJoinPlanSpec extends SparkSpec {
     assert(got.toSet === Set("c"))
   }
 
+  test("directional nearest as-of plans ONE exchange for both direction windows") {
+    def ts(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val left = Seq((1L, "u", ts(100))).toDF("id", "k", "t")
+    val right = Seq(("u", ts(90), 9.0)).toDF("k", "t", "v")
+    val plan = graft.ops.Relational.asofJoinDirectional(
+        left, right, "k", "t", "t", Seq("v"), "nearest", Some(100L))
+      .queryExecution.executedPlan.toString
+    // both windows partition on __key: the second must reuse the first's
+    // exchange (two Sorts, one hashpartitioning Exchange over the union)
+    assert(plan.split("Exchange hashpartitioning").length == 2, plan)
+  }
+
   test("physical plan is the custom exec with one exchange per side") {
     val ev = Tables.events(spark, sfDir)
     val l = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
