@@ -194,6 +194,21 @@ object SparkEntry {
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // §2.6 ⊕A8: per-group top-k via the bounded-heap `top_k_by` aggregate —
+    // k rows per (map task × group) cross the shuffle instead of every row
+    // (the window row_number form q11 uses must shuffle + full-sort each
+    // group; at 100 TB a hot group is billions of rows and this caps it)
+    "q80_topk_per_group" -> ((s, d) => {
+      graft.functions.TopKFunctions.ensureRegistered(s)
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("top_k_by(o_orderkey, cast(o_totalprice as double), 5)").as("tk"))
+        .select(col("o_orderpriority"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+          col("e.payload").as("o_orderkey"), col("e.ord").as("price"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    }),
+
     // §2.3 J1/J2: broadcast lookup-join enrichment + grouped agg
     "q02_lookup_join" -> ((s, d) => {
       val enr = Relational.lookupEnrich(
@@ -760,6 +775,35 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy(col("event_type"))
+    }),
+
+    // ⊕ layout: Z-ORDER — one Morton-curve sort key gives 2-D locality, so
+    // a (partkey × suppkey) box prunes partition dirs on BOTH columns at
+    // once: the driver enumerates the z-prefixes covering the box (3 of 16
+    // here — ZOrderSpec asserts the PartitionFilters) and the exact box
+    // stays as the residual predicate. Oracle recomputes the box closed-
+    // form from lineitem — the layout must be lossless AND the curve math
+    // consistent between write and read.
+    "q81_zorder_prune" -> ((s, d) => {
+      val tmp = sharedFixture("zorder", d) { dir =>
+        val li = t(s, d, "lineitem")
+        // layout-time stats pass (what OPTIMIZE jobs do): bin both dims
+        // into 16 cells over their observed domain
+        val r = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+        val (mx, my) = (r.getLong(0) + 1, r.getLong(1) + 1)
+        val cells = li.select(col("l_partkey"), col("l_suppkey"),
+            col("l_returnflag"), col("l_quantity"))
+          .withColumn("cx", expr(s"int((l_partkey * 16) div $mx)"))
+          .withColumn("cy", expr(s"int((l_suppkey * 16) div $my)"))
+        graft.layout.ZOrder.writeZOrdered(cells, s"$dir/z", col("cx"), col("cy"))
+      } + "/z"
+      val prefixes = graft.layout.ZOrder.zPrefixesForBox(4, 7, 2, 9)
+      s.read.parquet(tmp)
+        .filter(col("z_prefix").isin(prefixes: _*))
+        .filter(col("cx").between(4, 7) && col("cy").between(2, 9))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // ⊕ dedup: incremental ingest dedup — a new batch (doc_id % 4 == 0)
@@ -1518,6 +1562,14 @@ object SparkEntry {
         |cnt AS (SELECT w, count(*) AS c FROM sh GROUP BY w)
         |SELECT cnt.w, cnt.c FROM cnt, tot WHERE cnt.c * 601 > tot.n ORDER BY cnt.w""".stripMargin,
 
+    "q80_topk_per_group" ->
+      """SELECT o_orderpriority, rn AS rk, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 5 ORDER BY o_orderpriority, rk""".stripMargin,
+
     "q69_pii_redact" -> {
       val em = graft.text.TextAnalysis.EmailRe
       val ph = graft.text.TextAnalysis.PhoneRe
@@ -1716,6 +1768,15 @@ object SparkEntry {
       s"""SELECT event_type, count(*) AS n, ${sqlDsum("value", 18, 2)} AS total
          |FROM events WHERE event_type IN ('view', 'click')
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q81_zorder_prune" ->
+      s"""WITH m AS (SELECT max(l_partkey)+1 AS mx, max(l_suppkey)+1 AS my FROM lineitem),
+         |c AS (SELECT l_returnflag, l_quantity,
+         |        (l_partkey * 16) // mx AS cx, (l_suppkey * 16) // my AS cy
+         |      FROM lineitem, m)
+         |SELECT l_returnflag, count(*) AS n, ${sqlDsum("l_quantity", 18, 2)} AS qty
+         |FROM c WHERE cx BETWEEN 4 AND 7 AND cy BETWEEN 2 AND 9
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q62_ivf_layout" ->
       """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dims,
