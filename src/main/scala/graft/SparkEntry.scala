@@ -619,6 +619,70 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ⊕ stats: single-pass column profiler (ANALYZE surface) — null
+    // counts, exact NDV, numeric min/max for 6 lineitem columns in ONE
+    // aggregation (Expand + hash agg, one shuffle total)
+    "q87_profile" -> ((s, d) =>
+      Relational.profile(
+          t(s, d, "lineitem")
+            // NTZ -> TS is a no-op under the pinned UTC session zone; TS ->
+            // double is epoch seconds (matches DuckDB epoch())
+            .withColumn("l_ship_epoch",
+              col("l_shipdate").cast("timestamp").cast("double")),
+          numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_ship_epoch"),
+          categorical = Seq("l_returnflag", "l_linestatus"))
+        .orderBy(col("col_name"))),
+
+    // ⊕ text: inverted index + conjunctive search — the at-rest text-search
+    // structure (term -> df + sorted postings) built with two term-keyed
+    // aggregations, then an AND query that reads ONLY the query terms'
+    // posting rows before exploding them
+    "q83_inverted_index" -> ((s, d) => {
+      val idx = TextAnalysis.invertedIndex(t(s, d, "documents"), "doc_id", col("text"))
+      TextAnalysis.searchAll(idx, Seq("stream", "window"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ⊕ text: BPE pair counting — the tokenizer-training inner loop
+    // (adjacent symbol pairs weighted by word frequency, argmax = next
+    // merge); the word-frequency rollup compresses the corpus before the
+    // pair explode, so the iteration cost tracks DISTINCT words
+    "q84_bpe_pairs" -> ((s, d) =>
+      Relational.topK(
+        TextAnalysis.bpePairCounts(t(s, d, "documents"), col("text")),
+        20, col("score").desc, col("pair"))),
+
+    // ⊕ dedup: edit-distance (Levenshtein) similarity join over the
+    // DISTINCT name vocabulary (exact-dedup-first, or a duplicate-heavy
+    // column makes the pair set quadratic) — last-token blocking + length
+    // band + thresholded banded-DP distance finds old/cold-style near
+    // names; no cross join anywhere
+    "q82_editdist_join" -> ((s, d) => {
+      val vocab = t(s, d, "part")
+        .select(lower(col("p_name")).as("name")).distinct()
+        .withColumn("id", col("name"))
+      Dedup.editDistancePairs(vocab, "id", "name", maxDist = 2,
+          blockKey = n => element_at(split(n, " "), -1))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ⊕ dedup: asymmetric containment verify — every 10th doc gets an
+    // 8-word excerpt row; containment flags the excerpt⊆original
+    // relationship (c_ab = 1.0) that symmetric Jaccard dilutes to noise.
+    // Excerpt pairing is the probe (q23's pattern); the operator under
+    // test is the verify stage.
+    "q86_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val excerpts = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          array_join(slice(TextAnalysis.words(col("text")), 1, 8), " ").as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(excerpts)
+      val cand = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000000L).as("a"), col("doc_id").as("b"))
+      Dedup.containmentVerify(cand, corpus, "doc_id", col("text"))
+        .orderBy(col("a"))
+    }),
+
     // ⊕ similarity search: exact brute-force cosine top-k
     "q24_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -954,6 +1018,22 @@ object SparkEntry {
     "q36_embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(t(s, d, "embeddings"), threshold = 0.3)
         .orderBy(col("a"), col("b"))),
+
+    // ⊕ dedup × similarity: SEMANTIC dedup clusters — embedding-cosine
+    // near-dup pairs (LSH buckets + native cosine verify, q36's edges)
+    // fed through connected components; vectors in no pair are singleton
+    // components. The "dedup by meaning" composition a pretraining
+    // pipeline runs after exact/fuzzy text dedup.
+    "q85_semantic_clusters" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val edges = Similarity.nearDupPairs(emb, threshold = 0.3).select(col("a"), col("b"))
+      val cc = Dedup.connectedComponents(edges)
+      emb.select(col("vec_id"))
+        .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"))
+        .orderBy(col("vec_id"))
+    }),
 
     // §2.9: sliding-window counts (width 10m, slide 5m)
     "q37_stream_sliding" -> ((s, d) =>
@@ -1632,6 +1712,86 @@ object SparkEntry {
       """cand AS (SELECT d1.doc_id AS a, d2.doc_id AS b
         |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1)""".stripMargin),
 
+    "q87_profile" -> {
+      val numeric = Seq(
+        "l_orderkey" -> "l_orderkey", "l_quantity" -> "l_quantity",
+        "l_extendedprice" -> "l_extendedprice", "l_ship_epoch" -> "epoch(l_shipdate)")
+      val categorical = Seq("l_returnflag", "l_linestatus")
+      val aggs =
+        numeric.zipWithIndex.map { case ((_, e), i) =>
+          s"CAST(sum(CASE WHEN $e IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn$i, " +
+            s"count(DISTINCT $e) AS nd$i, CAST(min($e) AS DOUBLE) AS mn$i, " +
+            s"CAST(max($e) AS DOUBLE) AS mx$i"
+        } ++ categorical.zipWithIndex.map { case (c, i) =>
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cnn$i, " +
+            s"count(DISTINCT $c) AS cnd$i"
+        }
+      val rows =
+        numeric.zipWithIndex.map { case ((name, _), i) =>
+          s"SELECT '$name' AS col_name, n, nn$i AS n_null, nd$i AS n_distinct, " +
+            s"mn$i AS min_d, mx$i AS max_d FROM a"
+        } ++ categorical.zipWithIndex.map { case (c, i) =>
+          s"SELECT '$c' AS col_name, n, cnn$i AS n_null, cnd$i AS n_distinct, " +
+            s"CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d FROM a"
+        }
+      s"""WITH a AS (SELECT count(*) AS n, ${aggs.mkString(", ")} FROM lineitem)
+         |${rows.mkString("\n UNION ALL ")}
+         |ORDER BY col_name""".stripMargin
+    },
+
+    "q83_inverted_index" ->
+      s"""WITH $wordsCte,
+         |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+         |       WHERE term IN ('stream', 'window') GROUP BY term, doc_id)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+         |GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id""".stripMargin,
+
+    "q84_bpe_pairs" ->
+      s"""WITH $wordsCte,
+         |wf AS (SELECT unnest(ws) AS wrd FROM w),
+         |freq AS (SELECT wrd, count(*) AS freq FROM wf GROUP BY wrd),
+         |p AS (SELECT freq, substr(wrd, i, 2) AS pair
+         |      FROM (SELECT wrd, freq, unnest(generate_series(1, length(wrd) - 1)) AS i
+         |            FROM freq WHERE length(wrd) >= 2))
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS score FROM p GROUP BY pair
+         |ORDER BY score DESC, pair LIMIT 20""".stripMargin,
+
+    "q82_editdist_join" ->
+      """WITH vocab AS (SELECT DISTINCT lower(p_name) AS name FROM part),
+        |k AS (SELECT name AS id, name, string_split(name, ' ')[-1] AS blk FROM vocab)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+        |  AND abs(len(a.name) - len(b.name)) <= 2
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q86_containment" ->
+      """WITH ex AS (SELECT doc_id + 20000000 AS doc_id,
+        |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:8], ' ') AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM ex),
+        |cw AS (SELECT doc_id AS id,
+        |    unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS w
+        |  FROM corpus),
+        |sz AS (SELECT id, count(*) AS sz FROM cw GROUP BY id),
+        |cand AS (SELECT doc_id + 20000000 AS a, doc_id AS b FROM documents WHERE doc_id % 10 = 0),
+        |i AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+        |      JOIN cw wa ON wa.id = c.a
+        |      JOIN cw wb ON wb.id = c.b AND wb.w = wa.w
+        |      GROUP BY c.a, c.b)
+        |SELECT c.a, c.b, CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+        |  CASE WHEN coalesce(sa.sz, 0) = 0 THEN 0.0
+        |       ELSE floor((CAST(coalesce(i.inter, 0) AS DOUBLE) / sa.sz) * 1e6) / 1e6 END AS c_ab,
+        |  CASE WHEN coalesce(sb.sz, 0) = 0 THEN 0.0
+        |       ELSE floor((CAST(coalesce(i.inter, 0) AS DOUBLE) / sb.sz) * 1e6) / 1e6 END AS c_ba
+        |FROM cand c
+        |LEFT JOIN i ON i.a = c.a AND i.b = c.b
+        |LEFT JOIN sz sa ON sa.id = c.a
+        |LEFT JOIN sz sb ON sb.id = c.b
+        |ORDER BY c.a""".stripMargin,
+
     "q24_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
@@ -1859,6 +2019,29 @@ object SparkEntry {
          |    / (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))), 6) AS sim
          |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |SELECT DISTINCT a, b, sim FROM p WHERE sim >= 0.3 ORDER BY a, b""".stripMargin
+    },
+
+    "q85_semantic_clusters" -> {
+      val signs = Similarity.hyperplaneSigns(8, 64)
+      val bucketExpr = (0 until 8).map { p =>
+        val arr = signs(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(emb, $arr) > 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e),
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE round(list_dot_product(x.emb, y.emb)
+         |    / (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))), 6) >= 0.3),
+         |und AS (SELECT a AS x, b AS y FROM cand UNION SELECT b, a FROM cand),
+         |walk AS (
+         |  SELECT x AS src, y AS dst FROM und
+         |  UNION
+         |  SELECT w.src, u.y FROM walk w JOIN und u ON w.dst = u.x),
+         |comp AS (SELECT src AS id, min(dst) AS m FROM walk GROUP BY src)
+         |SELECT v.vec_id, CAST(coalesce(least(c.id, c.m), v.vec_id) AS BIGINT) AS component
+         |FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id
+         |ORDER BY v.vec_id""".stripMargin
     },
 
     "q37_stream_sliding" ->

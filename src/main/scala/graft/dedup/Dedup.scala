@@ -210,6 +210,41 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT for given (a, b) id pairs: |A∩B|/|A| and
+    * |A∩B|/|B| over distinct word sets. Symmetric Jaccard dilutes a short
+    * doc fully contained in a long one (|A∩B|/|A∪B| ≈ |A|/|B| → 0), so
+    * excerpt/quote/boilerplate-embedding relationships need containment —
+    * the dedup decision "B quotes all of A" reads c_ab ≈ 1 regardless of
+    * length ratio. Same verify-stage scale shape as [[jaccardVerify]]:
+    * semi-join-bounded token table, cost tracks candidate count, never n².
+    * Empty word sets yield containment 0 (mirrored in the oracle).
+    * Returns (a, b, inter, c_ab, c_ba), ratios truncated at 1e-6. */
+  def containmentVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                        text: Column): DataFrame = {
+    val ids = pairs.select(col("a").as("__id"))
+      .union(pairs.select(col("b").as("__id"))).distinct()
+    val w = docs.select(col(idCol).as("__id"),
+        explode(array_distinct(TextAnalysis.words(text))).as("w"))
+      .join(ids, Seq("__id"), "left_semi")
+      .localCheckpoint()
+    val sizes = w.groupBy("__id").agg(count("*").as("sz"))
+    val inter = pairs
+      .join(w.select(col("__id").as("a"), col("w")), Seq("a"))
+      .join(w.select(col("__id").as("b"), col("w")), Seq("b", "w"))
+      .groupBy("a", "b").agg(count("*").as("inter"))
+    def trunc6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)
+    def cont(sz: Column): Column =
+      when(sz === 0, lit(0.0))
+        .otherwise(trunc6(col("inter").cast("double") / sz.cast("double")))
+    pairs.join(inter, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("__id").as("a"), col("sz").as("sza")), Seq("a"), "left")
+      .join(sizes.select(col("__id").as("b"), col("sz").as("szb")), Seq("b"), "left")
+      .na.fill(0L, Seq("sza", "szb"))
+      .select(col("a"), col("b"), col("inter"),
+        cont(col("sza")).as("c_ab"), cont(col("szb")).as("c_ba"))
+  }
+
   /** Exact character-n-gram set Jaccard for given (a, b) pairs — the
     * sub-word counterpart of [[jaccardVerify]]: char grams catch
     * morphology/typo/agglutination-level similarity that word sets miss
@@ -555,6 +590,40 @@ object Dedup {
         (col("__na") * col("__nb")).cast("long").as("n_pairs"))
       .filter(col("dist") <= maxDist)
     within.union(cross)
+  }
+
+  /** Edit-distance similarity self-join: pairs of rows whose `name` is
+    * within `maxDist` Levenshtein edits, without the all-pairs cross join.
+    *
+    * Blocking: candidates must share a block key (first whitespace token)
+    * and have lengths within `maxDist` of each other — the standard
+    * length-band lower bound (|len(a)-len(b)| <= lev(a,b)), applied IN the
+    * join condition so Catalyst plans an equi-join on the block key with
+    * the band as a residual. The exact distance then runs only inside
+    * blocks, with Spark's thresholded `levenshtein(l, r, maxDist)` kernel
+    * (banded DP, O(maxDist·n) per pair instead of O(n²), early exit above
+    * the bound — returns -1 there, filtered out).
+    *
+    * At 100 TB the block key bounds every bucket the same way the LSH band
+    * join's buckets are bounded; recall is exactly "pairs that agree on
+    * the block key" by construction (a multi-pass blocker unions more
+    * keys — same plan shape per pass). Run this over the DISTINCT value
+    * vocabulary, not raw rows: exact dedup first (q20's operator), or a
+    * duplicate-heavy column makes the output itself quadratic — the same
+    * exact-before-fuzzy ordering the LSH pipeline documents. */
+  def editDistancePairs(named: DataFrame, id: String, name: String,
+                        maxDist: Int,
+                        blockKey: Column => Column = substring_index(_, " ", 1)): DataFrame = {
+    val keyed = named.select(col(id).as("id"), col(name).as("name"))
+      .withColumn("blk", blockKey(col("name")))
+    val a = keyed.select(col("id").as("id_a"), col("name").as("__na"), col("blk"))
+    val b = keyed.select(col("id").as("id_b"), col("name").as("__nb"),
+      col("blk").as("__blkb"))
+    a.join(b, col("blk") === col("__blkb") && col("id_a") < col("id_b") &&
+        abs(length(col("__na")) - length(col("__nb"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__na"), col("__nb"), maxDist).cast("long").as("dist"))
+      .filter(col("dist").between(0, maxDist))
   }
 
   /** Portable built-ins-only reference implementation of [[simhash16]]

@@ -303,6 +303,38 @@ object Relational {
 
   /** Keys of `df` whose row count exceeds `threshold` — the salted-join
     * split criterion, exposed so callers (and tests) can size the hot set. */
+  /** Single-pass column profiler — the ANALYZE-statistics surface (row
+    * count, null count, exact NDV, numeric min/max per column) a
+    * cost-based optimizer and a data-quality gate both read. ONE
+    * aggregation over the table: Spark plans the multi-column DISTINCTs
+    * as a single Expand (one row per (input row × profiled column)) +
+    * partial/final hash agg — one shuffle total regardless of column
+    * count, vs one scan per column for the naive loop. The wide 1-row
+    * result is then exploded into the (col_name, stats) long form.
+    * `numeric` columns must be castable to double (pre-cast timestamps
+    * to epoch seconds); `categorical` columns get null min/max. */
+  def profile(df: DataFrame, numeric: Seq[String], categorical: Seq[String]): DataFrame = {
+    val all = numeric ++ categorical
+    val aggs = all.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nn"),
+          countDistinct(col(c)).as(s"__${c}_nd")) ++
+        (if (numeric.contains(c))
+           Seq(min(col(c)).cast("double").as(s"__${c}_mn"),
+               max(col(c)).cast("double").as(s"__${c}_mx"))
+         else Nil)
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = all.map { c =>
+      val (mn, mx) =
+        if (numeric.contains(c)) (col(s"__${c}_mn"), col(s"__${c}_mx"))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      struct(lit(c).as("col_name"), col("__n").as("n"),
+        col(s"__${c}_nn").as("n_null"), col(s"__${c}_nd").as("n_distinct"),
+        mn.as("min_d"), mx.as("max_d"))
+    }
+    row.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
   def hotKeys(df: DataFrame, key: String, threshold: Long): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > threshold).select(col(key))

@@ -113,6 +113,54 @@ object TextAnalysis {
       .drop("__n")
   }
 
+  /** Inverted index: one row per term with its document frequency and the
+    * sorted posting list of (doc_id, tf) structs — the at-rest search
+    * structure for a text corpus. One explode + two aggregations, all
+    * shuffling on `term`; posting lists are per-term rows (never collected
+    * to the driver), so a 100 TB corpus's index is itself a distributed
+    * table, written partitioned/bucketed by term like any other. Hot-term
+    * posting lists are the same skew surface as LSH buckets — cap with a
+    * df filter downstream (stopword terms carry no search signal anyway). */
+  def invertedIndex(docs: DataFrame, idCol: String, text: Column): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(words(text)).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
+
+  /** Conjunctive (AND) search over an [[invertedIndex]]: documents that
+    * contain EVERY query term, scored by total tf. The index side is
+    * filtered to the |terms| query rows BEFORE the posting lists are
+    * exploded — the classic "read only the query terms' postings" access
+    * path, an `IN` filter an index-at-rest layout turns into partition
+    * pruning. */
+  def searchAll(index: DataFrame, terms: Seq[String]): DataFrame =
+    index.filter(col("term").isin(terms: _*))
+      .select(explode(col("postings")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("score"))
+      .filter(col("n_terms") === terms.length)
+      .select(col("doc_id"), col("score"))
+
+  /** The BPE vocabulary-training inner step: count adjacent symbol pairs
+    * across the corpus, weighted by word frequency. Real BPE training
+    * iterates this (count -> merge the argmax pair -> recount); the count
+    * is the distributed-heavy part — the word-frequency table compresses
+    * the corpus first (a 100 TB crawl has a few hundred million DISTINCT
+    * words), so the pair explode runs over distinct words, not raw text,
+    * and each iteration is two shuffles regardless of corpus size. Symbols
+    * here are characters (iteration 0); after a merge the same plan runs
+    * over the re-segmented symbol arrays. */
+  def bpePairCounts(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(words(text)).as("wrd"))
+      .groupBy("wrd").agg(count(lit(1)).as("freq"))
+      .filter(length(col("wrd")) >= 2)
+      .select(col("freq"), explode(
+        expr("transform(sequence(1, length(wrd) - 1), i -> substring(wrd, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("freq").as("score"))
+
   /** Gopher/C4-style quality filter: rule columns + a keep flag. Each rule
     * is a named boolean; the reasons array makes the filter auditable
     * (standard practice when a pipeline must explain *why* a document was

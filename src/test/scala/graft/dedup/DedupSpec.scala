@@ -241,4 +241,20 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(got === expected)
   }
+
+  test("editDistancePairs: finds within-block near-names, bounds distance, skips cross-block") {
+    import spark.implicits._
+    val df = Seq(
+      1L -> "alpha widget deluxe",
+      2L -> "alpha widgit deluxe",   // 1 substitution from 1
+      3L -> "alpha widget deluxe x", // 2 edits from 1 (space + x appended)
+      4L -> "alpha completely different phrase here totally", // same block, far
+      5L -> "beta widget deluxe"     // near 1 by distance but different block
+    ).toDF("id", "name")
+    val got = Dedup.editDistancePairs(df, "id", "name", maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    // (2,3) is distance 3 -> cut by the threshold; 4 is cut by the length
+    // band; 5 shares no block key
+    assert(got === Set((1L, 2L, 1L), (1L, 3L, 2L)))
+  }
 }

@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Inverted index + conjunctive search, BPE pair counting, containment
+  * verify, and the single-pass profiler — semantics on small in-memory
+  * corpora where the expected values are hand-checkable. */
+class SearchAndBpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark streams window data"),
+    (2L, "window window spark"),
+    (3L, "batch only no match"),
+    (4L, "spark spark spark window window")
+  ).toDF("doc_id", "text")
+
+  test("invertedIndex: df and sorted postings with tf") {
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", col("text"))
+      .as[(String, Long, Seq[(Long, Long)])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(idx("spark") === ((3L, Seq((1L, 1L), (2L, 1L), (4L, 3L)))))
+    assert(idx("window") === ((3L, Seq((1L, 1L), (2L, 2L), (4L, 2L)))))
+    assert(idx("batch") === ((1L, Seq((3L, 1L)))))
+  }
+
+  test("searchAll: AND semantics, tf-sum score, non-matching docs absent") {
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", col("text"))
+    val got = TextAnalysis.searchAll(idx, Seq("spark", "window"))
+      .as[(Long, Long)].collect().toMap
+    // doc 3 lacks both; docs 1/2/4 contain both; score = tf(spark)+tf(window)
+    assert(got === Map(1L -> 2L, 2L -> 3L, 4L -> 5L))
+  }
+
+  test("bpePairCounts: pair scores weighted by word frequency; 1-char words skipped") {
+    val d = Seq((1L, "ab ab abc x"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(d, col("text"))
+      .as[(String, Long)].collect().toMap
+    // freq: ab=3, abc=1, x=1(skipped). pairs: ab from 'ab'(3) + 'abc'(1),
+    // bc from 'abc'(1)
+    assert(got === Map("ab" -> 4L, "bc" -> 1L))
+  }
+
+  test("containmentVerify: excerpt fully contained reads c_ab = 1.0, jaccard-style dilution avoided") {
+    import graft.dedup.Dedup
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 1L)).toDF("a", "b")
+    val r = Dedup.containmentVerify(pairs, corpus, "doc_id", col("text"))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r === ((2L, 1L, 2L, 1.0, 0.25)))
+  }
+
+  test("profile: one row per column with exact nulls/ndv/minmax") {
+    import graft.ops.Relational
+    val d = Seq[(java.lang.Long, String)]((1L, "x"), (2L, "x"), (null, "y"), (4L, null))
+      .toDF("k", "s")
+    val got = Relational.profile(d, numeric = Seq("k"), categorical = Seq("s"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])].collect()
+    assert(got === Array(
+      ("k", 4L, 1L, 3L, Some(1.0), Some(4.0)),
+      ("s", 4L, 1L, 2L, None, None)))
+  }
+}
