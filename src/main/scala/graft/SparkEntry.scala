@@ -619,6 +619,50 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ⊕ stats: token-length distribution per language — exact percentiles
+    // (hash-checked) PLUS the mergeable GK sketch (percentile_approx)
+    // gated against them (q90's pattern: booleans in the oracle). At
+    // 100 TB the exact form full-sorts every group; the sketch is the
+    // production path — this query measures its error where exact is
+    // still computable.
+    "q88_quantile_sketch" -> ((s, d) => {
+      val tok = TextAnalysis.tokenCounts(t(s, d, "documents"), col("text"))
+        .select(col("lang"), col("n_tokens_ws").cast("double").as("nt"))
+      tok.groupBy(col("lang"))
+        .agg(round(expr("percentile(nt, 0.5)"), 4).as("p50"),
+          round(expr("percentile(nt, 0.99)"), 4).as("p99"),
+          expr("percentile_approx(nt, array(0.5D, 0.99D), 1000)").as("__ap"))
+        .select(col("lang"), col("p50"), col("p99"),
+          (abs(element_at(col("__ap"), 1) - col("p50")) / col("p50") <= 0.1).as("p50_ok"),
+          (abs(element_at(col("__ap"), 2) - col("p99")) / col("p99") <= 0.1).as("p99_ok"))
+        .orderBy(col("lang"))
+    }),
+
+    // ⊕ stats: grouped correlation + regression slope from DECIMAL-exact
+    // power sums (order-independent — a float corr() merge is partition-
+    // order dependent, so its last bits are not reproducible across
+    // engines or runs; exact integer-scaled sums then ONE double formula
+    // evaluation are). Same one-pass shape as any grouped agg.
+    "q89_grouped_corr" -> ((s, d) => {
+      def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+      val li = t(s, d, "lineitem")
+      def trunc6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)
+      val g = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sx"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sxx"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast("double").as("syy"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast("double").as("sxy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      g.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          trunc6(cov / (sqrt(vx) * sqrt(vy))).as("corr_qp"),
+          trunc6(cov / vx).as("slope_qp"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ⊕ stats: single-pass column profiler (ANALYZE surface) — null
     // counts, exact NDV, numeric min/max for 6 lineitem columns in ONE
     // aggregation (Expand + hash agg, one shuffle total)
@@ -1711,6 +1755,30 @@ object SparkEntry {
     "q23_jaccard_pairs" -> jaccardSql(
       """cand AS (SELECT d1.doc_id AS a, d2.doc_id AS b
         |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1)""".stripMargin),
+
+    "q88_quantile_sketch" ->
+      s"""WITH $wordsCte
+         |SELECT lang,
+         |  round(quantile_cont(CAST(len(ws) AS DOUBLE), 0.5), 4) AS p50,
+         |  round(quantile_cont(CAST(len(ws) AS DOUBLE), 0.99), 4) AS p99,
+         |  TRUE AS p50_ok, TRUE AS p99_ok
+         |FROM w GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q89_grouped_corr" -> {
+      val dq = "CAST(l_quantity AS DECIMAL(18,2))"
+      val dp = "CAST(l_extendedprice AS DECIMAL(18,2))"
+      s"""WITH g AS (SELECT l_returnflag,
+         |  CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum($dq) AS DOUBLE) AS sx, CAST(sum($dp) AS DOUBLE) AS sy,
+         |  CAST(sum($dq * $dq) AS DOUBLE) AS sxx,
+         |  CAST(sum($dp * $dp) AS DOUBLE) AS syy,
+         |  CAST(sum($dq * $dp) AS DOUBLE) AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+         |  floor(((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))) * 1e6) / 1e6 AS corr_qp,
+         |  floor(((n*sxy - sx*sy) / (n*sxx - sx*sx)) * 1e6) / 1e6 AS slope_qp
+         |FROM g ORDER BY l_returnflag""".stripMargin
+    },
 
     "q87_profile" -> {
       val numeric = Seq(
