@@ -619,6 +619,35 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ⊕ SQL front door: verbatim TPC-H Q1 text through the parser →
+    // analyzer → same Catalyst pipeline the DataFrame queries use; temp
+    // view over the parquet scan. Decimal-exact sums (q06's discipline)
+    // keep the hash comparable.
+    "q97_sql_q1" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
+
+    // ⊕ time series: resample + zero-filled gaps (5-minute buckets per
+    // event type over the global range) — densification before rolling
+    // windows; the grid is keys × buckets, never data-sized
+    "q98_gapfill" -> ((s, d) =>
+      Relational.gapFillCounts(Tables.events(s, d), "event_type", "ts", 300)
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("n"))
+        .orderBy(col("event_type"), col("bucket"))),
+
     // ⊕ stats: token-length distribution per language — exact percentiles
     // (hash-checked) PLUS the mergeable GK sketch (percentile_approx)
     // gated against them (q90's pattern: booleans in the oracle). At
@@ -1755,6 +1784,31 @@ object SparkEntry {
     "q23_jaccard_pairs" -> jaccardSql(
       """cand AS (SELECT d1.doc_id AS a, d2.doc_id AS b
         |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1)""".stripMargin),
+
+    "q97_sql_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q98_gapfill" ->
+      """WITH b AS (SELECT event_type, time_bucket(INTERVAL '300 seconds', ts) AS bucket FROM events),
+        |c AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        |bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+        |grid AS (SELECT et.event_type, g.bucket
+        |         FROM (SELECT DISTINCT event_type FROM events) et
+        |         CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL '300 seconds')) AS bucket
+        |                     FROM bounds) g)
+        |SELECT grid.event_type, strftime(grid.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM grid LEFT JOIN c ON c.event_type = grid.event_type AND c.bucket = grid.bucket
+        |ORDER BY grid.event_type, bucket""".stripMargin,
 
     "q88_quantile_sketch" ->
       s"""WITH $wordsCte

@@ -303,6 +303,28 @@ object Relational {
 
   /** Keys of `df` whose row count exceeds `threshold` — the salted-join
     * split criterion, exposed so callers (and tests) can size the hot set. */
+  /** Time-series resample with gap fill: per-key counts in fixed
+    * `stepSec` buckets over the GLOBAL [min, max] bucket range, missing
+    * buckets zero-filled — the densification step before any rolling
+    * window / anomaly model (a gap is signal, and a rolling mean over a
+    * sparse series silently skips it). Grid = (distinct keys) ×
+    * (sequence of buckets): both sides are tiny relative to the data
+    * (keys × range/step rows), built from a 1-row bounds agg — the fact
+    * table is scanned once, the grid join shuffles grid-sized input, not
+    * data-sized. */
+  def gapFillCounts(df: DataFrame, key: String, ts: String,
+                    stepSec: Int): DataFrame = {
+    val bucketed = df.select(col(key),
+      (floor(col(ts).cast("timestamp").cast("double") / stepSec) * stepSec)
+        .cast("timestamp").as("bucket"))
+    val counts = bucketed.groupBy(col(key), col("bucket")).agg(count(lit(1)).as("n"))
+    val bounds = bucketed.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val grid = bounds
+      .select(explode(expr(s"sequence(lo, hi, interval $stepSec seconds)")).as("bucket"))
+      .crossJoin(df.select(col(key)).distinct())
+    grid.join(counts, Seq(key, "bucket"), "left").na.fill(0L, Seq("n"))
+  }
+
   /** Single-pass column profiler — the ANALYZE-statistics surface (row
     * count, null count, exact NDV, numeric min/max per column) a
     * cost-based optimizer and a data-quality gate both read. ONE

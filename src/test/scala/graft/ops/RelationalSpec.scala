@@ -191,4 +191,19 @@ class RelationalSpec extends SparkSpec {
     // exactly one current row per key
     assert(h.filter(_._6).map(_._1).toSeq.sorted === Seq(1L, 2L, 3L))
   }
+
+  test("gapFillCounts: dense grid over the global range, missing buckets zero-filled") {
+    val df = Seq(
+      ("a", "2024-01-01 00:00:10"), ("a", "2024-01-01 00:00:50"),
+      ("a", "2024-01-01 00:02:05"), // a skips minute 1
+      ("b", "2024-01-01 00:01:30")  // b exists only in minute 1
+    ).toDF("k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val got = Relational.gapFillCounts(df, "k", "ts", 60)
+      .select(col("k"), date_format(col("bucket"), "HH:mm").as("b"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    // 3 minutes x 2 keys = 6 rows, gaps present with n=0
+    assert(got === Set(
+      ("a", "00:00", 2L), ("a", "00:01", 0L), ("a", "00:02", 1L),
+      ("b", "00:00", 0L), ("b", "00:01", 1L), ("b", "00:02", 0L)))
+  }
 }
