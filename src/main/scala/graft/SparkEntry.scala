@@ -28,6 +28,11 @@ import graft.text.TextAnalysis
   */
 object SparkEntry {
 
+  /** Narrow orders projection for the typed Dataset surface (q99) — the
+    * Encoder's schema is exactly the pruned scan. */
+  case class OrderNarrow(o_orderkey: Long, o_orderstatus: String,
+                         o_totalprice: Double)
+
   /** Flagship: the reference's merge-plan query (main.py:105-165) recast as
     * one full-outer diff; driver smoke-checks rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
@@ -617,6 +622,24 @@ object SparkEntry {
         .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
       Dedup.jaccardVerify(cand, docs, "doc_id", col("text"))
         .orderBy(col("a"), col("b"))
+    }),
+
+    // ⊕ typed Dataset[T] surface: case-class Encoder + JVM lambdas
+    // (filter/map) + groupByKey. Lambdas are OPAQUE to Catalyst (no
+    // pushdown/pruning through them) — the narrow select() BEFORE .as[]
+    // keeps the scan pruned, which is the documented discipline for using
+    // this API at scale; everything after the typed block is Columns again.
+    "q99_typed_api" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .as[SparkEntry.OrderNarrow]
+        .filter(_.o_totalprice > 150000.0)
+        .map(o => (o.o_orderstatus, math.floor(o.o_totalprice / 50000).toLong))
+        .groupByKey(identity).count()
+        .map { case ((st, b), n) => (st, b, n) }
+        .toDF("status", "bucket", "n")
+        .orderBy(col("status"), col("bucket"))
     }),
 
     // ⊕ SQL front door: verbatim TPC-H Q1 text through the parser →
@@ -1784,6 +1807,12 @@ object SparkEntry {
     "q23_jaccard_pairs" -> jaccardSql(
       """cand AS (SELECT d1.doc_id AS a, d2.doc_id AS b
         |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1)""".stripMargin),
+
+    "q99_typed_api" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders WHERE o_totalprice > 150000
+        |GROUP BY 1, 2 ORDER BY status, bucket""".stripMargin,
 
     "q97_sql_q1" ->
       """SELECT l_returnflag, l_linestatus,
