@@ -671,6 +671,15 @@ object SparkEntry {
           col("n"))
         .orderBy(col("event_type"), col("bucket"))),
 
+    // ⊕ statistical quality scoring: add-one bigram LM trained ON the
+    // corpus (two word-keyed aggs + a 1-row vocabulary count), every doc
+    // scored by avg bigram log-prob — the perplexity-proxy filter that
+    // complements q45's heuristic rules. Per-bigram lp is rounded then
+    // DECIMAL-summed, so the hash is partition-order-proof.
+    "q100_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLmScore(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))),
+
     // ⊕ stats: token-length distribution per language — exact percentiles
     // (hash-checked) PLUS the mergeable GK sketch (percentile_approx)
     // gated against them (q90's pattern: booleans in the oracle). At
@@ -1838,6 +1847,26 @@ object SparkEntry {
         |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
         |FROM grid LEFT JOIN c ON c.event_type = grid.event_type AND c.bucket = grid.bucket
         |ORDER BY grid.event_type, bucket""".stripMargin,
+
+    "q100_bigram_lm" ->
+      s"""WITH $wordsCte,
+         |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |        FROM w WHERE len(ws) >= 2)),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+         |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT wrd) AS DOUBLE) AS v
+         |      FROM (SELECT unnest(ws) AS wrd FROM w)),
+         |sc AS (SELECT g.doc_id,
+         |    CAST(round(ln((cb.cb + 1) / (cu.cu + v.v)), 6) AS DECIMAL(28,6)) AS lp
+         |  FROM bg g
+         |  JOIN cb ON cb.w1 = g.w1 AND cb.w2 = g.w2
+         |  JOIN cu ON cu.w1 = g.w1
+         |  CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(lp) AS DOUBLE) AS sum_lp,
+         |  floor(CAST(sum(lp) AS DOUBLE) / count(*) * 1e6) / 1e6 AS avg_lp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q88_quantile_sketch" ->
       s"""WITH $wordsCte

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for a training-data pipeline (north-star ⊕ ops,
   * SURVEY.md §2 legend): language ID, quality scoring, token counting,
@@ -160,6 +161,57 @@ object TextAnalysis {
         expr("transform(sequence(1, length(wrd) - 1), i -> substring(wrd, i, 2))"))
         .as("pair"))
       .groupBy("pair").agg(sum("freq").as("score"))
+
+  /** Corpus bigram language-model scoring: train add-one-smoothed bigram
+    * probabilities ON the corpus itself, then score every document by its
+    * average bigram log-probability — the statistical quality signal
+    * (perplexity proxy) pretraining pipelines use alongside the heuristic
+    * rules of [[qualityFilter]]: documents whose word transitions are
+    * improbable under the corpus-wide model (gibberish, boilerplate
+    * word-salad, wrong-language contamination) score low.
+    *
+    * lp(w1,w2) = ln((count(w1,w2) + 1) / (headcount(w1) + V)).
+    *
+    * Scale: the model IS two distributed aggregations — bigram counts and
+    * head counts shuffle on word keys with map-side partial aggregation, and
+    * V (distinct vocabulary) folds in as a 1-row cross join; no vocabulary
+    * ever touches the driver (a web-scale corpus has billions of distinct
+    * bigrams). Scoring re-joins the doc bigrams to the model on (w1,w2) then
+    * w1 — word-keyed sort-merge joins at scale, AQE-broadcast when the model
+    * actually fits. Skewed head words (stopwords) are bounded by AQE skew
+    * split; the join keys are the aggregation keys, so the shuffle is reused.
+    *
+    * Determinism (oracle-hash-proof by construction): each per-bigram lp is
+    * rounded to 6 decimals (deterministic given ln parity — the q40_tfidf
+    * precedent), then summed as DECIMAL(28,6), which is exact and
+    * order-independent where a double sum would depend on partition order.
+    * Output: (doc_id, n_bigrams, sum_lp, avg_lp). */
+  def bigramLmScore(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    val ws = col("__ws")
+    val staged = docs.select(col(idCol).as("doc_id"), words(text).as("__ws"))
+      .filter(size(ws) >= 2)
+    val pairs = staged.select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val headCounts = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
+    // V over ALL words in the corpus (incl. single-word docs): one distinct
+    // agg collapsed to a single row — planned as a trivial broadcast side
+    val vocab = docs.select(explode(words(text)).as("wrd")).distinct()
+      .agg(count(lit(1)).cast("double").as("__v"))
+    val lp6 = round(log((col("cb") + 1).cast("double")
+      / (col("cu").cast("double") + col("__v"))), 6)
+    pairs.join(bigramCounts, Seq("w1", "w2")).join(headCounts, Seq("w1"))
+      .crossJoin(vocab)
+      .select(col("doc_id"), lp6.cast(DecimalType(28, 6)).as("__lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__lp")).cast("double").as("sum_lp"))
+      .withColumn("avg_lp",
+        floor(col("sum_lp") / col("n_bigrams") * lit(1e6)).cast("double") / lit(1e6))
+  }
 
   /** Gopher/C4-style quality filter: rule columns + a keep flag. Each rule
     * is a named boolean; the reasons array makes the filter auditable

@@ -39,6 +39,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f(2L)._2 === 0L && f(2L)._3 === 0.0)
   }
 
+  test("bigramLmScore: add-one smoothed corpus LM, hand-checked") {
+    // corpus: cb(a,b)=3, cb(b,a)=1; heads cu(a)=3, cu(b)=1; V={a,b,c}=3
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(d, "doc_id", col("text"))
+      .select("doc_id", "n_bigrams", "sum_lp", "avg_lp")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L)) // single-word doc has no bigrams
+    val lpAB = math.floor(math.log(4.0 / 6.0) * 1e6 + 0.5) / 1e6  // -0.405465
+    val lpBA = math.floor(math.log(2.0 / 4.0) * 1e6 + 0.5) / 1e6  // -0.693147
+    assert(out(1L)._2 === 3L)
+    assert(math.abs(out(1L)._3 - (2 * lpAB + lpBA)) < 1e-9)
+    assert(out(2L)._2 === 1L)
+    assert(math.abs(out(2L)._3 - lpAB) < 1e-9)
+    // avg is the truncated-6 quotient of the decimal-exact sum
+    assert(out(1L)._4 === math.floor(out(1L)._3 / 3 * 1e6) / 1e6)
+  }
+
   test("tokenCounts: bpe-ish estimate >= word count") {
     val d = Seq((1L, "internationalization considerations"), (2L, "a b c")).toDF("doc_id", "text")
     val out = TextAnalysis.tokenCounts(d, col("text"))
