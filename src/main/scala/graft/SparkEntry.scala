@@ -680,6 +680,16 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(t(s, d, "documents"), "doc_id", col("text"))
         .orderBy(col("doc_id"))),
 
+    // ⊕ sparse-vector similarity join: cosine over tfidf weights via
+    // term-keyed joins (candidates = pairs sharing a term; dot = decimal
+    // sum of weight products). The sparse complement of q36/q91's dense
+    // embedding path. No df-cap here — the synthetic 31-term vocabulary
+    // has no stopword tail to cut (see tfidfCosinePairs scale notes).
+    "q101_sparse_cosine" -> ((s, d) =>
+      TextAnalysis.tfidfCosinePairs(t(s, d, "documents"), "doc_id",
+          col("text"), 0.9)
+        .orderBy(col("a"), col("b"))),
+
     // ⊕ stats: token-length distribution per language — exact percentiles
     // (hash-checked) PLUS the mergeable GK sketch (percentile_approx)
     // gated against them (q90's pattern: booleans in the oracle). At
@@ -1867,6 +1877,31 @@ object SparkEntry {
          |  CAST(sum(lp) AS DOUBLE) AS sum_lp,
          |  floor(CAST(sum(lp) AS DOUBLE) / count(*) * 1e6) / 1e6 AS avg_lp
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q101_sparse_cosine" ->
+      s"""WITH $wordsCte,
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |terms AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+         |wt AS (SELECT tf.doc_id, tf.term,
+         |    CAST(round(tf.tf * ln(CAST((SELECT n FROM nn) AS DOUBLE) / df.df), 6)
+         |      AS DECIMAL(18,6)) AS wt
+         |  FROM tf JOIN dfreq df ON tf.term = df.term),
+         |nrm AS (SELECT doc_id, sqrt(CAST(sum(wt * wt) AS DOUBLE)) AS nrm
+         |  FROM wt GROUP BY doc_id),
+         |dot AS (SELECT a.doc_id AS a, b.doc_id AS b,
+         |    CAST(sum(a.wt * b.wt) AS DOUBLE) AS dot
+         |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT dot.a, dot.b,
+         |  floor(dot / (na.nrm * nb.nrm) * 1e6) / 1e6 AS cos
+         |FROM dot
+         |JOIN nrm na ON na.doc_id = dot.a
+         |JOIN nrm nb ON nb.doc_id = dot.b
+         |WHERE floor(dot / (na.nrm * nb.nrm) * 1e6) / 1e6 >= 0.9
+         |ORDER BY dot.a, dot.b""".stripMargin,
 
     "q88_quantile_sketch" ->
       s"""WITH $wordsCte

@@ -114,6 +114,47 @@ object TextAnalysis {
       .drop("__n")
   }
 
+  /** Sparse-vector document similarity join: cosine over [[tfidf]] weight
+    * vectors, computed entirely through term-keyed joins — the sparse
+    * complement of the dense-embedding LSH path
+    * ([[graft.sim.Similarity]]): no embeddings needed, candidates are
+    * exactly the pairs sharing >= 1 term, and the dot product sums weight
+    * products per shared term.
+    *
+    * Scale: the pair fan-out of a term with document frequency df is
+    * df² — `maxDf` caps it (stopword-frequency terms carry ~zero tfidf
+    * weight anyway, so dropping them bounds the join skew without moving
+    * the scores; the same df-cap discipline as LSH bucket caps and
+    * winnowing). Everything shuffles on `term` then on the pair key; no
+    * driver-side vocabulary, no cross join.
+    *
+    * Determinism (oracle-hash-proof): weights are the 6-decimal [[tfidf]]
+    * values as DECIMAL(18,6); norms and dots are exact order-independent
+    * DECIMAL sums of weight products; the final cosine is IEEE double
+    * sqrt/divide + floor-truncation — identical in any engine. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, text: Column,
+                       minSim: Double, maxDf: Option[Long] = None): DataFrame = {
+    val wt = {
+      val base = tfidf(docs, idCol, text)
+      maxDf.fold(base)(cap => base.filter(col("df") <= cap))
+        .select(col(idCol).as("doc"), col("term"),
+          col("tfidf").cast(DecimalType(18, 6)).as("wt"))
+    }
+    val nrm = wt.groupBy(col("doc"))
+      .agg(sqrt(sum(col("wt") * col("wt")).cast("double")).as("nrm"))
+    val a = wt.select(col("doc").as("a"), col("term"), col("wt").as("wa"))
+    val b = wt.select(col("doc").as("b"), col("term"), col("wt").as("wb"))
+    val dot = a.join(b, Seq("term")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("wa") * col("wb")).cast("double").as("dot"))
+    dot.join(nrm.select(col("doc").as("a"), col("nrm").as("na")), Seq("a"))
+      .join(nrm.select(col("doc").as("b"), col("nrm").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (floor(col("dot") / (col("na") * col("nb")) * lit(1e6)).cast("double") / lit(1e6))
+          .as("cos"))
+      .filter(col("cos") >= minSim)
+  }
+
   /** Inverted index: one row per term with its document frequency and the
     * sorted posting list of (doc_id, tf) structs — the at-rest search
     * structure for a text corpus. One explode + two aggregations, all

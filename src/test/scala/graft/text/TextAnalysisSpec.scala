@@ -56,6 +56,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._4 === math.floor(out(1L)._3 / 3 * 1e6) / 1e6)
   }
 
+  test("tfidfCosinePairs: shared-term pairs only, df-cap prunes") {
+    val d = Seq((1L, "x y"), (2L, "x y"), (3L, "z z")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfCosinePairs(d, "doc_id", col("text"), 0.5)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect()
+    // docs 1,2 are identical weight vectors -> cos ~ 1; doc 3 shares no term
+    assert(out.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(out.head._3 >= 0.999999)
+    // df-cap 1 drops x,y (df=2): no doc pair shares a surviving term
+    val capped = TextAnalysis.tfidfCosinePairs(d, "doc_id", col("text"), 0.0,
+      maxDf = Some(1L))
+    assert(capped.count() === 0L)
+  }
+
   test("tokenCounts: bpe-ish estimate >= word count") {
     val d = Seq((1L, "internationalization considerations"), (2L, "a b c")).toDF("doc_id", "text")
     val out = TextAnalysis.tokenCounts(d, col("text"))
