@@ -690,6 +690,15 @@ object SparkEntry {
           col("text"), 0.9)
         .orderBy(col("a"), col("b"))),
 
+    // ⊕ EXACT set-similarity self-join via the AllPairs prefix filter —
+    // no false negatives (the guarantee LSH trades away); the oracle is
+    // deliberately BRUTE FORCE (all token-sharing pairs), so a hash match
+    // PROVES the prefix filter dropped nothing above the threshold.
+    "q102_prefix_join" -> ((s, d) =>
+      Dedup.prefixFilterJaccard(t(s, d, "documents"), "doc_id",
+          col("text"), 0.97)
+        .orderBy(col("a"), col("b"))),
+
     // ⊕ stats: token-length distribution per language — exact percentiles
     // (hash-checked) PLUS the mergeable GK sketch (percentile_approx)
     // gated against them (q90's pattern: booleans in the oracle). At
@@ -1902,6 +1911,12 @@ object SparkEntry {
          |JOIN nrm nb ON nb.doc_id = dot.b
          |WHERE floor(dot / (na.nrm * nb.nrm) * 1e6) / 1e6 >= 0.9
          |ORDER BY dot.a, dot.b""".stripMargin,
+
+    "q102_prefix_join" ->
+      s"""SELECT a, b, jaccard FROM (${jaccardSql(
+        """cand AS (SELECT DISTINCT wa.doc_id AS a, wb.doc_id AS b
+          |  FROM wd wa JOIN wd wb ON wb.wrd = wa.wrd AND wa.doc_id < wb.doc_id)""".stripMargin)})
+         |WHERE jaccard >= 0.97 ORDER BY a, b""".stripMargin,
 
     "q88_quantile_sketch" ->
       s"""WITH $wordsCte

@@ -313,6 +313,46 @@ object Dedup {
           round(inter.cast("double") / union.cast("double"), 6)).as("jaccard"))
   }
 
+  /** AllPairs/PPJoin-style prefix-filtered EXACT set-similarity self-join:
+    * every pair of documents whose distinct-word Jaccard is >= `threshold`,
+    * with NO false negatives — the exactness guarantee LSH (q22) trades
+    * away for speed. The filter: order each doc's tokens by global document
+    * frequency ascending (rarest first, the canonical AllPairs order, so
+    * prefix tokens are the LEAST likely to collide), keep only the first
+    * p = n - ceil(t*n) + 1 as the doc's prefix, and generate candidates by
+    * equi-joining prefixes on the token. Correctness: J(A,B) >= t implies
+    * |A∩B| >= ceil(t*|A|) (from i >= t(|A|+|B|-i) and |B| >= i), while a
+    * pair sharing no prefix token has |A∩B| <= |A| - p = ceil(t*|A|) - 1 —
+    * so every qualifying pair shares a prefix token on BOTH sides. The
+    * survivors go through the exact [[jaccardVerify]].
+    *
+    * Scale: df is one word-keyed agg; prefix selection is one window per
+    * doc (the per-doc token list is bounded by doc length, not corpus
+    * size); the candidate join is keyed on RARE tokens by construction —
+    * the hottest key's fan-out is df(p-th rarest token)², the quantity the
+    * t-dependent prefix explicitly minimizes. High thresholds → 1-2 token
+    * prefixes → near-linear candidate volume where brute force is n². */
+  def prefixFilterJaccard(docs: DataFrame, idCol: String, text: Column,
+                          threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = docs.select(col(idCol).as("__id"),
+      explode(array_distinct(TextAnalysis.words(text))).as("w"))
+    val dfreq = wd.groupBy("w").agg(count(lit(1)).as("__df"))
+    val ordered = wd.join(dfreq, Seq("w"))
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy("__id")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("w"))))
+    val pref = ordered
+      .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select(col("__id"), col("w"))
+    val cand = pref.select(col("__id").as("a"), col("w"))
+      .join(pref.select(col("__id").as("b"), col("w")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    jaccardVerify(cand, docs, idCol, text)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over an undirected edge list (a, b) — the step
     * that turns near-dup candidate PAIRS into dedup CLUSTERS (keep one doc
     * per component). Iterative minimum-label propagation: each round every

@@ -181,6 +181,25 @@ class DedupSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("prefixFilterJaccard: equals brute force (no false negatives), prefix prunes") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta zeta",     // J(1,2) = 4/6 = 0.667
+      3L -> "alpha beta gamma delta epsilon",  // J(1,3) = 1.0
+      4L -> "omega psi chi",                   // J with others = 0
+      5L -> "alpha beta gamma delta epsilon zeta") // J(1,5)=5/6, J(2,5)=5/6, J(3,5)=5/6
+    val t = 0.8
+    val got = Dedup.prefixFilterJaccard(d, "doc_id", col("text"), t)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // brute force over ALL pairs through the same exact verify
+    val all = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val brute = Dedup.jaccardVerify(all.toDF("a", "b"), d, "doc_id", col("text"))
+      .filter(col("jaccard") >= t)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got === brute)
+    assert(got.map(p => (p._1, p._2)) === Set((1L, 3L), (1L, 5L), (2L, 5L), (3L, 5L)))
+  }
+
   test("connectedComponents on an empty edge list returns empty, not NPE") {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(edges).count() === 0)
