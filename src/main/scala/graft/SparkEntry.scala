@@ -699,6 +699,18 @@ object SparkEntry {
           col("text"), 0.97)
         .orderBy(col("a"), col("b"))),
 
+    // ⊕ time-series anomaly flags on the gap-filled event stream: rolling
+    // 12-bucket z-score per event_type, window sums kept in exact BIGINTs
+    // so the flags are bit-identical in any engine (no float accumulation).
+    "q103_anomaly" -> ((s, d) =>
+      Relational.rollingAnomalies(
+          Relational.gapFillCounts(Tables.events(s, d), "event_type", "ts", 300),
+          "event_type", "bucket", "n", 12, 3.0)
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("n"), col("mean_prev"), col("is_anomaly"))
+        .orderBy(col("event_type"), col("bucket"))),
+
     // ⊕ stats: token-length distribution per language — exact percentiles
     // (hash-checked) PLUS the mergeable GK sketch (percentile_approx)
     // gated against them (q90's pattern: booleans in the oracle). At
@@ -1917,6 +1929,32 @@ object SparkEntry {
         """cand AS (SELECT DISTINCT wa.doc_id AS a, wb.doc_id AS b
           |  FROM wd wa JOIN wd wb ON wb.wrd = wa.wrd AND wa.doc_id < wb.doc_id)""".stripMargin)})
          |WHERE jaccard >= 0.97 ORDER BY a, b""".stripMargin,
+
+    "q103_anomaly" -> {
+      val mean = "CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)"
+      val varg = s"(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)"
+      val dev = s"(CAST(n AS DOUBLE) - $mean)"
+      s"""WITH b AS (SELECT event_type, time_bucket(INTERVAL '300 seconds', ts) AS bucket FROM events),
+         |c AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+         |bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+         |grid AS (SELECT et.event_type, g.bucket
+         |         FROM (SELECT DISTINCT event_type FROM events) et
+         |         CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL '300 seconds')) AS bucket
+         |                     FROM bounds) g),
+         |g AS (SELECT grid.event_type, grid.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         |      FROM grid LEFT JOIN c ON c.event_type = grid.event_type AND c.bucket = grid.bucket),
+         |wnd AS (SELECT event_type, bucket, n,
+         |    count(n) OVER w AS cnt, sum(n) OVER w AS s1, sum(n * n) OVER w AS s2
+         |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+         |    ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, n,
+         |  CASE WHEN cnt = 12 THEN floor(($mean) * 1e6) / 1e6 END AS mean_prev,
+         |  CASE WHEN cnt = 12 THEN
+         |    CASE WHEN $varg > 0 THEN $dev * $dev > 9.0 * ($varg)
+         |         ELSE $dev <> 0 END
+         |  ELSE FALSE END AS is_anomaly
+         |FROM wnd ORDER BY event_type, bucket""".stripMargin
+    },
 
     "q88_quantile_sketch" ->
       s"""WITH $wordsCte

@@ -325,6 +325,50 @@ object Relational {
     grid.join(counts, Seq(key, "bucket"), "left").na.fill(0L, Seq("n"))
   }
 
+  /** Rolling z-score anomaly detection over a per-key series (the step
+    * after [[gapFillCounts]] densifies it — a gap IS a zero, and without
+    * densification the window would silently skip it): each point is
+    * compared against the mean/variance of the previous `lookback` points
+    * of ITS key, flagged when its squared deviation exceeds z²·variance.
+    * One window per key — a single shuffle on the key, O(1) state per row
+    * (running sums), no self-join; at 100 TB the series table partitions
+    * by key like any other and each key's window is processed within its
+    * partition.
+    *
+    * Determinism (oracle-hash-proof): the window aggregates are BIGINT
+    * sums of the integer counts (exact, association-free), and every
+    * double below derives from those identical integers through identical
+    * IEEE ops — no float accumulation order anywhere. Warmup rows (frame
+    * shorter than `lookback`) are never flagged; a zero-variance history
+    * flags ANY deviation (a jump from a constant baseline is the clearest
+    * anomaly there is). */
+  def rollingAnomalies(series: DataFrame, key: String, bucket: String,
+                       valueCol: String, lookback: Int,
+                       z: Double): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(bucket))
+      .rowsBetween(-lookback, -1)
+    val n = col(valueCol).cast("long")
+    val cnt = count(n).over(w)
+    val s1 = sum(n).over(w)
+    val s2 = sum(n * n).over(w)
+    val mean = s1.cast("double") / cnt.cast("double")
+    val varg = (s2.cast("double")
+      - s1.cast("double") * s1.cast("double") / cnt.cast("double")) / cnt.cast("double")
+    val dev = n.cast("double") - mean
+    series
+      .withColumn("__cnt", cnt)
+      // NULL until the frame is full: avoids 0/0 NaN on warmup rows (NaN
+      // round-trips differently through parquet/pandas than NULL does)
+      .withColumn("mean_prev",
+        when(col("__cnt") === lookback,
+          floor(mean * lit(1e6)).cast("double") / lit(1e6)))
+      .withColumn("is_anomaly",
+        col("__cnt") === lookback &&
+          (when(varg > 0, dev * dev > lit(z * z) * varg)
+            .otherwise(dev =!= 0)))
+      .drop("__cnt")
+  }
+
   /** Single-pass column profiler — the ANALYZE-statistics surface (row
     * count, null count, exact NDV, numeric min/max per column) a
     * cost-based optimizer and a data-quality gate both read. ONE

@@ -206,4 +206,20 @@ class RelationalSpec extends SparkSpec {
       ("a", "00:00", 2L), ("a", "00:01", 0L), ("a", "00:02", 1L),
       ("b", "00:00", 0L), ("b", "00:01", 1L), ("b", "00:02", 0L)))
   }
+
+  test("rollingAnomalies: warmup never flags, zero-variance jump flags, in-band value does not") {
+    val series = Seq(
+      ("k", 1, 5L), ("k", 2, 5L), ("k", 3, 5L), ("k", 4, 5L),
+      ("k", 5, 9L),  // history (5,5,5): var 0, dev 4 -> anomaly
+      ("k", 6, 5L)   // history (5,5,9): dev² 1.78 < z²·var 14.2 -> ok
+    ).toDF("k", "bucket", "n")
+    val out = Relational.rollingAnomalies(series, "k", "bucket", "n", 3, 2.0)
+      .select("bucket", "mean_prev", "is_anomaly")
+      .as[(Int, Option[Double], Boolean)].collect().sortBy(_._1)
+    assert(out.take(3).forall(r => !r._3 && r._2.isEmpty)) // warmup: frame < 3
+    assert(out(3) === ((4, Some(5.0), false)))             // steady state
+    assert(out(4)._3 === true)                             // the spike
+    assert(out(5)._3 === false)
+    assert(out(5)._2.exists(m => math.abs(m - 6.333333) < 1e-9))
+  }
 }
