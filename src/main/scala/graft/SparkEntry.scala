@@ -962,6 +962,14 @@ object SparkEntry {
       EventStreams.runToCompletion(s, d)(EventStreams.tumblingCounts(_))
         .orderBy(col("win_start"), col("event_type"))),
 
+    // ⊕ §2.9 stream-STATIC join: micro-batches broadcast-join a static
+    // dim table (no join state, unlike q58's stream-stream form), then
+    // window-aggregate per dim attribute. Oracle = the same join in batch.
+    "q104_stream_static" -> ((s, d) =>
+      EventStreams.runToCompletion(s, d)(
+          EventStreams.streamStaticEnrich(_, EventStreams.typeDim(s)))
+        .orderBy(col("win_start"), col("category"))),
+
     // ⊕ layout: hive-partitioned + in-file-sorted write, read back through
     // directory pruning (the scan lists only the two matching partition
     // dirs) — the write-side of the 100 TB layout story, oracle-checked
@@ -2168,6 +2176,17 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q104_stream_static" ->
+      """WITH dim(event_type, category, weight) AS (VALUES
+        |  ('click', 'engagement', 1), ('view', 'engagement', 1),
+        |  ('signup', 'conversion', 5), ('purchase', 'conversion', 10),
+        |  ('error', 'ops', 0))
+        |SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  dim.category, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * dim.weight) AS DOUBLE) AS wtotal
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY 1, 2 ORDER BY win_start, category""".stripMargin,
 
     "q61_incremental_dedup" ->
       """WITH fp AS (SELECT doc_id, lang, doc_id % 4 AS m,

@@ -205,6 +205,38 @@ object EventStreams {
     MergeTable.read(spark, tableDir)
   }
 
+  /** The static dimension for [[streamStaticEnrich]]: event_type →
+    * (category, weight). Tiny and literal here; at scale this is any
+    * batch table — the join mechanics are identical. */
+  def typeDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("click", "engagement", 1L), ("view", "engagement", 1L),
+      ("signup", "conversion", 5L), ("purchase", "conversion", 10L),
+      ("error", "ops", 0L)).toDF("event_type", "category", "weight")
+  }
+
+  /** Stream-static enrichment join (§2.9): every micro-batch of the stream
+    * hash-joins against a STATIC batch table, then aggregates per window ×
+    * dimension attribute. Unlike a stream-stream join this needs NO join
+    * state at all — the static side is simply (re)planned per micro-batch
+    * and broadcast when small, the standard "enrich the stream with a dim
+    * table" shape (at 100 TB: a slowly-changing dim republished between
+    * runs; each micro-batch sees the version current at batch planning).
+    * The weighted sum stays in DECIMAL × integer weights — exact, so the
+    * batch oracle hashes identically. */
+  def streamStaticEnrich(events: DataFrame, dim: DataFrame,
+                         width: String = "15 minutes"): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), width), col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * col("weight")).cast("double").as("wtotal"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("category"), col("n"), col("wtotal"))
+
   /** Streaming dedup on the natural key within the watermark — the
     * reference's re-run idempotency (main.py re-create semantics),
     * expressed as exactly-once-per-key. */

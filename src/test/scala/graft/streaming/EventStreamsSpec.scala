@@ -39,6 +39,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("stream-static broadcast join equals the batch join+aggregate") {
+    val dim = EventStreams.typeDim(spark)
+    val streamed = EventStreams.runToCompletion(spark, sfDir)(
+        EventStreams.streamStaticEnrich(_, dim))
+      .collect().toSet
+    val batch = Tables.events(spark, sfDir).join(dim, Seq("event_type"))
+      .groupBy(window(col("ts"), "15 minutes"), col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * col("weight")).cast("double").as("wtotal"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("category"), col("n"), col("wtotal"))
+      .collect().toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("foreachBatch parquet sink lands every row exactly once, keyed by batch id") {
     val out = java.nio.file.Files.createTempDirectory("stream_sink_out").toString
     EventStreams.streamToParquet(spark, sfDir, out)
