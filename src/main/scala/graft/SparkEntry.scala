@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.etl.MergePipeline
 import graft.model.Tables
 import graft.multimodal.Multimodal
-import graft.ops.Relational
+import graft.ops.{Graphs, Relational}
 import graft.sim.Similarity
 import graft.streaming.{EventStreams, Stateful}
 import graft.text.TextAnalysis
@@ -681,23 +681,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // ⊕ sparse-vector similarity join: cosine over tfidf weights via
-    // term-keyed joins (candidates = pairs sharing a term; dot = decimal
+    // term-keyed joins (candidates = docs sharing a term; dot = decimal
     // sum of weight products). The sparse complement of q36/q91's dense
-    // embedding path. No df-cap here — the synthetic 31-term vocabulary
-    // has no stopword tail to cut (see tfidfCosinePairs scale notes).
+    // embedding path. Probe-batched (50 query docs vs the corpus): on
+    // this 31-term synthetic vocabulary every df ≈ N, so a full
+    // self-join is inherently Σ df² ≈ N² — the probe batch is the scale
+    // path, same as brute-force cosine q24 (see tfidfCosinePairs notes).
     "q101_sparse_cosine" -> ((s, d) =>
       TextAnalysis.tfidfCosinePairs(t(s, d, "documents"), "doc_id",
-          col("text"), 0.9)
+          col("text"), 0.85, probe = Some(_ < 50))
         .orderBy(col("a"), col("b"))),
 
     // ⊕ EXACT set-similarity self-join via the AllPairs prefix filter —
     // no false negatives (the guarantee LSH trades away); the oracle is
     // deliberately BRUTE FORCE (all token-sharing pairs), so a hash match
-    // PROVES the prefix filter dropped nothing above the threshold.
+    // PROVES the prefix filter dropped nothing above the threshold. Runs
+    // on a deterministic 1-in-4 corpus sample: with a 31-term vocabulary
+    // every doc's rarest token is one of ~4 words, so prefix buckets (and
+    // the BRUTE-FORCE ORACLE it must be compared against) degenerate
+    // toward n² — the filter's selectivity premise needs a Zipfian
+    // vocabulary (documented in prefixFilterJaccard).
     "q102_prefix_join" -> ((s, d) =>
-      Dedup.prefixFilterJaccard(t(s, d, "documents"), "doc_id",
+      Dedup.prefixFilterJaccard(
+          t(s, d, "documents").filter(col("doc_id") % 4 === 0), "doc_id",
           col("text"), 0.97)
         .orderBy(col("a"), col("b"))),
+
+    // ⊕ graph centrality: 3-iteration PageRank over the undirected
+    // customer–supplier co-purchase graph (each iteration = one vertex-key
+    // join + one agg; contributions decimal-staged so ranks hash exactly).
+    "q105_pagerank" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      Graphs.pageRank(edges).orderBy(col("id"))
+    }),
 
     // ⊕ time-series anomaly flags on the gap-filled event stream: rolling
     // 12-bucket z-score per event_type, window sums kept in exact BIGINTs
@@ -1915,28 +1935,56 @@ object SparkEntry {
          |dfreq AS (SELECT term, count(*) AS df
          |  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
          |wt AS (SELECT tf.doc_id, tf.term,
-         |    CAST(round(tf.tf * ln(CAST((SELECT n FROM nn) AS DOUBLE) / df.df), 6)
-         |      AS DECIMAL(18,6)) AS wt
+         |    CAST(round(round(tf.tf * ln(CAST((SELECT n FROM nn) AS DOUBLE) / df.df), 6)
+         |      * 1e6, 0) AS BIGINT) AS wt
          |  FROM tf JOIN dfreq df ON tf.term = df.term),
-         |nrm AS (SELECT doc_id, sqrt(CAST(sum(wt * wt) AS DOUBLE)) AS nrm
+         |nrm AS (SELECT doc_id, sqrt(CAST(sum(wt * wt) AS DOUBLE) / 1e12) AS nrm
          |  FROM wt GROUP BY doc_id),
          |dot AS (SELECT a.doc_id AS a, b.doc_id AS b,
          |    CAST(sum(a.wt * b.wt) AS DOUBLE) AS dot
-         |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id < 50
          |  GROUP BY 1, 2)
          |SELECT dot.a, dot.b,
-         |  floor(dot / (na.nrm * nb.nrm) * 1e6) / 1e6 AS cos
+         |  floor(dot / 1e12 / (na.nrm * nb.nrm) * 1e6) / 1e6 AS cos
          |FROM dot
          |JOIN nrm na ON na.doc_id = dot.a
          |JOIN nrm nb ON nb.doc_id = dot.b
-         |WHERE floor(dot / (na.nrm * nb.nrm) * 1e6) / 1e6 >= 0.9
+         |WHERE floor(dot / 1e12 / (na.nrm * nb.nrm) * 1e6) / 1e6 >= 0.85
          |ORDER BY dot.a, dot.b""".stripMargin,
 
     "q102_prefix_join" ->
       s"""SELECT a, b, jaccard FROM (${jaccardSql(
         """cand AS (SELECT DISTINCT wa.doc_id AS a, wb.doc_id AS b
-          |  FROM wd wa JOIN wd wb ON wb.wrd = wa.wrd AND wa.doc_id < wb.doc_id)""".stripMargin)})
+          |  FROM wd wa JOIN wd wb ON wb.wrd = wa.wrd AND wa.doc_id < wb.doc_id
+          |  WHERE wa.doc_id % 4 = 0 AND wb.doc_id % 4 = 0)""".stripMargin)})
          |WHERE jaccard >= 0.97 ORDER BY a, b""".stripMargin,
+
+    "q105_pagerank" -> {
+      // 3 PageRank iterations unrolled as CTE pairs (c_i = decimal-exact
+      // contribution sums, p_i = the double rank update), mirroring
+      // Graphs.pageRank op for op — incl. computing (1.0 - 0.85) in DOUBLE
+      // rather than folding it, so both engines produce identical bits
+      val upd = (i: Int) =>
+        s"""c$i AS (SELECT und.dst,
+           |    sum(CAST(round(p.p / CAST(p.deg AS DOUBLE), 12) AS DECIMAL(38,12))) AS s
+           |  FROM und JOIN p${i - 1} p ON p.id = und.src GROUP BY und.dst),
+           |p$i AS (SELECT p.id, p.deg,
+           |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+           |      + CAST(0.85 AS DOUBLE)
+           |        * CAST(coalesce(c.s, CAST(0 AS DECIMAL(38,12))) AS DOUBLE), 12) AS p
+           |  FROM p${i - 1} p LEFT JOIN c$i c ON c.dst = p.id)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+         |p0 AS (SELECT src AS id, deg, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS p FROM deg),
+         |${upd(1)},
+         |${upd(2)},
+         |${upd(3)}
+         |SELECT id, CAST(deg AS BIGINT) AS deg, p FROM p3 ORDER BY id""".stripMargin
+    },
 
     "q103_anomaly" -> {
       val mean = "CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)"

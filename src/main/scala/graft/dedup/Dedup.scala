@@ -331,12 +331,20 @@ object Dedup {
     * size); the candidate join is keyed on RARE tokens by construction —
     * the hottest key's fan-out is df(p-th rarest token)², the quantity the
     * t-dependent prefix explicitly minimizes. High thresholds → 1-2 token
-    * prefixes → near-linear candidate volume where brute force is n². */
+    * prefixes → near-linear candidate volume where brute force is n².
+    * CAVEAT: that selectivity premise needs a Zipfian vocabulary (real
+    * text). On a tiny closed vocabulary where every df ≈ N (the synthetic
+    * corpus), every doc's rarest token is one of a handful of words and
+    * the prefix buckets — like every other token-blocking scheme —
+    * degenerate toward n²; sample or shard the corpus first. */
   def prefixFilterJaccard(docs: DataFrame, idCol: String, text: Column,
                           threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tokenization feeds df counting AND the ordered join; prefixes feed
+    // both sides of the candidate self-join — materialize each once
     val wd = docs.select(col(idCol).as("__id"),
       explode(array_distinct(TextAnalysis.words(text))).as("w"))
+      .localCheckpoint()
     val dfreq = wd.groupBy("w").agg(count(lit(1)).as("__df"))
     val ordered = wd.join(dfreq, Seq("w"))
       .withColumn("__sz", count(lit(1)).over(Window.partitionBy("__id")))
@@ -345,6 +353,7 @@ object Dedup {
     val pref = ordered
       .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
       .select(col("__id"), col("w"))
+      .localCheckpoint()
     val cand = pref.select(col("__id").as("a"), col("w"))
       .join(pref.select(col("__id").as("b"), col("w")), Seq("w"))
       .filter(col("a") < col("b"))

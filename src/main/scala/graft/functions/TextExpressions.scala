@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, MapType, StringType}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -369,6 +369,81 @@ object CharGramJaccard {
   }
 }
 
+/** Per-document term-frequency map in one fused pass: whitespace-split the
+  * text and count occurrences — `term_counts(text)[term] = tf`. Exactly
+  * [[graft.text.TextAnalysis.words]]' tokenization (single-space delimiter,
+  * empty tokens dropped), so `explode(term_counts(text))` produces the SAME
+  * (term, tf) rows as explode(words)→groupBy(doc, term)→count, WITHOUT the
+  * corpus-sized (doc, term) shuffle: the count happens row-locally in the
+  * scan stage, and downstream shuffles start from the ~10x smaller tf rows.
+  * This is THE tf staging for tfidf at 100 TB — the (doc,term) exchange it
+  * deletes is the largest shuffle in the pipeline. Null text ⇒ empty map.
+  * First-occurrence key order (deterministic). */
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType =
+    MapType(StringType, IntegerType, valueContainsNull = false)
+  override def prettyName: String = "term_counts"
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TermCounts.empty()
+    else TermCounts.compute(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      $javaType ${ev.value} = graft.functions.TermCounts.empty();
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.TermCounts.compute(${c.value});
+      }""", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+object TermCounts {
+  def empty(): MapData = ArrayBasedMapData(Array.empty[Any], Array.empty[Any])
+
+  def compute(text: UTF8String): MapData = {
+    val s = text.toString
+    // LinkedHashMap: first-occurrence order, deterministic across JVMs
+    val m = new java.util.LinkedHashMap[String, Int]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      val st = i
+      while (i < n && s.charAt(i) != ' ') i += 1
+      if (i > st) {
+        val w = s.substring(st, i)
+        m.put(w, m.getOrDefault(w, 0) + 1)
+      }
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = UTF8String.fromString(e.getKey)
+      vals(j) = e.getValue
+      j += 1
+    }
+    ArrayBasedMapData(keys, vals)
+  }
+}
+
 object TextFunctions {
   private def requireArity(name: String, children: Seq[Expression], n: Int): Unit =
     if (children.size != n)
@@ -417,6 +492,16 @@ object TextFunctions {
             TextFunctions.intLiteral("winnow_fps", "w", children(2)))
         })
     }
+    val tid = FunctionIdentifier("term_counts")
+    if (!registry.functionExists(tid)) {
+      registry.registerFunction(
+        tid,
+        new ExpressionInfo(classOf[TermCounts].getName, "term_counts"),
+        (children: Seq[Expression]) => {
+          requireArity("term_counts(text)", children, 1)
+          TermCounts(children(0))
+        })
+    }
     val cid = FunctionIdentifier("chargram_jaccard")
     if (!registry.functionExists(cid)) {
       registry.registerFunction(
@@ -450,4 +535,7 @@ object TextFunctions {
   def chargramJaccard(a: Column, b: Column, n: Int): Column =
     Bridge.columnOf(CharGramJaccard(
       Bridge.expressionOf(a), Bridge.expressionOf(b), n))
+
+  def termCounts(text: Column): Column =
+    Bridge.columnOf(TermCounts(Bridge.expressionOf(text)))
 }

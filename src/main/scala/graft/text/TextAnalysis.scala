@@ -96,18 +96,27 @@ object TextAnalysis {
   }
 
   /** TF-IDF: term frequency per (doc, term) × ln(N / doc-frequency).
-    * Two shuffles (explode→count per doc-term, then per-term df joined
-    * back). No broadcast hint on the doc-frequency side: a web-scale corpus
+    * ONE shuffle (the per-term df rollup): tf is computed ROW-LOCALLY by
+    * the fused [[graft.functions.TermCounts]] kernel in the scan stage —
+    * `explode(term_counts(text))` yields the identical (doc, term, tf)
+    * rows the explode→groupBy(doc,term) form shuffles the whole exploded
+    * corpus for. df is then a rollup OF tf (tf has exactly one row per
+    * doc×term, so counting rows per term IS the document frequency) — the
+    * naive form explodes the corpus twice and pays a distinct shuffle.
+    * No broadcast hint on the doc-frequency side: a web-scale corpus
     * has a multi-billion-term vocabulary that would OOM the driver — the
     * tf⋈df join shuffles on `term` (sort-merge at scale) and AQE downgrades
     * it to a broadcast when the vocabulary actually fits. N is folded in as
     * a 1-row cross join (one extra stage, no driver-side count action). */
   def tfidf(docs: DataFrame, idCol: String, text: Column): DataFrame = {
     val n = docs.agg(count(lit(1)).cast("double").as("__n"))
-    val terms = docs.select(col(idCol), explode(words(text)).as("term"))
-    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = terms.select(col(idCol), col("term")).distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // tf feeds both the df rollup and the join, but is row-local kernel
+    // work over the scan (no shuffle) — recomputing it per consumer is
+    // cheaper than a materialization barrier
+    val tf = docs.select(col(idCol),
+        explode(graft.functions.TextFunctions.termCounts(text)).as(Seq("term", "__tf")))
+      .select(col(idCol), col("term"), col("__tf").cast("long").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))
       .crossJoin(n) // single-row side ⇒ planned as a trivial broadcast
       .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 6))
@@ -128,29 +137,59 @@ object TextAnalysis {
     * winnowing). Everything shuffles on `term` then on the pair key; no
     * driver-side vocabulary, no cross join.
     *
-    * Determinism (oracle-hash-proof): weights are the 6-decimal [[tfidf]]
-    * values as DECIMAL(18,6); norms and dots are exact order-independent
-    * DECIMAL sums of weight products; the final cosine is IEEE double
-    * sqrt/divide + floor-truncation — identical in any engine. */
+    * Determinism (oracle-hash-proof) AND throughput share one trick: the
+    * 6-decimal [[tfidf]] weights are scaled to 1e6-integers (BIGINT), so
+    * norms and dots are exact order-independent LONG sums of long
+    * products — the agg stays on the codegen fast path (a DECIMAL(18,6)
+    * product forces precision-37 BigDecimal per pair-term row: measured
+    * 3x the whole query). The final cosine is IEEE double sqrt/divide +
+    * floor-truncation over those exact integers — identical in any
+    * engine. Long range: |dot| <= terms/doc x (1e6·max_wt)²; with tfidf
+    * weights <= ~500 (tf <= 60) that is ~8e18 < 2^63 — a corpus with
+    * larger tf x idf products needs the weights rescaled. */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, text: Column,
-                       minSim: Double, maxDf: Option[Long] = None): DataFrame = {
+                       minSim: Double, maxDf: Option[Long] = None,
+                       probe: Option[Column => Column] = None): DataFrame = {
     val wt = {
       val base = tfidf(docs, idCol, text)
       maxDf.fold(base)(cap => base.filter(col("df") <= cap))
         .select(col(idCol).as("doc"), col("term"),
-          col("tfidf").cast(DecimalType(18, 6)).as("wt"))
+          round(col("tfidf") * lit(1e6), 0).cast("long").as("wt"))
     }
-    val nrm = wt.groupBy(col("doc"))
-      .agg(sqrt(sum(col("wt") * col("wt")).cast("double")).as("nrm"))
-    val a = wt.select(col("doc").as("a"), col("term"), col("wt").as("wa"))
-    val b = wt.select(col("doc").as("b"), col("term"), col("wt").as("wb"))
-    val dot = a.join(b, Seq("term")).filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
+    // `probe` restricts the LEFT side of the candidate join BEFORE it runs
+    // (batch-of-queries vs corpus, each probe paired with every b != a) —
+    // the fan-out becomes |probe terms| × df instead of Σ df². On a corpus
+    // whose vocabulary is NOT Zipfian (like the 31-term synthetic one,
+    // where every df ≈ N and a df-cap would keep nothing), the full
+    // self-join is inherently Σ df² ≈ N²: probe batching is the scale
+    // path, exactly as brute-force cosine (q24) is probe-batched.
+    // a probe batch is small by definition — broadcast it, so the corpus
+    // weight table is probed in place (no shuffle of the big side at all,
+    // the q24 brute-force-cosine discipline); the full self-join keeps the
+    // term-keyed sort-merge shape
+    // norms ride ALONG the weight rows (one windowed agg per doc — no
+    // separate norm table, no join) into the pair join, then through the
+    // dot aggregation as grouping columns (functionally dependent on the
+    // pair key): the cosine needs NO post-aggregation joins at all.
+    // Materialized once for the two join sides.
+    val wn = wt.withColumn("nrm",
+        sqrt(sum(col("wt") * col("wt"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc")))
+          .cast("double") / lit(1e12)))
+      .localCheckpoint()
+    val a0 = probe.fold(wn)(p => wn.filter(p(col("doc"))))
+      .select(col("doc").as("a"), col("term"), col("wt").as("wa"),
+        col("nrm").as("na"))
+    val a = if (probe.isDefined) broadcast(a0) else a0
+    val b = wn.select(col("doc").as("b"), col("term"), col("wt").as("wb"),
+      col("nrm").as("nb"))
+    val pairCond = if (probe.isDefined) col("a") =!= col("b") else col("a") < col("b")
+    a.join(b, Seq("term")).filter(pairCond)
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(sum(col("wa") * col("wb")).cast("double").as("dot"))
-    dot.join(nrm.select(col("doc").as("a"), col("nrm").as("na")), Seq("a"))
-      .join(nrm.select(col("doc").as("b"), col("nrm").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
-        (floor(col("dot") / (col("na") * col("nb")) * lit(1e6)).cast("double") / lit(1e6))
+        (floor(col("dot") / lit(1e12) / (col("na") * col("nb")) * lit(1e6))
+          .cast("double") / lit(1e6))
           .as("cos"))
       .filter(col("cos") >= minSim)
   }

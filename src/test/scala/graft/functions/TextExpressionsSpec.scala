@@ -57,6 +57,22 @@ class TextExpressionsSpec extends SparkSpec {
     assert(got.values.toSet === Set("0" * 16))
   }
 
+  test("TermCounts equals the explode+groupBy tf computation, incl. edge cases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a  b a"), (2L, " x "), (3L, ""),
+      (4L, null.asInstanceOf[String]), (5L, "q q q")).toDF("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+        explode(TextFunctions.termCounts(col("text"))).as(Seq("term", "tf")))
+      .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"))
+    val classic = docs.select(col("doc_id"),
+        explode(graft.text.TextAnalysis.words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    assert(native.except(classic).isEmpty && classic.except(native).isEmpty)
+    // null/empty text -> empty map -> no rows (same as the classic form)
+    assert(native.filter(col("doc_id").isin(3L, 4L)).count() === 0L)
+  }
+
   test("SQL registration works and validates arity") {
     TextFunctions.ensureRegistered(spark)
     val r = spark.sql("SELECT repetition_ratio('a b a b a b a b', 3) AS r, simhash16('x y') AS s")
