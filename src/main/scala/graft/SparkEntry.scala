@@ -719,6 +719,14 @@ object SparkEntry {
       Graphs.pageRank(edges).orderBy(col("id"))
     }),
 
+    // ⊕ corpus cleaning that WRITES a new corpus: tokens present in >77%
+    // of documents are boilerplate — prune them and reconstruct each text
+    // in original token order (deterministic via (pos, token) sort).
+    "q106_boilerplate" -> ((s, d) =>
+      TextAnalysis.pruneBoilerplateTokens(t(s, d, "documents"), "doc_id",
+          col("text"), 0.77)
+        .orderBy(col("doc_id"))),
+
     // ⊕ time-series anomaly flags on the gap-filled event stream: rolling
     // 12-bucket z-score per event_type, window sums kept in exact BIGINTs
     // so the flags are bit-identical in any engine (no float accumulation).
@@ -1959,6 +1967,26 @@ object SparkEntry {
           |  FROM wd wa JOIN wd wb ON wb.wrd = wa.wrd AND wa.doc_id < wb.doc_id
           |  WHERE wa.doc_id % 4 = 0 AND wb.doc_id % 4 = 0)""".stripMargin)})
          |WHERE jaccard >= 0.97 ORDER BY a, b""".stripMargin,
+
+    "q106_boilerplate" ->
+      s"""WITH $wordsCte,
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |tokdf AS (SELECT wrd AS w, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, unnest(ws) AS wrd FROM w) GROUP BY 1),
+         |tok AS (SELECT doc_id, ws[i] AS w, i AS pos
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)),
+         |kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(tok.w, ' ' ORDER BY tok.pos) AS clean_text
+         |  FROM tok JOIN tokdf ON tokdf.w = tok.w
+         |  WHERE CAST(df AS DOUBLE) / (SELECT n FROM nn) <= 0.77
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  CAST(len(w.ws) AS BIGINT) - coalesce(k.n_kept, 0) AS n_dropped
+         |FROM documents d
+         |JOIN w ON w.doc_id = d.doc_id
+         |LEFT JOIN kept k ON k.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q105_pagerank" -> {
       // 3 PageRank iterations unrolled as CTE pairs (c_i = decimal-exact

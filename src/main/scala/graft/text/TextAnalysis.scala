@@ -293,6 +293,46 @@ object TextAnalysis {
         floor(col("sum_lp") / col("n_bigrams") * lit(1e6)).cast("double") / lit(1e6))
   }
 
+  /** Boilerplate token pruning with text RECONSTRUCTION: drop every token
+    * whose corpus document-frequency ratio exceeds `maxDfRatio` (tokens in
+    * "almost every document" are boilerplate/stopword noise that dilutes
+    * dedup signatures and wastes training tokens), then rebuild each
+    * document's text from the surviving tokens in original order — the
+    * cleaning step that WRITES a new corpus, not just a filter flag.
+    *
+    * Scale: df comes from the row-local [[graft.functions.TermCounts]]
+    * kernel (map_keys → explode → one token-keyed agg — no distinct
+    * shuffle); the position table is a row-local posexplode; the only other
+    * shuffles are the token-keyed df join (sort-merge at web scale, AQE
+    * broadcast when the vocabulary fits) and the per-doc regroup. Token
+    * order is reconstructed by sorting each doc's (pos, token) structs —
+    * positions are unique per doc, so `sort_array` + `array_join` is
+    * deterministic regardless of partition order (oracle: string_agg
+    * ORDER BY pos). Docs whose every token is boilerplate survive with
+    * empty text (left join + coalesce), never silently dropped. */
+  def pruneBoilerplateTokens(docs: DataFrame, idCol: String, text: Column,
+                             maxDfRatio: Double): DataFrame = {
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val tokDf = docs
+      .select(explode(map_keys(graft.functions.TextFunctions.termCounts(text)))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__df"))
+    val tok = docs.select(col(idCol),
+      posexplode(words(text)).as(Seq("pos", "w")))
+    val kept = tok.join(tokDf, Seq("w")).crossJoin(n)
+      .filter(col("__df").cast("double") / col("__n") <= maxDfRatio)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(sort_array(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ").as("clean_text"))
+    docs.select(col(idCol), size(words(text)).cast("long").as("__nw"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__nw") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Gopher/C4-style quality filter: rule columns + a keep flag. Each rule
     * is a named boolean; the reasons array makes the filter auditable
     * (standard practice when a pipeline must explain *why* a document was

@@ -56,6 +56,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._4 === math.floor(out(1L)._3 / 3 * 1e6) / 1e6)
   }
 
+  test("pruneBoilerplateTokens: drops high-df tokens, keeps order, keeps emptied docs") {
+    val d = Seq(
+      (1L, "x y x z"),   // x in all docs (df 1.0) -> dropped
+      (2L, "x q x"),
+      (3L, "x x x")      // everything boilerplate -> empty text survives
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.pruneBoilerplateTokens(d, "doc_id", col("text"), 0.6)
+      .select("doc_id", "clean_text", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, "y z", 2L, 2L)))
+    assert(out(2L) === ((2L, "q", 1L, 2L)))
+    assert(out(3L) === ((3L, "", 0L, 3L)))
+  }
+
   test("tfidfCosinePairs: shared-term pairs only, df-cap prunes") {
     val d = Seq((1L, "x y"), (2L, "x y"), (3L, "z z")).toDF("doc_id", "text")
     val out = TextAnalysis.tfidfCosinePairs(d, "doc_id", col("text"), 0.5)
