@@ -719,6 +719,37 @@ object SparkEntry {
       Graphs.pageRank(edges).orderBy(col("id"))
     }),
 
+    // ⊕ reproducible training-data mixture sampling: weighted (by length)
+    // sample without replacement via hash-derived A-Res keys — one-pass
+    // top-k (TakeOrderedAndProject), no RNG state, same winners in any
+    // engine/partitioning.
+    "q107_weighted_sample" -> ((s, d) =>
+      Relational.weightedSample(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          col("doc_id"), col("n_chars"), 100)
+        .orderBy(col("doc_id"))),
+
+    // ⊕ SQL front door #2: TPC-H Q3 shape (3-table join + grouped revenue
+    // + top-10) as verbatim SQL text — parser → analyzer → the same
+    // Catalyst pipeline, decimal-exact revenue (q97's discipline).
+    "q108_sql_q3" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT l_orderkey,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          date_format(o_orderdate, 'yyyy-MM-dd') AS o_date, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_date, l_orderkey LIMIT 10""")
+    }),
+
     // ⊕ corpus cleaning that WRITES a new corpus: tokens present in >77%
     // of documents are boilerplate — prune them and reconstruct each text
     // in original token order (deterministic via (pos, token) sort).
@@ -1967,6 +1998,28 @@ object SparkEntry {
           |  FROM wd wa JOIN wd wb ON wb.wrd = wa.wrd AND wa.doc_id < wb.doc_id
           |  WHERE wa.doc_id % 4 = 0 AND wb.doc_id % 4 = 0)""".stripMargin)})
          |WHERE jaccard >= 0.97 ORDER BY a, b""".stripMargin,
+
+    "q107_weighted_sample" ->
+      """WITH keyed AS (SELECT doc_id, n_chars,
+        |    floor(ln((CAST(('0x' || substring(md5('ws0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+        |        / 4294967296.0) / CAST(n_chars AS DOUBLE) * 1e9) / 1e9 AS samp_key
+        |  FROM documents),
+        |win AS (SELECT doc_id, n_chars, samp_key FROM keyed
+        |  ORDER BY samp_key DESC, doc_id LIMIT 100)
+        |SELECT doc_id, n_chars, samp_key FROM win ORDER BY doc_id""".stripMargin,
+
+    "q108_sql_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_date, l_orderkey LIMIT 10""".stripMargin,
 
     "q106_boilerplate" ->
       s"""WITH $wordsCte,

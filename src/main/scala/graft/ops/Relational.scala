@@ -325,6 +325,35 @@ object Relational {
     grid.join(counts, Seq(key, "bucket"), "left").na.fill(0L, Seq("n"))
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis–
+    * Spirakis A-Res): each row gets key = ln(u)/w with u a hash-derived
+    * uniform in (0,1], and the global top-`k` keys ARE a weighted sample
+    * without replacement — heavier rows win proportionally more often.
+    * This is the training-data mixture sampler ("sample 10M docs,
+    * proportional to quality×length") expressed as a one-pass top-k:
+    * Spark plans orderBy+limit as TakeOrderedAndProject (a bounded heap
+    * per partition + merge of k-row heads — no global sort, no RNG state,
+    * nothing driver-sized but the k winners).
+    *
+    * Deterministic and engine-portable by construction: u derives from
+    * md5(seed|id) (not from a stateful RNG), so the SAME rows win in any
+    * engine, any partitioning, any run — reproducible mixtures are a
+    * pipeline requirement, not a nicety. ln(u)/w is the monotone
+    * equivalent of the textbook u^(1/w) (same selection), chosen because
+    * ln has cross-engine parity precedent (q40/q100) while pow does not.
+    * Weights must be > 0. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int,
+                     seed: String = "ws0"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seed), lit("|"), id.cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(4294967296.0) // (0,1]
+    val key = log(u) / weight.cast("double")
+    df.withColumn("samp_key",
+        floor(key * lit(1e9)).cast("double") / lit(1e9))
+      .orderBy(col("samp_key").desc, id)
+      .limit(k)
+  }
+
   /** Rolling z-score anomaly detection over a per-key series (the step
     * after [[gapFillCounts]] densifies it — a gap IS a zero, and without
     * densification the window would silently skip it): each point is

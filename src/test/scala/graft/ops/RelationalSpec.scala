@@ -207,6 +207,22 @@ class RelationalSpec extends SparkSpec {
       ("b", "00:00", 0L), ("b", "00:01", 1L), ("b", "00:02", 0L)))
   }
 
+  test("weightedSample: deterministic, k rows, heavy weights dominate the sample") {
+    val rows = (1L to 500L).map(i => (i, if (i <= 10) 1000.0 else 1.0))
+    val df = rows.toDF("id", "w")
+    val s1 = Relational.weightedSample(df, col("id"), col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    val s2 = Relational.weightedSample(df, col("id"), col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    assert(s1 === s2 && s1.size === 50)          // reproducible, exactly k
+    assert((1L to 10L).toSet.subsetOf(s1))       // heavy rows all win
+    // a different seed gives a different (but still deterministic) sample
+    val s3 = Relational.weightedSample(df, col("id"), col("w"), 50, seed = "other")
+      .select("id").as[Long].collect().toSet
+    assert(s3 !== s1)
+    assert((1L to 10L).toSet.subsetOf(s3))
+  }
+
   test("rollingAnomalies: warmup never flags, zero-variance jump flags, in-band value does not") {
     val series = Seq(
       ("k", 1, 5L), ("k", 2, 5L), ("k", 3, 5L), ("k", 4, 5L),
