@@ -819,13 +819,13 @@ object SparkEntry {
     // aggregation (Expand + hash agg, one shuffle total)
     "q87_profile" -> ((s, d) =>
       Relational.profile(
-          t(s, d, "lineitem")
+          t(s, d, "orders")
             // NTZ -> TS is a no-op under the pinned UTC session zone; TS ->
             // double is epoch seconds (matches DuckDB epoch())
-            .withColumn("l_ship_epoch",
-              col("l_shipdate").cast("timestamp").cast("double")),
-          numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_ship_epoch"),
-          categorical = Seq("l_returnflag", "l_linestatus"))
+            .withColumn("o_date_epoch",
+              col("o_orderdate").cast("timestamp").cast("double")),
+          numeric = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_date_epoch"),
+          categorical = Seq("o_orderstatus", "o_orderpriority"))
         .orderBy(col("col_name"))),
 
     // ⊕ text: inverted index + conjunctive search — the at-rest text-search
@@ -2119,9 +2119,9 @@ object SparkEntry {
 
     "q87_profile" -> {
       val numeric = Seq(
-        "l_orderkey" -> "l_orderkey", "l_quantity" -> "l_quantity",
-        "l_extendedprice" -> "l_extendedprice", "l_ship_epoch" -> "epoch(l_shipdate)")
-      val categorical = Seq("l_returnflag", "l_linestatus")
+        "o_orderkey" -> "o_orderkey", "o_custkey" -> "o_custkey",
+        "o_totalprice" -> "o_totalprice", "o_date_epoch" -> "epoch(o_orderdate)")
+      val categorical = Seq("o_orderstatus", "o_orderpriority")
       val aggs =
         numeric.zipWithIndex.map { case ((_, e), i) =>
           s"CAST(sum(CASE WHEN $e IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn$i, " +
@@ -2139,7 +2139,7 @@ object SparkEntry {
           s"SELECT '$c' AS col_name, n, cnn$i AS n_null, cnd$i AS n_distinct, " +
             s"CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d FROM a"
         }
-      s"""WITH a AS (SELECT count(*) AS n, ${aggs.mkString(", ")} FROM lineitem)
+      s"""WITH a AS (SELECT count(*) AS n, ${aggs.mkString(", ")} FROM orders)
          |${rows.mkString("\n UNION ALL ")}
          |ORDER BY col_name""".stripMargin
     },
