@@ -719,6 +719,31 @@ object SparkEntry {
       Graphs.pageRank(edges).orderBy(col("id"))
     }),
 
+    // ⊕ ordered funnel: first view → first later click → first later
+    // purchase per user; sequential pattern via stage-carrying joins.
+    "q109_funnel" -> ((s, d) =>
+      Relational.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"), unix_micros(col("t1")).as("t1_us"),
+          unix_micros(col("t2")).as("t2_us"), unix_micros(col("t3")).as("t3_us"))
+        .orderBy(col("user_id"))),
+
+    // ⊕ retention cohorts: users by first-seen ISO week × activity week.
+    "q110_retention" -> ((s, d) =>
+      Relational.retentionCohorts(Tables.events(s, d), "user_id", "ts")
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          date_format(col("act_week"), "yyyy-MM-dd").as("act_week"),
+          col("week_n"), col("n_users"))
+        .orderBy(col("cohort_week"), col("act_week"))),
+
+    // ⊕ robust aggregates: per-type mean of values winsorized at the
+    // exact [p05, p95] percentiles (bounds rounded before clipping —
+    // the q88 cross-engine percentile discipline).
+    "q111_winsorized" -> ((s, d) =>
+      Relational.winsorizedStats(Tables.events(s, d), "event_type",
+          "value", 0.05, 0.95)
+        .orderBy(col("event_type"))),
+
     // ⊕ reproducible training-data mixture sampling: weighted (by length)
     // sample without replacement via hash-derived A-Res keys — one-pass
     // top-k (TakeOrderedAndProject), no RNG state, same winners in any
@@ -1998,6 +2023,48 @@ object SparkEntry {
           |  FROM wd wa JOIN wd wb ON wb.wrd = wa.wrd AND wa.doc_id < wb.doc_id
           |  WHERE wa.doc_id % 4 = 0 AND wb.doc_id % 4 = 0)""".stripMargin)})
          |WHERE jaccard >= 0.97 ORDER BY a, b""".stripMargin,
+
+    "q109_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id, s1.t1),
+        |s3 AS (SELECT e.user_id, s2.t2, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id, s2.t2)
+        |SELECT s1.user_id, epoch_us(s1.t1) AS t1_us,
+        |  epoch_us(s2.t2) AS t2_us, epoch_us(s3.t3) AS t3_us
+        |FROM s1
+        |LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |LEFT JOIN s3 ON s3.user_id = s1.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+
+    "q110_retention" ->
+      """WITH fs AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+        |SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  strftime(a.act_week, '%Y-%m-%d') AS act_week,
+        |  CAST(floor((epoch(a.act_week) - epoch(f.cohort_week)) / 604800) AS BIGINT) AS week_n,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN fs f ON f.user_id = a.user_id
+        |GROUP BY 1, 2, 3 ORDER BY cohort_week, act_week""".stripMargin,
+
+    "q111_winsorized" ->
+      """WITH b AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 4) AS lo,
+        |    round(quantile_cont(value, 0.95), 4) AS hi,
+        |    count(*) AS n
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, b.n, b.lo, b.hi,
+        |  floor(CAST(sum(CAST(least(greatest(e.value, b.lo), b.hi) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / b.n * 1e6) / 1e6 AS clipped_mean
+        |FROM events e JOIN b ON b.event_type = e.event_type
+        |GROUP BY e.event_type, b.n, b.lo, b.hi
+        |ORDER BY e.event_type""".stripMargin,
 
     "q107_weighted_sample" ->
       """WITH keyed AS (SELECT doc_id, n_chars,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Core relational operators re-expressing the reference's interpreted joins
   * (SURVEY.md §2.3) as declarative Spark plans, plus the generic engine
@@ -433,6 +434,80 @@ object Relational {
         mn.as("min_d"), mx.as("max_d"))
     }
     row.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  /** Ordered-funnel analysis: for each user, the time of step 1, the first
+    * step-2 STRICTLY AFTER step 1, and the first step-3 strictly after
+    * that — the sequential-pattern query behind conversion funnels (a
+    * row-wise `min(ts WHERE type=s)` is NOT a funnel: steps must happen in
+    * order). Each stage is one filtered agg + one key-equi join carrying
+    * the previous stage's timestamp — k-1 joins for a k-step funnel, all
+    * keyed on the user (sort-merge at scale, AQE-broadcast as stages
+    * shrink — later stages only contain survivors). Timestamps compare
+    * exactly (µs longs); no windows, no state. Returns one row per user
+    * who completed step 1, with nullable t2/t3. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size == 3, "funnel: exactly 3 steps supported")
+    val u = col(userCol)
+    val s1 = events.filter(col(typeCol) === steps(0))
+      .groupBy(u).agg(min(col(tsCol)).as("t1"))
+    val s2 = events.filter(col(typeCol) === steps(1))
+      .join(s1, Seq(userCol))
+      .filter(col(tsCol) > col("t1"))
+      .groupBy(u, col("t1")).agg(min(col(tsCol)).as("t2"))
+    val s3 = events.filter(col(typeCol) === steps(2))
+      .join(s2.select(u, col("t2")), Seq(userCol))
+      .filter(col(tsCol) > col("t2"))
+      .groupBy(u, col("t2")).agg(min(col(tsCol)).as("t3"))
+    s1.join(s2.select(u, col("t2")), Seq(userCol), "left")
+      .join(s3.select(u, col("t3")), Seq(userCol), "left")
+  }
+
+  /** Retention cohort matrix: users grouped by first-activity week
+    * (cohort), counted per (cohort, activity-week) — the
+    * "week-N retention" table. Two aggregations (first-seen per user,
+    * distinct user-week activity) and one user-keyed join; weeks via
+    * ISO `date_trunc('week')` (engine-portable, Monday-anchored).
+    * `week_n` is the 0-based week offset, ready to pivot. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val wk = date_trunc("week", col(tsCol))
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(min(wk).as("cohort_week"))
+    val active = events.select(col(userCol), wk.as("act_week")).distinct()
+    active.join(firstSeen, Seq(userCol))
+      .groupBy(col("cohort_week"), col("act_week"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+      .withColumn("week_n",
+        floor((col("act_week").cast("long") - col("cohort_week").cast("long"))
+          / lit(604800L)).cast("long"))
+  }
+
+  /** Winsorized (percentile-clipped) robust stats per group: values are
+    * clamped to the group's [pLo, pHi] exact percentiles before
+    * aggregating — the standard defense against sensor spikes / metric
+    * outliers poisoning a mean. Exact `percentile` full-sorts each group
+    * (the q88 caveat: at 100 TB swap in `percentile_approx`; this is the
+    * audit/verification form). Percentile bounds are rounded to 4
+    * decimals BEFORE clipping (the q88 cross-engine parity discipline —
+    * interpolation formulas differ in last-ulp between engines), and the
+    * clipped mean is a DECIMAL-exact sum over the clamped values. */
+  def winsorizedStats(df: DataFrame, key: String, valueCol: String,
+                      pLo: Double, pHi: Double): DataFrame = {
+    val v = col(valueCol)
+    val bounds = df.groupBy(col(key)).agg(
+      round(expr(s"percentile($valueCol, $pLo)"), 4).as("lo"),
+      round(expr(s"percentile($valueCol, $pHi)"), 4).as("hi"),
+      count(lit(1)).as("n"))
+    df.join(broadcast(bounds), Seq(key))
+      .withColumn("__clip", least(greatest(v, col("lo")), col("hi")))
+      .groupBy(col(key), col("lo"), col("hi"), col("n"))
+      .agg(sum(col("__clip").cast(DecimalType(18, 6))).cast("double")
+        .as("__sum"))
+      .select(col(key), col("n"), col("lo"), col("hi"),
+        (floor(col("__sum") / col("n") * lit(1e6)).cast("double") / lit(1e6))
+          .as("clipped_mean"))
   }
 
   def hotKeys(df: DataFrame, key: String, threshold: Long): DataFrame =

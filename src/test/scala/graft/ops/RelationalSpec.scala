@@ -207,6 +207,57 @@ class RelationalSpec extends SparkSpec {
       ("b", "00:00", 0L), ("b", "00:01", 1L), ("b", "00:02", 0L)))
   }
 
+  test("funnel: steps must occur in order; out-of-order steps don't count") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // user 2: click BEFORE view -> no step 2
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 09:30:00")),
+      // user 3: view+click, purchase before click -> no step 3
+      (3L, "view", ts("2024-01-01 08:00:00")),
+      (3L, "purchase", ts("2024-01-01 08:10:00")),
+      (3L, "click", ts("2024-01-01 08:20:00")),
+      // user 4: never viewed -> absent from output
+      (4L, "purchase", ts("2024-01-01 07:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Relational.funnel(e, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("t2").isNotNull, col("t3").isNotNull)
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((true, true)))
+    assert(out(2L) === ((false, false)))
+    assert(out(3L) === ((true, false)))
+  }
+
+  test("retentionCohorts: week offsets count from each user's first week") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // Mon wk0
+      (1L, ts("2024-01-10 10:00:00")), // wk1
+      (2L, ts("2024-01-09 10:00:00"))  // first seen wk1
+    ).toDF("user_id", "ts")
+    val out = Relational.retentionCohorts(e, "user_id", "ts")
+      .select(date_format(col("cohort_week"), "MM-dd").as("c"),
+        col("week_n"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(("01-01", 0L, 1L), ("01-01", 1L, 1L), ("01-08", 0L, 1L)))
+  }
+
+  test("winsorizedStats: outlier clipped to hi bound moves the mean") {
+    val df = (Seq.fill(99)(10.0) :+ 1000.0).map(("k", _)).toDF("k", "v")
+    val out = Relational.winsorizedStats(df, "k", "v", 0.05, 0.95)
+      .select("n", "lo", "hi", "clipped_mean")
+      .as[(Long, Double, Double, Double)].head()
+    assert(out._1 === 100L && out._2 === 10.0)
+    assert(out._4 < 1000.0 && out._4 >= 10.0) // outlier influence bounded by hi
+    assert(out._4 === math.floor((99 * 10.0 + out._3) / 100 * 1e6) / 1e6)
+  }
+
   test("weightedSample: deterministic, k rows, heavy weights dominate the sample") {
     val rows = (1L to 500L).map(i => (i, if (i <= 10) 1000.0 else 1.0))
     val df = rows.toDF("id", "w")
