@@ -719,6 +719,19 @@ object SparkEntry {
       Graphs.pageRank(edges).orderBy(col("id"))
     }),
 
+    // ⊕ RAG-prep chunking: 50-token windows, stride 40 (10-token
+    // overlap), one row per chunk with offsets — all scan-stage work.
+    "q112_chunking" -> ((s, d) =>
+      TextAnalysis.chunkForEmbedding(t(s, d, "documents"), "doc_id",
+          col("text"), 50, 40)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // ⊕ per-type equi-width histogram of event values (20 bins between
+    // the group min/max) — the distribution-profile surface.
+    "q113_histogram" -> ((s, d) =>
+      Relational.histogram(Tables.events(s, d), "event_type", "value", 20)
+        .orderBy(col("event_type"), col("bin"))),
+
     // ⊕ ordered funnel: first view → first later click → first later
     // purchase per user; sequential pattern via stage-carrying joins.
     "q109_funnel" -> ((s, d) =>
@@ -2023,6 +2036,32 @@ object SparkEntry {
           |  FROM wd wa JOIN wd wb ON wb.wrd = wa.wrd AND wa.doc_id < wb.doc_id
           |  WHERE wa.doc_id % 4 = 0 AND wb.doc_id % 4 = 0)""".stripMargin)})
          |WHERE jaccard >= 0.97 ORDER BY a, b""".stripMargin,
+
+    "q112_chunking" ->
+      s"""WITH $wordsCte,
+         |st AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws), 40)) AS start_tok
+         |  FROM w WHERE len(ws) >= 1)
+         |SELECT doc_id,
+         |  CAST((start_tok - 1) / 40 AS BIGINT) AS chunk_id,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(least(50, len(ws) - start_tok + 1) AS BIGINT) AS n_tokens,
+         |  array_to_string(ws[start_tok:start_tok+49], ' ') AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q113_histogram" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(min(value) AS DOUBLE) AS mn, CAST(max(value) AS DOUBLE) AS mx
+        |  FROM events GROUP BY event_type),
+        |binned AS (SELECT e.event_type, b.mn, b.mx,
+        |    CASE WHEN b.mx = b.mn THEN 0
+        |         ELSE least(CAST(floor((CAST(e.value AS DOUBLE) - b.mn) / (b.mx - b.mn) * 20) AS BIGINT), 19)
+        |    END AS bin
+        |  FROM events e JOIN b ON b.event_type = e.event_type)
+        |SELECT event_type, bin,
+        |  floor((mn + CAST(bin AS DOUBLE) * (mx - mn) / 20) * 1e6) / 1e6 AS lo_edge,
+        |  count(*) AS n
+        |FROM binned GROUP BY event_type, bin, mn, mx
+        |ORDER BY event_type, bin""".stripMargin,
 
     "q109_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -510,6 +510,35 @@ object Relational {
           .as("clipped_mean"))
   }
 
+  /** Per-group equi-width histogram: `bins` equal-width buckets between
+    * the group's min and max, counts per bucket — the distribution
+    * profile behind data-quality dashboards and CBO histograms. Two
+    * aggregations (bounds, then bucket counts off a broadcast bounds
+    * join); bucket index arithmetic is pure IEEE double over exact group
+    * bounds — identical in any engine. A constant group (min = max)
+    * lands entirely in bucket 0. Empty buckets are not emitted (left to
+    * the consumer to densify via [[gapFillCounts]]-style grids). */
+  def histogram(df: DataFrame, key: String, valueCol: String,
+                bins: Int): DataFrame = {
+    val v = col(valueCol)
+    val bounds = df.groupBy(col(key))
+      .agg(min(v).cast("double").as("mn"), max(v).cast("double").as("mx"))
+    def trunc6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)
+    val bin = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(least(
+        floor((v.cast("double") - col("mn")) / (col("mx") - col("mn")) * bins)
+          .cast("long"),
+        lit(bins - 1L)))
+    df.join(broadcast(bounds), Seq(key))
+      .withColumn("bin", bin)
+      .groupBy(col(key), col("bin"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(key), col("bin"),
+        trunc6(col("mn") + col("bin").cast("double") * (col("mx") - col("mn")) / bins)
+          .as("lo_edge"),
+        col("n"))
+  }
+
   def hotKeys(df: DataFrame, key: String, threshold: Long): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > threshold).select(col(key))

@@ -401,6 +401,35 @@ object TextAnalysis {
       .drop("__grams")
   }
 
+  /** Sliding-window document chunking — the retrieval/embedding
+    * preparation step: split each document into `chunkTokens`-token
+    * windows advancing by `stride` tokens (overlap = chunkTokens - stride
+    * keeps context across boundaries), emitting one row per chunk with
+    * its token offset — the unit a RAG pipeline embeds and indexes.
+    * Entirely row-local work (staged word array → `sequence` of starts →
+    * posexplode + slice/join): chunking is scan-stage codegen, the only
+    * shuffle is whatever the consumer does next. Starts advance by
+    * `stride` over the WHOLE token range, so every token is covered;
+    * trailing windows run short (their `n_tokens` says how short).
+    * Empty docs produce no chunks. Chunk ids are (doc, 0-based window
+    * index) — deterministic, no RNG, no row_number over a global order. */
+  def chunkForEmbedding(docs: DataFrame, idCol: String, text: Column,
+                        chunkTokens: Int = 50, stride: Int = 40): DataFrame = {
+    val ws = col("__ws")
+    val n = size(ws)
+    val starts = when(n >= 1, sequence(lit(1), n, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col(idCol), words(text).as("__ws"))
+      .select(col(idCol), ws,
+        posexplode(starts).as(Seq("chunk_id", "start_tok")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(chunkTokens), size(ws) - col("start_tok") + 1).cast("long")
+          .as("n_tokens"),
+        array_join(slice(ws, col("start_tok"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Content fingerprint: md5 of the normalized text (lowercase, trimmed,
     * runs of whitespace collapsed). Two docs share a fingerprint iff they
     * are exact duplicates post-normalization — the cheap first dedup tier. */

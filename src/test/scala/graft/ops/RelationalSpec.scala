@@ -207,6 +207,20 @@ class RelationalSpec extends SparkSpec {
       ("b", "00:00", 0L), ("b", "00:01", 1L), ("b", "00:02", 0L)))
   }
 
+  test("histogram: equi-width bins, max lands in last bin, constant group in bin 0") {
+    val df = (Seq(0.0, 1.0, 5.0, 9.9, 10.0).map(("a", _)) ++
+      Seq(("b", 7.0), ("b", 7.0))).toDF("k", "v")
+    val out = Relational.histogram(df, "k", "v", 10)
+      .select("k", "bin", "lo_edge", "n")
+      .as[(String, Long, Double, Long)].collect().toSet
+    // group a: range [0,10], width 1: 0->bin0, 1->bin1, 5->bin5, 9.9->bin9, 10->bin9 (clamped)
+    assert(out.filter(_._1 == "a").map(r => (r._2, r._4)) ===
+      Set((0L, 1L), (1L, 1L), (5L, 1L), (9L, 2L)))
+    assert(out.filter(_._1 == "a").find(_._2 == 5L).get._3 === 5.0)
+    // group b: constant -> single bin 0 with both rows
+    assert(out.filter(_._1 == "b") === Set(("b", 0L, 7.0, 2L)))
+  }
+
   test("funnel: steps must occur in order; out-of-order steps don't count") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val e = Seq(

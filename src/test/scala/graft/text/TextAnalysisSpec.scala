@@ -56,6 +56,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._4 === math.floor(out(1L)._3 / 3 * 1e6) / 1e6)
   }
 
+  test("chunkForEmbedding: overlapping windows cover every token; short docs = one chunk") {
+    val d = Seq((1L, (1 to 12).map(i => s"w$i").mkString(" ")), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkForEmbedding(d, "doc_id", col("text"), 5, 3)
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 1,4,7,10 (stride 3 over all 12 tokens); last window runs short
+    assert(d1.map(_._3).toSeq === Seq(1L, 4L, 7L, 10L))
+    assert(d1.head._5 === "w1 w2 w3 w4 w5")
+    assert(d1.last._5 === "w10 w11 w12" && d1.last._4 === 3L)
+    // coverage: every token appears in at least one chunk
+    val covered = d1.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered === (1L to 12L).toSet)
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 1L, 2L, "a b")))
+    assert(!out.exists(_._1 == 3L)) // empty doc -> no chunks
+  }
+
   test("pruneBoilerplateTokens: drops high-df tokens, keeps order, keeps emptied docs") {
     val d = Seq(
       (1L, "x y x z"),   // x in all docs (df 1.0) -> dropped
