@@ -121,6 +121,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(joins == 1, s"expected exactly the band self-join, got $joins joins:\n$p")
   }
 
+  test("q112: chunking is scan-stage work — the only exchange is the final sort") {
+    val p = physical("q112_chunking")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the orderBy range exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q101: probe side broadcasts — the corpus weight table is never shuffled for the pair join") {
+    val p = physical("q101_sparse_cosine")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q105: pagerank's returned rank table is lineage-truncated (reads its checkpoint, no join tree)") {
+    val p = physical("q105_pagerank")
+    assert(!p.contains("Join"), s"iteration lineage leaked past the checkpoint:\n$p")
+  }
+
+  test("q107: weighted sample plans TakeOrderedAndProject (bounded heap, no global sort)") {
+    val plan = SparkEntry.queries("q107_weighted_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q113: histogram's bounds join is broadcast; counts aggregate partially") {
+    val p = physical("q113_histogram")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q94: recall gate stays a lazy plan (no driver-side action at build time)") {
     // building the DataFrame must not trigger jobs; the gate is a filtered
     // 1-row aggregate cross-joined into the plan
