@@ -1059,6 +1059,26 @@ object SparkEntry {
       EventStreams.runToCompletion(s, d)(EventStreams.tumblingCounts(_))
         .orderBy(col("win_start"), col("event_type"))),
 
+    // ⊕ §2.9 trending: streaming windowed counts (AvailableNow), then the
+    // per-window top-2 event types by count — the "what's hot right now"
+    // composition of a streaming aggregate with the rank operator (rank
+    // runs on the materialized aggregate: windowed ranking isn't legal
+    // INSIDE a streaming agg, and doesn't need to be — the agg output is
+    // windows × types, already tiny).
+    "q114_trending" -> ((s, d) => {
+      val counts = EventStreams.runToCompletion(s, d)(ev => ev
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"), col("event_type"), col("n")))
+      Relational.topKPerGroup(counts, 2, Seq(col("win_start")),
+          Seq(col("n").desc, col("event_type").asc))
+        .select(col("win_start"), col("event_type"), col("n"),
+          col("rn").cast("long").as("rnk"))
+        .orderBy(col("win_start"), col("rnk"))
+    }),
+
     // ⊕ §2.9 stream-STATIC join: micro-batches broadcast-join a static
     // dim table (no join state, unlike q58's stream-stream form), then
     // window-aggregate per dim attribute. Oracle = the same join in batch.
@@ -2411,6 +2431,16 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q114_trending" ->
+      """WITH c AS (SELECT strftime(time_bucket(INTERVAL '30 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT win_start, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY win_start ORDER BY n DESC, event_type ASC) AS BIGINT) AS rnk
+        |  FROM c)
+        |SELECT win_start, event_type, n, rnk FROM r WHERE rnk <= 2
+        |ORDER BY win_start, rnk""".stripMargin,
 
     "q104_stream_static" ->
       """WITH dim(event_type, category, weight) AS (VALUES
