@@ -95,6 +95,43 @@ object ScaleCheck {
     time("simhash_adjacency", nDocs) {
       dedup.Dedup.simhashAdjacency(docs, "doc_id", col("text")).count()
     }
+    time("term_counts_tfidf", nDocs) {
+      // kernel tf (scan-stage) + df rollup + join — no (doc,term) shuffle
+      text.TextAnalysis.tfidf(docs, "doc_id", col("text")).count()
+    }
+    time("rag_chunking", nDocs) {
+      text.TextAnalysis.chunkForEmbedding(docs, "doc_id", col("text")).count()
+    }
+    time("sparse_cosine_probe", nDocs) {
+      // FIXED 50-doc probe batch against the mult-scaled corpus: cost must
+      // track the corpus linearly (b-side scan), never quadratically
+      text.TextAnalysis.tfidfCosinePairs(docs, "doc_id", col("text"),
+        0.85, probe = Some(_ < 50)).count()
+    }
+    time("weighted_sample", nDocs) {
+      ops.Relational.weightedSample(docs, col("doc_id"),
+        col("n_chars").cast("double"), 1000).count()
+    }
+    locally {
+      // pagerank probes the iterative-join family at mult x edges: cost
+      // per iteration is one vertex-keyed join + agg over the edge list
+      val li0 = model.Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o0 = model.Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      // materialize the amplified edge list BEFORE timing: the probe
+      // measures the iterations, not the 16-way derivation join
+      val edges = amplify(
+        li0.join(o0, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"), col("l_suppkey").as("dst")),
+        Seq("src"))
+        .select((col("src") * 2).as("src"), (col("dst") * 2 + 1).as("dst"))
+        .localCheckpoint() // amplified customers, shared suppliers: densifies
+      val nE = edges.count()
+      time(s"pagerank_3it_${nE}_edges", nE) {
+        ops.Graphs.pageRank(edges).count()
+      }
+    }
 
     // The MergeTable claim to verify at scale: commit cost follows the
     // DELTA, not the table. Build a mult-scaled table once, then commit a

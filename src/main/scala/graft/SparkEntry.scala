@@ -713,9 +713,12 @@ object SparkEntry {
     "q105_pagerank" -> ((s, d) => {
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      // vertex ids are LONGS namespaced by parity (cust = 2k, supp =
+      // 2k+1): integer join/shuffle keys, not strings — measurably
+      // lighter at the 16x scale probe
       val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
       Graphs.pageRank(edges).orderBy(col("id"))
     }),
 
@@ -2174,14 +2177,14 @@ object SparkEntry {
       // rather than folding it, so both engines produce identical bits
       val upd = (i: Int) =>
         s"""c$i AS (SELECT und.dst,
-           |    sum(CAST(round(p.p / CAST(p.deg AS DOUBLE), 12) AS DECIMAL(38,12))) AS s
+           |    sum(CAST(round(p.p / CAST(p.deg AS DOUBLE) * 1e12, 0) AS BIGINT)) AS s
            |  FROM und JOIN p${i - 1} p ON p.id = und.src GROUP BY und.dst),
            |p$i AS (SELECT p.id, p.deg,
            |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
            |      + CAST(0.85 AS DOUBLE)
-           |        * CAST(coalesce(c.s, CAST(0 AS DECIMAL(38,12))) AS DOUBLE), 12) AS p
+           |        * (CAST(coalesce(c.s, 0) AS DOUBLE) / 1e12), 12) AS p
            |  FROM p${i - 1} p LEFT JOIN c$i c ON c.dst = p.id)""".stripMargin
-      s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
          |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),

@@ -2,13 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Ad-hoc stage-timing probe for local perf iteration (test scope only —
   * never shipped). Edit the body to time the plan under investigation;
   * `sbt "Test/runMain graft.PerfProbe"`. */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val d = "/root/testdata/sf0.1"
+    val mult = 16
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -20,60 +22,45 @@ object PerfProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .withColumn("l_ship_epoch", col("l_shipdate").cast("timestamp").cast("double"))
-    li.groupBy().count().collect() // warmup
-    def q87() = graft.ops.Relational.profile(li,
-      numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_ship_epoch"),
-      categorical = Seq("l_returnflag", "l_linestatus"))
-      .orderBy(col("col_name"))
-      .write.format("noop").mode("overwrite").save()
-    time("q87_warm1")(q87())
-    time("q87_warm2")(q87())
-    // variant: flat stats separate from the multi-distinct NDVs
-    def variant() = {
-      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
-        "l_ship_epoch", "l_returnflag", "l_linestatus")
-      val flat = li.agg(count(lit(1)).as("n"),
-        cols.flatMap(c => Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
-          min(col(c)).cast("string").as(s"${c}_mn"),
-          max(col(c)).cast("string").as(s"${c}_mx"))): _*)
-      val ndv = li.agg(countDistinct(col(cols.head)).as(s"${cols.head}_nd"),
-        cols.tail.map(c => countDistinct(col(c)).as(s"${c}_nd")): _*)
-      flat.crossJoin(ndv).write.format("noop").mode("overwrite").save()
+    val li0 = model.Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey"))
+    val o0 = model.Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
+    val base = li0.join(o0, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+    val n = base.count()
+    val edges = (0 until mult).map(i =>
+        base.withColumn("src", col("src") + lit(i * n * 10)))
+      .reduce(_ union _)
+      .select(concat(lit("c"), col("src")).as("src"),
+        concat(lit("s"), col("dst")).as("dst"))
+      .localCheckpoint()
+    println("edges: " + edges.count())
+    val und = time("und_distinct_ckpt") {
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
     }
-    time("split_warm1")(variant())
-    time("split_warm2")(variant())
-    def ndvOnly() = {
-      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
-        "l_ship_epoch", "l_returnflag", "l_linestatus")
-      li.agg(countDistinct(col(cols.head)).as("a"),
-        cols.tail.map(c => countDistinct(col(c))): _*)
-        .write.format("noop").mode("overwrite").save()
+    println("und: " + und.count())
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n1 = deg.agg(count(lit(1)).cast("double").as("__n"))
+    var p = time("p0") {
+      deg.select(col("src").as("id"), col("deg")).crossJoin(n1)
+        .withColumn("p", lit(1.0) / col("__n")).localCheckpoint()
     }
-    time("ndv1")(ndvOnly())
-    time("ndv2")(ndvOnly())
-    def flatOnly() = {
-      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
-        "l_ship_epoch", "l_returnflag", "l_linestatus")
-      li.agg(count(lit(1)).as("n"),
-        cols.flatMap(c => Seq(sum(when(col(c).isNull, 1L).otherwise(0L)),
-          min(col(c)).cast("string"), max(col(c)).cast("string"))): _*)
-        .write.format("noop").mode("overwrite").save()
+    for (i <- 1 to 3) {
+      p = time(s"iter$i") {
+        val contrib = und
+          .join(p.select(col("id").as("src"),
+            round(col("p") / col("deg").cast("double"), 12)
+              .cast(DecimalType(38, 12)).as("__c")), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
+        p.join(contrib.select(col("dst").as("id"), col("__s")), Seq("id"), "left")
+          .withColumn("p", round((lit(1.0) - lit(0.85)) / col("__n")
+            + lit(0.85) * coalesce(col("__s"),
+              lit(0).cast(DecimalType(38, 12))).cast("double"), 12))
+          .drop("__s")
+          .localCheckpoint()
+      }
     }
-    time("flat1")(flatOnly())
-    time("flat2")(flatOnly())
-    def ndvRepart() = {
-      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
-        "l_ship_epoch", "l_returnflag", "l_linestatus")
-      li.select(cols.map(col): _*).repartition(32)
-        .agg(countDistinct(col(cols.head)).as("a"),
-          cols.tail.map(c => countDistinct(col(c))): _*)
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("ndvR1")(ndvRepart())
-    time("ndvR2")(ndvRepart())
     spark.stop()
   }
 }
