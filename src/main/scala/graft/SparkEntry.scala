@@ -722,6 +722,54 @@ object SparkEntry {
       Graphs.pageRank(edges).orderBy(col("id"))
     }),
 
+    // ⊕ chunk-granularity dedup diagnostic: fingerprint q112's chunks,
+    // keep groups shared across >1 document — measures internal corpus
+    // duplication at the retrieval unit, not the whole-doc level.
+    "q115_chunk_dedup" -> ((s, d) =>
+      TextAnalysis.chunkForEmbedding(t(s, d, "documents"), "doc_id",
+          col("text"), 50, 40)
+        .groupBy(md5(col("chunk_text")).as("fp"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("min_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("fp"))),
+
+    // ⊕ window breadth: NTILE decile stats per order priority (total
+    // ordering via the (price, key) tiebreak keeps tiles deterministic).
+    "q116_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .groupBy(col("o_orderpriority"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            / count(lit(1)) * lit(1e6)).cast("double") / lit(1e6)).as("avg_price"),
+          max(col("o_totalprice")).as("hi"))
+        .withColumn("decile", col("decile").cast("long"))
+        .orderBy(col("o_orderpriority"), col("decile"))
+    }),
+
+    // ⊕ SQL front door #3: correlated EXISTS / NOT EXISTS — Catalyst
+    // decorrelates both into semi/anti joins (PlanQualitySpec asserts no
+    // per-row subquery execution survives).
+    "q117_exists_sql" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice > 500000)
+        ORDER BY c_custkey""")
+    }),
+
     // ⊕ RAG-prep chunking: 50-token windows, stride 40 (10-token
     // overlap), one row per chunk with offsets — all scan-stage work.
     "q112_chunking" -> ((s, d) =>
@@ -2059,6 +2107,40 @@ object SparkEntry {
           |  FROM wd wa JOIN wd wb ON wb.wrd = wa.wrd AND wa.doc_id < wb.doc_id
           |  WHERE wa.doc_id % 4 = 0 AND wb.doc_id % 4 = 0)""".stripMargin)})
          |WHERE jaccard >= 0.97 ORDER BY a, b""".stripMargin,
+
+    "q115_chunk_dedup" ->
+      s"""WITH $wordsCte,
+         |st AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws), 40)) AS start_tok
+         |  FROM w WHERE len(ws) >= 1),
+         |ch AS (SELECT doc_id,
+         |    array_to_string(ws[start_tok:start_tok+49], ' ') AS chunk_text
+         |  FROM st)
+         |SELECT md5(chunk_text) AS fp, count(*) AS n_chunks,
+         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc
+         |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+         |ORDER BY fp""".stripMargin,
+
+    "q116_ntile" ->
+      """WITH t AS (SELECT o_orderpriority, o_totalprice,
+        |    ntile(10) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
+        |  count(*) AS n,
+        |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) * 1e6) / 1e6 AS avg_price,
+        |  max(o_totalprice) AS hi
+        |FROM t GROUP BY 1, 2 ORDER BY o_orderpriority, decile""".stripMargin,
+
+    "q117_exists_sql" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F'
+        |                    AND o2.o_totalprice > 500000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q112_chunking" ->
       s"""WITH $wordsCte,

@@ -151,6 +151,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q117: correlated EXISTS/NOT EXISTS decorrelate to semi/anti joins, no per-row subqueries") {
+    val p = physical("q117_exists_sql")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("InSubquery") && !p.contains("ScalarSubquery"), p)
+  }
+
   test("q94: recall gate stays a lazy plan (no driver-side action at build time)") {
     // building the DataFrame must not trigger jobs; the gate is a filtered
     // 1-row aggregate cross-joined into the plan
