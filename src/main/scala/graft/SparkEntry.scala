@@ -722,6 +722,20 @@ object SparkEntry {
       Graphs.pageRank(edges).orderBy(col("id"))
     }),
 
+    // ⊕ robust outliers: per-type median absolute deviation profile —
+    // the median-based sibling of q103's rolling z-scores.
+    "q118_mad_outliers" -> ((s, d) =>
+      Relational.madOutliers(Tables.events(s, d), "event_type", "value", 3.0)
+        .orderBy(col("event_type"))),
+
+    // ⊕ per-type linear trend + one-step forecast over the gap-filled
+    // hourly series; OLS from exact integer power sums (q89's discipline).
+    "q119_trend_forecast" -> ((s, d) =>
+      Relational.trendForecast(
+          Relational.gapFillCounts(Tables.events(s, d), "event_type", "ts", 3600),
+          "event_type", "bucket", "n", 3600)
+        .orderBy(col("event_type"))),
+
     // ⊕ chunk-granularity dedup diagnostic: fingerprint q112's chunks,
     // keep groups shared across >1 document — measures internal corpus
     // duplication at the retrieval unit, not the whole-doc level.
@@ -2107,6 +2121,54 @@ object SparkEntry {
           |  FROM wd wa JOIN wd wb ON wb.wrd = wa.wrd AND wa.doc_id < wb.doc_id
           |  WHERE wa.doc_id % 4 = 0 AND wb.doc_id % 4 = 0)""".stripMargin)})
          |WHERE jaccard >= 0.97 ORDER BY a, b""".stripMargin,
+
+    "q118_mad_outliers" ->
+      """WITH m AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med,
+        |    count(*) AS n
+        |  FROM events GROUP BY event_type),
+        |md AS (SELECT e.event_type, m.med, m.n,
+        |    round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+        |  FROM events e JOIN m ON m.event_type = e.event_type
+        |  GROUP BY e.event_type, m.med, m.n)
+        |SELECT e.event_type, md.n, md.med, md.mad,
+        |  CAST(sum(CASE WHEN abs(e.value - md.med) > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN md ON md.event_type = e.event_type
+        |GROUP BY e.event_type, md.n, md.med, md.mad
+        |ORDER BY e.event_type""".stripMargin,
+
+    "q119_trend_forecast" -> {
+      val gap = """g AS (
+        |  WITH b AS (SELECT event_type, time_bucket(INTERVAL '3600 seconds', ts) AS bucket FROM events),
+        |  c AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        |  bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+        |  grid AS (SELECT et.event_type, gg.bucket
+        |           FROM (SELECT DISTINCT event_type FROM events) et
+        |           CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL '3600 seconds')) AS bucket
+        |                       FROM bounds) gg)
+        |  SELECT grid.event_type, grid.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |  FROM grid LEFT JOIN c ON c.event_type = grid.event_type AND c.bucket = grid.bucket)""".stripMargin
+      s"""WITH $gap,
+         |ix AS (SELECT event_type,
+         |    CAST((epoch(bucket) - min(epoch(bucket)) OVER (PARTITION BY event_type)) / 3600 AS BIGINT) AS x,
+         |    n AS y
+         |  FROM g),
+         |a AS (SELECT event_type, count(*) AS n,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+         |    max(x) AS xmax
+         |  FROM ix GROUP BY event_type),
+         |f AS (SELECT event_type, n,
+         |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN 0.0
+         |         ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |    END AS slope0, sx, sy, xmax
+         |  FROM a)
+         |SELECT event_type, n,
+         |  floor(slope0 * 1e6) / 1e6 AS slope,
+         |  floor((CAST(sy AS DOUBLE) - slope0 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) * 1e6) / 1e6 AS intercept,
+         |  floor(((CAST(sy AS DOUBLE) - slope0 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         |    + slope0 * (CAST(xmax AS DOUBLE) + 1.0)) * 1e6) / 1e6 AS forecast_next
+         |FROM f ORDER BY event_type""".stripMargin
+    },
 
     "q115_chunk_dedup" ->
       s"""WITH $wordsCte,

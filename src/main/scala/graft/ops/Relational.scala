@@ -539,6 +539,67 @@ object Relational {
         col("n"))
   }
 
+  /** Median-absolute-deviation outlier profile per group: med = p50(v),
+    * mad = p50(|v - med|), outliers = rows with |v - med| > k·mad. The
+    * median-based sibling of [[rollingAnomalies]]' mean/variance flags —
+    * robust to the very outliers it is hunting (a single huge spike moves
+    * a mean and variance, not a median). Two exact-percentile passes with
+    * a broadcast bounds join between them; both medians are rounded to 4
+    * decimals before reuse (the q88 cross-engine percentile discipline).
+    * The 1.4826 normal-consistency constant is deliberately NOT applied —
+    * fold it into `k` if normal-equivalent z-scores are wanted. */
+  def madOutliers(df: DataFrame, key: String, valueCol: String,
+                  k: Double): DataFrame = {
+    val v = col(valueCol)
+    val med = df.groupBy(col(key))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("med"),
+        count(lit(1)).as("n"))
+    val mad = df.join(broadcast(med), Seq(key))
+      .groupBy(col(key), col("med"), col("n"))
+      .agg(round(expr(s"percentile(abs($valueCol - med), 0.5)"), 4).as("mad"))
+    df.join(broadcast(mad), Seq(key))
+      .groupBy(col(key), col("med"), col("mad"), col("n"))
+      .agg(sum(when(abs(v - col("med")) > lit(k) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col(key), col("n"), col("med"), col("mad"), col("n_outliers"))
+  }
+
+  /** Per-key linear trend + one-step forecast over a [[gapFillCounts]]
+    * series: ordinary least squares of count against the bucket index,
+    * computed from INTEGER power sums only (x = 0-based bucket offset,
+    * y = bucket count — every sum is an exact BIGINT, so slope/intercept/
+    * forecast are engine-deterministic double formulas over identical
+    * integers; the q89 decimal-exact-regression discipline with the
+    * decimals replaced by plain longs). One aggregation per key after the
+    * index projection; the forecast predicts the bucket AFTER the last
+    * observed one. Keys with a single bucket get slope 0 (flat forecast). */
+  def trendForecast(series: DataFrame, key: String, bucket: String,
+                    valueCol: String, stepSec: Int): DataFrame = {
+    val w = Window.partitionBy(col(key))
+    val x = ((col(bucket).cast("long") - min(col(bucket).cast("long")).over(w))
+      / stepSec).cast("long")
+    val y = col(valueCol).cast("long")
+    val staged = series.select(col(key), x.as("__x"), y.as("__y"))
+    val agg = staged.groupBy(col(key)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__x") * col("__y")).as("sxy"),
+      max(col("__x")).as("xmax"))
+    def d(c: Column): Column = c.cast("double")
+    val denom = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val slope = when(denom === 0, lit(0.0))
+      .otherwise((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / denom)
+    def trunc6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)
+    agg
+      .withColumn("__slope", slope)
+      .withColumn("__icept", (d(col("sy")) - col("__slope") * d(col("sx"))) / d(col("n")))
+      .select(col(key), col("n"), trunc6(col("__slope")).as("slope"),
+        trunc6(col("__icept")).as("intercept"),
+        trunc6(col("__icept") + col("__slope") * (d(col("xmax")) + lit(1.0)))
+          .as("forecast_next"))
+  }
+
   def hotKeys(df: DataFrame, key: String, threshold: Long): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > threshold).select(col(key))

@@ -207,6 +207,30 @@ class RelationalSpec extends SparkSpec {
       ("b", "00:00", 0L), ("b", "00:01", 1L), ("b", "00:02", 0L)))
   }
 
+  test("madOutliers: median immune to the spike, spike flagged") {
+    val df = ((1 to 99).map(_ => 10.0) :+ 10000.0).map(("k", _)).toDF("k", "v")
+    val out = Relational.madOutliers(df, "k", "v", 3.0)
+      .select("n", "med", "mad", "n_outliers")
+      .as[(Long, Double, Double, Long)].head()
+    assert(out === ((100L, 10.0, 0.0, 1L))) // med/mad robust; only the spike flagged
+  }
+
+  test("trendForecast: exact OLS over an integer series predicts the next bucket") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key a: counts 1,2,3 at hourly buckets -> slope 1, next = 4
+    val series = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1L),
+      ("a", ts("2024-01-01 01:00:00"), 2L),
+      ("a", ts("2024-01-01 02:00:00"), 3L),
+      ("b", ts("2024-01-01 00:00:00"), 7L) // single bucket -> flat forecast
+    ).toDF("k", "bucket", "n")
+    val out = Relational.trendForecast(series, "k", "bucket", "n", 3600)
+      .select("k", "slope", "intercept", "forecast_next")
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", 1.0, 1.0, 4.0)))
+    assert(out("b") === (("b", 0.0, 7.0, 7.0)))
+  }
+
   test("histogram: equi-width bins, max lands in last bin, constant group in bin 0") {
     val df = (Seq(0.0, 1.0, 5.0, 9.9, 10.0).map(("a", _)) ++
       Seq(("b", 7.0), ("b", 7.0))).toDF("k", "v")
