@@ -112,6 +112,32 @@ object ScaleCheck {
       ops.Relational.weightedSample(docs, col("doc_id"),
         col("n_chars").cast("double"), 1000).count()
     }
+    time("pmi_collocations", nDocs) {
+      text.TextAnalysis.pmiCollocations(docs, col("text"), 5).count()
+    }
+    time("contamination_pairs", nDocs) {
+      // the realistic shape: FIXED benchmark set (the base copy's bench
+      // split) vs the mult-scaled training corpus — copies of bench docs
+      // land in the train side, i.e. genuine planted contamination. The
+      // df-cap scales with mult so amplified duplicates aren't all
+      // boilerplate-capped away; pair volume then tracks the train side
+      // linearly, never bench x train.
+      dedup.Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") < 100000 && col("doc_id") % 20 === 0),
+        "doc_id", col("text"), 4, maxDf = 50L * mult).count()
+    }
+    locally {
+      val evs = amplify(model.Tables.events(spark, d),
+        Seq("user_id", "event_id")).localCheckpoint()
+      val nEv = evs.count()
+      time(s"sessionize_${nEv}_events", nEv) {
+        // per-user window state is mult-invariant (copies add USERS, not
+        // events per user) — the partition-size bound that matters at scale
+        ops.Relational.sessionize(evs, "user_id", "ts", "event_id", 1800)
+          .count()
+      }
+    }
     locally {
       // pagerank probes the iterative-join family at mult x edges: cost
       // per iteration is one vertex-keyed join + agg over the edge list

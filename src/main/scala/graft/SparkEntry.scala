@@ -736,6 +736,32 @@ object SparkEntry {
           "event_type", "bucket", "n", 3600)
         .orderBy(col("event_type"))),
 
+    // ⊕ benchmark decontamination: word-4-gram overlap between a bench
+    // split (doc_id % 20 = 0) and the train split, train-df-capped at 50
+    // before the n-gram equi-join — pairs scored by distinct shared grams.
+    "q120_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminationPairs(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", col("text"), 4, 50)
+        .orderBy(col("bench_doc"), col("train_doc"))
+    }),
+
+    // ⊕ batch sessionization: 30-min inactivity gap per user; one
+    // exchange+sort serves both window passes and integer-µs outputs keep
+    // the compare exact.
+    "q121_sessionize" -> ((s, d) =>
+      Relational.sessionize(Tables.events(s, d), "user_id", "ts",
+          "event_id", 1800)
+        .orderBy(col("user_id"), col("sess"))),
+
+    // ⊕ PMI collocations: adjacent-pair pointwise mutual information over
+    // the corpus, pairs with count >= 5.
+    "q122_pmi" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(t(s, d, "documents"), col("text"), 5)
+        .orderBy(col("w1"), col("w2"))),
+
     // ⊕ chunk-granularity dedup diagnostic: fingerprint q112's chunks,
     // keep groups shared across >1 document — measures internal corpus
     // duplication at the retrieval unit, not the whole-doc level.
@@ -2169,6 +2195,51 @@ object SparkEntry {
          |    + slope0 * (CAST(xmax AS DOUBLE) + 1.0)) * 1e6) / 1e6 AS forecast_next
          |FROM f ORDER BY event_type""".stripMargin
     },
+
+    "q120_contamination" ->
+      s"""WITH $wordsCte,
+         |g AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS ng
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-3)) AS i
+         |        FROM w WHERE len(ws) >= 4)),
+         |tr AS (SELECT DISTINCT doc_id AS train_doc, ng FROM g WHERE doc_id % 20 <> 0),
+         |be AS (SELECT DISTINCT doc_id AS bench_doc, ng FROM g WHERE doc_id % 20 = 0),
+         |keep AS (SELECT ng FROM tr GROUP BY ng HAVING count(*) <= 50)
+         |SELECT bench_doc, train_doc, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM be JOIN keep USING (ng) JOIN tr USING (ng)
+         |GROUP BY 1, 2 ORDER BY bench_doc, train_doc""".stripMargin,
+
+    "q121_sessionize" ->
+      """WITH x AS (SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus,
+        |    event_id FROM events),
+        |f AS (SELECT user_id, us, event_id,
+        |    CASE WHEN pus IS NULL OR us - pus > 1800000000 THEN 1 ELSE 0 END AS nf
+        |  FROM x),
+        |s AS (SELECT user_id, us,
+        |    CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+        |  FROM f)
+        |SELECT user_id, sess, CAST(min(us) AS BIGINT) AS start_us,
+        |  CAST(max(us) AS BIGINT) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(us) - min(us) AS BIGINT) AS dur_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, sess""".stripMargin,
+
+    "q122_pmi" ->
+      s"""WITH $wordsCte,
+         |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+         |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |        FROM w WHERE len(ws) >= 2)),
+         |uni AS (SELECT unnest(ws) AS wrd FROM w),
+         |cb AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2),
+         |cu AS (SELECT wrd, count(*) AS cu FROM uni GROUP BY 1),
+         |nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bg),
+         |nu AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM uni)
+         |SELECT w1, w2, CAST(cb.n_pair AS BIGINT) AS n_pair,
+         |  floor(ln(cb.n_pair * nu.nu * nu.nu / (nb.nb * c1.cu * c2.cu)) * 1e6) / 1e6 AS pmi
+         |FROM cb JOIN cu c1 ON c1.wrd = cb.w1 JOIN cu c2 ON c2.wrd = cb.w2
+         |CROSS JOIN nb CROSS JOIN nu
+         |WHERE cb.n_pair >= 5 ORDER BY w1, w2""".stripMargin,
 
     "q115_chunk_dedup" ->
       s"""WITH $wordsCte,

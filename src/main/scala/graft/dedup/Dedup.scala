@@ -697,4 +697,43 @@ object Dedup {
       .withColumn(out, concat(bits: _*))
       .drop("__hw")
   }
+
+  /** Benchmark decontamination scan (the GPT-3 appendix-C / PaLM recipe,
+    * word-`n`-gram overlap): (benchmark doc, training doc) pairs that share
+    * at least one word `n`-gram, scored by the count of DISTINCT shared
+    * n-grams — the report a curation team reads before dropping or masking
+    * contaminated training docs.
+    *
+    * Scale shape: each side is exploded to DISTINCT (doc, ngram) rows —
+    * corpus-token-sized, the same one-shuffle footprint as tf-idf — and the
+    * pair generation is an equi-join on the ngram, never a cross join.
+    * Boilerplate n-grams (train document frequency > `maxDf`) are dropped
+    * BEFORE the join, the winnowing df-cap discipline: they carry no
+    * contamination signal and their buckets are exactly the join's skew.
+    * After the cap a bucket fans out to ≤ maxDf pairs, so the worst case
+    * is bench-grams × maxDf, not n². The benchmark side is usually tiny
+    * (eval suites, not corpora) — AQE downgrades the join to a broadcast
+    * when it fits; no hint is hard-coded so a big holdout still plans. */
+  def contaminationPairs(train: DataFrame, bench: DataFrame, idCol: String,
+                         text: Column, n: Int = 4,
+                         maxDf: Long = 50): DataFrame = {
+    def grams(df: DataFrame, out: String): DataFrame = {
+      val ws = col("__ws")
+      // sequence() guard: size < n would generate a DESCENDING sequence
+      df.select(col(idCol).as(out), TextAnalysis.words(text).as("__ws"))
+        .select(col(out), explode(when(size(ws) >= n,
+            transform(sequence(lit(1), size(ws) - (n - 1)),
+              i => array_join(slice(ws, i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("ng"))
+        .distinct()
+    }
+    val tr = grams(train, "train_doc")
+    val keep = tr.groupBy(col("ng")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("ng"))
+    grams(bench, "bench_doc")
+      .join(keep, Seq("ng"), "left_semi")
+      .join(tr, Seq("ng"))
+      .groupBy(col("bench_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

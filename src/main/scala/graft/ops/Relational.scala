@@ -326,6 +326,38 @@ object Relational {
     grid.join(counts, Seq(key, "bucket"), "left").na.fill(0L, Seq("n"))
   }
 
+  /** Batch sessionization: split each key's event stream into sessions at
+    * inactivity gaps > `gapSec` (the batch sibling of the streaming
+    * session window, q38). Two window passes over the SAME
+    * (partitionBy key, orderBy ts, id) spec — lag() marks session starts,
+    * a running sum of the marks numbers them — so Spark plans ONE
+    * exchange + one sort and evaluates both Window execs on it (the
+    * second finds its required ordering already satisfied). The group-by
+    * that follows re-uses the hash partitioning by key. All outputs are
+    * integer microseconds — exact in any engine.
+    *
+    * Scale: state is one window partition per key (a user's events), the
+    * natural skew bound for behavioral data; no driver-side anything.
+    * Ties on ts are ordered by `idCol`, so session NUMBERING is
+    * deterministic even when events collide on the same microsecond. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val us = unix_micros(col(tsCol))
+    val prev = lag(us, 1).over(w)
+    val isStart = when(prev.isNull || us - prev > gapSec * 1000000L, 1L)
+      .otherwise(0L)
+    events.select(col(userCol), col(tsCol), col(idCol), us.as("__us"))
+      .withColumn("__start", isStart)
+      .withColumn("sess",
+        sum(col("__start")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col(userCol), col("sess"))
+      .agg(min(col("__us")).as("start_us"), max(col("__us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        (max(col("__us")) - min(col("__us"))).as("dur_us"))
+  }
+
   /** Deterministic WEIGHTED sampling without replacement (Efraimidis–
     * Spirakis A-Res): each row gets key = ln(u)/w with u a hash-derived
     * uniform in (0,1], and the global top-`k` keys ARE a weighted sample

@@ -293,6 +293,43 @@ object TextAnalysis {
         floor(col("sum_lp") / col("n_bigrams") * lit(1e6)).cast("double") / lit(1e6))
   }
 
+  /** PMI collocation mining: pointwise mutual information of adjacent word
+    * pairs, ln(p(w1,w2) / (p(w1)·p(w2))) with bigram probabilities from the
+    * bigram table (N_b total bigrams) and unigram probabilities from the
+    * full token stream (N_u total tokens) — the standard collocation score
+    * ("strongly associated word pairs") a vocabulary/tokenizer-curation
+    * pass reads. ln, not pow: ln has cross-engine parity precedent
+    * (q40/q100); floor-truncation to 6 decimals for the float column.
+    *
+    * Scale: two corpus-token-sized explodes feeding vocabulary-sized aggs;
+    * the count joins are vocabulary-keyed (sort-merge at web scale, AQE
+    * broadcast when the vocabulary fits); the two grand totals are 1-row
+    * aggs folded in as cross joins — no driver-side count action. Rare
+    * pairs (count < `minCount`) are dropped AFTER counting, standard for
+    * PMI (low counts make the estimate noise). */
+  def pmiCollocations(docs: DataFrame, text: Column,
+                      minCount: Long = 5): DataFrame = {
+    val ws = col("__ws")
+    val pairs = docs.select(words(text).as("__ws")).filter(size(ws) >= 2)
+      .select(explode(transform(sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = docs.select(explode(words(text)).as("w"))
+    val cb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val cu = uni.groupBy("w").agg(count(lit(1)).as("cu"))
+    val nb = pairs.agg(count(lit(1)).cast("double").as("__nb"))
+    val nu = uni.agg(count(lit(1)).cast("double").as("__nu"))
+    cb.filter(col("n_pair") >= minCount)
+      .join(cu.select(col("w").as("w1"), col("cu").as("__c1")), Seq("w1"))
+      .join(cu.select(col("w").as("w2"), col("cu").as("__c2")), Seq("w2"))
+      .crossJoin(nb).crossJoin(nu)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        (floor(log(col("n_pair") * col("__nu") * col("__nu")
+            / (col("__nb") * col("__c1") * col("__c2"))) * lit(1e6))
+          .cast("double") / lit(1e6)).as("pmi"))
+  }
+
   /** Boilerplate token pruning with text RECONSTRUCTION: drop every token
     * whose corpus document-frequency ratio exceeds `maxDfRatio` (tokens in
     * "almost every document" are boilerplate/stopword noise that dilutes

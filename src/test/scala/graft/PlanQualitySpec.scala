@@ -169,4 +169,23 @@ class PlanQualitySpec extends SparkSpec {
     // collect of k x dims floats); beyond that, no full-corpus action
     assert(after - before <= 10, s"unexpected job storm at plan-build time: ${after - before}")
   }
+
+  test("q120: contamination pairs are equi-joined on the n-gram, never nested-loop") {
+    val p = physical("q120_contamination")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q121: both sessionize window passes and the group-by share ONE hash exchange") {
+    // window(partitionBy user) sorts once; the second window finds its
+    // ordering satisfied, and groupBy(user, sess) is subsumed by the
+    // user_id hash partitioning (clustering-key subset)
+    val p = graft.ops.Relational.sessionize(
+        graft.model.Tables.events(spark, sfDir), "user_id", "ts",
+        "event_id", 1800)
+      .queryExecution.executedPlan.toString
+    val n = p.split("Exchange hashpartitioning").length - 1
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n$p")
+    assert(p.split("Sort \\[").length - 1 == 1, s"expected 1 sort:\n$p")
+  }
 }

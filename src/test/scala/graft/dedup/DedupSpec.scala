@@ -276,4 +276,21 @@ class DedupSpec extends SparkSpec {
     // band; 5 shares no block key
     assert(got === Set((1L, 2L, 1L), (1L, 3L, 2L)))
   }
+
+  test("contaminationPairs: distinct shared n-grams, df-cap drops boilerplate grams") {
+    import spark.implicits._
+    val train = Seq(1L -> "a b c d e", 2L -> "z b c d e",
+      3L -> "totally unrelated training text").toDF("doc_id", "text")
+    val bench = Seq(100L -> "q b c d e",
+      101L -> "a b c d a b c d",          // repeated gram counts once
+      102L -> "no overlap here at all").toDF("doc_id", "text")
+    def run(maxDf: Long) =
+      Dedup.contaminationPairs(train, bench, "doc_id", col("text"), 4, maxDf)
+        .select("bench_doc", "train_doc", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+    // "b c d e" is in train docs 1 and 2 (df=2); "a b c d" only in doc 1
+    assert(run(2) === Set((100L, 1L, 1L), (100L, 2L, 1L), (101L, 1L, 1L)))
+    // df-cap 1 kills the df=2 gram; only the unique "a b c d" overlap stays
+    assert(run(1) === Set((101L, 1L, 1L)))
+  }
 }

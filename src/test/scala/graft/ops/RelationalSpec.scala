@@ -327,4 +327,20 @@ class RelationalSpec extends SparkSpec {
     assert(out(5)._3 === false)
     assert(out(5)._2.exists(m => math.abs(m - 6.333333) < 1e-9))
   }
+
+  test("sessionize: splits at inactivity gaps, exact integer-µs session stats") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 10L), (1L, ts(10), 11L),      // session 1: 0..10s
+      (1L, ts(2000), 12L), (1L, ts(2010), 13L), // gap 1990s > 1800 -> session 2
+      (2L, ts(5), 20L)                          // lone event, its own session
+    ).toDF("user_id", "ts", "event_id")
+    val out = Relational.sessionize(ev, "user_id", "ts", "event_id", 1800)
+      .select("user_id", "sess", "start_us", "end_us", "n_events", "dur_us")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 1L, 0L, 10000000L, 2L, 10000000L),
+      (1L, 2L, 2000000000L, 2010000000L, 2L, 10000000L),
+      (2L, 1L, 5000000L, 5000000L, 1L, 0L)))
+  }
 }

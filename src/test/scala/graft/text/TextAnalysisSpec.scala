@@ -122,4 +122,17 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> 3L, 2L -> 5L, 3L -> 0L, 4L -> 1L))
   }
+
+  test("pmiCollocations: exact PMI against the hand-computed formula") {
+    // corpus "a b a b a b": bigrams (a,b)×3, (b,a)×2 (Nb=5); unigrams
+    // a=3, b=3 (Nu=6). pmi(a,b)=ln(3·36/(5·9))=ln(2.4), pmi(b,a)=ln(1.6)
+    val d = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(d, col("text"), 2)
+      .select("w1", "w2", "n_pair", "pmi")
+      .as[(String, String, Long, Double)].collect().toSet
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(out === Set(
+      ("a", "b", 3L, t6(math.log(2.4))),
+      ("b", "a", 2L, t6(math.log(1.6)))))
+  }
 }
