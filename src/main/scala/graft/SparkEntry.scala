@@ -762,6 +762,18 @@ object SparkEntry {
       TextAnalysis.pmiCollocations(t(s, d, "documents"), col("text"), 5)
         .orderBy(col("w1"), col("w2"))),
 
+    // ⊕ temperature mixture weights (α=0.5 via sqrt — IEEE-exact in every
+    // engine) per source: the multi-source rebalancing table.
+    "q123_mixture" -> ((s, d) =>
+      TextAnalysis.mixtureWeights(t(s, d, "documents"), "source", col("text"))
+        .orderBy(col("source"))),
+
+    // ⊕ sequence-packing map: concat-and-chunk at ctx=512 in doc_id order;
+    // exact BIGINT offsets -> first/last context-window ids per doc.
+    "q124_packing" -> ((s, d) =>
+      TextAnalysis.packingMap(t(s, d, "documents"), "doc_id", col("text"), 512)
+        .orderBy(col("doc_id"))),
+
     // ⊕ chunk-granularity dedup diagnostic: fingerprint q112's chunks,
     // keep groups shared across >1 document — measures internal corpus
     // duplication at the retrieval unit, not the whole-doc level.
@@ -2240,6 +2252,36 @@ object SparkEntry {
          |FROM cb JOIN cu c1 ON c1.wrd = cb.w1 JOIN cu c2 ON c2.wrd = cb.w2
          |CROSS JOIN nb CROSS JOIN nu
          |WHERE cb.n_pair >= 5 ORDER BY w1, w2""".stripMargin,
+
+    "q123_mixture" ->
+      s"""WITH $wordsCte,
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+         |  FROM w GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM per),
+         |sq AS (SELECT source, n_docs, n_tokens,
+         |    CAST(n_tokens AS DOUBLE) / tot.tot AS share,
+         |    sqrt(CAST(n_tokens AS DOUBLE) / tot.tot) AS sqp
+         |  FROM per CROSS JOIN tot),
+         |z AS (SELECT sum(sqp) AS z FROM sq)
+         |SELECT source, n_docs, n_tokens,
+         |  floor(share * 1e6) / 1e6 AS token_share,
+         |  floor(sqp / z.z * 1e6) / 1e6 AS mix_weight
+         |FROM sq CROSS JOIN z ORDER BY source""".stripMargin,
+
+    "q124_packing" ->
+      s"""WITH $wordsCte,
+         |tk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w
+         |  WHERE len(ws) > 0),
+         |o AS (SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS end_off
+         |  FROM tk)
+         |SELECT doc_id, n_tokens,
+         |  CAST(end_off - n_tokens AS BIGINT) AS start_off,
+         |  CAST(floor((end_off - n_tokens) / 512) AS BIGINT) AS first_bin,
+         |  CAST(floor((end_off - 1) / 512) AS BIGINT) AS last_bin,
+         |  CAST(floor((end_off - 1) / 512) - floor((end_off - n_tokens) / 512) + 1 AS BIGINT) AS n_bins
+         |FROM o ORDER BY doc_id""".stripMargin,
 
     "q115_chunk_dedup" ->
       s"""WITH $wordsCte,

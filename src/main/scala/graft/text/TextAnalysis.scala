@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -328,6 +329,63 @@ object TextAnalysis {
         (floor(log(col("n_pair") * col("__nu") * col("__nu")
             / (col("__nb") * col("__c1") * col("__c2"))) * lit(1e6))
           .cast("double") / lit(1e6)).as("pmi"))
+  }
+
+  /** Temperature-scaled training-mixture weights per source (the
+    * multilingual/multi-source rebalancing rule, α = 0.5): raw token share
+    * p_i = tokens_i / Σ tokens, mixture weight w_i = √p_i / Σ √p_j —
+    * upsamples tail sources, downsamples the head. √ (not pow) because
+    * sqrt is IEEE-correctly-rounded in every engine while pow(x, 0.5) has
+    * no such guarantee — the ln-not-pow portability rule's sibling. Token
+    * counts stay exact BIGINTs until the final ratios; floats are
+    * floor-truncated to 6 decimals.
+    *
+    * Scale: one source-keyed agg (map-side partial sums) + two 1-row grand
+    * totals folded in as cross joins — nothing driver-sized; sources are
+    * few by definition. */
+  def mixtureWeights(docs: DataFrame, sourceCol: String,
+                     text: Column): DataFrame = {
+    def trunc6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)
+    val per = docs.select(col(sourceCol), size(words(text)).cast("long").as("__t"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).cast("double").as("__tot"))
+    val share = col("n_tokens").cast("double") / col("__tot")
+    val scored = per.crossJoin(tot)
+      .withColumn("__sq", sqrt(share))
+    val z = scored.agg(sum(col("__sq")).as("__z"))
+    scored.crossJoin(z)
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        trunc6(share).as("token_share"),
+        trunc6(col("__sq") / col("__z")).as("mix_weight"))
+  }
+
+  /** Sequence-packing map, concat-and-chunk style (the GPT-pretraining
+    * packing rule: concatenate the token stream in a fixed document order,
+    * cut every `ctx` tokens): each doc's global token offset via an exact
+    * BIGINT running sum, from which its first/last context-window ids and
+    * span count are integer division — the shuffle-free way to answer
+    * "which training sequences does doc X land in" and "how many docs does
+    * sequence k splice together". Empty docs are excluded (they occupy no
+    * tokens, and first_bin on a 0-length span is ill-defined).
+    *
+    * Scale note: the running sum is a single unpartitioned window — fine
+    * for a manifest-sized doc list, the known bottleneck for a full corpus;
+    * at 100 TB the same map is computed per SHARD (q53's deterministic
+    * shards) with a per-shard offset, keeping every window partition
+    * bounded. The window carries ONLY (doc_id, n_tokens) — never text. */
+  def packingMap(docs: DataFrame, idCol: String, text: Column,
+                 ctx: Int): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), size(words(text)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        floor((col("end_off") - col("n_tokens")) / ctx).cast("long").as("first_bin"),
+        floor((col("end_off") - 1) / ctx).cast("long").as("last_bin"))
+      .withColumn("n_bins", col("last_bin") - col("first_bin") + 1L)
   }
 
   /** Boilerplate token pruning with text RECONSTRUCTION: drop every token

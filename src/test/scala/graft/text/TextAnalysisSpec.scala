@@ -135,4 +135,33 @@ class TextAnalysisSpec extends SparkSpec {
       ("a", "b", 3L, t6(math.log(2.4))),
       ("b", "a", 2L, t6(math.log(1.6)))))
   }
+
+  test("mixtureWeights: sqrt-temperature rebalancing upsamples the tail source") {
+    // src1: 9 tokens, src2: 1 token -> shares .9/.1, weights √.9/√.1
+    val d = Seq((1L, "w w w w w w w w w", "s1"), (2L, "w", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.mixtureWeights(d, "source", col("text"))
+      .select("source", "n_docs", "n_tokens", "token_share", "mix_weight")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    val z = math.sqrt(0.9) + math.sqrt(0.1)
+    assert(out("s1") === ((1L, 9L, t6(0.9), t6(math.sqrt(0.9) / z))))
+    assert(out("s2") === ((1L, 1L, t6(0.1), t6(math.sqrt(0.1) / z))))
+    // tail source holds 10% of tokens but 25% of the mixture
+    assert(out("s2")._4 > 0.24 && out("s2")._4 < 0.26)
+  }
+
+  test("packingMap: exact offsets, bin spans, empty docs excluded") {
+    val d = Seq((1L, "a b c"), (2L, ""), (3L, "d e f g"), (4L, "h"))
+      .toDF("doc_id", "text")
+    // ctx=4, stream: doc1 [0,3), doc3 [3,7), doc4 [7,8)
+    val out = TextAnalysis.packingMap(d, "doc_id", col("text"), 4)
+      .select("doc_id", "n_tokens", "start_off", "first_bin", "last_bin", "n_bins")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 3L, 0L, 0L, 0L, 1L),
+      (3L, 4L, 3L, 0L, 1L, 2L),   // straddles the bin-0/bin-1 cut
+      (4L, 1L, 7L, 1L, 1L, 1L)))
+  }
 }
