@@ -774,6 +774,13 @@ object SparkEntry {
       TextAnalysis.packingMap(t(s, d, "documents"), "doc_id", col("text"), 512)
         .orderBy(col("doc_id"))),
 
+    // ⊕ deterministic train/val/test split: md5-bucket thresholds (80/10/10),
+    // stable under corpus growth — no shuffle, no RNG.
+    "q125_split_assign" -> ((s, d) =>
+      Relational.splitAssign(
+          t(s, d, "documents").select(col("doc_id")), col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // ⊕ chunk-granularity dedup diagnostic: fingerprint q112's chunks,
     // keep groups shared across >1 document — measures internal corpus
     // duplication at the retrieval unit, not the whole-doc level.
@@ -2282,6 +2289,15 @@ object SparkEntry {
          |  CAST(floor((end_off - 1) / 512) AS BIGINT) AS last_bin,
          |  CAST(floor((end_off - 1) / 512) - floor((end_off - n_tokens) / 512) + 1 AS BIGINT) AS n_bins
          |FROM o ORDER BY doc_id""".stripMargin,
+
+    "q125_split_assign" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5('split0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q115_chunk_dedup" ->
       s"""WITH $wordsCte,

@@ -358,6 +358,25 @@ object Relational {
         (max(col("__us")) - min(col("__us"))).as("dur_us"))
   }
 
+  /** Deterministic train/val/test split assignment: each row hashes to a
+    * bucket in [0, 100) via the q107 md5 idiom (first 8 hex chars of
+    * md5(seed|id) as an integer), and bucket thresholds carve the splits —
+    * the same row lands in the same split in any engine, any run, any
+    * partitioning, and the assignment is STABLE under corpus growth (new
+    * rows never move old ones — the property a reshuffle-based split
+    * lacks, and the reason eval sets stay uncontaminated across corpus
+    * versions). Pure scan-stage projection: no shuffle, no RNG state. */
+  def splitAssign(df: DataFrame, id: Column, seed: String = "split0",
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit(seed + "|"), id.cast("string"))),
+      1, 8), 16, 10).cast("long") % 100
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise(lit("test")))
+  }
+
   /** Deterministic WEIGHTED sampling without replacement (Efraimidis–
     * Spirakis A-Res): each row gets key = ln(u)/w with u a hash-derived
     * uniform in (0,1], and the global top-`k` keys ARE a weighted sample

@@ -343,4 +343,28 @@ class RelationalSpec extends SparkSpec {
       (1L, 2L, 2000000000L, 2010000000L, 2L, 10000000L),
       (2L, 1L, 5000000L, 5000000L, 1L, 0L)))
   }
+
+  test("splitAssign: buckets match an independent md5 computation; thresholds carve splits") {
+    def bucketOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split0|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 100
+    }
+    val ids = (0L until 50L)
+    val df = ids.toDF("doc_id")
+    val got = Relational.splitAssign(df, col("doc_id"))
+      .select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect()
+    assert(got.length === 50)
+    got.foreach { case (id, b, s) =>
+      assert(b === bucketOf(id), s"bucket mismatch for id $id")
+      val expected = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s === expected)
+    }
+    // determinism: a second evaluation assigns identically
+    val again = Relational.splitAssign(df, col("doc_id"))
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got.forall { case (id, b, _) => again(id) == b })
+  }
 }
