@@ -85,6 +85,34 @@ object Bench {
     // the result).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    // Self-enforcing guardrail (mirrors tools/perf_check.py): a query whose
+    // best-of-N exceeds 4x its DuckDB fixture time AND its floor gets ONE
+    // extra run before the number is recorded — round 4 proved a single bad
+    // window (GC churn, background load) can inflate an unchanged plan 60x,
+    // and the recorded artifact is the signal of record. Queries still
+    // violating after the retry land in the output's "warnings" object so
+    // the artifact itself carries the check.
+    val fixturePath = sys.env.getOrElse("SPARK_GRAFT_FIXTURE",
+      "tools/duckdb_times_sf0.1.json")
+    val fixture: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fixturePath)), "UTF-8")
+      "\"(q[0-9][^\"]*)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Exception => Map.empty }
+    // floors from tools/perf_check.py: below these a ratio measures fixed
+    // per-query cost (scheduling, state-store spin-up, multi-commit
+    // protocol), not the plan
+    val streamingFloor = Set("q35_stream_tumbling", "q37_stream_sliding",
+      "q38_session_window", "q39_stateful_sessions", "q58_stream_join")
+    val multiCommitFloor = Set("q63_merge_upsert", "q64_stream_upsert",
+      "q66_time_travel", "q67_cdc_diff", "q77_schema_evolution")
+    def floorOf(name: String): Double =
+      if (multiCommitFloor(name)) 6.0
+      else if (streamingFloor(name)) 4.0
+      else 2.5
+    def violates(name: String, t: Double): Boolean =
+      fixture.get(name).exists(duck => t >= floorOf(name) && t > 4.0 * duck)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -96,8 +124,9 @@ object Bench {
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
           }
           val t = (System.nanoTime() - t0) / 1e9
-          // release per-query scratch (broadcasts, temp dirs) outside the
-          // timed window — the next run rebuilds its own
+          // release per-query scratch (broadcasts, temp dirs, checkpointed
+          // RDD blocks) outside the timed window — the next run rebuilds
+          // its own, and leaked blocks would poison LATER queries' memory
           graft.util.Cleanup.drain()
           (t, err)
         }
@@ -108,6 +137,17 @@ object Bench {
           if (e.isEmpty) best = math.min(best, t)
           r += 1
         }
+        var retried = false
+        if (err.isEmpty && violates(name, best)) {
+          retried = true
+          val (t, e) = once()
+          if (e.isEmpty) best = math.min(best, t)
+        }
+        // storage pool after drain: should stay ~0 across the whole run —
+        // a growing number here means a new operator leaked blocks
+        System.err.println(f"[bench] $name%-28s ${best}%8.3fs" +
+          f" storage=${graft.util.Cleanup.storageMb()}%.1fMB" +
+          (if (retried) " (retried: exceeded 4x fixture)" else ""))
         (name, best, err)
       }
     // times at ms precision: the one output line must stay SHORT enough to
@@ -125,6 +165,12 @@ object Bench {
       s"\"" + k + "\":\"" + m.replaceAll("[\\p{Cntrl}]", " ")
         .replace("\\", "\\\\").replace("\"", "'") + "\""
     }.mkString("{", ",", "}")
+    // queries still above the guardrail after their extra run: recorded in
+    // the artifact so perf_check's verdict travels with the numbers
+    val warns = results.collect {
+      case (k, v, None) if violates(k, v) =>
+        s"\"" + k + "\":" + ms(v)
+    }.mkString("{", ",", "}")
     val nFailed = results.count(_._3.isDefined)
     // headline value counts SUCCESSFUL queries only, and is -1 (obviously
     // invalid) when anything failed: a fast-erroring query must never make
@@ -134,6 +180,6 @@ object Bench {
     // stop Spark BEFORE printing: the JSON must be the last line of stdout
     // so a bounded log-tail capture always contains it in full
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${ms(value)},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(value)},"unit":"sec","queries":$qs,"errors":$errs,"warnings":$warns,"n_failed":$nFailed,"sf":"$sfDir"}""")
   }
 }
