@@ -93,6 +93,21 @@ object SparkEntry {
     * because the DuckDB oracle reads it after the Verify run ends. */
   val Q93FixtureDir = "/tmp/graft_pretalx_fixture"
 
+  /** Fixed spool base for the q94 IVF fixture (same contract as
+    * [[Q93FixtureDir]]): the cell assignment + probe lists are written
+    * under a PER-SF subdirectory and read back by the DuckDB oracle, so
+    * both engines re-rank within identical pinned cells. Unlike q93's
+    * sf-independent fixture, this one derives from tier data — the per-sf
+    * subdir guarantees a later run at another tier (e.g. the sf0.1 bench
+    * after the sf0.01 verify) can never overwrite the fixture the oracle
+    * compare is about to read. */
+  val Q94FixtureDir = "/tmp/graft_ivf_oracle_fixture"
+
+  /** Subdir of the LAST tier q94 ran at — [[oracleSql]] is evaluated after
+    * the queries in the Verify flow, so the dumped SQL always points at the
+    * fixture of the run it is dumped with. */
+  @volatile private var q94FixtureSub: String = s"$Q94FixtureDir/sf0.01"
+
   /** Order-independent exact sum of a double column: via DECIMAL. */
   private def dsum(c: Column, prec: Int = 18, scale: Int = 2): Column =
     sum(c.cast(DecimalType(prec, scale))).cast("double")
@@ -1701,27 +1716,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ⊕ similarity: IVF-partitioned ANN top-k (recall<1 by construction).
-    // Rows-only check WITH teeth: mean recall against the exact brute-force
-    // baseline on the probe slice gates the output — below threshold the
-    // result is EMPTY and the driver's rows>0 smoke check fails. The gate
-    // is a filtered 1-row cross join (stays lazy, no driver-side action).
+    // ⊕ similarity: IVF-partitioned ANN top-k, hash-verified. The cell
+    // assignment and each query's probed cells are PERSISTED to a fixed
+    // path (the q93 spool trick): once the cells are pinned data rather
+    // than a function of run-time centroids, the exact re-rank within them
+    // is fully deterministic, and the DuckDB oracle re-ranks within the
+    // SAME persisted cells — every row hash-checked. The recall-vs-brute-
+    // force property the old inline gate enforced lives in IvfSpec
+    // ("q94 parameters clear the 0.6 recall bar"), where a regression
+    // fails a named test instead of silently emptying a result.
     "q94_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val probes = emb.filter(col("vec_id") < 50)
+      q94FixtureSub = s"$Q94FixtureDir/${new java.io.File(d).getName}"
+      val fx = q94FixtureSub
       // nprobe=4 of 16 cells: measured mean recall 0.66-0.68 at sf0.01/0.1
-      // (nprobe=2 sat at ~0.52) — comfortably above the 0.6 gate while
-      // still scanning only a quarter of the corpus per probe
-      val ivf = Similarity.ivfTopK(probes, emb, 5, nprobe = 4)
-      val exact = Similarity.bruteForceTopK(probes, emb, 5)
-      val hits = ivf.join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
-        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
-      val gate = probes.select(col("vec_id").as("qid"))
-        .join(hits, Seq("qid"), "left")
-        .agg((avg(coalesce(col("n_hit"), lit(0))) / 5.0).as("mean_recall"))
-        .filter(col("mean_recall") >= 0.6)
-        .select(lit(1).as("__g"))
-      ivf.crossJoin(gate).drop("__g").orderBy(col("qid"), col("rank"))
+      // (nprobe=2 sat at ~0.52) while scanning a quarter of the corpus
+      val cents = Similarity.ivfCentroids(emb, 16)
+      Similarity.ivfAssign(emb, cents)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$fx/assign.parquet")
+      Similarity.probeCells(emb.filter(col("vec_id") < 50), cents, nprobe = 4)
+        .select(col("qid"), col("cell"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$fx/probes.parquet")
+      val assigned = s.read.parquet(s"$fx/assign.parquet")
+      val qCells = s.read.parquet(s"$fx/probes.parquet")
+        .join(assigned.select(col("vec_id").as("qid"), col("embedding").as("__qe")),
+          Seq("qid"))
+      Similarity.ivfRank(assigned,
+          assigned.select(col("vec_id").as("nid"), col("embedding").as("__ce"),
+            col("cell")),
+          qCells, 5)
+        .orderBy(col("qid"), col("rank"))
     }),
 
     // ⊕ multimodal: per-partition decode stub (mapPartitions batch shape).
@@ -2831,6 +2856,20 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank FROM s)
          |SELECT qid, nid, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
+
+    "q94_ann_ivf" ->
+      s"""WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, cell
+         |      FROM read_parquet('$q94FixtureSub/assign.parquet/*.parquet')),
+         |p AS (SELECT qid, cell
+         |      FROM read_parquet('$q94FixtureSub/probes.parquet/*.parquet')),
+         |q AS (SELECT p.qid, a.emb AS qemb, p.cell FROM p JOIN a ON p.qid = a.vec_id),
+         |s AS (SELECT q.qid, c.vec_id AS nid,
+         |  round(list_dot_product(q.qemb, c.emb)
+         |    / (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+         |  FROM q JOIN a c ON q.cell = c.cell AND q.qid <> c.vec_id),
+         |r AS (SELECT qid, nid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank FROM s)
+         |SELECT qid, nid, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q36_embed_neardup" -> {
       // mirror the LSH bucket assignment exactly: the hyperplane signs are

@@ -184,11 +184,15 @@ object Similarity {
       .filter(col("__pr") <= nprobe).drop("__pr", "csim")
   }
 
-  /** Score+rank stage shared by the in-memory and at-rest IVF paths:
-    * `assigned` must carry (nid, __ce, cell), `qCells` (qid, __qe, cell)
-    * from [[probeCells]]. */
-  private def ivfRank(session: DataFrame, assigned: DataFrame,
-                      qCells: DataFrame, k: Int): DataFrame = {
+  /** Score+rank stage shared by the in-memory, at-rest, and fixture IVF
+    * paths: `assigned` must carry (nid, __ce, cell), `qCells`
+    * (qid, __qe, cell) from [[probeCells]]. Public so a caller holding a
+    * PERSISTED assignment (where the cells are pinned data, not a function
+    * of run-time centroids) can re-rank exactly within them — that makes
+    * the output deterministic and hash-checkable against an external
+    * engine reading the same parquet. */
+  def ivfRank(session: DataFrame, assigned: DataFrame,
+              qCells: DataFrame, k: Int): DataFrame = {
     val scored = assigned.join(qCells, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", round(cosineNative(session, col("__qe"), col("__ce")), 6))

@@ -11,14 +11,12 @@ class SparkEntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("rows-only queries (no oracle) are the documented exceptions") {
-    // q94 only: the ANN result is recall-GATED inline (empty on regression)
-    // — the candidate set itself is approximate by construction, so there
-    // is no deterministic row set for an oracle to hash. (q93 graduated in
-    // r4: its scan outputs spool to parquet at a fixed path the oracle
-    // recomputes the transform+merge from.)
+  test("every queries entry has an oracle (no rows-only exceptions left)") {
+    // q93 graduated in r4 (scan outputs spooled to a fixed path the oracle
+    // recomputes from); q94 graduated in r5 the same way (cell assignment
+    // + probe lists pinned to parquet, both engines re-rank within them).
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q94_ann_ivf"))
+    assert(rowsOnly.isEmpty, s"queries without oracle: $rowsOnly")
   }
 
   test("every oracle SQL ends with a total ORDER BY (determinism rule)") {

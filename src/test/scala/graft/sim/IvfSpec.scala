@@ -42,4 +42,19 @@ class IvfSpec extends SparkSpec {
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall too low")
   }
+
+  test("q94 parameters (nprobe=4 of 16 cells) clear the 0.6 mean-recall bar") {
+    // the recall property the pre-r5 inline gate enforced: q94 is now
+    // hash-verified within its pinned cells, so the APPROXIMATION quality
+    // is asserted here instead — a centroid/probe regression fails this
+    // named test instead of silently emptying the query result
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, 5, nprobe = 4, cells = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"mean recall $recall below the q94 bar")
+  }
 }
