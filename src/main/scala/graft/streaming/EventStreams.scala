@@ -56,22 +56,34 @@ object EventStreams {
 
   private val sinkId = new AtomicInteger(0)
 
+  /** One scratch source dir per sfDir, shared by every streaming query and
+    * every bench re-run: `$dir/events.parquet` is a single file and
+    * FileStreamSource needs a directory to scan, so the file is copied into
+    * a scratch dir ONCE (a copy, not a symlink: the source lives on
+    * read-only storage in the harness; at cluster scale the stream reads a
+    * real landing directory and this shim disappears). Before round 5 each
+    * query run paid its own copy + delete — ~0.5 s of the per-query
+    * streaming spin-up floor measured at sf0.1. The dir is read-only after
+    * creation, survives Cleanup.drain (exit-scoped), and is safe to share
+    * across concurrent queries. */
+  private val srcDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def sharedEventsDir(dir: String): java.nio.file.Path =
+    srcDirs.computeIfAbsent(dir, _ => {
+      val d = graft.util.Cleanup.registerExitDir(
+        java.nio.file.Files.createTempDirectory("graft_stream_src"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        d.resolve("events.parquet"))
+      d
+    })
+
   /** Run a streaming transform over the events parquet to completion
     * (AvailableNow) and return the materialized result. */
   def runToCompletion(spark: SparkSession, dir: String,
                       outputMode: String = "complete")
                      (transform: DataFrame => DataFrame): DataFrame = {
-    // `$dir/events.parquet` is a single file; FileStreamSource needs a
-    // directory to scan, so COPY the file into a scratch dir (a copy, not a
-    // symlink: the source lives on read-only storage in the harness; at
-    // cluster scale the stream reads a real landing directory and this shim
-    // disappears). The dir is registered for deterministic deletion at the
-    // harness's next Cleanup.drain().
-    val srcDir = graft.util.Cleanup.registerTempDir(
-      java.nio.file.Files.createTempDirectory("graft_stream_src"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      srcDir.resolve("events.parquet"))
+    val srcDir = sharedEventsDir(dir)
     val src = spark.readStream.schema(eventsSchema)
       .parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
@@ -147,11 +159,7 @@ object EventStreams {
     * transactional table without touching the query). */
   def streamToParquet(spark: SparkSession, dir: String, outDir: String,
                       transform: DataFrame => DataFrame = identity): Unit = {
-    val srcDir = graft.util.Cleanup.registerTempDir(
-      java.nio.file.Files.createTempDirectory("graft_stream_sink_src"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      srcDir.resolve("events.parquet"))
+    val srcDir = sharedEventsDir(dir)
     val src = spark.readStream.schema(eventsSchema)
       .parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
@@ -173,17 +181,32 @@ object EventStreams {
     * buckets, not the table). The events file is split into `nFiles`
     * range-partitioned files streamed one per micro-batch, so the merge
     * genuinely runs multiple incremental commits. */
+  /** The range-partitioned micro-batch files for [[streamUpsert]], built
+    * ONCE per (sfDir, nFiles) and shared across queries and bench re-runs
+    * (read-only after creation). The CHECKPOINT stays per-call — reusing a
+    * checkpoint would mark the batches already-processed and skip them. */
+  private val splitDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def sharedSplitDir(spark: SparkSession, dir: String,
+                             nFiles: Int): java.nio.file.Path =
+    splitDirs.computeIfAbsent(s"$dir|$nFiles", _ => {
+      val d = graft.util.Cleanup.registerExitDir(
+        java.nio.file.Files.createTempDirectory("graft_stream_upsert_files"))
+      spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+        .repartitionByRange(nFiles, col("event_id"))
+        .write.mode("overwrite").parquet(s"$d/files")
+      d
+    })
+
   def streamUpsert(spark: SparkSession, dir: String, tableDir: String,
                    nFiles: Int = 3): DataFrame = {
     import graft.layout.MergeTable
+    val filesDir = sharedSplitDir(spark, dir, nFiles)
     val srcDir = graft.util.Cleanup.registerTempDir(
       java.nio.file.Files.createTempDirectory("graft_stream_upsert"))
-    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
-      .repartitionByRange(nFiles, col("event_id"))
-      .write.parquet(s"$srcDir/files")
     val src = spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$srcDir/files")
+      .parquet(s"$filesDir/files")
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
       .select("user_id", "event_id", "ts", "event_type", "value")
     val newerWins = Some((s: String => org.apache.spark.sql.Column,
