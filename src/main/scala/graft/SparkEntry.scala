@@ -2295,7 +2295,8 @@ object SparkEntry {
          |    CAST(n_tokens AS DOUBLE) / tot.tot AS share,
          |    sqrt(CAST(n_tokens AS DOUBLE) / tot.tot) AS sqp
          |  FROM per CROSS JOIN tot),
-         |z AS (SELECT sum(sqp) AS z FROM sq)
+         |z AS (SELECT CAST(sum(CAST(floor(sqp * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS z
+         |      FROM sq)
          |SELECT source, n_docs, n_tokens,
          |  floor(share * 1e6) / 1e6 AS token_share,
          |  floor(sqp / z.z * 1e6) / 1e6 AS mix_weight
@@ -2430,7 +2431,7 @@ object SparkEntry {
       """WITH keyed AS (SELECT doc_id, n_chars,
         |    floor(ln((CAST(('0x' || substring(md5('ws0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
         |        / 4294967296.0) / CAST(n_chars AS DOUBLE) * 1e9) / 1e9 AS samp_key
-        |  FROM documents),
+        |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
         |win AS (SELECT doc_id, n_chars, samp_key FROM keyed
         |  ORDER BY samp_key DESC, doc_id LIMIT 100)
         |SELECT doc_id, n_chars, samp_key FROM win ORDER BY doc_id""".stripMargin,

@@ -393,9 +393,14 @@ object Dedup {
     // diff. Initializing prevSum from the vertex ids also covers the
     // zero-edge case without a separate isEmpty action: empty verts sum
     // to 0 (null-safe read), round 1 sums to 0 again, loop exits.
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("component"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // DECIMAL(38,0), not BIGINT: ids near Long.MaxValue would wrap a long
+    // sum (two 2^63-ish ids overflow), and a wrapped sum could coincide
+    // across rounds and stop the loop early; the decimal sum is exact up
+    // to 10^38 — 100T vertices of max-long ids stay under 10^33.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(
+        sum(col("component").cast(org.apache.spark.sql.types.DecimalType(28, 0)))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var prevSum = labelSum(labels)
     var converged = false
@@ -420,7 +425,7 @@ object Dedup {
       // blocks (no shuffle beyond the final reduce) while a skipped-probe
       // extra round costs a full join+agg+self-join pipeline
       val sumNow = labelSum(labels)
-      converged = sumNow == prevSum
+      converged = sumNow.compareTo(prevSum) == 0
       prevSum = sumNow
       i += 1
     }

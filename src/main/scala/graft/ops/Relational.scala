@@ -393,14 +393,18 @@ object Relational {
     * pipeline requirement, not a nicety. ln(u)/w is the monotone
     * equivalent of the textbook u^(1/w) (same selection), chosen because
     * ln has cross-engine parity precedent (q40/q100) while pow does not.
-    * Weights must be > 0. */
+    * Rows with weight <= 0 (or null) are EXCLUDED, not undefined:
+    * ln(u)/0 = -Inf and a negative weight flips the key's sign, and
+    * engines disagree on ±Inf through floor/cast — filtering is the only
+    * cross-engine-identical treatment of a non-positive weight. */
   def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int,
                      seed: String = "ws0"): DataFrame = {
     val h = conv(substring(md5(concat(lit(seed), lit("|"), id.cast("string"))), 1, 8),
       16, 10).cast("long")
     val u = (h.cast("double") + lit(1.0)) / lit(4294967296.0) // (0,1]
     val key = log(u) / weight.cast("double")
-    df.withColumn("samp_key",
+    df.filter(weight.cast("double") > 0.0)
+      .withColumn("samp_key",
         floor(key * lit(1e9)).cast("double") / lit(1e9))
       .orderBy(col("samp_key").desc, id)
       .limit(k)
@@ -487,32 +491,34 @@ object Relational {
     row.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
-  /** Ordered-funnel analysis: for each user, the time of step 1, the first
-    * step-2 STRICTLY AFTER step 1, and the first step-3 strictly after
-    * that — the sequential-pattern query behind conversion funnels (a
+  /** Ordered-funnel analysis: for each user, the time of step 1, then for
+    * every later step i the first step-i event STRICTLY AFTER step i-1's
+    * time — the sequential-pattern query behind conversion funnels (a
     * row-wise `min(ts WHERE type=s)` is NOT a funnel: steps must happen in
     * order). Each stage is one filtered agg + one key-equi join carrying
     * the previous stage's timestamp — k-1 joins for a k-step funnel, all
     * keyed on the user (sort-merge at scale, AQE-broadcast as stages
     * shrink — later stages only contain survivors). Timestamps compare
     * exactly (µs longs); no windows, no state. Returns one row per user
-    * who completed step 1, with nullable t2/t3. */
+    * who completed step 1, with nullable t2..tk. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, steps: Seq[String]): DataFrame = {
-    require(steps.size == 3, "funnel: exactly 3 steps supported")
+    require(steps.nonEmpty, "funnel: at least one step")
     val u = col(userCol)
-    val s1 = events.filter(col(typeCol) === steps(0))
+    val s1 = events.filter(col(typeCol) === steps.head)
       .groupBy(u).agg(min(col(tsCol)).as("t1"))
-    val s2 = events.filter(col(typeCol) === steps(1))
-      .join(s1, Seq(userCol))
-      .filter(col(tsCol) > col("t1"))
-      .groupBy(u, col("t1")).agg(min(col(tsCol)).as("t2"))
-    val s3 = events.filter(col(typeCol) === steps(2))
-      .join(s2.select(u, col("t2")), Seq(userCol))
-      .filter(col(tsCol) > col("t2"))
-      .groupBy(u, col("t2")).agg(min(col(tsCol)).as("t3"))
-    s1.join(s2.select(u, col("t2")), Seq(userCol), "left")
-      .join(s3.select(u, col("t3")), Seq(userCol), "left")
+    // stage i (1-based, i >= 2) carries (user, t_i): the first step-i event
+    // after t_{i-1}, inner-joined to stage i-1 so only survivors advance
+    val stages = steps.tail.zipWithIndex.scanLeft(s1) {
+      case (prev, (step, i)) =>
+        events.filter(col(typeCol) === step)
+          .join(prev.select(u, col(s"t${i + 1}")), Seq(userCol))
+          .filter(col(tsCol) > col(s"t${i + 1}"))
+          .groupBy(u).agg(min(col(tsCol)).as(s"t${i + 2}"))
+    }
+    stages.tail.zipWithIndex.foldLeft(s1) { case (acc, (st, i)) =>
+      acc.join(st.select(u, col(s"t${i + 2}")), Seq(userCol), "left")
+    }
   }
 
   /** Retention cohort matrix: users grouped by first-activity week

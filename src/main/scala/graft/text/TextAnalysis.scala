@@ -353,11 +353,16 @@ object TextAnalysis {
     val share = col("n_tokens").cast("double") / col("__tot")
     val scored = per.crossJoin(tot)
       .withColumn("__sq", sqrt(share))
-    val z = scored.agg(sum(col("__sq")).as("__z"))
+    // partition-order-independent normalizer: each √share is floor-
+    // truncated to 12 decimals and summed as exact BIGINTs (the module's
+    // long-math discipline) — a plain double sum's partial-aggregate merge
+    // order is nondeterministic in Spark and could flip a trunc6 digit vs
+    // the oracle on an accumulation boundary
+    val z = scored.agg(sum(floor(col("__sq") * lit(1e12)).cast("long")).as("__zi"))
     scored.crossJoin(z)
       .select(col(sourceCol), col("n_docs"), col("n_tokens"),
         trunc6(share).as("token_share"),
-        trunc6(col("__sq") / col("__z")).as("mix_weight"))
+        trunc6(col("__sq") / (col("__zi").cast("double") / lit(1e12))).as("mix_weight"))
   }
 
   /** Sequence-packing map, concat-and-chunk style (the GPT-pretraining

@@ -205,6 +205,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(edges).count() === 0)
   }
 
+  test("connectedComponents converges with ids near Long.MaxValue (no sum overflow)") {
+    // adversarial ids: any two of these wrap a BIGINT label sum — the
+    // convergence probe must use exact (decimal) arithmetic, or a wrapped
+    // sum colliding across rounds could stop the loop before the fixpoint
+    val m = Long.MaxValue
+    val edges = Seq(
+      (m - 1L, m - 3L), (m - 3L, m - 5L),      // chain → component m-5
+      (m - 2L, m - 4L),                        // pair  → component m-4
+      (7L, m - 6L)                             // small-meets-huge → component 7
+    ).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(cc === Map(
+      (m - 1L) -> (m - 5L), (m - 3L) -> (m - 5L), (m - 5L) -> (m - 5L),
+      (m - 2L) -> (m - 4L), (m - 4L) -> (m - 4L),
+      7L -> 7L, (m - 6L) -> 7L))
+  }
+
   test("nearDupClusters: zero candidate pairs yields all-singleton components") {
     // every doc unique → LSH produces no pairs → empty edge list downstream
     val d = docs(

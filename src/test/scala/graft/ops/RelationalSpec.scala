@@ -272,6 +272,29 @@ class RelationalSpec extends SparkSpec {
     assert(out(3L) === ((true, false)))
   }
 
+  test("funnel generalizes to k steps (2 and 4), columns t1..tk") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, "b", ts("2024-01-01 10:01:00")),
+      (1L, "c", ts("2024-01-01 10:02:00")),
+      (1L, "d", ts("2024-01-01 10:03:00")),
+      // user 2 stops after step 2; step-4 event BEFORE step 3 must not count
+      (2L, "a", ts("2024-01-01 09:00:00")),
+      (2L, "b", ts("2024-01-01 09:01:00")),
+      (2L, "d", ts("2024-01-01 09:02:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val four = Relational.funnel(e, "user_id", "event_type", "ts",
+      Seq("a", "b", "c", "d"))
+    assert(four.columns.toSeq === Seq("user_id", "t1", "t2", "t3", "t4"))
+    val m = four.select(col("user_id"), col("t2").isNotNull, col("t4").isNotNull)
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m === Map(1L -> ((true, true)), 2L -> ((true, false))))
+    val two = Relational.funnel(e, "user_id", "event_type", "ts", Seq("a", "b"))
+    assert(two.columns.toSeq === Seq("user_id", "t1", "t2"))
+    assert(two.count() === 2)
+  }
+
   test("retentionCohorts: week offsets count from each user's first week") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val e = Seq(
