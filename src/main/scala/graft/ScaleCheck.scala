@@ -10,13 +10,23 @@ import org.apache.spark.sql.types.DecimalType
   * local stand-in for the 1000-executor question: does throughput stay
   * data-parallel when the data no longer fits a single task?
   *
-  * Usage: runMain graft.ScaleCheck [multiplier]
+  * Usage: runMain graft.ScaleCheck [multiplier] [probe1,probe2,...]
+  * The optional second arg restricts the run to probes whose label starts
+  * with one of the given prefixes — the way to push ONE shape to a higher
+  * tier (e.g. `256 contamination_pairs,pmi_collocations`) without paying
+  * for the whole suite at that multiplier.
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val mult = if (args.nonEmpty) args(0).toInt else 16
+    val only = args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(label: String): Boolean = only.forall(_.exists(label.startsWith))
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // 32 matches the bench config; high multipliers can need more initial
+      // partitions to keep a shuffle partition inside execution memory
+      // (AQE coalesces back down when small) — override per run:
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -32,23 +42,33 @@ object ScaleCheck {
     }
 
     val li = amplify(model.Tables.lineitem(spark, d), Seq("l_orderkey"))
-    val docs = (0 until mult).map { i =>
+    // materialize the amplified corpus BEFORE timing (the pagerank-edges
+    // discipline): a mult-branch union re-plans and re-scans mult parquet
+    // branches inside every probe, and at mult=256 that overhead dominates
+    // the operator being measured — a real corpus at this size is ONE
+    // table, not a 256-way union. lazy: restricted lineitem-only runs
+    // never pay the materialization.
+    lazy val docs = (0 until mult).map { i =>
       model.Tables.documents(spark, d)
         .withColumn("doc_id", col("doc_id") + lit(i * 100000))
         // vary the text per copy so dedup/fingerprint work isn't degenerate
         .withColumn("text", concat(col("text"), lit(" v" + i)))
-    }.reduce(_ union _)
+    }.reduce(_ union _).localCheckpoint()
 
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
-    def time(label: String, rows: Long)(f: => Unit): Unit = {
+    def time(label: String, rows: => Long)(f: => Unit): Unit = if (want(label)) {
       val t0 = System.nanoTime(); f
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[scale] $label: $s%.2f s  (${rows / s / 1e6}%.1f M rows/s)")
     }
 
-    val nLi = li.count()
-    val nDocs = docs.count()
-    println(s"[scale] lineitem rows: $nLi, documents rows: $nDocs (mult=$mult)")
+    // counts are actions over the full amplified union — only pay for the
+    // tables the selected probes actually touch
+    lazy val nLi = li.count()
+    lazy val nDocs = docs.count()
+    if (only.isEmpty) {
+      println(s"[scale] lineitem rows: $nLi, documents rows: $nDocs (mult=$mult)")
+    } else println(s"[scale] restricted probes: ${only.get.mkString(",")} (mult=$mult)")
 
     time("agg_q1_shape", nLi) {
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -127,7 +147,7 @@ object ScaleCheck {
         docs.filter(col("doc_id") < 100000 && col("doc_id") % 20 === 0),
         "doc_id", col("text"), 4, maxDf = 50L * mult).count()
     }
-    locally {
+    if (want("sessionize")) {
       val evs = amplify(model.Tables.events(spark, d),
         Seq("user_id", "event_id")).localCheckpoint()
       val nEv = evs.count()
@@ -138,7 +158,7 @@ object ScaleCheck {
           .count()
       }
     }
-    locally {
+    if (want("pagerank")) {
       // pagerank probes the iterative-join family at mult x edges: cost
       // per iteration is one vertex-keyed join + agg over the edge list
       val li0 = model.Tables.lineitem(spark, d)
@@ -165,7 +185,7 @@ object ScaleCheck {
     // or rewrote the whole table, this time would grow ~linearly with
     // mult; delta-proportional cost keeps it ~flat (modulo the bucket
     // fraction touched).
-    {
+    if (want("merge")) {
       val mtDir = java.nio.file.Files.createTempDirectory("scale_merge").toString + "/t"
       val orders = amplify(model.Tables.orders(spark, d), Seq("o_orderkey"))
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))

@@ -712,6 +712,12 @@ object Dedup {
     * Scale shape: each side is exploded to DISTINCT (doc, ngram) rows —
     * corpus-token-sized, the same one-shuffle footprint as tf-idf — and the
     * pair generation is an equi-join on the ngram, never a cross join.
+    * The global `.distinct()` is deliberate and measured: it doubles as the
+    * shared exchange that lets ReuseExchange compute the gram table ONCE
+    * for its two consumers (df-cap agg + pair join), and its hash-based
+    * dedup beats the tempting in-row `array_distinct` alternative — for
+    * string arrays ArrayDistinct is an O(n²) equality loop, measured 2×
+    * slower end-to-end at the 16×/64× scale probes.
     * Boilerplate n-grams (train document frequency > `maxDf`) are dropped
     * BEFORE the join, the winnowing df-cap discipline: they carry no
     * contamination signal and their buckets are exactly the join's skew.

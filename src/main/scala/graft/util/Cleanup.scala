@@ -14,10 +14,20 @@ import org.apache.spark.broadcast.Broadcast
   * return LAZY DataFrames, so at construction time nothing has executed and
   * destroying the broadcast would break the plan. The harness (Verify,
   * Bench) calls [[drain]] after each query's terminal action, when the
-  * resources are provably no longer referenced by a running job. Library
-  * users in a long-lived session do the same, or fall back to Spark's
-  * ContextCleaner (broadcasts are weak-referenced and destroyed on GC) —
-  * drain just makes it deterministic instead of GC-timed. */
+  * resources are provably no longer referenced by a running job.
+  *
+  * Library users in a long-lived session: call [[drain]] after each
+  * query's terminal action — it is idempotent and releases broadcasts,
+  * scratch dirs, AND all persisted/checkpointed RDD blocks (the
+  * localCheckpoint sites in dedup/graph/IVF operators). Without it you
+  * fall back to Spark's ContextCleaner (`spark.cleaner.referenceTracking`,
+  * on by default): broadcasts and RDD blocks are weak-referenced and freed
+  * when the driver GC collects the plan objects — correct, but GC-TIMED.
+  * Under memory pressure the storage pool can grow by many queries' blocks
+  * before a full GC happens to run (a 124-query loop in one 8 GiB JVM
+  * measurably degraded late queries this way); drain makes the release
+  * deterministic instead. Do NOT disable referenceTracking: it is the
+  * backstop for whatever a caller forgets. */
 object Cleanup {
   private val broadcasts = new ConcurrentLinkedQueue[Broadcast[_]]()
   private val tempDirs = new ConcurrentLinkedQueue[Path]()

@@ -165,6 +165,33 @@ class HubEtlSpec extends SparkSpec {
     assert(plan.filter(col("op_flag") === "update").count() === 1)
   }
 
+  test("fetchToSpool over live HTTP: loopback fixture server feeds the same S1 scan") {
+    // the reference fetches its schedule over HTTP (requests.get,
+    // main.py:33,96); this exercises the exact http:// code path against a
+    // loopback server serving the fixture — no egress involved
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      val body = Files.readAllBytes(fixtureDir.resolve("schedule.json"))
+      server.createContext("/api/schedule.json",
+        (x: com.sun.net.httpserver.HttpExchange) => {
+          x.sendResponseHeaders(200, body.length.toLong)
+          try x.getResponseBody.write(body) finally x.close()
+        })
+      server.start()
+      val port = server.getAddress.getPort
+      val spool = Files.createTempDirectory("hub_etl_http_spool")
+      val spooled = HubEtl.fetchToSpool(
+        s"http://127.0.0.1:$port/api/schedule.json", spool, "schedule.json")
+      val plan = HubEtl.run(spark, spooled.toString,
+        fixtureDir.resolve("pages").toString)
+      // same fixture → same merge plan as the file: variant above
+      // (2 deletes: the stale GONE-1 event and the duplicate-tag loser)
+      assert(plan.filter(col("op_flag") === "update").count() === 1)
+      assert(plan.filter(col("op_flag") === "delete").count() === 2)
+    } finally server.stop(0)
+  }
+
   test("loadRows captures per-row sink status: clean, invalid (incl. index 0), error") {
     import spark.implicits._
     val plan = Seq(
