@@ -1759,7 +1759,35 @@ object SparkEntry {
       Multimodal.extractFeatures(withPayload, "doc_id")
         .select(col("id").as("doc_id"), round(element_at(col("features"), 1), 6).as("f0"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // ⊕ graph density: per-vertex triangle counts + local clustering
+    // coefficient over the part co-order graph. The per-order fan-out is
+    // capped (l_linenumber <= 4) BEFORE the quadratic pair generation —
+    // bound the blowup at the source, the same discipline as the
+    // contamination df-cap — and the degree-ordered orientation inside
+    // triangleCounts bounds the wedge join at O(m^1.5) however skewed the
+    // hub degrees get.
+    "q126_triangles" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_linenumber") <= 4)
+        .select(col("l_orderkey"), col("l_partkey"))
+      // co-partitioned self-join on the grouping key: one exchange, reused
+      // by both sides
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      Graphs.triangleCounts(edges).orderBy(col("id"))
+    }),
+
+    // ⊕ dedup: canonical-form dedup MAP — the aggressive normalization
+    // tier (strip punctuation AND digits) between q20's exact hash and
+    // q21+'s MinHash; one row per input doc (join-back shape, the 100 TB
+    // form), one shuffle on the 16-byte fingerprint.
+    "q127_canonical_dedup" -> ((s, d) =>
+      Dedup.canonicalDedupMap(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3188,6 +3216,55 @@ object SparkEntry {
         |       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
         |SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
-        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // mirrors Graphs.triangleCounts op for op: same degree-ordered
+    // orientation, same wedge/closure joins, same floor-truncated lcc
+    "q126_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber <= 4),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT id, count(*) AS deg
+        |  FROM (SELECT u AS id FROM e0 UNION ALL SELECT v AS id FROM e0)
+        |  GROUP BY id),
+        |ori AS (SELECT
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e0.u < e0.v)
+        |         THEN e0.u ELSE e0.v END AS a,
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e0.u < e0.v)
+        |         THEN e0.v ELSE e0.u END AS b,
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e0.u < e0.v)
+        |         THEN dv.deg ELSE du.deg END AS db
+        |  FROM e0 JOIN deg du ON du.id = e0.u JOIN deg dv ON dv.id = e0.v),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM ori e1
+        |  JOIN ori e2 ON e1.a = e2.a
+        |    AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))
+        |  JOIN ori e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |pv AS (SELECT id, count(*) AS triangles
+        |  FROM (SELECT unnest([x, y, z]) AS id FROM tri) GROUP BY id)
+        |SELECT deg.id, deg.deg,
+        |  CAST(coalesce(pv.triangles, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN deg.deg >= 2
+        |       THEN floor(CAST(coalesce(pv.triangles, 0) AS DOUBLE) * 2.0
+        |              / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) * 1e6) / 1e6
+        |       ELSE 0.0 END AS lcc
+        |FROM deg LEFT JOIN pv ON pv.id = deg.id
+        |ORDER BY deg.id""".stripMargin,
+
+    // mirrors Dedup.canonicalDedupMap: lower -> strip non-letters ->
+    // collapse whitespace -> md5, then the per-fingerprint window
+    "q127_canonical_dedup" ->
+      """WITH m AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(
+        |      regexp_replace(lower(coalesce(text, '')), '[^a-z\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp,
+        |  min(doc_id) OVER w AS survivor,
+        |  count(*) OVER w AS n_copies,
+        |  doc_id = min(doc_id) OVER w AS is_survivor
+        |FROM m WINDOW w AS (PARTITION BY fp)
+        |ORDER BY doc_id""".stripMargin
   )
 }

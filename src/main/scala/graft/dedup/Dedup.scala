@@ -30,6 +30,34 @@ object Dedup {
     Relational.dedupKeepFirst(
       docs.withColumn("fp", TextAnalysis.fingerprint(text)), Seq("fp"), order)
 
+  /** Canonical-form dedup MAP: the aggressive normalization tier between
+    * [[exact]] (whitespace/case only) and MinHash (token overlap). The
+    * canonical form lowercases, strips everything but letters and spaces
+    * (punctuation AND digits — catches trivially-edited copies that differ
+    * only in serial numbers, dates, or markup debris), and collapses
+    * whitespace; docs equal under that form are one cluster.
+    *
+    * Unlike [[exact]] this returns one row PER INPUT DOC — a (doc →
+    * survivor) mapping, not a filtered corpus. At 100 TB the map is the
+    * shape you want: it joins back onto the full corpus (or onto
+    * downstream annotation tables) by id, so the expensive text never
+    * re-shuffles — only (id, 16-byte fp) pairs do. One exchange on the
+    * fingerprint; per-group work is bounded by the dup-cluster size.
+    *
+    * Returns (id, fp, survivor, n_copies, is_survivor), survivor = min id
+    * of the cluster. */
+  def canonicalDedupMap(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(coalesce(text, lit(""))), "[^a-z\\s]", " "),
+      "\\s+", " "))
+    val w = Window.partitionBy(col("fp"))
+    docs.select(col(idCol), md5(canon).as("fp"))
+      .withColumn("survivor", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("is_survivor", col(idCol) === col("survivor"))
+  }
+
   /** Word k-shingles (default 3) of the text, as space-joined strings.
     * Output: one row per (doc, shingle). */
   def shingles(docs: DataFrame, idCol: String, text: Column, k: Int = 3): DataFrame = {

@@ -81,4 +81,73 @@ object Graphs {
     und.unpersist(false)
     p.select(col("id"), col("deg"), col("p"))
   }
+
+  /** Per-vertex triangle counts + local clustering coefficient over an
+    * undirected edge list (`src`, `dst`) — the density signal that tells a
+    * dedup/community pipeline whether a near-dup neighborhood is a clique
+    * (one template, safe to collapse) or a hub (a boilerplate string
+    * bridging unrelated docs, do NOT collapse).
+    *
+    * Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW'11).
+    * Each undirected edge is oriented from its lower (degree, id) endpoint
+    * to its higher one; every triangle then has exactly one vertex with
+    * two out-edges, so wedges (b1, b2 out of the same a) joined against
+    * the oriented edge set count each triangle ONCE. The orientation is
+    * the scale story: out-degree is bounded by O(sqrt(m)) regardless of
+    * how skewed the raw degree distribution is, so the wedge fan-out —
+    * the quadratic term a naive adjacency self-join puts on the hottest
+    * vertex — is charged to low-degree endpoints instead. Three shuffles
+    * total (degree agg, wedge self-join on the wedge center, closure
+    * equi-join on the (b1,b2) pair); nothing driver-side.
+    *
+    * Determinism: triangle counts are exact integers; `lcc` is one IEEE
+    * double division truncated to 6 decimals (floor, not round — the
+    * cross-engine tie discipline).
+    *
+    * Returns (id, deg, triangles, lcc) with every vertex present,
+    * lcc = 2*T / (deg*(deg-1)) for deg >= 2 else 0.0. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e0 = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e0.select(col("u").as("id"))
+      .union(e0.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient each edge lower (deg, id) -> higher (deg, id); the deg join is
+    // a plain key join (broadcast when |V| is small, shuffle when it isn't
+    // — AQE's call, both correct at scale)
+    val withDeg = e0
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+    val lt = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val ori = withDeg.select(
+      when(lt, col("u")).otherwise(col("v")).as("a"),
+      when(lt, col("v")).otherwise(col("u")).as("b"),
+      when(lt, col("dv")).otherwise(col("du")).as("db"))
+    // wedges: two out-edges of the same center a, ordered by the endpoint
+    // rank so each unordered {b1, b2} appears once; closure: the third edge
+    // (b1 -> b2) is necessarily oriented that way because rank(b1) < rank(b2)
+    val wedges = ori.as("e1")
+      .join(ori.select(col("a"), col("b").as("b2"), col("db").as("db2")).as("e2"),
+        col("e1.a") === col("e2.a") &&
+          (col("e1.db") < col("db2") ||
+            (col("e1.db") === col("db2") && col("e1.b") < col("b2"))))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("b2").as("z"))
+    val tri = wedges.join(
+      ori.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+    val perVertex = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.join(perVertex, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          floor(coalesce(col("triangles"), lit(0L)).cast("double") * 2.0 /
+            (col("deg") * (col("deg") - 1)).cast("double") * lit(1e6)) / lit(1e6))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
 }

@@ -17,6 +17,22 @@ class DedupSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
   }
 
+  test("canonicalDedupMap: punctuation/digit variants map to one survivor") {
+    val d = docs(
+      1L -> "Order #123: hello, world!",
+      2L -> "order  #456 hello world",   // same letters-only canonical form
+      3L -> "ORDER hello world.",        // and again
+      4L -> "different text")
+    val out = Dedup.canonicalDedupMap(d, "doc_id", col("text"))
+      .select("doc_id", "survivor", "n_copies", "is_survivor")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size === 4)                       // one row PER doc (a map)
+    assert(out(1L) === ((1L, 1L, 3L, true)))
+    assert(out(2L) === ((2L, 1L, 3L, false)))
+    assert(out(3L) === ((3L, 1L, 3L, false)))
+    assert(out(4L) === ((4L, 4L, 1L, true)))
+  }
+
   test("shingles produces n-k+1 word 3-grams, none for short docs") {
     val d = docs(1L -> "a b c d", 2L -> "x y")
     val sh = Dedup.shingles(d, "doc_id", col("text"))
