@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.etl.MergePipeline
 import graft.model.Tables
 import graft.multimodal.Multimodal
-import graft.ops.{Graphs, Relational}
+import graft.ops.{DataQuality, Graphs, Relational}
 import graft.sim.Similarity
 import graft.streaming.{EventStreams, Stateful}
 import graft.text.TextAnalysis
@@ -1787,7 +1787,32 @@ object SparkEntry {
     // form), one shuffle on the 16-byte fingerprint.
     "q127_canonical_dedup" -> ((s, d) =>
       Dedup.canonicalDedupMap(t(s, d, "documents"), "doc_id", col("text"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ⊕ data-quality gate: declarative constraint suite (null fraction,
+    // key uniqueness, referential integrity, accepted sets, ranges) as ONE
+    // job of per-table aggregates + AQE-broadcast anti-joins — the
+    // validation report a pipeline runs before and after every expensive
+    // transform.
+    "q128_data_quality" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val docs = t(s, d, "documents")
+      DataQuality.suite(Seq(
+        DataQuality.nullFraction("null_frac:lineitem.l_quantity", li,
+          "l_quantity", 0.0),
+        DataQuality.unique("unique:orders.o_orderkey", o, Seq("o_orderkey")),
+        DataQuality.unique("unique:documents.doc_id", docs, Seq("doc_id")),
+        DataQuality.referential("ref:orders.o_custkey", o, "o_custkey",
+          c, "c_custkey"),
+        DataQuality.referential("ref:lineitem.l_orderkey", li, "l_orderkey",
+          o, "o_orderkey"),
+        DataQuality.acceptedValues("set:lineitem.l_returnflag", li,
+          "l_returnflag", Seq("A", "N", "R")),
+        DataQuality.inRange("range:lineitem.l_quantity", li,
+          "l_quantity", 1.0, 50.0),
+        DataQuality.inRange("range:lineitem.l_discount", li,
+          "l_discount", 0.0, 0.1)))
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3265,6 +3290,51 @@ object SparkEntry {
         |  count(*) OVER w AS n_copies,
         |  doc_id = min(doc_id) OVER w AS is_survivor
         |FROM m WINDOW w AS (PARTITION BY fp)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors DataQuality.suite check by check; NOT EXISTS = the anti-join
+    "q128_data_quality" ->
+      """SELECT 'null_frac:lineitem.l_quantity' AS "check",
+        |  coalesce(floor(CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 1e6) / 1e6, 0.0) AS metric,
+        |  coalesce(floor(CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 1e6) / 1e6, 0.0) <= 0.0 AS passed
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'unique:orders.o_orderkey', CAST(coalesce(sum(c - 1), 0) AS DOUBLE),
+        |  coalesce(sum(c - 1), 0) = 0
+        |FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'unique:documents.doc_id', CAST(coalesce(sum(c - 1), 0) AS DOUBLE),
+        |  coalesce(sum(c - 1), 0) = 0
+        |FROM (SELECT count(*) AS c FROM documents GROUP BY doc_id)
+        |UNION ALL
+        |SELECT 'ref:orders.o_custkey', CAST(count(*) AS DOUBLE), count(*) = 0
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'ref:lineitem.l_orderkey', CAST(count(*) AS DOUBLE), count(*) = 0
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'set:lineitem.l_returnflag',
+        |  CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS DOUBLE),
+        |  sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'range:lineitem.l_quantity',
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_quantity >= 1.0
+        |    AND l_quantity <= 50.0 THEN 0 ELSE 1 END) AS DOUBLE),
+        |  sum(CASE WHEN l_quantity IS NOT NULL AND l_quantity >= 1.0
+        |    AND l_quantity <= 50.0 THEN 0 ELSE 1 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'range:lineitem.l_discount',
+        |  CAST(sum(CASE WHEN l_discount IS NOT NULL AND l_discount >= 0.0
+        |    AND l_discount <= 0.1 THEN 0 ELSE 1 END) AS DOUBLE),
+        |  sum(CASE WHEN l_discount IS NOT NULL AND l_discount >= 0.0
+        |    AND l_discount <= 0.1 THEN 0 ELSE 1 END) = 0
+        |FROM lineitem
+        |ORDER BY "check"""".stripMargin
   )
 }
