@@ -1812,7 +1812,16 @@ object SparkEntry {
           "l_quantity", 1.0, 50.0),
         DataQuality.inRange("range:lineitem.l_discount", li,
           "l_discount", 0.0, 0.1)))
-    })
+    }),
+
+    // ⊕ skew diagnosis: per-key frequency profile + salt recommendation —
+    // the "decide WHEN to salt" companion to q55's salted join; the only
+    // data-sized pass is the count agg, the top-k is
+    // TakeOrderedAndProject, never a global sort.
+    "q129_skew_profile" -> ((s, d) =>
+      Relational.skewProfile(Tables.events(s, d), "event_type",
+          topN = 5, targetRowsPerTask = 10000L)
+        .orderBy(col("rank")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3335,6 +3344,21 @@ object SparkEntry {
         |  sum(CASE WHEN l_discount IS NOT NULL AND l_discount >= 0.0
         |    AND l_discount <= 0.1 THEN 0 ELSE 1 END) = 0
         |FROM lineitem
-        |ORDER BY "check"""".stripMargin
+        |ORDER BY "check"""".stripMargin,
+
+    // mirrors Relational.skewProfile: count agg -> top-5 -> scalar stats
+    "q129_skew_profile" ->
+      """WITH counts AS (SELECT event_type AS k, count(*) AS cnt
+        |  FROM events GROUP BY event_type),
+        |stats AS (SELECT count(*) AS n_keys, sum(cnt) AS total,
+        |    max(cnt) AS max_cnt FROM counts),
+        |top AS (SELECT k, cnt, row_number() OVER (ORDER BY cnt DESC, k) AS rank
+        |  FROM counts ORDER BY cnt DESC, k LIMIT 5)
+        |SELECT CAST(rank AS BIGINT) AS rank, CAST(k AS VARCHAR) AS key_value, cnt,
+        |  floor(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) * 1e6) / 1e6 AS share,
+        |  floor(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(total AS DOUBLE) * 1e6) / 1e6 AS skew_factor,
+        |  CAST(floor((cnt + 9999) / 10000) AS BIGINT) AS salt
+        |FROM top, stats ORDER BY rank""".stripMargin
   )
 }

@@ -660,4 +660,42 @@ object Relational {
   def hotKeys(df: DataFrame, key: String, threshold: Long): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > threshold).select(col(key))
+
+  /** Join-key skew diagnosis: the "decide WHEN to salt" companion to
+    * [[saltedJoin]]/[[hotKeys]]. Profiles the key's frequency distribution
+    * and, per hot key, recommends the salt fan-out that brings its
+    * partition back under `targetRowsPerTask`.
+    *
+    * Shape: one hash agg over the table (per-key counts), a distributed
+    * top-k on the counts (TakeOrderedAndProject — never a global sort),
+    * one scalar agg for the denominators, and a cross join of two
+    * driver-tiny sides. Safe at any table size: the only data-sized pass
+    * is the initial count agg.
+    *
+    * Returns `topN` rows (rank, key_value, cnt, share, skew_factor, salt):
+    * share = key's row fraction, skew_factor = max_cnt / mean_cnt (>= 1;
+    * ~1 means uniform, no salting needed), salt = ceil(cnt /
+    * targetRowsPerTask). Fractions floor-truncated to 6 decimals; `salt`
+    * is exact for counts below 2^53 (the double-division bound —
+    * universe-scale tables exceed it long after the recommendation has
+    * saturated). */
+  def skewProfile(df: DataFrame, key: String, topN: Int = 5,
+                  targetRowsPerTask: Long = 10000L): DataFrame = {
+    def trunc6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)
+    def d(c: Column): Column = c.cast("double")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("__n_keys"),
+      sum(col("cnt")).as("__total"), max(col("cnt")).as("__max_cnt"))
+    val top = counts.orderBy(col("cnt").desc, col(key)).limit(topN)
+    // the window ranks only the topN surviving rows — single tiny partition
+    val w = Window.orderBy(col("cnt").desc, col(key))
+    top.crossJoin(stats)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col(key).cast("string").as("key_value"), col("cnt"),
+        trunc6(d(col("cnt")) / d(col("__total"))).as("share"),
+        trunc6(d(col("__max_cnt")) * d(col("__n_keys")) / d(col("__total")))
+          .as("skew_factor"),
+        floor((col("cnt") + lit(targetRowsPerTask - 1)) / lit(targetRowsPerTask))
+          .cast("long").as("salt"))
+  }
 }

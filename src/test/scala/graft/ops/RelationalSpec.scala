@@ -390,4 +390,17 @@ class RelationalSpec extends SparkSpec {
       .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
     assert(got.forall { case (id, b, _) => again(id) == b })
   }
+
+  test("skewProfile: hot key ranked first, share/skew/salt computed") {
+    // key "hot": 6 rows, "warm": 3, "cold": 1 -> total 10, mean 10/3
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val r = Relational.skewProfile(df, "k", topN = 2, targetRowsPerTask = 4L)
+      .select("rank", "key_value", "cnt", "share", "skew_factor", "salt")
+      .as[(Long, String, Long, Double, Double, Long)].collect().toSeq
+    assert(r.map(x => (x._1, x._2, x._3)) === Seq((1L, "hot", 6L), (2L, "warm", 3L)))
+    assert(math.abs(r.head._4 - 0.6) < 2e-6)   // share 6/10 (trunc6)
+    assert(math.abs(r.head._5 - 1.8) < 2e-6)   // max/mean = 6/(10/3) (trunc6)
+    assert(r.map(_._6) === Seq(2L, 1L))        // ceil(6/4)=2, ceil(3/4)=1
+  }
 }
