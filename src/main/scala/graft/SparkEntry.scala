@@ -1821,7 +1821,14 @@ object SparkEntry {
     "q129_skew_profile" -> ((s, d) =>
       Relational.skewProfile(Tables.events(s, d), "event_type",
           topN = 5, targetRowsPerTask = 10000L)
-        .orderBy(col("rank")))
+        .orderBy(col("rank"))),
+
+    // ⊕ tokenizer training: 5-round BPE merge-table induction — the
+    // iterative closure of q84's single pair-count step; corpus compresses
+    // to the distinct-word table once, every round is vocab-sized.
+    "q130_bpe_learn" -> ((s, d) =>
+      TextAnalysis.bpeLearn(t(s, d, "documents"), col("text"), 5)
+        .orderBy(col("step")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3359,6 +3366,44 @@ object SparkEntry {
         |  floor(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
         |    / CAST(total AS DOUBLE) * 1e6) / 1e6 AS skew_factor,
         |  CAST(floor((cnt + 9999) / 10000) AS BIGINT) AS salt
-        |FROM top, stats ORDER BY rank""".stripMargin
+        |FROM top, stats ORDER BY rank""".stripMargin,
+
+    // mirrors TextAnalysis.bpeLearn with 5 unrolled rounds. The symbol
+    // sequence is serialized as (a)(b)(c); replace() of (a)(b) -> (ab) is
+    // greedy left-to-right non-overlapping, exactly the Spark HOF's pend
+    // semantics, and the paren delimiters share no boundary characters so
+    // adjacent matches are never consumed by a preceding replacement.
+    "q130_bpe_learn" -> {
+      val round = (r: Int) =>
+        s"""p$r AS (SELECT syms[i] AS a, syms[i + 1] AS b,
+           |    CAST(sum(freq) AS BIGINT) AS score
+           |  FROM (SELECT freq, syms,
+           |          unnest(generate_series(1, len(syms) - 1)) AS i
+           |        FROM (SELECT freq, string_split(trim(seq, '()'), ')(') AS syms
+           |              FROM s$r))
+           |  GROUP BY syms[i], syms[i + 1]),
+           |m$r AS (SELECT a, b, score FROM p$r ORDER BY score DESC, a, b LIMIT 1),
+           |s${r + 1} AS (SELECT freq,
+           |    replace(seq, '(' || a || ')(' || b || ')', '(' || a || b || ')') AS seq
+           |  FROM s$r, m$r)""".stripMargin
+      s"""WITH $wordsCte,
+         |wf AS (SELECT unnest(ws) AS wrd FROM w),
+         |freq AS (SELECT wrd, count(*) AS freq FROM wf
+         |  WHERE regexp_matches(wrd, '^[a-z]+$$') AND length(wrd) >= 2
+         |  GROUP BY wrd),
+         |s1 AS (SELECT freq, regexp_replace(wrd, '(.)', '(\\1)', 'g') AS seq FROM freq),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)},
+         |${round(5)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS step, a, b, a || b AS merged, score FROM m1
+         |  UNION ALL SELECT 2, a, b, a || b, score FROM m2
+         |  UNION ALL SELECT 3, a, b, a || b, score FROM m3
+         |  UNION ALL SELECT 4, a, b, a || b, score FROM m4
+         |  UNION ALL SELECT 5, a, b, a || b, score FROM m5)
+         |ORDER BY step""".stripMargin
+    }
   )
 }

@@ -243,6 +243,81 @@ object TextAnalysis {
         .as("pair"))
       .groupBy("pair").agg(sum("freq").as("score"))
 
+  /** Full multi-round BPE vocabulary induction: the iterative closure of
+    * [[bpePairCounts]]. Each round counts adjacent symbol pairs over the
+    * frequency-weighted word vocabulary, merges the argmax pair (score
+    * desc, then pair asc — the deterministic tiebreak) greedily
+    * left-to-right in every word, and recounts. Returns the merge table —
+    * the artifact a tokenizer trainer actually ships.
+    *
+    * Scale shape: the corpus compresses to the DISTINCT-word frequency
+    * table once (the only corpus-sized pass); every round then runs two
+    * vocab-sized steps — a pair-count aggregation and a per-word array
+    * rewrite — plus a driver fetch of exactly ONE row (the argmax pair;
+    * bounded by construction, the k-means-centroid precedent). The rewrite
+    * is a codegen'd `aggregate` HOF over the symbol array; per-round
+    * `localCheckpoint` keeps the loop's lineage flat (the
+    * connectedComponents discipline, released by Cleanup.drain).
+    *
+    * Restricted to purely alphabetic words ([a-z]+): real trainers
+    * pre-tokenize this way, and it keeps every symbol free of the
+    * delimiter characters any serialized representation of the symbol
+    * sequence might use.
+    *
+    * Returns (step, a, b, merged, score), one row per merge round. */
+  def bpeLearn(docs: DataFrame, text: Column, rounds: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.select(explode(words(text)).as("wrd"))
+      .filter(col("wrd").rlike("^[a-z]+$") && length(col("wrd")) >= 2)
+      .groupBy("wrd").agg(count(lit(1)).as("freq"))
+    var syms = vocab.select(col("freq"),
+        filter(split(col("wrd"), ""), s => s =!= "").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer[(Long, String, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // the size guard keeps sequence(1, size-1) ascending (an unguarded
+      // sequence(1, 0) generates DESCENDING indices incl. the illegal 0)
+      val top = syms.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("score"))
+        .orderBy(col("score").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        merges += ((r.toLong, a, b, a + b, top(0).getLong(2)))
+        def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+        // greedy left-to-right non-overlapping merge of (a, b): `pend`
+        // carries the previous unmerged symbol; a merge consumes both and
+        // resets, so the merged token never re-merges within the round
+        syms = syms.withColumn("syms", expr(
+          s"""aggregate(syms,
+             |  named_struct('out', cast(array() as array<string>),
+             |               'pend', cast(null as string)),
+             |  (acc, x) -> CASE
+             |    WHEN acc.pend IS NULL THEN named_struct('out', acc.out, 'pend', x)
+             |    WHEN acc.pend = '${q(a)}' AND x = '${q(b)}'
+             |      THEN named_struct('out', array_append(acc.out, '${q(a + b)}'),
+             |                        'pend', cast(null as string))
+             |    ELSE named_struct('out', array_append(acc.out, acc.pend),
+             |                      'pend', x) END,
+             |  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+             |              ELSE array_append(acc.out, acc.pend) END)""".stripMargin))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("step", "a", "b", "merged", "score")
+  }
+
   /** Corpus bigram language-model scoring: train add-one-smoothed bigram
     * probabilities ON the corpus itself, then score every document by its
     * average bigram log-probability — the statistical quality signal

@@ -164,4 +164,27 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 4L, 3L, 0L, 1L, 2L),   // straddles the bin-0/bin-1 cut
       (4L, 1L, 7L, 1L, 1L, 1L)))
   }
+
+  test("bpeLearn: argmax merges with deterministic tiebreak, greedy non-overlap") {
+    // corpus: "abab" x2, "ab" x1 -> round 1 pairs: (a,b) score 5 [2*2+1],
+    // (b,a) score 2 -> merge (a,b) -> "abab" becomes [ab, ab], "ab" [ab]
+    // round 2: only (ab, ab) score 2 remains
+    val docs = Seq("abab abab ab").toDF("text")
+    val m = TextAnalysis.bpeLearn(docs, col("text"), 3)
+      .select("step", "a", "b", "merged", "score")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(m(0) === ((1L, "a", "b", "ab", 5L)))
+    assert(m(1) === ((2L, "ab", "ab", "abab", 2L)))
+    assert(m.length === 2)   // round 3 has no pairs left -> loop exhausts
+  }
+
+  test("bpeLearn: greedy left-to-right on odd runs (aaa -> one merge)") {
+    // "aaa": pairs (a,a) x2 but greedy merge yields [aa, a] not [aa, aa]
+    val docs = Seq("aaa").toDF("text")
+    val m = TextAnalysis.bpeLearn(docs, col("text"), 2)
+      .select("step", "a", "b", "score")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(m(0) === ((1L, "a", "a", 2L)))     // count before merging
+    assert(m(1) === ((2L, "aa", "a", 1L)))    // [aa, a] -> one (aa,a) pair
+  }
 }
