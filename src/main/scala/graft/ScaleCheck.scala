@@ -158,6 +158,34 @@ object ScaleCheck {
           .count()
       }
     }
+    if (want("triangles")) {
+      // triangles probes the wedge-join bound: amplified orders multiply
+      // EDGES (disjoint part-id spaces per copy), so wedge volume must
+      // track edges linearly — the degree-ordered orientation's O(m^1.5)
+      // worst case never materializes on disjoint copies
+      val li0 = model.Tables.lineitem(spark, d)
+        .filter(col("l_linenumber") <= 4)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val liA = amplify(li0, Seq("l_orderkey", "l_partkey")).localCheckpoint()
+      val edges = liA.as("a").join(liA.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .localCheckpoint()
+      val nE = edges.count()
+      time(s"triangles_${nE}_edges", nE) {
+        ops.Graphs.triangleCounts(edges).count()
+      }
+    }
+    if (want("bpe")) {
+      time("bpe_learn_5r", nDocs) {
+        // corpus-sized word count once, then 5 vocab-sized rounds: cost
+        // must track the corpus for the count and the DISTINCT vocab for
+        // the rounds (amplified copies add v{i} marker words, so vocab
+        // grows with mult here; real corpora grow it sublinearly)
+        text.TextAnalysis.bpeLearn(docs, col("text"), 5).count()
+      }
+    }
     if (want("pagerank")) {
       // pagerank probes the iterative-join family at mult x edges: cost
       // per iteration is one vertex-keyed join + agg over the edge list

@@ -187,4 +187,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(n == 1, s"expected 1 hash exchange, got $n:\n$p")
     assert(p.split("Sort \\[").length - 1 == 1, s"expected 1 sort:\n$p")
   }
+
+  test("q126: wedge and closure joins are equi-joins — no nested loop anywhere") {
+    val p = physical("q126_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q129: skew profiler's top-k is TakeOrderedAndProject, never a global sort") {
+    val p = physical("q129_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q128: referential checks plan as broadcast anti-joins with partial aggs") {
+    val p = physical("q128_data_quality")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
