@@ -1828,7 +1828,16 @@ object SparkEntry {
     // to the distinct-word table once, every round is vocab-sized.
     "q130_bpe_learn" -> ((s, d) =>
       TextAnalysis.bpeLearn(t(s, d, "documents"), col("text"), 5)
-        .orderBy(col("step")))
+        .orderBy(col("step"))),
+
+    // ⊕ reproducible eval-set sampling: exactly k docs per language via a
+    // fixed md5 permutation — no RNG state, same winners in any engine or
+    // partitioning; q52's fraction slice grows with the corpus, this
+    // doesn't.
+    "q131_group_sample" -> ((s, d) =>
+      Relational.sampleKPerGroup(t(s, d, "documents"), "lang", "doc_id", 20)
+        .select(col("doc_id"), col("lang"), col("draw"))
+        .orderBy(col("doc_id")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3404,6 +3413,17 @@ object SparkEntry {
          |  UNION ALL SELECT 4, a, b, a || b, score FROM m4
          |  UNION ALL SELECT 5, a, b, a || b, score FROM m5)
          |ORDER BY step""".stripMargin
-    }
+    },
+
+    // mirrors Relational.sampleKPerGroup's md5 permutation ordering
+    "q131_group_sample" ->
+      """SELECT doc_id, lang, draw FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS draw
+        |  FROM documents)
+        |WHERE draw <= 20
+        |ORDER BY doc_id""".stripMargin
   )
 }

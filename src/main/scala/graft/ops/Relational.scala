@@ -661,6 +661,32 @@ object Relational {
     df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > threshold).select(col(key))
 
+  /** Deterministic exact-k-per-group sample: the reproducible eval-set
+    * builder. Rows are ordered within each group by the md5 of
+    * (group, id) — a fixed pseudo-random permutation, so the draw is
+    * uniform-ish over the group yet bit-stable across runs, engines, and
+    * partitionings (no RNG state; the [[weightedSample]] discipline with
+    * uniform weights) — and the first `k` win. Unlike a fraction-based
+    * `rn <= ceil(n * f)` slice (q52), the output size per group is exactly
+    * min(k, group size) regardless of how the corpus grows.
+    *
+    * One exchange on the group key; the per-group sort is bounded by the
+    * group size. For groups large enough that a full sort hurts, the
+    * hash-threshold trick (filter `md5 < t` with t sized from a count,
+    * then exact top-k on survivors) bounds the sort input — at that point
+    * prefer [[weightedSample]]'s TakeOrderedAndProject shape per group.
+    *
+    * Returns the input columns plus `draw` (1-based rank within the
+    * group's sample). */
+  def sampleKPerGroup(df: DataFrame, group: String, idCol: String,
+                      k: Int): DataFrame = {
+    val hk = md5(concat_ws(":", col(group).cast("string"),
+      col(idCol).cast("string")))
+    val w = Window.partitionBy(col(group)).orderBy(hk, col(idCol))
+    df.withColumn("draw", row_number().over(w).cast("long"))
+      .filter(col("draw") <= k)
+  }
+
   /** Join-key skew diagnosis: the "decide WHEN to salt" companion to
     * [[saltedJoin]]/[[hotKeys]]. Profiles the key's frequency distribution
     * and, per hot key, recommends the salt fan-out that brings its

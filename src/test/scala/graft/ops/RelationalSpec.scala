@@ -403,4 +403,22 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(r.head._5 - 1.8) < 2e-6)   // max/mean = 6/(10/3) (trunc6)
     assert(r.map(_._6) === Seq(2L, 1L))        // ceil(6/4)=2, ceil(3/4)=1
   }
+
+  test("sampleKPerGroup: exactly k per group, stable across repartitionings") {
+    val df = (1L to 40L).map(i => (i, if (i <= 30) "big" else "small"))
+      .toDF("id", "g")
+    val s1 = Relational.sampleKPerGroup(df, "g", "id", 5)
+      .select("g", "id", "draw").as[(String, Long, Long)].collect().toSet
+    assert(s1.count(_._1 == "big") === 5)
+    assert(s1.count(_._1 == "small") === 5)
+    assert(s1.filter(_._1 == "big").map(_._3) === Set(1L, 2L, 3L, 4L, 5L))
+    // small group has 10 rows; k larger than the group caps at group size
+    val all = Relational.sampleKPerGroup(df.filter($"g" === "small"), "g", "id", 99)
+      .count()
+    assert(all === 10)
+    // partitioning must not change the winners (md5 order is data-only)
+    val s2 = Relational.sampleKPerGroup(df.repartition(7), "g", "id", 5)
+      .select("g", "id", "draw").as[(String, Long, Long)].collect().toSet
+    assert(s1 === s2)
+  }
 }
