@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BinaryStride, CharGramJaccard, CosineSimilarity, KmvDistinct, RepetitionRatio, SimHash16, VecDot, WinnowFingerprints}
+import graft.functions.{BinaryStride, CharGramJaccard, CosineSimilarity, CountMinSketch, KmvDistinct, RepetitionRatio, SimHash16, VecDot, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
@@ -48,6 +48,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val k = if (children.length > 1)
           children(1).eval(null).asInstanceOf[Number].intValue() else 256
         KmvDistinct(children.head, k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CountMinSketch].getName, "cms_sketch"),
+      (children: Seq[Expression]) => {
+        if (children.isEmpty || children.size > 3)
+          throw new IllegalArgumentException(
+            s"cms_sketch(col[, depth, width]) expects 1-3 arguments but got ${children.size}")
+        val d = if (children.length > 1)
+          children(1).eval(null).asInstanceOf[Number].intValue() else 4
+        val w = if (children.length > 2)
+          children(2).eval(null).asInstanceOf[Number].intValue() else 256
+        CountMinSketch(children.head, d, w).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("binary_stride"),

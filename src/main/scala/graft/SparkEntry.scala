@@ -1837,7 +1837,32 @@ object SparkEntry {
     "q131_group_sample" -> ((s, d) =>
       Relational.sampleKPerGroup(t(s, d, "documents"), "lang", "doc_id", 20)
         .select(col("doc_id"), col("lang"), col("draw"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ⊕ count-min frequency estimation: the one-pass mergeable sketch
+    // (constant state, partial+final merge) vs per-probe exact counts —
+    // the CMS guarantee est >= exact is itself an output column. Bucket
+    // hashes are the engine-portable md5 hex→int idiom, so the DuckDB
+    // oracle rebuilds the IDENTICAL grid with a GROUP BY and the estimates
+    // hash-match.
+    "q132_cms_freq" -> ((s, d) => {
+      graft.functions.CountMinFunctions.ensureRegistered(s)
+      val ev = Tables.events(s, d)
+      val sketch = ev.agg(
+        expr("cms_sketch(cast(user_id as string), 4, 256)").as("sk"))
+      val exact = ev.filter(col("user_id") < 50)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+      val est = (0 until 4).map { j =>
+        expr(s"""element_at(sk, $j * 256 + cast(
+                |  cast(conv(substr(md5(concat('$j', ':',
+                |    cast(user_id as string))), 1, 8), 16, 10) as bigint) % 256
+                |  as int) + 1)""".stripMargin)
+      }.reduce(least(_, _))
+      exact.crossJoin(sketch)
+        .select(col("user_id"), est.as("est"), col("exact"),
+          (est >= col("exact")).as("never_under"))
+        .orderBy(col("user_id"))
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3424,6 +3449,27 @@ object SparkEntry {
         |      AS BIGINT) AS draw
         |  FROM documents)
         |WHERE draw <= 20
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // rebuilds the CMS grid with a GROUP BY over (j, bucket) — exact
+    // counter sums, same md5 bucket hashes -> identical estimates
+    "q132_cms_freq" ->
+      """WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |grid AS (SELECT j,
+        |    CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':'
+        |      || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS bucket,
+        |    count(*) AS c
+        |  FROM events, js GROUP BY 1, 2),
+        |probes AS (SELECT user_id, count(*) AS exact FROM events
+        |  WHERE user_id < 50 GROUP BY user_id),
+        |pb AS (SELECT user_id, exact, j,
+        |    CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':'
+        |      || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS bucket
+        |  FROM probes, js)
+        |SELECT pb.user_id, CAST(min(grid.c) AS BIGINT) AS est, pb.exact,
+        |  CAST(min(grid.c) AS BIGINT) >= pb.exact AS never_under
+        |FROM pb JOIN grid ON grid.j = pb.j AND grid.bucket = pb.bucket
+        |GROUP BY pb.user_id, pb.exact
+        |ORDER BY pb.user_id""".stripMargin
   )
 }
