@@ -1862,7 +1862,16 @@ object SparkEntry {
         .select(col("user_id"), est.as("est"), col("exact"),
           (est >= col("exact")).as("never_under"))
         .orderBy(col("user_id"))
-    })
+    }),
+
+    // ⊕ embedding-quality outlier scan: cosine of every vector to its own
+    // label's centroid — the curation signal for mislabeled /
+    // off-distribution embeddings; decimal-exact centroids, long-staged
+    // cosine sums, the only fact-sized exchange is the per-vector agg.
+    "q133_embed_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(t(s, d, "embeddings"), "vec_id",
+          "label", "embedding", 0.1)
+        .orderBy(col("vec_id")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3470,6 +3479,32 @@ object SparkEntry {
         |  CAST(min(grid.c) AS BIGINT) >= pb.exact AS never_under
         |FROM pb JOIN grid ON grid.j = pb.j AND grid.bucket = pb.bucket
         |GROUP BY pb.user_id, pb.exact
-        |ORDER BY pb.user_id""".stripMargin
+        |ORDER BY pb.user_id""".stripMargin,
+
+    // mirrors Similarity.centroidOutliers: decimal-exact centroid sums,
+    // 1e12-scaled BIGINT dot/norm sums, one double expression truncated
+    "q133_embed_outliers" ->
+      """WITH comp AS (SELECT vec_id, label, i, e[i] AS x
+        |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |cent AS (SELECT label, i,
+        |    CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS c
+        |  FROM comp GROUP BY label, i),
+        |sums AS (SELECT vec_id, comp.label AS label,
+        |    sum(CAST(round(x * c * 1e12, 0) AS BIGINT)) AS sd,
+        |    sum(CAST(round(x * x * 1e12, 0) AS BIGINT)) AS sv,
+        |    sum(CAST(round(c * c * 1e12, 0) AS BIGINT)) AS sc
+        |  FROM comp JOIN cent ON cent.label = comp.label AND cent.i = comp.i
+        |  GROUP BY vec_id, comp.label)
+        |SELECT vec_id, label, sim, sim < 0.1 AS is_outlier FROM (
+        |  SELECT vec_id, label,
+        |    CASE WHEN sv = 0 OR sc = 0 THEN 0.0
+        |         ELSE floor((CAST(sd AS DOUBLE) / 1e12)
+        |           / (sqrt(CAST(sv AS DOUBLE) / 1e12) * sqrt(CAST(sc AS DOUBLE) / 1e12))
+        |           * 1e6) / 1e6 END AS sim
+        |  FROM sums)
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -3,6 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over an embedding column (north-star ⊕): brute-force
   * cosine top-k as the exact baseline, and an LSH-bucketed (random
@@ -278,5 +279,49 @@ object Similarity {
   def centroids(embeddings: DataFrame, dims: Int = 64): DataFrame = {
     val agg = udaf(new CentroidAggregator(dims))
     embeddings.groupBy(col("label")).agg(agg(col("embedding")).as("centroid"))
+  }
+
+  /** Embedding-quality outlier scan: cosine of every vector to ITS OWN
+    * label's centroid, flagging vectors far from their cluster — the
+    * curation signal for mislabeled / off-distribution embeddings before
+    * they poison a similarity index or a training mixture.
+    *
+    * Shape: one explode to (vec, dim, value) — scan-stage, no shuffle of
+    * the vectors themselves — then a (label, dim)-keyed aggregation for
+    * centroids (labels x dims rows: broadcast-join material by
+    * construction) and one vec-keyed partial+final agg for the three
+    * cosine sums. At 100 TB the only fact-sized exchange is that final
+    * per-vector agg.
+    *
+    * Determinism (oracle-hash-proof): centroid components are
+    * DECIMAL(27,10) exact sums divided as doubles; dot/norm contributions
+    * are 1e12-scaled LONG sums (the PageRank/q101 discipline — exact,
+    * order-independent, codegen fast path); `sim` is one IEEE double
+    * expression over the exact sums, floor-truncated to 6 decimals.
+    *
+    * Returns (id, label, sim, is_outlier = sim < threshold). */
+  def centroidOutliers(embeddings: DataFrame, idCol: String,
+                       labelCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    def d(c: Column): Column = c.cast("double")
+    val comp = embeddings.select(col(idCol), col(labelCol),
+      posexplode(col(vecCol)).as(Seq("i", "x")))
+      .withColumn("x", d(col("x")))
+    val cent = comp.groupBy(col(labelCol), col("i"))
+      .agg((d(sum(col("x").cast(DecimalType(27, 10)))) /
+        d(count(lit(1)))).as("c"))
+    val sums = comp.join(cent, Seq(labelCol, "i"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(
+        sum(round(col("x") * col("c") * lit(1e12), 0).cast("long")).as("sd"),
+        sum(round(col("x") * col("x") * lit(1e12), 0).cast("long")).as("sv"),
+        sum(round(col("c") * col("c") * lit(1e12), 0).cast("long")).as("sc"))
+    val sim = (d(col("sd")) / lit(1e12)) /
+      (sqrt(d(col("sv")) / lit(1e12)) * sqrt(d(col("sc")) / lit(1e12)))
+    // zero-norm vectors/centroids: define sim = 0 (engines disagree on 0/0)
+    val guarded = when(col("sv") === 0L || col("sc") === 0L, lit(0.0))
+      .otherwise(floor(sim * lit(1e6)) / lit(1e6))
+    sums.select(col(idCol), col(labelCol), guarded.as("sim"))
+      .withColumn("is_outlier", col("sim") < threshold)
   }
 }

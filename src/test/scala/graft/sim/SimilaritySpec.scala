@@ -73,4 +73,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rc0.get > 0.9999)             // 4x smaller, sub-1e-4 angle error
     assert(rows(1L)._1 === Seq(0, 0, 0, 0)) // zero vector quantizes to zeros
   }
+
+  test("centroidOutliers: cosine to own-label centroid, zero-norm guarded") {
+    val emb = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)),   // label 0 centroid = (0.5, 0.5)
+      (2L, 0, Seq(0.0f, 1.0f)),
+      (3L, 1, Seq(2.0f, 2.0f)),   // own centroid -> sim 1
+      (4L, 2, Seq(1.0f, 0.0f)),   // label 2 centroid = (0, 0): degenerate
+      (5L, 2, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.centroidOutliers(emb, "vec_id", "label", "embedding", 0.8)
+      .select("vec_id", "sim", "is_outlier")
+      .as[(Long, Double, Boolean)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    // cos((1,0),(0.5,0.5)) = 0.5/(1 * sqrt(0.5)) = 0.707106...
+    assert(math.abs(r(1L)._1 - 0.707106) < 2e-6 && r(1L)._2)
+    assert(math.abs(r(2L)._1 - 0.707106) < 2e-6 && r(2L)._2)
+    assert(math.abs(r(3L)._1 - 1.0) < 2e-6 && !r(3L)._2)
+    assert(r(4L) === ((0.0, true)) && r(5L) === ((0.0, true)))
+  }
 }
