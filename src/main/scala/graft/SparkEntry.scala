@@ -1871,7 +1871,16 @@ object SparkEntry {
     "q133_embed_outliers" -> ((s, d) =>
       Similarity.centroidOutliers(t(s, d, "embeddings"), "vec_id",
           "label", "embedding", 0.1)
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // ⊕ canary-string scan: exact trap-phrase detection (the GPT-3/PaLM
+    // canary protocol) — the exact-match complement to q120's fuzzy
+    // n-gram contamination; literal-array explode, pure scan-stage pass.
+    "q134_canary_scan" -> ((s, d) =>
+      TextAnalysis.canaryScan(t(s, d, "documents"), "doc_id", col("text"),
+          Seq("table table key", "scan slow fast", "agg join small",
+            "value fast merge"))
+        .orderBy(col("doc_id"), col("canary")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3505,6 +3514,18 @@ object SparkEntry {
         |           / (sqrt(CAST(sv AS DOUBLE) / 1e12) * sqrt(CAST(sc AS DOUBLE) / 1e12))
         |           * 1e6) / 1e6 END AS sim
         |  FROM sums)
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // mirrors TextAnalysis.canaryScan: same length-delta occurrence count
+    "q134_canary_scan" ->
+      """WITH c AS (SELECT unnest(['table table key', 'scan slow fast',
+        |    'agg join small', 'value fast merge']) AS canary)
+        |SELECT doc_id, canary,
+        |  CAST((length(text) - length(replace(text, canary, '')))
+        |    / length(canary) AS BIGINT) AS n_hits,
+        |  CAST(strpos(text, canary) AS BIGINT) AS first_pos
+        |FROM documents, c
+        |WHERE contains(text, canary)
+        |ORDER BY doc_id, canary""".stripMargin
   )
 }

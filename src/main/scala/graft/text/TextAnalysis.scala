@@ -243,6 +243,35 @@ object TextAnalysis {
         .as("pair"))
       .groupBy("pair").agg(sum("freq").as("score"))
 
+  /** Canary-string contamination scan: exact substring detection of
+    * trap/watermark phrases planted in evaluation sets (the GPT-3/PaLM
+    * canary protocol) — the exact-match complement to the fuzzy n-gram
+    * overlap of `Dedup.contaminationPairs`. A doc containing a canary
+    * verbatim is disqualifying evidence regardless of n-gram statistics.
+    *
+    * Shape: the canary list explodes as a LITERAL array (k rows per doc,
+    * no join, no broadcast, no shuffle) and `contains`/`replace`/`locate`
+    * run in the scan stage; the plan is a pure projection+filter over the
+    * corpus — the cheapest possible 100 TB pass. For canary lists beyond
+    * a few dozen, the kernel upgrade is a single Aho-Corasick multi-
+    * pattern `Expression` (one text traversal for all patterns) — the
+    * `term_counts` precedent.
+    *
+    * Returns one row per (doc, matched canary): (id, canary, n_hits,
+    * first_pos), occurrence count via the length-delta idiom. */
+  def canaryScan(docs: DataFrame, idCol: String, text: Column,
+                 canaries: Seq[String]): DataFrame = {
+    require(canaries.nonEmpty && canaries.forall(_.nonEmpty),
+      "canaries must be non-empty strings")
+    docs.select(col(idCol), text.as("__t"))
+      .withColumn("canary", explode(array(canaries.map(lit): _*)))
+      .filter(col("__t").contains(col("canary")))
+      .select(col(idCol), col("canary"),
+        ((length(col("__t")) - length(expr("replace(__t, canary, '')")))
+          / length(col("canary"))).cast("long").as("n_hits"),
+        expr("locate(canary, __t)").cast("long").as("first_pos"))
+  }
+
   /** Full multi-round BPE vocabulary induction: the iterative closure of
     * [[bpePairCounts]]. Each round counts adjacent symbol pairs over the
     * frequency-weighted word vocabulary, merges the argmax pair (score

@@ -178,6 +178,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.length === 2)   // round 3 has no pairs left -> loop exhausts
   }
 
+  test("canaryScan: occurrence counts, first position, misses dropped") {
+    val docs = Seq(
+      (1L, "the canary one sits here canary one twice"),
+      (2L, "clean document"),
+      (3L, "canary two")).toDF("doc_id", "text")
+    val r = TextAnalysis.canaryScan(docs, "doc_id", col("text"),
+        Seq("canary one", "canary two"))
+      .select("doc_id", "canary", "n_hits", "first_pos")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(r === Set(
+      (1L, "canary one", 2L, 5L),
+      (3L, "canary two", 1L, 1L)))
+  }
+
   test("bpeLearn: greedy left-to-right on odd runs (aaa -> one merge)") {
     // "aaa": pairs (a,a) x2 but greedy merge yields [aa, a] not [aa, aa]
     val docs = Seq("aaa").toDF("text")
