@@ -335,6 +335,21 @@ class RelationalSpec extends SparkSpec {
     assert((1L to 10L).toSet.subsetOf(s3))
   }
 
+  test("weightedSample: rows with weight <= 0 or null are excluded, never sampled") {
+    val rows: Seq[(Long, java.lang.Double)] =
+      (1L to 20L).map(i => (i, java.lang.Double.valueOf(1.0))) ++
+        Seq((100L, java.lang.Double.valueOf(0.0)),
+            (101L, java.lang.Double.valueOf(-5.0)),
+            (102L, null.asInstanceOf[java.lang.Double]))
+    val df = rows.toDF("id", "w")
+    // k larger than the eligible population: every positive-weight row is
+    // taken, the non-positive/null rows are still excluded (not padded in)
+    val out = Relational.weightedSample(df, col("id"), col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    assert(out === (1L to 20L).toSet)
+    assert(!out.exists(_ >= 100L))
+  }
+
   test("rollingAnomalies: warmup never flags, zero-variance jump flags, in-band value does not") {
     val series = Seq(
       ("k", 1, 5L), ("k", 2, 5L), ("k", 3, 5L), ("k", 4, 5L),

@@ -152,6 +152,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("s2")._4 > 0.24 && out("s2")._4 < 0.26)
   }
 
+  test("mixtureWeights: normalizer is partition-order-proof (1 vs 64 partitions)") {
+    // many sources with irrational sqrt-shares — a plain double-sum
+    // normalizer would be at the mercy of partial-aggregate merge order;
+    // the truncated-long sum must make every output digit identical
+    // regardless of partitioning
+    val rows = (1 to 97).map(i => (i.toLong, Seq.fill(i % 13 + 1)("w").mkString(" "), s"src${i % 17}"))
+    val d = rows.toDF("doc_id", "text", "source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.mixtureWeights(df, "source", col("text"))
+        .select("source", "n_docs", "n_tokens", "token_share", "mix_weight")
+        .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1)
+    val one = run(d.repartition(1))
+    val many = run(d.repartition(64))
+    assert(one.toSeq === many.toSeq) // bit-identical, not approximately equal
+  }
+
   test("packingMap: exact offsets, bin spans, empty docs excluded") {
     val d = Seq((1L, "a b c"), (2L, ""), (3L, "d e f g"), (4L, "h"))
       .toDF("doc_id", "text")
