@@ -499,25 +499,34 @@ object Dedup {
     * The result is exactly the anti-join's (the oracle checks that), but
     * the shuffled volume is fpp-proportional, not corpus-proportional.
     *
-    * §2.10 note: the bloom probe is the engine's one deliberate scalar
-    * UDF — the probe of a broadcast native structure; there is no built-in
-    * Column form for a driver-built BloomFilter, and the codegen loss on
-    * the already-pruned sliver is noise next to the avoided shuffle. */
+    * §2.10 note: the probe uses Spark's native `BloomFilterMightContain`
+    * over a `bloom_filter_agg` scalar subquery — the exact expression
+    * pair Spark's own runtime row-level filtering injects — so both the
+    * build (treeAggregate-style partial-filter OR-merge inside the
+    * aggregate) and the probe (codegen'd, filter deserialized once per
+    * task) stay on the native path: no Scala UDF, no driver-built
+    * structure, no codegen break in the filter. */
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
                        text: Column, corpusText: Column,
                        expectedItems: Long = 1000000L,
                        fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
     val fresh = newDocs.withColumn("__fp", TextAnalysis.fingerprint(text))
     val seen = corpus.select(TextAnalysis.fingerprint(corpusText).as("__fp"))
-    val bloom = seen.stat.bloomFilter("__fp", expectedItems, fpp)
-    // registered for deterministic destroy: the harness drains after the
-    // consuming action; un-drained sessions fall back to the ContextCleaner
-    // (see graft.util.Cleanup)
-    val bc = graft.util.Cleanup.registerBroadcast(
-      newDocs.sparkSession.sparkContext.broadcast(bloom))
-    val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
-    val definiteNew = fresh.filter(!mightContain(col("__fp")))
-    val verifiedNew = fresh.filter(mightContain(col("__fp")))
+    // optimal bit count for (n, fpp): -n·ln(p)/ln(2)² — the standard
+    // Bloom sizing formula, identical to what stat.bloomFilter solves
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomCol = Bridge.columnOf(
+      new BloomFilterAggregate(Bridge.expressionOf(xxhash64(col("__fp"))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bloomPlan = seen.agg(bloomCol.as("__bloom")).queryExecution.analyzed
+    def probe: Column = Bridge.columnOf(BloomFilterMightContain(
+      ScalarSubquery(bloomPlan), Bridge.expressionOf(xxhash64(col("__fp")))))
+    val definiteNew = fresh.filter(!probe)
+    val verifiedNew = fresh.filter(probe)
       .join(seen, Seq("__fp"), "left_anti")
     definiteNew.unionByName(verifiedNew).drop("__fp")
   }

@@ -205,4 +205,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q61: bloom prefilter is the native expression pair — no Scala UDF in the plan") {
+    val p = physical("q61_incremental_dedup")
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("ScalaUDF"), s"bloom probe regressed to a Scala UDF:\n$p")
+  }
 }
