@@ -79,7 +79,22 @@ object EventStreams {
     })
 
   /** Run a streaming transform over the events parquet to completion
-    * (AvailableNow) and return the materialized result. */
+    * (AvailableNow) and return the materialized result.
+    *
+    * The sink is a foreachBatch parquet spool, NOT the memory sink: the
+    * memory sink collects every row to the driver, which is fine for
+    * window×group aggregates at test scale but unbounded in principle —
+    * at 100× key cardinality the "small" aggregate scales with distinct
+    * keys. Spooling keeps the result distributed end to end; the returned
+    * DataFrame is a plain parquet scan of the spool.
+    *
+    * Output-mode reconstruction mirrors the sink contract exactly:
+    * `complete` delivers the FULL result each trigger → overwrite one
+    * directory, last trigger wins; `append` delivers each finalized row
+    * exactly once → per-batch directories, union; `update` delivers the
+    * rows changed in that trigger → per-batch directories, read back in
+    * batch order so a later update for a key supersedes an earlier one
+    * (same latest-wins contract the memory sink's row-append gave). */
   def runToCompletion(spark: SparkSession, dir: String,
                       outputMode: String = "complete")
                      (transform: DataFrame => DataFrame): DataFrame = {
@@ -87,7 +102,11 @@ object EventStreams {
     val src = spark.readStream.schema(eventsSchema)
       .parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
-    val name = s"graft_stream_${sinkId.incrementAndGet()}"
+    val spool = graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory(
+        s"graft_stream_spool_${sinkId.incrementAndGet()}_"))
+    val outDir = s"$spool/out"
+    val perBatch = outputMode != "complete"
     // Streaming aggregations allocate one state-store instance per shuffle
     // partition per operator; at this data size 8 partitions cut fixed
     // state-store setup ~4x with no parallelism loss. Restored after start
@@ -97,20 +116,22 @@ object EventStreams {
     val q = try {
       transform(src).writeStream
         .outputMode(outputMode)
-        .format("memory").queryName(name)
+        .option("checkpointLocation", s"$spool/ck")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val target = if (perBatch) s"$outDir/batch_id=$id" else outDir
+          batch.write.mode("overwrite").parquet(target)
+          ()
+        }
         .trigger(Trigger.AvailableNow()).start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    // Block until every available batch is processed, snapshot the memory
-    // sink BEFORE the query fully terminates (termination cleanup races
-    // with lazy reads of the sink table), then stop. Streaming aggregate
-    // results are small (bounded by windows × groups), so collecting to
-    // the driver is fine here.
-    q.processAllAvailable()
-    val out = spark.table(name)
-    val rows = java.util.Arrays.asList(out.collect(): _*)
-    q.stop()
     q.awaitTermination()
-    spark.createDataFrame(rows, out.schema)
+    if (!new java.io.File(outDir).exists())
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        transform(spark.readStream.schema(eventsSchema).parquet(srcDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))).schema)
+    val all = spark.read.parquet(outDir)
+    if (perBatch) all.orderBy(col("batch_id")).drop("batch_id") else all
   }
 
   /** Tumbling-window counts/sums per event_type with a watermark. */
