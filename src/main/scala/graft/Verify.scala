@@ -44,6 +44,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // tier-dependent fixture paths (q94) must follow THIS run's tier even
+    // when a restricted run never executed the query that sets them
+    SparkEntry.setOracleTier(sfDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

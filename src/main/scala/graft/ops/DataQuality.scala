@@ -85,4 +85,69 @@ object DataQuality {
     * job, one pass over each distinct source table. */
   def suite(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_.unionByName(_)).orderBy(col("check"))
+
+  // ---- fused per-table checks ----------------------------------------------
+
+  /** An aggregate-style constraint (everything except uniqueness and
+    * referential integrity, which need their own shuffle/join shapes):
+    * contributes agg columns to a SHARED single-pass aggregate and derives
+    * its (metric, passed) report row from them. */
+  sealed trait AggCheck {
+    def name: String
+    /** Aggregate columns this check needs, aliased `__c{i}_{j}`. */
+    private[DataQuality] def aggs(i: Int): Seq[org.apache.spark.sql.Column]
+    private[DataQuality] def metric(i: Int): org.apache.spark.sql.Column
+    private[DataQuality] def passed(i: Int): org.apache.spark.sql.Column
+  }
+
+  /** [[nullFraction]] as a fused check. */
+  final case class NullFrac(name: String, column: String,
+                            maxFrac: Double) extends AggCheck {
+    private[DataQuality] def aggs(i: Int) = Seq(
+      sum(when(col(column).isNull, 1L).otherwise(0L)).as(s"__c${i}_0"),
+      count(lit(1)).as(s"__c${i}_1"))
+    private[DataQuality] def metric(i: Int) = coalesce(
+      trunc6(col(s"__c${i}_0").cast("double") / col(s"__c${i}_1").cast("double")),
+      lit(0.0))
+    private[DataQuality] def passed(i: Int) = metric(i) <= lit(maxFrac)
+  }
+
+  /** [[acceptedValues]] as a fused check. */
+  final case class Accepted(name: String, column: String,
+                            allowed: Seq[String]) extends AggCheck {
+    private[DataQuality] def aggs(i: Int) = Seq(
+      coalesce(sum(when(col(column).isin(allowed: _*), 0L).otherwise(1L)), lit(0L))
+        .as(s"__c${i}_0"))
+    private[DataQuality] def metric(i: Int) = col(s"__c${i}_0").cast("double")
+    private[DataQuality] def passed(i: Int) = col(s"__c${i}_0") === 0L
+  }
+
+  /** [[inRange]] as a fused check. */
+  final case class Range(name: String, column: String,
+                         lo: Double, hi: Double) extends AggCheck {
+    private[DataQuality] def aggs(i: Int) = Seq(
+      coalesce(sum(when(col(column).isNotNull &&
+        col(column) >= lo && col(column) <= hi, 0L).otherwise(1L)), lit(0L))
+        .as(s"__c${i}_0"))
+    private[DataQuality] def metric(i: Int) = col(s"__c${i}_0").cast("double")
+    private[DataQuality] def passed(i: Int) = col(s"__c${i}_0") === 0L
+  }
+
+  /** All of a table's aggregate-style constraints in ONE scan + ONE
+    * partial/final aggregate: every check contributes its counters to a
+    * shared single-row aggregate, which then unstacks to the standard
+    * `(check, metric, passed)` rows. Equivalent to unioning the per-check
+    * forms, but a 100 TB fact table is read once instead of once per
+    * check — the fused form is what [[suite]] should be fed for tables
+    * with more than one constraint. */
+  def tableChecks(df: DataFrame, checks: Seq[AggCheck]): DataFrame = {
+    require(checks.nonEmpty, "tableChecks: at least one check")
+    val aggCols = checks.zipWithIndex.flatMap { case (c, i) => c.aggs(i) }
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check"), c.metric(i).cast("double").as("metric"),
+        c.passed(i).as("passed"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
 }

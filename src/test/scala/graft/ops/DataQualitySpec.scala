@@ -44,4 +44,33 @@ class DataQualitySpec extends SparkSpec {
       .as[(String, Double, Boolean)].collect().toSeq
     assert(suite === Seq(("a_range", 1.0, false), ("b_set", 1.0, false)))
   }
+
+  test("tableChecks: fused single-pass equals the unioned per-check forms") {
+    val d = Seq((Some("A"), 5.0), (Some("N"), 60.0), (Some("X"), 10.0),
+      (None: Option[String], 0.5)).toDF("flag", "qty")
+    val fused = DataQuality.tableChecks(d, Seq(
+      DataQuality.NullFrac("nf:flag", "flag", 0.2),
+      DataQuality.Accepted("set:flag", "flag", Seq("A", "N")),
+      DataQuality.Range("range:qty", "qty", 1.0, 50.0)))
+      .orderBy("check").as[(String, Double, Boolean)].collect().toSeq
+    val unioned = DataQuality.suite(Seq(
+      DataQuality.nullFraction("nf:flag", d, "flag", 0.2),
+      DataQuality.acceptedValues("set:flag", d, "flag", Seq("A", "N")),
+      DataQuality.inRange("range:qty", d, "qty", 1.0, 50.0)))
+      .as[(String, Double, Boolean)].collect().toSeq
+    assert(fused === unioned)
+    assert(fused === Seq(("nf:flag", 0.25, false), ("range:qty", 2.0, false),
+      ("set:flag", 2.0, false)))
+  }
+
+  test("tableChecks: one scan — a single aggregate feeds every check row") {
+    val d = Seq(("A", 5.0), ("N", 60.0)).toDF("flag", "qty")
+    val plan = DataQuality.tableChecks(d, Seq(
+      DataQuality.Accepted("s", "flag", Seq("A")),
+      DataQuality.Range("r", "qty", 1.0, 50.0)))
+      .queryExecution.executedPlan.toString
+    // the fused form has exactly one aggregate pair (partial+final); the
+    // unioned form would have one per check
+    assert("HashAggregate".r.findAllIn(plan).size <= 2, plan)
+  }
 }
