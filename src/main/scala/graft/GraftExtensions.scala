@@ -60,6 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(1).eval(null).asInstanceOf[Number].intValue() else 4
         val w = if (children.length > 2)
           children(2).eval(null).asInstanceOf[Number].intValue() else 256
+        // same guard as CountMinFunctions.ensureRegistered: fail at
+        // registration with a clear message, not at execution with a
+        // modulo-by-zero
+        require(d >= 1 && w >= 1, s"cms_sketch needs depth/width >= 1, got $d/$w")
         CountMinSketch(children.head, d, w).toAggregateExpression()
       }))
     ext.injectFunction((

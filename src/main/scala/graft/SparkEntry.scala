@@ -434,7 +434,7 @@ object SparkEntry {
       // consumes it four times (ids union ×2, intersection, final join) —
       // one checkpoint beats four re-derivations
       val cand = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2)
-        .localCheckpoint()
+        .transform(graft.util.Cleanup.checkpoint(_))
       Dedup.jaccardVerify(cand, docs, "doc_id", col("text"))
         .orderBy(col("a"), col("b"))
     }),
@@ -451,7 +451,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val sig = Dedup.minhashSignature(docs, "doc_id", col("text"))
       val cand = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 2,
-        minAgree = 3).localCheckpoint()
+        minAgree = 3).transform(graft.util.Cleanup.checkpoint(_))
       Dedup.jaccardVerify(cand, docs, "doc_id", col("text"))
         .orderBy(col("a"), col("b"))
     }),

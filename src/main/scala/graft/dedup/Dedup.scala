@@ -145,7 +145,7 @@ object Dedup {
         sigCols.map(_ => col("__sig")): _*)
       .withColumn("__bsz", count(lit(1)).over(w))
       .withColumn("__bmin", min(col(idCol)).over(w))
-      .localCheckpoint()
+      .transform(graft.util.Cleanup.checkpoint(_))
     val buckets = sized.filter(col("__bsz") <= maxBucketSize)
       .drop("__bsz", "__bmin")
     val aCols = col("band") +: col("bucket") +: col(idCol).as("a") +:
@@ -208,7 +208,7 @@ object Dedup {
     val w = docs.select(col(idCol).as("__id"),
         explode(array_distinct(TextAnalysis.words(text))).as("w"))
       .join(ids, Seq("__id"), "left_semi")
-      .localCheckpoint()
+      .transform(graft.util.Cleanup.checkpoint(_))
     setJaccard(pairs, w)
   }
 
@@ -254,7 +254,7 @@ object Dedup {
     val w = docs.select(col(idCol).as("__id"),
         explode(array_distinct(TextAnalysis.words(text))).as("w"))
       .join(ids, Seq("__id"), "left_semi")
-      .localCheckpoint()
+      .transform(graft.util.Cleanup.checkpoint(_))
     val sizes = w.groupBy("__id").agg(count("*").as("sz"))
     val inter = pairs
       .join(w.select(col("__id").as("a"), col("w")), Seq("a"))
@@ -372,7 +372,7 @@ object Dedup {
     // both sides of the candidate self-join — materialize each once
     val wd = docs.select(col(idCol).as("__id"),
       explode(array_distinct(TextAnalysis.words(text))).as("w"))
-      .localCheckpoint()
+      .transform(graft.util.Cleanup.checkpoint(_))
     val dfreq = wd.groupBy("w").agg(count(lit(1)).as("__df"))
     val ordered = wd.join(dfreq, Seq("w"))
       .withColumn("__sz", count(lit(1)).over(Window.partitionBy("__id")))
@@ -381,7 +381,7 @@ object Dedup {
     val pref = ordered
       .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
       .select(col("__id"), col("w"))
-      .localCheckpoint()
+      .transform(graft.util.Cleanup.checkpoint(_))
     val cand = pref.select(col("__id").as("a"), col("w"))
       .join(pref.select(col("__id").as("b"), col("w")), Seq("w"))
       .filter(col("a") < col("b"))
@@ -405,7 +405,7 @@ object Dedup {
     // (shingle→minhash→bands) once per iteration
     val und = edges.select(col("a").as("x"), col("b").as("y"))
       .union(edges.select(col("b").as("x"), col("a").as("y")))
-      .localCheckpoint()
+      .transform(graft.util.Cleanup.checkpoint(_))
     val verts = und.select(col("x").as("id")).distinct()
     // localCheckpoint (not cache) ONCE per round: caching leaves the logical
     // plan growing — the jump self-join doubles the subtree per iteration,
@@ -415,7 +415,7 @@ object Dedup {
     // propagate subtree feeds both sides of the jump self-join, and its
     // internal shuffle stages run once (exchange/stage reuse dedupes the
     // identical subtrees — AQE caches shuffle stages by semantic equality).
-    var labels = verts.withColumn("component", col("id")).localCheckpoint()
+    var labels = verts.withColumn("component", col("id")).transform(graft.util.Cleanup.checkpoint(_))
     // labels only ever decrease, so an unchanged sum ⇔ a fixpoint — one
     // cheap scan of the just-checkpointed labels instead of a join-based
     // diff. Initializing prevSum from the vertex ids also covers the
@@ -448,7 +448,7 @@ object Dedup {
       labels = prop.join(lbl2, col("component") === col("cid"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("c2"), col("component"))).as("component"))
-        .localCheckpoint()
+        .transform(graft.util.Cleanup.checkpoint(_))
       // probe every round: the probe is one parallel scan of checkpointed
       // blocks (no shuffle beyond the final reduce) while a skipped-probe
       // extra round costs a full join+agg+self-join pipeline

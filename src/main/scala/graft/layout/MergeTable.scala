@@ -211,7 +211,7 @@ object MergeTable {
     val ch = changes.select(payload.map(col) :+
         coalesce(col(opCol).cast("string"), lit("<null>")).as("__op") :+
         pmod(hash(col(key)), lit(nb)).as(BucketCol): _*)
-      .localCheckpoint()
+      .transform(graft.util.Cleanup.checkpoint(_))
     // one action: changed buckets + key uniqueness + unknown-op detection
     val st = ch.agg(
       collect_set(col(BucketCol)), count(lit(1)), count_distinct(col(key)),

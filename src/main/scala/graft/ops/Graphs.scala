@@ -75,7 +75,7 @@ object Graphs {
         // without truncation each iteration doubles the evaluated subtree
         // (2^iters blowup). One eager checkpoint per iteration of the tiny
         // (|V| rows) rank table — the connectedComponents discipline.
-        .localCheckpoint()
+        .transform(graft.util.Cleanup.checkpoint(_))
     }
     // the final p is checkpointed (no lineage into und): safe to release
     und.unpersist(false)

@@ -238,7 +238,7 @@ object Similarity {
                         nprobe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
     // one materialization feeds the driver-side cell collect AND the join
-    val qCells = probeCells(queries, cents, nprobe).localCheckpoint()
+    val qCells = probeCells(queries, cents, nprobe).transform(graft.util.Cleanup.checkpoint(_))
     val probed = qCells.select("cell").distinct().collect().map(_.getInt(0)).sorted
     val c = spark.read.parquet(layoutDir)
       .filter(col("cell").isin(probed.toIndexedSeq: _*))

@@ -177,7 +177,7 @@ object TextAnalysis {
         sqrt(sum(col("wt") * col("wt"))
           .over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc")))
           .cast("double") / lit(1e12)))
-      .localCheckpoint()
+      .transform(graft.util.Cleanup.checkpoint(_))
     val a0 = probe.fold(wn)(p => wn.filter(p(col("doc"))))
       .select(col("doc").as("a"), col("term"), col("wt").as("wa"),
         col("nrm").as("na"))
@@ -302,7 +302,7 @@ object TextAnalysis {
       .groupBy("wrd").agg(count(lit(1)).as("freq"))
     var syms = vocab.select(col("freq"),
         filter(split(col("wrd"), ""), s => s =!= "").as("syms"))
-      .localCheckpoint()
+      .transform(graft.util.Cleanup.checkpoint(_))
     val merges = scala.collection.mutable.ListBuffer[(Long, String, String, String, Long)]()
     var r = 1
     var exhausted = false
@@ -340,7 +340,7 @@ object TextAnalysis {
              |                      'pend', x) END,
              |  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
              |              ELSE array_append(acc.out, acc.pend) END)""".stripMargin))
-          .localCheckpoint()
+          .transform(graft.util.Cleanup.checkpoint(_))
         r += 1
       }
     }

@@ -18,20 +18,25 @@ import org.apache.spark.broadcast.Broadcast
   *
   * Library users in a long-lived session: call [[drain]] after each
   * query's terminal action — it is idempotent and releases broadcasts,
-  * scratch dirs, AND all persisted/checkpointed RDD blocks (the
-  * localCheckpoint sites in dedup/graph/IVF operators). Without it you
-  * fall back to Spark's ContextCleaner (`spark.cleaner.referenceTracking`,
-  * on by default): broadcasts and RDD blocks are weak-referenced and freed
-  * when the driver GC collects the plan objects — correct, but GC-TIMED.
-  * Under memory pressure the storage pool can grow by many queries' blocks
-  * before a full GC happens to run (a 124-query loop in one 8 GiB JVM
-  * measurably degraded late queries this way); drain makes the release
-  * deterministic instead. Do NOT disable referenceTracking: it is the
-  * backstop for whatever a caller forgets. */
+  * scratch dirs, AND the checkpointed RDD blocks graft's own operators
+  * registered (the [[checkpoint]] sites in dedup/graph/IVF operators).
+  * drain releases ONLY graft-registered resources: the caller's own
+  * `df.cache()`/`persist()`/`localCheckpoint()` survive it untouched.
+  * Without drain you fall back to Spark's ContextCleaner
+  * (`spark.cleaner.referenceTracking`, on by default): broadcasts and RDD
+  * blocks are weak-referenced and freed when the driver GC collects the
+  * plan objects — correct, but GC-TIMED. Under memory pressure the
+  * storage pool can grow by many queries' blocks before a full GC happens
+  * to run (a 124-query loop in one 8 GiB JVM measurably degraded late
+  * queries this way); drain makes the release deterministic instead. Do
+  * NOT disable referenceTracking: it is the backstop for whatever a
+  * caller forgets. */
 object Cleanup {
   private val broadcasts = new ConcurrentLinkedQueue[Broadcast[_]]()
   private val tempDirs = new ConcurrentLinkedQueue[Path]()
   private val hooks = new ConcurrentLinkedQueue[() => Unit]()
+  private val rddIds =
+    new ConcurrentLinkedQueue[(org.apache.spark.SparkContext, Int)]()
 
   /** Register an arbitrary release action (e.g. DROP TABLE for a
     * catalog-backed query) to run at the next [[drain]]. */
@@ -45,6 +50,22 @@ object Cleanup {
   /** Register a scratch directory to be recursively deleted at the next
     * [[drain]]. */
   def registerTempDir(p: Path): Path = { tempDirs.add(p); p }
+
+  /** `ds.localCheckpoint()` + registration: every graft operator that
+    * truncates lineage checkpoints THROUGH this helper, which records the
+    * RDD ids the checkpoint just persisted so [[drain]] can release
+    * exactly those blocks — and nothing the caller persisted themselves.
+    * (localCheckpoint is eager, so the new ids are visible immediately;
+    * the before/after diff attributes them. A concurrent user persist in
+    * the same instant could be co-claimed — graft's own call sites are
+    * driver-sequential, and the ContextCleaner backstops any miss.) */
+  def checkpoint[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    val sc = ds.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = ds.localCheckpoint()
+    (sc.getPersistentRDDs.keySet -- before).foreach(id => rddIds.add((sc, id)))
+    out
+  }
 
   /** Register a scratch directory that must SURVIVE drains (it is shared
     * across queries, e.g. a memoized pre-built table) and be deleted only
@@ -72,22 +93,26 @@ object Cleanup {
       deleteRecursively(dir)
       dir = tempDirs.poll()
     }
-    // Release persisted/checkpointed RDD blocks. The operators use
-    // localCheckpoint() to truncate lineage on iterative/multi-consumer
-    // intermediates (connected components, PageRank, LSH signatures, IVF
-    // probes); those blocks live in the storage pool and ContextCleaner
-    // only frees them on GC of the RDD reference, which a long-lived
-    // harness loop (124 queries x best-of-2 in one JVM) may never trigger
-    // under load. Left in place they accumulate, and unified-memory
-    // eviction + GC churn poisons later queries. After the caller's
-    // terminal action no plan can reference these blocks, so drop them all.
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .foreach { s =>
-        s.sparkContext.getPersistentRDDs.values.foreach { r =>
+    // Release the checkpointed RDD blocks graft's operators registered via
+    // [[checkpoint]]. The operators localCheckpoint iterative/multi-
+    // consumer intermediates (connected components, PageRank, LSH
+    // signatures, IVF probes); those blocks live in the storage pool and
+    // ContextCleaner only frees them on GC of the RDD reference, which a
+    // long-lived harness loop (124 queries x best-of-2 in one JVM) may
+    // never trigger under load. Left in place they accumulate, and
+    // unified-memory eviction + GC churn poisons later queries. Scoped to
+    // REGISTERED ids only: a caller's own cache()/persist()/
+    // localCheckpoint survives drain (releasing a user localCheckpoint
+    // would make their DataFrame unrecoverable — lineage is gone).
+    var e = rddIds.poll()
+    while (e != null) {
+      val (sc, id) = e
+      if (!sc.isStopped)
+        sc.getPersistentRDDs.get(id).foreach { r =>
           try r.unpersist(blocking = false) catch { case _: Exception => () }
         }
-      }
+      e = rddIds.poll()
+    }
   }
 
   /** Storage-pool footprint (MiB) of all persisted RDD blocks — a harness
