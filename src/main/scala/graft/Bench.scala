@@ -21,6 +21,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ingestion contract first (see Verify): named failure beats N timed errors
+    graft.model.Contracts.preflight(spark, sfDir)
     // Warmup (untimed): a scan+agg+shuffle over each table primes parquet
     // footer caches, codegen, and executor threads.
     try {

@@ -16,6 +16,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ingestion contract first: schema drift in the inputs must fail loud
+    // and named BEFORE 133 queries run against it (round 6 lost 11 queries
+    // to a silently re-encoded events.ts)
+    graft.model.Contracts.preflight(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q93_...,q96_... restricts the dump for local
     // iteration; unset (the driver's mode) runs everything

@@ -28,21 +28,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS); Spark reads it as a
-    * nanosecond long (spark.sql.legacy.parquet.nanosAsLong=true, set in
-    * Verify/Bench) and we convert to µs TimestampType here. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    val raw = s.read.parquet(s"$d/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+  /** Normalize an event-time column to TimestampType regardless of how the
+    * producer encoded it. Encodings this loader accepts:
+    *   - INT64 nanoseconds — either a raw long column or parquet
+    *     TIMESTAMP(NANOS) surfaced as LongType via
+    *     spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench);
+    *   - parquet timestamp[us/ms] with isAdjustedToUTC=false, which Spark 4
+    *     reads as TIMESTAMP_NTZ;
+    *   - TimestampType, passed through.
+    * The session timezone is pinned to UTC everywhere we run, so the
+    * NTZ→instant cast is exact. This is the ONLY place event-time decoding
+    * lives: both the batch loader below and the streaming source
+    * (streaming/EventStreams.scala) call it. Any unknown encoding fails loud
+    * rather than leaking a mis-scaled timestamp into every downstream window. */
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema(c).dataType match {
+      case LongType =>
         // integer `div`, NOT `/`: Column./ is double division, and at
         // ~1.7e18 ns a double's ulp is ≈1µs — enough to shift a truncated
         // timestamp by a microsecond vs the exact value
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.'$c' has unsupported event-time encoding $other; " +
+          "expected INT64 nanos, timestamp NTZ, or timestamp")
     }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(s.read.parquet(s"$d/events.parquet"))
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 

@@ -567,6 +567,35 @@ object Relational {
           .as("clipped_mean"))
   }
 
+  /** The 100 TB form of [[winsorizedStats]]: identical plan shape, but the
+    * clip bounds come from `percentile_approx` (a KLL-style mergeable
+    * sketch — one partial-agg pass, no per-group full sort). Bound error is
+    * ≤ 1/`accuracy` of rank, which perturbs only values INSIDE the clip
+    * window's error band; the q88 gating pattern applies — use the exact
+    * form when an oracle must hash-match, this one when the group is too
+    * large to sort. Note the two variants are NOT bit-identical even on
+    * small groups: exact `percentile` interpolates between order statistics
+    * while the sketch returns an actual data value — the clipped mean
+    * differs only by values falling between those two bounds (bounded by
+    * (pHi-pLo) rank error + interpolation gap). */
+  def winsorizedStatsApprox(df: DataFrame, key: String, valueCol: String,
+                            pLo: Double, pHi: Double,
+                            accuracy: Int = 10000): DataFrame = {
+    val v = col(valueCol)
+    val bounds = df.groupBy(col(key)).agg(
+      round(expr(s"percentile_approx($valueCol, $pLo, $accuracy)"), 4).as("lo"),
+      round(expr(s"percentile_approx($valueCol, $pHi, $accuracy)"), 4).as("hi"),
+      count(lit(1)).as("n"))
+    df.join(broadcast(bounds), Seq(key))
+      .withColumn("__clip", least(greatest(v, col("lo")), col("hi")))
+      .groupBy(col(key), col("lo"), col("hi"), col("n"))
+      .agg(sum(col("__clip").cast(DecimalType(18, 6))).cast("double")
+        .as("__sum"))
+      .select(col(key), col("n"), col("lo"), col("hi"),
+        (floor(col("__sum") / col("n") * lit(1e6)).cast("double") / lit(1e6))
+          .as("clipped_mean"))
+  }
+
   /** Per-group equi-width histogram: `bins` equal-width buckets between
     * the group's min and max, counts per bucket — the distribution
     * profile behind data-quality dashboards and CBO histograms. Two

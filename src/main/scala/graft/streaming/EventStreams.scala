@@ -47,12 +47,17 @@ object EventStreams {
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("lag_us"))
   }
 
-  /** ts is TIMESTAMP(NANOS) in the parquet — read as a nanosecond long
-    * (spark.sql.legacy.parquet.nanosAsLong) and convert to µs timestamps. */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Streaming source over a parquet directory with event-time
+    * normalization. Streaming sources need an explicit schema, so we take it
+    * from a cheap batch footer read of the same path — that way the stream
+    * accepts every `ts` encoding [[graft.model.Tables.normalizeTs]] accepts
+    * (INT64 nanos, timestamp NTZ, timestamp) instead of hardcoding one.
+    * Round 6 lost six streaming queries to a hardcoded `ts: LongType` +
+    * `div 1000` silently compressing microsecond timestamps 1000×; the
+    * decode now lives in exactly one place, shared with the batch loader. */
+  private def streamSource(spark: SparkSession, path: String): DataFrame =
+    graft.model.Tables.normalizeTs(
+      spark.readStream.schema(spark.read.parquet(path).schema).parquet(path))
 
   private val sinkId = new AtomicInteger(0)
 
@@ -92,16 +97,32 @@ object EventStreams {
     * `complete` delivers the FULL result each trigger → overwrite one
     * directory, last trigger wins; `append` delivers each finalized row
     * exactly once → per-batch directories, union; `update` delivers the
-    * rows changed in that trigger → per-batch directories, read back in
-    * batch order so a later update for a key supersedes an earlier one
-    * (same latest-wins contract the memory sink's row-append gave). */
+    * rows changed in that trigger → per-batch directories, and a later
+    * update for a key supersedes earlier ones — pass the result's key
+    * columns as `updateKeys` and reconstruction keeps only each key's
+    * newest row (by batch id). Update mode without `updateKeys` returns
+    * the raw per-batch updates in batch order, superseded rows included —
+    * only correct when the caller dedups or when keys never re-emit. */
   def runToCompletion(spark: SparkSession, dir: String,
-                      outputMode: String = "complete")
-                     (transform: DataFrame => DataFrame): DataFrame = {
-    val srcDir = sharedEventsDir(dir)
-    val src = spark.readStream.schema(eventsSchema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
+                      outputMode: String = "complete",
+                      updateKeys: Seq[String] = Nil)
+                     (transform: DataFrame => DataFrame): DataFrame =
+    spoolRun(spark, sharedEventsDir(dir).toString, outputMode, updateKeys)(transform)
+
+  /** [[runToCompletion]] over an arbitrary parquet directory (one file per
+    * micro-batch when `maxFilesPerTrigger=Some(1)`) — the path-level entry,
+    * used directly by specs that need to force multi-batch behavior. */
+  def spoolRun(spark: SparkSession, srcPath: String,
+               outputMode: String = "complete",
+               updateKeys: Seq[String] = Nil,
+               maxFilesPerTrigger: Option[Int] = None)
+              (transform: DataFrame => DataFrame): DataFrame = {
+    def source(): DataFrame = {
+      val rdr = spark.readStream.schema(spark.read.parquet(srcPath).schema)
+      maxFilesPerTrigger.foreach(n => rdr.option("maxFilesPerTrigger", n.toString))
+      graft.model.Tables.normalizeTs(rdr.parquet(srcPath))
+    }
+    val src = source()
     val spool = graft.util.Cleanup.registerTempDir(
       java.nio.file.Files.createTempDirectory(
         s"graft_stream_spool_${sinkId.incrementAndGet()}_"))
@@ -128,10 +149,13 @@ object EventStreams {
     if (!new java.io.File(outDir).exists())
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        transform(spark.readStream.schema(eventsSchema).parquet(srcDir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))).schema)
+        transform(source()).schema)
     val all = spark.read.parquet(outDir)
-    if (perBatch) all.orderBy(col("batch_id")).drop("batch_id") else all
+    if (perBatch && updateKeys.nonEmpty)
+      graft.ops.Relational.dedupKeepFirst(all, updateKeys,
+        Seq(col("batch_id").desc)).drop("batch_id")
+    else if (perBatch) all.orderBy(col("batch_id")).drop("batch_id")
+    else all
   }
 
   /** Tumbling-window counts/sums per event_type with a watermark. */
@@ -181,9 +205,7 @@ object EventStreams {
   def streamToParquet(spark: SparkSession, dir: String, outDir: String,
                       transform: DataFrame => DataFrame = identity): Unit = {
     val srcDir = sharedEventsDir(dir)
-    val src = spark.readStream.schema(eventsSchema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
+    val src = streamSource(spark, srcDir.toString)
     val q = transform(src).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
@@ -213,7 +235,9 @@ object EventStreams {
     splitDirs.computeIfAbsent(s"$dir|$nFiles", _ => {
       val d = graft.util.Cleanup.registerExitDir(
         java.nio.file.Files.createTempDirectory("graft_stream_upsert_files"))
-      spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+      // normalize BEFORE writing: the split files carry TimestampType, so
+      // the stream below needs no per-encoding logic of its own
+      graft.model.Tables.events(spark, dir)
         .repartitionByRange(nFiles, col("event_id"))
         .write.mode("overwrite").parquet(s"$d/files")
       d
@@ -225,10 +249,11 @@ object EventStreams {
     val filesDir = sharedSplitDir(spark, dir, nFiles)
     val srcDir = graft.util.Cleanup.registerTempDir(
       java.nio.file.Files.createTempDirectory("graft_stream_upsert"))
-    val src = spark.readStream.schema(eventsSchema)
+    val filesPath = s"$filesDir/files"
+    val src = spark.readStream
+      .schema(spark.read.parquet(filesPath).schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$filesDir/files")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
+      .parquet(filesPath)
       .select("user_id", "event_id", "ts", "event_type", "value")
     val newerWins = Some((s: String => org.apache.spark.sql.Column,
                           t: String => org.apache.spark.sql.Column) =>

@@ -319,6 +319,24 @@ class RelationalSpec extends SparkSpec {
     assert(out._4 === math.floor((99 * 10.0 + out._3) / 100 * 1e6) / 1e6)
   }
 
+  test("winsorizedStatsApprox tracks the exact form (scale variant, q88 gating)") {
+    val ev = graft.model.Tables.events(spark, sfDir)
+    val exact = Relational.winsorizedStats(ev, "event_type", "value", 0.05, 0.95)
+      .select("event_type", "n", "clipped_mean")
+      .as[(String, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val approx = Relational.winsorizedStatsApprox(ev, "event_type", "value", 0.05, 0.95)
+      .select("event_type", "n", "clipped_mean")
+      .as[(String, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, (n, m)) <- exact) {
+      assert(approx(k)._1 === n)
+      // sketch bounds are data values, exact bounds interpolate: the means
+      // differ only by rows between the two bound estimates
+      assert(math.abs(approx(k)._2 - m) <= math.max(0.01 * math.abs(m), 0.05),
+        s"$k: approx=${approx(k)._2} exact=$m")
+    }
+  }
+
   test("weightedSample: deterministic, k rows, heavy weights dominate the sample") {
     val rows = (1L to 500L).map(i => (i, if (i <= 10) 1000.0 else 1.0))
     val df = rows.toDF("id", "w")

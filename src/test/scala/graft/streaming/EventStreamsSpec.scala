@@ -64,6 +64,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(back.select("event_id").distinct().count() === batch.count())
   }
 
+  test("update-mode spool is latest-wins when a key re-emits across micro-batches") {
+    // two files → two micro-batches (maxFilesPerTrigger=1); the same users
+    // appear in both, so update mode re-emits their keys and the
+    // reconstruction must keep only the later (complete) count per key
+    val ev = Tables.events(spark, sfDir).filter(col("user_id") < 20)
+    val dir = java.nio.file.Files.createTempDirectory("upd_reemit").toString
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/f0")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/f1")
+    // flatten into one dir of two files
+    val merged = java.nio.file.Files.createTempDirectory("upd_reemit_src").toString
+    spark.read.parquet(s"$dir/f0").coalesce(1).write.mode("append").parquet(merged)
+    spark.read.parquet(s"$dir/f1").coalesce(1).write.mode("append").parquet(merged)
+    val streamed = EventStreams.spoolRun(spark, merged, outputMode = "update",
+        updateKeys = Seq("user_id"), maxFilesPerTrigger = Some(1))(
+        _.groupBy("user_id").agg(count(lit(1)).as("n")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming dedup emits each event_id at most once") {
     val out = EventStreams.runToCompletion(spark, sfDir, outputMode = "append")(
       EventStreams.dedupedEvents(_).select("event_id"))

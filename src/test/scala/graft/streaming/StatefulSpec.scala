@@ -55,13 +55,15 @@ class StatefulSpec extends SparkSpec {
   }
 
   test("mapGroupsWithState in STREAMING mode (update) matches the batch computation") {
-    val streamed = EventStreams.runToCompletion(spark, sfDir, outputMode = "update")(
+    val streamedDf = EventStreams.runToCompletion(spark, sfDir,
+        outputMode = "update", updateKeys = Seq("user_id"))(
         df => Stateful.sessionCounts(df))
+    // latest-wins reconstruction: exactly one row per key survives
+    assert(streamedDf.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
+    val streamed = streamedDf
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val batch = Stateful.sessionCounts(Tables.events(spark, sfDir))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // AvailableNow may run several micro-batches; the memory sink keeps the
-    // latest update per key row-appended — compare final per-user counts
     assert(streamed.keySet === batch.keySet)
     // totals per user must match once all batches are absorbed
     val mismatches = batch.filter { case (u, v) => streamed.get(u).exists(_._2 > v._2) }
