@@ -213,6 +213,31 @@ object ScaleCheck {
       }
     }
 
+    // Streaming probes (round 7): the least-verified surface at scale and —
+    // per round 6 — the most fragile. Amplified events land on disk first
+    // (the FileStreamSource reads a real directory, as it would in
+    // production); tumbling probes windowed-agg state throughput (copies
+    // add rows per window-group, not groups, so state is mult-invariant),
+    // upsert probes the foreachBatch MERGE path (distinct keys DO scale
+    // with mult — the table and its per-batch delta both grow).
+    if (want("stream")) {
+      val evs = amplify(model.Tables.events(spark, d), Seq("user_id", "event_id"))
+      val srcDir = java.nio.file.Files.createTempDirectory("scale_stream").toString
+      evs.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+      val nEv = spark.read.parquet(s"$srcDir/events.parquet").count()
+      time(s"stream_tumbling_${nEv}_events", nEv) {
+        streaming.EventStreams.spoolRun(spark, s"$srcDir/events.parquet")(
+          streaming.EventStreams.tumblingCounts(_)).count()
+      }
+      val upDir = java.nio.file.Files.createTempDirectory("scale_upsert").toString + "/t"
+      time(s"stream_upsert_${nEv}_events", nEv) {
+        streaming.EventStreams.streamUpsert(spark, srcDir, upDir).count()
+      }
+      util.Cleanup.registerTempDir(java.nio.file.Paths.get(srcDir))
+      util.Cleanup.registerTempDir(java.nio.file.Paths.get(upDir).getParent)
+      util.Cleanup.drain()
+    }
+
     // The MergeTable claim to verify at scale: commit cost follows the
     // DELTA, not the table. Build a mult-scaled table once, then commit a
     // FIXED-size delta (the sf0.1-sized slice) against it — if merges read
