@@ -1904,6 +1904,16 @@ object SparkEntry {
       TextAnalysis.canaryScan(t(s, d, "documents"), "doc_id", col("text"),
           Seq("table table key", "scan slow fast", "agg join small",
             "value fast merge"))
+        .orderBy(col("doc_id"), col("canary"))),
+
+    // ⊕ the same canary protocol through the Aho–Corasick kernel: ONE
+    // text traversal for ALL patterns (vs 3·N per-pattern passes) —
+    // checked against the SAME SQL shape as q134, so the oracle hash
+    // match proves the kernel reproduces contains/replace/locate exactly.
+    "q135_canary_ac" -> ((s, d) =>
+      TextAnalysis.canaryScanAC(t(s, d, "documents"), "doc_id", col("text"),
+          Seq("table table key", "scan slow fast", "agg join small",
+            "value fast merge", "join scan value", "key small slow"))
         .orderBy(col("doc_id"), col("canary")))
   )
 
@@ -3544,6 +3554,21 @@ object SparkEntry {
     "q134_canary_scan" ->
       """WITH c AS (SELECT unnest(['table table key', 'scan slow fast',
         |    'agg join small', 'value fast merge']) AS canary)
+        |SELECT doc_id, canary,
+        |  CAST((length(text) - length(replace(text, canary, '')))
+        |    / length(canary) AS BIGINT) AS n_hits,
+        |  CAST(strpos(text, canary) AS BIGINT) AS first_pos
+        |FROM documents, c
+        |WHERE contains(text, canary)
+        |ORDER BY doc_id, canary""".stripMargin,
+
+    // q135 runs the Aho–Corasick kernel on the Spark side; the oracle is
+    // the same per-pattern contains/replace/strpos shape as q134 — a hash
+    // match PROVES the one-pass automaton reproduces it exactly
+    "q135_canary_ac" ->
+      """WITH c AS (SELECT unnest(['table table key', 'scan slow fast',
+        |    'agg join small', 'value fast merge', 'join scan value',
+        |    'key small slow']) AS canary)
         |SELECT doc_id, canary,
         |  CAST((length(text) - length(replace(text, canary, '')))
         |    / length(canary) AS BIGINT) AS n_hits,

@@ -272,6 +272,28 @@ object TextAnalysis {
         expr("locate(canary, __t)").cast("long").as("first_pos"))
   }
 
+  /** [[canaryScan]] through the Aho–Corasick kernel
+    * ([[graft.functions.CanaryHits]]): ONE text traversal matches ALL
+    * patterns — the scaling form once the canary list grows past a few
+    * dozen, where the per-pattern contains/replace/locate chain walks each
+    * document 3·N times. Output is row-for-row identical to [[canaryScan]]
+    * (the kernel reproduces the non-overlapping length-delta count and the
+    * code-point `locate` position exactly), so both forms check against
+    * the SAME oracle SQL. Still a pure scan-stage projection+filter — no
+    * join, no shuffle; the automaton is a plan-time constant riding the
+    * codegen references array. */
+  def canaryScanAC(docs: DataFrame, idCol: String, text: Column,
+                   canaries: Seq[String]): DataFrame = {
+    require(canaries.nonEmpty && canaries.forall(_.nonEmpty),
+      "canaries must be non-empty strings")
+    docs
+      .select(col(idCol),
+        explode(graft.functions.CanaryHits.canaryHits(text, canaries)).as("h"))
+      .select(col(idCol),
+        element_at(array(canaries.map(lit): _*), col("h.idx") + 1).as("canary"),
+        col("h.n_hits").as("n_hits"), col("h.first_pos").as("first_pos"))
+  }
+
   /** Full multi-round BPE vocabulary induction: the iterative closure of
     * [[bpePairCounts]]. Each round counts adjacent symbol pairs over the
     * frequency-weighted word vocabulary, merges the argmax pair (score
