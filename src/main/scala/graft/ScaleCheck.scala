@@ -121,6 +121,13 @@ object ScaleCheck {
     time("simhash_adjacency", nDocs) {
       dedup.Dedup.simhashAdjacency(docs, "doc_id", col("text")).count()
     }
+    time("canary_ac_kernel", nDocs) {
+      // one-pass multi-pattern automaton vs 3 passes per pattern: probe at
+      // a 24-phrase list, where the per-pattern idiom's cost is 72 doc
+      // walks and the automaton's is still one
+      val pats = (0 until 24).map(i => s"scan slow fast v$i") :+ "table table key"
+      text.TextAnalysis.canaryScanAC(docs, "doc_id", col("text"), pats).count()
+    }
     time("term_counts_tfidf", nDocs) {
       // kernel tf (scan-stage) + df rollup + join — no (doc,term) shuffle
       text.TextAnalysis.tfidf(docs, "doc_id", col("text")).count()
