@@ -491,8 +491,14 @@ object SparkEntry {
       val kept = TextAnalysis.qualityFilter(docs, col("text"), minWords = 8)
         .filter(col("keep"))
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
-      val uniq = Dedup.exact(kept, col("text"), Seq(col("doc_id")))
-        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      // uniq fans out to TWO consumers (the near-dup clustering below and
+      // the corpus join-back), and the clustering's internal per-iteration
+      // checkpoints prevent Catalyst exchange reuse across them — without
+      // this localCheckpoint the scan→quality→dedup subtree runs twice
+      // (released by Cleanup.drain after the query)
+      val uniq = graft.util.Cleanup.checkpoint(
+        Dedup.exact(kept, col("text"), Seq(col("doc_id")))
+          .select(col("doc_id"), col("lang"), col("source"), col("text")))
       val reps = Dedup.nearDupClusters(uniq, "doc_id", col("text"))
         .filter(col("doc_id") === col("component"))
         .select(col("doc_id"))
