@@ -613,7 +613,11 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, text: Column,
                    maxDist: Int = 2): DataFrame = {
     val cuts = simhashBandCuts(maxDist + 1)
-    val fp = docs.select(col(idCol), simhash16(text).as("sh"))
+    // both join sides read the fingerprint projection; checkpoint so the
+    // corpus scan + per-word simhash runs once (see simhashAdjacency) —
+    // (id, 16-char fp) rows only, never the text
+    val fp = graft.util.Cleanup.checkpoint(
+      docs.select(col(idCol), simhash16(text).as("sh")))
     val exploded = fp.select(col(idCol), col("sh"),
       posexplode(array(cuts.map { case (st, ln) =>
         substring(col("sh"), st, ln) }: _*)).as(Seq("band", "bval")))
@@ -654,8 +658,14 @@ object Dedup {
   def simhashAdjacency(docs: DataFrame, idCol: String, text: Column,
                        maxDist: Int = 2): DataFrame = {
     val cuts = simhashBandCuts(maxDist + 1)
-    val groups = docs.select(simhash16(text).as("sh"))
-      .groupBy(col("sh")).agg(count(lit(1)).as("n"))
+    // the fingerprint rollup fans out THREE ways (within-cluster counts +
+    // both sides of the band self-join) and exchange reuse does not reach
+    // across the union/broadcast boundaries — without this checkpoint the
+    // corpus scan + per-word simhash runs three times. The table is tiny
+    // by construction (≤ 2^16 fingerprints); released by Cleanup.drain.
+    val groups = graft.util.Cleanup.checkpoint(
+      docs.select(simhash16(text).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("n")))
     val within = groups.filter(col("n") >= 2)
       .select(col("sh").as("sha"), col("sh").as("shb"), lit(0L).as("dist"),
         (col("n") * (col("n") - 1) / 2).cast("long").as("n_pairs"))
