@@ -613,11 +613,12 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, text: Column,
                    maxDist: Int = 2): DataFrame = {
     val cuts = simhashBandCuts(maxDist + 1)
-    // both join sides read the fingerprint projection; checkpoint so the
-    // corpus scan + per-word simhash runs once (see simhashAdjacency) —
-    // (id, 16-char fp) rows only, never the text
-    val fp = graft.util.Cleanup.checkpoint(
-      docs.select(col(idCol), simhash16(text).as("sh")))
+    // no checkpoint here (the winnowingCandidates reasoning): both join
+    // sides shuffle on the same (band, bval) key, so ReuseExchange serves
+    // the second side from the first's shuffle files — contrast
+    // [[simhashAdjacency]], whose within-cluster branch and BROADCAST side
+    // sit outside shuffle reuse and genuinely re-ran the corpus scan
+    val fp = docs.select(col(idCol), simhash16(text).as("sh"))
     val exploded = fp.select(col(idCol), col("sh"),
       posexplode(array(cuts.map { case (st, ln) =>
         substring(col("sh"), st, ln) }: _*)).as(Seq("band", "bval")))
