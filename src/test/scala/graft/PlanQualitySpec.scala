@@ -119,6 +119,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("partial_first"), p)
     val joins = p.split("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin").length - 1
     assert(joins == 1, s"expected exactly the band self-join, got $joins joins:\n$p")
+    // the fingerprint rollup is checkpointed at its 3-way fan-out: the
+    // corpus parquet must not be re-scanned per consumer (r7 — it ran 3×)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"corpus re-scanned past the rollup checkpoint ($scans):\n$p")
+  }
+
+  test("q76: the dedup subtree is checkpointed at its fan-out — corpus scanned once, not per consumer") {
+    val p = physical("q76_pipeline")
+    // both consumers (near-dup reps + corpus join-back) read the
+    // checkpointed uniq table; no documents.parquet scan survives in the
+    // final plan (the scan ran once, inside the checkpoint job)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"dedup subtree re-scanned past the checkpoint ($scans):\n$p")
   }
 
   test("q112: chunking is scan-stage work — the only exchange is the final sort") {
