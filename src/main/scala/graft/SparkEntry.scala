@@ -896,6 +896,24 @@ object SparkEntry {
           "value", 0.05, 0.95)
         .orderBy(col("event_type"))),
 
+    // ⊕ the 100 TB winsorize (percentile_approx sketch bounds, no
+    // per-group sort) gated against the exact form — the q88 pattern:
+    // the sketch's clipped mean must land within 1% (or 0.05 abs) of the
+    // exact one per group, emitted as a boolean the oracle hard-codes
+    // TRUE; a drifting sketch flips the bit and fails the hash compare.
+    "q136_winsorized_approx" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val exact = Relational.winsorizedStats(ev, "event_type", "value", 0.05, 0.95)
+      val approx = Relational.winsorizedStatsApprox(ev, "event_type", "value", 0.05, 0.95)
+        .select(col("event_type"), col("clipped_mean").as("__am"))
+      exact.join(approx, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("lo"), col("hi"),
+          col("clipped_mean"),
+          (abs(col("__am") - col("clipped_mean")) <=
+            greatest(abs(col("clipped_mean")) * 0.01, lit(0.05))).as("approx_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // ⊕ reproducible training-data mixture sampling: weighted (by length)
     // sample without replacement via hash-derived A-Res keys — one-pass
     // top-k (TakeOrderedAndProject), no RNG state, same winners in any
@@ -2584,6 +2602,23 @@ object SparkEntry {
         |SELECT e.event_type, b.n, b.lo, b.hi,
         |  floor(CAST(sum(CAST(least(greatest(e.value, b.lo), b.hi) AS DECIMAL(18,6))) AS DOUBLE)
         |    / b.n * 1e6) / 1e6 AS clipped_mean
+        |FROM events e JOIN b ON b.event_type = e.event_type
+        |GROUP BY e.event_type, b.n, b.lo, b.hi
+        |ORDER BY e.event_type""".stripMargin,
+
+    // q136: the sketch-gated form — oracle recomputes the EXACT winsorized
+    // stats (same as q111) and hard-codes approx_ok TRUE: Spark's sketch
+    // bound must stay within tolerance of exact or the hash flips
+    "q136_winsorized_approx" ->
+      """WITH b AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 4) AS lo,
+        |    round(quantile_cont(value, 0.95), 4) AS hi,
+        |    count(*) AS n
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, b.n, b.lo, b.hi,
+        |  floor(CAST(sum(CAST(least(greatest(e.value, b.lo), b.hi) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / b.n * 1e6) / 1e6 AS clipped_mean,
+        |  TRUE AS approx_ok
         |FROM events e JOIN b ON b.event_type = e.event_type
         |GROUP BY e.event_type, b.n, b.lo, b.hi
         |ORDER BY e.event_type""".stripMargin,
