@@ -1938,7 +1938,17 @@ object SparkEntry {
       TextAnalysis.canaryScanAC(t(s, d, "documents"), "doc_id", col("text"),
           Seq("table table key", "scan slow fast", "agg join small",
             "value fast merge", "join scan value", "key small slow"))
-        .orderBy(col("doc_id"), col("canary")))
+        .orderBy(col("doc_id"), col("canary"))),
+
+    // ⊕ tokenizer APPLICATION (the encode side of q130's training): a
+    // shipped 5-rule merge table applied to the corpus vocabulary —
+    // per-symbol corpus frequencies after merging. Two shuffles total
+    // (word rollup, symbol rollup); every merge pass is a scan-stage HOF
+    // over the distinct-word table, never the corpus.
+    "q137_bpe_apply" -> ((s, d) =>
+      TextAnalysis.bpeApply(t(s, d, "documents"), col("text"),
+          Seq("t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d", "i" -> "n"))
+        .orderBy(col("total").desc, col("symbol")).limit(50))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3616,6 +3626,31 @@ object SparkEntry {
         |  CAST(strpos(text, canary) AS BIGINT) AS first_pos
         |FROM documents, c
         |WHERE contains(text, canary)
-        |ORDER BY doc_id, canary""".stripMargin
+        |ORDER BY doc_id, canary""".stripMargin,
+
+    // q137 mirrors TextAnalysis.bpeApply with the q130 oracle's
+    // parenthesized-symbol representation: each merge rule is one
+    // replace('(a)(b)' -> '(ab)') — SQL replace scans left-to-right
+    // non-overlapping, exactly the greedy rule the Spark HOF applies
+    "q137_bpe_apply" ->
+      s"""WITH $wordsCte,
+         |wf AS (SELECT unnest(ws) AS wrd FROM w),
+         |freq AS (SELECT wrd, count(*) AS freq FROM wf
+         |  WHERE regexp_matches(wrd, '^[a-z]+$$') AND length(wrd) >= 2
+         |  GROUP BY wrd),
+         |s AS (SELECT freq,
+         |    replace(replace(replace(replace(replace(
+         |      regexp_replace(wrd, '(.)', '(\\1)', 'g'),
+         |      '(t)(h)', '(th)'),
+         |      '(th)(e)', '(the)'),
+         |      '(a)(n)', '(an)'),
+         |      '(an)(d)', '(and)'),
+         |      '(i)(n)', '(in)') AS seq
+         |  FROM freq),
+         |sym AS (SELECT freq, unnest(string_split(trim(seq, '()'), ')(')) AS symbol
+         |  FROM s)
+         |SELECT symbol, CAST(sum(freq) AS BIGINT) AS total
+         |FROM sym GROUP BY symbol
+         |ORDER BY total DESC, symbol LIMIT 50""".stripMargin
   )
 }

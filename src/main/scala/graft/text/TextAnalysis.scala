@@ -345,28 +345,64 @@ object TextAnalysis {
         val a = top(0).getString(0)
         val b = top(0).getString(1)
         merges += ((r.toLong, a, b, a + b, top(0).getLong(2)))
-        def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-        // greedy left-to-right non-overlapping merge of (a, b): `pend`
-        // carries the previous unmerged symbol; a merge consumes both and
-        // resets, so the merged token never re-merges within the round
-        syms = syms.withColumn("syms", expr(
-          s"""aggregate(syms,
-             |  named_struct('out', cast(array() as array<string>),
-             |               'pend', cast(null as string)),
-             |  (acc, x) -> CASE
-             |    WHEN acc.pend IS NULL THEN named_struct('out', acc.out, 'pend', x)
-             |    WHEN acc.pend = '${q(a)}' AND x = '${q(b)}'
-             |      THEN named_struct('out', array_append(acc.out, '${q(a + b)}'),
-             |                        'pend', cast(null as string))
-             |    ELSE named_struct('out', array_append(acc.out, acc.pend),
-             |                      'pend', x) END,
-             |  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
-             |              ELSE array_append(acc.out, acc.pend) END)""".stripMargin))
+        syms = syms.withColumn("syms", mergePairExpr("syms", a, b))
           .transform(graft.util.Cleanup.checkpoint(_))
         r += 1
       }
     }
     merges.toSeq.toDF("step", "a", "b", "merged", "score")
+  }
+
+  /** Greedy left-to-right non-overlapping merge of adjacent (a, b) into
+    * a+b over a symbol-array column: `pend` carries the previous unmerged
+    * symbol; a merge consumes both and resets, so the merged token never
+    * re-merges within the same pass. Shared by [[bpeLearn]] (one pass per
+    * learned round) and [[bpeApply]] (one pass per shipped merge rule). */
+  private def mergePairExpr(arrayCol: String, a: String, b: String): Column = {
+    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    expr(
+      s"""aggregate($arrayCol,
+         |  named_struct('out', cast(array() as array<string>),
+         |               'pend', cast(null as string)),
+         |  (acc, x) -> CASE
+         |    WHEN acc.pend IS NULL THEN named_struct('out', acc.out, 'pend', x)
+         |    WHEN acc.pend = '${q(a)}' AND x = '${q(b)}'
+         |      THEN named_struct('out', array_append(acc.out, '${q(a + b)}'),
+         |                        'pend', cast(null as string))
+         |    ELSE named_struct('out', array_append(acc.out, acc.pend),
+         |                      'pend', x) END,
+         |  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+         |              ELSE array_append(acc.out, acc.pend) END)""".stripMargin)
+  }
+
+  /** Tokenizer APPLICATION — the encode side of [[bpeLearn]]: apply a
+    * shipped, ordered merge table to the corpus and return per-symbol
+    * corpus frequencies. This is what running a trained tokenizer over a
+    * new corpus looks like as a distributed plan:
+    *
+    *   corpus → distinct-word frequency rollup (the ONLY corpus-sized
+    *   pass; the q130/A13 compression discipline) → per-word char split +
+    *   k chained merge passes (pure scan-stage HOFs over the vocab — one
+    *   codegen'd projection, no shuffle per merge) → symbol explode +
+    *   rollup.
+    *
+    * Two shuffles total regardless of merge count or corpus size. The
+    * merge list is a plan-time constant (like a shipped tokenizer.json);
+    * each pass is the same greedy non-overlapping rule bpeLearn trains
+    * with, so learn→apply round-trips exactly. */
+  def bpeApply(docs: DataFrame, text: Column,
+               merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeApply: at least one merge rule")
+    val vocab = docs.select(explode(words(text)).as("wrd"))
+      .filter(col("wrd").rlike("^[a-z]+$") && length(col("wrd")) >= 2)
+      .groupBy("wrd").agg(count(lit(1)).as("freq"))
+    val syms = merges.foldLeft(
+        vocab.select(col("freq"),
+          filter(split(col("wrd"), ""), s => s =!= "").as("syms"))) {
+      case (df, (a, b)) => df.withColumn("syms", mergePairExpr("syms", a, b))
+    }
+    syms.select(explode(col("syms")).as("symbol"), col("freq"))
+      .groupBy("symbol").agg(sum("freq").as("total"))
   }
 
   /** Corpus bigram language-model scoring: train add-one-smoothed bigram

@@ -43,6 +43,46 @@ class SearchAndBpeSpec extends SparkSpec {
     assert(got === Map("ab" -> 4L, "bc" -> 1L))
   }
 
+  test("bpeApply: hand-checked merges, greedy non-overlap, chained rules compose") {
+    val d = Seq((1L, "the thin hand and then"), (2L, "aaaa and the")).toDF("doc_id", "text")
+    // merges: t+h -> th, th+e -> the, a+n -> an, an+d -> and
+    val out = TextAnalysis.bpeApply(d, col("text"),
+        Seq("t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "the"×2 -> [the]; "then" -> [the,n] (t+h then th+e chain within the
+    // ordered passes); "thin" -> [th,i,n]; "hand" -> [h,an,d] -> [h,and]
+    // (a+n fires, then the later an+d pass consumes the result);
+    // "aaaa" -> [a,a,a,a] (no rule matches aa); "and"×2 -> [and]
+    assert(out("the") === 3L)   // the, the, then's prefix
+    assert(out("and") === 3L)   // "and"×2 + the one inside "hand"
+    assert(out("th") === 1L)    // thin only — then's th chained into the
+    assert(out("a") === 4L)     // aaaa
+    assert(out.get("t").isEmpty, out) // every bare 't' merged away
+  }
+
+  test("bpeApply round-trips bpeLearn: applying the learned table yields merged symbols with the learned scores") {
+    val d = graft.model.Tables.documents(spark, sfDir).limit(200)
+    val learned = TextAnalysis.bpeLearn(d, col("text"), rounds = 3)
+      .orderBy(col("step"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(learned.length === 3)
+    val applied = TextAnalysis.bpeApply(d, col("text"),
+        learned.map(m => (m._1, m._2)).toSeq)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the FIRST learned merge's score counts pairs over the original char
+    // sequences; after applying all rules, the merged symbol must appear
+    // at least... exactly? Later rules can consume earlier merged symbols
+    // (e.g. rule 2 = (m1, x)), so assert the first merged symbol appears
+    // with at least its learned score minus consumption by later rules,
+    // and that every learned merged symbol the later rules didn't consume
+    // is present
+    val consumed = learned.map(m => Set(m._1, m._2)).reduce(_ ++ _)
+    for ((_, _, merged, score) <- learned if !consumed.contains(merged)) {
+      assert(applied.contains(merged), s"$merged missing from applied symbols")
+      assert(applied(merged) >= score, s"$merged: ${applied(merged)} < $score")
+    }
+  }
+
   test("containmentVerify: excerpt fully contained reads c_ab = 1.0, jaccard-style dilution avoided") {
     import graft.dedup.Dedup
     val corpus = Seq(
