@@ -108,12 +108,24 @@ object HubEtl {
     *    deletes (the reference publishes after the create/update form
     *    submit only, main.py:251-256).
     *
+    *  - `maxRowsPerSecond` (K6, main.py:179,188,232,255: the reference
+    *    sleeps 1-2 s around every sink operation to pace a fragile
+    *    endpoint): when > 0, each PARTITION paces its submits to that
+    *    rate — before a submit, the task sleeps until elapsed time covers
+    *    ops_done/rate. The pacing unit is the task because the task is
+    *    the sequential unit (the reference's single browser session ≙ one
+    *    partition); for a GLOBAL budget against an API, `coalesce(n)` the
+    *    plan so total throughput is n × maxRowsPerSecond. Skipped rows
+    *    (delete_skipped, post-abort) are not paced — only real sink ops,
+    *    matching where the reference sleeps. 0 = unlimited (default).
+    *
     * mapPartitions (not foreachPartition) so the per-row statuses come BACK
     * as a DataFrame — auditable, joinable, and writable to a status table. */
   def loadRows(plan: DataFrame, sink: RowSink, opCol: String = "op_flag",
                knownOps: Seq[String] = Seq("create", "update", "delete"),
                autoPublish: Boolean = true,
-               autoDelete: Boolean = true): DataFrame = {
+               autoDelete: Boolean = true,
+               maxRowsPerSecond: Double = 0.0): DataFrame = {
     val spark = plan.sparkSession
     val outSchema = plan.schema
       .add("sink_message", StringType, nullable = true)
@@ -122,8 +134,11 @@ object HubEtl {
       .add("load_status", StringType, nullable = false)
     val opIdx = plan.schema.fieldIndex(opCol)
     val known = knownOps.toSet
+    val rate = maxRowsPerSecond
     val rdd = plan.rdd.mapPartitions { rows =>
       var aborted = false
+      var opsDone = 0L
+      var t0 = 0L // first-op time; pacing starts at the first real sink op
       rows.map { r =>
         val op = Option(r.get(opIdx)).map(_.toString).getOrElse("")
         if (aborted) {
@@ -134,6 +149,14 @@ object HubEtl {
         } else if (op == "delete" && !autoDelete) {
           Row.fromSeq(r.toSeq ++ Seq(null, null, false, "delete_skipped"))
         } else {
+          if (rate > 0) {
+            if (t0 == 0L) t0 = System.nanoTime()
+            // token-bucket with no burst: op k may start at t0 + k/rate
+            val earliest = t0 + (opsDone / rate * 1e9).toLong
+            val wait = earliest - System.nanoTime()
+            if (wait > 0) Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
+            opsDone += 1
+          }
           val (msg, status) =
             try (sink.submit(op, r), "submitted")
             catch { case e: Exception =>

@@ -215,6 +215,23 @@ class HubEtlSpec extends SparkSpec {
     assert(out("r4") === ((false, "error")))     // caught per row, not a job failure
   }
 
+  test("loadRows K6: maxRowsPerSecond paces submits; results identical to unpaced") {
+    import spark.implicits._
+    val plan = (1 to 20).map(i => (s"r$i", "create")).toDF("k", "op_flag").coalesce(1)
+    val sink = new HubEtl.RowSink {
+      def submit(op: String, row: org.apache.spark.sql.Row): String = ""
+    }
+    val unpaced = HubEtl.loadRows(plan, sink)
+      .select("k", "load_status").as[(String, String)].collect().toSet
+    val t0 = System.nanoTime()
+    val paced = HubEtl.loadRows(plan, sink, maxRowsPerSecond = 40.0)
+      .select("k", "load_status").as[(String, String)].collect().toSet
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(paced === unpaced)                    // pacing never changes results
+    // 20 ops at 40/s: op k waits until k/40 -> >= 19/40 = 0.475 s minimum
+    assert(elapsed >= 0.45, s"paced run finished in $elapsed s — not rate-limited")
+  }
+
   test("loadRows: unknown op_flag aborts the remaining rows of its partition") {
     import spark.implicits._
     val plan = Seq(("r1", "create"), ("r2", "upsert"), ("r3", "update"))
