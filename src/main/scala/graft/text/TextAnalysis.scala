@@ -389,7 +389,15 @@ object TextAnalysis {
     * Two shuffles total regardless of merge count or corpus size. The
     * merge list is a plan-time constant (like a shipped tokenizer.json);
     * each pass is the same greedy non-overlapping rule bpeLearn trains
-    * with, so learn→apply round-trips exactly. */
+    * with, so learn→apply round-trips exactly.
+    *
+    * Each pass is checkpointed (bpeLearn's per-round discipline, same
+    * reason): higher-order functions evaluate interpreted, and letting
+    * CollapseProject fold k merge passes into ONE k-deep nested
+    * `aggregate` expression measured 4× slower than k flat passes over
+    * the materialized vocab (3.2 s vs 0.8 s at sf0.1 for k=5) — the
+    * nested closure tree costs more than the vocab materializations it
+    * saves. Vocab rows are (freq, syms) only, never the corpus. */
   def bpeApply(docs: DataFrame, text: Column,
                merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty, "bpeApply: at least one merge rule")
@@ -399,7 +407,9 @@ object TextAnalysis {
     val syms = merges.foldLeft(
         vocab.select(col("freq"),
           filter(split(col("wrd"), ""), s => s =!= "").as("syms"))) {
-      case (df, (a, b)) => df.withColumn("syms", mergePairExpr("syms", a, b))
+      case (df, (a, b)) =>
+        graft.util.Cleanup.checkpoint(
+          df.withColumn("syms", mergePairExpr("syms", a, b)))
     }
     syms.select(explode(col("syms")).as("symbol"), col("freq"))
       .groupBy("symbol").agg(sum("freq").as("total"))
