@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BinaryStride, CanaryHits, CharGramJaccard, CosineSimilarity, CountMinSketch, KmvDistinct, RepetitionRatio, SimHash16, VecDot, WinnowFingerprints}
+import graft.functions.{BinaryStride, BpeEncode, CanaryHits, CharGramJaccard, CosineSimilarity, CountMinSketch, KmvDistinct, RepetitionRatio, SimHash16, VecDot, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
@@ -105,24 +105,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowFingerprints(children(0),
           intLit("k", children(1)), intLit("w", children(2)))
       }))
+    // canary_hits and bpe_encode delegate to the companion's shared
+    // builder — the same code path ensureRegistered uses, so the two
+    // registration doors cannot silently diverge
     ext.injectFunction((
       FunctionIdentifier("canary_hits"),
       new ExpressionInfo(classOf[CanaryHits].getName, "canary_hits"),
-      (children: Seq[Expression]) => {
-        arity("canary_hits(text, patterns)", children, 2)
-        val pats = children(1) match {
-          case e if e.foldable &&
-              e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
-              e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
-                .elementType == org.apache.spark.sql.types.StringType =>
-            e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-              .toArray[org.apache.spark.unsafe.types.UTF8String](
-                org.apache.spark.sql.types.StringType).map(_.toString).toSeq
-          case other => throw new IllegalArgumentException(
-            s"canary_hits: patterns must be a foldable string array, got $other")
-        }
-        CanaryHits(children(0), pats)
-      }))
+      (children: Seq[Expression]) => CanaryHits.build(children)))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (children: Seq[Expression]) => BpeEncode.build(children)))
     ext.injectFunction((
       FunctionIdentifier("chargram_jaccard"),
       new ExpressionInfo(classOf[CharGramJaccard].getName, "chargram_jaccard"),

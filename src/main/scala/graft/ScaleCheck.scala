@@ -198,6 +198,16 @@ object ScaleCheck {
         // grows with mult here; real corpora grow it sublinearly)
         text.TextAnalysis.bpeLearn(docs, col("text"), 5).count()
       }
+      // the A43 kernel claim: encode cost is FLAT in merge-table size
+      // (one traversal per distinct word consulting a rank index, vs the
+      // chained form's one pass per rule). Compare the three lines — they
+      // must be within noise of each other, not 6x/24x apart.
+      val refM = text.TextAnalysis.referenceMerges
+      for (k <- Seq(5, 30, refM.size)) {
+        time(s"bpe_encode_${k}_rules", nDocs) {
+          text.TextAnalysis.bpeApply(docs, col("text"), refM.take(k)).count()
+        }
+      }
     }
     if (want("pagerank")) {
       // pagerank probes the iterative-join family at mult x edges: cost
@@ -237,6 +247,10 @@ object ScaleCheck {
           streaming.EventStreams.tumblingCounts(_)).count()
       }
       val upDir = java.nio.file.Files.createTempDirectory("scale_upsert").toString + "/t"
+      // warm the one-time split-file materialization (full repartitionByRange
+      // + parquet rewrite of the amplified events) OUTSIDE the timed block:
+      // the probe measures the micro-batch MERGE path, not first-run setup
+      streaming.EventStreams.warmStreamUpsertFiles(spark, srcDir)
       time(s"stream_upsert_${nEv}_events", nEv) {
         streaming.EventStreams.streamUpsert(spark, srcDir, upDir).count()
       }

@@ -1948,7 +1948,17 @@ object SparkEntry {
     "q137_bpe_apply" -> ((s, d) =>
       TextAnalysis.bpeApply(t(s, d, "documents"), col("text"),
           Seq("t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d", "i" -> "n"))
-        .orderBy(col("total").desc, col("symbol")).limit(50))
+        .orderBy(col("total").desc, col("symbol")).limit(50)),
+
+    // ⊕ VOCABULARY-SCALE tokenizer application (A43): the same encode as
+    // q137 but with a 120-rule learned merge table, applied by the native
+    // single-traversal BpeEncode kernel — one projection pass regardless
+    // of rule count (the chained-HOF form would be 120 passes and 120
+    // vocab materializations). Two shuffles total.
+    "q138_bpe_encode_vocab" -> ((s, d) =>
+      TextAnalysis.bpeApply(t(s, d, "documents"), col("text"),
+          TextAnalysis.referenceMerges)
+        .orderBy(col("total").desc, col("symbol")).limit(100))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3651,6 +3661,29 @@ object SparkEntry {
          |  FROM s)
          |SELECT symbol, CAST(sum(freq) AS BIGINT) AS total
          |FROM sym GROUP BY symbol
-         |ORDER BY total DESC, symbol LIMIT 50""".stripMargin
+         |ORDER BY total DESC, symbol LIMIT 50""".stripMargin,
+
+    // q138 mirrors q137's parenthesized-replace oracle shape, but the
+    // 120-rule replace chain is GENERATED from the same constant merge
+    // table the Spark kernel ships (TextAnalysis.referenceMerges) — each
+    // rule is one left-to-right non-overlapping replace, exactly the
+    // greedy per-rule pass the native kernel emulates sparsely.
+    "q138_bpe_encode_vocab" -> {
+      val chain = graft.text.TextAnalysis.referenceMerges.foldLeft(
+        "regexp_replace(wrd, '(.)', '(\\1)', 'g')") { case (acc, (a, b)) =>
+          s"replace($acc, '($a)($b)', '($a$b)')"
+      }
+      s"""WITH $wordsCte,
+         |wf AS (SELECT unnest(ws) AS wrd FROM w),
+         |freq AS (SELECT wrd, count(*) AS freq FROM wf
+         |  WHERE regexp_matches(wrd, '^[a-z]+$$') AND length(wrd) >= 2
+         |  GROUP BY wrd),
+         |s AS (SELECT freq, $chain AS seq FROM freq),
+         |sym AS (SELECT freq, unnest(string_split(trim(seq, '()'), ')(')) AS symbol
+         |  FROM s)
+         |SELECT symbol, CAST(sum(freq) AS BIGINT) AS total
+         |FROM sym GROUP BY symbol
+         |ORDER BY total DESC, symbol LIMIT 100""".stripMargin
+    }
   )
 }

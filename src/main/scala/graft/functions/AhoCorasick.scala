@@ -178,9 +178,34 @@ object CanaryHits {
     }
   }
 
-  /** Idempotent SQL registration: `canary_hits(text, array('p0','p1'))`.
-    * The pattern array must be foldable (literals) — it defines the
-    * automaton, which is a plan-time constant by construction. */
+  /** Shared expression builder (used by both [[ensureRegistered]] and
+    * `GraftExtensions.injectFunction` so the two resolution paths cannot
+    * diverge): the pattern array must be foldable (literals) — it defines
+    * the automaton, a plan-time constant by construction. A null array or
+    * null elements are rejected here with the same message, not left to
+    * NPE inside eval(). */
+  def build(children: Seq[Expression]): CanaryHits = {
+    if (children.size != 2)
+      throw new IllegalArgumentException(
+        s"canary_hits(text, patterns) expects 2 arguments but got ${children.size}")
+    val pats = children(1) match {
+      case e if e.foldable && e.dataType.isInstanceOf[ArrayType] &&
+          e.dataType.asInstanceOf[ArrayType].elementType == StringType =>
+        val arr = e.eval()
+        if (arr == null) throw new IllegalArgumentException(
+          "canary_hits: patterns must be a non-null foldable string array")
+        arr.asInstanceOf[ArrayData].toArray[UTF8String](StringType).map { u =>
+          if (u == null) throw new IllegalArgumentException(
+            "canary_hits: patterns must not contain null elements")
+          u.toString
+        }.toSeq
+      case other => throw new IllegalArgumentException(
+        s"canary_hits: patterns must be a foldable string array, got $other")
+    }
+    CanaryHits(children(0), pats)
+  }
+
+  /** Idempotent SQL registration: `canary_hits(text, array('p0','p1'))`. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val fid = FunctionIdentifier("canary_hits")
@@ -188,20 +213,7 @@ object CanaryHits {
       registry.registerFunction(
         fid,
         new ExpressionInfo(classOf[CanaryHits].getName, "canary_hits"),
-        (children: Seq[Expression]) => {
-          if (children.size != 2)
-            throw new IllegalArgumentException(
-              s"canary_hits(text, patterns) expects 2 arguments but got ${children.size}")
-          val pats = children(1) match {
-            case e if e.foldable && e.dataType.isInstanceOf[ArrayType] &&
-                e.dataType.asInstanceOf[ArrayType].elementType == StringType =>
-              val arr = e.eval().asInstanceOf[ArrayData]
-              arr.toArray[UTF8String](StringType).map(_.toString).toSeq
-            case other => throw new IllegalArgumentException(
-              s"canary_hits: patterns must be a foldable string array, got $other")
-          }
-          CanaryHits(children(0), pats)
-        })
+        (children: Seq[Expression]) => build(children))
     }
   }
 

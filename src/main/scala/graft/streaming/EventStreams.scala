@@ -243,6 +243,15 @@ object EventStreams {
       d
     })
 
+  /** Pre-materialize [[streamUpsert]]'s shared split files without running
+    * a stream — for harnesses (ScaleCheck) that want to time the
+    * micro-batch MERGE path alone, not the one-time repartition+rewrite of
+    * the source table the first call pays. */
+  def warmStreamUpsertFiles(spark: SparkSession, dir: String,
+                            nFiles: Int = 3): Unit = {
+    sharedSplitDir(spark, dir, nFiles); ()
+  }
+
   def streamUpsert(spark: SparkSession, dir: String, tableDir: String,
                    nFiles: Int = 3): DataFrame = {
     import graft.layout.MergeTable

@@ -381,26 +381,42 @@ object TextAnalysis {
     * new corpus looks like as a distributed plan:
     *
     *   corpus → distinct-word frequency rollup (the ONLY corpus-sized
-    *   pass; the q130/A13 compression discipline) → per-word char split +
-    *   k chained merge passes (pure scan-stage HOFs over the vocab — one
-    *   codegen'd projection, no shuffle per merge) → symbol explode +
-    *   rollup.
+    *   pass; the q130/A13 compression discipline) → ONE native encode
+    *   projection ([[graft.functions.BpeEncode]]) that applies the whole
+    *   ranked merge table per word → symbol explode + rollup.
     *
-    * Two shuffles total regardless of merge count or corpus size. The
-    * merge list is a plan-time constant (like a shipped tokenizer.json);
-    * each pass is the same greedy non-overlapping rule bpeLearn trains
-    * with, so learn→apply round-trips exactly.
-    *
-    * Each pass is checkpointed (bpeLearn's per-round discipline, same
-    * reason): higher-order functions evaluate interpreted, and letting
-    * CollapseProject fold k merge passes into ONE k-deep nested
-    * `aggregate` expression measured 4× slower than k flat passes over
-    * the materialized vocab (3.2 s vs 0.8 s at sf0.1 for k=5) — the
-    * nested closure tree costs more than the vocab materializations it
-    * saves. Vocab rows are (freq, syms) only, never the corpus. */
+    * Two shuffles AND two passes total regardless of merge count or
+    * corpus size: the kernel walks each distinct word once, consulting a
+    * rank-indexed pair table, so a shipped 30–50k-rule tokenizer costs
+    * the same plan shape as a 5-rule one (the original form chained one
+    * checkpointed `aggregate`-HOF pass per rule — O(k) passes and O(k)
+    * vocab materializations; SearchAndBpeSpec keeps the chained form as
+    * the semantics oracle). The merge list is a plan-time constant (like
+    * a shipped tokenizer.json); the kernel applies exactly the greedy
+    * non-overlapping per-rule pass bpeLearn trains with, so learn→apply
+    * round-trips exactly. Vocab rows are (freq, syms) only, never the
+    * corpus. */
   def bpeApply(docs: DataFrame, text: Column,
                merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty, "bpeApply: at least one merge rule")
+    val vocab = docs.select(explode(words(text)).as("wrd"))
+      .filter(col("wrd").rlike("^[a-z]+$") && length(col("wrd")) >= 2)
+      .groupBy("wrd").agg(count(lit(1)).as("freq"))
+    vocab.select(
+        explode(graft.functions.BpeEncode.bpeEncode(col("wrd"), merges))
+          .as("symbol"),
+        col("freq"))
+      .groupBy("symbol").agg(sum("freq").as("total"))
+  }
+
+  /** The original chained-pass encode: one checkpointed `aggregate`-HOF
+    * merge pass per rule. Kept as the executable SEMANTICS REFERENCE for
+    * [[bpeApply]]'s native kernel (SearchAndBpeSpec asserts the two are
+    * identical on a ≥100-rule table) — not a production path: O(k)
+    * passes and O(k) vocabulary materializations. */
+  private[graft] def bpeApplyChained(docs: DataFrame, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeApplyChained: at least one merge rule")
     val vocab = docs.select(explode(words(text)).as("wrd"))
       .filter(col("wrd").rlike("^[a-z]+$") && length(col("wrd")) >= 2)
       .groupBy("wrd").agg(count(lit(1)).as("freq"))
@@ -413,6 +429,68 @@ object TextAnalysis {
     }
     syms.select(explode(col("syms")).as("symbol"), col("freq"))
       .groupBy("symbol").agg(sum("freq").as("total"))
+  }
+
+  /** A deterministic ≥100-rule reference merge table for vocabulary-scale
+    * encode (q138): a pure-Scala BPE trained on a fixed embedded
+    * word-frequency list with [[bpeLearn]]'s exact algorithm (argmax pair
+    * by score desc / a asc / b asc; greedy non-overlapping merge pass per
+    * round). Well-formed by construction — every rule's operands are
+    * single characters or outputs of strictly earlier rules — which is
+    * the shape a shipped tokenizer.json has. Plan-time constant: both the
+    * Spark query and the generated oracle SQL derive from this one Seq. */
+  lazy val referenceMerges: Seq[(String, String)] = {
+    // fixed mini-corpus: common English words, zipf-ish frequencies
+    val ws = Seq(
+      "the", "and", "that", "have", "for", "not", "with", "this", "from",
+      "they", "would", "there", "their", "what", "about", "which", "when",
+      "make", "like", "time", "just", "know", "take", "people", "into",
+      "year", "your", "good", "some", "could", "them", "other", "than",
+      "then", "look", "only", "come", "over", "think", "also", "back",
+      "after", "work", "first", "well", "even", "want", "because", "these",
+      "give", "most", "table", "query", "value", "group", "merge", "scan",
+      "join", "fast", "slow", "small", "large", "sort", "filter", "shuffle",
+      "partition", "stream", "batch", "window", "schema", "column", "index")
+    val freqs = ws.zipWithIndex.map { case (w, i) => (w, 4000L / (i + 1)) }
+    var vocab: Map[Vector[String], Long] =
+      freqs.groupBy(_._1).map { case (w, fs) =>
+        (w.split("").toVector, fs.map(_._2).sum)
+      }
+    val merges = Vector.newBuilder[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < 120 && !exhausted) {
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val (a, b) = pairCounts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        merges += ((a, b))
+        vocab = vocab.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), f)
+        }.groupBy(_._1).map { case (s, vs) => (s, vs.map(_._2).sum) }
+        r += 1
+      }
+    }
+    val result = merges.result()
+    require(result.size >= 100,
+      s"referenceMerges: expected >=100 rules, got ${result.size}")
+    result
   }
 
   /** Corpus bigram language-model scoring: train add-one-smoothed bigram

@@ -60,6 +60,46 @@ class SearchAndBpeSpec extends SparkSpec {
     assert(out.get("t").isEmpty, out) // every bare 't' merged away
   }
 
+  test("bpeApply native kernel is hash-identical to chained per-rule passes on the 120-rule reference table") {
+    val d = graft.model.Tables.documents(spark, sfDir).limit(150)
+    val merges = TextAnalysis.referenceMerges
+    assert(merges.size >= 100, s"reference table too small: ${merges.size}")
+    val fast = TextAnalysis.bpeApply(d, col("text"), merges)
+      .orderBy(desc("total"), col("symbol"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val slow = TextAnalysis.bpeApplyChained(d, col("text"), merges)
+      .orderBy(desc("total"), col("symbol"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fast === slow)
+  }
+
+  test("bpe_encode kernel keeps ORDERED-table pass semantics, not rank-priority revisit") {
+    // rule 2's merge creates exactly the pair rule 1 names; a sequential
+    // (ordered-pass) encoder must NOT go back and apply rule 1, while an
+    // HF-style rank-priority encoder would produce [abc]. The oracle's
+    // replace chain is sequential, so sequential is the contract.
+    val d = Seq((1L, "abc")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeApply(d, col("text"), Seq("a" -> "bc", "b" -> "c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 1L, "bc" -> 1L))
+  }
+
+  test("bpe_encode SQL registration: foldable merge array, null/shape rejection") {
+    graft.functions.BpeEncode.ensureRegistered(spark)
+    val got = spark.sql(
+      "SELECT bpe_encode('then', array('t h', 'th e', 'a n')) AS syms")
+      .head().getSeq[String](0)
+    assert(got === Seq("the", "n"))
+    val err = intercept[Exception] {
+      spark.sql("SELECT bpe_encode('x', cast(null as array<string>))").collect()
+    }
+    assert(err.getMessage.contains("bpe_encode"))
+    val err2 = intercept[Exception] {
+      spark.sql("SELECT bpe_encode('x', array('nospace'))").collect()
+    }
+    assert(err2.getMessage.contains("bpe_encode"))
+  }
+
   test("bpeApply round-trips bpeLearn: applying the learned table yields merged symbols with the learned scores") {
     val d = graft.model.Tables.documents(spark, sfDir).limit(200)
     val learned = TextAnalysis.bpeLearn(d, col("text"), rounds = 3)
