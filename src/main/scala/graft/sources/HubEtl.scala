@@ -137,11 +137,14 @@ object HubEtl {
     val rate = maxRowsPerSecond
     val rdd = plan.rdd.mapPartitions { rows =>
       var aborted = false
+      var interruptAbort = false
       var opsDone = 0L
       var t0 = 0L // first-op time; pacing starts at the first real sink op
       rows.map { r =>
         val op = Option(r.get(opIdx)).map(_.toString).getOrElse("")
-        if (aborted) {
+        if (interruptAbort) {
+          Row.fromSeq(r.toSeq ++ Seq(null, null, false, "skipped_interrupt"))
+        } else if (aborted) {
           Row.fromSeq(r.toSeq ++ Seq(null, null, false, "skipped_after_unknown_op"))
         } else if (!known.contains(op)) {
           aborted = true
@@ -149,25 +152,41 @@ object HubEtl {
         } else if (op == "delete" && !autoDelete) {
           Row.fromSeq(r.toSeq ++ Seq(null, null, false, "delete_skipped"))
         } else {
+          var interrupted = false
           if (rate > 0) {
             if (t0 == 0L) t0 = System.nanoTime()
             // token-bucket with no burst: op k may start at t0 + k/rate
             val earliest = t0 + (opsDone / rate * 1e9).toLong
             val wait = earliest - System.nanoTime()
-            if (wait > 0) Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
-            opsDone += 1
-          }
-          val (msg, status) =
-            try (sink.submit(op, r), "submitted")
-            catch { case e: Exception =>
-              (s"error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}", "error")
+            // a task interrupt (kill / speculation) during the pacing
+            // sleep must not surface as a bare InterruptedException task
+            // failure with no per-row status: restore the interrupt flag
+            // and abort the rest of the partition with an explicit status
+            if (wait > 0) {
+              try Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
+              catch { case _: InterruptedException =>
+                Thread.currentThread().interrupt()
+                interrupted = true
+                interruptAbort = true
+              }
             }
-          val valid = status == "submitted" &&
-            !(msg.toLowerCase.indexOf("invalid") >= 0)
-          val published = autoPublish && valid && op != "delete" &&
-            (try { sink.publish(r); true } catch { case _: Exception => false })
-          Row.fromSeq(r.toSeq ++
-            Seq(msg, valid, published, if (valid) status else if (status == "error") "error" else "invalid"))
+            if (!interrupted) opsDone += 1
+          }
+          if (interrupted) {
+            Row.fromSeq(r.toSeq ++ Seq(null, null, false, "skipped_interrupt"))
+          } else {
+            val (msg, status) =
+              try (sink.submit(op, r), "submitted")
+              catch { case e: Exception =>
+                (s"error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}", "error")
+              }
+            val valid = status == "submitted" &&
+              !(msg.toLowerCase.indexOf("invalid") >= 0)
+            val published = autoPublish && valid && op != "delete" &&
+              (try { sink.publish(r); true } catch { case _: Exception => false })
+            Row.fromSeq(r.toSeq ++
+              Seq(msg, valid, published, if (valid) status else if (status == "error") "error" else "invalid"))
+          }
         }
       }
     }

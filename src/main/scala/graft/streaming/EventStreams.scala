@@ -102,7 +102,16 @@ object EventStreams {
     * columns as `updateKeys` and reconstruction keeps only each key's
     * newest row (by batch id). Update mode without `updateKeys` returns
     * the raw per-batch updates in batch order, superseded rows included —
-    * only correct when the caller dedups or when keys never re-emit. */
+    * only correct when the caller dedups or when keys never re-emit.
+    *
+    * `updateKeys` reconstruction ASSUMES at most one row per key per
+    * micro-batch — true for streaming aggregations (one updated row per
+    * changed group per trigger), which is every transform here. A
+    * `flatMapGroupsWithState` transform that emits several rows for one
+    * key within a single batch would make the batch-id tie-break
+    * nondeterministic; such callers must fold the per-batch rows to one
+    * per key inside the transform (or extend the tie-break with a
+    * deterministic secondary column). */
   def runToCompletion(spark: SparkSession, dir: String,
                       outputMode: String = "complete",
                       updateKeys: Seq[String] = Nil)
