@@ -1792,15 +1792,35 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // ⊕ multimodal: per-partition decode stub (mapPartitions batch shape).
-    // Oracle-checked: the DeterministicFakeDecoder's f0 (mean of payload
-    // bytes at positions ≡ 0 mod 8) is SQL-expressible over the all-ASCII
-    // corpus (byte i == ascii(char i+1)), so the whole mapPartitions
-    // pipeline — schema, batching, decoder plumbing — is hash-verified.
+    // ⊕ multimodal: per-partition byte-statistics features (mapPartitions
+    // batch shape, no codec — the format-sniffing heuristic path).
+    // Oracle-checked: ByteStatsDecoder's f0 (mean of payload bytes at
+    // positions ≡ 0 mod 8) is SQL-expressible over the all-ASCII corpus
+    // (byte i == ascii(char i+1)), so the whole mapPartitions pipeline —
+    // schema, batching, decoder plumbing — is hash-verified.
     "q92_media_features" -> ((s, d) => {
       val withPayload = Multimodal.attachPayload(t(s, d, "documents"))
       Multimodal.extractFeatures(withPayload, "doc_id")
         .select(col("id").as("doc_id"), round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ⊕ REAL image decode (javax.imageio, JDK-native — no external media
+    // libs): render a deterministic PNG per doc, decode it back with
+    // ImageIO, and emit width/height/channel means. The pixel formula is
+    // closed-form arithmetic in (doc_id, x, y), so the oracle recomputes
+    // the identical means codec-free — if the decode were fake or lossy,
+    // every mean would hash-mismatch. Integer sums divide once at the
+    // end → bit-identical doubles in both engines.
+    "q139_image_decode" -> ((s, d) => {
+      val imgs = Multimodal.attachImagePayload(t(s, d, "documents"))
+      Multimodal.extractFeatures(imgs, "doc_id", new Multimodal.ImageIoDecoder)
+        .select(col("id").as("doc_id"),
+          element_at(col("features"), 1).cast("int").as("width"),
+          element_at(col("features"), 2).cast("int").as("height"),
+          element_at(col("features"), 3).as("mean_r"),
+          element_at(col("features"), 4).as("mean_g"),
+          element_at(col("features"), 5).as("mean_b"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3388,7 +3408,7 @@ object SparkEntry {
         |  TRUE AS hll_ok, TRUE AS kmv_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    // mirrors DeterministicFakeDecoder.features()(0): byte i of the UTF-8
+    // mirrors ByteStatsDecoder.features()(0): byte i of the UTF-8
     // payload == ascii(char i+1) because the corpus is ASCII-only; exact
     // integer sums divide to bit-identical doubles in both engines
     "q92_media_features" ->
@@ -3684,6 +3704,31 @@ object SparkEntry {
          |SELECT symbol, CAST(sum(freq) AS BIGINT) AS total
          |FROM sym GROUP BY symbol
          |ORDER BY total DESC, symbol LIMIT 100""".stripMargin
-    }
+    },
+
+    // q139 recomputes the decoded image features ARITHMETICALLY: the PNG
+    // renderer's pixel formula is pure integer math in (doc_id, x, y)
+    // (Multimodal.SyntheticPng), so expanding the pixel grid with
+    // generate_series and summing the channel formulas reproduces exactly
+    // what ImageIO reads back from the lossless PNG. Integer sums divide
+    // once as doubles — bit-identical across engines.
+    "q139_image_decode" ->
+      """WITH dims AS (SELECT doc_id,
+        |    8 + doc_id % 9 AS w, 8 + (doc_id*3) % 9 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+        |  FROM dims),
+        |xy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        |  FROM xs),
+        |agg AS (SELECT doc_id, w, h,
+        |    sum((doc_id*7 + x*3 + y*11) % 256) AS sr,
+        |    sum((doc_id*13 + x*5 + y*7) % 256) AS sg,
+        |    sum((doc_id*3 + x*13 + y*2) % 256) AS sb,
+        |    count(*) AS n
+        |  FROM xy GROUP BY doc_id, w, h)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sr AS DOUBLE) / n AS mean_r,
+        |  CAST(sg AS DOUBLE) / n AS mean_g,
+        |  CAST(sb AS DOUBLE) / n AS mean_b
+        |FROM agg ORDER BY doc_id""".stripMargin
   )
 }

@@ -5,12 +5,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (north-star ⊕): image/audio/video payloads
-  * are opaque `binary` columns with a typed metadata struct alongside. The
-  * Spark-side pipeline — schema, partitioning, batch shape, feature
-  * columns — is real and tested; the *codec* itself is stubbed behind
-  * [[Decoder]] because no image/audio libraries ship in this container.
-  * Swapping in a real decoder (JavaCV, TwelveMonkeys, ffmpeg-cli via
-  * mapPartitions) changes ONE class, not the pipeline.
+  * are opaque `binary` columns with a typed metadata struct alongside,
+  * decoded per-partition behind the pluggable [[Decoder]] seam. The image
+  * path is REAL: [[ImageIoDecoder]] decodes PNG payloads with the JDK's
+  * `javax.imageio` (no external libraries needed), and
+  * [[attachImagePayload]] renders deterministic PNGs so the decode is
+  * oracle-checkable — the pixel formula is pure arithmetic in `doc_id`,
+  * so DuckDB recomputes the identical channel means without any codec
+  * (q139). Audio/video codecs would slot in as further Decoder
+  * implementations (JavaCV, ffmpeg-cli via mapPartitions) — one class,
+  * no pipeline changes.
   *
   * Scale notes: payloads stay columnar parquet binary; decode runs
   * per-partition (one decoder instance per task, amortized init);
@@ -42,11 +46,10 @@ object Multimodal {
     def features(payload: Array[Byte]): Array[Double]
   }
 
-  /** STUB: a real image/audio decode would live here (e.g. JavaCV
-    * `Java2DFrameConverter` / resize / frame-sample). The container has no
-    * media libs, so this derives a deterministic 8-dim feature from byte
-    * statistics — same shape, same plumbing, fake content. */
-  class DeterministicFakeDecoder extends Decoder {
+  /** Byte-statistics features over ANY opaque payload (format sniffing /
+    * corruption heuristics, no codec): 8 stride-binned byte means. Not an
+    * image decoder — for images use [[ImageIoDecoder]]. */
+  class ByteStatsDecoder extends Decoder {
     def features(payload: Array[Byte]): Array[Double] = {
       val n = math.max(payload.length, 1)
       val feats = new Array[Double](8)
@@ -59,11 +62,99 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/BMP/GIF ship
+    * with the JRE — no external media libraries required). Features:
+    * `[width, height, mean_r, mean_g, mean_b]`. Channel means accumulate
+    * as exact integer sums and divide once, so an engine that recomputes
+    * the same sums arithmetically (the q139 oracle) gets bit-identical
+    * doubles. */
+  class ImageIoDecoder extends Decoder {
+    def features(payload: Array[Byte]): Array[Double] = {
+      // in-memory stream cache: the default file-backed cache writes a
+      // temp file per decode — per-row disk I/O in every task
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"ImageIoDecoder: undecodable payload (${payload.length} bytes)")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = img.getRGB(x, y)
+          sr += (v >> 16) & 0xff
+          sg += (v >> 8) & 0xff
+          sb += v & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      Array(w.toDouble, h.toDouble, sr / n, sg / n, sb / n)
+    }
+  }
+
+  /** Deterministic synthetic PNG for `doc_id`: dimensions and every pixel
+    * are closed-form arithmetic in (id, x, y), so the decoded channel
+    * means are recomputable by ANY engine without a codec — that is what
+    * makes the real ImageIO decode path oracle-checkable end-to-end. */
+  private[graft] object SyntheticPng {
+    def width(id: Long): Int = (8 + id % 9).toInt
+    def height(id: Long): Int = (8 + (id * 3) % 9).toInt
+    def r(id: Long, x: Int, y: Int): Int = ((id * 7 + x * 3 + y * 11) % 256).toInt
+    def g(id: Long, x: Int, y: Int): Int = ((id * 13 + x * 5 + y * 7) % 256).toInt
+    def b(id: Long, x: Int, y: Int): Int = ((id * 3 + x * 13 + y * 2) % 256).toInt
+
+    def render(id: Long): Array[Byte] = {
+      val w = width(id); val h = height(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (r(id, x, y) << 16) | (g(id, x, y) << 8) | b(id, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per encode
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** Attach a REAL PNG payload per row (rendered deterministically from
+    * the id): `(doc_id, payload, meta)` with mime image/png and true
+    * dimensions. mapPartitions for the same one-encoder-per-task shape as
+    * [[extractFeatures]]. */
+  def attachImagePayload(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", mediaMetaSchema, nullable = false)))
+    val input = docs.select(col(idCol).cast("long"))
+    val rdd = input.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, SyntheticPng.render(id),
+          Row("image/png", SyntheticPng.width(id), SyntheticPng.height(id), null))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Decode/feature-extract over binary payloads: mapPartitions so the
     * decoder is constructed once per task (the Scala analogue of a batched
     * `mapInPandas` UDF — same batch-per-partition shape). */
   def extractFeatures(withPayload: DataFrame, idCol: String,
-                      decoder: Decoder = new DeterministicFakeDecoder): DataFrame = {
+                      decoder: Decoder = new ByteStatsDecoder): DataFrame = {
     val spark = withPayload.sparkSession
     val outSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),

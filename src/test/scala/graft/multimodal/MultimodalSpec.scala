@@ -24,6 +24,47 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L) !== f(3L))
   }
 
+  test("ImageIoDecoder round-trips SyntheticPng: real PNG encode + ImageIO decode recovers exact dims and channel means") {
+    for (id <- Seq(0L, 1L, 42L, 9999L)) {
+      val w = Multimodal.SyntheticPng.width(id)
+      val h = Multimodal.SyntheticPng.height(id)
+      val png = Multimodal.SyntheticPng.render(id)
+      // a real PNG, not a byte bag: magic header present
+      assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+      val f = new Multimodal.ImageIoDecoder().features(png)
+      assert(f(0) === w.toDouble && f(1) === h.toDouble)
+      // arithmetic recompute of the means (the q139 oracle's formula)
+      def mean(ch: (Long, Int, Int) => Int): Double = {
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w) s += ch(id, x, y)
+        s.toDouble / (w * h)
+      }
+      assert(f(2) === mean(Multimodal.SyntheticPng.r))
+      assert(f(3) === mean(Multimodal.SyntheticPng.g))
+      assert(f(4) === mean(Multimodal.SyntheticPng.b))
+    }
+  }
+
+  test("attachImagePayload + extractFeatures: distributed PNG decode pipeline") {
+    val d = Seq((7L, "x"), (8L, "y"), (9L, "z")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(
+        Multimodal.attachImagePayload(d), "doc_id", new Multimodal.ImageIoDecoder)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(feats.size === 3)
+    assert(feats(7L)(0) === Multimodal.SyntheticPng.width(7L).toDouble)
+    assert(feats(9L)(1) === Multimodal.SyntheticPng.height(9L).toDouble)
+    val meta = Multimodal.attachImagePayload(d)
+      .select("meta.mime", "meta.width").head()
+    assert(meta.getString(0) === "image/png")
+  }
+
+  test("ImageIoDecoder rejects undecodable payloads loudly") {
+    val err = intercept[IllegalArgumentException] {
+      new Multimodal.ImageIoDecoder().features("not a png".getBytes("UTF-8"))
+    }
+    assert(err.getMessage.contains("undecodable"))
+  }
+
   test("resizeBytes stride-decimates the payload, empty payload passes through") {
     val d = Seq((1L, "abcdefgh"), (2L, "")).toDF("doc_id", "text")
     val out = Multimodal.resizeBytes(Multimodal.attachPayload(d), factor = 3)
