@@ -111,10 +111,17 @@ object SparkEntry {
     * correct tier instead of the compile-time default. */
   @volatile private var q94FixtureSub: String = s"$Q94FixtureDir/sf0.01"
 
+  /** q140's IVF-PQ fixture (assignment + PQ codes + codebooks + probes),
+    * same per-tier memoization discipline as [[Q94FixtureDir]]. */
+  val Q140FixtureDir = "/tmp/graft_ivfpq_oracle_fixture"
+  @volatile private var q140FixtureSub: String = s"$Q140FixtureDir/sf0.01"
+
   /** Pin tier-dependent oracle fixture paths to `sfDir`'s tier (see
     * [[q94FixtureSub]]); called by Verify before dumping [[oracleSql]]. */
-  def setOracleTier(sfDir: String): Unit =
+  def setOracleTier(sfDir: String): Unit = {
     q94FixtureSub = s"$Q94FixtureDir/${new java.io.File(sfDir).getName}"
+    q140FixtureSub = s"$Q140FixtureDir/${new java.io.File(sfDir).getName}"
+  }
 
   /** Order-independent exact sum of a double column: via DECIMAL. */
   private def dsum(c: Column, prec: Int = 18, scale: Int = 2): Column =
@@ -1789,6 +1796,58 @@ object SparkEntry {
           assigned.select(col("vec_id").as("nid"), col("embedding").as("__ce"),
             col("cell")),
           qCells, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ⊕ similarity: IVF-PQ — product-quantized ANN over the q94 layout.
+    // The candidates in each query's probed cells are scored by ASYMMETRIC
+    // DISTANCE from 4-byte PQ codes + driver-literal codebooks (no full
+    // vectors in the scan), a 40-deep shortlist per query is then exact-
+    // cosine re-ranked against the full vectors joined back by id — the
+    // standard 100 TB at-rest step after writeIvfLayout (8-byte codes vs
+    // 256-byte floats). Everything is pinned to a per-tier fixture
+    // (codes, codebooks, probes), so the DuckDB oracle recomputes the
+    // ENTIRE compressed pipeline — ADC scores as exact 1e12-scaled-long
+    // sums, shortlist, re-rank — and every row hash-checks; the recall-vs-
+    // exact-in-cell bar lives in IvfSpec (the q94 discipline).
+    "q140_ann_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      q140FixtureSub = s"$Q140FixtureDir/${new java.io.File(d).getName}"
+      val fx = q140FixtureSub
+      val marker = new java.io.File(s"$fx/_built_k16_np4_m8ks16_v1")
+      if (!marker.exists()) {
+        val cents = Similarity.ivfCentroids(emb, 16)
+        val cbs = Similarity.pqTrain(emb, m = 8, ks = 16)
+        Similarity.ivfAssign(emb, cents)
+          .withColumn("code", Similarity.pqEncode(col("embedding"), cbs))
+          .select(col("vec_id"), col("embedding"), col("cell"), col("code"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/assign.parquet")
+        val cbRows = for { j <- cbs.indices; c <- cbs(j).indices }
+          yield (j, c, cbs(j)(c))
+        import s.implicits._
+        cbRows.toDF("j", "code", "cw")
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/codebooks.parquet")
+        Similarity.probeCells(emb.filter(col("vec_id") < 50), cents, nprobe = 4)
+          .select(col("qid"), col("cell"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/probes.parquet")
+        marker.createNewFile()
+      }
+      val assigned = s.read.parquet(s"$fx/assign.parquet")
+      // codebook literals rebuilt from the PERSISTED doubles — exactly the
+      // values the oracle reads, so the two engines share one codebook
+      val cbRows = s.read.parquet(s"$fx/codebooks.parquet").collect()
+      val m = cbRows.map(_.getInt(0)).max + 1
+      val ks = cbRows.map(_.getInt(1)).max + 1
+      val cbs = Array.ofDim[Seq[Double]](m, ks)
+      cbRows.foreach(r => cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
+      val qCells = s.read.parquet(s"$fx/probes.parquet")
+        .join(assigned.select(col("vec_id").as("qid"), col("embedding").as("__qe")),
+          Seq("qid"))
+      Similarity.ivfPqRank(assigned,
+          assigned.select(col("vec_id").as("nid"), col("cell"), col("code")),
+          qCells,
+          assigned.select(col("vec_id").as("nid"), col("embedding").as("__ce")),
+          cbs, k = 5, shortlist = 40)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -3729,6 +3788,46 @@ object SparkEntry {
         |  CAST(sr AS DOUBLE) / n AS mean_r,
         |  CAST(sg AS DOUBLE) / n AS mean_g,
         |  CAST(sb AS DOUBLE) / n AS mean_b
-        |FROM agg ORDER BY doc_id""".stripMargin
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // q140 recomputes the WHOLE compressed IVF-PQ pipeline from the pinned
+    // fixture: ADC scores from codes + persisted codebooks (per-sub dots as
+    // exact 1e12-scaled longs — order-independent), 40-deep shortlist, exact
+    // cosine re-rank — so the hash match certifies the product-quantized
+    // scan itself, not just its final neighbors.
+    "q140_ann_ivfpq" ->
+      s"""WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, cell, code
+         |      FROM read_parquet('$q140FixtureSub/assign.parquet/*.parquet')),
+         |cb AS (SELECT j, code, cw
+         |      FROM read_parquet('$q140FixtureSub/codebooks.parquet/*.parquet')),
+         |p AS (SELECT qid, cell
+         |      FROM read_parquet('$q140FixtureSub/probes.parquet/*.parquet')),
+         |q AS (SELECT p.qid, a.emb AS qemb, p.cell FROM p JOIN a ON p.qid = a.vec_id),
+         |qe AS (SELECT DISTINCT qid, qemb FROM q),
+         |cand AS (SELECT q.qid, c.vec_id AS nid, c.code
+         |  FROM q JOIN a c ON q.cell = c.cell AND q.qid <> c.vec_id),
+         |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         |sl AS (SELECT cand.qid, cand.nid,
+         |    CAST(round(list_dot_product(qe.qemb[8*js.j+1 : 8*js.j+8], cb.cw) * 1e12)
+         |      AS BIGINT) AS s
+         |  FROM cand
+         |  JOIN qe ON qe.qid = cand.qid
+         |  CROSS JOIN js
+         |  JOIN cb ON cb.j = js.j AND cb.code = cand.code[js.j + 1]),
+         |adc AS (SELECT qid, nid, SUM(s) AS adc FROM sl GROUP BY qid, nid),
+         |short AS (SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS sr
+         |  FROM adc),
+         |rr AS (SELECT s.qid, s.nid,
+         |    round(list_dot_product(qe.qemb, c.emb)
+         |      / (sqrt(list_dot_product(qe.qemb, qe.qemb))
+         |         * sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+         |  FROM short s JOIN qe ON qe.qid = s.qid
+         |  JOIN a c ON c.vec_id = s.nid
+         |  WHERE s.sr <= 40),
+         |r AS (SELECT qid, nid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT)
+         |    AS rank FROM rr)
+         |SELECT qid, nid, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   )
 }

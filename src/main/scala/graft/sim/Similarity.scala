@@ -246,6 +246,111 @@ object Similarity {
     ivfRank(queries, c, qCells, k)
   }
 
+  // ---- IVF-PQ (product quantization) ---------------------------------------
+
+  /** Deterministic left-fold squared L2 between a sub-vector column and a
+    * codeword expression. */
+  private def l2sq(sub: Column, cw: Column): Column =
+    aggregate(zip_with(sub, cw, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-subvector k-means codebooks — the PQ compression step after
+    * [[writeIvfLayout]]: each `dims/m`-dim slice of every vector is
+    * vector-quantized against its own `ks`-entry codebook, so a vector
+    * stores as m small codes (m=8, ks=16 → 8 nibbles = 4 bytes) instead of
+    * dims floats (256 bytes) — the standard at-rest shrink for a 100 TB
+    * embedding corpus. Training mirrors [[ivfCentroids]]' determinism
+    * discipline: init = sub-slices of the `ks` smallest vec_ids, fixed
+    * Lloyd iterations, squared-L2 assignment with first-index tiebreak;
+    * all m subvectors train in ONE distributed pass per iteration (explode
+    * to (j, sub) rows → literal-codebook argmin → (j, code)-keyed mean);
+    * the driver holds only m × ks × dims/m doubles — codebooks enter every
+    * plan as literals, the corpus never collects. */
+  def pqTrain(vectors: DataFrame, m: Int = 8, ks: Int = 16, iters: Int = 3,
+              dims: Int = 64): Array[Array[Seq[Double]]] = {
+    require(dims % m == 0, s"pqTrain: dims $dims not divisible by m $m")
+    val sub = dims / m
+    val init = vectors.orderBy(col("vec_id")).limit(ks)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    require(init.length == ks, s"pqTrain: corpus smaller than ks=$ks")
+    var cbs: Array[Array[Seq[Double]]] = Array.tabulate(m, ks)((j, c) =>
+      init(c).slice(j * sub, (j + 1) * sub).map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val cbLit = typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
+      val assigned = vectors
+        .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("embedding"), j * sub + 1, lit(sub)))).as(Seq("j", "sub")))
+        .withColumn("dists", transform(element_at(cbLit, col("j") + 1),
+          cw => l2sq(col("sub"), cw)))
+        .withColumn("code",
+          (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+      val agg = udaf(new CentroidAggregator(sub))
+      val next = assigned.groupBy(col("j"), col("code"))
+        .agg(agg(col("sub")).as("c")).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      cbs = Array.tabulate(m, ks)((j, c) =>
+        next.get((j, c)).filter(_.nonEmpty).getOrElse(cbs(j)(c)))
+    }
+    cbs
+  }
+
+  /** PQ code column: array<int> of m codebook indices per vector — the
+    * 4-byte at-rest representation. Pure scan-stage codegen over literal
+    * codebooks; first-index tiebreak keeps the assignment deterministic. */
+  def pqEncode(vec: Column, cbs: Array[Array[Seq[Double]]]): Column = {
+    val m = cbs.length
+    val sub = cbs(0)(0).length
+    val cbLit = typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val s = slice(vec, j * sub + 1, lit(sub))
+      val dists = transform(element_at(cbLit, j + 1), cw => l2sq(s, cw))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+  }
+
+  /** Asymmetric-distance (ADC) inner-product score as an exact 1e12-scaled
+    * LONG: Σ_j round(1e12 · ⟨query_sub_j, codeword(code_j)⟩). Each sub-dot
+    * is the native fused-loop kernel against a literal codeword; the m
+    * per-sub longs add as exact integers, so the score is order-independent
+    * and hash-reproducible by any engine reading the same persisted
+    * codebooks (the q133 scaled-long discipline). One projection — the PQ
+    * scan never joins or shuffles for the codebook. */
+  def pqAdcLong(qvec: Column, code: Column,
+                cbs: Array[Array[Seq[Double]]]): Column = {
+    val m = cbs.length
+    val sub = cbs(0)(0).length
+    val cbLit = typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    (0 until m).map { j =>
+      val cw = element_at(element_at(cbLit, j + 1), element_at(code, j + 1) + 1)
+      round(graft.functions.VectorFunctions.vecDot(
+        slice(qvec, j * sub + 1, sub), cw) * lit(1e12), 0).cast("long")
+    }.reduce(_ + _)
+  }
+
+  /** IVF-PQ top-k: ADC-score the candidates in the probed cells from codes
+    * + literal codebooks ONLY (the compressed scan — 4-byte codes, no full
+    * vectors), keep a `shortlist` per query, then exact-cosine re-rank
+    * only the shortlist against the full vectors joined back by id. At
+    * 100 TB the full vectors are read for shortlist·|Q| rows instead of
+    * the whole probed inverted lists — PQ's entire point.
+    * `codes` must carry (nid, cell, code); `qCells` (qid, __qe, cell);
+    * `vectors` (nid, __ce). Output matches [[ivfRank]]'s shape. */
+  def ivfPqRank(session: DataFrame, codes: DataFrame, qCells: DataFrame,
+                vectors: DataFrame, cbs: Array[Array[Seq[Double]]], k: Int,
+                shortlist: Int): DataFrame = {
+    val cand = codes.join(qCells, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("__adc", pqAdcLong(col("__qe"), col("code"), cbs))
+    val ws = Window.partitionBy(col("qid")).orderBy(col("__adc").desc, col("nid").asc)
+    val short = cand.withColumn("__sr", row_number().over(ws))
+      .filter(col("__sr") <= shortlist)
+    val scored = short.join(vectors, Seq("nid"))
+      .withColumn("sim", round(cosineNative(session, col("__qe"), col("__ce")), 6))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(wr)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** Typed Aggregator (⊕A7): element-wise vector mean. Buffer = (sums,
     * count); merge is associative so Spark runs it partial+final like any
     * hash aggregate. Exposed untyped via functions.udaf. */

@@ -43,6 +43,57 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("PQ codes reconstruct: pqEncode maps each subvector to its nearest codeword") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cbs = Similarity.pqTrain(emb, m = 8, ks = 16, iters = 2)
+    assert(cbs.length === 8 && cbs.forall(_.length === 16))
+    assert(cbs.forall(_.forall(_.length === 8)))
+    val codes = emb.select(col("vec_id"), col("embedding"),
+        Similarity.pqEncode(col("embedding"), cbs).as("code"))
+      .limit(20).collect()
+    for (r <- codes) {
+      val v = r.getSeq[Float](1)
+      val code = r.getSeq[Int](2)
+      assert(code.length === 8)
+      for (j <- 0 until 8) {
+        val sub = v.slice(j * 8, (j + 1) * 8).map(_.toDouble)
+        def l2(cw: Seq[Double]) =
+          cw.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum
+        val dists = cbs(j).map(l2)
+        assert(dists(code(j)) === dists.min,
+          s"vec ${r.getLong(0)} sub $j: code ${code(j)} not argmin")
+      }
+    }
+  }
+
+  test("q140 IVF-PQ shortlist re-rank recovers most of the exact in-cell top-5 (recall bar)") {
+    // the approximation-quality bar for the PQ path, the q94 discipline:
+    // q140 is hash-verified within its pinned fixture, so what the oracle
+    // can't express — how close ADC-shortlisting gets to the EXACT re-rank
+    // of the whole probed cells — is asserted here as a named test
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.ivfCentroids(emb, 16)
+    val cbs = Similarity.pqTrain(emb, m = 8, ks = 16)
+    val assigned = Similarity.ivfAssign(emb, cents)
+      .withColumn("code", Similarity.pqEncode(col("embedding"), cbs))
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val qCells = Similarity.probeCells(emb.filter(col("vec_id") < 50), cents, 4)
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val exact = Similarity.ivfRank(assigned,
+        assigned.select(col("vec_id").as("nid"), col("embedding").as("__ce"),
+          col("cell")),
+        qCells, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val pq = Similarity.ivfPqRank(assigned,
+        assigned.select(col("vec_id").as("nid"), col("cell"), col("code")),
+        qCells,
+        assigned.select(col("vec_id").as("nid"), col("embedding").as("__ce")),
+        cbs, k = 5, shortlist = 40)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.7, s"PQ shortlist recall $recall below the q140 bar")
+  }
+
   test("q94 parameters (nprobe=4 of 16 cells) clear the 0.6 mean-recall bar") {
     // the recall property the pre-r5 inline gate enforced: q94 is now
     // hash-verified within its pinned cells, so the APPROXIMATION quality
