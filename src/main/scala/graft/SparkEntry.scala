@@ -1402,6 +1402,23 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ⊕ K8's exactly-once REPLAY PROOF: the same streaming upsert, but the
+    // query is crashed right after batch 0's MERGE commits (sink landed,
+    // checkpoint didn't — the worst-case window) and restarted from the
+    // checkpoint. The replayed batch arrives with the same batchId and the
+    // manifest-recorded id makes the merge skip it; the harness asserts
+    // one committed version per batch (no double-commit), and the oracle
+    // — identical to q64's — proves the final state matches an
+    // uninterrupted run row for row.
+    "q141_stream_replay" -> ((s, d) => {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_stream_replay_tbl")).toString + "/t"
+      EventStreams.streamUpsertCrashResume(s, d, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // §2.9: stream-stream interval join (funnel attribution: each view
     // paired with the same user's clicks within 30 min), append mode —
     // oracle is the identical batch self-join
@@ -3104,6 +3121,14 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey % 7 < 3 ORDER BY okey""".stripMargin,
 
     "q64_stream_upsert" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // q141: crash+replay must land on exactly the state an uninterrupted
+    // run produces — the oracle is q64's latest-per-key batch query
+    "q141_stream_replay" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)

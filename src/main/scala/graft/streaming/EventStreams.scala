@@ -261,34 +261,99 @@ object EventStreams {
     sharedSplitDir(spark, dir, nFiles); ()
   }
 
+  /** The upsert micro-batch body shared by [[streamUpsert]] and
+    * [[streamUpsertCrashResume]]: keep the batch's newest row per key,
+    * MERGE with newer-wins semantics and the batch id for idempotence. */
+  private def mergeUpsertBatch(tableDir: String)(batch: DataFrame, id: Long): Unit = {
+    import graft.layout.MergeTable
+    val newerWins = Some((s: String => org.apache.spark.sql.Column,
+                          t: String => org.apache.spark.sql.Column) =>
+      s("ts") > t("ts") || (s("ts") === t("ts") && s("event_id") > t("event_id")))
+    // MERGE wants one row per key per batch: keep the batch's newest
+    val latest = graft.ops.Relational.dedupKeepFirst(batch, Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      .withColumn("op_flag", lit("update")) // update-of-unmatched inserts
+    MergeTable.merge(batch.sparkSession, tableDir, latest, "user_id",
+      batchId = id, updateWhen = newerWins)
+    ()
+  }
+
+  private def upsertSource(spark: SparkSession, filesPath: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(filesPath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(filesPath)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+
   def streamUpsert(spark: SparkSession, dir: String, tableDir: String,
                    nFiles: Int = 3): DataFrame = {
     import graft.layout.MergeTable
     val filesDir = sharedSplitDir(spark, dir, nFiles)
     val srcDir = graft.util.Cleanup.registerTempDir(
       java.nio.file.Files.createTempDirectory("graft_stream_upsert"))
-    val filesPath = s"$filesDir/files"
-    val src = spark.readStream
-      .schema(spark.read.parquet(filesPath).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(filesPath)
-      .select("user_id", "event_id", "ts", "event_type", "value")
-    val newerWins = Some((s: String => org.apache.spark.sql.Column,
-                          t: String => org.apache.spark.sql.Column) =>
-      s("ts") > t("ts") || (s("ts") === t("ts") && s("event_id") > t("event_id")))
-    val q = src.writeStream
+    val q = upsertSource(spark, s"$filesDir/files").writeStream
       .option("checkpointLocation", s"$srcDir/ck")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        // MERGE wants one row per key per batch: keep the batch's newest
-        val latest = graft.ops.Relational.dedupKeepFirst(batch, Seq("user_id"),
-            Seq(col("ts").desc, col("event_id").desc))
-          .withColumn("op_flag", lit("update")) // update-of-unmatched inserts
-        MergeTable.merge(batch.sparkSession, tableDir, latest, "user_id",
-          batchId = id, updateWhen = newerWins)
-        ()
-      }
+      .foreachBatch(mergeUpsertBatch(tableDir) _)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    MergeTable.read(spark, tableDir)
+  }
+
+  /** The K8 exactly-once claim, PROVEN by crashing: run the same upsert
+    * stream but kill the query immediately AFTER the MERGE of batch
+    * `crashAfterBatch` has committed — the worst-case failure window
+    * (sink transaction landed, streaming checkpoint did not). The restart
+    * on the same checkpoint replays that batch with the SAME batchId (the
+    * Structured Streaming replay contract for a replayable source +
+    * AvailableNow); `MergeTable.merge` sees `manifest.batchId >= id` and
+    * returns None (idempotent skip), so the doubled delivery collapses to
+    * exactly-once and the final table is identical to an uninterrupted
+    * run — asserted in MergeTableSpec and oracle-checked end-to-end
+    * (q141, same latest-per-key oracle as q64). */
+  def streamUpsertCrashResume(spark: SparkSession, dir: String,
+                              tableDir: String, nFiles: Int = 3,
+                              crashAfterBatch: Long = 0L): DataFrame = {
+    import graft.layout.MergeTable
+    val filesDir = sharedSplitDir(spark, dir, nFiles)
+    val srcDir = graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft_stream_upsert_crash"))
+    val crashMsg = "graft: injected post-commit crash"
+    def run(bomb: Boolean): Unit = {
+      val q = upsertSource(spark, s"$filesDir/files").writeStream
+        .option("checkpointLocation", s"$srcDir/ck")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          mergeUpsertBatch(tableDir)(batch, id)
+          // crash AFTER the sink commit, BEFORE the checkpoint records
+          // the batch — the replay-window failure
+          if (bomb && id == crashAfterBatch) throw new RuntimeException(crashMsg)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          var cause: Throwable = e
+          var injected = false
+          while (cause != null && !injected) {
+            injected = Option(cause.getMessage).exists(_.contains(crashMsg))
+            cause = cause.getCause
+          }
+          if (!injected) throw e // a real failure, not our bomb
+      }
+    }
+    run(bomb = true)
+    // the bomb must actually have interrupted mid-stream: only the batches
+    // up to the crash committed (one table version per applied batch)
+    val afterCrash = MergeTable.versions(tableDir).length
+    require(afterCrash == crashAfterBatch + 1,
+      s"crash-resume harness: expected ${crashAfterBatch + 1} committed " +
+        s"versions at the crash point, found $afterCrash")
+    run(bomb = false)
+    // exactly-once: the replayed batch was SKIPPED (no extra version), the
+    // remaining batches each committed once
+    val afterResume = MergeTable.versions(tableDir).length
+    require(afterResume == nFiles,
+      s"crash-resume harness: expected $nFiles total versions after " +
+        s"resume (replay must not double-commit), found $afterResume")
     MergeTable.read(spark, tableDir)
   }
 

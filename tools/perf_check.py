@@ -91,6 +91,10 @@ STREAMING_MIN_SPARK = 4.0
 # proportional), not plan inefficiency. Measured 3.6-5.4 s at sf0.1
 # depending on JIT warmth.
 MULTI_COMMIT = {"q63_merge_upsert", "q64_stream_upsert",
+                # q141 deliberately runs TWO streaming queries (crash +
+                # checkpoint-resume) over three MERGE commits to prove
+                # exactly-once replay; the oracle is one SELECT
+                "q141_stream_replay",
                 # time-travel / CDC read a memoized two-commit table (no
                 # rebuild inside the timed query since round 4), kept here
                 # because the FIRST bench run of whichever query builds it
