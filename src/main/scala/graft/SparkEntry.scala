@@ -123,6 +123,30 @@ object SparkEntry {
     q140FixtureSub = s"$Q140FixtureDir/${new java.io.File(sfDir).getName}"
   }
 
+  /** TPC-H Q2's shape, shared VERBATIM by the Spark front door and the
+    * DuckDB oracle (q142): correlated scalar subquery (min over a 4-table
+    * correlated join) in WHERE. lineitem ≙ partsupp, l_extendedprice ≙
+    * ps_supplycost — the testdata ships no partsupp table. */
+  val SqlQ2Text: String =
+    """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, p_type
+      |FROM part, supplier, lineitem, nation, region
+      |WHERE p_partkey = l_partkey
+      |  AND s_suppkey = l_suppkey
+      |  AND p_size <= 15
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey
+      |      AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
   /** Order-independent exact sum of a double column: via DECIMAL. */
   private def dsum(c: Column, prec: Int = 18, scale: Int = 2): Column =
     sum(c.cast(DecimalType(prec, scale))).cast("double")
@@ -959,6 +983,23 @@ object SparkEntry {
       TextAnalysis.pruneBoilerplateTokens(t(s, d, "documents"), "doc_id",
           col("text"), 0.77)
         .orderBy(col("doc_id"))),
+
+    // ⊕ SQL front door #3: TPC-H Q2's shape — a correlated SCALAR subquery
+    // in WHERE (min over a 4-table correlated join), the decorrelation
+    // path neither q97/q108 (plain joins) nor q117 (EXISTS) reaches.
+    // lineitem stands in for partsupp (l_extendedprice ≙ ps_supplycost;
+    // the testdata has no partsupp table) — structure, correlation, and
+    // ordering are verbatim Q2. Catalyst must rewrite the per-row
+    // subquery into a grouped min + join (PlanQualitySpec asserts no
+    // ScalarSubquery survives); the IDENTICAL text runs in DuckDB.
+    "q142_sql_q2" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part")
+      t(s, d, "supplier").createOrReplaceTempView("supplier")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      t(s, d, "region").createOrReplaceTempView("region")
+      s.sql(SqlQ2Text)
+    }),
 
     // ⊕ time-series anomaly flags on the gap-filled event stream: rolling
     // 12-bucket z-score per event_type, window sums kept in exact BIGINTs
@@ -3125,6 +3166,11 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // q142: the IDENTICAL Q2-shaped text — DuckDB decorrelates it its own
+    // way; the hash match checks the semantics, PlanQualitySpec checks
+    // Spark's plan rewrote the per-row subquery away
+    "q142_sql_q2" -> SqlQ2Text,
 
     // q141: crash+replay must land on exactly the state an uninterrupted
     // run produces — the oracle is q64's latest-per-key batch query

@@ -171,6 +171,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("InSubquery") && !p.contains("ScalarSubquery"), p)
   }
 
+  test("q142: correlated scalar subquery (TPC-H Q2 shape) decorrelates to an aggregate+join, no per-row subquery") {
+    val p = physical("q142_sql_q2")
+    assert(!p.contains("ScalarSubquery"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the rewrite materializes the per-part min as a grouped aggregate
+    assert(p.contains("min("), p)
+  }
+
   test("q94: re-rank within pinned cells is an equi-join on cell, never nested-loop") {
     // fixture build (k-means + two small spools) legitimately runs jobs at
     // build time — the contract here is the SHAPE of the rank plan: the
