@@ -209,6 +209,22 @@ object ScaleCheck {
         }
       }
     }
+    if (want("cc_diameter")) {
+      // adversarial topology for connectedComponents: ONE path whose
+      // diameter scales with mult (4096 x mult). Pointer-jumping must
+      // converge in ~log2(diameter) rounds; the operator's loud
+      // non-convergence require means finishing AT ALL proves the claim —
+      // compare the time across mult values: rounds grow logarithmically,
+      // so per-vertex cost must FALL as the path grows.
+      val nV = 4096L * mult
+      val path = spark.range(nV - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      time(s"cc_diameter_${nV}_path", nV) {
+        val cc = dedup.Dedup.connectedComponents(path)
+        require(cc.filter(col("component") =!= 0L).count() == 0L,
+          "path did not collapse to component 0")
+      }
+    }
     if (want("pagerank")) {
       // pagerank probes the iterative-join family at mult x edges: cost
       // per iteration is one vertex-keyed join + agg over the edge list

@@ -394,12 +394,18 @@ object Dedup {
     * that turns near-dup candidate PAIRS into dedup CLUSTERS (keep one doc
     * per component). Iterative minimum-label propagation: each round every
     * vertex takes the min label among itself and its neighbors; converges
-    * in O(component diameter) rounds, each round one shuffle on the vertex
-    * id. For pretraining-dedup graphs (tiny diameter, mostly size-2
-    * components) this beats any driver-side union-find because the edge
-    * list never leaves the cluster. `maxIter` bounds pathological chains.
+    * in O(log diameter) rounds (the pointer-jump below doubles reach per
+    * round), each round one shuffle on the vertex id. For pretraining-dedup
+    * graphs (tiny diameter, mostly size-2 components) this beats any
+    * driver-side union-find because the edge list never leaves the cluster.
+    * `maxIter` is a BACKSTOP, not a budget: the loop exits at the fixpoint
+    * (detected by an exact label-sum probe, one extra round), so the
+    * default 40 covers ~2^38 diameter at zero cost for real graphs — and
+    * hitting it without convergence FAILS LOUD rather than returning
+    * silently unconverged labels (DedupSpec drives a 20k-diameter path and
+    * ring through; ScaleCheck `cc_diameter` probes 64× that).
     * Returns (id, component) with component = min id in the component. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 40): DataFrame = {
     // materialize the edge list once: every round joins against it, and an
     // uncached lineage would re-run the upstream candidate generation
     // (shingle→minhash→bands) once per iteration
@@ -457,6 +463,10 @@ object Dedup {
       prevSum = sumNow
       i += 1
     }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIter rounds — the " +
+        "component diameter exceeds the pointer-jump reach; raise maxIter " +
+        "(unconverged labels would silently split components)")
     labels
   }
 

@@ -278,8 +278,17 @@ object Relational {
 
   /** Skew-safe equi-join: salt ONLY the hot keys of the skewed (left) side
     * into `buckets` sub-keys and explode the matching build rows; all other
-    * keys take the plain join. Use when AQE skew handling isn't enough
-    * (e.g. one hot key holding >1 partition of data).
+    * keys take the plain join.
+    *
+    * DECISION RULE (demonstrated in SkewJoinSpec): a skewed sort-merge
+    * join under AQE needs NO salting — AQE splits the oversized
+    * post-shuffle partition at runtime and replicates the matching build
+    * partition (`skew=true` in the final plan), and the result is
+    * row-identical to this operator. Reach for saltedJoin only when
+    * [[skewProfile]] recommends `salt > 1` AND the hot key feeds a stage
+    * AQE's split cannot fix: a same-key aggregation downstream (a hash
+    * aggregate re-concentrates every row of the key in one task), or a
+    * plan that must reuse the un-split exchange.
     *
     * Hot keys are detected first with a cheap count aggregate (map-side
     * partial combine makes it one light shuffle); rows above `hotThreshold`

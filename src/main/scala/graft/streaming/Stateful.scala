@@ -19,34 +19,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   */
 object Stateful {
 
-  /** (lastTsSeconds, sessionsSoFar, eventsSoFar) carried across batches. */
-  case class SessionState(lastTs: Double, sessions: Long, events: Long)
+  /** (lastTsMicros, sessionsSoFar, eventsSoFar) carried across batches.
+    * Integer microseconds — the same exact-timestamp discipline as
+    * `Relational.sessionize`'s BIGINT sums; `NoTs` (Long.MinValue) marks
+    * "no event seen yet". The repo carries no float timestamps. */
+  case class SessionState(lastTsUs: Long, sessions: Long, events: Long)
+  private val NoTs = Long.MinValue
 
   /** Count gap-delimited sessions per user: a new session starts when the
     * gap to the previous event (by event_id order, as the reference's
     * API-page order analogue) exceeds `gapSec`. Matches the windowed
     * formulation (q32) — the state version exists for the streaming path
     * and as the custom-state API demonstration. */
-  def sessionCounts(events: DataFrame, gapSec: Double = 1800.0): DataFrame = {
+  def sessionCounts(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val typed: Dataset[(Long, Long, Double)] = events
-      .select(col("user_id"), col("event_id"), col("ts").cast("double").as("tss"))
-      .as[(Long, Long, Double)]
+    val gapUs = gapSec * 1000000L
+    val typed: Dataset[(Long, Long, Long)] = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
     typed.groupByKey(_._1)
       .mapGroupsWithState[SessionState, (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
         case (uid, it, state: GroupState[SessionState]) =>
-          val prev = state.getOption.getOrElse(SessionState(Double.NegativeInfinity, 0L, 0L))
-          var lastTs = prev.lastTs
+          val prev = state.getOption.getOrElse(SessionState(NoTs, 0L, 0L))
+          var lastTsUs = prev.lastTsUs
           var sessions = prev.sessions
           var events = prev.events
           // within one invocation, order by event_id (the reference's row order)
-          for ((_, _, ts) <- it.toArray.sortBy(_._2)) {
-            if (lastTs == Double.NegativeInfinity || ts - lastTs > gapSec) sessions += 1
-            lastTs = ts
+          for ((_, _, tsUs) <- it.toArray.sortBy(_._2)) {
+            if (lastTsUs == NoTs || tsUs - lastTsUs > gapUs) sessions += 1
+            lastTsUs = tsUs
             events += 1
           }
-          state.update(SessionState(lastTs, sessions, events))
+          state.update(SessionState(lastTsUs, sessions, events))
           (uid, sessions, events)
       }
       .toDF("user_id", "n_sessions", "n_events")

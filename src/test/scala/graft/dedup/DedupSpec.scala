@@ -221,6 +221,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(edges).count() === 0)
   }
 
+  test("adversarial diameter: 20k-vertex path and ring both collapse to component 0 (pointer-jump converges far under the backstop)") {
+    // worst-case topology for min-label propagation: one chain, diameter
+    // 20k. Plain propagation would need 20k rounds; the propagate+jump
+    // doubling needs ~log2(20k)+2 ≈ 17 — convergence (all labels 0, the
+    // loud require in connectedComponents not tripped) IS the proof.
+    val n = 20000L
+    val path = spark.range(n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val ccP = Dedup.connectedComponents(path)
+    assert(ccP.count() === n)
+    assert(ccP.filter(col("component") =!= 0L).count() === 0L)
+    val ring = spark.range(n).select(col("id").as("a"), ((col("id") + 1) % n).as("b"))
+    val ccR = Dedup.connectedComponents(ring)
+    assert(ccR.count() === n)
+    assert(ccR.filter(col("component") =!= 0L).count() === 0L)
+  }
+
+  test("connectedComponents fails loud when the backstop truly is too small") {
+    val path = spark.range(63).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val err = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(path, maxIter = 2)
+    }
+    assert(err.getMessage.contains("no fixpoint"))
+  }
+
   test("connectedComponents converges with ids near Long.MaxValue (no sum overflow)") {
     // adversarial ids: any two of these wrap a BIGINT label sum — the
     // convergence probe must use exact (decimal) arithmetic, or a wrapped
