@@ -498,14 +498,17 @@ object SparkEntry {
       Dedup.simhashAdjacency(t(s, d, "documents"), "doc_id", col("text"), maxDist = 2)
         .orderBy(col("sha"), col("shb"))),
 
-    // ⊕ dedup: char-3-gram set Jaccard over consecutive-id candidate
-    // pairs — the sub-word counterpart of q23's word-set Jaccard (catches
-    // morphology/typo-level similarity); tokenization bounded by the
-    // candidate ids.
+    // ⊕ dedup: char-3-gram set Jaccard VERIFY over a REAL candidate
+    // generator — q57's winnowing fingerprint candidates feed the exact
+    // sub-word Jaccard kernel (the morphology/typo-level counterpart of
+    // q23's word-set verify). This is the generate→verify composition a
+    // production near-dup pass runs: candidate volume bounded by the
+    // df-capped fingerprint join, verify tokenization bounded by the
+    // candidate ids (semi-join, never the corpus squared).
     "q75_chargram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = docs.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
-        .join(docs.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      val pairs = Dedup.winnowingCandidates(docs, "doc_id", col("text"))
+        .select(col("a"), col("b"))
       Dedup.charGramJaccard(pairs, docs, "doc_id", col("text"), n = 3)
         .orderBy(col("a"), col("b"))
     }),
@@ -2307,12 +2310,18 @@ object SparkEntry {
     },
 
     "q75_chargram_jaccard" ->
-      """WITH nrm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt FROM documents),
+      s"""$winnowCte,
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM fset),
+        |rare AS (SELECT doc_id, fp FROM (
+        |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM e)
+        |  WHERE df <= 10),
+        |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM rare x JOIN rare y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nrm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt FROM documents),
         |cg AS (SELECT DISTINCT doc_id, substring(nt, i, 3) AS g
         |  FROM (SELECT doc_id, nt, unnest(generate_series(1, greatest(length(nt) - 2, 0))) AS i FROM nrm)),
         |szs AS (SELECT doc_id, count(*) AS sz FROM cg GROUP BY doc_id),
-        |cand AS (SELECT d1.doc_id AS a, d2.doc_id AS b
-        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
         |itr AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
         |  JOIN cg ga ON ga.doc_id = c.a
         |  JOIN cg gb ON gb.doc_id = c.b AND gb.g = ga.g
