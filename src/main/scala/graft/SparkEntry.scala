@@ -147,6 +147,26 @@ object SparkEntry {
       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q17's shape, shared VERBATIM by both engines (q143): correlated
+    * scalar AVG subquery in WHERE — the "small-quantity orders" pattern.
+    * Grouped per brand so the result is multi-row and totally ordered.
+    * l_quantity is integer-valued, so avg = exact-sum / exact-count is one
+    * deterministic double division in either engine; revenue sums stay in
+    * DECIMAL (the q97 discipline). */
+  val SqlQ17Text: String =
+    """SELECT p_brand,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |    AS DOUBLE) AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_size <= 10
+      |  AND l_quantity < (
+      |    SELECT 0.2 * avg(l2.l_quantity)
+      |    FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   /** Order-independent exact sum of a double column: via DECIMAL. */
   private def dsum(c: Column, prec: Int = 18, scale: Int = 2): Column =
     sum(c.cast(DecimalType(prec, scale))).cast("double")
@@ -1002,6 +1022,16 @@ object SparkEntry {
       t(s, d, "nation").createOrReplaceTempView("nation")
       t(s, d, "region").createOrReplaceTempView("region")
       s.sql(SqlQ2Text)
+    }),
+
+    // ⊕ SQL front door #4: TPC-H Q17's shape — correlated scalar AVG in
+    // WHERE (each lineitem compared to a fifth of its part's average
+    // quantity), the aggregate-in-comparison decorrelation q142's min
+    // doesn't cover. Identical text in both engines.
+    "q143_sql_q17" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(SqlQ17Text)
     }),
 
     // ⊕ time-series anomaly flags on the gap-filled event stream: rolling
@@ -1941,6 +1971,23 @@ object SparkEntry {
           element_at(col("features"), 3).as("mean_r"),
           element_at(col("features"), 4).as("mean_g"),
           element_at(col("features"), 5).as("mean_b"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ⊕ REAL audio decode (javax.sound.sampled, JDK-native): render a
+    // deterministic 16-bit PCM WAV per doc, decode it back with
+    // AudioSystem, and emit rate/frames/channels/sample-mean. Same
+    // contract as q139: the sample formula is closed-form arithmetic in
+    // (doc_id, i), so the oracle recomputes the identical mean codec-free
+    // — exact integer sample sums divide once to bit-identical doubles.
+    "q144_audio_decode" -> ((s, d) => {
+      val wavs = Multimodal.attachAudioPayload(t(s, d, "documents"))
+      Multimodal.extractFeatures(wavs, "doc_id", new Multimodal.AudioDecoder)
+        .select(col("id").as("doc_id"),
+          element_at(col("features"), 1).cast("int").as("sample_rate"),
+          element_at(col("features"), 2).cast("long").as("n_frames"),
+          element_at(col("features"), 3).cast("int").as("channels"),
+          element_at(col("features"), 4).as("mean_sample"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3181,6 +3228,8 @@ object SparkEntry {
     // Spark's plan rewrote the per-row subquery away
     "q142_sql_q2" -> SqlQ2Text,
 
+    "q143_sql_q17" -> SqlQ17Text,
+
     // q141: crash+replay must land on exactly the state an uninterrupted
     // run produces — the oracle is q64's latest-per-key batch query
     "q141_stream_replay" ->
@@ -3868,6 +3917,21 @@ object SparkEntry {
         |  CAST(sr AS DOUBLE) / n AS mean_r,
         |  CAST(sg AS DOUBLE) / n AS mean_g,
         |  CAST(sb AS DOUBLE) / n AS mean_b
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // q144 mirrors q139 for audio: the WAV renderer's sample formula is
+    // pure integer math in (doc_id, i), so the decoded PCM sample mean is
+    // recomputable by expanding the frame index — if the decode were fake
+    // or lossy every mean would hash-mismatch.
+    "q144_audio_decode" ->
+      """WITH dims AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+        |xs AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+        |  FROM dims),
+        |agg AS (SELECT doc_id, n,
+        |    sum((doc_id*31 + i*17) % 2003 - 1001) AS s, count(*) AS cnt
+        |  FROM xs GROUP BY doc_id, n)
+        |SELECT doc_id, 8000 AS sample_rate, CAST(n AS BIGINT) AS n_frames,
+        |  1 AS channels, CAST(s AS DOUBLE) / cnt AS mean_sample
         |FROM agg ORDER BY doc_id""".stripMargin,
 
     // q140 recomputes the WHOLE compressed IVF-PQ pipeline from the pinned

@@ -129,6 +129,82 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM ships
+    * with the JRE). Features: `[sample_rate, n_frames, channels,
+    * mean_sample]` — the sample mean accumulates as an exact integer sum
+    * over the decoded 16-bit PCM frames and divides once, so a codec-free
+    * engine recomputing the same sum arithmetically (the q144 oracle)
+    * gets bit-identical doubles. */
+  class AudioDecoder extends Decoder {
+    def features(payload: Array[Byte]): Array[Double] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"AudioDecoder: expected 16-bit PCM, got ${fmt.getSampleSizeInBits}")
+        val frames = in.getFrameLength
+        val bytes = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        var sum = 0L
+        var n = 0L
+        while (bb.remaining() >= 2) { sum += bb.getShort.toLong; n += 1 }
+        Array(fmt.getSampleRate.toDouble, frames.toDouble,
+          fmt.getChannels.toDouble,
+          if (n == 0) 0.0 else sum.toDouble / n)
+      } finally in.close()
+    }
+  }
+
+  /** Deterministic synthetic mono 16-bit PCM WAV for `doc_id`: frame count
+    * and every sample are closed-form arithmetic in (id, i) — the audio
+    * sibling of [[SyntheticPng]], making the real WAV decode path
+    * oracle-checkable without any codec on the oracle side. */
+  private[graft] object SyntheticWav {
+    val SampleRate = 8000f
+    def nFrames(id: Long): Int = (64 + id % 64).toInt
+    def sample(id: Long, i: Int): Int = ((id * 31 + i.toLong * 17) % 2003 - 1001).toInt
+
+    def render(id: Long): Array[Byte] = {
+      val n = nFrames(id)
+      val pcm = new Array[Byte](n * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) { bb.putShort(sample(id, i).toShort); i += 1 }
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+  }
+
+  /** Attach a REAL WAV payload per row — the audio counterpart of
+    * [[attachImagePayload]], same mapPartitions seam and meta shape
+    * (duration from true frame count at the fixed sample rate). */
+  def attachAudioPayload(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", mediaMetaSchema, nullable = false)))
+    val input = docs.select(col(idCol).cast("long"))
+    val rdd = input.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = SyntheticWav.nFrames(id)
+        Row(id, SyntheticWav.render(id),
+          Row("audio/wav", null, null,
+            (n * 1000L / SyntheticWav.SampleRate.toLong)))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Attach a REAL PNG payload per row (rendered deterministically from
     * the id): `(doc_id, payload, meta)` with mime image/png and true
     * dimensions. mapPartitions for the same one-encoder-per-task shape as

@@ -179,6 +179,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("min("), p)
   }
 
+  test("q143: correlated scalar AVG (TPC-H Q17 shape) decorrelates, no per-row subquery") {
+    val p = physical("q143_sql_q17")
+    assert(!p.contains("ScalarSubquery"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("avg("), p)
+  }
+
   test("q94: re-rank within pinned cells is an equi-join on cell, never nested-loop") {
     // fixture build (k-means + two small spools) legitimately runs jobs at
     // build time — the contract here is the SHAPE of the rank plan: the

@@ -58,6 +58,20 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getString(0) === "image/png")
   }
 
+  test("AudioDecoder round-trips SyntheticWav: real WAV encode + javax.sound decode recovers rate, frames, and exact sample mean") {
+    for (id <- Seq(0L, 5L, 63L, 12345L)) {
+      val n = Multimodal.SyntheticWav.nFrames(id)
+      val wav = Multimodal.SyntheticWav.render(id)
+      // a real RIFF/WAVE container, not a byte bag
+      assert(new String(wav.slice(0, 4), "US-ASCII") === "RIFF")
+      assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+      val f = new Multimodal.AudioDecoder().features(wav)
+      assert(f(0) === 8000.0 && f(1) === n.toDouble && f(2) === 1.0)
+      val sum = (0 until n).map(i => Multimodal.SyntheticWav.sample(id, i).toLong).sum
+      assert(f(3) === sum.toDouble / n)
+    }
+  }
+
   test("ImageIoDecoder rejects undecodable payloads loudly") {
     val err = intercept[IllegalArgumentException] {
       new Multimodal.ImageIoDecoder().features("not a png".getBytes("UTF-8"))
