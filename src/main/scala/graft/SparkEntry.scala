@@ -1991,6 +1991,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ⊕ REAL video frame pipeline: an MJPEG-style container (length-
+    // prefixed PNG frames) per doc, parsed + stride-2 frame-sampled +
+    // each kept frame ImageIO-decoded — the q54 chunk-sampling shape made
+    // real end to end. Frame f reuses the q139 pixel formula under the
+    // derived id doc_id·101+f, so the oracle recomputes every sampled
+    // frame's dims and channel means codec-free.
+    "q145_video_frames" -> ((s, d) =>
+      Multimodal.videoFrameFeatures(t(s, d, "documents"), stride = 2)
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // ⊕ graph density: per-vertex triangle counts + local clustering
     // coefficient over the part co-order graph. The per-order fan-out is
     // capped (l_linenumber <= 4) BEFORE the quadratic pair generation —
@@ -3918,6 +3928,32 @@ object SparkEntry {
         |  CAST(sg AS DOUBLE) / n AS mean_g,
         |  CAST(sb AS DOUBLE) / n AS mean_b
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // q145: sampled frames' derived ids expand through the q139 pixel
+    // formula — container parse, stride sample, and per-frame codec all
+    // certified by the hash match
+    "q145_video_frames" ->
+      """WITH v AS (SELECT doc_id, 3 + doc_id % 4 AS k FROM documents),
+        |f AS (SELECT doc_id, unnest(generate_series(0, k - 1)) AS fi FROM v),
+        |sf AS (SELECT doc_id, fi, doc_id*101 + fi AS fid FROM f WHERE fi % 2 = 0),
+        |dims AS (SELECT doc_id, fi, fid,
+        |    8 + fid % 9 AS w, 8 + (fid*3) % 9 AS h FROM sf),
+        |xs AS (SELECT doc_id, fi, fid, w, h,
+        |    unnest(generate_series(0, w - 1)) AS x FROM dims),
+        |xy AS (SELECT doc_id, fi, fid, w, h, x,
+        |    unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |agg AS (SELECT doc_id, fi, w, h,
+        |    sum((fid*7 + x*3 + y*11) % 256) AS sr,
+        |    sum((fid*13 + x*5 + y*7) % 256) AS sg,
+        |    sum((fid*3 + x*13 + y*2) % 256) AS sb,
+        |    count(*) AS n
+        |  FROM xy GROUP BY doc_id, fi, w, h)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sr AS DOUBLE) / n AS mean_r,
+        |  CAST(sg AS DOUBLE) / n AS mean_g,
+        |  CAST(sb AS DOUBLE) / n AS mean_b
+        |FROM agg ORDER BY doc_id, frame_idx""".stripMargin,
 
     // q144 mirrors q139 for audio: the WAV renderer's sample formula is
     // pure integer math in (doc_id, i), so the decoded PCM sample mean is

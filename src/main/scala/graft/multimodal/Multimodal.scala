@@ -243,6 +243,77 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Deterministic synthetic "video" for `doc_id` — an MJPEG-style
+    * container of PNG frames: magic `GFV1`, frame count, then
+    * length-prefixed PNG frames (little-endian). Frame f's pixels reuse
+    * [[SyntheticPng]]'s closed-form formula under the derived id
+    * `doc_id·101 + f`, so every sampled, decoded frame is recomputable by
+    * a codec-free engine — the video sibling of q139/q144's contract. */
+  private[graft] object SyntheticVideo {
+    def nFrames(id: Long): Int = (3 + id % 4).toInt
+    def frameId(id: Long, f: Int): Long = id * 101 + f
+
+    def render(id: Long): Array[Byte] = {
+      val k = nFrames(id)
+      val frames = (0 until k).map(f => SyntheticPng.render(frameId(id, f)))
+      val out = new java.io.ByteArrayOutputStream()
+      val w = new java.io.DataOutputStream(out)
+      w.writeBytes("GFV1")
+      w.writeInt(k)
+      frames.foreach { b => w.writeInt(b.length); w.write(b) }
+      out.toByteArray
+    }
+
+    def parse(payload: Array[Byte]): Seq[Array[Byte]] = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(new String(magic, "US-ASCII") == "GFV1",
+        "SyntheticVideo: bad container magic")
+      val k = in.readInt()
+      (0 until k).map { _ =>
+        val len = in.readInt()
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        b
+      }
+    }
+  }
+
+  /** REAL frame-sample + per-frame decode over a video container column:
+    * parse the container, keep every `stride`-th frame, decode each kept
+    * frame with ImageIO — one parser+decoder pair per task (the
+    * mapPartitions seam), emitting (doc_id, frame_idx, width, height,
+    * mean_r, mean_g, mean_b). At scale only the kept frames are ever
+    * decoded — sampling happens on the length-prefixed index, not on
+    * decoded pixels. */
+  def videoFrameFeatures(docs: DataFrame, idCol: String = "doc_id",
+                         stride: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
+    val input = docs.select(col(idCol).cast("long"))
+    val rdd = input.rdd.mapPartitions { rows =>
+      val dec = new ImageIoDecoder // one per task
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val frames = SyntheticVideo.parse(SyntheticVideo.render(id))
+        frames.indices.collect {
+          case f if f % stride == 0 =>
+            val feats = dec.features(frames(f))
+            Row(id, f, feats(0).toInt, feats(1).toInt, feats(2), feats(3), feats(4))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** "Resize" for the opaque-binary pipeline: stride-decimate the payload
     * (keep every `factor`-th byte) — the byte-level stand-in for an image
     * resize, keeping the columnar shape (binary in → binary out) so a real

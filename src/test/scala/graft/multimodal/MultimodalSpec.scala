@@ -72,6 +72,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("SyntheticVideo container round-trips; videoFrameFeatures samples stride-2 and decodes real frames") {
+    val id = 42L
+    val frames = Multimodal.SyntheticVideo.parse(Multimodal.SyntheticVideo.render(id))
+    assert(frames.length === Multimodal.SyntheticVideo.nFrames(id))
+    // every frame is a real PNG of the derived id's dimensions
+    for (f <- frames.indices) {
+      val feats = new Multimodal.ImageIoDecoder().features(frames(f))
+      val fid = Multimodal.SyntheticVideo.frameId(id, f)
+      assert(feats(0) === Multimodal.SyntheticPng.width(fid).toDouble)
+      assert(feats(1) === Multimodal.SyntheticPng.height(fid).toDouble)
+    }
+    val d = Seq((id, "x")).toDF("doc_id", "text")
+    val out = Multimodal.videoFrameFeatures(d, stride = 2)
+      .orderBy("frame_idx").collect()
+    // nFrames(42) = 3 + 42%4 = 5 → sampled frames 0, 2, 4
+    assert(out.map(_.getInt(1)).toSeq === Seq(0, 2, 4))
+    assert(out.forall(r => r.getInt(2) ===
+      Multimodal.SyntheticPng.width(Multimodal.SyntheticVideo.frameId(id, r.getInt(1)))))
+  }
+
+  test("SyntheticVideo.parse rejects a corrupted container loudly") {
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.SyntheticVideo.parse("XXXX garbage".getBytes("US-ASCII"))
+    }
+    assert(err.getMessage.contains("magic"))
+  }
+
   test("ImageIoDecoder rejects undecodable payloads loudly") {
     val err = intercept[IllegalArgumentException] {
       new Multimodal.ImageIoDecoder().features("not a png".getBytes("UTF-8"))
