@@ -117,6 +117,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       (children: Seq[Expression]) => BpeEncode.build(children)))
     ext.injectFunction((
+      FunctionIdentifier("word_grams"),
+      new ExpressionInfo(classOf[graft.functions.WordGrams].getName, "word_grams"),
+      (children: Seq[Expression]) => graft.functions.WordGrams.build(children)))
+    ext.injectFunction((
+      FunctionIdentifier("gram_dominance"),
+      new ExpressionInfo(classOf[graft.functions.GramDominance].getName, "gram_dominance"),
+      (children: Seq[Expression]) => graft.functions.GramDominance.build(children)))
+    ext.injectFunction((
       FunctionIdentifier("chargram_jaccard"),
       new ExpressionInfo(classOf[CharGramJaccard].getName, "chargram_jaccard"),
       (children: Seq[Expression]) => {

@@ -132,6 +132,20 @@ object ScaleCheck {
       // kernel tf (scan-stage) + df rollup + join — no (doc,term) shuffle
       text.TextAnalysis.tfidf(docs, "doc_id", col("text")).count()
     }
+    time("gram_dominance_kernel", nDocs) {
+      // fully shuffle-free per-doc top-gram argmax: cost must stay a
+      // per-row constant — the aggregation formulation would exchange the
+      // whole gram stream (≈ n_words rows per doc) twice
+      text.TextAnalysis.topGramDominance(docs, "doc_id", col("text"), 2)
+        .agg(max(col("top_frac"))).collect()
+    }
+    time("dup_span_fraction", nDocs) {
+      // corpus-sized gram exchange + dup-set join-back: the one genuinely
+      // super-row-local stage; watch for the gram-key shuffle staying the
+      // bottleneck (it should — everything else is scan-stage kernel work)
+      text.TextAnalysis.dupSpanFraction(docs, "doc_id", col("text"), 5, 2)
+        .agg(max(col("dup_span_frac"))).collect()
+    }
     time("rag_chunking", nDocs) {
       text.TextAnalysis.chunkForEmbedding(docs, "doc_id", col("text")).count()
     }

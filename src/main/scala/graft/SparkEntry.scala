@@ -167,6 +167,37 @@ object SparkEntry {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** TPC-H Q21's shape, shared VERBATIM by both engines (q146): the
+    * "suppliers who kept orders waiting" pattern — a correlated EXISTS
+    * AND a correlated NOT EXISTS against the same fact table in one WHERE,
+    * the only TPC-H query with both. Catalyst must turn them into a
+    * LeftSemi and a LeftAnti join on l_orderkey (PlanQualitySpec asserts
+    * no per-row subquery survives). `l_returnflag = 'R'` stands in for
+    * Q21's `l_receiptdate > l_commitdate` (the testdata lineitem carries
+    * no commit/receipt dates); structure, correlation, aggregation, and
+    * ordering are verbatim Q21. */
+  val SqlQ21Text: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_3', 'NATION_7')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
   /** Order-independent exact sum of a double column: via DECIMAL. */
   private def dsum(c: Column, prec: Int = 18, scale: Int = 2): Column =
     sum(c.cast(DecimalType(prec, scale))).cast("double")
@@ -1033,6 +1064,41 @@ object SparkEntry {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(SqlQ17Text)
     }),
+
+    // ⊕ SQL front door #5: TPC-H Q21's shape — correlated EXISTS and
+    // correlated NOT EXISTS against the same fact table in one WHERE
+    // (the only TPC-H query with both). Catalyst rewrites them to a
+    // LeftSemi + LeftAnti pair on l_orderkey; at 100 TB both become
+    // shuffle-hash semi/anti joins co-partitioned with the probe side —
+    // no per-row subquery ever exists. Identical text in DuckDB.
+    "q146_sql_q21" -> ((s, d) => {
+      t(s, d, "supplier").createOrReplaceTempView("supplier")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      s.sql(SqlQ21Text)
+    }),
+
+    // ⊕ Gopher top-n-gram dominance (Rae et al. 2021 §A1.1): per doc, the
+    // most frequent word bigram, its char-coverage share, and the share
+    // of bigram occurrences that repeat — the "one phrase spammed over
+    // and over" filter repetitionRatio's distinct-ratio can't see (a doc
+    // that is 50% one bigram but otherwise diverse keeps a high distinct
+    // ratio). Needs per-(doc,gram) counts → exactly one exchange.
+    "q147_gram_dominance" -> ((s, d) =>
+      TextAnalysis.topGramDominance(t(s, d, "documents"), "doc_id",
+          col("text"), 2)
+        .orderBy(col("doc_id"))),
+
+    // ⊕ cross-document duplicated-span fraction (Lee et al. 2022 exact
+    // substring dedup signal): per doc, the fraction of word-5-gram
+    // positions whose exact span also appears in ≥2 distinct docs —
+    // corpus-INTERNAL duplication, where q120's contamination scan is
+    // train-vs-benchmark.
+    "q148_dup_spans" -> ((s, d) =>
+      TextAnalysis.dupSpanFraction(t(s, d, "documents"), "doc_id",
+          col("text"), 5, 2)
+        .orderBy(col("doc_id"))),
 
     // ⊕ time-series anomaly flags on the gap-filled event stream: rolling
     // 12-bucket z-score per event_type, window sums kept in exact BIGINTs
@@ -3239,6 +3305,58 @@ object SparkEntry {
     "q142_sql_q2" -> SqlQ2Text,
 
     "q143_sql_q17" -> SqlQ17Text,
+
+    // q146: the IDENTICAL Q21-shaped text — the EXISTS/NOT EXISTS pair
+    // decorrelates to LeftSemi+LeftAnti in Spark (PlanQualitySpec)
+    "q146_sql_q21" -> SqlQ21Text,
+
+    // q147: top bigram picked by the same total order Spark's
+    // max(struct(cnt, gram)) induces — cnt DESC then gram DESC
+    "q147_gram_dominance" ->
+      s"""WITH $wordsCte,
+         |g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+         |  FROM (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws)-1, 0))) AS i FROM w)),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+         |top AS (SELECT doc_id, gram, cnt FROM (
+         |  SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY cnt DESC, gram DESC) AS rn FROM c) WHERE rn = 1),
+         |agg AS (SELECT doc_id, sum(cnt) AS n_grams,
+         |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ
+         |  FROM c GROUP BY doc_id),
+         |tot AS (SELECT doc_id, length(array_to_string(ws, ' ')) AS total_chars FROM w)
+         |SELECT t.doc_id, top.gram AS top_gram,
+         |  coalesce(top.cnt, 0) AS top_cnt,
+         |  CASE WHEN t.total_chars > 0 AND top.gram IS NOT NULL
+         |    THEN round(top.cnt * length(top.gram) / CAST(t.total_chars AS DOUBLE), 6)
+         |    ELSE 0.0 END AS top_frac,
+         |  CASE WHEN coalesce(a.n_grams, 0) > 0
+         |    THEN round(a.dup_occ / CAST(a.n_grams AS DOUBLE), 6)
+         |    ELSE 0.0 END AS dup_frac
+         |FROM tot t
+         |LEFT JOIN top ON top.doc_id = t.doc_id
+         |LEFT JOIN agg a ON a.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // q148: duplicated iff the exact 5-gram appears in ≥2 DISTINCT docs
+    "q148_dup_spans" ->
+      s"""WITH $wordsCte,
+         |g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+         |  FROM (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws)-4, 0))) AS i FROM w)),
+         |dg AS (SELECT gram FROM (
+         |  SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+         |  WHERE nd >= 2),
+         |agg AS (SELECT g.doc_id, count(*) AS n_spans,
+         |    sum(CASE WHEN dg.gram IS NULL THEN 0 ELSE 1 END) AS dup_spans
+         |  FROM g LEFT JOIN dg ON dg.gram = g.gram GROUP BY g.doc_id)
+         |SELECT w.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+         |  CAST(coalesce(a.dup_spans, 0) AS BIGINT) AS dup_spans,
+         |  CASE WHEN coalesce(a.n_spans, 0) > 0
+         |    THEN round(a.dup_spans / CAST(a.n_spans AS DOUBLE), 6)
+         |    ELSE 0.0 END AS dup_span_frac
+         |FROM w LEFT JOIN agg a ON a.doc_id = w.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
 
     // q141: crash+replay must land on exactly the state an uninterrupted
     // run produces — the oracle is q64's latest-per-key batch query

@@ -853,4 +853,141 @@ object TextAnalysis {
           .otherwise(array_sort(array_distinct(mins))))
       .drop("__cs", "__grams")
   }
+
+  /** Word n-gram list (space-joined), empty array when the doc is shorter
+    * than `n` words. Native fused-loop kernel
+    * ([[graft.functions.WordGrams]]) — row-local, scan-stage codegen. */
+  private def wordGrams(text: Column, n: Int): Column =
+    graft.functions.GramFunctions.wordGrams(text, n)
+
+  /** Portable built-ins-only reference for [[wordGrams]] (no custom
+    * kernel): the interpreted transform/slice/array_join chain the kernel
+    * fuses. Kept as the cross-check for the parity spec. */
+  private[text] def wordGramsHof(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style top-n-gram dominance (Rae et al. 2021 §A1.1, "fraction
+    * of characters in the most frequent n-gram"): per document, the single
+    * most frequent word `n`-gram, the share of the document's characters
+    * its occurrences cover, and the share of n-gram OCCURRENCES whose gram
+    * repeats within the doc. The top gram is a WITHIN-document notion, so
+    * at 100 TB it must stay scan-stage work: the
+    * [[graft.functions.GramDominance]] kernel folds split → gram → count →
+    * argmax into one codegen'd loop per row — the whole operator is
+    * SHUFFLE-FREE (the naive shape, explode + groupBy(doc, gram) +
+    * groupBy(doc), exchanges the full gram stream twice; see
+    * [[topGramDominanceAgg]], kept as the parity reference). Tie → binary
+    * lexicographically-greatest gram, the same total order as
+    * `ORDER BY cnt DESC, gram DESC LIMIT 1`. Docs with < n words keep a
+    * row: NULL gram, zero counts, 0.0 fractions. Char-coverage denominator
+    * = the single-space rejoined word text, so leading/trailing/double
+    * spaces never skew it. */
+  def topGramDominance(docs: DataFrame, idCol: String, text: Column,
+                       n: Int = 2): DataFrame = {
+    // stage the struct in its own projection: CollapseProject treats the
+    // kernel as non-cheap, so the five field references below share ONE
+    // evaluation per row instead of five
+    val g = col("__g")
+    docs.select(col(idCol),
+        graft.functions.GramFunctions.gramDominance(text, n).as("__g"))
+      .select(col(idCol),
+        g.getField("top_gram").as("top_gram"),
+        g.getField("top_cnt").as("top_cnt"),
+        when(g.getField("total_chars") > 0 && g.getField("top_gram").isNotNull,
+          round(g.getField("top_cnt") * length(g.getField("top_gram"))
+            / g.getField("total_chars").cast("double"), 6))
+          .otherwise(lit(0.0)).as("top_frac"),
+        when(g.getField("n_grams") > 0,
+          round(g.getField("dup_occ") / g.getField("n_grams").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Portable aggregation formulation of [[topGramDominance]] (no custom
+    * kernel — runs on any stock Spark): explode grams, ONE exchange on
+    * (doc, gram) with map-side partial counts, then a partial-aggregatable
+    * groupBy(doc) where `max(struct(cnt, gram))` picks the winner under
+    * the identical total order. Kept as the cross-check for the parity
+    * spec — and as the honest cost statement of what the kernel saves. */
+  private[text] def topGramDominanceAgg(docs: DataFrame, idCol: String,
+                                        text: Column, n: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol),
+      explode_outer(wordGramsHof(text, n)).as("gram"),
+      length(array_join(words(text), " ")).as("total_chars"))
+    val counts = base.groupBy(col(idCol), col("gram"))
+      .agg(count(col("gram")).as("cnt"), first(col("total_chars")).as("tc"))
+    counts.groupBy(col(idCol))
+      .agg(
+        max(when(col("gram").isNotNull, struct(col("cnt"), col("gram")))).as("top"),
+        sum(when(col("gram").isNotNull, col("cnt")).otherwise(lit(0L))).as("n_grams"),
+        sum(when(col("gram").isNotNull && col("cnt") > 1, col("cnt"))
+          .otherwise(lit(0L))).as("dup_occ"),
+        first(col("tc")).as("total_chars"))
+      .select(col(idCol),
+        col("top.gram").as("top_gram"),
+        coalesce(col("top.cnt"), lit(0L)).as("top_cnt"),
+        when(col("total_chars") > 0 && col("top").isNotNull,
+          round(col("top.cnt") * length(col("top.gram"))
+            / col("total_chars").cast("double"), 6))
+          .otherwise(lit(0.0)).as("top_frac"),
+        when(col("n_grams") > 0,
+          round(col("dup_occ") / col("n_grams").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Cross-document duplicated-span fraction — the corpus-internal signal
+    * behind exact-substring train-set dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": spans
+    * repeated verbatim across documents are memorization fuel). For every
+    * word `k`-gram position in every doc, is that exact span present in at
+    * least `minDocs` DISTINCT documents? Output per doc: span count,
+    * duplicated-span count, fraction.
+    *
+    * Shape at 100 TB: grams explode in the scan stage (no shuffle);
+    * distinct (gram, doc) pairs then gram→doc-count is one exchange keyed
+    * on the gram with partial aggregation on both levels; the dup-gram
+    * set joins back to the occurrence stream as a shuffle-hash equi-join
+    * on the gram (both sides huge → never broadcast), and the final
+    * per-doc rollup re-keys on the doc id. The gram string itself is the
+    * shuffle key — at production scale you'd xxhash64 it first to cut
+    * exchange width; kept verbatim here so the DuckDB oracle can replay
+    * the join losslessly. Docs shorter than k words keep a row (0, 0, 0.0). */
+  def dupSpanFraction(docs: DataFrame, idCol: String, text: Column,
+                      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    val occ = docs.select(col(idCol),
+      explode_outer(wordGrams(text, k)).as("gram"))
+    val flagged =
+      if (minDocs == 2) {
+        // "present in ≥2 DISTINCT docs" ⇔ min(doc) ≠ max(doc) over the
+        // gram — so ONE window exchange on the gram flags every
+        // occurrence in place. The general formulation below shuffles the
+        // occurrence stream twice more (a (gram, doc) distinct and the
+        // dup-set join-back); at 16× this cut the probe 13.0 s → 3.7 s.
+        val w = Window.partitionBy(col("gram"))
+        occ.withColumn("is_dup",
+          col("gram").isNotNull &&
+            (min(col(idCol)).over(w) =!= max(col(idCol)).over(w)))
+      } else {
+        // minDocs > 2 needs the true distinct-doc count per gram
+        val dupGrams = occ.where(col("gram").isNotNull)
+          .select(col("gram"), col(idCol)).distinct()
+          .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+          .where(col("nd") >= minDocs)
+          .select(col("gram"), lit(true).as("dg"))
+        occ.join(dupGrams, Seq("gram"), "left")
+          .withColumn("is_dup", coalesce(col("dg"), lit(false)))
+      }
+    flagged.groupBy(col(idCol))
+      .agg(
+        count(col("gram")).as("n_spans"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_spans"))
+      .select(col(idCol), col("n_spans"), col("dup_spans"),
+        when(col("n_spans") > 0,
+          round(col("dup_spans") / col("n_spans").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_span_frac"))
+  }
 }

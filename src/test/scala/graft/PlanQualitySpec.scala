@@ -186,6 +186,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("avg("), p)
   }
 
+  test("q146: Q21's EXISTS + NOT EXISTS pair decorrelates to LeftSemi + LeftAnti, no per-row subquery") {
+    val p = physical("q146_sql_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("InSubquery") && !p.contains("ScalarSubquery"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q147: gram dominance is scan-stage kernel work — only the final sort exchanges") {
+    val p = physical("q147_gram_dominance")
+    assert(p.contains("gram_dominance"), p)
+    // the kernel keeps the top-gram argmax row-local: no hash exchange, no
+    // aggregate — the single rangepartitioning exchange is the orderBy
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("q148: dup spans explode the native gram kernel; the dup-set join is equi on the gram") {
+    val p = physical("q148_dup_spans")
+    assert(p.contains("word_grams"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q94: re-rank within pinned cells is an equi-join on cell, never nested-loop") {
     // fixture build (k-means + two small spools) legitimately runs jobs at
     // build time — the contract here is the SHAPE of the rank plan: the

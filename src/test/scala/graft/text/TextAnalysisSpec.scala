@@ -217,4 +217,70 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(0) === ((1L, "a", "a", 2L)))     // count before merging
     assert(m(1) === ((2L, "aa", "a", 1L)))    // [aa, a] -> one (aa,a) pair
   }
+
+  test("topGramDominance: top bigram by count, gram-desc tie-break; short docs keep a row") {
+    val docs = Seq(
+      // "a b" x2, "b a" x2, "a c" x1 -> count tie, gram-desc picks "b a";
+      // chars = len("a b a b a c") = 11
+      (1L, "a b a b a c"),
+      // all three bigrams distinct, tie at 1 -> lexicographically greatest wins
+      (2L, "x y z w"),
+      (3L, "solo"),                      // < 2 words: no grams
+      (4L, "")).toDF("doc_id", "text")   // empty
+    val r = TextAnalysis.topGramDominance(docs, "doc_id", col("text"), 2)
+      .select("doc_id", "top_gram", "top_cnt", "top_frac", "dup_frac")
+      .as[(Long, Option[String], Long, Double, Double)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._2 === Some("b a") && r(1L)._3 === 2L)
+    // 2 occurrences * 3 chars / 11 total chars
+    assert(math.abs(r(1L)._4 - 6.0 / 11) < 1e-6)
+    assert(math.abs(r(1L)._5 - 0.8) < 1e-9)  // 4 of 5 occurrences repeat
+    assert(r(2L)._2 === Some("z w") && r(2L)._3 === 1L && r(2L)._5 === 0.0)
+    assert(r(3L)._2 === None && r(3L)._3 === 0L && r(3L)._4 === 0.0)
+    assert(r(4L)._2 === None && r(4L)._4 === 0.0 && r(4L)._5 === 0.0)
+  }
+
+  test("word_grams kernel == HOF formulation; gram_dominance kernel == aggregation formulation") {
+    val docs = Seq(
+      (1L, "a b a b a c"), (2L, "x y z w"), (3L, "solo"), (4L, ""),
+      (5L, "  pad  pad  x "), (6L, "t t t t t t t t"),
+      (7L, "one two three four five six")).toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5)) {
+      val kern = docs.select(col("doc_id"),
+        graft.functions.GramFunctions.wordGrams(col("text"), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      val hof = docs.select(col("doc_id"),
+        TextAnalysis.wordGramsHof(col("text"), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(kern === hof, s"n=$n")
+    }
+    val a = TextAnalysis.topGramDominance(docs, "doc_id", col("text"), 2)
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.topGramDominanceAgg(docs, "doc_id", col("text"), 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("topGramDominance plans shuffle-free: no Exchange in the physical plan") {
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val p = TextAnalysis.topGramDominance(docs, "doc_id", col("text"), 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("dupSpanFraction: only spans shared by >=2 distinct docs count") {
+    val docs = Seq(
+      (1L, "p q r s t u"),      // 5-grams: "p q r s t", "q r s t u"
+      (2L, "p q r s t x"),      // shares "p q r s t" with doc 1
+      (3L, "m n o"),            // too short: 0 spans
+      (4L, "a a a a a a a a")   // self-repeats only -> 1 distinct doc, no dups
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.dupSpanFraction(docs, "doc_id", col("text"), 5, 2)
+      .select("doc_id", "n_spans", "dup_spans", "dup_span_frac")
+      .as[(Long, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 2L, 1L, 0.5)))
+    assert(r(2L) === ((2L, 2L, 1L, 0.5)))
+    assert(r(3L) === ((3L, 0L, 0L, 0.0)))
+    assert(r(4L) === ((4L, 4L, 0L, 0.0)))
+  }
 }
