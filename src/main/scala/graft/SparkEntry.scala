@@ -116,11 +116,17 @@ object SparkEntry {
   val Q140FixtureDir = "/tmp/graft_ivfpq_oracle_fixture"
   @volatile private var q140FixtureSub: String = s"$Q140FixtureDir/sf0.01"
 
+  /** q151's IVF-upsert fixture (stale layout + true corpus + frozen
+    * centroids), same per-tier memoization discipline as [[Q94FixtureDir]]. */
+  val Q151FixtureDir = "/tmp/graft_ivf_upsert_fixture"
+  @volatile private var q151FixtureSub: String = s"$Q151FixtureDir/sf0.01"
+
   /** Pin tier-dependent oracle fixture paths to `sfDir`'s tier (see
     * [[q94FixtureSub]]); called by Verify before dumping [[oracleSql]]. */
   def setOracleTier(sfDir: String): Unit = {
     q94FixtureSub = s"$Q94FixtureDir/${new java.io.File(sfDir).getName}"
     q140FixtureSub = s"$Q140FixtureDir/${new java.io.File(sfDir).getName}"
+    q151FixtureSub = s"$Q151FixtureDir/${new java.io.File(sfDir).getName}"
   }
 
   /** TPC-H Q2's shape, shared VERBATIM by the Spark front door and the
@@ -197,6 +203,22 @@ object SparkEntry {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
+
+  /** TPC-H Q13's shape, shared VERBATIM by both engines (q150): the
+    * customer-order-count distribution — a LEFT OUTER join whose
+    * non-key predicate lives INSIDE the ON clause (a WHERE would turn the
+    * outer join inner and drop the zero-order customers that are Q13's
+    * point), then two stacked aggregations (count per customer, histogram
+    * of those counts). `o_orderpriority <> '1-URGENT'` stands in for Q13's
+    * `o_comment NOT LIKE` (the testdata orders carry no comment column). */
+  val SqlQ13Text: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
   /** Order-independent exact sum of a double column: via DECIMAL. */
   private def dsum(c: Column, prec: Int = 18, scale: Int = 2): Column =
@@ -1099,6 +1121,64 @@ object SparkEntry {
       TextAnalysis.dupSpanFraction(t(s, d, "documents"), "doc_id",
           col("text"), 5, 2)
         .orderBy(col("doc_id"))),
+
+    // ⊕ ANN index MAINTENANCE: incremental IVF upsert (q151). The fixture
+    // builds a layout whose every-7th vector is a STALE (reversed)
+    // embedding, then ivfUpsertLayout replaces them with the true vectors
+    // under FROZEN centroids — replaced vectors that change cells are
+    // removed from their old directory and written to their new one, and
+    // only touched cell= dirs are rewritten (dynamic partition overwrite;
+    // file-level no-rewrite claim pinned in IvfUpsertSpec). The query
+    // returns the maintained layout's (vec_id, cell); the oracle
+    // recomputes the argmax-cosine assignment of the TRUE corpus from the
+    // pinned centroids FROM SCRATCH — the hash match proves maintenance ≡
+    // full rebuild, the invariant that lets a 100 TB index take deltas
+    // instead of retraining.
+    "q151_ann_upsert" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      q151FixtureSub = s"$Q151FixtureDir/${new java.io.File(d).getName}"
+      val fx = q151FixtureSub
+      val marker = new java.io.File(s"$fx/_built_k16_mod7_v1")
+      if (!marker.exists()) {
+        val cents = Similarity.ivfCentroids(emb, 16)
+        val isDelta = col("vec_id") % 7 === 0
+        val stale = emb.withColumn("embedding",
+          when(isDelta, reverse(col("embedding"))).otherwise(col("embedding")))
+        Similarity.writeIvfLayout(stale, cents, s"$fx/layout")
+        emb.select(col("vec_id"), col("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/corpus.parquet")
+        import s.implicits._
+        cents.indices.map(i => (i, cents(i))).toDF("cell", "cw")
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/centroids.parquet")
+        Similarity.ivfUpsertLayout(s, s"$fx/layout", cents, emb.filter(isDelta))
+        marker.createNewFile()
+      }
+      s.read.parquet(s"$fx/layout")
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ⊕ SQL front door #6: TPC-H Q13's shape — LEFT OUTER join with the
+    // filter inside ON (WHERE would silently drop the zero-order
+    // customers), then aggregation-of-an-aggregation. Identical text in
+    // DuckDB.
+    "q150_sql_q13" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(SqlQ13Text)
+    }),
+
+    // ⊕ A/B experiment readout: Welch's t-test per event_type between a
+    // deterministic 50/50 user split (variant = user_id mod 2 — the
+    // hash-assignment pattern, RNG-free so both engines agree). Six
+    // conditionally-aggregated decimal-exact sums → one exchange; all
+    // stats are closed-form doubles over them (the q89 discipline).
+    "q149_ab_ttest" -> ((s, d) =>
+      Relational.welchTTest(
+          Tables.events(s, d)
+            .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int")),
+          "event_type", "variant", "value")
+        .orderBy(col("event_type"))),
 
     // ⊕ time-series anomaly flags on the gap-filled event stream: rolling
     // 12-bucket z-score per event_type, window sums kept in exact BIGINTs
@@ -3337,6 +3417,58 @@ object SparkEntry {
          |LEFT JOIN top ON top.doc_id = t.doc_id
          |LEFT JOIN agg a ON a.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // q150: the IDENTICAL Q13-shaped text in both engines
+    "q150_sql_q13" -> SqlQ13Text,
+
+    // q151: DuckDB re-derives every vector's cell from the pinned TRUE
+    // corpus + frozen centroids — a from-scratch rebuild the maintained
+    // layout must equal bit-for-bit (argmax ties → lowest cell, the
+    // array_position-of-max order)
+    "q151_ann_upsert" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM read_parquet('$q151FixtureSub/corpus.parquet/*.parquet')),
+         |c AS (SELECT cell, CAST(cw AS DOUBLE[]) AS cw
+         |      FROM read_parquet('$q151FixtureSub/centroids.parquet/*.parquet')),
+         |s AS (SELECT v.vec_id, c.cell,
+         |  list_dot_product(v.emb, c.cw)
+         |    / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.cw, c.cw))) AS sim
+         |  FROM v CROSS JOIN c),
+         |a AS (SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM s)
+         |SELECT vec_id, CAST(cell AS INT) AS cell FROM a WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+
+    // q149: token-for-token the same closed forms over the same
+    // decimal-exact sums — floor-truncation, never round(), on the stats
+    "q149_ab_ttest" -> {
+      val dx = "CAST(value AS DECIMAL(18,6))"
+      s"""WITH g AS (SELECT event_type,
+         |  CAST(count(CASE WHEN user_id % 2 = 0 THEN value END) AS DOUBLE) AS na,
+         |  CAST(count(CASE WHEN user_id % 2 = 1 THEN value END) AS DOUBLE) AS nb,
+         |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN $dx END) AS DOUBLE) AS sa,
+         |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN $dx END) AS DOUBLE) AS sb,
+         |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN $dx * $dx END) AS DOUBLE) AS saa,
+         |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN $dx * $dx END) AS DOUBLE) AS sbb
+         |  FROM events GROUP BY event_type),
+         |s AS (SELECT event_type, na, nb,
+         |  sa / na AS ma, sb / nb AS mb,
+         |  (saa - sa * sa / na) / (na - 1) AS va,
+         |  (sbb - sb * sb / nb) / (nb - 1) AS vb
+         |  FROM g),
+         |z AS (SELECT *, va / na + vb / nb AS se2,
+         |  (na > 1 AND nb > 1 AND va / na + vb / nb > 0) AS ok FROM s)
+         |SELECT event_type,
+         |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  floor(ma * 1e6) / 1e6 AS mean_a,
+         |  floor(mb * 1e6) / 1e6 AS mean_b,
+         |  CASE WHEN ok THEN floor(((ma - mb) / sqrt(se2)) * 1e6) / 1e6 END AS t_stat,
+         |  CASE WHEN ok THEN floor(((se2 * se2) /
+         |    ((va / na) * (va / na) / (na - 1)
+         |      + (vb / nb) * (vb / nb) / (nb - 1))) * 1e6) / 1e6 END AS df_welch,
+         |  CASE WHEN ok THEN abs((ma - mb) / sqrt(se2)) > 1.96 END AS significant
+         |FROM z ORDER BY event_type""".stripMargin
+    },
 
     // q148: duplicated iff the exact 5-gram appears in ≥2 DISTINCT docs
     "q148_dup_spans" ->

@@ -743,6 +743,57 @@ object Relational {
     * is exact for counts below 2^53 (the double-division bound —
     * universe-scale tables exceed it long after the recommendation has
     * saturated). */
+  /** A/B experiment readout: per `groupCol`, Welch's unequal-variance
+    * t-test between the two arms of `variantCol` (0 = control, 1 =
+    * treatment) over `valueCol`. The whole test reduces to six
+    * conditionally-aggregated sums per group — ONE exchange with map-side
+    * partial aggregation, no per-arm subqueries, no second pass — so at
+    * 100 TB it costs exactly one grouped scan.
+    *
+    * Determinism discipline (the q89 pattern): sums accumulate in
+    * DECIMAL(18,6) (order-independent exact), every derived stat is a
+    * fixed closed-form double expression over those exact sums — mirrored
+    * token-for-token in the oracle SQL — and reported stats are
+    * floor-truncated to 6 decimals (round() half-way ties differ between
+    * engines; floor never does). Sample variance uses the n-1 denominator.
+    * Arms with < 2 observations or zero pooled variance yield NULL t/df
+    * (insufficient evidence is not "t=0"). `significant` = |t| > 1.96
+    * (two-sided 5%), computed from the SAME double both engines derived. */
+  def welchTTest(df: DataFrame, groupCol: String, variantCol: String,
+                 valueCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+    def trunc6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)
+    val v = col(variantCol)
+    val x = col(valueCol)
+    def armSum(arm: Int, e: Column): Column =
+      sum(when(v === arm, e).otherwise(lit(null)))
+    val g = df.groupBy(col(groupCol)).agg(
+      // count(when(v===arm, x)) counts non-NULL observations in the arm —
+      // rows with a NULL value join neither the count nor the sums
+      count(when(v === 0, x)).cast("double").as("na"),
+      count(when(v === 1, x)).cast("double").as("nb"),
+      armSum(0, dec(x)).cast("double").as("sa"),
+      armSum(1, dec(x)).cast("double").as("sb"),
+      armSum(0, dec(x) * dec(x)).cast("double").as("saa"),
+      armSum(1, dec(x) * dec(x)).cast("double").as("sbb"))
+    val ma = col("sa") / col("na")
+    val mb = col("sb") / col("nb")
+    val va = (col("saa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
+    val vb = (col("sbb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+    val se2 = va / col("na") + vb / col("nb")
+    val tStat = (ma - mb) / sqrt(se2)
+    val dfW = (se2 * se2) /
+      ((va / col("na")) * (va / col("na")) / (col("na") - 1) +
+       (vb / col("nb")) * (vb / col("nb")) / (col("nb") - 1))
+    val ok = col("na") > 1 && col("nb") > 1 && se2 > 0
+    g.select(col(groupCol),
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      trunc6(ma).as("mean_a"), trunc6(mb).as("mean_b"),
+      when(ok, trunc6(tStat)).as("t_stat"),
+      when(ok, trunc6(dfW)).as("df_welch"),
+      when(ok, abs(tStat) > lit(1.96)).as("significant"))
+  }
+
   def skewProfile(df: DataFrame, key: String, topN: Int = 5,
                   targetRowsPerTask: Long = 10000L): DataFrame = {
     def trunc6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -244,6 +244,72 @@ object Similarity {
       .filter(col("cell").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id").as("nid"), col("embedding").as("__ce"), col("cell"))
     ivfRank(queries, c, qCells, k)
+  }
+
+  /** Incremental maintenance of the [[writeIvfLayout]] at-rest index:
+    * upsert `changes` (unique `vec_id`, new or replacing) WITHOUT a
+    * rebuild. Centroids stay FROZEN (the FAISS IVF-add discipline —
+    * retraining online would reassign the whole corpus); each change is
+    * assigned to its nearest frozen cell, and only the touched `cell=`
+    * directories are rewritten:
+    *
+    *   touched = cells receiving new copies ∪ cells holding STALE copies
+    *   of the upserted ids (found by an id-only semi join — a columnar
+    *   scan of vec_id, never the vectors). A replaced vector that MOVES
+    *   cells is handled by exactly this union: removed from its old
+    *   directory (left_anti below), written into its new one.
+    *
+    * The rewrite is Spark's dynamic partition overwrite — untouched
+    * directories are not listed, read, or replaced (IvfUpsertSpec pins
+    * the file-level claim), so maintenance cost follows the DELTA and the
+    * touched-cell fraction, the MergeTable commit property (§2.1 ⊕K7)
+    * replayed at the index layer. When upserts skew the cell sizes, the
+    * recluster signal is [[Relational.skewProfile]] over `cell` — retrain
+    * + full rewrite is then a deliberate batch operation, not something
+    * maintenance does implicitly. Returns the touched cell ids. */
+  def ivfUpsertLayout(spark: SparkSession, layoutDir: String,
+                      cents: Array[Seq[Float]], changes: DataFrame): Seq[Int] = {
+    val assignedNew = ivfAssign(changes, cents)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val newCells = assignedNew.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val existing = spark.read.parquet(layoutDir)
+    val staleCells = existing
+      .join(assignedNew.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val touched = (newCells ++ staleCells).toSeq.sorted
+    // survivors: rows of touched cells not superseded by the upsert —
+    // the isin is a PartitionFilter, so only touched dirs are read
+    val survivors = existing
+      .filter(col("cell").isin(touched.map(Int.box): _*))
+      .join(assignedNew.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val replacement = survivors.unionByName(assignedNew)
+    // evaluated BEFORE the write: replacement's plan reads layoutDir, so
+    // any action on it after the overwrite would see the mutated files
+    val remaining = replacement.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      replacement.repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // dynamic overwrite only replaces partitions PRESENT in the written
+    // data — a touched cell whose last row was superseded writes nothing
+    // and would keep its stale files. Drop emptied directories explicitly.
+    val fs = new org.apache.hadoop.fs.Path(layoutDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (touched.toSet -- remaining).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$layoutDir/cell=$c"), true)
+    }
+    touched
   }
 
   // ---- IVF-PQ (product quantization) ---------------------------------------

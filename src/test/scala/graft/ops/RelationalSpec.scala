@@ -454,4 +454,26 @@ class RelationalSpec extends SparkSpec {
       .select("g", "id", "draw").as[(String, Long, Long)].collect().toSet
     assert(s1 === s2)
   }
+
+  test("welchTTest: hand-computed t/df; degenerate arms yield NULL, not t=0") {
+    // arm 0 = [1,2,3] (m=2, var=1); arm 1 = [5,7,9,11] (m=8, var=20/3)
+    // se2 = 1/3 + 5/3 = 2 -> t = -6/sqrt(2) = -4.2426406...
+    // df  = 4 / ((1/9)/2 + (25/9)/3) = 4.0754716...
+    val rows = Seq(1.0, 2.0, 3.0).map(v => ("g", 0, v)) ++
+      Seq(5.0, 7.0, 9.0, 11.0).map(v => ("g", 1, v)) ++
+      Seq(("one", 0, 4.0), ("one", 1, 5.0), ("one", 1, 6.0)) ++ // arm a has n=1
+      Seq(("flat", 0, 2.0), ("flat", 0, 2.0), ("flat", 1, 2.0), ("flat", 1, 2.0))
+    val df = rows.toDF("grp", "variant", "value")
+    val r = Relational.welchTTest(df, "grp", "variant", "value")
+      .select("grp", "n_a", "n_b", "mean_a", "mean_b", "t_stat", "df_welch", "significant")
+      .as[(String, Long, Long, Double, Double, Option[Double], Option[Double], Option[Boolean])]
+      .collect().map(x => x._1 -> x).toMap
+    val g = r("g")
+    assert(g._2 === 3L && g._3 === 4L && g._4 === 2.0 && g._5 === 8.0)
+    assert(g._6 === Some(-4.242641))  // floor truncation: more negative
+    assert(g._7 === Some(4.075471))
+    assert(g._8 === Some(true))
+    assert(r("one")._6 === None && r("one")._8 === None)   // n_a < 2
+    assert(r("flat")._6 === None)                          // zero variance
+  }
 }
