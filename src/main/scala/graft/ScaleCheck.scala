@@ -330,6 +330,38 @@ object ScaleCheck {
         java.nio.file.Paths.get(mtDir).getParent)
       util.Cleanup.drain()
     }
+
+    // The ANN-index analogue of the MergeTable claim: IVF upsert cost
+    // follows the DELTA and its touched-cell fraction, never the corpus.
+    // Build a mult-scaled 64-cell layout once (timed for contrast), then
+    // upsert a fixed-size delta confined to ONE cell — compare the upsert
+    // line across mult values: it grows with corpus/64, not the corpus,
+    // and stays far under the build line.
+    if (want("ivf")) {
+      val cents = sim.Similarity.ivfCentroids(
+        model.Tables.embeddings(spark, d), 64)
+      val embA = amplify(model.Tables.embeddings(spark, d), Seq("vec_id"))
+      val nEmb = embA.count()
+      val ivfDir = java.nio.file.Files.createTempDirectory("scale_ivf").toString + "/layout"
+      time(s"ivf_layout_build_${nEmb}_vecs", nEmb) {
+        sim.Similarity.writeIvfLayout(embA, cents, ivfDir)
+      }
+      // delta: the BASE tier's cell-0 vectors under fresh unique ids —
+      // frozen-centroid assignment sends them straight back to cell 0
+      // (one touched dir), and base ids are small so +9e8 cannot collide
+      val delta = sim.Similarity.ivfAssign(
+          model.Tables.embeddings(spark, d), cents)
+        .filter(col("cell") === 0)
+        .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+          col("embedding"))
+      val nDelta = delta.count()
+      time(s"ivf_upsert_one_cell_${nDelta}_vecs", nDelta) {
+        sim.Similarity.ivfUpsertLayout(spark, ivfDir, cents, delta)
+      }
+      util.Cleanup.registerTempDir(
+        java.nio.file.Paths.get(ivfDir).getParent)
+      util.Cleanup.drain()
+    }
     spark.stop()
   }
 }
