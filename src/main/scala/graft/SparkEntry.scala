@@ -1158,6 +1158,14 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ⊕ corpus drift monitor: pairwise Jensen–Shannon divergence between
+    // per-source unigram distributions — the shift readout run before
+    // mixing corpus slices. Vocabulary stays distributed (two exchanges,
+    // word-keyed); only the 5 per-source totals reach the driver.
+    "q152_drift_jsd" -> ((s, d) =>
+      TextAnalysis.driftJsd(t(s, d, "documents"), "source", col("text"))
+        .orderBy(col("source_a"), col("source_b"))),
+
     // ⊕ SQL front door #6: TPC-H Q13's shape — LEFT OUTER join with the
     // filter inside ON (WHERE would silently drop the zero-order
     // customers), then aggregation-of-an-aggregation. Identical text in
@@ -3420,6 +3428,31 @@ object SparkEntry {
 
     // q150: the IDENTICAL Q13-shaped text in both engines
     "q150_sql_q13" -> SqlQ13Text,
+
+    // q152: per-word JSD terms rounded to 6dp and summed as exact
+    // DECIMAL(28,6) (order-independent — the q100 log-sum recipe);
+    // the final JSD floor-truncates back to a double
+    "q152_drift_jsd" ->
+      s"""WITH $wordsCte,
+         |c AS (SELECT source AS s, wrd AS w, count(*) AS c
+         |  FROM (SELECT source, unnest(ws) AS wrd FROM w) GROUP BY 1, 2),
+         |t AS (SELECT s, CAST(sum(c) AS DOUBLE) AS n FROM c GROUP BY s),
+         |p AS (SELECT a.s AS sa, a.n AS na, b.s AS sb, b.n AS nb
+         |  FROM t a JOIN t b ON a.s < b.s),
+         |u AS (SELECT p.sa, p.sb, p.na, p.nb, c.w
+         |  FROM p JOIN c ON c.s = p.sa OR c.s = p.sb GROUP BY 1, 2, 3, 4, 5),
+         |j AS (SELECT u.sa, u.sb,
+         |  CAST(coalesce(ca.c, 0) AS DOUBLE) / u.na AS pp,
+         |  CAST(coalesce(cb.c, 0) AS DOUBLE) / u.nb AS qq
+         |  FROM u LEFT JOIN c ca ON ca.s = u.sa AND ca.w = u.w
+         |         LEFT JOIN c cb ON cb.s = u.sb AND cb.w = u.w),
+         |k AS (SELECT sa, sb, CAST(round(
+         |    (CASE WHEN pp > 0 THEN pp * ln(pp / ((pp + qq) / 2)) ELSE 0 END
+         |   + CASE WHEN qq > 0 THEN qq * ln(qq / ((pp + qq) / 2)) ELSE 0 END)
+         |    * 0.5, 6) AS DECIMAL(28,6)) AS t FROM j)
+         |SELECT sa AS source_a, sb AS source_b,
+         |  floor(CAST(sum(t) AS DOUBLE) * 1e6) / 1e6 AS jsd
+         |FROM k GROUP BY sa, sb ORDER BY sa, sb""".stripMargin,
 
     // q151: DuckDB re-derives every vector's cell from the pinned TRUE
     // corpus + frozen centroids — a from-scratch rebuild the maintained

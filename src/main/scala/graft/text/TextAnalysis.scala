@@ -871,6 +871,56 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Corpus drift monitor: pairwise Jensen–Shannon divergence (in nats)
+    * between the unigram term distributions of every pair of `sourceCol`
+    * slices — the distribution-shift readout a training pipeline runs
+    * between snapshots/sources before mixing them (0 = identical mixes,
+    * ln 2 ≈ 0.693 = disjoint vocabularies). JSD over KL because it is
+    * symmetric and finite even when a word is missing from one side.
+    *
+    * Shape at 100 TB: ONE exchange on (source, word) builds the counts
+    * with map-side partial aggregation; a second on the word alone packs
+    * each word's per-source counts into a bounded map (source cardinality
+    * is small — the thing that is NOT bounded is the vocabulary, which
+    * stays distributed end to end); every pair's per-word JSD term is then
+    * row-local arithmetic on that map, and the only driver-side data is
+    * the per-source total counts (a handful of exact longs, the
+    * ivfCentroids discipline). Determinism is the q100 recipe: each
+    * per-word term is rounded to 6 decimals, summed EXACTLY as
+    * DECIMAL(28,6) (order-independent), and only the final JSD is
+    * floor-truncated back to a double. */
+  def driftJsd(docs: DataFrame, sourceCol: String, text: Column): DataFrame = {
+    // the ONLY corpus-sized pass: (source, word) counts, one exchange with
+    // map-side partial aggregation. Everything below operates on the
+    // compressed counts table (vocab × sources rows), so it is
+    // checkpointed at its fan-out (totals + pair-universe + two probe
+    // sides) — the q76 discipline.
+    val csw = docs.select(col(sourceCol).as("s"), explode(words(text)).as("w"))
+      .groupBy(col("s"), col("w")).agg(count(lit(1)).as("c"))
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val t = csw.groupBy(col("s")).agg(sum(col("c")).cast("double").as("n"))
+    val pairs = t.select(col("s").as("sa"), col("n").as("na"))
+      .join(t.select(col("s").as("sb"), col("n").as("nb")), col("sa") < col("sb"))
+    // each pair's word universe: words present in EITHER side (a word in
+    // neither contributes exactly 0, so it can be skipped losslessly)
+    val u = pairs.join(csw.select(col("s"), col("w")),
+        col("s") === col("sa") || col("s") === col("sb"))
+      .select(col("sa"), col("sb"), col("na"), col("nb"), col("w")).distinct()
+    val ca = csw.select(col("s").as("sa"), col("w"), col("c").as("ca"))
+    val cb = csw.select(col("s").as("sb"), col("w"), col("c").as("cb"))
+    val j = u.join(ca, Seq("sa", "w"), "left").join(cb, Seq("sb", "w"), "left")
+    val pp = coalesce(col("ca"), lit(0L)).cast("double") / col("na")
+    val qq = coalesce(col("cb"), lit(0L)).cast("double") / col("nb")
+    val mid = (pp + qq) / lit(2.0)
+    val term = (when(pp > 0, pp * log(pp / mid)).otherwise(lit(0.0)) +
+      when(qq > 0, qq * log(qq / mid)).otherwise(lit(0.0))) * lit(0.5)
+    j.select(col("sa").as("source_a"), col("sb").as("source_b"),
+        round(term, 6).cast(DecimalType(28, 6)).as("t"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg((floor(sum(col("t")).cast("double") * lit(1e6)).cast("double") / lit(1e6))
+        .as("jsd"))
+  }
+
   /** Gopher-style top-n-gram dominance (Rae et al. 2021 §A1.1, "fraction
     * of characters in the most frequent n-gram"): per document, the single
     * most frequent word `n`-gram, the share of the document's characters

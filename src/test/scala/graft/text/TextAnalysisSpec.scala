@@ -268,6 +268,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("driftJsd: identical sources diverge 0, disjoint vocabularies ~ln 2") {
+    val docs = Seq(
+      ("x", "a b"), ("y", "a b"), ("z", "c d")).toDF("source", "text")
+    val r = TextAnalysis.driftJsd(docs, "source", col("text"))
+      .select("source_a", "source_b", "jsd")
+      .as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(r.size === 3)
+    assert(r(("x", "y")) === 0.0)
+    // ln 2 = 0.6931471…; with per-word 6dp rounding the 4 disjoint words
+    // each contribute round(0.25·ln2, 6) = 0.173287 → 0.693148
+    assert(r(("x", "z")) === 0.693148)
+    assert(r(("y", "z")) === 0.693148)
+  }
+
   test("dupSpanFraction: only spans shared by >=2 distinct docs count") {
     val docs = Seq(
       (1L, "p q r s t u"),      // 5-grams: "p q r s t", "q r s t u"
