@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BinaryStride, BpeEncode, CanaryHits, CharGramJaccard, CosineSimilarity, CountMinSketch, KmvDistinct, RepetitionRatio, SimHash16, VecDot, WinnowFingerprints}
+import graft.functions.{BinaryStride, BpeEncode, CanaryHits, CharGramJaccard, CosineSimilarity, CountMinSketch, KmvDistinct, KmvMins, RepetitionRatio, SimHash16, VecDot, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
@@ -48,6 +48,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val k = if (children.length > 1)
           children(1).eval(null).asInstanceOf[Number].intValue() else 256
         KmvDistinct(children.head, k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_mins"),
+      new ExpressionInfo(classOf[KmvMins].getName, "kmv_mins"),
+      (children: Seq[Expression]) => {
+        if (children.isEmpty || children.size > 2)
+          throw new IllegalArgumentException(
+            s"kmv_mins(col[, k]) expects 1 or 2 arguments but got ${children.size}")
+        val k = if (children.length > 1)
+          children(1).eval(null).asInstanceOf[Number].intValue() else 256
+        KmvMins(children.head, k).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("cms_sketch"),

@@ -220,6 +220,59 @@ object SparkEntry {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** TPC-H Q18 VERBATIM, shared by both engines (q153): the "large-volume
+    * customer" pattern — an IN over a grouped-HAVING subquery on the SAME
+    * fact table the outer query aggregates. Catalyst must plan the inner
+    * aggregate once and turn the IN into a LeftSemi on l_orderkey (no
+    * per-row subquery; at 100 TB both aggregate and semi-join shuffle
+    * co-partitioned on orderkey). The only departures from spec text:
+    * o_orderdate is omitted from the output (the engines' date render
+    * functions differ), the quantity sum goes through DECIMAL (the q97
+    * order-independence discipline), and o_orderkey joins the ORDER BY as
+    * a deterministic tiebreak under LIMIT. Threshold 300 is spec-verbatim
+    * and keeps ~0.5% of orders on this data. */
+  val SqlQ18Text: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey
+      |    HAVING sum(l_quantity) > 300)
+      |  AND c_custkey = o_custkey
+      |  AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q22's shape, shared VERBATIM by both engines (q154): the
+    * "global sales opportunity" pattern — an UNCORRELATED scalar aggregate
+    * subquery in WHERE (computed once, broadcast as a literal-like filter)
+    * plus a correlated NOT EXISTS (→ LeftAnti on custkey). c_nationkey
+    * stands in for Q22's substring(c_phone) country code (the testdata
+    * customer has no phone column), and the anti-join is against URGENT
+    * orders rather than all orders (every customer here has orders — the
+    * spec's exact predicate would return zero rows). The average is the
+    * DECIMAL-exact sum divided by the count as ONE double division, so the
+    * threshold bit pattern is identical in both engines. */
+  val SqlQ22Text: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      |  AND c_acctbal > (
+      |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |        / count(*)
+      |    FROM customer c2
+      |    WHERE c2.c_acctbal > 0.00
+      |      AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY cntrycode""".stripMargin
+
   /** Order-independent exact sum of a double column: via DECIMAL. */
   private def dsum(c: Column, prec: Int = 18, scale: Int = 2): Column =
     sum(c.cast(DecimalType(prec, scale))).cast("double")
@@ -2309,7 +2362,77 @@ object SparkEntry {
     "q138_bpe_encode_vocab" -> ((s, d) =>
       TextAnalysis.bpeApply(t(s, d, "documents"), col("text"),
           TextAnalysis.referenceMerges)
-        .orderBy(col("total").desc, col("symbol")).limit(100))
+        .orderBy(col("total").desc, col("symbol")).limit(100)),
+
+    // ⊕ SQL front door #7: TPC-H Q18 VERBATIM — IN over a grouped-HAVING
+    // subquery on the same fact table the outer query re-aggregates.
+    // Catalyst rewrites the IN to a LeftSemi on l_orderkey against the
+    // pre-aggregated inner (PlanQualitySpec: no per-row subquery); both
+    // the inner aggregate and the semi join shuffle co-partitioned on
+    // orderkey, so at 100 TB this is two orderkey-keyed exchanges, not a
+    // rescan per row. Identical text in DuckDB.
+    "q153_sql_q18" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(SqlQ18Text)
+    }),
+
+    // ⊕ SQL front door #8: TPC-H Q22's shape — an uncorrelated scalar
+    // aggregate subquery in WHERE (planned once as a one-row subplan,
+    // then a simple filter — never re-evaluated per row) plus a
+    // correlated NOT EXISTS (→ LeftAnti on custkey). Completes the
+    // decorrelation matrix: correlated scalar (q142), nested correlated
+    // agg (q143), EXISTS+NOT EXISTS (q146), IN-HAVING (q153),
+    // uncorrelated scalar + NOT EXISTS (this). Identical text in DuckDB.
+    "q154_sql_q22" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(SqlQ22Text)
+    }),
+
+    // ⊕ streaming exact dedup with EXPIRING state: every event delivered
+    // twice (doubled landing dir — the at-least-once upstream),
+    // dropDuplicatesWithinWatermark collapses redelivery to exactly-once
+    // with per-key state that EXPIRES past the watermark (plain
+    // dropDuplicates state grows with corpus history — the shape that
+    // dies first on an unbounded stream). The dedup of two full copies
+    // must reproduce the original table exactly, so the oracle is a
+    // straight aggregate over events — any key lost, duplicated, or
+    // value-mangled by the state machine flips the hash.
+    "q155_stream_dedup" -> ((s, d) =>
+      EventStreams.streamingDedupRun(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("total"))
+        .orderBy(col("event_type"))),
+
+    // ⊕ stream-stream LEFT OUTER interval join: purchases paired with the
+    // same user's clicks in the next 30 minutes, AND never-matched
+    // purchases emitted once with a null right side when the watermark
+    // passes their join horizon — the attribution readout where "no
+    // conversion" is the signal (inner q58 cannot say it). The month
+    // replays as 16 time-ordered micro-batches so the watermark actually
+    // advances; matches and nulls roll up to n_matches per purchase, and
+    // the settled-region cutoff is recomputed verbatim by the oracle.
+    "q156_stream_outer_join" -> ((s, d) =>
+      EventStreams.streamOuterJoinRun(s, d, "purchase", "click")
+        .orderBy(col("l_id")))
+    ,
+
+    // ⊕ distinct-set ALGEBRA via KMV/theta sketches (q90 counts, this
+    // intersects): per source pair, exact |A|,|B|,|A∪B|,|A∩B| of the
+    // word vocabularies plus booleans gating the SKETCH union/intersection
+    // estimates (k=256 min-hash arrays, merge+truncate union, Jaccard-share
+    // intersection — the algebra HLL cannot do). Oracle hard-codes the
+    // booleans TRUE: estimator drift flips the hash. At 100 TB only the
+    // one-pass sketch agg touches the corpus; the exact side is the
+    // verification harness.
+    "q157_kmv_setops" -> ((s, d) =>
+      TextAnalysis.vocabOverlapKmv(t(s, d, "documents"), "source",
+          col("text"))
+        .orderBy(col("source_a"), col("source_b")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3428,6 +3551,60 @@ object SparkEntry {
 
     // q150: the IDENTICAL Q13-shaped text in both engines
     "q150_sql_q13" -> SqlQ13Text,
+
+    // q153/q154: the IDENTICAL Q18/Q22-shaped texts — DuckDB plans them
+    // its own way; the hash match checks semantics, PlanQualitySpec
+    // checks Spark rewrote the subqueries to semi/anti joins
+    "q153_sql_q18" -> SqlQ18Text,
+
+    "q154_sql_q22" -> SqlQ22Text,
+
+    // q155: dedup of a doubled delivery must reproduce the original table,
+    // so the oracle aggregates events directly — no dedup on its side
+    "q155_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // q157: the oracle recomputes the EXACT set sizes and hard-codes the
+    // sketch-accuracy booleans TRUE (the q136 pattern)
+    "q157_kmv_setops" ->
+      s"""WITH $wordsCte,
+         |dw AS (SELECT DISTINCT source AS g, wrd AS w
+         |  FROM (SELECT source, unnest(ws) AS wrd FROM w)),
+         |n AS (SELECT g, count(*) AS nd FROM dw GROUP BY g),
+         |i AS (SELECT x.g AS ga, y.g AS gb, count(*) AS n_inter
+         |  FROM dw x JOIN dw y ON x.w = y.w AND x.g < y.g GROUP BY 1, 2),
+         |p AS (SELECT a.g AS ga, b.g AS gb, a.nd AS na, b.nd AS nb
+         |  FROM n a JOIN n b ON a.g < b.g)
+         |SELECT p.ga AS source_a, p.gb AS source_b, p.na AS n_a, p.nb AS n_b,
+         |  p.na + p.nb - coalesce(i.n_inter, 0) AS n_union,
+         |  coalesce(i.n_inter, 0) AS n_inter,
+         |  TRUE AS union_ok, TRUE AS inter_ok
+         |FROM p LEFT JOIN i ON i.ga = p.ga AND i.gb = p.gb
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    // q156: the batch form of the streaming left-outer interval join —
+    // n_matches=0 rows are the streaming null-side emissions; the settled
+    // cutoff (max ts - 5 days) is the same closed-form predicate the
+    // engine applies after the stream drains
+    "q156_stream_outer_join" ->
+      """WITH l AS (SELECT event_id AS l_id, user_id, ts AS l_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT event_id AS r_id, user_id AS ru, ts AS r_ts
+        |  FROM events WHERE event_type = 'click'),
+        |mx AS (SELECT max(ts) AS mt FROM events),
+        |lf AS (SELECT l.l_id, l.user_id, l.l_ts FROM l, mx
+        |  WHERE l.l_ts < mx.mt - INTERVAL 5 DAY)
+        |SELECT lf.l_id, lf.user_id, count(r.r_id) AS n_matches
+        |FROM lf LEFT JOIN r
+        |  ON r.ru = lf.user_id AND r.r_ts >= lf.l_ts
+        |  AND r.r_ts <= lf.l_ts + INTERVAL 30 MINUTE
+        |GROUP BY lf.l_id, lf.user_id
+        |ORDER BY lf.l_id""".stripMargin,
 
     // q152: per-word JSD terms rounded to 6dp and summed as exact
     // DECIMAL(28,6) (order-independent — the q100 log-sum recipe);

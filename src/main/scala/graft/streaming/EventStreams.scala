@@ -395,4 +395,127 @@ object EventStreams {
   def dedupedEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "30 minutes")
       .dropDuplicates("event_id")
+
+  /** One scratch dir per sfDir holding TWO copies of events.parquet — a
+    * deliberately duplicated landing directory for [[streamingDedupRun]]
+    * (at-least-once upstream delivery: every event arrives twice). The
+    * copies get distinct mtimes so FileStreamSource orders them into
+    * separate micro-batches (same result either way — the dedup state is
+    * cross-batch). Read-only after creation, exit-scoped, shared across
+    * bench re-runs like [[sharedEventsDir]]. */
+  private val dupDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def duplicatedEventsDir(dir: String): java.nio.file.Path =
+    dupDirs.computeIfAbsent(dir, _ => {
+      val d = graft.util.Cleanup.registerExitDir(
+        java.nio.file.Files.createTempDirectory("graft_stream_dup_src"))
+      val src = java.nio.file.Paths.get(dir, "events.parquet")
+      val a = d.resolve("events_copy_a.parquet")
+      val b = d.resolve("events_copy_b.parquet")
+      java.nio.file.Files.copy(src, a)
+      java.nio.file.Files.copy(src, b)
+      a.toFile.setLastModified(1000000000000L)
+      b.toFile.setLastModified(1000000060000L)
+      d
+    })
+
+  /** Streaming exact dedup with WATERMARK-BOUNDED state, run to
+    * completion over a doubled landing directory: every event is
+    * delivered twice (the at-least-once upstream), and
+    * `dropDuplicatesWithinWatermark` collapses redelivery to
+    * exactly-one-per-key. The scale property vs plain `dropDuplicates`:
+    * per-key state EXPIRES once the watermark passes the key's event time
+    * + delay, so state is bounded by the redelivery horizon (delay × event
+    * rate), not corpus history — the only shape that survives an unbounded
+    * stream. A redelivery older than the watermark is dropped as late
+    * input before it ever probes state, which is the same exactly-once
+    * outcome by a cheaper path. Append mode: each key's first arrival is
+    * emitted exactly once, so the spool IS the deduplicated stream. */
+  def streamingDedupRun(spark: SparkSession, dir: String,
+                        delay: String = "10 minutes"): DataFrame =
+    spoolRun(spark, duplicatedEventsDir(dir).toString, "append",
+        maxFilesPerTrigger = Some(1)) { ev =>
+      ev.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("event_id")
+    }
+
+  /** Time-ordered split of the events table: `nFiles` range-partitioned
+    * (by ts) parquet files with mtimes in range order, so a
+    * maxFilesPerTrigger=1 stream replays the month as an in-order
+    * sequence of micro-batches and the watermark ADVANCES batch over
+    * batch (a single-file source pins the watermark at its epoch for the
+    * whole run — outer joins would never emit their null side). Range
+    * partitioning also means no row is ever late: batch k's minimum ts
+    * exceeds batch k-1's maximum. */
+  private val timeSplitDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def timeSplitEventsDir(spark: SparkSession, dir: String,
+                                 nFiles: Int): java.nio.file.Path =
+    timeSplitDirs.computeIfAbsent(s"$dir|$nFiles", _ => {
+      val d = graft.util.Cleanup.registerExitDir(
+        java.nio.file.Files.createTempDirectory("graft_stream_timesplit"))
+      graft.model.Tables.events(spark, dir)
+        .repartitionByRange(nFiles, col("ts"))
+        .sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(s"$d/files")
+      // stamp mtimes in ts order so FileStreamSource's (mtime, path) order
+      // matches range order
+      val files = new java.io.File(s"$d/files").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 60000L) }
+      d
+    })
+
+  /** Stream-stream LEFT OUTER interval join: every `leftType` event paired
+    * with the same user's `rightType` events within `within`, AND left
+    * events with NO such match emitted once with a null right side when
+    * the watermark passes their join horizon (l_ts + within + delay) —
+    * the attribution shape where "never converted" is itself the signal.
+    * State on both sides stays bounded by (delay + within) exactly as in
+    * [[intervalJoin]]; the null-side emission is what the inner form
+    * cannot express. Run via [[streamOuterJoinRun]] so the watermark
+    * actually advances (see [[timeSplitEventsDir]]). */
+  def intervalJoinOuter(events: DataFrame, leftType: String,
+                        rightType: String, within: String = "30 minutes",
+                        watermark: String = "1 hour"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("__ru"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col("user_id") === col("__ru") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
+        "leftOuter")
+      .select(col("l_id"), col("user_id"), col("l_ts"), col("r_id"))
+  }
+
+  /** Run [[intervalJoinOuter]] to completion over the time-split landing
+    * dir and roll the match stream up per left event (n_matches = 0 rows
+    * are the unmatched nulls). Left events too close to the stream's end
+    * (inside `safety` of max ts) are excluded AFTER the stream: their
+    * no-match verdict is still buffered when a finite replay ends, so
+    * only the settled region is comparable across engines — the exact
+    * cutoff is recomputed identically by the oracle. */
+  def streamOuterJoinRun(spark: SparkSession, dir: String,
+                         leftType: String, rightType: String,
+                         nFiles: Int = 16,
+                         safety: String = "5 days"): DataFrame = {
+    val split = timeSplitEventsDir(spark, dir, nFiles)
+    val spooled = spoolRun(spark, s"$split/files", "append",
+        maxFilesPerTrigger = Some(1)) { ev =>
+      intervalJoinOuter(ev, leftType, rightType)
+    }
+    val maxTs = graft.model.Tables.events(spark, dir)
+      .agg(max(col("ts")).as("mt"))
+    spooled.groupBy(col("l_id"), col("user_id"), col("l_ts"))
+      .agg(count(col("r_id")).as("n_matches"))
+      .crossJoin(broadcast(maxTs))
+      .filter(col("l_ts") < col("mt") - expr(s"INTERVAL $safety"))
+      .select(col("l_id"), col("user_id"), col("n_matches"))
+  }
 }

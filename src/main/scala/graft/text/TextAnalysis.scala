@@ -921,6 +921,70 @@ object TextAnalysis {
         .as("jsd"))
   }
 
+  /** Vocabulary-overlap readout between corpus sources via KMV/theta
+    * sketches, GATED against the exact answer (the q136 pattern): per
+    * source pair, the exact distinct-word counts (|A|, |B|, |A∪B|, |A∩B|)
+    * plus booleans asserting the SKETCH estimates land within tolerance.
+    *
+    * Why this exists: HLL (`approx_count_distinct`) answers "how many
+    * distinct" but cannot intersect two sketches; the KMV min-hash array
+    * ([[graft.functions.KmvMins]]) supports full set ALGEBRA — union by
+    * merge+truncate, intersection via the Jaccard share of the union
+    * sketch (Beyer et al., SIGMOD'07). At 100 TB the production path is
+    * sketches only: one corpus pass builds a k-long array per source
+    * (mergeable partial+final agg), and every pairwise overlap after that
+    * is array math on driver-negligible rows — no re-scan, no word-level
+    * self-join. The exact side here is the verification harness, feasible
+    * only because the test corpus is small.
+    *
+    * Estimator: with U_k = the k smallest of A∪B's hashes (merge of the
+    * two arrays), est|A∪B| = (k-1)/u_k; ρ = |U_k ∩ A ∩ B| / |U_k|;
+    * est|A∩B| = ρ · est|A∪B|. Both exact when a pair's union carries
+    * fewer than k distinct words. */
+  def vocabOverlapKmv(docs: DataFrame, sourceCol: String, text: Column,
+                      k: Int = 256, relTol: Double = 0.2): DataFrame = {
+    graft.functions.KmvFunctions.ensureRegistered(docs.sparkSession)
+    // the ONLY corpus-sized pass: distinct (source, word), one exchange;
+    // sketch + exact count come out of the same compressed table, which is
+    // checkpointed at its fan-out (sketch agg + exact intersection probe
+    // sides) — the q76 discipline
+    val dw = docs.select(col(sourceCol).as("g"), explode(words(text)).as("w"))
+      .distinct()
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val sk = dw.groupBy(col("g"))
+      .agg(expr(s"kmv_mins(w, $k)").as("mins"), count(lit(1)).as("nd"))
+    // exact pair intersection: word-keyed equi-join of the distinct table
+    // with itself (a < b halves the pairs); union = |A|+|B|-|A∩B|
+    val inter = dw.as("x").join(dw.as("y"),
+        col("x.w") === col("y.w") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("ga"), col("y.g").as("gb"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = sk.select(col("g").as("ga"), col("mins").as("ma"), col("nd").as("na"))
+      .join(sk.select(col("g").as("gb"), col("mins").as("mb"), col("nd").as("nb")),
+        col("ga") < col("gb"))
+      .join(inter, Seq("ga", "gb"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+    // union sketch: merge the two sorted arrays, keep the k smallest
+    val u = slice(array_sort(array_union(col("ma"), col("mb"))), 1, k)
+    val kd = lit(9.223372036854775807e18) // Long.MaxValue as double (hash ceiling)
+    val estU = when(size(u) < k, size(u).cast("long"))
+      .otherwise(round(lit(k - 1) / (element_at(u, k).cast("double") / kd)).cast("long"))
+    val rho = size(array_intersect(array_intersect(u, col("ma")), col("mb")))
+      .cast("double") / size(u).cast("double")
+    val estI = round(rho * estU.cast("double")).cast("long")
+    val nUnion = col("na") + col("nb") - col("n_inter")
+    pairs.select(col("ga").as("source_a"), col("gb").as("source_b"),
+      col("na").as("n_a"), col("nb").as("n_b"),
+      nUnion.as("n_union"), col("n_inter"),
+      // union estimator: 3σ ≈ 3/√k relative; intersection adds ρ-sampling
+      // noise ~√(ρ(1-ρ)/k) of the UNION size on top
+      (abs(estU - nUnion).cast("double") <= lit(relTol) * nUnion.cast("double"))
+        .as("union_ok"),
+      (abs(estI - col("n_inter")).cast("double") <=
+        lit(relTol) * col("n_inter").cast("double")
+          + lit(0.1) * nUnion.cast("double")).as("inter_ok"))
+  }
+
   /** Gopher-style top-n-gram dominance (Rae et al. 2021 §A1.1, "fraction
     * of characters in the most frequent n-gram"): per document, the single
     * most frequent word `n`-gram, the share of the document's characters

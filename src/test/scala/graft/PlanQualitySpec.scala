@@ -194,6 +194,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q153: Q18's IN-over-grouped-HAVING decorrelates to a LeftSemi on the pre-aggregated inner") {
+    val p = physical("q153_sql_q18")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("InSubquery"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q154: Q22's NOT EXISTS becomes a LeftAnti; the uncorrelated scalar avg is planned ONCE (a one-row subplan, not a per-row rescan)") {
+    val p = physical("q154_sql_q22")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the uncorrelated scalar subquery legitimately survives as a
+    // Subquery node — executed once and reused as a literal filter; what
+    // must NOT appear is a correlated per-row form (no join under it)
+    assert(!p.contains("InSubquery"), p)
+  }
+
   test("q147: gram dominance is scan-stage kernel work — only the final sort exchanges") {
     val p = physical("q147_gram_dominance")
     assert(p.contains("gram_dominance"), p)
