@@ -2432,7 +2432,18 @@ object SparkEntry {
     "q157_kmv_setops" -> ((s, d) =>
       TextAnalysis.vocabOverlapKmv(t(s, d, "documents"), "source",
           col("text"))
-        .orderBy(col("source_a"), col("source_b")))
+        .orderBy(col("source_a"), col("source_b"))),
+
+    // ⊕ model-based quality filtering (the CCNet/fastText stage): a
+    // Naive-Bayes log-odds linear scorer trained on the corpus itself
+    // (target: lang='en') and applied back per document. Weights are
+    // 6dp-rounded ln-odds summed as exact DECIMAL (the q100 discipline),
+    // so the score AND the classification bit are bit-identical in any
+    // engine — the oracle retrains the same model from scratch in SQL.
+    "q158_nb_quality" -> ((s, d) =>
+      TextAnalysis.nbQualityScore(t(s, d, "documents"), "doc_id",
+          col("text"), col("lang") === "en")
+        .orderBy(col("doc_id")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3586,6 +3597,36 @@ object SparkEntry {
          |  TRUE AS union_ok, TRUE AS inter_ok
          |FROM p LEFT JOIN i ON i.ga = p.ga AND i.gb = p.gb
          |ORDER BY source_a, source_b""".stripMargin,
+
+    // q158: the oracle RETRAINS the same Naive-Bayes model in SQL —
+    // identical smoothing, 6dp weight rounding, exact DECIMAL sums, and
+    // the same exact-decimal zero threshold for the class bit
+    "q158_nb_quality" ->
+      s"""WITH $wordsCte,
+         |tk AS (SELECT doc_id, pos, wrd AS w
+         |  FROM (SELECT doc_id, (lang = 'en') AS pos, unnest(ws) AS wrd FROM w)),
+         |cw AS (SELECT w,
+         |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+         |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+         |  FROM tk GROUP BY w),
+         |tot AS (SELECT CAST(sum(cp) AS DOUBLE) AS tp,
+         |    CAST(sum(cn) AS DOUBLE) AS tn,
+         |    CAST(count(*) AS DOUBLE) AS v FROM cw),
+         |pr AS (SELECT CAST(round(ln(
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS DOUBLE)), 6)
+         |  AS DECIMAL(28,6)) AS prior FROM documents),
+         |wt AS (SELECT w, CAST(round(
+         |    ln(CAST(cp + 1 AS DOUBLE) / (tp + v))
+         |    - ln(CAST(cn + 1 AS DOUBLE) / (tn + v)), 6) AS DECIMAL(28,6)) AS wt
+         |  FROM cw, tot),
+         |sc AS (SELECT tk.doc_id, count(*) AS n_terms, sum(wt.wt) AS s
+         |  FROM tk JOIN wt ON wt.w = tk.w GROUP BY tk.doc_id)
+         |SELECT sc.doc_id, sc.n_terms,
+         |  floor(CAST(sc.s + pr.prior AS DOUBLE) * 1e4) / 1e4 AS score,
+         |  (sc.s + pr.prior) > 0 AS is_quality
+         |FROM sc, pr
+         |ORDER BY sc.doc_id""".stripMargin,
 
     // q156: the batch form of the streaming left-outer interval join —
     // n_matches=0 rows are the streaming null-side emissions; the settled

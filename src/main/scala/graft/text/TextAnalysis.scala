@@ -921,6 +921,58 @@ object TextAnalysis {
         .as("jsd"))
   }
 
+  /** Model-based quality classification (the CCNet/RefinedWeb recipe): a
+    * multinomial Naive-Bayes log-odds scorer TRAINED ON THE CORPUS ITSELF
+    * against a cheap binary target (here: `targetCol`), then applied back
+    * to every document — the fastText-classifier stage of a training-data
+    * pipeline, linear-model form (per-word log-odds weights, add-one
+    * smoothing, class prior).
+    *
+    * Determinism is the q100 discipline end to end: every per-word weight
+    * is ln(...) rounded to 6 decimals and summed as exact DECIMAL(28,6),
+    * so document scores are order-independent and bit-identical across
+    * engines; the classification bit compares the exact decimal sum
+    * against zero (no float threshold).
+    *
+    * Scale: ONE corpus-token pass builds the class-conditional counts
+    * (vocab-sized, checkpointed at its fan-out: grand totals + the apply
+    * join); the apply side joins tokens to weights VOCAB-KEYED (sort-merge
+    * at web scale, AQE broadcast when the vocabulary fits an executor);
+    * the two grand totals are 1-row aggs folded in as broadcast cross
+    * joins. Training and scoring are the same two shuffles any tf-idf
+    * pass costs — no driver-side model materialization. */
+  def nbQualityScore(docs: DataFrame, idCol: String, text: Column,
+                     targetCol: Column): DataFrame = {
+    val staged = docs.select(col(idCol).as("doc_id"), targetCol.as("__pos"),
+      words(text).as("__ws"))
+    val toks = staged.select(col("doc_id"), col("__pos"),
+      explode(col("__ws")).as("w"))
+    val cw = toks.groupBy(col("w")).agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("cn"))
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val tot = cw.agg(sum(col("cp")).cast("double").as("tp"),
+      sum(col("cn")).cast("double").as("tn"),
+      count(lit(1)).cast("double").as("v"))
+    val prior = staged.agg(
+      round(log(sum(when(col("__pos"), 1L).otherwise(0L)).cast("double")
+        / sum(when(!col("__pos"), 1L).otherwise(0L)).cast("double")), 6)
+        .cast(DecimalType(28, 6)).as("__prior"))
+    val w6 = round(
+      log((col("cp") + 1).cast("double") / (col("tp") + col("v"))) -
+      log((col("cn") + 1).cast("double") / (col("tn") + col("v"))), 6)
+    val weights = cw.crossJoin(tot)
+      .select(col("w"), w6.cast(DecimalType(28, 6)).as("__wt"))
+    toks.join(weights, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__wt")).as("__s"))
+      .crossJoin(prior)
+      .select(col("doc_id"), col("n_terms"),
+        (floor((col("__s") + col("__prior")).cast("double") * lit(1e4))
+          .cast("double") / lit(1e4)).as("score"),
+        ((col("__s") + col("__prior")) > 0).as("is_quality"))
+  }
+
   /** Vocabulary-overlap readout between corpus sources via KMV/theta
     * sketches, GATED against the exact answer (the q136 pattern): per
     * source pair, the exact distinct-word counts (|A|, |B|, |A∪B|, |A∩B|)

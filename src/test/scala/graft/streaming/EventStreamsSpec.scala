@@ -92,4 +92,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids.length === ids.distinct.length)
     assert(ids.nonEmpty)
   }
+
+  test("streamingDedupRun collapses a doubled delivery to exactly the original table") {
+    val deduped = EventStreams.streamingDedupRun(spark, sfDir)
+      .select("event_id", "event_type", "user_id").collect().toSet
+    val original = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "user_id").collect().toSet
+    assert(deduped === original)
+  }
+
+  test("streamOuterJoinRun equals the batch left-join rollup and emits real null-side rows") {
+    val streamed = EventStreams.streamOuterJoinRun(spark, sfDir, "purchase", "click")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("r_id"), col("user_id").as("ru"),
+        col("ts").as("r_ts"))
+    val mt = ev.agg(max(col("ts")).as("mt"))
+    val batch = l.join(r, col("user_id") === col("ru") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 30 minutes"), "leftOuter")
+      .groupBy(col("l_id"), col("user_id"), col("l_ts"))
+      .agg(count(col("r_id")).as("n_matches"))
+      .crossJoin(mt)
+      .filter(col("l_ts") < col("mt") - expr("INTERVAL 5 days"))
+      .select(col("l_id"), col("user_id"), col("n_matches"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(streamed === batch)
+    // the point of the OUTER form: unmatched purchases are present with 0
+    assert(streamed.exists(_._3 == 0L), "expected at least one null-side emission")
+    assert(streamed.exists(_._3 > 0L))
+  }
 }

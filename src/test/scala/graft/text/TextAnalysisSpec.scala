@@ -298,4 +298,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L) === ((3L, 0L, 0L, 0.0)))
     assert(r(4L) === ((4L, 4L, 0L, 0.0)))
   }
+
+  test("nbQualityScore separates classes by their vocabulary and is partitioning-invariant") {
+    val docs = Seq(
+      (1L, "good clean prose here", true),
+      (2L, "good clean text again", true),
+      (3L, "spam junk noise words", false),
+      (4L, "junk spam garbage here", false),
+      (5L, "good clean prose text", true) // held-in doc, clearly positive vocab
+    ).toDF("doc_id", "text", "pos")
+    def run(parts: Int) = TextAnalysis.nbQualityScore(
+        docs.repartition(parts), "doc_id", col("text"), col("pos"))
+      .select("doc_id", "n_terms", "score", "is_quality")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val r1 = run(1)
+    assert(r1 === run(7)) // exact DECIMAL sums: bit-identical at any parallelism
+    val byId = r1.map(x => x._1 -> x).toMap
+    assert(byId(5L)._4, s"positive-vocab doc should classify positive: $r1")
+    assert(!byId(3L)._4 && !byId(4L)._4, s"spam docs should classify negative: $r1")
+    assert(byId.values.forall(_._2 === 4L)) // 4 words each, all in-vocab
+  }
 }
