@@ -273,6 +273,57 @@ object SparkEntry {
       |GROUP BY c_nationkey
       |ORDER BY cntrycode""".stripMargin
 
+  /** TPC-H Q15 VERBATIM in shape, shared by both engines (q159): the
+    * "top supplier" pattern — an aggregated CTE consumed TWICE (once as a
+    * join input, once under an uncorrelated scalar MAX), with an equality
+    * filter against that max. Catalyst plans the CTE once per consumer (or
+    * reuses the exchange) and the max as a one-row subplan; the equality
+    * compares EXACT DECIMAL revenue (never double), so "the" top supplier
+    * is engine-independent even under revenue ties. The spec's CREATE VIEW
+    * is folded into a WITH (same semantics, no DDL). */
+  val SqlQ15Text: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q11's shape, shared VERBATIM by both engines (q160): grouped
+    * aggregation filtered by a HAVING against an uncorrelated scalar
+    * subquery that re-aggregates the SAME join (the "important stock"
+    * global-fraction pattern). lineitem value ≙ partsupp
+    * supplycost×availqty (no partsupp table ships in the testdata); both
+    * sides reduce to exact DECIMAL sums cast once to double, so the
+    * threshold bit pattern agrees across engines. The spec's FRACTION
+    * literal scales as 1/SF (its comment: "chosen to restrict the output");
+    * a fixed literal returns 0 rows off its home tier, so the threshold is
+    * written scale-free as 2× the average per-part value — the same
+    * "value above global average share" semantics at every SF. */
+  val SqlQ11Text: String =
+    """SELECT l_partkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS val
+      |FROM lineitem, supplier, nation
+      |WHERE l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_1', 'NATION_3')
+      |GROUP BY l_partkey
+      |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > (
+      |  SELECT CAST(sum(CAST(l2.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      * 2.0 / count(DISTINCT l2.l_partkey)
+      |  FROM lineitem l2, supplier s2, nation n2
+      |  WHERE l2.l_suppkey = s2.s_suppkey
+      |    AND s2.s_nationkey = n2.n_nationkey
+      |    AND n2.n_name IN ('NATION_1', 'NATION_3'))
+      |ORDER BY val DESC, l_partkey""".stripMargin
+
   /** Order-independent exact sum of a double column: via DECIMAL. */
   private def dsum(c: Column, prec: Int = 18, scale: Int = 2): Column =
     sum(c.cast(DecimalType(prec, scale))).cast("double")
@@ -2443,7 +2494,26 @@ object SparkEntry {
     "q158_nb_quality" -> ((s, d) =>
       TextAnalysis.nbQualityScore(t(s, d, "documents"), "doc_id",
           col("text"), col("lang") === "en")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ⊕ SQL front door #9: TPC-H Q15's shape — an aggregated CTE consumed
+    // twice (join input + uncorrelated scalar MAX) with exact-DECIMAL
+    // equality against the max. Identical text in DuckDB.
+    "q159_sql_q15" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, d, "supplier").createOrReplaceTempView("supplier")
+      s.sql(SqlQ15Text)
+    }),
+
+    // ⊕ SQL front door #10: TPC-H Q11's shape — HAVING against an
+    // uncorrelated scalar subquery re-aggregating the same 3-table join
+    // (the global-fraction threshold). Identical text in DuckDB.
+    "q160_sql_q11" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, d, "supplier").createOrReplaceTempView("supplier")
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      s.sql(SqlQ11Text)
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3569,6 +3639,10 @@ object SparkEntry {
     "q153_sql_q18" -> SqlQ18Text,
 
     "q154_sql_q22" -> SqlQ22Text,
+
+    "q159_sql_q15" -> SqlQ15Text,
+
+    "q160_sql_q11" -> SqlQ11Text,
 
     // q155: dedup of a doubled delivery must reproduce the original table,
     // so the oracle aggregates events directly — no dedup on its side

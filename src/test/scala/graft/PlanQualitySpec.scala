@@ -211,6 +211,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("InSubquery"), p)
   }
 
+  test("q159: Q15's twice-consumed CTE and scalar MAX plan without nested-loop rescans") {
+    val p = physical("q159_sql_q15")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("max("), p)
+  }
+
+  test("q160: Q11's HAVING-vs-global-scalar plans as two aggregates + filter, no per-row subquery") {
+    val p = physical("q160_sql_q11")
+    assert(!p.contains("InSubquery"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q147: gram dominance is scan-stage kernel work — only the final sort exchanges") {
     val p = physical("q147_gram_dominance")
     assert(p.contains("gram_dominance"), p)
