@@ -289,6 +289,81 @@ object ScaleCheck {
       util.Cleanup.drain()
     }
 
+    // Watermarked streaming dedup at mult x: the landing dir carries TWO
+    // copies of the amplified events (at-least-once delivery), and
+    // dropDuplicatesWithinWatermark must collapse them with state bounded
+    // by the watermark horizon — per-event cost across mult values is the
+    // claim (state holds keys within the delay window, not history;
+    // amplified copies widen the key space per window, the worst case).
+    if (want("stream_dedup")) {
+      val evs = amplify(model.Tables.events(spark, d), Seq("user_id", "event_id"))
+      val srcDir = java.nio.file.Files.createTempDirectory("scale_sdedup").toString
+      evs.write.mode("overwrite").parquet(s"$srcDir/ev")
+      evs.write.mode("append").parquet(s"$srcDir/ev") // the redelivery
+      val nEv = spark.read.parquet(s"$srcDir/ev").count() // 2x events
+      time(s"stream_dedup_${nEv}_deliveries", nEv) {
+        val out = streaming.EventStreams.spoolRun(spark, s"$srcDir/ev", "append") {
+          ev => ev.withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark("event_id")
+        }.count()
+        require(out * 2 == nEv, s"dedup kept $out of $nEv deliveries")
+      }
+      util.Cleanup.registerTempDir(java.nio.file.Paths.get(srcDir))
+      util.Cleanup.drain()
+    }
+
+    // Stream-stream LEFT OUTER interval join at mult x: per-event cost
+    // must stay flat — join state is bounded by (watermark + interval) of
+    // events per user, and amplified copies add USERS, not events per
+    // user, so state per key is mult-invariant.
+    if (want("stream_outer")) {
+      val evs = amplify(model.Tables.events(spark, d), Seq("user_id", "event_id"))
+      val srcDir = java.nio.file.Files.createTempDirectory("scale_souter").toString
+      evs.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+      val nEv = spark.read.parquet(s"$srcDir/events.parquet").count()
+      // one-time split-file materialization outside the timed block (the
+      // stream_upsert discipline): the probe measures the stateful join
+      streaming.EventStreams.warmTimeSplitFiles(spark, srcDir)
+      time(s"stream_outer_${nEv}_events", nEv) {
+        streaming.EventStreams.streamOuterJoinRun(spark, srcDir,
+          "purchase", "click", nFiles = 16).count()
+      }
+      util.Cleanup.registerTempDir(java.nio.file.Paths.get(srcDir))
+      util.Cleanup.drain()
+    }
+
+    // KMV sketch pass (the q157 PRODUCTION path: sketches only, no exact
+    // verification side): one distinct (source, word) exchange + a
+    // mergeable kmv_mins agg per source + array algebra on the pair
+    // rows. Cost must track the corpus token count; the pair stage is
+    // sources^2 rows of pure array math, mult-invariant.
+    if (want("kmv_sketch")) {
+      graft.functions.KmvFunctions.ensureRegistered(spark)
+      time("kmv_sketch_pass", nDocs) {
+        val dw = docs.select(col("source").as("g"),
+            explode(text.TextAnalysis.words(col("text"))).as("w")).distinct()
+        val sk = dw.groupBy(col("g")).agg(expr("kmv_mins(w, 256)").as("m"))
+        val pairs = sk.select(col("g").as("ga"), col("m").as("ma"))
+          .join(sk.select(col("g").as("gb"), col("m").as("mb")),
+            col("ga") < col("gb"))
+          .select(col("ga"), col("gb"),
+            size(slice(array_sort(array_union(col("ma"), col("mb"))), 1, 256))
+              .as("su"))
+        require(pairs.count() >= 1L)
+      }
+    }
+
+    // Naive-Bayes quality scorer at mult x: train + apply are two
+    // corpus-token passes and a vocab-keyed join — per-doc cost must stay
+    // flat as the corpus grows (the model itself is vocab-sized and never
+    // driver-collected).
+    if (want("nb_quality")) {
+      time("nb_quality_train_apply", nDocs) {
+        text.TextAnalysis.nbQualityScore(docs, "doc_id", col("text"),
+          col("lang") === "en").count()
+      }
+    }
+
     // The MergeTable claim to verify at scale: commit cost follows the
     // DELTA, not the table. Build a mult-scaled table once, then commit a
     // FIXED-size delta (the sf0.1-sized slice) against it — if merges read

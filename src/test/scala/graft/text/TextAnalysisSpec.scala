@@ -299,6 +299,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(4L) === ((4L, 4L, 0L, 0.0)))
   }
 
+  test("removeDupSpans strips only cross-doc spans and reconstructs in word order") {
+    val docs = Seq(
+      (1L, "p q r s t u"),      // "p q r s t" shared with doc 2 -> covers pos 0-4
+      (2L, "p q r s t x"),      // same shared span -> both copies stripped
+      (3L, "m n o"),            // shorter than k: no grams, survives whole
+      (4L, "a a a a a a a a")   // self-repeats only: 1 distinct doc, intact
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.removeDupSpans(docs, "doc_id", col("text"), 5)
+      .select("doc_id", "n_words", "n_kept", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 6L, 1L, "u")))
+    assert(r(2L) === ((2L, 6L, 1L, "x")))
+    assert(r(3L) === ((3L, 3L, 3L, "m n o")))
+    assert(r(4L) === ((4L, 8L, 8L, "a a a a a a a a")))
+  }
+
   test("nbQualityScore separates classes by their vocabulary and is partitioning-invariant") {
     val docs = Seq(
       (1L, "good clean prose here", true),

@@ -78,8 +78,18 @@ def load_bench(path: str) -> dict:
 # sf0.1, amortized over the stream at scale. A ratio against a batch oracle
 # below this floor measures the spin-up, not the plan.
 STREAMING = {"q35_stream_tumbling", "q37_stream_sliding", "q38_session_window",
-             "q39_stateful_sessions", "q58_stream_join"}
+             "q39_stateful_sessions", "q58_stream_join", "q155_stream_dedup"}
 STREAMING_MIN_SPARK = 4.0
+
+# q156 deliberately replays the month as 8 time-ordered micro-batches so the
+# watermark advances (stream-stream LEFT OUTER join: the null-side emission
+# requires watermark movement a single-batch source never produces). Each
+# batch is a full stateful outer-join step (4 state stores per shuffle
+# partition) — ~1 s spin-up each at sf0.1, ~9 s total, pure protocol cost
+# that amortizes over batch duration at scale: the 16x ScaleCheck probe
+# measures per-event cost FALLING (85 -> 15 µs/event).
+REPLAY_STREAMING = {"q156_stream_outer_join"}
+REPLAY_STREAMING_MIN_SPARK = 12.0
 
 # Transactional-load queries execute the full multi-commit protocol the
 # closed-form oracle never performs: q63 runs TWO MergeTable commits (each a
@@ -122,6 +132,8 @@ def check(fixture_path: str, bench_path: str, ratio: float, min_spark: float) ->
             floor = max(floor, STREAMING_MIN_SPARK)
         if name in MULTI_COMMIT:
             floor = max(floor, MULTI_COMMIT_MIN_SPARK)
+        if name in REPLAY_STREAMING:
+            floor = max(floor, REPLAY_STREAMING_MIN_SPARK)
         if spark_s >= floor and spark_s > ratio * duck_s:
             print(f"FLAG {name}: spark {spark_s:.2f}s > {ratio:g}x duckdb {duck_s:.2f}s"
                   f" ({spark_s / duck_s:.1f}x)")
