@@ -2523,7 +2523,22 @@ object SparkEntry {
     "q161_dedup_spans" -> ((s, d) =>
       TextAnalysis.removeDupSpans(t(s, d, "documents"), "doc_id",
           col("text"), 5)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ⊕ EWMA smoothing over the gap-filled event series (q103's window
+    // family, decay form): 3/4-per-step decay keeps every weight an exact
+    // integer coefficient (3^j·4^(L-1-j), normalizer 4^L−3^L closed-form),
+    // the weighted sum one exact BIGINT lag chain sharing a single
+    // exchange+sort — only the final division is a double. Warmup rows
+    // drop by NULL propagation.
+    "q162_ewma" -> ((s, d) =>
+      Relational.ewmaSmooth(
+          Relational.gapFillCounts(Tables.events(s, d), "event_type", "ts", 300),
+          "event_type", "bucket", "n", 12)
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("n"), col("ewma"))
+        .orderBy(col("event_type"), col("bucket")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3306,6 +3321,32 @@ object SparkEntry {
          |         ELSE $dev <> 0 END
          |  ELSE FALSE END AS is_anomaly
          |FROM wnd ORDER BY event_type, bucket""".stripMargin
+    },
+
+    // q162: identical integer lag-chain — coef_j = 3^j·4^(11-j), norm =
+    // 4^12−3^12; only the final division is floating point
+    "q162_ewma" -> {
+      val L = 12
+      val coefs = (0 until L).map(j =>
+        BigInt(3).pow(j).toLong * BigInt(4).pow(L - 1 - j).toLong)
+      val norm = coefs.sum
+      val chain = (s"n * ${coefs.head}" +:
+        (1 until L).map(j => s"lag(n, $j) OVER w * ${coefs(j)}")).mkString(" + ")
+      s"""WITH b AS (SELECT event_type, time_bucket(INTERVAL '300 seconds', ts) AS bucket FROM events),
+         |c AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+         |bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+         |grid AS (SELECT et.event_type, g.bucket
+         |         FROM (SELECT DISTINCT event_type FROM events) et
+         |         CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL '300 seconds')) AS bucket
+         |                     FROM bounds) g),
+         |g AS (SELECT grid.event_type, grid.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         |      FROM grid LEFT JOIN c ON c.event_type = grid.event_type AND c.bucket = grid.bucket),
+         |wnd AS (SELECT event_type, bucket, n, $chain AS wsum
+         |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+         |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, n,
+         |  floor(CAST(wsum AS DOUBLE) / $norm.0 * 1e6) / 1e6 AS ewma
+         |FROM wnd WHERE wsum IS NOT NULL
+         |ORDER BY event_type, bucket""".stripMargin
     },
 
     "q88_quantile_sketch" ->

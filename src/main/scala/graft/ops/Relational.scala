@@ -463,6 +463,39 @@ object Relational {
       .drop("__cnt")
   }
 
+  /** Exponentially weighted moving average over a gap-filled integer
+    * series — the smoothing/decay sibling of [[rollingAnomalies]]'s
+    * flat-window z-score (monitoring dashboards read the EWMA; alerting
+    * reads the z-flags). Decay is fixed at 3/4 per step (α = 1/4) so the
+    * whole computation stays EXACT: weight_j ∝ 3^j·4^(L-1-j) are integer
+    * coefficients, the weighted sum is one exact BIGINT lag-chain, the
+    * normalizer has the closed form 4^L − 3^L, and only the final
+    * division is a double (floor-truncated to 6dp) — bit-identical in any
+    * engine, no float-power drift. Warmup rows (fewer than `lookback`
+    * lags) drop via NULL propagation, like q103's NULL-until-full frame.
+    *
+    * Scale: one key-partitioned window exchange; the L lag() calls share
+    * the single sort (same window spec), so the plan is one exchange +
+    * one sort regardless of L. */
+  def ewmaSmooth(series: DataFrame, key: String, bucket: String,
+                 valueCol: String, lookback: Int = 12): DataFrame = {
+    require(lookback >= 1 && lookback <= 20, s"lookback 1..20, got $lookback")
+    val w = Window.partitionBy(col(key)).orderBy(col(bucket))
+    // coef_j = 3^j · 4^(L-1-j); Σ coef = 4^L − 3^L (geometric, ratio 3/4)
+    val coefs = (0 until lookback).map(j =>
+      BigInt(3).pow(j).toLong * BigInt(4).pow(lookback - 1 - j).toLong)
+    val norm = coefs.sum
+    val v = col(valueCol).cast("long")
+    val wsum = (1 until lookback)
+      .map(j => lag(v, j).over(w) * lit(coefs(j)))
+      .foldLeft(v * lit(coefs.head))(_ + _)
+    series.withColumn("__wsum", wsum)
+      .where(col("__wsum").isNotNull) // any missing lag nulls the chain
+      .select(col(key), col(bucket), col(valueCol),
+        (floor(col("__wsum").cast("double") / lit(norm.toDouble) * lit(1e6))
+          .cast("double") / lit(1e6)).as("ewma"))
+  }
+
   /** Column profiler — the ANALYZE-statistics surface (row count, null
     * count, exact NDV, numeric min/max per column) a cost-based optimizer
     * and a data-quality gate both read. TWO aggregations over the table,

@@ -476,4 +476,21 @@ class RelationalSpec extends SparkSpec {
     assert(r("one")._6 === None && r("one")._8 === None)   // n_a < 2
     assert(r("flat")._6 === None)                          // zero variance
   }
+
+  test("ewmaSmooth: exact integer weighting — constants pass through, a spike decays by 3/4 steps") {
+    // 12 zeros then a spike of 100: first full-window row is bucket 12
+    val rows = ((1 to 12).map(b => ("a", b, 0L)) :+ ("a", 13, 100L)) ++
+      (1 to 13).map(b => ("c", b, 5L)) // constant series -> ewma == 5 exactly
+    val df = rows.toDF("k", "bucket", "n")
+    val r = Relational.ewmaSmooth(df, "k", "bucket", "n", 12)
+      .select("k", "bucket", "ewma")
+      .as[(String, Int, Double)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    // warmup rows (bucket < 12) are dropped
+    assert(!r.contains(("a", 11)) && !r.contains(("c", 11)))
+    assert(r(("c", 12)) === 5.0 && r(("c", 13)) === 5.0)
+    assert(r(("a", 12)) === 0.0)
+    // spike weight = 4^11 / (4^12 - 3^12), computed independently
+    val expect = math.floor(100.0 * 4194304.0 / 16245775.0 * 1e6) / 1e6
+    assert(r(("a", 13)) === expect)
+  }
 }
