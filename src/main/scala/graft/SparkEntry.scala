@@ -2538,7 +2538,35 @@ object SparkEntry {
         .select(col("event_type"),
           date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
           col("n"), col("ewma"))
-        .orderBy(col("event_type"), col("bucket")))
+        .orderBy(col("event_type"), col("bucket"))),
+
+    // ⊕ c-TF-IDF distinctive terms per source (the BERTopic labeling
+    // recipe): which words CARRY the divergence q152's JSD measures —
+    // (tf/tokens)·ln(S/source-df), top-10 per source, full-precision
+    // tie-break then 6dp display truncation. Everything derives from one
+    // (source, word) count exchange.
+    "q163_ctfidf" -> ((s, d) =>
+      TextAnalysis.cTfIdf(t(s, d, "documents"), "source", col("text"), 10)
+        .orderBy(col("source"), col("rank"))),
+
+    // ⊕ entropy gibberish filter: per-doc char- and word-level Shannon
+    // entropy (spaces excluded from the alphabet) — degenerate text
+    // (repeated chars, tiny vocab) scores low while passing length/punct
+    // heuristics. Per-symbol p·ln p terms 6dp-rounded, summed as exact
+    // DECIMAL (the q152 recipe) — bit-identical across engines.
+    "q164_entropy" -> ((s, d) =>
+      TextAnalysis.entropyProfile(t(s, d, "documents"), "doc_id",
+          col("text"), 2.0)
+        .orderBy(col("doc_id"))),
+
+    // ⊕ mixture draw materialized: q123's temperature weights turned into
+    // per-source quotas (⌊weight·budget⌋, floor 1) filled by a fixed md5
+    // permutation — the step between computing the mixture and training
+    // on it. One source-keyed window exchange; weights broadcast.
+    "q165_mixture_sample" -> ((s, d) =>
+      TextAnalysis.mixtureSample(t(s, d, "documents"), "doc_id", "source",
+          col("text"), 200)
+        .orderBy(col("source"), col("pick_rank")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -3752,6 +3780,82 @@ object SparkEntry {
          |  TRUE AS union_ok, TRUE AS inter_ok
          |FROM p LEFT JOIN i ON i.ga = p.ga AND i.gb = p.gb
          |ORDER BY source_a, source_b""".stripMargin,
+
+    // q163: same one-count-table derivation — score at full precision for
+    // the rank, truncated only for display
+    "q163_ctfidf" ->
+      s"""WITH $wordsCte,
+         |csw AS (SELECT source AS s, wrd AS w, count(*) AS tf
+         |  FROM (SELECT source, unnest(ws) AS wrd FROM w) GROUP BY 1, 2),
+         |tot AS (SELECT s, sum(tf) AS tokens FROM csw GROUP BY s),
+         |sdf AS (SELECT w, count(*) AS sdf FROM csw GROUP BY w),
+         |ns AS (SELECT CAST(count(DISTINCT s) AS DOUBLE) AS n_sources FROM csw),
+         |sc AS (SELECT csw.s, csw.w, csw.tf, sdf.sdf,
+         |    (CAST(csw.tf AS DOUBLE) / CAST(tot.tokens AS DOUBLE))
+         |      * ln(ns.n_sources / CAST(sdf.sdf AS DOUBLE)) AS score
+         |  FROM csw JOIN tot ON tot.s = csw.s
+         |           JOIN sdf ON sdf.w = csw.w CROSS JOIN ns),
+         |rk AS (SELECT s, w, tf, sdf, score,
+         |    row_number() OVER (PARTITION BY s ORDER BY score DESC, w) AS rn
+         |  FROM sc)
+         |SELECT s AS source, rn AS rank, w AS term, tf, sdf,
+         |  floor(score * 1e6) / 1e6 AS score
+         |FROM rk WHERE rn <= 10
+         |ORDER BY source, rank""".stripMargin,
+
+    // q164: identical per-symbol term rounding + exact decimal sums; the
+    // char distribution excludes spaces on both sides
+    "q164_entropy" ->
+      s"""WITH $wordsCte,
+         |ch AS (SELECT doc_id, c, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+         |  WHERE c <> ' ' AND c <> '' GROUP BY 1, 2),
+         |cht AS (SELECT doc_id, sum(cnt) AS n FROM ch GROUP BY doc_id),
+         |che AS (SELECT ch.doc_id, max(cht.n) AS n_chars,
+         |    floor(-CAST(sum(CAST(round(
+         |      (CAST(cnt AS DOUBLE) / CAST(cht.n AS DOUBLE))
+         |        * ln(CAST(cnt AS DOUBLE) / CAST(cht.n AS DOUBLE)), 6)
+         |      AS DECIMAL(28,6))) AS DOUBLE) * 1e6) / 1e6 AS h_chars
+         |  FROM ch JOIN cht ON cht.doc_id = ch.doc_id GROUP BY ch.doc_id),
+         |tk AS (SELECT doc_id, tkn, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(ws) AS tkn FROM w) GROUP BY 1, 2),
+         |tkt AS (SELECT doc_id, sum(cnt) AS n FROM tk GROUP BY doc_id),
+         |tke AS (SELECT tk.doc_id, max(tkt.n) AS n_words,
+         |    floor(-CAST(sum(CAST(round(
+         |      (CAST(cnt AS DOUBLE) / CAST(tkt.n AS DOUBLE))
+         |        * ln(CAST(cnt AS DOUBLE) / CAST(tkt.n AS DOUBLE)), 6)
+         |      AS DECIMAL(28,6))) AS DOUBLE) * 1e6) / 1e6 AS h_words
+         |  FROM tk JOIN tkt ON tkt.doc_id = tk.doc_id GROUP BY tk.doc_id)
+         |SELECT che.doc_id, CAST(che.n_chars AS BIGINT) AS n_chars_nospace,
+         |  che.h_chars, CAST(tke.n_words AS BIGINT) AS n_tokens, tke.h_words,
+         |  che.h_chars < 2.0 AS low_entropy
+         |FROM che JOIN tke ON tke.doc_id = che.doc_id
+         |ORDER BY che.doc_id""".stripMargin,
+
+    // q165: q123's weight pipeline feeding integer quotas and an md5-
+    // permutation draw — winners identical in any engine
+    "q165_mixture_sample" ->
+      s"""WITH $wordsCte,
+         |per AS (SELECT source, CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+         |  FROM w GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM per),
+         |sq AS (SELECT source,
+         |    sqrt(CAST(n_tokens AS DOUBLE) / tot.tot) AS sqp
+         |  FROM per CROSS JOIN tot),
+         |z AS (SELECT CAST(sum(CAST(floor(sqp * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS z
+         |      FROM sq),
+         |qw AS (SELECT source,
+         |    greatest(1, CAST(floor(floor(sqp / z.z * 1e6) / 1e6 * 200.0) AS BIGINT)) AS quota
+         |  FROM sq CROSS JOIN z),
+         |keyed AS (SELECT source, doc_id,
+         |    md5('ms0|' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+         |rk AS (SELECT keyed.source, qw.quota, keyed.doc_id,
+         |    row_number() OVER (PARTITION BY keyed.source
+         |      ORDER BY keyed.k, keyed.doc_id) AS rn
+         |  FROM keyed JOIN qw ON qw.source = keyed.source)
+         |SELECT source, quota, rn AS pick_rank, doc_id
+         |FROM rk WHERE rn <= quota
+         |ORDER BY source, pick_rank""".stripMargin,
 
     // q158: the oracle RETRAINS the same Naive-Bayes model in SQL —
     // identical smoothing, 6dp weight rounding, exact DECIMAL sums, and

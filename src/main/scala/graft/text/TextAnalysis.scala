@@ -618,6 +618,36 @@ object TextAnalysis {
         trunc6(col("__sq") / (col("__zi").cast("double") / lit(1e12))).as("mix_weight"))
   }
 
+  /** Materialize a training-mixture DRAW: [[mixtureWeights]] decides how
+    * much each source contributes; this picks the actual documents — a
+    * per-source quota (⌊weight·budget⌋, floor 1 so no source vanishes)
+    * filled by the first quota docs in a fixed md5 permutation (the
+    * q131/q125 determinism recipe: no RNG state, winners invariant to
+    * partitioning, stable under corpus growth within a source). The
+    * operational step between "computed the mixture" (q123) and "trained
+    * on it".
+    *
+    * Scale: weights are a sources-sized table (broadcast); the draw is ONE
+    * source-keyed window exchange ordered by the hash key. Quotas are
+    * derived from the 6dp-truncated weights, so both engines compute the
+    * identical integers. */
+  def mixtureSample(docs: DataFrame, idCol: String, sourceCol: String,
+                    text: Column, budget: Int = 200): DataFrame = {
+    val wts = mixtureWeights(docs, sourceCol, text)
+      .select(col(sourceCol), col("mix_weight"))
+      .withColumn("quota",
+        greatest(lit(1L), floor(col("mix_weight") * lit(budget.toDouble))
+          .cast("long")))
+    val keyed = docs.select(col(sourceCol), col(idCol),
+      md5(concat(lit("ms0|"), col(idCol).cast("string"))).as("__k"))
+    keyed.join(broadcast(wts), Seq(sourceCol))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(col("__k"), col(idCol))))
+      .where(col("__rn") <= col("quota"))
+      .select(col(sourceCol).as("source"), col("quota"),
+        col("__rn").cast("long").as("pick_rank"), col(idCol))
+  }
+
   /** Sequence-packing map, concat-and-chunk style (the GPT-pretraining
     * packing rule: concatenate the token stream in a fixed document order,
     * cut every `ctx` tokens): each doc's global token offset via an exact
@@ -1155,6 +1185,81 @@ object TextAnalysis {
         when(col("n_spans") > 0,
           round(col("dup_spans") / col("n_spans").cast("double"), 6))
           .otherwise(lit(0.0)).as("dup_span_frac"))
+  }
+
+  /** Distinctive terms per corpus slice (c-TF-IDF, the BERTopic labeling
+    * recipe): score(w, s) = (tf_ws / tokens_s) · ln(S / sdf_w) — a word
+    * scores high in a source when it is frequent THERE and present in few
+    * OTHER sources. The human-readable companion to [[driftJsd]]: JSD says
+    * HOW MUCH two slices diverge, this says WHICH words carry it.
+    *
+    * Determinism: tf/tokens and ln(S/sdf) are single IEEE ops over exact
+    * integers, their product one more — bit-identical in any engine; the
+    * top-k tie-break is (score DESC, word) with scores compared at full
+    * precision, then truncated to 6dp only for display.
+    *
+    * Scale: one (source, word) count exchange with map-side partials
+    * carries everything — source totals, source-df, and the per-source
+    * top-k (a bounded window over source-keyed data) all derive from that
+    * vocab-sized table; two 1-row-per-source / per-word rollups join back
+    * vocab-keyed, never broadcast of anything unbounded. */
+  def cTfIdf(docs: DataFrame, sourceCol: String, text: Column,
+             k: Int = 10): DataFrame = {
+    val csw = docs.select(col(sourceCol).as("s"), explode(words(text)).as("w"))
+      .groupBy(col("s"), col("w")).agg(count(lit(1)).as("tf"))
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val totals = csw.groupBy(col("s")).agg(sum(col("tf")).as("tokens"))
+    val sdf = csw.groupBy(col("w")).agg(count(lit(1)).as("sdf"))
+    val nSources = csw.select(col("s")).distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    val score = (col("tf").cast("double") / col("tokens").cast("double")) *
+      log(col("n_sources").cast("double") / col("sdf").cast("double"))
+    val ranked = csw.join(totals, Seq("s")).join(sdf, Seq("w"))
+      .crossJoin(broadcast(nSources))
+      .withColumn("__score", score)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("__score").desc, col("w"))))
+      .where(col("__rn") <= k)
+    ranked.select(col("s").as("source"), col("__rn").cast("long").as("rank"),
+      col("w").as("term"), col("tf"), col("sdf"),
+      (floor(col("__score") * lit(1e6)).cast("double") / lit(1e6)).as("score"))
+  }
+
+  /** Character- and word-level Shannon entropy per document — the
+    * gibberish/degenerate-text filter (low char entropy = repeated
+    * characters or tiny alphabets; low word entropy = the same tokens over
+    * and over; both pass length/punctuation quality checks that q26-style
+    * heuristics read). Spaces are excluded from the char distribution so
+    * the score reflects the alphabet, not the token count.
+    *
+    * Determinism is the q152 recipe: each distinct symbol's p·ln(p) term
+    * is rounded to 6dp and summed as exact DECIMAL(28,6) (order-free),
+    * the final entropy floor-truncated. Both explodes are scan-stage; the
+    * only exchanges are the two (doc, symbol)-keyed partial-agg rollups. */
+  def entropyProfile(docs: DataFrame, idCol: String, text: Column,
+                     minCharEntropy: Double = 2.0): DataFrame = {
+    def entropyOf(sym: Column, tag: String, src: DataFrame): DataFrame = {
+      val cnt = src.select(col(idCol), sym.as("y"))
+        .groupBy(col(idCol), col("y")).agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col(idCol)).agg(sum(col("c")).as("n"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      cnt.join(tot, Seq(idCol))
+        .select(col(idCol), col("n"),
+          round(p * log(p), 6).cast(DecimalType(28, 6)).as("t"))
+        .groupBy(col(idCol))
+        .agg(max(col("n")).as(s"n_$tag"),
+          (floor(-sum(col("t")).cast("double") * lit(1e6)).cast("double")
+            / lit(1e6)).as(s"h_$tag"))
+    }
+    val chars = docs.select(col(idCol),
+      explode(filter(split(text, ""), c => c =!= "" && c =!= " ")).as("ch"))
+    val toks = docs.select(col(idCol), explode(words(text)).as("tk"))
+    entropyOf(col("ch"), "chars", chars)
+      .join(entropyOf(col("tk"), "words", toks), Seq(idCol))
+      .select(col(idCol), col("n_chars").cast("long").as("n_chars_nospace"),
+        col("h_chars"), col("n_words").cast("long").as("n_tokens"),
+        col("h_words"),
+        (col("h_chars") < minCharEntropy).as("low_entropy"))
   }
 
   /** The TRANSFORM side of [[dupSpanFraction]]'s diagnostic: exact
