@@ -223,6 +223,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q161: span removal is three key-partitioned exchanges, no nested loops") {
+    val p = physical("q161_dedup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 3, s"expected <= 3 hash exchanges, got $n\n$p")
+  }
+
+  test("q164: entropy branches use window totals — 2 exchanges per branch, not 4") {
+    val p = physical("q164_entropy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 4, s"expected <= 4 hash exchanges (2 per symbol branch), got $n\n$p")
+  }
+
+  test("q163: c-TF-IDF derives everything from one count table — bounded exchanges, partial aggs") {
+    val p = physical("q163_ctfidf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 5, s"expected <= 5 hash exchanges, got $n\n$p")
+  }
+
   test("q147: gram dominance is scan-stage kernel work — only the final sort exchanges") {
     val p = physical("q147_gram_dominance")
     assert(p.contains("gram_dominance"), p)
