@@ -439,6 +439,72 @@ object EventStreams {
         .dropDuplicatesWithinWatermark("event_id")
     }
 
+  /** The STATE-STORE sibling of [[streamUpsertCrashResume]]'s exactly-once
+    * proof: crash the watermarked dedup stream right after batch 0's sink
+    * write lands but BEFORE the checkpoint records it (the replay window),
+    * then resume from the same checkpoint. The restart replays batch 0
+    * with the same batchId against the version-0 state store — the
+    * replayed emission overwrites the same `batch_id=0` directory
+    * (idempotent sink), the rebuilt dedup state then absorbs the doubled
+    * batch-1 delivery, and the final spool must equal the original table
+    * exactly (asserted in EventStreamsSpec). This covers the failure mode
+    * K8's MergeTable-manifest proof cannot: correctness of HDFS-backed
+    * state-store version replay, not sink-side idempotence alone. */
+  def streamingDedupCrashResume(spark: SparkSession, dir: String,
+                                delay: String = "10 minutes"): DataFrame = {
+    val srcPath = duplicatedEventsDir(dir).toString
+    val spool = graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft_sdedup_crash"))
+    val outDir = s"$spool/out"
+    val crashMsg = "graft: injected post-sink crash (stateful dedup)"
+    def run(bomb: Boolean): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(srcPath).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcPath)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try {
+        graft.model.Tables.normalizeTs(src)
+          .withWatermark("ts", delay)
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$spool/ck")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+            if (bomb && id == 0L) throw new RuntimeException(crashMsg)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          var cause: Throwable = e
+          var injected = false
+          while (cause != null && !injected) {
+            injected = Option(cause.getMessage).exists(_.contains(crashMsg))
+            cause = cause.getCause
+          }
+          if (!injected) throw e // a real failure, not our bomb
+      }
+    }
+    def batchDirs(): Int = {
+      val d = new java.io.File(outDir)
+      if (!d.exists()) 0 else d.listFiles().count(_.getName.startsWith("batch_id="))
+    }
+    run(bomb = true)
+    // the bomb must actually have interrupted mid-stream: batch 0's sink
+    // write landed, batch 1 never ran
+    require(batchDirs() == 1,
+      s"crash harness: expected exactly batch 0 spooled at the crash " +
+        s"point, found ${batchDirs()} batch dirs")
+    run(bomb = false)
+    // the resume replayed batch 0 (same dir, overwritten) AND processed
+    // the redelivery batch — both directories exist exactly once
+    require(batchDirs() == 2,
+      s"crash harness: expected 2 batch dirs after resume, found ${batchDirs()}")
+    spark.read.parquet(outDir).drop("batch_id")
+  }
+
   /** Time-ordered split of the events table: `nFiles` range-partitioned
     * (by ts) parquet files with mtimes in range order, so a
     * maxFilesPerTrigger=1 stream replays the month as an in-order

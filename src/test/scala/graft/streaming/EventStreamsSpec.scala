@@ -101,6 +101,14 @@ class EventStreamsSpec extends SparkSpec {
     assert(deduped === original)
   }
 
+  test("stateful dedup survives a post-sink crash: state-store replay keeps exactly-once") {
+    val resumed = EventStreams.streamingDedupCrashResume(spark, sfDir)
+      .select("event_id", "event_type", "user_id").collect().toSet
+    val original = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "user_id").collect().toSet
+    assert(resumed === original)
+  }
+
   test("streamOuterJoinRun equals the batch left-join rollup and emits real null-side rows") {
     val streamed = EventStreams.streamOuterJoinRun(spark, sfDir, "purchase", "click")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
