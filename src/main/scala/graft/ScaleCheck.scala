@@ -364,6 +364,52 @@ object ScaleCheck {
       }
     }
 
+    // As-of join at mult x, BOTH forms over the identical inputs: the
+    // native partition-wise merge SparkPlan (one exchange per side, O(1)
+    // merge state per partition) vs the union+window compose (one
+    // exchange over |l|+|r| unioned rows + a running-last window). Both
+    // must scale linearly; the native form's edge is the absent
+    // union+sort-over-both-sides.
+    if (want("asof")) {
+      val evs = amplify(model.Tables.events(spark, d), Seq("user_id", "event_id"))
+        .transform(graft.util.Cleanup.checkpoint(_))
+      val nEv = evs.count()
+      val l = evs.select(col("user_id"), col("ts"), col("event_id"))
+      val r = evs.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("rts"), col("value"))
+      // aggregate over the CARRIED value, not count(): a bare count lets
+      // ColumnPruning delete the unreferenced running-last window (the
+      // whole as-of computation) from the compose form — the probe would
+      // time a union+filter, not the join
+      time(s"asof_native_${nEv}_rows", nEv) {
+        plans.AsofJoin(l, r, "user_id", "ts", "rts")
+          .agg(count(col("value")), sum(col("value"))).collect()
+      }
+      time(s"asof_window_${nEv}_rows", nEv) {
+        ops.Relational.asofJoin(l, r, "user_id", "ts", "rts", Seq("value"))
+          .agg(count(col("value")), sum(col("value"))).collect()
+      }
+    }
+
+    // Inverted index at mult x: build cost tracks corpus tokens (two
+    // term-keyed exchanges); the conjunctive search must be INDEX-access
+    // cheap — it reads |query terms| posting rows, so its cost is bounded
+    // by posting-list length (hot-term skew), never corpus size.
+    if (want("inverted")) {
+      // sum posting sizes, not count(): unused aggregate expressions are
+      // pruned, so a bare count would skip the collect_list entirely
+      time("inverted_build", nDocs) {
+        text.TextAnalysis.invertedIndex(docs, "doc_id", col("text"))
+          .select(sum(size(col("postings")))).collect()
+      }
+      val idx = text.TextAnalysis.invertedIndex(docs, "doc_id", col("text"))
+        .transform(graft.util.Cleanup.checkpoint(_))
+      idx.count() // materialize outside the search clock
+      time("inverted_search", nDocs) {
+        text.TextAnalysis.searchAll(idx, Seq("stream", "window")).count()
+      }
+    }
+
     // The MergeTable claim to verify at scale: commit cost follows the
     // DELTA, not the table. Build a mult-scaled table once, then commit a
     // FIXED-size delta (the sf0.1-sized slice) against it — if merges read
