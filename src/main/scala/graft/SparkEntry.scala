@@ -2559,6 +2559,23 @@ object SparkEntry {
           col("text"), 2.0)
         .orderBy(col("doc_id"))),
 
+    // ⊕ inverted index AT REST (the q94 IVF-layout precedent for text):
+    // the index written hive-partitioned by an md5 term bucket; a search
+    // computes its terms' buckets DRIVER-SIDE (portable md5 idiom) and
+    // reads only those tb= directories — literal partition pruning on the
+    // index (IndexLayoutSpec asserts PartitionFilters). Oracle = the q83
+    // search algebra from raw documents: layout + pruned search must ≡ a
+    // fresh index scan.
+    "q166_index_layout" -> ((s, d) => {
+      val dir = sharedFixture("idx_layout", d) { base =>
+        TextAnalysis.writeIndexLayout(
+          TextAnalysis.invertedIndex(t(s, d, "documents"), "doc_id", col("text")),
+          s"$base/idx")
+      } + "/idx"
+      TextAnalysis.searchIndexLayout(s, dir, Seq("scan", "batch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ⊕ mixture draw materialized: q123's temperature weights turned into
     // per-source quotas (⌊weight·budget⌋, floor 1) filled by a fixed md5
     // permutation — the step between computing the mixture and training
@@ -3831,6 +3848,16 @@ object SparkEntry {
          |  che.h_chars < 2.0 AS low_entropy
          |FROM che JOIN tke ON tke.doc_id = che.doc_id
          |ORDER BY che.doc_id""".stripMargin,
+
+    // q166: the same search algebra as q83, from raw documents — the hash
+    // match proves the at-rest layout + pruned access lose nothing
+    "q166_index_layout" ->
+      s"""WITH $wordsCte,
+         |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+         |       WHERE term IN ('scan', 'batch') GROUP BY term, doc_id)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+         |GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id""".stripMargin,
 
     // q165: q123's weight pipeline feeding integer quotas and an md5-
     // permutation draw — winners identical in any engine

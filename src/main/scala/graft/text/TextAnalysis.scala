@@ -210,6 +210,47 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
 
+  /** md5-derived term bucket, the engine-portable hash idiom (q107/q125):
+    * first 8 md5 hex chars → int, mod `buckets`. Computable identically in
+    * Spark (conv/substring), DuckDB, and driver-side JVM code — which is
+    * what lets [[searchIndexLayout]] turn query terms into literal
+    * partition values. */
+  private def termBucket(term: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(term), 1, 8), 16, 10).cast("long"), lit(buckets))
+
+  private[text] def termBucketJvm(term: String, buckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(term.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16) % buckets
+  }
+
+  /** AT-REST inverted-index layout (the q94 IVF-layout precedent applied
+    * to text search): the [[invertedIndex]] table written hive-partitioned
+    * by an md5-derived term bucket. A search for k terms then reads ONLY
+    * the ≤k `tb=` directories those terms hash into — the partition
+    * filter is driver-computable because the bucket hash is the portable
+    * md5 idiom, so "read only the query terms' postings" becomes literal
+    * directory pruning on a 100 TB index instead of a full index scan.
+    * IndexLayoutSpec asserts the PartitionFilters; q166's oracle proves
+    * layout+pruned-search ≡ searching a freshly built index. */
+  def writeIndexLayout(index: DataFrame, dir: String,
+                       buckets: Int = 16): Unit =
+    index.withColumn("tb", termBucket(col("term"), buckets))
+      .write.partitionBy("tb").mode("overwrite").parquet(dir)
+
+  /** Conjunctive search over a [[writeIndexLayout]] directory: terms →
+    * bucket literals (driver-side md5, no data touched) → partition-pruned
+    * scan → the same [[searchAll]] postings algebra. */
+  def searchIndexLayout(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        terms: Seq[String], buckets: Int = 16): DataFrame = {
+    val tbs = terms.map(termBucketJvm(_, buckets)).distinct
+    val pruned = spark.read.parquet(dir)
+      .filter(col("tb").isin(tbs: _*))
+      .drop("tb")
+    searchAll(pruned, terms)
+  }
+
   /** Conjunctive (AND) search over an [[invertedIndex]]: documents that
     * contain EVERY query term, scored by total tf. The index side is
     * filtered to the |terms| query rows BEFORE the posting lists are

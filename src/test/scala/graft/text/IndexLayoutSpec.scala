@@ -1,0 +1,69 @@
+package graft.text
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+/** The inverted-index-at-rest layout (the IVF-layout precedent applied to
+  * text search): index hive-partitioned by md5 term bucket, searches
+  * pruned to the query terms' bucket directories. */
+class IndexLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val index =
+    TextAnalysis.invertedIndex(docs, "doc_id", col("text"))
+  private lazy val layoutDir = {
+    val d = Files.createTempDirectory("idx_layout").toString + "/idx"
+    TextAnalysis.writeIndexLayout(index, d, buckets = 16)
+    d
+  }
+
+  private def findScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => findScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+
+  test("layout write is lossless: every (term, df) row survives partitioning") {
+    val back = spark.read.parquet(layoutDir)
+    assert(back.count() === index.count())
+    // JVM-side bucket derivation matches the Spark column used at write
+    val sample = back.select("term", "tb").as[(String, Long)].take(50)
+    sample.foreach { case (term, tb) =>
+      assert(TextAnalysis.termBucketJvm(term, 16) === tb, s"bucket mismatch for $term")
+    }
+  }
+
+  test("pruned search reads ONLY the query terms' bucket directories") {
+    val terms = Seq("scan", "batch")
+    val out = TextAnalysis.searchIndexLayout(spark, layoutDir, terms, buckets = 16)
+    assert(out.collect().nonEmpty)
+    val scans = findScans(out.queryExecution.executedPlan)
+    val scan = scans.find(_.metadata.get("Location").exists(_.contains("idx_layout")))
+      .getOrElse(fail(s"no layout scan among ${scans.map(_.metadata.get("Location"))}"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "tb")),
+      s"no partition filter on tb: ${scan.partitionFilters}")
+    val expected = terms.map(TextAnalysis.termBucketJvm(_, 16)).distinct.toSet
+    val allBuckets = new java.io.File(layoutDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("tb="))
+    assert(expected.size < allBuckets, "fixture degenerate: nothing to prune")
+  }
+
+  test("layout search is semantically identical to searching the fresh index") {
+    val terms = Seq("scan", "batch")
+    val viaLayout = TextAnalysis.searchIndexLayout(spark, layoutDir, terms)
+      .as[(Long, Long)].collect().toSet
+    val fresh = TextAnalysis.searchAll(index, terms)
+      .as[(Long, Long)].collect().toSet
+    assert(viaLayout === fresh && fresh.nonEmpty)
+  }
+}
