@@ -2576,6 +2576,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ⊕ index MAINTENANCE (the q151 protocol at the text layer): the
+    // fixture builds a layout where every 7th doc's postings come from a
+    // STALE (reversed) text, then indexUpsertLayout replaces those docs
+    // under the live layout — old postings removed even for terms the new
+    // text lacks, only touched tb= dirs rewritten, emptied dirs dropped.
+    // The query searches the MAINTAINED layout; the oracle recomputes the
+    // search from the raw TRUE documents — the hash match proves
+    // maintenance ≡ full rebuild.
+    "q167_index_upsert" -> ((s, d) => {
+      val dir = sharedFixture("idx_upsert", d) { base =>
+        val docs0 = t(s, d, "documents")
+        val isDelta = col("doc_id") % 7 === 0
+        val stale = docs0.withColumn("text",
+          when(isDelta, reverse(col("text"))).otherwise(col("text")))
+        TextAnalysis.writeIndexLayout(
+          TextAnalysis.invertedIndex(stale, "doc_id", col("text")),
+          s"$base/idx")
+        TextAnalysis.indexUpsertLayout(s, s"$base/idx",
+          docs0.filter(isDelta), "doc_id", col("text"))
+        ()
+      } + "/idx"
+      TextAnalysis.searchIndexLayout(s, dir, Seq("scan", "batch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ⊕ mixture draw materialized: q123's temperature weights turned into
     // per-source quotas (⌊weight·budget⌋, floor 1) filled by a fixed md5
     // permutation — the step between computing the mixture and training
@@ -3852,6 +3877,16 @@ object SparkEntry {
     // q166: the same search algebra as q83, from raw documents — the hash
     // match proves the at-rest layout + pruned access lose nothing
     "q166_index_layout" ->
+      s"""WITH $wordsCte,
+         |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+         |       WHERE term IN ('scan', 'batch') GROUP BY term, doc_id)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+         |GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id""".stripMargin,
+
+    // q167: identical search recomputed from the raw TRUE documents —
+    // the maintained layout must lose nothing vs a rebuild
+    "q167_index_upsert" ->
       s"""WITH $wordsCte,
          |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
          |tf AS (SELECT term, doc_id, count(*) AS tf FROM t

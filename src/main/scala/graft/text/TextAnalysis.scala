@@ -235,9 +235,129 @@ object TextAnalysis {
     * IndexLayoutSpec asserts the PartitionFilters; q166's oracle proves
     * layout+pruned-search ≡ searching a freshly built index. */
   def writeIndexLayout(index: DataFrame, dir: String,
-                       buckets: Int = 16): Unit =
-    index.withColumn("tb", termBucket(col("term"), buckets))
-      .write.partitionBy("tb").mode("overwrite").parquet(dir)
+                       buckets: Int = 16): Unit = {
+    val bucketed = index.withColumn("tb", termBucket(col("term"), buckets))
+      .transform(graft.util.Cleanup.checkpoint(_))
+    bucketed.write.partitionBy("tb").mode("overwrite").parquet(dir)
+    // the doc→bucket reverse map every real index keeps beside its
+    // postings (the "doc store"): without it, REPLACING a document cannot
+    // find the buckets holding its old terms without scanning the whole
+    // index. `_`-prefixed, so the layout's own partition discovery skips
+    // it; partitioned by a doc bucket so maintenance rewrites only
+    // touched dm= dirs.
+    writeDocMap(docMapOf(bucketed, buckets), s"$dir/$DocMapDir")
+  }
+
+  private val DocMapDir = "_docmap"
+  private def docMapOf(bucketedIndex: DataFrame, buckets: Int): DataFrame =
+    bucketedIndex.select(col("tb"), explode(col("postings")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("tb")).distinct()
+      .withColumn("dm", pmod(col("doc_id"), lit(buckets)))
+  private def writeDocMap(dm: DataFrame, dir: String): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val spark = dm.sparkSession
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try dm.repartition(col("dm"))
+      .write.mode("overwrite").partitionBy("dm").parquet(dir)
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Incremental maintenance of a [[writeIndexLayout]] directory — the
+    * ⊕K10 IVF-upsert discipline at the index layer: upsert `newDocs`
+    * (added OR replaced — a replaced doc's old postings are removed even
+    * for terms its new text no longer contains) WITHOUT a rebuild.
+    *
+    * Touched buckets = those the delta's NEW terms hash into ∪ those
+    * holding the upserted docs' OLD postings, found via the `_docmap`
+    * doc→bucket reverse map written beside the layout (the "doc store"
+    * every real index keeps: a replaced doc's stale terms hash into
+    * buckets the new text never mentions, and without the map finding
+    * them would need a full index scan). Only touched buckets are read
+    * (the isin is a PartitionFilter), their postings exploded, superseded
+    * doc ids anti-joined out, the delta unioned in, and ONE
+    * dynamic-partition overwrite rewrites exactly those `tb=` dirs; a
+    * bucket emptied by the upsert has its dir deleted (dynamic overwrite
+    * alone would leave it stale). The doc map maintains itself the same
+    * way (dm= dirs keyed by doc id mod buckets). Work is proportional to
+    * the TOUCHED buckets' postings, not the corpus — though unlike IVF
+    * cells a document's terms fan out across ~min(buckets, |terms|)
+    * buckets, so the row bound (touched postings re-grouped), not the
+    * directory count, is the claim. Returns the touched bucket ids. */
+  def indexUpsertLayout(spark: org.apache.spark.sql.SparkSession,
+                        layoutDir: String, newDocs: DataFrame, idCol: String,
+                        text: Column, buckets: Int = 16): Seq[Long] = {
+    val delta = invertedIndex(newDocs, idCol, text)
+      .withColumn("tb", termBucket(col("term"), buckets))
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val deltaIds = newDocs.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().transform(graft.util.Cleanup.checkpoint(_))
+    val docMapPath = s"$layoutDir/$DocMapDir"
+    // touched = buckets the NEW terms hash into ∪ buckets holding the
+    // upserted docs' OLD postings — the latter via the doc→bucket reverse
+    // map, because a replaced doc's stale terms (gone from the new text)
+    // hash into buckets the delta's own terms never mention. The IVF
+    // analogue reads stale cells off the vec_id column; an inverted index
+    // needs the doc store for the same information.
+    val newTb = delta.select(col("tb")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val staleTb = spark.read.parquet(docMapPath)
+      .join(deltaIds, Seq("doc_id"), "left_semi")
+      .select(col("tb")).distinct().collect().map(_.getLong(0)).toSet
+    val touched = (newTb ++ staleTb).toSeq.sorted
+    val existing = spark.read.parquet(layoutDir)
+      .filter(col("tb").isin(touched.map(Long.box): _*))
+    val survivors = existing
+      .select(col("tb"), col("term"), explode(col("postings")).as("p"))
+      .select(col("tb"), col("term"), col("p.doc_id").as("doc_id"),
+        col("p.tf").as("tf"))
+      .join(deltaIds, Seq("doc_id"), "left_anti")
+    val deltaOcc = delta
+      .select(col("tb"), col("term"), explode(col("postings")).as("p"))
+      .select(col("tb"), col("term"), col("p.doc_id").as("doc_id"),
+        col("p.tf").as("tf"))
+    val replacement = survivors.unionByName(deltaOcc)
+      .groupBy(col("tb"), col("term"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
+      .select(col("term"), col("df"), col("postings"), col("tb"))
+    // evaluated BEFORE the write: replacement's plan reads layoutDir
+    val remaining = replacement.select(col("tb")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      replacement.repartition(col("tb"))
+        .sortWithinPartitions(col("tb"), col("term"))
+        .write.mode("overwrite").partitionBy("tb").parquet(layoutDir)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val fs = new org.apache.hadoop.fs.Path(layoutDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (touched.toSet -- remaining).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$layoutDir/tb=$b"), true)
+    }
+    // maintain the doc store the same way: upserted docs' old rows out,
+    // their new (doc, bucket) rows in — only the delta doc-ids' dm= dirs
+    // rewrite (dm = doc_id mod buckets, so the touched set is the delta's)
+    val dmTouched = deltaIds
+      .select(pmod(col("doc_id"), lit(buckets.toLong)).as("dm")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val dmSurvivors = spark.read.parquet(docMapPath)
+      .filter(col("dm").isin(dmTouched.map(Long.box): _*))
+      .join(deltaIds, Seq("doc_id"), "left_anti")
+    val dmReplacement = dmSurvivors.unionByName(docMapOf(delta, buckets))
+      .select(col("doc_id"), col("tb"), col("dm"))
+      .transform(graft.util.Cleanup.checkpoint(_)) // reads docMapPath: settle before overwrite
+    writeDocMap(dmReplacement, docMapPath)
+    touched
+  }
 
   /** Conjunctive search over a [[writeIndexLayout]] directory: terms →
     * bucket literals (driver-side md5, no data touched) → partition-pruned

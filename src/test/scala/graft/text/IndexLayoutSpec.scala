@@ -58,6 +58,31 @@ class IndexLayoutSpec extends SparkSpec {
     assert(expected.size < allBuckets, "fixture degenerate: nothing to prune")
   }
 
+  test("indexUpsertLayout: maintained layout equals a full rebuild, including removed terms") {
+    import org.apache.spark.sql.Row
+    val d = Files.createTempDirectory("idx_upsert").toString + "/idx"
+    val isDelta = col("doc_id") % 7 === 0
+    val stale = docs.withColumn("text",
+      when(isDelta, reverse(col("text"))).otherwise(col("text")))
+    TextAnalysis.writeIndexLayout(
+      TextAnalysis.invertedIndex(stale, "doc_id", col("text")), d)
+    TextAnalysis.indexUpsertLayout(spark, d, docs.filter(isDelta),
+      "doc_id", col("text"))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Seq[Row])] =
+      df.select("term", "df", "postings")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[Row](2))).toSet
+    val maintained = canon(spark.read.parquet(d))
+    val rebuilt = canon(TextAnalysis.invertedIndex(docs, "doc_id", col("text")))
+    assert(maintained === rebuilt)
+    // the stale reversed-word terms must be GONE, not just shadowed
+    val reversedWord = stale.filter(isDelta)
+      .select(explode(TextAnalysis.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 3).head().getString(0)
+    assert(!maintained.exists(_._1 == reversedWord) ||
+      rebuilt.exists(_._1 == reversedWord))
+  }
+
   test("layout search is semantically identical to searching the fresh index") {
     val terms = Seq("scan", "batch")
     val viaLayout = TextAnalysis.searchIndexLayout(spark, layoutDir, terms)
