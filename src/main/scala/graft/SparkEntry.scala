@@ -2601,6 +2601,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ⊕ the round-8 curation pipeline composed end-to-end (the q76
+    // discipline for the NEW operators): entropy gate → NB-quality gate →
+    // cross-doc span removal over the survivors → per-source doc/token
+    // rollup. Both model stages train on the FULL corpus (stage
+    // independence — the oracle reuses their verbatim CTEs); the kept
+    // subset is checkpointed at its fan-out (span removal consumes it
+    // three times internally).
+    "q168_curation_v2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ent = TextAnalysis.entropyProfile(docs, "doc_id", col("text"), 2.0)
+        .select(col("doc_id"), col("low_entropy"))
+      val nb = TextAnalysis.nbQualityScore(docs, "doc_id", col("text"),
+          col("lang") === "en")
+        .select(col("doc_id"), col("is_quality"))
+      val kept = graft.util.Cleanup.checkpoint(
+        docs.join(ent, Seq("doc_id")).join(nb, Seq("doc_id"))
+          .filter(!col("low_entropy") && col("is_quality"))
+          .select(col("doc_id"), col("source"), col("text")))
+      val cleaned = TextAnalysis.removeDupSpans(kept, "doc_id", col("text"), 5)
+      cleaned.join(kept.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_kept")).cast("long").as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // ⊕ mixture draw materialized: q123's temperature weights turned into
     // per-source quotas (⌊weight·budget⌋, floor 1) filled by a fixed md5
     // permutation — the step between computing the mixture and training
@@ -3893,6 +3919,66 @@ object SparkEntry {
          |       WHERE term IN ('scan', 'batch') GROUP BY term, doc_id)
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
          |GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id""".stripMargin,
+
+    // q168: the composed pipeline — q164's char-entropy CTEs, q158's NB
+    // retraining CTEs, q161's span algebra restricted to the kept subset,
+    // then the per-source rollup
+    "q168_curation_v2" ->
+      s"""WITH $wordsCte,
+         |ch AS (SELECT doc_id, c, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+         |  WHERE c <> ' ' AND c <> '' GROUP BY 1, 2),
+         |cht AS (SELECT doc_id, sum(cnt) AS n FROM ch GROUP BY doc_id),
+         |che AS (SELECT ch.doc_id,
+         |    floor(-CAST(sum(CAST(round(
+         |      (CAST(cnt AS DOUBLE) / CAST(cht.n AS DOUBLE))
+         |        * ln(CAST(cnt AS DOUBLE) / CAST(cht.n AS DOUBLE)), 6)
+         |      AS DECIMAL(28,6))) AS DOUBLE) * 1e6) / 1e6 AS h_chars
+         |  FROM ch JOIN cht ON cht.doc_id = ch.doc_id GROUP BY ch.doc_id),
+         |tk AS (SELECT doc_id, pos, wrd AS wd
+         |  FROM (SELECT doc_id, (lang = 'en') AS pos, unnest(ws) AS wrd FROM w)),
+         |cw AS (SELECT wd,
+         |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+         |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+         |  FROM tk GROUP BY wd),
+         |tot AS (SELECT CAST(sum(cp) AS DOUBLE) AS tp,
+         |    CAST(sum(cn) AS DOUBLE) AS tn,
+         |    CAST(count(*) AS DOUBLE) AS v FROM cw),
+         |pr AS (SELECT CAST(round(ln(
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS DOUBLE)), 6)
+         |  AS DECIMAL(28,6)) AS prior FROM documents),
+         |wt AS (SELECT wd, CAST(round(
+         |    ln(CAST(cp + 1 AS DOUBLE) / (tp + v))
+         |    - ln(CAST(cn + 1 AS DOUBLE) / (tn + v)), 6) AS DECIMAL(28,6)) AS wt
+         |  FROM cw, tot),
+         |sc AS (SELECT tk.doc_id, sum(wt.wt) AS s
+         |  FROM tk JOIN wt ON wt.wd = tk.wd GROUP BY tk.doc_id),
+         |nbq AS (SELECT sc.doc_id FROM sc, pr WHERE (sc.s + pr.prior) > 0),
+         |kept AS (SELECT w.doc_id, w.source, w.ws FROM w
+         |  JOIN che ON che.doc_id = w.doc_id AND NOT (che.h_chars < 2.0)
+         |  JOIN nbq ON nbq.doc_id = w.doc_id),
+         |g AS (SELECT doc_id, i - 1 AS gpos, array_to_string(ws[i:i+4], ' ') AS gram
+         |  FROM (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i FROM kept)),
+         |d2 AS (SELECT doc_id, gpos,
+         |    (min(doc_id) OVER (PARTITION BY gram)
+         |      <> max(doc_id) OVER (PARTITION BY gram)) AS is_dup FROM g),
+         |cov AS (SELECT DISTINCT doc_id, gpos + o AS wpos
+         |  FROM d2 CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o) t
+         |  WHERE is_dup),
+         |wp AS (SELECT doc_id, i - 1 AS wpos
+         |  FROM (SELECT doc_id, ws,
+         |    unnest(generate_series(1, len(ws))) AS i FROM kept)),
+         |kcnt AS (SELECT wp.doc_id, count(*) AS n_kept
+         |  FROM wp LEFT JOIN cov
+         |    ON cov.doc_id = wp.doc_id AND cov.wpos = wp.wpos
+         |  WHERE cov.wpos IS NULL GROUP BY wp.doc_id)
+         |SELECT kept.source, count(*) AS n_docs,
+         |  CAST(sum(coalesce(kcnt.n_kept, 0)) AS BIGINT) AS kept_tokens
+         |FROM kept LEFT JOIN kcnt ON kcnt.doc_id = kept.doc_id
+         |GROUP BY kept.source
+         |ORDER BY kept.source""".stripMargin,
 
     // q165: q123's weight pipeline feeding integer quotas and an md5-
     // permutation draw — winners identical in any engine
