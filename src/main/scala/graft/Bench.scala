@@ -117,9 +117,14 @@ object Bench {
     // partition), ~1 s spin-up at sf0.1. Protocol, not plan: the 16x
     // ScaleCheck probe shows per-event cost FALLING (85 -> 15 µs/event).
     val replayStreamingFloor = Set("q156_stream_outer_join")
+    // q168 runs three operator stages back to back (entropy + NB + span
+    // removal), each with its own ~0.8 s fixed cost at sf0.1 — the wall
+    // sits at the sum of per-stage floors (see tools/perf_check.py)
+    val compositionFloor = Set("q168_curation_v2")
     def floorOf(name: String): Double =
       if (replayStreamingFloor(name)) 12.0
       else if (multiCommitFloor(name)) 6.0
+      else if (compositionFloor(name)) 4.0
       else if (streamingFloor(name)) 4.0
       else 2.5
     def violates(name: String, t: Double): Boolean =
