@@ -2601,6 +2601,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ⊕ quantile normalization of a numeric feature (the rank-gauss /
+    // percentile-transform preprocessing step): percent_rank + cume_dist
+    // + percentile bucket of n_chars WITHIN each source. Ties share a
+    // rank in both engines by definition, so no tiebreak column is
+    // needed; floor-truncated to 6dp. One source-keyed window exchange.
+    "q169_pctl_norm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // percent_rank/cume_dist order by the value alone (ties SHARE a
+      // rank by definition — deterministic); ntile assigns by row
+      // position, so it needs the doc_id tiebreak to be deterministic.
+      // Same partition key → both windows ride one exchange.
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      val wt = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      def t6(c: Column): Column =
+        (floor(c * lit(1e6)).cast("double") / lit(1e6))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          t6(percent_rank().over(w)).as("pr"),
+          t6(cume_dist().over(w)).as("cd"),
+          ntile(10).over(wt).cast("long").as("decile"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ⊕ the round-8 curation pipeline composed end-to-end (the q76
     // discipline for the NEW operators): entropy gate → NB-quality gate →
     // cross-doc span removal over the survivors → per-source doc/token
@@ -3919,6 +3943,16 @@ object SparkEntry {
          |       WHERE term IN ('scan', 'batch') GROUP BY term, doc_id)
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
          |GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id""".stripMargin,
+
+    // q169: identical window semantics — tied values share pr/cd by
+    // definition; ntile carries the doc_id tiebreak on both sides
+    "q169_pctl_norm" ->
+      """SELECT doc_id, source, n_chars,
+        |  floor(percent_rank() OVER (PARTITION BY source ORDER BY n_chars) * 1e6) / 1e6 AS pr,
+        |  floor(cume_dist() OVER (PARTITION BY source ORDER BY n_chars) * 1e6) / 1e6 AS cd,
+        |  CAST(ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // q168: the composed pipeline — q164's char-entropy CTEs, q158's NB
     // retraining CTEs, q161's span algebra restricted to the kept subset,
