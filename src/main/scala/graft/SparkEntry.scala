@@ -2060,10 +2060,13 @@ object SparkEntry {
       val target = graft.sources.HubEtl.targetEvents(s, pages.toString)
       talks.coalesce(1).write.mode("overwrite").parquet(s"$Q93FixtureDir/talks.parquet")
       target.coalesce(1).write.mode("overwrite").parquet(s"$Q93FixtureDir/target.parquet")
+      graft.sources.Pretalx.speakersDim(schedule).coalesce(1)
+        .write.mode("overwrite").parquet(s"$Q93FixtureDir/speakers.parquet")
       val events = graft.sources.Pretalx.talksToEvents(
         talks, graft.sources.Pretalx.speakerMapOf(schedule))
       graft.sources.HubEtl.mergePlan(events, target)
-        .select(col("code"), col("name"), col("op_flag"), col("hub_id"))
+        .select(col("code"), col("name"), col("description_de"),
+          col("description_en"), col("op_flag"), col("hub_id"))
         .orderBy(coalesce(col("code"), lit("")), col("op_flag"))
     }),
 
@@ -4527,16 +4530,26 @@ object SparkEntry {
     // key = lower(code) vs lower(tags[1]) (main.py:135,137,152,155),
     // deterministic first-match (min id) target dedup, full-outer op_flag
     "q93_pretalx_etl" ->
-      s"""WITH src AS (
+      s"""WITH spkmap AS (
+         |  SELECT map(list(code), list(name)) AS m
+         |  FROM read_parquet('$Q93FixtureDir/speakers.parquet/*.parquet')),
+         |src AS (
          |  SELECT coalesce(title, '') AS name, coalesce(code, '') AS code,
-         |         lower(coalesce(code, '')) AS k
-         |  FROM read_parquet('$Q93FixtureDir/talks.parquet/*.parquet')),
+         |         lower(coalesce(code, '')) AS k,
+         |         '' AS description_de,
+         |         'Speaker' ||
+         |           (CASE WHEN len(spk) = 1 THEN '' ELSE 's' END) || ': ' ||
+         |           array_to_string(spk, ', ') AS description_en
+         |  FROM (SELECT *, list_transform(coalesce(speakers, []),
+         |                x -> coalesce(map_extract(m, x)[1], x)) AS spk
+         |        FROM read_parquet('$Q93FixtureDir/talks.parquet/*.parquet')
+         |        CROSS JOIN spkmap)),
          |tgt AS (
          |  SELECT id, k FROM (
          |    SELECT id, lower(tags[1]) AS k,
          |           row_number() OVER (PARTITION BY lower(tags[1]) ORDER BY id) AS rn
          |    FROM read_parquet('$Q93FixtureDir/target.parquet/*.parquet')) WHERE rn = 1)
-         |SELECT s.code, s.name,
+         |SELECT s.code, s.name, s.description_de, s.description_en,
          |  CASE WHEN s.code IS NULL THEN 'delete'
          |       WHEN t.id IS NULL THEN 'create' ELSE 'update' END AS op_flag,
          |  t.id AS hub_id

@@ -59,10 +59,11 @@ object Pretalx {
       lit("en").as("language"),                              // P2 main.py:121
       coalesce(col("abstract"), lit("")).as("abstract"),     // P3 main.py:122
       spk.as("speakers"),                                    // J1 main.py:123
+      lit("").as("description_de"),                          // P2 main.py:124
       concat(                                                // F2/F3 main.py:125-127
         lit("Speaker"),
         when(size(spk) === 1, lit("")).otherwise(lit("s")),
-        lit(": "), array_join(spk, ", ")).as("description"),
+        lit(": "), array_join(spk, ", ")).as("description_en"),
       to_timestamp(col("start"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("schedule_start"), // F4
       col("duration"),
       coalesce(col("code"), lit("")).as("code"))             // P3 main.py:132

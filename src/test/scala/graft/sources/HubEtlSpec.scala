@@ -91,7 +91,8 @@ class HubEtlSpec extends SparkSpec {
     val a = rows.find(_.getAs[String]("code") == "TALK-A").get
     assert(a.getAs[String]("name") === "Alpha Talk")
     assert(a.getAs[String]("room_name") === "CDC Triangle")
-    assert(a.getAs[String]("description") === "Speaker: Ada")  // singular
+    assert(a.getAs[String]("description_de") === "")            // constant (main.py:124)
+    assert(a.getAs[String]("description_en") === "Speaker: Ada")  // singular
     assert(a.getAs[java.sql.Timestamp]("schedule_start").toInstant.toString
       === "2026-08-01T08:00:00Z")  // +02:00 offset honored
 
@@ -99,7 +100,7 @@ class HubEtlSpec extends SparkSpec {
     assert(b.getAs[String]("name") === "")                      // null title coalesced
     assert(b.getAs[String]("abstract") === "")
     assert(b.getAs[Seq[String]]("speakers") === Seq("Ada", "Grace", "Edsger")) // order kept
-    assert(b.getAs[String]("description") === "Speakers: Ada, Grace, Edsger") // plural
+    assert(b.getAs[String]("description_en") === "Speakers: Ada, Grace, Edsger") // plural
 
     val c = rows.find(_.getAs[String]("code") == "TALK-C").get
     assert(c.getAs[String]("room_name") === "")                 // unknown room → "" not error
