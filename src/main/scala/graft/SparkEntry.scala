@@ -2467,7 +2467,7 @@ object SparkEntry {
     // purchases emitted once with a null right side when the watermark
     // passes their join horizon — the attribution readout where "no
     // conversion" is the signal (inner q58 cannot say it). The month
-    // replays as 16 time-ordered micro-batches so the watermark actually
+    // replays as 8 time-ordered micro-batches so the watermark actually
     // advances; matches and nulls roll up to n_matches per purchase, and
     // the settled-region cutoff is recomputed verbatim by the oracle.
     "q156_stream_outer_join" -> ((s, d) =>

@@ -149,12 +149,13 @@ object KmvFunctions {
     * session's function registry. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    def reg(name: String, build: (Expression, Int) => KmvAggBase): Unit = {
+    def reg(name: String, clazz: Class[_],
+            build: (Expression, Int) => KmvAggBase): Unit = {
       val id = FunctionIdentifier(name)
       if (!registry.functionExists(id)) {
         registry.registerFunction(
           id,
-          new ExpressionInfo(classOf[KmvDistinct].getName, name),
+          new ExpressionInfo(clazz.getName, name),
           (children: Seq[Expression]) => {
             if (children.isEmpty || children.size > 2)
               throw new IllegalArgumentException(
@@ -165,7 +166,7 @@ object KmvFunctions {
           })
       }
     }
-    reg("kmv_distinct", (c, k) => KmvDistinct(c, k))
-    reg("kmv_mins", (c, k) => KmvMins(c, k))
+    reg("kmv_distinct", classOf[KmvDistinct], (c, k) => KmvDistinct(c, k))
+    reg("kmv_mins", classOf[KmvMins], (c, k) => KmvMins(c, k))
   }
 }

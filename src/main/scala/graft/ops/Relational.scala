@@ -485,7 +485,12 @@ object Relational {
     val coefs = (0 until lookback).map(j =>
       BigInt(3).pow(j).toLong * BigInt(4).pow(lookback - 1 - j).toLong)
     val norm = coefs.sum
-    val v = col(valueCol).cast("long")
+    // DECIMAL, not BIGINT: at lookback=20 the leading coefficient is
+    // 4^19 ≈ 2.7e11, so a long chain would silently wrap (non-ANSI) for
+    // |value| above ~3e7. decimal(20,0) holds any long exactly; each
+    // product stays ≤ ~2.5e30 and the 20-term sum ≤ ~5e31 — both well
+    // inside decimal(38,0), so the chain is exact for the full long range.
+    val v = col(valueCol).cast("decimal(20,0)")
     val wsum = (1 until lookback)
       .map(j => lag(v, j).over(w) * lit(coefs(j)))
       .foldLeft(v * lit(coefs.head))(_ + _)

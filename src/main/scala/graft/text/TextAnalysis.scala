@@ -356,6 +356,15 @@ object TextAnalysis {
       .select(col("doc_id"), col("tb"), col("dm"))
       .transform(graft.util.Cleanup.checkpoint(_)) // reads docMapPath: settle before overwrite
     writeDocMap(dmReplacement, docMapPath)
+    // mirror the tb= cleanup: a dm dir whose sole occupant was an upserted
+    // doc that now has no surviving terms never rewrites under dynamic
+    // overwrite, and its stale doc→bucket rows would inflate later
+    // upserts' touched-bucket sets (extra work, results still correct)
+    val dmRemaining = dmReplacement.select(col("dm")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    (dmTouched.toSet -- dmRemaining).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$docMapPath/dm=$b"), true)
+    }
     touched
   }
 

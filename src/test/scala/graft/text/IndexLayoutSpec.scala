@@ -83,6 +83,25 @@ class IndexLayoutSpec extends SparkSpec {
       rebuilt.exists(_._1 == reversedWord))
   }
 
+  test("indexUpsertLayout: an emptied sole-occupant dm= doc-map partition is deleted") {
+    val d = Files.createTempDirectory("idx_dm_clean").toString + "/idx"
+    // buckets=4: doc 5 is the SOLE occupant of dm=1 (5 mod 4; 1 and 9 absent)
+    val base = Seq((4L, "alpha beta"), (5L, "gamma delta"), (8L, "alpha epsilon"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeIndexLayout(
+      TextAnalysis.invertedIndex(base, "doc_id", col("text")), d, buckets = 4)
+    assert(new java.io.File(s"$d/_docmap/dm=1").isDirectory)
+    // upsert doc 5 to empty text: no surviving terms, so dynamic overwrite
+    // never rewrites dm=1 — the explicit cleanup must remove it
+    TextAnalysis.indexUpsertLayout(spark, d,
+      Seq((5L, "")).toDF("doc_id", "text"), "doc_id", col("text"), buckets = 4)
+    assert(!new java.io.File(s"$d/_docmap/dm=1").exists(),
+      "emptied dm= partition must be deleted, not left with stale rows")
+    // and the doc map carries no rows for the vanished doc
+    assert(spark.read.parquet(s"$d/_docmap")
+      .filter(col("doc_id") === 5L).count() === 0)
+  }
+
   test("layout search is semantically identical to searching the fresh index") {
     val terms = Seq("scan", "batch")
     val viaLayout = TextAnalysis.searchIndexLayout(spark, layoutDir, terms)
