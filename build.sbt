@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: a 168-query suite in ONE JVM accumulates old-gen pressure
+  // (broadcast remnants, codegen classloaders, shuffle bookkeeping) that an
+  // 8g heap turns into GC churn taxing LATE queries — the r8 bench showed
+  // +15% on an unchanged query slice purely from suite growth.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // JIT code cache: 168 queries x dozens of whole-stage-codegen classes
+  // overflow the 240m JDK17 default; when it fills, the JIT silently stops
+  // compiling and every later query runs interpreted-slow.
+  "-XX:ReservedCodeCacheSize=512m",
 )

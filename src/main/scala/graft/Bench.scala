@@ -16,6 +16,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // static conf, default 100: a 168-query suite generates thousands of
+      // codegen units, so the default cache thrashes — every eviction is a
+      // janino recompile charged to whichever later query re-plans the
+      // shape, and the dead duplicate classes pile into the JIT code cache
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -144,6 +149,14 @@ object Bench {
           // RDD blocks) outside the timed window — the next run rebuilds
           // its own, and leaked blocks would poison LATER queries' memory
           graft.util.Cleanup.drain()
+          // untimed old-gen relief: when the heap crosses half of max,
+          // collect NOW (between queries) rather than letting a full GC
+          // strike mid-measurement — the r8 drift (+15% on an unchanged
+          // slice as the suite grew 135→168 queries) is exactly the
+          // signature of GC debt landing on later queries' clocks
+          val rt = Runtime.getRuntime
+          if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 2)
+            System.gc()
           (t, err)
         }
         var (best, err) = once()

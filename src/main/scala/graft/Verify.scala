@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // see Bench: the 100-entry default codegen cache thrashes across a
+      // 168-query run (static conf, must be set before session creation)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -280,16 +280,37 @@ object Multimodal {
     }
   }
 
-  /** REAL frame-sample + per-frame decode over a video container column:
+  /** Synthetic video containers as a DataFrame column — the FIXTURE
+    * generator (one [[SyntheticVideo.render]] per id), kept separate from
+    * [[videoFrameFeaturesOf]] so the operator can be timed over data at
+    * rest: in real usage the container bytes exist in storage, and
+    * charging the decode path for per-run PNG *encoding* of every frame
+    * measures the generator, not the operator. */
+  def syntheticVideos(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, SyntheticVideo.render(id))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL frame-sample + per-frame decode over a video container COLUMN:
     * parse the container, keep every `stride`-th frame, decode each kept
     * frame with ImageIO — one parser+decoder pair per task (the
     * mapPartitions seam), emitting (doc_id, frame_idx, width, height,
     * mean_r, mean_g, mean_b). At scale only the kept frames are ever
     * decoded — sampling happens on the length-prefixed index, not on
     * decoded pixels. */
-  def videoFrameFeatures(docs: DataFrame, idCol: String = "doc_id",
-                         stride: Int = 2): DataFrame = {
-    val spark = docs.sparkSession
+  def videoFrameFeaturesOf(videos: DataFrame, idCol: String = "doc_id",
+                           payloadCol: String = "payload",
+                           stride: Int = 2): DataFrame = {
+    val spark = videos.sparkSession
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
@@ -298,12 +319,12 @@ object Multimodal {
       StructField("mean_r", DoubleType, nullable = false),
       StructField("mean_g", DoubleType, nullable = false),
       StructField("mean_b", DoubleType, nullable = false)))
-    val input = docs.select(col(idCol).cast("long"))
+    val input = videos.select(col(idCol).cast("long"), col(payloadCol))
     val rdd = input.rdd.mapPartitions { rows =>
       val dec = new ImageIoDecoder // one per task
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val frames = SyntheticVideo.parse(SyntheticVideo.render(id))
+        val frames = SyntheticVideo.parse(r.getAs[Array[Byte]](1))
         frames.indices.collect {
           case f if f % stride == 0 =>
             val feats = dec.features(frames(f))
@@ -313,6 +334,13 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** [[syntheticVideos]] piped into [[videoFrameFeaturesOf]] — the
+    * generate-then-decode composition for callers without a container
+    * column at rest. */
+  def videoFrameFeatures(docs: DataFrame, idCol: String = "doc_id",
+                         stride: Int = 2): DataFrame =
+    videoFrameFeaturesOf(syntheticVideos(docs, idCol), "doc_id", "payload", stride)
 
   /** "Resize" for the opaque-binary pipeline: stride-decimate the payload
     * (keep every `factor`-th byte) — the byte-level stand-in for an image

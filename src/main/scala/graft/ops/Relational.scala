@@ -542,30 +542,35 @@ object Relational {
     * every later step i the first step-i event STRICTLY AFTER step i-1's
     * time — the sequential-pattern query behind conversion funnels (a
     * row-wise `min(ts WHERE type=s)` is NOT a funnel: steps must happen in
-    * order). Each stage is one filtered agg + one key-equi join carrying
-    * the previous stage's timestamp — k-1 joins for a k-step funnel, all
-    * keyed on the user (sort-merge at scale, AQE-broadcast as stages
-    * shrink — later stages only contain survivors). Timestamps compare
-    * exactly (µs longs); no windows, no state. Returns one row per user
-    * who completed step 1, with nullable t2..tk. */
+    * order). ONE exchange for any k: each t_i is a whole-partition
+    * conditional window min over hash(user) — `min(ts WHERE type=s_i AND
+    * ts > t_{i-1})` — and chained Window operators with the SAME partition
+    * spec reuse one exchange + one sort; the closing per-user aggregate is
+    * co-partitioned, so it adds none (vs the former k-1 join+agg rounds,
+    * each a shuffle). The sequential dependence lives in the expression
+    * (t_i references the t_{i-1} column), not in extra stages. A user's
+    * rows sit in one partition; the window frames spill via Spark's row
+    * buffer if a single user's history outgrows memory. Timestamps compare
+    * exactly (µs longs). Returns one row per user who completed step 1,
+    * with nullable t2..tk. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel: at least one step")
     val u = col(userCol)
-    val s1 = events.filter(col(typeCol) === steps.head)
-      .groupBy(u).agg(min(col(tsCol)).as("t1"))
-    // stage i (1-based, i >= 2) carries (user, t_i): the first step-i event
-    // after t_{i-1}, inner-joined to stage i-1 so only survivors advance
-    val stages = steps.tail.zipWithIndex.scanLeft(s1) {
-      case (prev, (step, i)) =>
-        events.filter(col(typeCol) === step)
-          .join(prev.select(u, col(s"t${i + 1}")), Seq(userCol))
-          .filter(col(tsCol) > col(s"t${i + 1}"))
-          .groupBy(u).agg(min(col(tsCol)).as(s"t${i + 2}"))
+    val w = Window.partitionBy(u)
+    // events irrelevant to every step never enter the exchange
+    val slim = events.filter(col(typeCol).isin(steps: _*))
+      .select(u, col(typeCol), col(tsCol))
+    val withTs = steps.zipWithIndex.foldLeft(slim) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(tsCol) > col(s"t$i")
+      df.withColumn(s"t${i + 1}", min(when(cond, col(tsCol))).over(w))
     }
-    stages.tail.zipWithIndex.foldLeft(s1) { case (acc, (st, i)) =>
-      acc.join(st.select(u, col(s"t${i + 2}")), Seq(userCol), "left")
-    }
+    withTs.filter(col("t1").isNotNull)
+      .groupBy(u)
+      .agg(min(col("t1")).as("t1"),
+        steps.indices.tail.map(i => min(col(s"t${i + 1}")).as(s"t${i + 1}")): _*)
   }
 
   /** Retention cohort matrix: users grouped by first-activity week

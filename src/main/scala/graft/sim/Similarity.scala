@@ -312,6 +312,39 @@ object Similarity {
     touched
   }
 
+  /** The deliberate RECLUSTER batch op — the documented escape hatch after
+    * [[ivfUpsertLayout]]'s frozen-centroid maintenance has let drifted
+    * upserts skew the cell sizes (skewed cells degrade recall: a probe
+    * spends its nprobe budget on bloated cells). Reads the
+    * [[Relational.skewProfile]] decision rule over the at-rest `cell`
+    * column first: below `skewThreshold` (skew_factor = max·k/total, 1.0
+    * = balanced) this is a NO-OP — the index is fine, don't rewrite 100 TB
+    * — otherwise centroids RETRAIN over the current at-rest corpus
+    * ([[ivfCentroids]]' deterministic Lloyd) and the whole layout rewrites
+    * once (static overwrite; the corpus is checkpointed first so the plan
+    * never reads the directory it replaces). Returns the new centroids,
+    * or None when below threshold. Maintenance stays cheap and
+    * delta-shaped (upsert); rebalance is this explicit, skew-gated batch
+    * op — the FAISS retrain discipline at the layout layer. */
+  def reclusterCells(spark: SparkSession, layoutDir: String,
+                     cells: Int = 16, skewThreshold: Double = 2.0,
+                     iters: Int = 3, dims: Int = 64): Option[Array[Seq[Float]]] = {
+    val atRest = spark.read.parquet(layoutDir)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val skew = graft.ops.Relational.skewProfile(atRest, "cell")
+      .select(col("skew_factor")).head().getDouble(0)
+    if (skew < skewThreshold) None
+    else {
+      // settle the corpus off the directory the write below replaces
+      val corpus = atRest.select(col("vec_id"), col("embedding"))
+        .transform(graft.util.Cleanup.checkpoint(_))
+      val cents = ivfCentroids(corpus, cells, iters, dims)
+      graft.layout.DataLayout.writePartitionedSorted(
+        ivfAssign(corpus, cents), layoutDir, Seq("cell"), Seq("vec_id"))
+      Some(cents)
+    }
+  }
+
   // ---- IVF-PQ (product quantization) ---------------------------------------
 
   /** Deterministic left-fold squared L2 between a sub-vector column and a

@@ -63,4 +63,48 @@ class IvfUpsertSpec extends SparkSpec {
     assert(touched === Seq(0))
     assert(spark.read.parquet(dir).count() === 3)
   }
+
+  test("recluster below the skew threshold is a NO-OP: no file is touched") {
+    val dir = Files.createTempDirectory("ivf_recluster_noop").toString + "/layout"
+    // one vector per cell: skew_factor = 1.0, the balanced ideal
+    Similarity.writeIvfLayout(vecs(
+      1L -> Seq(0.9f, 0.1f, 0f, 0f),
+      2L -> Seq(0.1f, 0.9f, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0.2f),
+      4L -> Seq(0f, 0f, 0.1f, 0.9f)), cents, dir)
+    def snapshot() = Files.walk(Paths.get(dir)).toArray.toSeq
+      .map(_.toString).sorted
+      .map(p => p -> Files.getLastModifiedTime(Paths.get(p)))
+    val before = snapshot()
+    val out = Similarity.reclusterCells(spark, dir,
+      cells = 4, skewThreshold = 2.0, dims = 4)
+    assert(out.isEmpty, "balanced layout must not trip the skew gate")
+    assert(snapshot() === before, "a no-op recluster must not rewrite 100 TB")
+  }
+
+  test("skew-triggered recluster equals a fresh ivfCentroids+writeIvfLayout on the same corpus") {
+    import org.scalatest.Assertions.withClue
+    val dir = Files.createTempDirectory("ivf_recluster").toString + "/layout"
+    // upsert-drift shape: 6 of 8 vectors crowd cell0 → with 3 occupied
+    // cells skew_factor = 6·3/8 = 2.25, past the 2.0 gate
+    val corpus = vecs(
+      1L -> Seq(0.9f, 0.1f, 0f, 0f), 2L -> Seq(0.8f, 0.2f, 0f, 0f),
+      3L -> Seq(0.95f, 0.05f, 0f, 0f), 4L -> Seq(0.7f, 0.3f, 0f, 0f),
+      5L -> Seq(0.85f, 0.15f, 0f, 0f), 6L -> Seq(0.75f, 0.25f, 0f, 0f),
+      7L -> Seq(0f, 0.9f, 0.1f, 0f), 8L -> Seq(0f, 0f, 0.9f, 0.1f))
+    Similarity.writeIvfLayout(corpus, cents, dir)
+    val got = Similarity.reclusterCells(spark, dir,
+      cells = 4, skewThreshold = 2.0, dims = 4)
+    assert(got.nonEmpty, "2.25 skew must trip the 2.0 gate")
+    // the documented equivalence: recluster-in-place ≡ retraining fresh
+    // over the same corpus and writing a brand-new layout
+    val freshDir = Files.createTempDirectory("ivf_fresh").toString + "/layout"
+    val freshCents = Similarity.ivfCentroids(corpus, k = 4, iters = 3, dims = 4)
+    Similarity.writeIvfLayout(corpus, freshCents, freshDir)
+    withClue("retrained centroids") { assert(got.get.toSeq === freshCents.toSeq) }
+    def cellsOf(d: String) = spark.read.parquet(d)
+      .select(col("vec_id"), col("cell").cast("int"))
+      .as[(Long, Int)].collect().toSeq.sorted
+    assert(cellsOf(dir) === cellsOf(freshDir))
+  }
 }
