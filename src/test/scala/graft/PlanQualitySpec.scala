@@ -223,6 +223,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q109: k-step funnel is ONE user exchange — chained windows + the closing agg share it") {
+    val p = physical("q109_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly 1 hash exchange for the 3-step funnel, got $n\n$p")
+  }
+
   test("q161: span removal is three key-partitioned exchanges, no nested loops") {
     val p = physical("q161_dedup_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
