@@ -174,6 +174,43 @@ object ScaleCheck {
         docs.filter(col("doc_id") < 100000 && col("doc_id") % 20 === 0),
         "doc_id", col("text"), 4, maxDf = 50L * mult).count()
     }
+    time("ctfidf_labels", nDocs) {
+      // corpus-sized (source, word) count once, then vocab-sized tf-idf +
+      // top-k window; amplified copies add v{i} marker words, so the
+      // vocab side grows with mult here (real corpora: sublinear)
+      text.TextAnalysis.cTfIdf(docs, "source", col("text"), 10).count()
+    }
+    time("entropy_filter", nDocs) {
+      // two symbol branches, each 2 window exchanges over (doc, symbol)
+      // counts; per-doc cost is the claim (symbol alphabet is bounded)
+      text.TextAnalysis.entropyProfile(docs, "doc_id", col("text"))
+        .filter(col("keep")).count()
+    }
+    time("mixture_draw", nDocs) {
+      // per-source quota fill via one source-keyed window; quotas follow
+      // the temperature weights, so the sort stays per-source partial
+      text.TextAnalysis.mixtureSample(docs, "doc_id", "source",
+        col("text"), 1000 * mult).count()
+    }
+    time("dedup_span_removal", nDocs) {
+      // the APPLIED sibling of dup_span_fraction: gram exchange + dup-set
+      // join-back + per-doc reassembly — rewrite cost must track corpus
+      // bytes, with the gram-key shuffle the only super-row-local stage
+      text.TextAnalysis.removeDupSpans(docs, "doc_id", col("text"), 5)
+        .count()
+    }
+    if (want("welch")) {
+      val evs = amplify(model.Tables.events(spark, d),
+        Seq("user_id", "event_id")).transform(graft.util.Cleanup.checkpoint(_))
+      val nEv = evs.count()
+      time(s"welch_ttest_${nEv}_events", nEv) {
+        // six conditional decimal sums in ONE exchange; closed-form
+        // doubles over a groups x 2 result — per-event cost is the claim
+        ops.Relational.welchTTest(
+          evs.withColumn("variant", pmod(col("user_id"), lit(2)).cast("int")),
+          "event_type", "variant", "value").count()
+      }
+    }
     if (want("sessionize")) {
       val evs = amplify(model.Tables.events(spark, d),
         Seq("user_id", "event_id")).transform(graft.util.Cleanup.checkpoint(_))

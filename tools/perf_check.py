@@ -12,11 +12,13 @@ Usage:
 
 `bench.json` is the one-line JSON that graft.Bench prints (or a file whose
 last '{"metric"' line is that JSON). Default ratio 4.0; queries faster than
-min_spark_sec (default 2.5 s) are never flagged: at sf0.1 a Spark query
+min_spark_sec (default 3.0 s) are never flagged: at sf0.1 a Spark query
 carries ~0.5-1.5 s of fixed cost (planning, codegen, 32-task scheduling)
-that amortizes away at scale, so a ratio on a sub-2.5s query measures that
-constant, not the plan. Every plan weakness the round-2 audit found was
->= 6 s absolute. Exit code = number of violations.
+on a QUIET host — and the driver's shared host measures 1.3-1.8x that
+(round 8: three sub-2.6 s queries with unchanged plans flagged there,
+re-measured clean in isolation) — so a ratio on a sub-3s query measures
+that constant plus host load, not the plan. Every plan weakness the
+round-2 audit found was >= 6 s absolute. Exit code = number of violations.
 """
 import json
 import re
@@ -84,10 +86,12 @@ STREAMING_MIN_SPARK = 4.0
 # q156 deliberately replays the month as 8 time-ordered micro-batches so the
 # watermark advances (stream-stream LEFT OUTER join: the null-side emission
 # requires watermark movement a single-batch source never produces). Each
-# batch is a full stateful outer-join step (4 state stores per shuffle
-# partition) — ~1 s spin-up each at sf0.1, ~9 s total, pure protocol cost
-# that amortizes over batch duration at scale: the 16x ScaleCheck probe
-# measures per-event cost FALLING (85 -> 15 µs/event).
+# batch is a full stateful outer-join step committing 4 state stores per
+# shuffle partition (4 partitions since round 9) — 128 delta-file commits,
+# ~8.0 s measured quiet-host at sf0.1; the 12.0 floor carries the driver
+# host's measured 1.2-1.5x load factor. Pure protocol cost that amortizes
+# over batch duration at scale: the 16x ScaleCheck probe measures per-event
+# cost FALLING (85 -> 15 µs/event).
 REPLAY_STREAMING = {"q156_stream_outer_join"}
 REPLAY_STREAMING_MIN_SPARK = 12.0
 
@@ -161,7 +165,7 @@ if __name__ == "__main__":
         sys.exit(time_oracle(sys.argv[2], sys.argv[3], sys.argv[4], only))
     elif mode == "check":
         r = float(sys.argv[4]) if len(sys.argv) > 4 else 4.0
-        ms = float(sys.argv[5]) if len(sys.argv) > 5 else 2.5
+        ms = float(sys.argv[5]) if len(sys.argv) > 5 else 3.0
         sys.exit(check(sys.argv[2], sys.argv[3], r, ms))
     else:
         sys.exit(__doc__)
