@@ -184,7 +184,7 @@ object ScaleCheck {
       // two symbol branches, each 2 window exchanges over (doc, symbol)
       // counts; per-doc cost is the claim (symbol alphabet is bounded)
       text.TextAnalysis.entropyProfile(docs, "doc_id", col("text"))
-        .filter(col("keep")).count()
+        .filter(!col("low_entropy")).count()
     }
     time("mixture_draw", nDocs) {
       // per-source quota fill via one source-keyed window; quotas follow
@@ -196,8 +196,10 @@ object ScaleCheck {
       // the APPLIED sibling of dup_span_fraction: gram exchange + dup-set
       // join-back + per-doc reassembly — rewrite cost must track corpus
       // bytes, with the gram-key shuffle the only super-row-local stage
+      // force the rebuilt text, not just the row count: count() would let
+      // Catalyst prune the collect_list reassembly and under-time the op
       text.TextAnalysis.removeDupSpans(docs, "doc_id", col("text"), 5)
-        .count()
+        .agg(max(length(col("cleaned_text")))).collect()
     }
     if (want("welch")) {
       val evs = amplify(model.Tables.events(spark, d),

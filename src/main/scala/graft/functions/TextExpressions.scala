@@ -444,6 +444,72 @@ object TermCounts {
   }
 }
 
+/** Single-pass span removal for exact-substring dedup (the A49/q161 tail):
+  * given a document's word array and the 0-based word positions where
+  * duplicated k-grams START, drop every word covered by any [s, s+k-1]
+  * interval and re-join the survivors with a single space. One sorted
+  * interval sweep per row replaces the explode(k)-per-start → corpus-sized
+  * distinct → anti-join → collect_list reassembly pipeline, whose cost the
+  * 64x ScaleCheck probe measured RISING per doc (148 → 194 µs) as dup
+  * density grows — this kernel's cost is O(words + starts log starts) per
+  * row regardless of density, and it deletes two shuffles from the plan.
+  * Start positions arrive in collect_list order (nondeterministic): the
+  * kernel sorts internally, so the result is order-independent. All words
+  * covered ⇒ empty string (never null for non-null inputs). */
+case class RemoveSpans(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) if k >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<int>, positive k), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString}) with k=$k")
+    }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "remove_spans"
+
+  override def nullSafeEval(words: Any, starts: Any): Any =
+    RemoveSpans.compute(
+      words.asInstanceOf[ArrayData], starts.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, s) =>
+      s"${ev.value} = graft.functions.RemoveSpans.compute($w, $s, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveSpans =
+    copy(left = newLeft, right = newRight)
+}
+
+object RemoveSpans {
+  def compute(words: ArrayData, starts: ArrayData, k: Int): UTF8String = {
+    val n = words.numElements()
+    val m = starts.numElements()
+    val ss = new Array[Int](m)
+    var i = 0
+    while (i < m) { ss(i) = starts.getInt(i); i += 1 }
+    java.util.Arrays.sort(ss)
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var j = 0
+    var coveredUntil = -1
+    i = 0
+    while (i < n) {
+      while (j < m && ss(j) <= i) {
+        val end = ss(j) + k - 1
+        if (end > coveredUntil) coveredUntil = end
+        j += 1
+      }
+      if (i > coveredUntil) kept.add(words.getUTF8String(i))
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "),
+      kept.toArray(new Array[UTF8String](kept.size())): _*)
+  }
+}
+
 object TextFunctions {
   private def requireArity(name: String, children: Seq[Expression], n: Int): Unit =
     if (children.size != n)
@@ -538,4 +604,8 @@ object TextFunctions {
 
   def termCounts(text: Column): Column =
     Bridge.columnOf(TermCounts(Bridge.expressionOf(text)))
+
+  def removeSpans(words: Column, starts: Column, k: Int): Column =
+    Bridge.columnOf(RemoveSpans(
+      Bridge.expressionOf(words), Bridge.expressionOf(starts), k))
 }

@@ -73,6 +73,39 @@ class TextExpressionsSpec extends SparkSpec {
     assert(native.filter(col("doc_id").isin(3L, 4L)).count() === 0L)
   }
 
+  test("remove_spans: interval sweep matches the declarative anti-join form on every edge") {
+    import spark.implicits._
+    // (words, starts, k): overlapping spans, unsorted + duplicate starts,
+    // all-covered, empty starts, span past end, start at 0
+    val rows = Seq(
+      (Seq("a", "b", "c", "d", "e", "f"), Seq(1, 3), 2),   // overlap-adjacent
+      (Seq("a", "b", "c", "d", "e", "f"), Seq(3, 1, 1), 2), // unsorted + dup
+      (Seq("a", "b", "c"), Seq(0), 5),                      // covers all (past end)
+      (Seq("a", "b", "c"), Seq.empty[Int], 3),              // no spans
+      (Seq("x"), Seq(0), 1),                                // single word covered
+      (Seq("x", "y"), Seq(1), 1))                           // tail covered
+      .zipWithIndex.map { case ((w, s, k), i) => (i.toLong, w, s, k) }
+      .toDF("id", "ws", "starts", "k")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val sub = rows.filter(col("k") === k)
+      val kernel = sub.select(col("id"),
+        TextFunctions.removeSpans(col("ws"), col("starts"), k).as("got"))
+      // reference: the original explode→distinct→anti-join reassembly
+      val covered = sub.select(col("id"),
+          explode(col("starts")).as("s"))
+        .select(col("id"), explode(sequence(col("s"), col("s") + lit(k - 1))).as("p"))
+        .distinct()
+      val exp = sub.select(col("id"), posexplode(col("ws")).as(Seq("p", "w")))
+        .join(covered, Seq("id", "p"), "left_anti")
+        .groupBy("id")
+        .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("w")))),
+          s => s.getField("w")), " ").as("exp"))
+      val both = kernel.join(exp, Seq("id"), "left")
+        .select(col("got"), coalesce(col("exp"), lit("")).as("exp")).collect()
+      both.foreach(r => assert(r.getString(0) === r.getString(1), s"k=$k"))
+    }
+  }
+
   test("SQL registration works and validates arity") {
     TextFunctions.ensureRegistered(spark)
     val r = spark.sql("SELECT repetition_ratio('a b a b a b a b', 3) AS r, simhash16('x y') AS s")
