@@ -518,6 +518,15 @@ object ScaleCheck {
       time(s"ivf_upsert_one_cell_${nDelta}_vecs", nDelta) {
         sim.Similarity.ivfUpsertLayout(spark, ivfDir, cents, delta)
       }
+      // the skew-gated batch rebalance (q170): one skewProfile decision
+      // read + deterministic Lloyd retrain + one full rewrite — cost must
+      // track the corpus linearly (3+1 scans + one partitioned write);
+      // threshold 0 forces the trigger so the probe always measures the
+      // retrain path, not the (cheap) no-op
+      time(s"ivf_recluster_${nEmb}_vecs", nEmb) {
+        require(sim.Similarity.reclusterCells(spark, ivfDir, cells = 64,
+          skewThreshold = 0.0).nonEmpty)
+      }
       util.Cleanup.registerTempDir(
         java.nio.file.Paths.get(ivfDir).getParent)
       util.Cleanup.drain()

@@ -106,6 +106,27 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("remove_spans: JVM kernel equals the set-based reference on random inputs") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 500) {
+      val n = rnd.nextInt(40)
+      val words = (0 until n).map(i => s"w${rnd.nextInt(8)}")
+      val k = 1 + rnd.nextInt(6)
+      val m = rnd.nextInt(10)
+      // starts may repeat, arrive unsorted, and land anywhere in range
+      val starts = (0 until m).map(_ => rnd.nextInt(math.max(n, 1)))
+      val covered = starts.flatMap(s => s until (s + k)).toSet
+      val expected = words.zipWithIndex
+        .collect { case (w, i) if !covered(i) => w }.mkString(" ")
+      val got = RemoveSpans.compute(
+        new GenericArrayData(words.map(UTF8String.fromString).toArray[Any]),
+        new GenericArrayData(starts.toArray[Any]), k).toString
+      assert(got === expected, s"n=$n k=$k starts=$starts")
+    }
+  }
+
   test("SQL registration works and validates arity") {
     TextFunctions.ensureRegistered(spark)
     val r = spark.sql("SELECT repetition_ratio('a b a b a b a b', 3) AS r, simhash16('x y') AS s")
