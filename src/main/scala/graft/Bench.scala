@@ -131,7 +131,9 @@ object Bench {
     val compositionFloor = Set("q168_curation_v2")
     def floorOf(name: String): Double =
       if (replayStreamingFloor(name)) 12.0
-      else if (multiCommitFloor(name)) 6.0
+      // 2.4-4.9 s quiet-host (q141's two-streaming-query crash-resume
+      // proof is the heaviest) + the driver host's 1.2-1.5x load factor
+      else if (multiCommitFloor(name)) 7.0
       else if (compositionFloor(name)) 4.0
       else if (streamingFloor(name)) 4.0
       // 3.0, not 2.5: the sub-floor band measures per-query fixed cost

@@ -428,6 +428,9 @@ object SparkEntry {
 
   // ---- queries ------------------------------------------------------------
 
+  /** 169 queries, numbered q01-q170: q19 was never assigned (a round-2
+    * numbering skip, kept to preserve every already-recorded artifact's
+    * query ids). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.2 P1-P4: scan + filter + projection, pushed down to parquet
     "q01_filter_project" -> ((s, d) =>

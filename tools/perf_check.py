@@ -110,8 +110,10 @@ COMPOSITION_MIN_SPARK = 4.0
 # streaming query (micro-batch spin-up on top). The DuckDB SQL states the
 # final table analytically in one SELECT, so the ratio below this floor
 # measures protocol I/O that amortizes at scale (commit cost is delta-
-# proportional), not plan inefficiency. Measured 3.6-5.4 s at sf0.1
-# depending on JIT warmth.
+# proportional), not plan inefficiency. Measured 2.4-4.9 s at sf0.1
+# quiet-host depending on JIT warmth (q141, the two-streaming-query
+# crash-resume proof, is the heaviest); the 7.0 floor carries the driver
+# host's measured 1.2-1.5x load factor on top.
 MULTI_COMMIT = {"q63_merge_upsert", "q64_stream_upsert",
                 # q141 deliberately runs TWO streaming queries (crash +
                 # checkpoint-resume) over three MERGE commits to prove
@@ -124,7 +126,7 @@ MULTI_COMMIT = {"q63_merge_upsert", "q64_stream_upsert",
                 "q66_time_travel", "q67_cdc_diff",
                 # schema evolution runs the same two-commit protocol as q63
                 "q77_schema_evolution"}
-MULTI_COMMIT_MIN_SPARK = 6.0
+MULTI_COMMIT_MIN_SPARK = 7.0
 
 
 def check(fixture_path: str, bench_path: str, ratio: float, min_spark: float) -> int:
