@@ -92,6 +92,21 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.SyntheticPng.width(Multimodal.SyntheticVideo.frameId(id, r.getInt(1)))))
   }
 
+  test("video containers at rest: parquet binary round-trip decodes identically to direct compute") {
+    // the q145 shape: syntheticVideos spooled to parquet, read back, and
+    // decoded — byte-identical payload through the binary column, so the
+    // at-rest path must equal the generate-then-decode composition
+    val d = Seq((7L, "a"), (42L, "b"), (99L, "c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("vid_rest").toString
+    Multimodal.syntheticVideos(d, "doc_id").write.mode("overwrite").parquet(dir)
+    val atRest = Multimodal.videoFrameFeaturesOf(spark.read.parquet(dir), stride = 2)
+      .collect().map(_.toSeq).toSet
+    val direct = Multimodal.videoFrameFeatures(d, stride = 2)
+      .collect().map(_.toSeq).toSet
+    assert(atRest === direct)
+    assert(atRest.nonEmpty)
+  }
+
   test("SyntheticVideo.parse rejects a corrupted container loudly") {
     val err = intercept[IllegalArgumentException] {
       Multimodal.SyntheticVideo.parse("XXXX garbage".getBytes("US-ASCII"))
