@@ -191,24 +191,30 @@ object Bench {
       }
     // times at ms precision: the one output line must stay SHORT enough to
     // survive a log-tail capture window whole (r3's line outgrew it and the
-    // recorded artifact lost its head -> unparseable)
+    // recorded artifact lost its head -> unparseable; r8's 168-full-name
+    // line hit the same wall — BENCH_r08 recorded parsed:null with the
+    // head cut mid-line). Keys are therefore the qNN prefix alone (the
+    // driver contract's own example form, "q1":sec): 169 entries ≈ 1.6 KB
+    // instead of 4.1 KB. Full names stay on stderr in the [bench] lines;
+    // tools/perf_check.py accepts both key forms.
     def ms(v: Double): String = f"$v%.3f"
+    def short(n: String): String = n.takeWhile(_ != '_')
     val qs = results.map { case (k, v, err) =>
       // a failed query is reported as NEGATIVE elapsed so it can never make
       // the benchmark look faster, and lands in the errors object below
-      s"\"" + k + "\":" + (if (err.isDefined) ms(-v) else ms(v))
+      s"\"" + short(k) + "\":" + (if (err.isDefined) ms(-v) else ms(v))
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
       // strip control chars (AnalysisException messages embed multi-line
       // plans) so the output line stays valid JSON
-      s"\"" + k + "\":\"" + m.replaceAll("[\\p{Cntrl}]", " ")
+      s"\"" + short(k) + "\":\"" + m.replaceAll("[\\p{Cntrl}]", " ")
         .replace("\\", "\\\\").replace("\"", "'") + "\""
     }.mkString("{", ",", "}")
     // queries still above the guardrail after their extra run: recorded in
     // the artifact so perf_check's verdict travels with the numbers
     val warns = results.collect {
       case (k, v, None) if violates(k, v) =>
-        s"\"" + k + "\":" + ms(v)
+        s"\"" + short(k) + "\":" + ms(v)
     }.mkString("{", ",", "}")
     val nFailed = results.count(_._3.isDefined)
     // headline value counts SUCCESSFUL queries only, and is -1 (obviously

@@ -132,6 +132,11 @@ MULTI_COMMIT_MIN_SPARK = 7.0
 def check(fixture_path: str, bench_path: str, ratio: float, min_spark: float) -> int:
     fixture = json.load(open(fixture_path))["times"]
     bench = load_bench(bench_path)["queries"]
+    # graft.Bench emits qNN short keys (the full-name line outgrew the
+    # driver's log-tail capture window at 168 queries); expand them back to
+    # the fixture's full names so floors and ratios match either form
+    by_short = {full.split("_", 1)[0]: full for full in fixture}
+    bench = {by_short.get(k, k): v for k, v in bench.items()}
     violations = 0
     for name, spark_s in sorted(bench.items()):
         if spark_s < 0:
