@@ -813,7 +813,15 @@ object TextAnalysis {
     keyed.join(broadcast(wts), Seq(sourceCol))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(sourceCol)).orderBy(col("__k"), col(idCol))))
-      .where(col("__rn") <= col("quota"))
+      // the LITERAL budget bound is what makes this scale: quota ≤ budget
+      // by construction (floor(weight·budget) with weight ≤ 1), and a
+      // rank ≤ literal conjunct lets Catalyst plan WindowGroupLimit —
+      // every map task keeps only its local top-`budget` per source
+      // BEFORE the exchange, so the per-source window partition sorts
+      // ≤ budget×tasks id-rows however large the source is. With only the
+      // column-valued quota predicate the optimizer cannot prune, and one
+      // dominant source becomes a single-task sort of its whole id list.
+      .where(col("__rn") <= lit(budget.toLong) && col("__rn") <= col("quota"))
       .select(col(sourceCol).as("source"), col("quota"),
         col("__rn").cast("long").as("pick_rank"), col(idCol))
   }

@@ -223,6 +223,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q165: mixture draw plans WindowGroupLimit — map-side rank pruning before the source exchange") {
+    val p = physical("q165_mixture_sample")
+    // the literal budget bound (quota ≤ budget by construction) is what
+    // lets one dominant source avoid a whole-source single-task sort
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q109: k-step funnel is ONE user exchange — chained windows + the closing agg share it") {
     val p = physical("q109_funnel")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
