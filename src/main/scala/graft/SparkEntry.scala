@@ -2671,7 +2671,12 @@ object SparkEntry {
     // percentile-transform preprocessing step): percent_rank + cume_dist
     // + percentile bucket of n_chars WITHIN each source. Ties share a
     // rank in both engines by definition, so no tiebreak column is
-    // needed; floor-truncated to 6dp. One source-keyed window exchange.
+    // needed; floor-truncated to 6dp. One source-keyed window exchange —
+    // EXACT ranks need the per-source total order (the window carries
+    // only (source, n_chars), never text); when one source outgrows a
+    // spill-sort partition at 100 TB, the q88 discipline applies: swap in
+    // a percentile_approx lookup table (sources × buckets rows, joined
+    // back) and this query stays the exact audit form.
     "q169_pctl_norm" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       // percent_rank/cume_dist order by the value alone (ties SHARE a
