@@ -121,7 +121,7 @@ object Bench {
     // batch is a full stateful outer-join step committing 4 state stores
     // per shuffle partition — 4x8x4 = 128 delta-file commits, ~8.0 s
     // measured quiet-host at sf0.1 (was 10.5 on 8 partitions), so the
-    // 12.0 floor carries the driver host's measured 1.2-1.5x load factor.
+    // 10.0 quiet-host floor is scaled by the measured host load factor.
     // Protocol, not plan: the 16x ScaleCheck probe shows per-event cost
     // FALLING (85 -> 15 µs/event).
     val replayStreamingFloor = Set("q156_stream_outer_join")
@@ -129,19 +129,38 @@ object Bench {
     // removal), each with its own ~0.8 s fixed cost at sf0.1 — the wall
     // sits at the sum of per-stage floors (see tools/perf_check.py)
     val compositionFloor = Set("q168_curation_v2")
-    def floorOf(name: String): Double =
-      if (replayStreamingFloor(name)) 12.0
+    // Quiet-host floors scaled by the HOST's measured load factor, so the
+    // loaded driver host (1.2-1.5x a quiet host on unchanged plans — r8
+    // flagged three sub-2.6 s queries that re-measured clean in isolation)
+    // pays a looser bound without loosening the guardrail on quiet hosts.
+    // The factor is MEASURED, not configured: best-of-3 of a fixed
+    // codegen'd 32-thread range-sum (pure compute, no I/O) against the
+    // quiet-host reference time pinned below. SPARK_GRAFT_HOST_LOAD
+    // overrides for controlled experiments.
+    val hostLoad = sys.env.get("SPARK_GRAFT_HOST_LOAD").map(_.toDouble)
+      .getOrElse {
+        val calMin = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.range(4000000000L).selectExpr("sum(id)").collect()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val calRef = 0.24 // quiet-host best-of-3, this hardware, local[32]
+        System.err.println(f"[bench] calibration range-sum: $calMin%.3fs (ref $calRef%.2fs)")
+        math.min(2.0, math.max(1.0, calMin / calRef))
+      }
+    System.err.println(f"[bench] host load factor: $hostLoad%.2f")
+    def floorOf(name: String): Double = hostLoad * {
+      if (replayStreamingFloor(name)) 10.0
       // 2.4-4.9 s quiet-host (q141's two-streaming-query crash-resume
-      // proof is the heaviest) + the driver host's 1.2-1.5x load factor
-      else if (multiCommitFloor(name)) 7.0
-      else if (compositionFloor(name)) 4.0
-      else if (streamingFloor(name)) 4.0
-      // 3.0, not 2.5: the sub-floor band measures per-query fixed cost
-      // (planning, codegen, scheduling), and the DRIVER's shared host
-      // runs that constant 1.3-1.8x a quiet host's — r8 flagged three
-      // sub-2.6 s queries whose plans were unchanged and re-measured
-      // clean in isolation (mirrors tools/perf_check.py)
-      else 3.0
+      // proof is the heaviest); host load factor applied above
+      else if (multiCommitFloor(name)) 6.0
+      else if (compositionFloor(name)) 3.5
+      else if (streamingFloor(name)) 3.5
+      // the sub-floor band measures per-query fixed cost (planning,
+      // codegen, 32-task scheduling), not the plan (mirrors
+      // tools/perf_check.py)
+      else 2.5
+    }
     def violates(name: String, t: Double): Boolean =
       fixture.get(name).exists(duck => t >= floorOf(name) && t > 4.0 * duck)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -199,6 +218,11 @@ object Bench {
     // tools/perf_check.py accepts both key forms.
     def ms(v: Double): String = f"$v%.3f"
     def short(n: String): String = n.takeWhile(_ != '_')
+    // qNN prefixes must stay unique (true today, q19 gap included): a
+    // duplicate number would silently merge two queries into one JSON key,
+    // corrupting the artifact and perf_check's expansion with no error
+    require(results.map(r => short(r._1)).distinct.size == results.size,
+      "duplicate qNN short-key prefix in SparkEntry.queries")
     val qs = results.map { case (k, v, err) =>
       // a failed query is reported as NEGATIVE elapsed so it can never make
       // the benchmark look faster, and lands in the errors object below
@@ -222,9 +246,23 @@ object Bench {
     // the benchmark look faster than a clean run
     val totalOk = results.collect { case (_, v, None) => v }.sum
     val value = if (nFailed > 0) -1.0 else totalOk
-    // stop Spark BEFORE printing: the JSON must be the last line of stdout
-    // so a bounded log-tail capture always contains it in full
+    // stop Spark BEFORE printing: the JSON must be the last lines of stdout
+    // so a bounded log-tail capture always contains them in full
     try spark.stop() catch { case _: Throwable => () }
+    // TWO lines, big first, short LAST. The driver tail-captures ~2000
+    // chars of the log; the contract line below is ~2.2 KB so its HEAD is
+    // cut in the captured artifact (r3/r8/r9 all recorded parsed:null
+    // with q01-q110 timings lost). The second line is a complete
+    // self-contained summary that fits the capture window whole: the
+    // headline fields plus EVERY query's time as integer milliseconds in
+    // ascending-query-name order ("t_ms", ~4 chars/entry vs ~13 in the
+    // map), so neither the total nor any timing is ever truncated.
+    // tools/perf_check.py reads whichever line carries "queries".
     println(s"""{"metric":"total","value":${ms(value)},"unit":"sec","queries":$qs,"errors":$errs,"warnings":$warns,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    val tMs = results.map { case (_, v, err) =>
+      val signed = if (err.isDefined) -v else v
+      math.round(signed * 1000).toString
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${ms(value)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"errors":$errs,"warnings":$warns,"host_load":${f"$hostLoad%.2f"},"sf":"$sfDir","t_ms_order":"ascending query name","t_ms":$tMs}""")
   }
 }

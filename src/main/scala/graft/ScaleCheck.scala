@@ -207,10 +207,14 @@ object ScaleCheck {
       val nEv = evs.count()
       time(s"welch_ttest_${nEv}_events", nEv) {
         // six conditional decimal sums in ONE exchange; closed-form
-        // doubles over a groups x 2 result — per-event cost is the claim
+        // doubles over a groups x 2 result — per-event cost is the claim.
+        // Force the computed stats, not just the row count: a bare count()
+        // lets ColumnPruning strip the six conditional sums (the probe
+        // would time a distinct-count of event_type, not the test)
         ops.Relational.welchTTest(
           evs.withColumn("variant", pmod(col("user_id"), lit(2)).cast("int")),
-          "event_type", "variant", "value").count()
+          "event_type", "variant", "value")
+          .agg(max(col("t_stat")), max(col("df_welch"))).collect()
       }
     }
     if (want("sessionize")) {
@@ -273,7 +277,9 @@ object ScaleCheck {
       val path = spark.range(nV - 1)
         .select(col("id").as("a"), (col("id") + 1).as("b"))
       time(s"cc_diameter_${nV}_path", nV) {
-        val cc = dedup.Dedup.connectedComponents(path)
+        // localEdgeCap = 0: the probe pins the DISTRIBUTED ladder (the
+        // small-graph union-find gate would swallow sub-cap mults)
+        val cc = dedup.Dedup.connectedComponents(path, localEdgeCap = 0)
         require(cc.filter(col("component") =!= 0L).count() == 0L,
           "path did not collapse to component 0")
       }

@@ -93,6 +93,10 @@ object SparkEntry {
     * because the DuckDB oracle reads it after the Verify run ends. */
   val Q93FixtureDir = "/tmp/graft_pretalx_fixture"
 
+  /** q171's assemblies spool (S3/P8 resolve fixture) — same sf-independent
+    * overwrite-per-run contract as [[Q93FixtureDir]]. */
+  val Q171FixtureDir = "/tmp/graft_assembly_fixture"
+
   /** Fixed spool base for the q94 IVF fixture (same contract as
     * [[Q93FixtureDir]]): the cell assignment + probe lists are written
     * under a PER-SF subdirectory and read back by the DuckDB oracle, so
@@ -1313,6 +1317,41 @@ object SparkEntry {
       s.read.parquet(s"$fx/layout")
         .select(col("vec_id"), col("cell").cast("int").as("cell"))
         .orderBy(col("vec_id"))
+    }),
+
+    // S3 + P8 oracle-checked (main.py:32-48, Trace 1): the keyed
+    // single-row assembly lookup with the reference's hard truthiness
+    // failure on missing/empty/null ids. Four probe slugs drive all four
+    // branches — found, absent, empty-string id, null id — and the
+    // engine's caught `require` becomes a status column the DuckDB oracle
+    // restates as a CASE over the same spooled assemblies fixture (the
+    // q93 spool discipline). The lookup itself is driver-side BY DESIGN:
+    // S3 is a one-row control-plane resolve, not data-plane work.
+    "q171_assembly_resolve" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Paths.get(Q171FixtureDir)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("assemblies.json"),
+        """{"slug": "congress", "id": "A-1"}
+          |{"slug": "camp", "id": "A-2"}
+          |{"slug": "empty-id", "id": ""}
+          |{"slug": "null-id", "id": null}""".stripMargin)
+      val asm = s.read.schema("slug STRING, id STRING")
+        .json(dir.resolve("assemblies.json").toString)
+      asm.coalesce(1).write.mode("overwrite")
+        .parquet(s"$Q171FixtureDir/assemblies.parquet")
+      val probes = Seq("camp", "congress", "empty-id", "missing", "null-id")
+      probes.map { slug =>
+        try (slug, graft.sources.HubEtl.resolveAssemblyId(asm, slug), "resolved")
+        catch { case _: IllegalArgumentException =>
+          (slug, null: String, "resolve_failed") // main.py:43-48 abort
+        }
+      }.toDF("slug", "assembly_id", "status").orderBy(col("slug"))
     }),
 
     // ⊕ corpus drift monitor: pairwise Jensen–Shannon divergence between
@@ -4617,8 +4656,12 @@ object SparkEntry {
     // deterministic first-match (min id) target dedup, full-outer op_flag
     "q93_pretalx_etl" ->
       s"""WITH spkmap AS (
+         |  -- min-name per code, mirroring speakerMapOf's deterministic
+         |  -- dedup (DuckDB map() errors on duplicate keys)
          |  SELECT map(list(code), list(name)) AS m
-         |  FROM read_parquet('$Q93FixtureDir/speakers.parquet/*.parquet')),
+         |  FROM (SELECT code, min(name) AS name
+         |        FROM read_parquet('$Q93FixtureDir/speakers.parquet/*.parquet')
+         |        GROUP BY code)),
          |src AS (
          |  SELECT coalesce(title, '') AS name, coalesce(code, '') AS code,
          |         lower(coalesce(code, '')) AS k,
@@ -4646,6 +4689,21 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  TRUE AS hll_ok, TRUE AS kmv_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // restates HubEtl.resolveAssemblyId's require (found AND non-empty AND
+    // non-null, main.py:43-48) as a CASE over the q171 spool
+    "q171_assembly_resolve" ->
+      s"""WITH probes AS (SELECT * FROM (VALUES ('camp'), ('congress'),
+         |    ('empty-id'), ('missing'), ('null-id')) AS t(slug))
+         |SELECT p.slug,
+         |  CASE WHEN a.id IS NOT NULL AND a.id <> '' THEN a.id END
+         |    AS assembly_id,
+         |  CASE WHEN a.id IS NOT NULL AND a.id <> '' THEN 'resolved'
+         |       ELSE 'resolve_failed' END AS status
+         |FROM probes p
+         |LEFT JOIN read_parquet('$Q171FixtureDir/assemblies.parquet/*.parquet') a
+         |  ON a.slug = p.slug
+         |ORDER BY p.slug""".stripMargin,
 
     // mirrors ByteStatsDecoder.features()(0): byte i of the UTF-8
     // payload == ascii(char i+1) because the corpus is ASCII-only; exact

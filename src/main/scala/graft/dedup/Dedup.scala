@@ -405,13 +405,54 @@ object Dedup {
     * silently unconverged labels (DedupSpec drives a 20k-diameter path and
     * ring through; ScaleCheck `cc_diameter` probes 64× that).
     * Returns (id, component) with component = min id in the component. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 40): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 40,
+                          localEdgeCap: Long = 1L << 20): DataFrame = {
     // materialize the edge list once: every round joins against it, and an
     // uncached lineage would re-run the upstream candidate generation
     // (shingle→minhash→bands) once per iteration
     val und = edges.select(col("a").as("x"), col("b").as("y"))
       .union(edges.select(col("b").as("x"), col("a").as("y")))
       .transform(graft.util.Cleanup.checkpoint(_))
+    // Small-graph fast path: below `localEdgeCap` edges, a driver-side
+    // union-find replaces the iterative ladder. The collect is BOUNDED by
+    // the explicit cap (2^20 edges ≈ tens of MB), not by data size — the
+    // gate itself is the bound, same argument as centroids/codebooks —
+    // and the count that decides it scans the just-checkpointed blocks.
+    // Rationale: each distributed round costs 3 sequential shuffle stages
+    // plus a probe action (~0.4 s fixed at any size), so a 3-round run on
+    // a 10k-edge graph pays ~1.5 s for work a single core does in
+    // microseconds. At 100 TB the near-dup edge list blows past the cap
+    // and the pointer-jump ladder below runs unchanged (ScaleCheck's
+    // cc_diameter probe pins that path via localEdgeCap = 0).
+    val integralId = und.schema("x").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralId && localEdgeCap > 0 && und.count() <= 2 * localEdgeCap) {
+      import und.sparkSession.implicits._
+      val es = und.select(col("x").cast("long"), col("y").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(a: Long): Long = {
+        var r = a
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = a // path compression
+        while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { case (x, y) =>
+        parent.putIfAbsent(x, x); parent.putIfAbsent(y, y)
+        val (rx, ry) = (find(x), find(y))
+        // union by min root so the representative is already the min id
+        if (rx < ry) parent.put(ry, rx) else if (ry < rx) parent.put(rx, ry)
+      }
+      val ids = parent.keySet().toArray(Array.empty[java.lang.Long]).map(_.longValue())
+      val idT = und.schema("x").dataType
+      return ids.toSeq.map(id => (id, find(id))).toDF("id", "component")
+        .select(col("id").cast(idT).as("id"),
+          col("component").cast(idT).as("component"))
+    }
     val verts = und.select(col("x").as("id")).distinct()
     // localCheckpoint (not cache) ONCE per round: caching leaves the logical
     // plan growing — the jump self-join doubles the subtree per iteration,

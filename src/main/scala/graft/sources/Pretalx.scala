@@ -71,8 +71,14 @@ object Pretalx {
 
   /** Driver-side collect of the speakers dimension into the map literal —
     * the build side is tiny (conference speakers); the *probe* side (talks,
-    * or at 100 TB any fact table) never leaves executors. */
+    * or at 100 TB any fact table) never leaves executors. Deterministic
+    * min-name pick per code: a raw `.toMap` would keep whichever duplicate
+    * arrived last (partition-order dependent), and the q93 oracle's
+    * DuckDB `map()` would *error* outright on a duplicate key — both
+    * sides dedupe the same way instead. */
   def speakerMapOf(schedule: DataFrame): Map[String, String] =
-    speakersDim(schedule).collect()
+    speakersDim(schedule).groupBy(col("code"))
+      .agg(org.apache.spark.sql.functions.min(col("name")).as("name"))
+      .collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
 }

@@ -588,6 +588,13 @@ object EventStreams {
         maxFilesPerTrigger = Some(1)) { ev =>
       intervalJoinOuter(ev, leftType, rightType)
     }
+    settledRollup(spark, dir, spooled, safety)
+  }
+
+  /** Shared tail of the outer-join runs: per-left-event match rollup
+    * restricted to the settled region (see [[streamOuterJoinRun]]). */
+  private def settledRollup(spark: SparkSession, dir: String,
+                            spooled: DataFrame, safety: String): DataFrame = {
     val maxTs = graft.model.Tables.events(spark, dir)
       .agg(max(col("ts")).as("mt"))
     spooled.groupBy(col("l_id"), col("user_id"), col("l_ts"))
@@ -595,5 +602,78 @@ object EventStreams {
       .crossJoin(broadcast(maxTs))
       .filter(col("l_ts") < col("mt") - expr(s"INTERVAL $safety"))
       .select(col("l_id"), col("user_id"), col("n_matches"))
+  }
+
+  /** The SYMMETRIC-JOIN-STATE sibling of the crash-resume proofs: q156's
+    * stream-stream LEFT OUTER join carries the largest recovery surface
+    * in the engine (4 state stores per shuffle partition — left/right
+    * input buffers plus watermark eviction bookkeeping — across 8 replay
+    * batches). Crash AFTER `crashAfterBatch`'s sink write lands but
+    * BEFORE its checkpoint commit (the replay window), resume from the
+    * same checkpoint: the restart replays that batch with the same
+    * batchId against the restored join state (idempotent `batch_id=N`
+    * overwrite), later batches then evict/emit the null side off the
+    * REBUILT watermark state. The spec asserts the settled rollup equals
+    * the uninterrupted [[streamOuterJoinRun]] bit for bit — proving
+    * state-store version replay for the join operator, which the
+    * MergeTable-manifest (q141) and dedup-state (streamingDedup) proofs
+    * do not cover. */
+  def streamOuterJoinCrashResume(spark: SparkSession, dir: String,
+                                 leftType: String, rightType: String,
+                                 nFiles: Int = 8,
+                                 safety: String = "5 days",
+                                 crashAfterBatch: Long = 2L): DataFrame = {
+    val split = timeSplitEventsDir(spark, dir, nFiles)
+    val srcPath = s"$split/files"
+    val spool = graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft_sojoin_crash"))
+    val outDir = s"$spool/out"
+    val crashMsg = "graft: injected post-sink crash (stream-stream outer join)"
+    def run(bomb: Boolean): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(srcPath).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcPath)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        intervalJoinOuter(graft.model.Tables.normalizeTs(src),
+            leftType, rightType)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$spool/ck")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+            if (bomb && id == crashAfterBatch) throw new RuntimeException(crashMsg)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          var cause: Throwable = e
+          var injected = false
+          while (cause != null && !injected) {
+            injected = Option(cause.getMessage).exists(_.contains(crashMsg))
+            cause = cause.getCause
+          }
+          if (!injected) throw e // a real failure, not our bomb
+      }
+    }
+    def batchDirs(): Long = {
+      val d = new java.io.File(outDir)
+      if (!d.exists()) 0L
+      else d.listFiles().count(_.getName.startsWith("batch_id=")).toLong
+    }
+    run(bomb = true)
+    // the bomb must actually have interrupted mid-stream: batches 0..crash
+    // landed in the sink, nothing after
+    require(batchDirs() == crashAfterBatch + 1,
+      s"crash harness: expected ${crashAfterBatch + 1} batch dirs at the " +
+        s"crash point, found ${batchDirs()}")
+    run(bomb = false)
+    require(batchDirs() >= nFiles,
+      s"crash harness: expected >= $nFiles batch dirs after resume, " +
+        s"found ${batchDirs()}")
+    settledRollup(spark, dir,
+      spark.read.parquet(outDir).drop("batch_id"), safety)
   }
 }

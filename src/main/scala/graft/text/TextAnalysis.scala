@@ -863,35 +863,39 @@ object TextAnalysis {
     *
     * Scale: df comes from the row-local [[graft.functions.TermCounts]]
     * kernel (map_keys → explode → one token-keyed agg — no distinct
-    * shuffle); the position table is a row-local posexplode; the only other
-    * shuffles are the token-keyed df join (sort-merge at web scale, AQE
-    * broadcast when the vocabulary fits) and the per-doc regroup. Token
-    * order is reconstructed by sorting each doc's (pos, token) structs —
-    * positions are unique per doc, so `sort_array` + `array_join` is
-    * deterministic regardless of partition order (oracle: string_agg
-    * ORDER BY pos). Docs whose every token is boilerplate survive with
-    * empty text (left join + coalesce), never silently dropped. */
+    * shuffle). The boilerplate vocabulary itself is then PROVABLY tiny:
+    * a token needs df > maxDfRatio·N docs, and total distinct-token
+    * slots are ≤ N·avgDocLen, so at most avgDocLen/maxDfRatio distinct
+    * tokens can qualify — a corpus-size-INDEPENDENT bound (~1.3k tokens
+    * for 1k-word docs at ratio 0.77, at 100 TB exactly as at sf0.1).
+    * That makes the driver collect of the boilerplate set bounded state
+    * (the same argument as centroids/codebooks), and the rebuild becomes
+    * ROW-LOCAL: one scan filtering each doc's word array against an
+    * InSet literal — original token order preserved for free, zero
+    * regroup exchange. The previous posexplode → df-join →
+    * collect_list(struct(pos,w)) regroup did the same thing through two
+    * corpus-sized shuffles and a per-doc sort (the q161 remove_spans
+    * lesson applied: rebuild rows locally, never via explode+regroup).
+    * Docs whose every token is boilerplate survive with empty text,
+    * never silently dropped; null text behaves as empty. */
   def pruneBoilerplateTokens(docs: DataFrame, idCol: String, text: Column,
                              maxDfRatio: Double): DataFrame = {
-    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
-    val tokDf = docs
+    val n = docs.count()
+    val boiler = docs
       .select(explode(map_keys(graft.functions.TextFunctions.termCounts(text)))
         .as("w"))
       .groupBy("w").agg(count(lit(1)).as("__df"))
-    val tok = docs.select(col(idCol),
-      posexplode(words(text)).as(Seq("pos", "w")))
-    val kept = tok.join(tokDf, Seq("w")).crossJoin(n)
-      .filter(col("__df").cast("double") / col("__n") <= maxDfRatio)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(sort_array(collect_list(struct(col("pos"), col("w")))),
-          s => s.getField("w")), " ").as("clean_text"))
-    docs.select(col(idCol), size(words(text)).cast("long").as("__nw"))
-      .join(kept, Seq(idCol), "left")
+      .filter(col("__df").cast("double") / lit(n.toDouble) > maxDfRatio)
+      .collect().map(_.getString(0)).toSet
+    val ws = coalesce(words(text), array().cast("array<string>"))
+    val kept = if (boiler.isEmpty) ws
+      else filter(ws, w => !w.isInCollection(boiler))
+    docs.select(col(idCol),
+        size(ws).cast("long").as("__nw"), kept.as("__kept"))
       .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__nw") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__nw") - size(col("__kept")).cast("long")).as("n_dropped"))
   }
 
   /** Gopher/C4-style quality filter: rule columns + a keep flag. Each rule
@@ -1469,7 +1473,11 @@ object TextAnalysis {
     * never dropped, so the output stays a 1:1 map of the corpus. */
   def removeDupSpans(docs: DataFrame, idCol: String, text: Column,
                      k: Int = 5): DataFrame = {
-    val base = docs.select(col(idCol), words(text).as("__ws"))
+    // coalesce to an empty array so a NULL text row keeps the documented
+    // ""/0 contract (the kernel null-propagates; the old explode/anti-join
+    // form guaranteed empty output) — output stays a 1:1 corpus map
+    val base = docs.select(col(idCol),
+      coalesce(words(text), array().cast("array<string>")).as("__ws"))
     val occ = base.select(col(idCol),
       posexplode(wordGrams(array_join(col("__ws"), " "), k)))
       .toDF(idCol, "pos", "gram")

@@ -197,6 +197,29 @@ class DedupSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: small-graph union-find path ≡ distributed ladder") {
+    // a messy random graph (self-loops, duplicate and reversed edges,
+    // multiple chain/star components) through BOTH code paths — the gated
+    // local fast path must be bit-identical to the iterative ladder
+    val rnd = new scala.util.Random(42)
+    val raw = (0 until 400).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    } ++ Seq((200L, 200L), (300L, 301L), (301L, 300L))
+    val edges = raw.toDF("a", "b")
+    val local = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(edges, localEdgeCap = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local === dist)
+    // and the int-typed id column round-trips through the cast seam
+    val intEdges = raw.map { case (a, b) => (a.toInt, b.toInt) }.toDF("a", "b")
+    val ccInt = Dedup.connectedComponents(intEdges)
+    assert(ccInt.schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(ccInt.as[(Int, Int)].collect().toMap ===
+      dist.map { case (k, v) => (k.toInt, v.toInt) })
+  }
+
   test("prefixFilterJaccard: equals brute force (no false negatives), prefix prunes") {
     val d = docs(
       1L -> "alpha beta gamma delta epsilon",
@@ -228,11 +251,11 @@ class DedupSpec extends SparkSpec {
     // loud require in connectedComponents not tripped) IS the proof.
     val n = 20000L
     val path = spark.range(n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
-    val ccP = Dedup.connectedComponents(path)
+    val ccP = Dedup.connectedComponents(path, localEdgeCap = 0)
     assert(ccP.count() === n)
     assert(ccP.filter(col("component") =!= 0L).count() === 0L)
     val ring = spark.range(n).select(col("id").as("a"), ((col("id") + 1) % n).as("b"))
-    val ccR = Dedup.connectedComponents(ring)
+    val ccR = Dedup.connectedComponents(ring, localEdgeCap = 0)
     assert(ccR.count() === n)
     assert(ccR.filter(col("component") =!= 0L).count() === 0L)
   }
@@ -240,7 +263,7 @@ class DedupSpec extends SparkSpec {
   test("connectedComponents fails loud when the backstop truly is too small") {
     val path = spark.range(63).select(col("id").as("a"), (col("id") + 1).as("b"))
     val err = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(path, maxIter = 2)
+      Dedup.connectedComponents(path, maxIter = 2, localEdgeCap = 0)
     }
     assert(err.getMessage.contains("no fixpoint"))
   }
@@ -255,7 +278,8 @@ class DedupSpec extends SparkSpec {
       (m - 2L, m - 4L),                        // pair  → component m-4
       (7L, m - 6L)                             // small-meets-huge → component 7
     ).toDF("a", "b")
-    val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val cc = Dedup.connectedComponents(edges, localEdgeCap = 0)
+      .as[(Long, Long)].collect().toMap
     assert(cc === Map(
       (m - 1L) -> (m - 5L), (m - 3L) -> (m - 5L), (m - 5L) -> (m - 5L),
       (m - 2L) -> (m - 4L), (m - 4L) -> (m - 4L),

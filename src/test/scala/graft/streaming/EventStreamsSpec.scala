@@ -133,4 +133,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exists(_._3 == 0L), "expected at least one null-side emission")
     assert(streamed.exists(_._3 > 0L))
   }
+
+  test("stream-stream outer join survives a post-sink crash: symmetric join state replays exactly-once") {
+    // crash after batch 2's sink write but before its checkpoint commit,
+    // resume, and require the settled rollup to equal the uninterrupted
+    // run bit for bit — including null-side rows emitted AFTER the crash
+    // point off the rebuilt watermark state
+    val resumed = EventStreams.streamOuterJoinCrashResume(
+        spark, sfDir, "purchase", "click")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val clean = EventStreams.streamOuterJoinRun(spark, sfDir, "purchase", "click")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(resumed === clean)
+    assert(resumed.exists(_._3 == 0L), "expected null-side rows post-resume")
+  }
 }
