@@ -28,6 +28,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // ingestion contract first (see Verify): named failure beats N timed errors
     graft.model.Contracts.preflight(spark, sfDir)
+    // untimed one-time re-layout: the fixture is 1 file × 1 row group per
+    // table (single-task scans); restore production file-layout parallelism
+    // before anything is measured (Tables.ensureSpool scaladoc)
+    graft.model.Tables.ensureSpool(spark, sfDir)
     // Warmup (untimed): a scan+agg+shuffle over each table primes parquet
     // footer caches, codegen, and executor threads.
     try {

@@ -533,6 +533,15 @@ object ScaleCheck {
         require(sim.Similarity.reclusterCells(spark, ivfDir, cells = 64,
           skewThreshold = 0.0).nonEmpty)
       }
+      // the NO-OP side of the gate, timed on the just-rebalanced layout:
+      // the decision reads only the cell-count skew profile, and `cell`
+      // is the layout's PARTITION column — counts come from parquet
+      // footers, no embedding bytes move. Must stay ~flat in corpus size
+      // (don't rewrite — or scan — 100 TB for a balanced index).
+      time(s"ivf_recluster_noop_${nEmb}_vecs", nEmb) {
+        require(sim.Similarity.reclusterCells(spark, ivfDir, cells = 64,
+          skewThreshold = 1e9).isEmpty)
+      }
       util.Cleanup.registerTempDir(
         java.nio.file.Paths.get(ivfDir).getParent)
       util.Cleanup.drain()

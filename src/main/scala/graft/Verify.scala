@@ -23,6 +23,10 @@ object Verify {
     // and named BEFORE 133 queries run against it (round 6 lost 11 queries
     // to a silently re-encoded events.ts)
     graft.model.Contracts.preflight(spark, sfDir)
+    // one-time scan-parallelism re-layout (Tables.ensureSpool scaladoc):
+    // Verify shares Bench's table access path so correctness covers the
+    // exact layout the bench times
+    graft.model.Tables.ensureSpool(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q93_...,q96_... restricts the dump for local
     // iteration; unset (the driver's mode) runs everything

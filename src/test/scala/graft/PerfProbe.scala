@@ -1,66 +1,61 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 /** Ad-hoc stage-timing probe for local perf iteration (test scope only —
   * never shipped). Edit the body to time the plan under investigation;
   * `sbt "Test/runMain graft.PerfProbe"`. */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
-    val d = "/root/testdata/sf0.1"
-    val mult = 16
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
-    val li0 = model.Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey"))
-    val o0 = model.Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
-    val base = li0.join(o0, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-    val n = base.count()
-    val edges = (0 until mult).map(i =>
-        base.withColumn("src", col("src") + lit(i * n * 10)))
-      .reduce(_ union _)
-      .select(concat(lit("c"), col("src")).as("src"),
-        concat(lit("s"), col("dst")).as("dst"))
-      .localCheckpoint()
-    println("edges: " + edges.count())
-    val und = time("und_distinct_ckpt") {
-      edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint()
+    val payloads = (0L until 5000L).map(
+      graft.multimodal.Multimodal.SyntheticWav.render).toArray
+    import scala.jdk.CollectionConverters._
+    val readers = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toVector
+    println("readers: " + readers.map(_.getClass.getName))
+    def openOnly(p: Array[Byte]): Unit = {
+      val in = readers.iterator.map { r =>
+        try r.getAudioInputStream(new java.io.ByteArrayInputStream(p))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => null }
+      }.find(_ != null).get
+      in.close()
     }
-    println("und: " + und.count())
-    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-    val n1 = deg.agg(count(lit(1)).cast("double").as("__n"))
-    var p = time("p0") {
-      deg.select(col("src").as("id"), col("deg")).crossJoin(n1)
-        .withColumn("p", lit(1.0) / col("__n")).localCheckpoint()
+    def sumOnly(p: Array[Byte]): Long = {
+      val bb = java.nio.ByteBuffer.wrap(p, 44, p.length - 44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var s = 0L
+      while (bb.remaining() >= 2) s += bb.getShort.toLong
+      s
     }
-    for (i <- 1 to 3) {
-      p = time(s"iter$i") {
-        val contrib = und
-          .join(p.select(col("id").as("src"),
-            round(col("p") / col("deg").cast("double"), 12)
-              .cast(DecimalType(38, 12)).as("__c")), Seq("src"))
-          .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
-        p.join(contrib.select(col("dst").as("id"), col("__s")), Seq("id"), "left")
-          .withColumn("p", round((lit(1.0) - lit(0.85)) / col("__n")
-            + lit(0.85) * coalesce(col("__s"),
-              lit(0).cast(DecimalType(38, 12))).cast("double"), 12))
-          .drop("__s")
-          .localCheckpoint()
+    def readAll(p: Array[Byte]): Long = {
+      val in = readers.iterator.map { r =>
+        try r.getAudioInputStream(new java.io.ByteArrayInputStream(p))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => null }
+      }.find(_ != null).get
+      val b = in.readAllBytes(); in.close(); b.length.toLong
+    }
+    payloads.take(200).foreach(openOnly)
+    val decF = () => new graft.multimodal.Multimodal.AudioDecoder
+    def par(n: Int)(f: Array[Byte] => Unit): Unit = {
+      val groups = payloads.grouped(payloads.length / n + 1).toSeq
+      val ts = groups.map { g => val t = new Thread(() => g.foreach(f)); t.start(); t }
+      ts.foreach(_.join())
+    }
+    for (r <- 1 to 2) {
+      time(s"r$r open_1t")(payloads.foreach(openOnly))
+      time(s"r$r open_16t")(par(16)(openOnly))
+      time(s"r$r readall_1t")(payloads.foreach(p => readAll(p)))
+      time(s"r$r readall_16t")(par(16)(p => readAll(p)))
+      time(s"r$r sum_1t")(payloads.foreach(p => sumOnly(p)))
+      time(s"r$r sum_16t")(par(16)(p => sumOnly(p)))
+      time(s"r$r decoder_1t"){ val d = decF(); payloads.foreach(d.features) }
+      time(s"r$r decoder_16t"){
+        val groups = payloads.grouped(payloads.length / 16 + 1).toSeq
+        val ts = groups.map { g => val t = new Thread(() => { val d = decF(); g.foreach(d.features) }); t.start(); t }
+        ts.foreach(_.join())
       }
     }
-    spark.stop()
   }
 }
