@@ -120,14 +120,15 @@ object Bench {
     val multiCommitFloor = Set("q63_merge_upsert", "q64_stream_upsert",
       "q66_time_travel", "q67_cdc_diff", "q77_schema_evolution",
       "q141_stream_replay")
-    // q156 deliberately replays the month as 8 time-ordered micro-batches
-    // so the watermark ADVANCES (the null-side emission needs it); each
+    // q156 replays the month as 4 time-ordered micro-batches so the
+    // watermark ADVANCES (the null-side emission needs it; any count >= 2
+    // yields the identical settled region — see streamOuterJoinRun); each
     // batch is a full stateful outer-join step committing 4 state stores
-    // per shuffle partition — 4x8x4 = 128 delta-file commits, ~8.0 s
-    // measured quiet-host at sf0.1 (was 10.5 on 8 partitions), so the
-    // 10.0 quiet-host floor is scaled by the measured host load factor.
-    // Protocol, not plan: the 16x ScaleCheck probe shows per-event cost
-    // FALLING (85 -> 15 µs/event).
+    // per shuffle partition — 4x4x4 = 64 delta-file commits plus the
+    // final no-data flush batch, ~5.3 s measured quiet-host at sf0.1
+    // (was 8.0 at 8 batches), so the 7.0 quiet-host floor is scaled by
+    // the measured host load factor. Protocol, not plan: the ScaleCheck
+    // probe shows per-event cost FALLING (43 -> 3.4 µs/event).
     val replayStreamingFloor = Set("q156_stream_outer_join")
     // q168 runs three operator stages back to back (entropy + NB + span
     // removal), each with its own ~0.8 s fixed cost at sf0.1 — the wall
@@ -154,7 +155,7 @@ object Bench {
       }
     System.err.println(f"[bench] host load factor: $hostLoad%.2f")
     def floorOf(name: String): Double = hostLoad * {
-      if (replayStreamingFloor(name)) 10.0
+      if (replayStreamingFloor(name)) 7.0
       // 2.4-4.9 s quiet-host (q141's two-streaming-query crash-resume
       // proof is the heaviest); host load factor applied above
       else if (multiCommitFloor(name)) 6.0

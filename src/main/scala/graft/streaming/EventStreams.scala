@@ -578,10 +578,18 @@ object EventStreams {
     * (inside `safety` of max ts) are excluded AFTER the stream: their
     * no-match verdict is still buffered when a finite replay ends, so
     * only the settled region is comparable across engines — the exact
-    * cutoff is recomputed identically by the oracle. */
+    * cutoff is recomputed identically by the oracle.
+    *
+    * `nFiles` = replay granularity, NOT a correctness knob: any value
+    * ≥ 2 yields the identical settled region (range partitioning means
+    * no late rows; the AvailableNow final no-data batch advances the
+    * watermark to maxTs − delay, far past the `safety` cutoff, flushing
+    * every settled no-match verdict). 4 batches demonstrate the
+    * multi-batch watermark advance while paying half of 8's per-batch
+    * stateful spin-up + 4-store commit protocol. */
   def streamOuterJoinRun(spark: SparkSession, dir: String,
                          leftType: String, rightType: String,
-                         nFiles: Int = 8,
+                         nFiles: Int = 4,
                          safety: String = "5 days"): DataFrame = {
     val split = timeSplitEventsDir(spark, dir, nFiles)
     val spooled = spoolRun(spark, s"$split/files", "append",
@@ -620,7 +628,7 @@ object EventStreams {
     * do not cover. */
   def streamOuterJoinCrashResume(spark: SparkSession, dir: String,
                                  leftType: String, rightType: String,
-                                 nFiles: Int = 8,
+                                 nFiles: Int = 4,
                                  safety: String = "5 days",
                                  crashAfterBatch: Long = 2L): DataFrame = {
     val split = timeSplitEventsDir(spark, dir, nFiles)

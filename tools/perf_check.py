@@ -99,17 +99,18 @@ STREAMING = {"q35_stream_tumbling", "q37_stream_sliding", "q38_session_window",
              "q39_stateful_sessions", "q58_stream_join", "q155_stream_dedup"}
 STREAMING_MIN_SPARK = 3.5   # quiet-host; scaled by measured host_load
 
-# q156 deliberately replays the month as 8 time-ordered micro-batches so the
-# watermark advances (stream-stream LEFT OUTER join: the null-side emission
-# requires watermark movement a single-batch source never produces). Each
-# batch is a full stateful outer-join step committing 4 state stores per
-# shuffle partition (4 partitions since round 9) — 128 delta-file commits,
-# ~8.0 s measured quiet-host at sf0.1; host_load scaling covers the
-# driver host's measured 1.2-1.5x factor. Pure protocol cost that amortizes
-# over batch duration at scale: the 16x ScaleCheck probe measures per-event
-# cost FALLING (85 -> 15 µs/event).
+# q156 replays the month as 4 time-ordered micro-batches so the watermark
+# advances (stream-stream LEFT OUTER join: the null-side emission requires
+# watermark movement a single-batch source never produces; any batch count
+# >= 2 yields the identical settled region). Each batch is a full stateful
+# outer-join step committing 4 state stores per shuffle partition — 64
+# delta-file commits plus the final no-data flush, ~5.3 s measured
+# quiet-host at sf0.1; host_load scaling covers the driver host's measured
+# 1.2-1.5x factor. Pure protocol cost that amortizes over batch duration
+# at scale: the ScaleCheck probe measures per-event cost FALLING
+# (43 -> 3.4 µs/event).
 REPLAY_STREAMING = {"q156_stream_outer_join"}
-REPLAY_STREAMING_MIN_SPARK = 10.0  # quiet-host; scaled by measured host_load
+REPLAY_STREAMING_MIN_SPARK = 7.0  # quiet-host; scaled by measured host_load
 
 # Multi-stage compositions pay each stage's fixed cost (scan scheduling,
 # codegen, checkpoint materialization at the fan-out) once per stage;
