@@ -84,7 +84,13 @@ object SparkEntry {
         .withColumn("op_flag", lit("update"))
       .unionByName(o.filter(col("okey") % 7 === 3).withColumn("op_flag", lit("create")))
       .unionByName(o.filter(col("okey") % 7 === 2).withColumn("op_flag", lit("delete")))
-    graft.layout.MergeTable.merge(s, dir, base, "okey", numBuckets = 32)
+    // 8 buckets, not 32: bucket count is fixed at table CREATION and
+    // should target bucket-file size — ~8k rows/bucket at sf0.1; 32 gave
+    // 2k-row files, quadrupling per-commit file+stats overhead for
+    // nothing (at 100 TB the same sizing rule picks thousands). The
+    // delta-proportional touched-bucket claim is proven by ScaleCheck's
+    // merge probes with cell-localized deltas, not by this table.
+    graft.layout.MergeTable.merge(s, dir, base, "okey", numBuckets = 8)
     graft.layout.MergeTable.merge(s, dir, delta, "okey")
     dir
   }
@@ -1804,7 +1810,7 @@ object SparkEntry {
         col("o_custkey").as("cust"), col("o_totalprice").as("price"))
       graft.layout.MergeTable.merge(s, dir,
         o.filter(col("okey") % 7 < 3).withColumn("op_flag", lit("create")),
-        "okey", numBuckets = 32)
+        "okey", numBuckets = 8) // sized to the tier, see buildOrdersMergeTable
       graft.layout.MergeTable.merge(s, dir,
         o.filter(col("okey") % 7 === 1)
           .withColumn("tag", concat(lit("t"), (col("okey") % 5).cast("string")))

@@ -277,8 +277,12 @@ object EventStreams {
     val latest = graft.ops.Relational.dedupKeepFirst(batch, Seq("user_id"),
         Seq(col("ts").desc, col("event_id").desc))
       .withColumn("op_flag", lit("update")) // update-of-unmatched inserts
+    // 4 buckets: the upsert table is keyed by user_id (~150 keys at the
+    // bench tier); the default 16 quadruples per-commit file+stats I/O
+    // across the 3+ replay commits for nothing. Bucket count pins at
+    // table creation — size it to the table, not a constant.
     MergeTable.merge(batch.sparkSession, tableDir, latest, "user_id",
-      batchId = id, updateWhen = newerWins)
+      numBuckets = 4, batchId = id, updateWhen = newerWins)
     ()
   }
 
