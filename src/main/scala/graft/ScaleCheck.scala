@@ -284,6 +284,39 @@ object ScaleCheck {
           "path did not collapse to component 0")
       }
     }
+    if (want("cc_gate")) {
+      // the small-graph union-find gate's crossover evidence: the SAME
+      // random graph (4096×mult edges, hash-derived, ~50% vertex density)
+      // through both paths. The driver-side path must win below the 2^20
+      // cap — that measured gap IS the justification for the gate; above
+      // the cap the ladder is the only option and its cost is the
+      // cc_diameter probe's territory.
+      val nE = 4096L * mult
+      val edges = spark.range(nE).select(
+          pmod(hash(col("id")), lit((nE / 2).max(2L))).cast("long").as("a"),
+          pmod(hash(col("id") + lit(1234567L)), lit((nE / 2).max(2L))).cast("long").as("b"))
+        .transform(graft.util.Cleanup.checkpoint(_))
+      require(edges.count() == nE)
+      time(s"cc_gate_local_${nE}_edges", nE) {
+        dedup.Dedup.connectedComponents(edges)
+          .agg(min(col("component"))).collect()
+      }
+      time(s"cc_gate_distributed_${nE}_edges", nE) {
+        dedup.Dedup.connectedComponents(edges, localEdgeCap = 0)
+          .agg(min(col("component"))).collect()
+      }
+    }
+    if (want("boilerplate")) {
+      // the q106 shape after the round-10 row-local rebuild: df agg +
+      // bounded driver collect (≤ avgDocLen/maxDfRatio tokens at ANY
+      // corpus size) + one InSet-filtered scan. Per-doc cost must fall
+      // with mult; the amplified copies' v{i} marker words keep the
+      // boilerplate set itself mult-invariant (df(v_i) = 1/mult).
+      time("boilerplate_prune", nDocs) {
+        text.TextAnalysis.pruneBoilerplateTokens(docs, "doc_id", col("text"), 0.77)
+          .agg(max(length(col("clean_text"))), max(col("n_kept"))).collect()
+      }
+    }
     if (want("pagerank")) {
       // pagerank probes the iterative-join family at mult x edges: cost
       // per iteration is one vertex-keyed join + agg over the edge list

@@ -141,6 +141,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q106: boilerplate rebuild is row-local — no collect_list regroup, no join in the timed plan") {
+    // the boilerplate vocabulary is a bounded driver literal (InSet), so
+    // the text reconstruction must be one scan + the final sort: any
+    // reappearance of the posexplode → df-join → collect_list regroup
+    // (two corpus-sized shuffles) is a regression
+    val p = physical("q106_boilerplate")
+    assert(!p.contains("collect_list"), p)
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the orderBy range exchange, got $exchanges:\n$p")
+  }
+
   test("q101: probe side broadcasts — the corpus weight table is never shuffled for the pair join") {
     val p = physical("q101_sparse_cosine")
     assert(p.contains("BroadcastHashJoin"), p)
