@@ -438,7 +438,7 @@ object SparkEntry {
 
   // ---- queries ------------------------------------------------------------
 
-  /** 169 queries, numbered q01-q170: q19 was never assigned (a round-2
+  /** 170 queries, numbered q01-q171: q19 was never assigned (a round-2
     * numbering skip, kept to preserve every already-recorded artifact's
     * query ids). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
