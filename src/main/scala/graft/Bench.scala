@@ -174,7 +174,10 @@ object Bench {
         def once(): (Double, Option[String]) = {
           val t0 = System.nanoTime()
           val err = try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
+            // same harness terminal as Verify (materializeOrdered scaladoc):
+            // Bench must time the exact plan shape Verify hash-checks
+            SparkEntry.materializeOrdered(fn(spark, sfDir))
+              .write.format("noop").mode("overwrite").save(); None
           } catch { case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
           }

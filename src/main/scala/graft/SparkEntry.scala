@@ -438,6 +438,36 @@ object SparkEntry {
 
   // ---- queries ------------------------------------------------------------
 
+  /** Harness terminal for a totally-ordered result (used by Verify and
+    * Bench — the two consumers that materialize every query to a single
+    * output: one parquet file / one noop sink pass).
+    *
+    * Every query ends in a global `orderBy` whose key set is TOTAL
+    * (unique per row — the cross-engine hash-compare contract requires a
+    * deterministic row order, so ties cannot exist). A global Sort plans
+    * sample → range-exchange → per-partition sort: one extra sampling
+    * job per query, producing a multi-partition order that the
+    * single-file write immediately collapses anyway (Verify even
+    * `coalesce(1)`d it). Rewriting the TOP-LEVEL global Sort to
+    * repartition(1) + LOCAL sort yields the identical total order — a
+    * one-partition sort IS a total order over total keys — with one
+    * exchange and no sampling pass (~0.1-0.2 s per query at sf0.1,
+    * measured). Upstream parallelism is untouched: the repartition is a
+    * shuffle boundary, not a coalesce. Applied only at the harness
+    * boundary; the queries' own plans keep the standard global sort for
+    * library users (a multi-file distributed write WANTS range output).
+    * Queries not ending in a global Sort (e.g. top-k's Sort+Limit →
+    * TakeOrderedAndProject) pass through unchanged. */
+  def materializeOrdered(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, Sort}
+    df.queryExecution.logical match {
+      case Sort(order, true, child, hint) =>
+        org.apache.spark.sql.graftbridge.Bridge.ofRows(df.sparkSession,
+          Sort(order, global = false, Repartition(1, shuffle = true, child), hint))
+      case _ => df
+    }
+  }
+
   /** 170 queries, numbered q01-q171: q19 was never assigned (a round-2
     * numbering skip, kept to preserve every already-recorded artifact's
     * query ids). */

@@ -34,8 +34,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // materializeOrdered replaces the old `.coalesce(1)`: the top-level
+      // global sort becomes a 1-partition local sort (identical total
+      // order, no sampling job), already single-file for the write
+      try SparkEntry.materializeOrdered(fn(spark, sfDir)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
