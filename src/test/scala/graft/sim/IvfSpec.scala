@@ -43,6 +43,21 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("nprobe = cells makes IVF EXACTLY brute force (partition identity)") {
+    // probing every cell partitions the corpus without dropping anything,
+    // so the IVF result must be BIT-IDENTICAL to brute force — including
+    // ranks and scores, not just recall. The property that makes nprobe a
+    // pure recall/latency dial: correctness loss comes ONLY from probed
+    // cells, never from the cell routing itself.
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 37 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, 5, nprobe = 8, cells = 8)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(ivf === exact)
+  }
+
   test("PQ codes reconstruct: pqEncode maps each subvector to its nearest codeword") {
     val emb = Tables.embeddings(spark, sfDir)
     val cbs = Similarity.pqTrain(emb, m = 8, ks = 16, iters = 2)
