@@ -188,7 +188,7 @@ def check(fixture_path: str, bench_path: str, ratio: float, min_spark: float) ->
         if name in COMPOSITION:
             floor = max(floor, COMPOSITION_MIN_SPARK)
         floor *= host_load
-        if spark_s >= floor and spark_s > ratio * duck_s:
+        if spark_s >= floor and spark_s > ratio * host_load * duck_s:
             print(f"FLAG {name}: spark {spark_s:.2f}s > {ratio:g}x duckdb {duck_s:.2f}s"
                   f" ({spark_s / duck_s:.1f}x)")
             violations += 1
