@@ -144,14 +144,20 @@ object Bench {
     // overrides for controlled experiments.
     val hostLoad = sys.env.get("SPARK_GRAFT_HOST_LOAD").map(_.toDouble)
       .getOrElse {
-        val calMin = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          spark.range(4000000000L).selectExpr("sum(id)").collect()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        val calRef = 0.24 // quiet-host best-of-3, this hardware, local[32]
-        System.err.println(f"[bench] calibration range-sum: $calMin%.3fs (ref $calRef%.2fs)")
-        math.min(2.0, math.max(1.0, calMin / calRef))
+        // the reference is pinned for local[32]; at any other CPU count the
+        // range-sum measures thread count, not load — fall back to 1.0
+        // (tight quiet-host floors) rather than a bogus clamp-to-2.0
+        if (cpus != "32") 1.0
+        else {
+          val calMin = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            spark.range(4000000000L).selectExpr("sum(id)").collect()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          val calRef = 0.24 // quiet-host best-of-3, this hardware, local[32]
+          System.err.println(f"[bench] calibration range-sum: $calMin%.3fs (ref $calRef%.2fs)")
+          math.min(2.0, math.max(1.0, calMin / calRef))
+        }
       }
     System.err.println(f"[bench] host load factor: $hostLoad%.2f")
     def floorOf(name: String): Double = hostLoad * {
@@ -173,6 +179,12 @@ object Bench {
     def violates(name: String, t: Double): Boolean =
       fixture.get(name).exists(duck =>
         t >= floorOf(name) && t > 4.0 * hostLoad * duck)
+    // qNN prefixes must stay unique (q19 gap included): a duplicate would
+    // silently merge two queries into one JSON key — fail BEFORE the
+    // timed suite runs, not after two minutes of work
+    require(SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSet.size ==
+      SparkEntry.queries.size,
+      "duplicate qNN short-key prefix in SparkEntry.queries")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -231,11 +243,6 @@ object Bench {
     // tools/perf_check.py accepts both key forms.
     def ms(v: Double): String = f"$v%.3f"
     def short(n: String): String = n.takeWhile(_ != '_')
-    // qNN prefixes must stay unique (true today, q19 gap included): a
-    // duplicate number would silently merge two queries into one JSON key,
-    // corrupting the artifact and perf_check's expansion with no error
-    require(results.map(r => short(r._1)).distinct.size == results.size,
-      "duplicate qNN short-key prefix in SparkEntry.queries")
     val qs = results.map { case (k, v, err) =>
       // a failed query is reported as NEGATIVE elapsed so it can never make
       // the benchmark look faster, and lands in the errors object below
@@ -271,7 +278,7 @@ object Bench {
     // ascending-query-name order ("t_ms", ~4 chars/entry vs ~13 in the
     // map), so neither the total nor any timing is ever truncated.
     // tools/perf_check.py reads whichever line carries "queries".
-    println(s"""{"metric":"total","value":${ms(value)},"unit":"sec","queries":$qs,"errors":$errs,"warnings":$warns,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(value)},"unit":"sec","host_load":${f"$hostLoad%.2f"},"queries":$qs,"errors":$errs,"warnings":$warns,"n_failed":$nFailed,"sf":"$sfDir"}""")
     val tMs = results.map { case (_, v, err) =>
       val signed = if (err.isDefined) -v else v
       math.round(signed * 1000).toString

@@ -292,6 +292,11 @@ object ScaleCheck {
       // the cap the ladder is the only option and its cost is the
       // cc_diameter probe's territory.
       val nE = 4096L * mult
+      // past the default 2^20 cap the "local" probe would silently take
+      // the ladder and time the identical path twice — fail loud instead
+      // (the crossover evidence only exists below the cap; run <= 256x)
+      require(nE <= (1L << 20),
+        s"cc_gate probe: $nE edges exceeds the 2^20 local cap — the A/B is meaningless past it")
       val edges = spark.range(nE).select(
           pmod(hash(col("id")), lit((nE / 2).max(2L))).cast("long").as("a"),
           pmod(hash(col("id") + lit(1234567L)), lit((nE / 2).max(2L))).cast("long").as("b"))

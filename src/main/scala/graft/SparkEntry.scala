@@ -1368,8 +1368,10 @@ object SparkEntry {
       val dir = java.nio.file.Paths.get(Q171FixtureDir)
       if (java.nio.file.Files.exists(dir)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(dir) // close: walk holds dir handles
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
       }
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(dir.resolve("assemblies.json"),
@@ -2166,8 +2168,10 @@ object SparkEntry {
       val dir = java.nio.file.Paths.get(Q93FixtureDir)
       if (java.nio.file.Files.exists(dir)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(dir) // close: walk holds dir handles
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
       }
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(dir.resolve("schedule.json"),

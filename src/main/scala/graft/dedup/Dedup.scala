@@ -415,9 +415,11 @@ object Dedup {
       .transform(graft.util.Cleanup.checkpoint(_))
     // Small-graph fast path: below `localEdgeCap` edges, a driver-side
     // union-find replaces the iterative ladder. The collect is BOUNDED by
-    // the explicit cap (2^20 edges ≈ tens of MB), not by data size — the
-    // gate itself is the bound, same argument as centroids/codebooks —
-    // and the count that decides it scans the just-checkpointed blocks.
+    // the explicit cap — 2^20 deduped edges ≈ 1M boxed (Long, Long)
+    // tuples ≈ 100-200 MB transient driver heap, well inside the bench
+    // driver's 16 g but a deliberate sizing choice, not "free" — the gate
+    // itself is the bound, same argument as centroids/codebooks, and the
+    // count that decides it scans the just-checkpointed blocks.
     // Rationale: each distributed round costs 3 sequential shuffle stages
     // plus a probe action (~0.4 s fixed at any size), so a 3-round run on
     // a 10k-edge graph pays ~1.5 s for work a single core does in
@@ -431,7 +433,11 @@ object Dedup {
     }
     if (integralId && localEdgeCap > 0 && und.count() <= 2 * localEdgeCap) {
       import und.sparkSession.implicits._
+      // x <= y keeps each undirected edge ONCE (union-find needs one
+      // direction) while retaining self-loops, whose vertices must still
+      // appear in the output — halves the collected volume vs raw `und`
       val es = und.select(col("x").cast("long"), col("y").cast("long"))
+        .filter(col("x") <= col("y"))
         .as[(Long, Long)].collect()
       val parent = new java.util.HashMap[Long, Long]()
       def find(a: Long): Long = {

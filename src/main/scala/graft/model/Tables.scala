@@ -45,7 +45,7 @@ object Tables {
     * [[SpoolFiles]] parquet files under /tmp, stamped with the source
     * file's (length, mtime) so a regenerated fixture re-spools and a stale
     * spool is never read. [[apply]] then transparently prefers the spool —
-    * same rows, same schema, 16-way scan stage. */
+    * same rows, same schema, [[SpoolFiles]]-way scan stage. */
   def ensureSpool(spark: SparkSession, dir: String): Unit =
     if (spoolEnabled) spooled.foreach { t =>
     val root = spoolRoot(dir)

@@ -619,8 +619,8 @@ object EventStreams {
   /** The SYMMETRIC-JOIN-STATE sibling of the crash-resume proofs: q156's
     * stream-stream LEFT OUTER join carries the largest recovery surface
     * in the engine (4 state stores per shuffle partition — left/right
-    * input buffers plus watermark eviction bookkeeping — across 8 replay
-    * batches). Crash AFTER `crashAfterBatch`'s sink write lands but
+    * input buffers plus watermark eviction bookkeeping — across the
+    * replayed batches). Crash AFTER `crashAfterBatch`'s sink write lands but
     * BEFORE its checkpoint commit (the replay window), resume from the
     * same checkpoint: the restart replays that batch with the same
     * batchId against the restored join state (idempotent `batch_id=N`
