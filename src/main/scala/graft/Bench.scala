@@ -142,7 +142,11 @@ object Bench {
     // codegen'd 32-thread range-sum (pure compute, no I/O) against the
     // quiet-host reference time pinned below. SPARK_GRAFT_HOST_LOAD
     // overrides for controlled experiments.
-    val hostLoad = sys.env.get("SPARK_GRAFT_HOST_LOAD").map(_.toDouble)
+    // the env override is clamped to the same [1.0, 2.0] band as the
+    // measured path — no path may exceed the calibration bound, else an
+    // inflated factor silently disables the ratio guardrail
+    val hostLoad = sys.env.get("SPARK_GRAFT_HOST_LOAD")
+      .map(v => math.min(2.0, math.max(1.0, v.toDouble)))
       .getOrElse {
         // the reference is pinned for local[32]; at any other CPU count the
         // range-sum measures thread count, not load — fall back to 1.0

@@ -1,0 +1,309 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-engine randomized differential fuzz lane (round-11 verdict task 1).
+  *
+  * [[FuzzDifferentialSpec]] checks Spark against a builder-written
+  * collections interpreter — an independent model, but one that cannot catch
+  * the bug class the oracle harness is most exposed to: a Spark DataFrame
+  * query and a hand-authored DuckDB oracle SQL that are *both* wrong the
+  * same way, or subtly different (collation, cast semantics, decimal
+  * rounding, window-frame defaults, CONCAT-vs-|| null handling). This main
+  * closes that hole by generating, per seed,
+  *
+  *   1. two random small tables (nulls on keys and values; ints, doubles,
+  *      decimals, strings with case/space/unicode variation, timestamps),
+  *      written to parquet so BOTH engines consume identical bits;
+  *   2. one random query rendered twice from the same AST decision stream —
+  *      once as a DataFrame plan (what the engine's users write) and once
+  *      as ANSI SQL (what the oracle harness authors) — with every computed
+  *      column aliased identically on both sides;
+  *   3. the Spark result written to `caseNNNN/spark/` and the SQL + shape
+  *      to `caseNNNN/case.json`.
+  *
+  * `tools/fuzz_check.py` then loads the same parquet into DuckDB, runs the
+  * SQL, and diffs (columns sorted by name, rows as a sorted multiset,
+  * numerics canonicalized to 1e-6). A mismatch prints the seed, the SQL and
+  * both result sets.
+  *
+  * The query families deliberately cover the divergence traps the SQL
+  * author must get right:
+  *   - Spark `cast(double as int)` truncates toward zero; DuckDB CAST
+  *     rounds half-even → the SQL must say CAST(TRUNC(d) AS INTEGER);
+  *   - Spark `concat` is null-on-any-null; DuckDB CONCAT skips nulls → the
+  *     SQL must use `||`;
+  *   - decimal agg result types differ (sum DECIMAL(22,2) vs (38,2)) → both
+  *     sides cast the output to a pinned DECIMAL/DOUBLE;
+  *   - the ANSI default window frame for an ORDER BY agg is RANGE UNBOUNDED
+  *     PRECEDING..CURRENT ROW with peer rows included — exercised with tied
+  *     order keys on purpose.
+  *
+  * Usage: runMain graft.FuzzDump <outDir> [nCases=120] [baseSeed=1]
+  */
+object FuzzDump {
+
+  // ---- random inputs ----------------------------------------------------
+
+  private val lSchema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("k", IntegerType, nullable = true),
+    StructField("v", IntegerType, nullable = true),
+    StructField("d", DoubleType, nullable = true),
+    StructField("dec", DecimalType(12, 2), nullable = true),
+    StructField("s", StringType, nullable = true),
+    StructField("ts", TimestampType, nullable = true)))
+
+  private val rSchema = StructType(Seq(
+    StructField("rid", IntegerType, nullable = false),
+    StructField("k", IntegerType, nullable = true),
+    StructField("w", IntegerType, nullable = true),
+    StructField("ws", StringType, nullable = true)))
+
+  // deliberately collides on case, leading/trailing space, empty, unicode
+  private val stringPool = Seq("alpha", "Alpha", "ALPHA", " alpha", "beta ",
+    "beta", "", "gamma", "Γάμμα", "délta", "delta\t", "0", "00", null)
+
+  private def genL(rnd: scala.util.Random): Seq[Row] = {
+    val n = 1 + rnd.nextInt(40)
+    (0 until n).map { i =>
+      val epoch = 1700000000000000L // 2023-11-14T22:13:20Z, micros
+      Row(
+        i,
+        if (rnd.nextInt(100) < 15) null else Int.box(rnd.nextInt(6)),
+        if (rnd.nextInt(100) < 15) null else Int.box(rnd.nextInt(21) - 10),
+        if (rnd.nextInt(100) < 15) null
+        else Double.box(math.round(rnd.nextDouble() * 2000 - 1000) / 8.0),
+        if (rnd.nextInt(100) < 15) null
+        else new java.math.BigDecimal(rnd.nextInt(200001) - 100000)
+          .movePointLeft(2).setScale(2),
+        stringPool(rnd.nextInt(stringPool.size)),
+        if (rnd.nextInt(100) < 15) null
+        else java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          epoch / 1000000 + rnd.nextInt(14) * 86400 + rnd.nextInt(86400))))
+    }
+  }
+
+  private def genR(rnd: scala.util.Random): Seq[Row] = {
+    val n = 1 + rnd.nextInt(40)
+    (0 until n).map { i =>
+      Row(
+        i,
+        if (rnd.nextInt(100) < 15) null else Int.box(rnd.nextInt(6)),
+        if (rnd.nextInt(100) < 15) null else Int.box(rnd.nextInt(21) - 10),
+        stringPool(rnd.nextInt(stringPool.size)))
+    }
+  }
+
+  // ---- one generated case: (DataFrame plan, equivalent ANSI SQL) --------
+
+  private case class Gen(df: DataFrame, sql: String, family: String)
+
+  /** Renders the SAME random decisions as a DataFrame plan over `l`/`r` and
+    * as ANSI SQL over tables `l`/`r`. Column aliases match exactly. */
+  private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame): Gen = {
+    rnd.nextInt(10) match {
+      case 0 => // join → projection (all six join types; null keys match nothing)
+        val (how, sqlHow) = Seq(
+          ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
+          ("full_outer", "FULL JOIN"), ("left_semi", "SEMI JOIN"),
+          ("left_anti", "ANTI JOIN"))(rnd.nextInt(6))
+        if (how == "left_semi" || how == "left_anti") Gen(
+          l.join(r, l("k") === r("k"), how)
+            .select(l("id").as("id"), l("k").as("lk"), l("v").as("v")),
+          s"SELECT l.id AS id, l.k AS lk, l.v AS v FROM l $sqlHow r ON l.k = r.k",
+          s"join_$how")
+        else Gen(
+          l.join(r, l("k") === r("k"), how)
+            .select(l("id").as("id"), l("k").as("lk"), l("v").as("v"),
+              r("rid").as("rid"), r("k").as("rk"), r("w").as("w")),
+          s"SELECT l.id AS id, l.k AS lk, l.v AS v, r.rid AS rid, " +
+            s"r.k AS rk, r.w AS w FROM l $sqlHow r ON l.k = r.k",
+          s"join_$how")
+
+      case 1 => // filter → join → grouped aggs (sum/min/max/avg/count, all-null groups)
+        val c = rnd.nextInt(11) - 5
+        val lf = l.filter(col("v") > c)
+        Gen(
+          lf.join(r, lf("k") === r("k"), "inner")
+            .groupBy(lf("k").as("k"))
+            .agg(count(lit(1)).as("n"), sum(lf("v")).as("sv"),
+              min(r("w")).as("mw"), max(r("w")).as("xw"),
+              avg(lf("d")).as("ad")),
+          s"SELECT l.k AS k, COUNT(*) AS n, SUM(l.v) AS sv, MIN(r.w) AS mw, " +
+            s"MAX(r.w) AS xw, AVG(l.d) AS ad " +
+            s"FROM l JOIN r ON l.k = r.k WHERE l.v > $c GROUP BY l.k",
+          "filter_join_agg")
+
+      case 2 => // window ranking functions (nulls-first ASC is Spark's default)
+        Gen(
+          l.select(col("id"),
+            row_number().over(Window.partitionBy(col("k"))
+              .orderBy(col("v").asc_nulls_first, col("id"))).as("rn"),
+            rank().over(Window.partitionBy(col("k"))
+              .orderBy(col("v").asc_nulls_first)).as("rk"),
+            dense_rank().over(Window.partitionBy(col("k"))
+              .orderBy(col("v").asc_nulls_first)).as("drk")),
+          "SELECT id, " +
+            "ROW_NUMBER() OVER (PARTITION BY k ORDER BY v ASC NULLS FIRST, id) AS rn, " +
+            "RANK() OVER (PARTITION BY k ORDER BY v ASC NULLS FIRST) AS rk, " +
+            "DENSE_RANK() OVER (PARTITION BY k ORDER BY v ASC NULLS FIRST) AS drk " +
+            "FROM l",
+          "window_rank")
+
+      case 3 => // set ops, DISTINCT semantics (nulls equal for set purposes)
+        val op = rnd.nextInt(3)
+        val (df, sql) = op match {
+          case 0 => (l.select(col("k"), col("v")).except(
+            r.select(col("k"), col("w").as("v"))),
+            "SELECT k, v FROM l EXCEPT SELECT k, w AS v FROM r")
+          case 1 => (l.select(col("k"), col("v")).intersect(
+            r.select(col("k"), col("w").as("v"))),
+            "SELECT k, v FROM l INTERSECT SELECT k, w AS v FROM r")
+          case 2 => (l.select(col("k"), col("v")).union(
+            r.select(col("k"), col("w").as("v"))).distinct(),
+            "SELECT k, v FROM l UNION SELECT k, w AS v FROM r")
+        }
+        Gen(df, sql, s"setop_$op")
+
+      case 4 => // ROLLUP with a string grouping column
+        Gen(
+          l.rollup(col("k"), col("s"))
+            .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")),
+          "SELECT k, s, COUNT(*) AS n, SUM(v) AS sv FROM l GROUP BY ROLLUP (k, s)",
+          "rollup")
+
+      case 5 => // DEFAULT window frame: ORDER BY agg = RANGE ..CURRENT ROW, peers included.
+        // Ordering by v (ties on purpose) exposes an engine that implements
+        // ROWS where ANSI says RANGE-with-peers.
+        Gen(
+          l.select(col("id"),
+            sum(col("v")).over(Window.partitionBy(col("k"))
+              .orderBy(col("v").asc_nulls_first)).as("csum"),
+            sum(col("v")).over(Window.partitionBy(col("k"))
+              .orderBy(col("v").asc_nulls_first, col("id"))
+              .rowsBetween(-2, 0)).as("ssum")),
+          "SELECT id, " +
+            "SUM(v) OVER (PARTITION BY k ORDER BY v ASC NULLS FIRST) AS csum, " +
+            "SUM(v) OVER (PARTITION BY k ORDER BY v ASC NULLS FIRST, id " +
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ssum " +
+            "FROM l",
+          "window_frame_default")
+
+      case 6 => // lag/lead with defaults; default fires only on missing row
+        Gen(
+          l.select(col("id"),
+            lag(col("v"), 1).over(Window.partitionBy(col("k"))
+              .orderBy(col("id"))).as("lg"),
+            lead(col("v"), 2, -999).over(Window.partitionBy(col("k"))
+              .orderBy(col("id"))).as("ld")),
+          "SELECT id, " +
+            "LAG(v, 1) OVER (PARTITION BY k ORDER BY id) AS lg, " +
+            "LEAD(v, 2, -999) OVER (PARTITION BY k ORDER BY id) AS ld " +
+            "FROM l",
+          "lag_lead")
+
+      case 7 => // decimal arithmetic + rounding: pin output types on BOTH sides.
+        // Two traps this lane caught on its first runs (seeds 7/18/79/95/
+        // 102/109): (a) the exact sum of dec*(1-dec*0.001) has 7 decimal
+        // digits, so casting straight to DECIMAL(38,6) leaves the 7th-digit
+        // tie to the ENGINE'S cast rule — Spark rounds HALF_UP, DuckDB
+        // HALF_EVEN — make tie-breaking explicit with ROUND, which is
+        // half-away-from-zero in BOTH engines; (b) DuckDB decimal DIVISION
+        // always returns DOUBLE (typeof(dec/1000) = DOUBLE), silently
+        // degrading the whole expression to float — author `* 0.001`
+        // (decimal × decimal stays exact decimal in both engines), never
+        // `/ 1000`.
+        Gen(
+          l.groupBy(col("k"))
+            .agg(
+              sum(col("dec")).cast(DecimalType(38, 2)).as("sdec"),
+              avg(col("dec")).cast(DoubleType).as("adec"),
+              round(sum(col("dec") * (lit(java.math.BigDecimal.ONE) -
+                  col("dec") * lit(new java.math.BigDecimal("0.001")))), 6)
+                .cast(DecimalType(38, 6)).as("rev"),
+              round(sum(col("d")), 2).as("rd")),
+          "SELECT k, CAST(SUM(dec) AS DECIMAL(38,2)) AS sdec, " +
+            "CAST(AVG(dec) AS DOUBLE) AS adec, " +
+            "CAST(ROUND(SUM(dec * (1 - dec * 0.001)), 6) AS DECIMAL(38,6)) AS rev, " +
+            "ROUND(SUM(d), 2) AS rd " +
+            "FROM l GROUP BY k",
+          "decimal_agg")
+
+      case 8 => // cast + string traps: Spark double→int TRUNCATES (SQL must trunc);
+        // Spark concat is null-on-null (SQL must use ||, not CONCAT)
+        Gen(
+          l.select(col("id"),
+            col("d").cast(IntegerType).as("di"),
+            col("v").cast(StringType).as("vs"),
+            concat(lower(trim(col("s"))), lit("_"), col("s")).as("cs"),
+            substring(col("s"), 2, 3).as("ss"),
+            col("s").like("%a%").as("lk"),
+            length(col("s")).as("ln")),
+          "SELECT id, CAST(TRUNC(d) AS INTEGER) AS di, CAST(v AS VARCHAR) AS vs, " +
+            "LOWER(TRIM(s)) || '_' || s AS cs, " +
+            "SUBSTRING(s, 2, 3) AS ss, s LIKE '%a%' AS lk, LENGTH(s) AS ln " +
+            "FROM l",
+          "cast_string")
+
+      case 9 => // collation-sensitive: binary ORDER BY a string + LIMIT with total tiebreak
+        val n = 1 + rnd.nextInt(10)
+        Gen(
+          l.select(col("id"), col("s"), col("ts"),
+            date_trunc("day", col("ts")).as("day"))
+            .orderBy(col("s").asc_nulls_first, col("id"))
+            .limit(n),
+          s"SELECT id, s, ts, DATE_TRUNC('day', ts) AS day FROM l " +
+            s"ORDER BY s ASC NULLS FIRST, id LIMIT $n",
+          "order_collation_limit")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft_fuzz")
+    val nCases = args.lift(1).map(_.toInt).getOrElse(120)
+    val baseSeed = args.lift(2).map(_.toInt).getOrElse(1)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      // write int64 micros, not INT96: identical bits for both readers
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(root)
+    var written = 0
+    (baseSeed until baseSeed + nCases).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val caseDir = s"$outDir/case%04d".format(seed)
+      val lRows = genL(rnd)
+      val rRows = genR(rnd)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(lRows, 3), lSchema)
+        .write.mode("overwrite").parquet(s"$caseDir/l.parquet")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rRows, 3), rSchema)
+        .write.mode("overwrite").parquet(s"$caseDir/r.parquet")
+      // both engines read the parquet back — identical input bits
+      val l = spark.read.parquet(s"$caseDir/l.parquet")
+      val r = spark.read.parquet(s"$caseDir/r.parquet")
+      val g = genQuery(rnd, l, r)
+      g.df.coalesce(1).write.mode("overwrite").parquet(s"$caseDir/spark")
+      val json =
+        s"""{"seed": $seed, "family": "${g.family}",
+           | "sql": ${com.fasterxml.jackson.databind.json.JsonMapper.builder()
+             .build().writeValueAsString(g.sql)}}""".stripMargin
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$caseDir/case.json"), json.getBytes("UTF-8"))
+      written += 1
+      if (written % 20 == 0) println(s"[fuzzdump] $written/$nCases cases written")
+    }
+    println(s"[fuzzdump] DONE: $written cases under $outDir")
+    spark.stop()
+  }
+}

@@ -436,8 +436,11 @@ object Dedup {
       // x <= y keeps each undirected edge ONCE (union-find needs one
       // direction) while retaining self-loops, whose vertices must still
       // appear in the output — halves the collected volume vs raw `und`
+      // drop null-keyed edges BEFORE decoding: .as[(Long, Long)] NPEs on a
+      // null id, whereas the distributed ladder tolerates them (null join
+      // keys simply never match) — behavior must not diverge across the gate
       val es = und.select(col("x").cast("long"), col("y").cast("long"))
-        .filter(col("x") <= col("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull && col("x") <= col("y"))
         .as[(Long, Long)].collect()
       val parent = new java.util.HashMap[Long, Long]()
       def find(a: Long): Long = {

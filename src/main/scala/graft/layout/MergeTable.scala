@@ -48,12 +48,37 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *    file lacks — no old bucket is rewritten), and [[readAt]] keeps each
   *    version's own schema. Type changes and column drops are rejected.
   *
-  * Single-writer by design (the reference is a one-shot job; multi-writer
-  * needs a lock service or CAS on the manifest — out of scope and
-  * documented rather than faked). Driver-side state is one Properties
-  * file and a bucket→version map of at most `numBuckets` entries.
+  * **Optimistic concurrency (round 11).** Two concurrent writers both
+  * reading parent version n would previously last-write-win the `_latest`
+  * swap and silently orphan one commit. Commits now claim their version
+  * with a compare-and-swap: data is staged under an attempt-unique
+  * `_stage_v<n>_<uuid>` dir, then the immutable `_manifest_v<n>` history
+  * file is published via `Files.createLink` — hard-link creation is atomic
+  * fail-if-exists on POSIX, so exactly ONE writer per parent version wins;
+  * the loser gets [[MergeTable.ConflictException]] naming the expected
+  * parent (retry is caller policy — re-reading the new manifest and
+  * re-running the merge is the standard loop). The winner then renames its
+  * stage to `v<n>` and swaps `_latest`. A crash between claim and swap is
+  * ROLLED FORWARD by the next writer ([[recover]], run at every
+  * merge/compact entry): the claimed manifest records its stage dir, so
+  * recovery finishes the rename + swap idempotently (rename races between
+  * a recovering writer and a slow original writer converge — both
+  * tolerate the other having completed each step). Driver-side state is
+  * one Properties file and a bucket→version map of at most `numBuckets`
+  * entries.
   */
 object MergeTable {
+
+  /** A concurrent writer committed the version this writer was about to
+    * claim. The table is intact (the winner's commit is complete and this
+    * writer's staged data is removed); retry by re-running the merge
+    * against the new current version — retry policy belongs to the
+    * caller. */
+  final class ConflictException(dir: String, version: Long)
+    extends RuntimeException(
+      s"concurrent MergeTable commit at $dir: version $version was " +
+        s"committed by another writer (expected parent ${version - 1}); " +
+        "re-read the table and retry the merge")
 
   /** Reserved layout column: `pmod(hash(key), numBuckets)`. */
   val BucketCol = "__pk_bucket"
@@ -90,31 +115,93 @@ object MergeTable {
   }
 
   /** Properties (not JSON) for the manifest: `Properties.store` handles
-    * every escaping concern (the embedded schema JSON is one value), and
-    * the tmp-write + same-dir ATOMIC_MOVE rename is the whole commit
-    * protocol. Every commit ALSO writes an immutable `_manifest_v<n>`
-    * copy — the version history that makes [[readAt]] time travel and
-    * [[changesBetween]] CDC possible; written BEFORE the `_latest` swap so
-    * a crash between the two leaves history consistent with the still-
-    * current `_latest`. */
-  private def commit(dir: String, m: Manifest): Unit = {
-    val props = new Properties()
-    props.setProperty("version", m.version.toString)
-    props.setProperty("batchId", m.batchId.toString)
-    props.setProperty("key", m.key)
-    props.setProperty("numBuckets", m.numBuckets.toString)
-    props.setProperty("schema", m.schemaJson)
-    props.setProperty("buckets",
+    * every escaping concern (the embedded schema JSON is one value).
+    *
+    * Commit protocol (CAS + roll-forward, see object scaladoc):
+    *   1. CLAIM: write the manifest to an attempt-unique tmp file, then
+    *      publish it as the immutable `_manifest_v<n>` history entry via
+    *      `Files.createLink` — atomic fail-if-exists, so exactly one
+    *      writer per parent version wins. The loser deletes its own
+    *      staged data and throws [[ConflictException]].
+    *   2. PUBLISH DATA: rename the winner's `_stage_v<n>_<uuid>` dir to
+    *      `v<n>` (recorded in the manifest's `stage` property so
+    *      [[recover]] can finish this step after a crash).
+    *   3. SWAP: tmp-write + same-dir ATOMIC_MOVE of `_latest`.
+    * The history entry lands BEFORE the `_latest` swap so a crash between
+    * the two leaves history consistent with the still-current `_latest`
+    * and is rolled forward by the next writer. */
+  private def props(m: Manifest, stageDir: Option[String]): Properties = {
+    val p = new Properties()
+    p.setProperty("version", m.version.toString)
+    p.setProperty("batchId", m.batchId.toString)
+    p.setProperty("key", m.key)
+    p.setProperty("numBuckets", m.numBuckets.toString)
+    p.setProperty("schema", m.schemaJson)
+    p.setProperty("buckets",
       m.buckets.toSeq.sorted.map { case (b, v) => s"$b:$v" }.mkString(","))
-    def write(target: Path): Unit = {
-      val tmp = Paths.get(dir, s"_commit_tmp_v${m.version}")
-      val out = Files.newOutputStream(tmp)
-      try props.store(out, "graft MergeTable manifest") finally out.close()
-      Files.move(tmp, target,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    p.setProperty("stage", stageDir.getOrElse(""))
+    p
+  }
+
+  private def writeAtomic(dir: String, p: Properties, target: Path): Unit = {
+    val tmp = Files.createTempFile(Paths.get(dir), "_commit_tmp_", "")
+    val out = Files.newOutputStream(tmp)
+    try p.store(out, "graft MergeTable manifest") finally out.close()
+    Files.move(tmp, target,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def commit(dir: String, m: Manifest, stageDir: Option[String]): Unit = {
+    val pr = props(m, stageDir)
+    val history = Paths.get(dir, s"_manifest_v${m.version}")
+    val tmp = Files.createTempFile(Paths.get(dir), "_commit_tmp_", "")
+    val out = Files.newOutputStream(tmp)
+    try pr.store(out, "graft MergeTable manifest") finally out.close()
+    try Files.createLink(history, tmp)          // the CAS: one winner per version
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        stageDir.foreach(s => deleteRecursively(new java.io.File(dir, s)))
+        throw new ConflictException(dir, m.version)
+    } finally Files.deleteIfExists(tmp)
+    finishCommit(dir, pr)
+  }
+
+  /** Steps 2+3 of the protocol; idempotent, so a recovering writer and a
+    * slow original writer racing through it converge. */
+  private def finishCommit(dir: String, pr: Properties): Unit = {
+    val version = pr.getProperty("version").toLong
+    val stage = pr.getProperty("stage", "")
+    val vDir = Paths.get(dir, s"v$version")
+    if (stage.nonEmpty && !Files.exists(vDir)) {
+      try Files.move(Paths.get(dir, stage), vDir, StandardCopyOption.ATOMIC_MOVE)
+      catch { // the other racer already renamed it
+        case _: java.nio.file.NoSuchFileException if Files.exists(vDir) => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
     }
-    write(Paths.get(dir, s"_manifest_v${m.version}"))
-    write(manifestPath(dir))
+    writeAtomic(dir, pr, manifestPath(dir))
+  }
+
+  /** Roll an interrupted commit forward: if the version AFTER `_latest`
+    * has a claimed history manifest (a writer crashed between claim and
+    * swap), finish its data rename + `_latest` swap. Run at every
+    * merge/compact entry; a no-op on a healthy table. */
+  private def recover(dir: String): Unit = {
+    var guard = 0
+    var next = readManifest(dir).map(_.version + 1).getOrElse(0L)
+    while (Files.exists(Paths.get(dir, s"_manifest_v$next")) && guard < 1000) {
+      val pr = new Properties()
+      val in = Files.newInputStream(Paths.get(dir, s"_manifest_v$next"))
+      try pr.load(in) finally in.close()
+      finishCommit(dir, pr)
+      next += 1; guard += 1
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   private def manifestAt(dir: String, version: Long): Manifest = {
@@ -173,6 +260,7 @@ object MergeTable {
             batchId: Long = -1L,
             updateWhen: Option[(String => Column, String => Column) => Column] = None): Option[Long] = {
     Files.createDirectories(Paths.get(dir))
+    recover(dir) // roll forward any commit interrupted between claim and swap
     val prior = readManifest(dir)
     if (batchId >= 0 && prior.exists(_.batchId >= batchId)) return None
     prior.foreach(m => require(m.key == key,
@@ -223,6 +311,10 @@ object MergeTable {
     val changed = st.getSeq[Int](0).toSet
     val schemaJson = widened.json
     val newV = prior.map(_.version + 1).getOrElse(0L)
+    // attempt-unique staging: concurrent writers racing for version newV
+    // must never interleave files in one data dir — the CAS in commit()
+    // decides whose stage becomes v<newV>
+    val stage = s"_stage_v${newV}_${java.util.UUID.randomUUID().toString.take(8)}"
 
     // initial commit (or no changed bucket has any prior data): nothing to
     // match against, so skip the target read AND the full-outer join — the
@@ -231,7 +323,7 @@ object MergeTable {
     if (changed.nonEmpty && priorData.isEmpty) {
       DataLayout.writePartitionedSorted(
         ch.filter(col("__op") =!= "delete").drop("__op"),
-        s"$dir/v$newV", Seq(BucketCol), Seq(key))
+        s"$dir/$stage", Seq(BucketCol), Seq(key))
     } else if (changed.nonEmpty) {
       // align the target side to the widened schema: columns this batch
       // adds read as typed nulls from pre-evolution buckets
@@ -258,10 +350,11 @@ object MergeTable {
       val out = j.filter(takeSrc || keepTgt).select(
         payload.map(c => when(takeSrc, col(c)).otherwise(col(s"__t_$c")).as(c)) :+
           when(takeSrc, col(BucketCol)).otherwise(col("__t_bucket")).as(BucketCol): _*)
-      DataLayout.writePartitionedSorted(out, s"$dir/v$newV", Seq(BucketCol), Seq(key))
+      DataLayout.writePartitionedSorted(out, s"$dir/$stage", Seq(BucketCol), Seq(key))
     }
     commit(dir, Manifest(newV, batchId, key, nb, schemaJson,
-      prior.map(_.buckets).getOrElse(Map.empty) ++ changed.map(_ -> newV)))
+        prior.map(_.buckets).getOrElse(Map.empty) ++ changed.map(_ -> newV)),
+      if (changed.nonEmpty) Some(stage) else None)
     Some(newV)
   }
 
@@ -282,15 +375,18 @@ object MergeTable {
     * folds them back to one), dropping all-deleted buckets from the
     * manifest. Follow with [[vacuum]] to reclaim the orphaned versions. */
   def compact(spark: SparkSession, dir: String): Long = {
+    recover(dir)
     val m = requireManifest(dir)
     val newV = m.version + 1
-    val vDir = s"$dir/v$newV"
+    val stage = s"_stage_v${newV}_${java.util.UUID.randomUUID().toString.take(8)}"
     DataLayout.writePartitionedSorted(
-      readBuckets(spark, dir, m, None), vDir, Seq(BucketCol), Seq(m.key))
-    val liveDirs = Option(new java.io.File(vDir).listFiles()).getOrElse(Array.empty)
+      readBuckets(spark, dir, m, None), s"$dir/$stage", Seq(BucketCol), Seq(m.key))
+    val liveDirs = Option(new java.io.File(s"$dir/$stage").listFiles())
+      .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
       .map(_.getName.stripPrefix(s"$BucketCol=").toInt)
-    commit(dir, m.copy(version = newV, buckets = liveDirs.map(_ -> newV).toMap))
+    commit(dir, m.copy(version = newV, buckets = liveDirs.map(_ -> newV).toMap),
+      Some(stage))
     newV
   }
 
@@ -359,19 +455,18 @@ object MergeTable {
     * single-writer model; with concurrent readers a grace period goes
     * here. Returns deleted dirs. */
   def vacuum(dir: String): Seq[String] = {
+    recover(dir)
     val m = requireManifest(dir)
     val referenced = versions(dir).map(manifestAt(dir, _))
       .flatMap(h => h.buckets.values.toSeq :+ h.version)
       .toSet ++ m.buckets.values + m.version
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
-        !referenced.contains(f.getName.stripPrefix("v").toLong))
-      .map { f =>
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-          x.delete(); ()
-        }
-        rm(f); f.getName
-      }
+      .filter(f => f.isDirectory && (
+        (f.getName.matches("v\\d+") &&
+          !referenced.contains(f.getName.stripPrefix("v").toLong)) ||
+        // crash-orphaned staging dirs (a writer that died before its CAS
+        // claim); recover() above already rolled forward any CLAIMED stage
+        f.getName.startsWith("_stage_v")))
+      .map { f => deleteRecursively(f); f.getName }
   }
 }

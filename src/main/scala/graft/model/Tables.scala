@@ -25,8 +25,17 @@ object Tables {
   // SPARK_GRAFT_SPOOL=off reads the raw 1-file fixture (A/B experiments)
   private def spoolEnabled: Boolean =
     !sys.env.get("SPARK_GRAFT_SPOOL").contains("off")
-  private def spoolRoot(dir: String): String =
-    s"/tmp/graft_table_spool/${new java.io.File(dir).getName}"
+  // keyed by basename + a digest of the canonical path: two fixtures with
+  // the same basename under different parents (e.g. a copied sf0.01 tree)
+  // must never share a spool directory, else a concurrent JVM can overwrite
+  // a spool between another reader's stamp check and its scan
+  private def spoolRoot(dir: String): String = {
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(canonical.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    s"/tmp/graft_table_spool/${new java.io.File(dir).getName}_$sha"
+  }
   private def sourceStamp(dir: String, name: String): String = {
     val f = new java.io.File(s"$dir/$name.parquet")
     s"${f.length}_${f.lastModified}_$SpoolFiles"

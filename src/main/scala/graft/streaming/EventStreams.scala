@@ -144,11 +144,14 @@ object EventStreams {
     // partitions cut that 8x vs the session's 32 with no parallelism loss
     // at bench scale (measured: q156 10.5 → 8.0 s; q35/q37/q58 flat) —
     // at 100 TB this knob follows state size, not a constant. Restored
-    // after start (the value is captured at query planning).
+    // only after awaitTermination: the stream thread clones the session
+    // conf asynchronously after start() returns, so restoring in a finally
+    // on start() races the clone and the first micro-batch can plan with
+    // the restored value.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = try {
-      transform(src).writeStream
+    try {
+      val q = transform(src).writeStream
         .outputMode(outputMode)
         .option("checkpointLocation", s"$spool/ck")
         .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -157,8 +160,8 @@ object EventStreams {
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
     if (!new java.io.File(outDir).exists())
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -469,10 +472,11 @@ object EventStreams {
       val src = spark.readStream
         .schema(spark.read.parquet(srcPath).schema)
         .option("maxFilesPerTrigger", "1").parquet(srcPath)
+      // restore after awaitTermination (same async-clone race as the
+      // outer-join harness — see streamOuterJoinCrashResume)
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
-        graft.model.Tables.normalizeTs(src)
+      val q = graft.model.Tables.normalizeTs(src)
           .withWatermark("ts", delay)
           .dropDuplicatesWithinWatermark("event_id")
           .writeStream.outputMode("append")
@@ -482,7 +486,6 @@ object EventStreams {
             if (bomb && id == 0L) throw new RuntimeException(crashMsg)
           }
           .trigger(Trigger.AvailableNow()).start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       try q.awaitTermination()
       catch {
         case e: org.apache.spark.sql.streaming.StreamingQueryException =>
@@ -493,7 +496,7 @@ object EventStreams {
             cause = cause.getCause
           }
           if (!injected) throw e // a real failure, not our bomb
-      }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     def batchDirs(): Int = {
       val d = new java.io.File(outDir)
@@ -645,10 +648,14 @@ object EventStreams {
       val src = spark.readStream
         .schema(spark.read.parquet(srcPath).schema)
         .option("maxFilesPerTrigger", "1").parquet(srcPath)
+      // restore the conf only AFTER awaitTermination: the stream thread
+      // clones the session conf asynchronously after start() returns, so a
+      // finally on start() races the clone and the first micro-batch can
+      // plan with the restored partition count (pinning 32 state stores in
+      // the checkpoint instead of the documented 4)
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
-        intervalJoinOuter(graft.model.Tables.normalizeTs(src),
+      val q = intervalJoinOuter(graft.model.Tables.normalizeTs(src),
             leftType, rightType)
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$spool/ck")
@@ -657,7 +664,6 @@ object EventStreams {
             if (bomb && id == crashAfterBatch) throw new RuntimeException(crashMsg)
           }
           .trigger(Trigger.AvailableNow()).start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       try q.awaitTermination()
       catch {
         case e: org.apache.spark.sql.streaming.StreamingQueryException =>
@@ -668,7 +674,7 @@ object EventStreams {
             cause = cause.getCause
           }
           if (!injected) throw e // a real failure, not our bomb
-      }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     def batchDirs(): Long = {
       val d = new java.io.File(outDir)

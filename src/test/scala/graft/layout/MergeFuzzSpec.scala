@@ -68,4 +68,53 @@ class MergeFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("interleaved-writer fuzz: racing random batches never lose a committed write") {
+    val rnd = new scala.util.Random(22)
+    for (t <- 1 to 3) {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory(s"merge_race_$t")).toString + "/tbl"
+      // seed so both racers' updateWhen (matched-row) paths are exercised
+      MergeTable.merge(spark, dir,
+        (0L to 30L).map(k => (k, -1.0, "create")).toDF("k", "v", "op_flag"),
+        "k", numBuckets = 4)
+      var model = Map.empty[Long, Double] ++ (0L to 30L).map(_ -> -1.0)
+      for (round <- 1 to 3) {
+        // two writers with DISJOINT key sets race from the same parent;
+        // conflict losers retry (caller policy) until committed, so the
+        // final state must contain BOTH batches regardless of who won
+        val keysA = rnd.shuffle((0L to 30L).toList).take(1 + rnd.nextInt(8))
+        val keysB = rnd.shuffle((0L to 30L).toList.filterNot(keysA.contains))
+          .take(1 + rnd.nextInt(8))
+        def batchOf(keys: Seq[Long], tag: Int) = keys.map { k =>
+          (k, (k * 1000 + round * 10 + tag).toDouble,
+            Seq("update", "delete")(rnd.nextInt(2)))
+        }
+        val opsA = batchOf(keysA, 1)
+        val opsB = batchOf(keysB, 2)
+        var conflicts = 0
+        def writer(ops: Seq[(Long, Double, String)]) = new Thread(() => {
+          var done = false
+          while (!done) {
+            try {
+              MergeTable.merge(spark, dir, ops.toDF("k", "v", "op_flag"),
+                "k", numBuckets = 4)
+              done = true
+            } catch {
+              case _: MergeTable.ConflictException =>
+                conflicts += 1 // benign: retry against the new parent
+            }
+          }
+        })
+        val (wa, wb) = (writer(opsA), writer(opsB))
+        wa.start(); wb.start(); wa.join(180000); wb.join(180000)
+        (opsA ++ opsB).foreach { case (k, v, op) =>
+          if (op == "delete") model -= k else model += k -> v
+        }
+        val got = MergeTable.read(spark, dir).select("k", "v")
+          .as[(Long, Double)].collect().toMap
+        assert(got === model, s"table $t round $round (conflicts=$conflicts)")
+      }
+    }
+  }
 }

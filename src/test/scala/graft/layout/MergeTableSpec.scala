@@ -291,4 +291,73 @@ class MergeTableSpec extends SparkSpec {
       ("delete", 4L, "d", 4.0),
       ("insert", 5L, "e", 5.0)))
   }
+
+  test("optimistic concurrency: of two interleaved writers one commits, one fails loud, retry lands") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir,
+      changes((1L, "a", 1.0, "create"), (2L, "b", 2.0, "create")), "id")
+    // Writer B enters merge() and reads parent v0, then BLOCKS inside its
+    // updateWhen builder (driver-side, evaluated between the manifest read
+    // and the commit). While B is parked, writer A commits v1 on the main
+    // thread. Released, B proceeds to its CAS claim of v1 — and must get
+    // ConflictException, not a silent last-write-wins.
+    val bEntered = new java.util.concurrent.CountDownLatch(1)
+    val aCommitted = new java.util.concurrent.CountDownLatch(1)
+    val bResult = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, Option[Long]]]()
+    val b = new Thread(() => {
+      try bResult.set(Right(MergeTable.merge(spark, dir,
+        changes((2L, "b-from-B", 2.9, "update")), "id",
+        updateWhen = Some((_, _) => {
+          bEntered.countDown()
+          aCommitted.await()
+          lit(true)
+        }))))
+      catch { case t: Throwable => bResult.set(Left(t)) }
+    })
+    b.start()
+    bEntered.await()
+    val aVersion = MergeTable.merge(spark, dir,
+      changes((1L, "a-from-A", 1.5, "update"), (3L, "c", 3.0, "create")), "id")
+    assert(aVersion === Some(1L))
+    aCommitted.countDown()
+    b.join(120000)
+    assert(bResult.get() != null, "writer B never finished")
+    bResult.get() match {
+      case Left(e) => assert(e.isInstanceOf[MergeTable.ConflictException],
+        s"expected ConflictException, got $e")
+      case Right(v) => fail(s"writer B silently committed $v over writer A")
+    }
+    // the loser corrupted nothing: A's commit is intact
+    assert(contents(dir) ===
+      Set((1L, "a-from-A", 1.5), (2L, "b", 2.0), (3L, "c", 3.0)))
+    // retry is caller policy: B's re-run sees the new parent and commits v2
+    assert(MergeTable.merge(spark, dir,
+      changes((2L, "b-from-B", 2.9, "update")), "id") === Some(2L))
+    assert(contents(dir) ===
+      Set((1L, "a-from-A", 1.5), (2L, "b-from-B", 2.9), (3L, "c", 3.0)))
+    // the loser's staged data dir was removed at conflict time
+    val stages = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_stage_v"))
+    assert(stages.isEmpty, s"orphaned stage dirs: ${stages.map(_.getName).mkString(",")}")
+  }
+
+  test("crash between CAS claim and _latest swap is rolled forward by the next writer") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir,
+      changes((1L, "a", 1.0, "create"), (2L, "b", 2.0, "create")), "id")
+    MergeTable.merge(spark, dir, changes((2L, "b2", 2.5, "update")), "id")
+    // simulate the crash window: v1's commit claimed _manifest_v1 and
+    // renamed its stage, but died before swapping _latest — reconstruct by
+    // rewinding _latest to the v0 manifest
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "_manifest_v0"),
+      java.nio.file.Paths.get(dir, "_latest"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(MergeTable.read(spark, dir).count() === 2) // readers see v0
+    // the next writer rolls v1 forward, then commits v2 on top of it
+    assert(MergeTable.merge(spark, dir,
+      changes((3L, "c", 3.0, "create")), "id") === Some(2L))
+    assert(contents(dir) ===
+      Set((1L, "a", 1.0), (2L, "b2", 2.5), (3L, "c", 3.0)))
+  }
 }

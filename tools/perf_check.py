@@ -173,7 +173,10 @@ def check(fixture_path: str, bench_path: str, ratio: float, min_spark: float) ->
     # floors below are quiet-host values; Bench self-calibrates a host load
     # factor (stderr "[bench] host load factor: X") — pass it as min_spark
     # scaling when checking a loaded host's artifact
-    host_load = float(parsed.get("host_load", 1.0))
+    # clamp to the same [1.0, 2.0] band Bench's self-measured calibration
+    # enforces — an inflated artifact/env host_load must not be able to
+    # silently disable the regression gate
+    host_load = max(1.0, min(2.0, float(parsed.get("host_load", 1.0))))
     # graft.Bench emits qNN short keys (the full-name line outgrew the
     # driver's log-tail capture window at 168 queries); expand them back to
     # the fixture's full names so floors and ratios match either form
