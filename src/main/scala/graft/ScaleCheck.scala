@@ -56,6 +56,27 @@ object ScaleCheck {
     }.reduce(_ union _).transform(graft.util.Cleanup.checkpoint(_))
 
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+    // every probe line carries the measured host-load calibration (r10
+    // verdict task 7): the probe TRENDS are the 100 TB evidence, and a
+    // loaded window could otherwise pollute a trend point without a trace
+    val hostLoad = graft.util.HostLoad.measure(spark)
+    // spill accounting (r10 verdict task 4): per-task spill bytes summed
+    // over each probe's window, so the spill-resilience tier
+    // (SPARK_DRIVER_MEM=8g, the heaviest shapes at 64x) records WHETHER
+    // memory pressure degraded into spill and kept completing, not just
+    // that wall time rose. Atomic because task-end events arrive on the
+    // listener bus thread.
+    val memSpill = new java.util.concurrent.atomic.AtomicLong(0)
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          Option(e.taskMetrics).foreach { m =>
+            memSpill.addAndGet(m.memoryBytesSpilled)
+            diskSpill.addAndGet(m.diskBytesSpilled); ()
+          }
+      })
     def time(label: String, rows: => Long)(f: => Unit): Unit = if (want(label)) {
       // force the row count FIRST: it is an action over the amplified
       // union, so evaluating it here materializes the corpus checkpoint
@@ -63,9 +84,16 @@ object ScaleCheck {
       // earlier println has forced it, and without this the first selected
       // probe's time would include corpus materialization
       val n = rows
+      val (m0, d0) = (memSpill.get(), diskSpill.get())
       val t0 = System.nanoTime(); f
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $label: $s%.2f s  (${n / s / 1e6}%.1f M rows/s)")
+      // give the listener bus a beat to drain the probe's task-end events
+      // (outside the timed window; the bus is async and private[spark])
+      Thread.sleep(300)
+      val (mS, dS) = (memSpill.get() - m0, diskSpill.get() - d0)
+      println(f"[scale] $label: $s%.2f s  (${n / s / 1e6}%.1f M rows/s)" +
+        f"  host_load=$hostLoad%.2f  heap=${Runtime.getRuntime.maxMemory() >> 20}m" +
+        f"  spill_mem=${mS >> 20}MB spill_disk=${dS >> 20}MB")
     }
 
     // counts are actions over the full amplified union — only pay for the

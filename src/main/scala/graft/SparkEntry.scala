@@ -137,6 +137,16 @@ object SparkEntry {
   val Q170FixtureDir = "/tmp/graft_ivf_recluster_fixture"
   @volatile private var q170FixtureSub: String = s"$Q170FixtureDir/sf0.01"
 
+  /** q172/q173's partsupp fixture: the testdata ships no partsupp table,
+    * so TPC-H Q2/Q11 previously ran on a lineitem substitution (q142/q160
+    * — kept). This derives a DETERMINISTIC partsupp from the tier's part ×
+    * supplier keys (4 suppliers per part, closed-form availqty/supplycost)
+    * and pins it to parquet BOTH engines read — the decorrelation plans
+    * now meet the data shape they were written for. Same per-tier
+    * memoization discipline as [[Q94FixtureDir]]. */
+  val PartsuppFixtureDir = "/tmp/graft_partsupp_fixture"
+  @volatile private var partsuppFixtureSub: String = s"$PartsuppFixtureDir/sf0.01"
+
   /** Pin tier-dependent oracle fixture paths to `sfDir`'s tier (see
     * [[q94FixtureSub]]); called by Verify before dumping [[oracleSql]]. */
   def setOracleTier(sfDir: String): Unit = {
@@ -144,6 +154,39 @@ object SparkEntry {
     q140FixtureSub = s"$Q140FixtureDir/${new java.io.File(sfDir).getName}"
     q151FixtureSub = s"$Q151FixtureDir/${new java.io.File(sfDir).getName}"
     q170FixtureSub = s"$Q170FixtureDir/${new java.io.File(sfDir).getName}"
+    partsuppFixtureSub = s"$PartsuppFixtureDir/${new java.io.File(sfDir).getName}"
+  }
+
+  /** Build (once per tier, marker-memoized) and register the `partsupp`
+    * temp view for [[SqlQ2PsText]]/[[SqlQ11PsText]]. The derivation is
+    * pure arithmetic over (p_partkey, s_suppkey) so both the fixture and
+    * any re-run are bit-identical: suppkeys (p*3 + i*7) mod |supplier|
+    * for i ∈ 0..3 (distinct mod 100), availqty and supplycost closed-form
+    * — supplycost lands on exact DECIMAL(12,2) cents via a 0.01 decimal
+    * MULTIPLY (never division: the FuzzDump lane proved DuckDB decimal
+    * division degrades to DOUBLE). */
+  private def ensurePartsupp(s: SparkSession, d: String): Unit = {
+    partsuppFixtureSub = s"$PartsuppFixtureDir/${new java.io.File(d).getName}"
+    val fx = partsuppFixtureSub
+    val marker = new java.io.File(s"$fx/_built_v1")
+    if (!marker.exists()) {
+      val nSupp = t(s, d, "supplier").count()
+      t(s, d, "part").select(col("p_partkey").as("ps_partkey"))
+        .withColumn("i", explode(array((0 until 4).map(lit): _*)))
+        .withColumn("ps_suppkey",
+          pmod(col("ps_partkey") * 3 + col("i") * 7, lit(nSupp)))
+        .withColumn("ps_availqty",
+          (pmod(col("ps_partkey") * 13 + col("ps_suppkey") * 7, lit(9999)) + 1)
+            .cast("int"))
+        .withColumn("ps_supplycost",
+          ((pmod(col("ps_partkey") * 31 + col("ps_suppkey") * 17, lit(99900)) + 100)
+            .cast(DecimalType(20, 0)) * lit(new java.math.BigDecimal("0.01")))
+            .cast(DecimalType(12, 2)))
+        .drop("i")
+        .coalesce(1).write.mode("overwrite").parquet(s"$fx/partsupp.parquet")
+      marker.createNewFile()
+    }
+    s.read.parquet(s"$fx/partsupp.parquet").createOrReplaceTempView("partsupp")
   }
 
   /** TPC-H Q2's shape, shared VERBATIM by the Spark front door and the
@@ -341,6 +384,58 @@ object SparkEntry {
       |    AND n2.n_name IN ('NATION_1', 'NATION_3'))
       |ORDER BY val DESC, l_partkey""".stripMargin
 
+  /** TPC-H Q2 on the REAL data shape (q172): the spec's correlated
+    * min-supplycost subquery over partsupp — the generated fixture
+    * ([[ensurePartsupp]]) supplies the table the testdata lacks, so this
+    * runs the verbatim structure instead of q142's lineitem substitution.
+    * SELECT list adapted to the columns the tier's part/supplier carry
+    * (no p_mfgr / s_address / s_phone / s_comment in the testdata). The
+    * four-column ORDER BY is total: (s_name, p_partkey) is unique per
+    * output row. Shared VERBATIM with DuckDB (the oracle prepends a
+    * `WITH partsupp AS (read_parquet ...)` CTE over the same fixture). */
+  val SqlQ2PsText: String =
+    """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, p_type
+      |FROM part, supplier, partsupp, nation, region
+      |WHERE p_partkey = ps_partkey
+      |  AND s_suppkey = ps_suppkey
+      |  AND p_size <= 15
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND ps_supplycost = (
+      |    SELECT min(ps2.ps_supplycost)
+      |    FROM partsupp ps2, supplier s2, nation n2, region r2
+      |    WHERE ps2.ps_partkey = p_partkey
+      |      AND s2.s_suppkey = ps2.ps_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q11 on the REAL data shape (q173): supplycost × availqty over
+    * partsupp with the HAVING-against-global-fraction threshold — the
+    * verbatim structure q160's lineitem substitution approximates. Exact
+    * DECIMAL sums cast once to DOUBLE on both sides (the q97 discipline);
+    * the threshold is scale-free (2× the average per-part value) for the
+    * same reason as [[SqlQ11Text]]. */
+  val SqlQ11PsText: String =
+    """SELECT ps_partkey,
+      |  CAST(sum(ps_supplycost * ps_availqty) AS DOUBLE) AS val
+      |FROM partsupp, supplier, nation
+      |WHERE ps_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_1', 'NATION_3')
+      |GROUP BY ps_partkey
+      |HAVING CAST(sum(ps_supplycost * ps_availqty) AS DOUBLE) > (
+      |  SELECT CAST(sum(ps2.ps_supplycost * ps2.ps_availqty) AS DOUBLE)
+      |      * 2.0 / count(DISTINCT ps2.ps_partkey)
+      |  FROM partsupp ps2, supplier s2, nation n2
+      |  WHERE ps2.ps_suppkey = s2.s_suppkey
+      |    AND s2.s_nationkey = n2.n_nationkey
+      |    AND n2.n_name IN ('NATION_1', 'NATION_3'))
+      |ORDER BY val DESC, ps_partkey""".stripMargin
+
   /** Order-independent exact sum of a double column: via DECIMAL. */
   private def dsum(c: Column, prec: Int = 18, scale: Int = 2): Column =
     sum(c.cast(DecimalType(prec, scale))).cast("double")
@@ -468,7 +563,7 @@ object SparkEntry {
     }
   }
 
-  /** 170 queries, numbered q01-q171: q19 was never assigned (a round-2
+  /** 172 queries, numbered q01-q173: q19 was never assigned (a round-2
     * numbering skip, kept to preserve every already-recorded artifact's
     * query ids). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1885,7 +1980,9 @@ object SparkEntry {
     // paired with the same user's clicks within 30 min), append mode —
     // oracle is the identical batch self-join
     "q58_stream_join" -> ((s, d) =>
-      EventStreams.runToCompletion(s, d, "append")(
+      // noDataBatch off: the INNER interval join emits every match in its
+      // data batch; the final empty batch only evicts state (spoolRun doc)
+      EventStreams.runToCompletion(s, d, "append", noDataBatch = false)(
           EventStreams.intervalJoin(_, "view", "click"))
         .orderBy(col("user_id"), col("l_id"), col("r_id"))),
 
@@ -2609,7 +2706,7 @@ object SparkEntry {
     // purchases emitted once with a null right side when the watermark
     // passes their join horizon — the attribution readout where "no
     // conversion" is the signal (inner q58 cannot say it). The month
-    // replays as 8 time-ordered micro-batches so the watermark actually
+    // replays as time-ordered micro-batches so the watermark actually
     // advances; matches and nulls roll up to n_matches per purchase, and
     // the settled-region cutoff is recomputed verbatim by the oracle.
     "q156_stream_outer_join" -> ((s, d) =>
@@ -2658,6 +2755,29 @@ object SparkEntry {
       t(s, d, "supplier").createOrReplaceTempView("supplier")
       t(s, d, "nation").createOrReplaceTempView("nation")
       s.sql(SqlQ11Text)
+    }),
+
+    // ⊕ SQL front door: TPC-H Q2 on its REAL partsupp shape — the
+    // generated per-tier fixture supplies the table the testdata lacks,
+    // so the correlated min-supplycost decorrelation runs against the
+    // spec's own data model (q142's lineitem substitution is kept).
+    "q172_sql_q2_partsupp" -> ((s, d) => {
+      ensurePartsupp(s, d)
+      t(s, d, "part").createOrReplaceTempView("part")
+      t(s, d, "supplier").createOrReplaceTempView("supplier")
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      t(s, d, "region").createOrReplaceTempView("region")
+      s.sql(SqlQ2PsText)
+    }),
+
+    // ⊕ SQL front door: TPC-H Q11 on its REAL partsupp shape (q160's
+    // substitution kept) — supplycost × availqty value with the
+    // global-fraction HAVING threshold.
+    "q173_sql_q11_partsupp" -> ((s, d) => {
+      ensurePartsupp(s, d)
+      t(s, d, "supplier").createOrReplaceTempView("supplier")
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      s.sql(SqlQ11PsText)
     }),
 
     // ⊕ exact substring DEDUP applied (Lee et al. 2022): q148 measures
@@ -3964,6 +4084,17 @@ object SparkEntry {
     "q159_sql_q15" -> SqlQ15Text,
 
     "q160_sql_q11" -> SqlQ11Text,
+
+    // q172/q173: the IDENTICAL Q2/Q11 texts over the REAL partsupp shape;
+    // the CTE resolves the table name to the same pinned fixture parquet
+    // the Spark temp view reads
+    "q172_sql_q2_partsupp" ->
+      (s"WITH partsupp AS (SELECT * FROM read_parquet(" +
+        s"'$partsuppFixtureSub/partsupp.parquet/*.parquet'))\n" + SqlQ2PsText),
+
+    "q173_sql_q11_partsupp" ->
+      (s"WITH partsupp AS (SELECT * FROM read_parquet(" +
+        s"'$partsuppFixtureSub/partsupp.parquet/*.parquet'))\n" + SqlQ11PsText),
 
     // q161: the oracle replays the same span algebra — flagged 5-gram
     // starts (min(doc)<>max(doc) over the gram), cover positions, word

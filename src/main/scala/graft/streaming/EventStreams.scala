@@ -114,17 +114,31 @@ object EventStreams {
     * deterministic secondary column). */
   def runToCompletion(spark: SparkSession, dir: String,
                       outputMode: String = "complete",
-                      updateKeys: Seq[String] = Nil)
+                      updateKeys: Seq[String] = Nil,
+                      noDataBatch: Boolean = true)
                      (transform: DataFrame => DataFrame): DataFrame =
-    spoolRun(spark, sharedEventsDir(dir).toString, outputMode, updateKeys)(transform)
+    spoolRun(spark, sharedEventsDir(dir).toString, outputMode, updateKeys,
+      noDataBatch = noDataBatch)(transform)
 
   /** [[runToCompletion]] over an arbitrary parquet directory (one file per
     * micro-batch when `maxFilesPerTrigger=Some(1)`) — the path-level entry,
     * used directly by specs that need to force multi-batch behavior. */
+  /** `noDataBatch = false` skips the AvailableNow final no-data
+    * micro-batch (spark.sql.streaming.noDataMicroBatches.enabled). That
+    * batch exists to advance the watermark one last time and FLUSH
+    * results whose emission depends on it — required for append-mode
+    * windowed aggregations (q38 session windows), timeout-driven
+    * flatMapGroupsWithState (q39), and outer joins' null side (q156).
+    * For transforms that emit eagerly in data batches — inner
+    * stream-stream joins, watermarked dropDuplicates — it only evicts
+    * state the terminating query no longer needs, at a measured
+    * ~0.6-0.8 s per query of empty-batch state-store commits; those call
+    * sites opt out (oracle-checked identical either way). */
   def spoolRun(spark: SparkSession, srcPath: String,
                outputMode: String = "complete",
                updateKeys: Seq[String] = Nil,
-               maxFilesPerTrigger: Option[Int] = None)
+               maxFilesPerTrigger: Option[Int] = None,
+               noDataBatch: Boolean = true)
               (transform: DataFrame => DataFrame): DataFrame = {
     def source(): DataFrame = {
       val rdr = spark.readStream.schema(spark.read.parquet(srcPath).schema)
@@ -149,7 +163,11 @@ object EventStreams {
     // on start() races the clone and the first micro-batch can plan with
     // the restored value.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataBatch.toString)
     try {
       val q = transform(src).writeStream
         .outputMode(outputMode)
@@ -161,7 +179,10 @@ object EventStreams {
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     if (!new java.io.File(outDir).exists())
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -264,7 +285,7 @@ object EventStreams {
     * micro-batch MERGE path alone, not the one-time repartition+rewrite of
     * the source table the first call pays. */
   def warmStreamUpsertFiles(spark: SparkSession, dir: String,
-                            nFiles: Int = 3): Unit = {
+                            nFiles: Int = 2): Unit = {
     sharedSplitDir(spark, dir, nFiles); ()
   }
 
@@ -296,8 +317,12 @@ object EventStreams {
       .parquet(filesPath)
       .select("user_id", "event_id", "ts", "event_type", "value")
 
+  // nFiles = replay granularity, not a correctness knob (the oracle's
+  // latest-per-key argmax is batch-count-invariant); 2 micro-batches
+  // demonstrate the multi-commit replay protocol at half of 3's fixed
+  // per-batch MERGE cost
   def streamUpsert(spark: SparkSession, dir: String, tableDir: String,
-                   nFiles: Int = 3): DataFrame = {
+                   nFiles: Int = 2): DataFrame = {
     import graft.layout.MergeTable
     val filesDir = sharedSplitDir(spark, dir, nFiles)
     val srcDir = graft.util.Cleanup.registerTempDir(
@@ -322,7 +347,7 @@ object EventStreams {
     * run — asserted in MergeTableSpec and oracle-checked end-to-end
     * (q141, same latest-per-key oracle as q64). */
   def streamUpsertCrashResume(spark: SparkSession, dir: String,
-                              tableDir: String, nFiles: Int = 3,
+                              tableDir: String, nFiles: Int = 2,
                               crashAfterBatch: Long = 0L): DataFrame = {
     import graft.layout.MergeTable
     val filesDir = sharedSplitDir(spark, dir, nFiles)
@@ -444,8 +469,10 @@ object EventStreams {
     * emitted exactly once, so the spool IS the deduplicated stream. */
   def streamingDedupRun(spark: SparkSession, dir: String,
                         delay: String = "10 minutes"): DataFrame =
+    // noDataBatch off: dedup emits each first arrival eagerly in its data
+    // batch; the final empty batch would only evict state (spoolRun doc)
     spoolRun(spark, duplicatedEventsDir(dir).toString, "append",
-        maxFilesPerTrigger = Some(1)) { ev =>
+        maxFilesPerTrigger = Some(1), noDataBatch = false) { ev =>
       ev.withWatermark("ts", delay)
         .dropDuplicatesWithinWatermark("event_id")
     }
@@ -591,12 +618,14 @@ object EventStreams {
     * ≥ 2 yields the identical settled region (range partitioning means
     * no late rows; the AvailableNow final no-data batch advances the
     * watermark to maxTs − delay, far past the `safety` cutoff, flushing
-    * every settled no-match verdict). 4 batches demonstrate the
-    * multi-batch watermark advance while paying half of 8's per-batch
-    * stateful spin-up + 4-store commit protocol. */
+    * every settled no-match verdict). 2 batches are the minimum that
+    * still demonstrates the multi-batch watermark advance — the per-batch
+    * cost is a full stateful outer-join step committing 4 state stores
+    * per shuffle partition, pure replay protocol (r10 cut 8→4, r11 4→2;
+    * oracle-identical at every count, per this doc's invariant). */
   def streamOuterJoinRun(spark: SparkSession, dir: String,
                          leftType: String, rightType: String,
-                         nFiles: Int = 4,
+                         nFiles: Int = 2,
                          safety: String = "5 days"): DataFrame = {
     val split = timeSplitEventsDir(spark, dir, nFiles)
     val spooled = spoolRun(spark, s"$split/files", "append",

@@ -99,18 +99,18 @@ STREAMING = {"q35_stream_tumbling", "q37_stream_sliding", "q38_session_window",
              "q39_stateful_sessions", "q58_stream_join", "q155_stream_dedup"}
 STREAMING_MIN_SPARK = 3.5   # quiet-host; scaled by measured host_load
 
-# q156 replays the month as 4 time-ordered micro-batches so the watermark
-# advances (stream-stream LEFT OUTER join: the null-side emission requires
-# watermark movement a single-batch source never produces; any batch count
-# >= 2 yields the identical settled region). Each batch is a full stateful
-# outer-join step committing 4 state stores per shuffle partition — 64
-# delta-file commits plus the final no-data flush, ~5.3 s measured
-# quiet-host at sf0.1; host_load scaling covers the driver host's measured
-# 1.2-1.5x factor. Pure protocol cost that amortizes over batch duration
-# at scale: the ScaleCheck probe measures per-event cost FALLING
-# (43 -> 3.4 µs/event).
+# q156 replays the month as 2 time-ordered micro-batches (r11; was 4, was
+# 8) so the watermark advances (stream-stream LEFT OUTER join: the
+# null-side emission requires watermark movement a single-batch source
+# never produces; any batch count >= 2 yields the identical settled
+# region). Each batch is a full stateful outer-join step committing 4
+# state stores per shuffle partition, plus the final no-data flush —
+# ~3.0-3.4 s measured at sf0.1; host_load scaling covers the driver
+# host's measured 1.2-1.5x factor. Pure protocol cost that amortizes over
+# batch duration at scale: the ScaleCheck probe measures per-event cost
+# FALLING (43 -> 3.4 µs/event).
 REPLAY_STREAMING = {"q156_stream_outer_join"}
-REPLAY_STREAMING_MIN_SPARK = 7.0  # quiet-host; scaled by measured host_load
+REPLAY_STREAMING_MIN_SPARK = 5.0  # quiet-host; scaled by measured host_load
 
 # Multi-stage compositions pay each stage's fixed cost (scan scheduling,
 # codegen, checkpoint materialization at the fan-out) once per stage;
@@ -121,19 +121,20 @@ COMPOSITION = {"q168_curation_v2"}
 COMPOSITION_MIN_SPARK = 3.5  # quiet-host; scaled by measured host_load
 
 # Transactional-load queries execute the full multi-commit protocol the
-# closed-form oracle never performs: q63 runs TWO MergeTable commits (each a
-# checkpoint + stats action + partitioned snapshot write + manifest swap)
-# plus a versioned read-back; q64 runs THREE foreachBatch commits inside a
-# streaming query (micro-batch spin-up on top). The DuckDB SQL states the
-# final table analytically in one SELECT, so the ratio below this floor
-# measures protocol I/O that amortizes at scale (commit cost is delta-
-# proportional), not plan inefficiency. Measured 2.4-4.9 s at sf0.1
-# quiet-host depending on JIT warmth (q141, the two-streaming-query
-# crash-resume proof, is the heaviest); host_load scaling covers the
-# driver host's measured 1.2-1.5x factor.
+# closed-form oracle never performs: q63 runs TWO MergeTable commits (each
+# a checkpoint — whose job also delivers the batch stats as observe()
+# metrics since r11 — + CAS claim + partitioned snapshot write + manifest
+# swap) plus a versioned read-back; q64 runs TWO foreachBatch commits
+# (r11; was 3) inside a streaming query (micro-batch spin-up on top). The
+# DuckDB SQL states the final table analytically in one SELECT, so the
+# ratio below this floor measures protocol I/O that amortizes at scale
+# (commit cost is delta-proportional), not plan inefficiency. Measured
+# 1.7-2.5 s at sf0.1 depending on JIT warmth (q141, the
+# two-streaming-query crash-resume proof, is the heaviest); host_load
+# scaling covers the driver host's measured 1.2-1.5x factor.
 MULTI_COMMIT = {"q63_merge_upsert", "q64_stream_upsert",
                 # q141 deliberately runs TWO streaming queries (crash +
-                # checkpoint-resume) over three MERGE commits to prove
+                # checkpoint-resume) over two MERGE commits to prove
                 # exactly-once replay; the oracle is one SELECT
                 "q141_stream_replay",
                 # time-travel / CDC read a memoized two-commit table (no
@@ -143,7 +144,7 @@ MULTI_COMMIT = {"q63_merge_upsert", "q64_stream_upsert",
                 "q66_time_travel", "q67_cdc_diff",
                 # schema evolution runs the same two-commit protocol as q63
                 "q77_schema_evolution"}
-MULTI_COMMIT_MIN_SPARK = 6.0  # quiet-host; scaled by measured host_load
+MULTI_COMMIT_MIN_SPARK = 4.5  # quiet-host; scaled by measured host_load
 
 
 # queries with no standalone DuckDB timing (their oracles read
