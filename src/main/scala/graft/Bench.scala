@@ -300,6 +300,16 @@ object Bench {
       val signed = if (err.isDefined) -v else v
       math.round(signed * 1000).toString
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${ms(value)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"errors":$errs,"warnings":$warns,"host_load":${f"$hostLoad%.2f"},"sf":"$sfDir","t_ms_order":"ascending query name","t_ms":$tMs}""")
+    val compact = s"""{"metric":"total","value":${ms(value)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"errors":$errs,"warnings":$warns,"host_load":${f"$hostLoad%.2f"},"sf":"$sfDir","t_ms_order":"ascending query name","t_ms":$tMs}"""
+    println(compact)
+    // belt-and-braces for the driver's log-tail capture (whose parsed
+    // field has been null since r3 because sbt's [success] banner follows
+    // our last line): the full artifact also lands at a FIXED path any
+    // consumer can read without log parsing. The in-log lines above remain
+    // the artifact of record.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_bench_latest.json"),
+      compact.getBytes("UTF-8"))
+    catch { case _: Exception => () }
   }
 }
