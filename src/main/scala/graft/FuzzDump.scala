@@ -105,7 +105,7 @@ object FuzzDump {
   /** Renders the SAME random decisions as a DataFrame plan over `l`/`r` and
     * as ANSI SQL over tables `l`/`r`. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame): Gen = {
-    rnd.nextInt(10) match {
+    rnd.nextInt(16) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -259,6 +259,97 @@ object FuzzDump {
           s"SELECT id, s, ts, DATE_TRUNC('day', ts) AS day FROM l " +
             s"ORDER BY s ASC NULLS FIRST, id LIMIT $n",
           "order_collation_limit")
+
+      case 10 =>
+        // NOT IN's three-valued trap: one null in the subquery empties the
+        // result, a null probe key never qualifies. The DataFrame-side
+        // translation is an anti join whose condition ALSO matches on
+        // either side being null — the naive left_anti on equality is
+        // wrong, which is exactly what this family exists to catch.
+        if (rnd.nextBoolean()) Gen(
+          l.join(r.select(col("k").as("__rk")),
+              col("k") === col("__rk") || col("k").isNull || col("__rk").isNull,
+              "left_anti")
+            .select(col("id"), col("k"), col("v")),
+          "SELECT id, k, v FROM l WHERE k NOT IN (SELECT k FROM r)",
+          "not_in_subquery")
+        else Gen(
+          l.join(r.select(col("k").as("__rk")), col("k") === col("__rk"),
+              "left_semi")
+            .select(col("id"), col("k"), col("v")),
+          "SELECT id, k, v FROM l WHERE k IN (SELECT k FROM r)",
+          "in_subquery")
+
+      case 11 => // correlated EXISTS / NOT EXISTS with a non-equi correlate
+        if (rnd.nextBoolean()) Gen(
+          l.join(r, l("k") === r("k") && r("w") > l("v"), "left_semi")
+            .select(l("id"), l("k"), l("v")),
+          "SELECT id, k, v FROM l WHERE EXISTS (" +
+            "SELECT 1 FROM r WHERE r.k = l.k AND r.w > l.v)",
+          "exists_correlated")
+        else Gen(
+          l.join(r, l("k") === r("k") && r("w") > l("v"), "left_anti")
+            .select(l("id"), l("k"), l("v")),
+          "SELECT id, k, v FROM l WHERE NOT EXISTS (" +
+            "SELECT 1 FROM r WHERE r.k = l.k AND r.w > l.v)",
+          "not_exists_correlated")
+
+      case 12 => // CUBE + grouping level disambiguation: Spark grouping_id
+        // (bit-packed, first col = MSB) ≡ GROUPING(k)*2 + GROUPING(s) in
+        // ANSI/DuckDB — the null-vs-rolled-up tell the plain ROLLUP family
+        // cannot make
+        Gen(
+          l.cube(col("k"), col("s"))
+            .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+              grouping_id().as("gid")),
+          "SELECT k, s, COUNT(*) AS n, SUM(v) AS sv, " +
+            "GROUPING(k)*2 + GROUPING(s) AS gid FROM l GROUP BY CUBE (k, s)",
+          "cube_grouping_id")
+
+      case 13 => // CASE / three-valued logic / least-greatest null handling
+        // (both engines: LEAST/GREATEST ignore NULLs, null only on all-null)
+        Gen(
+          l.select(col("id"),
+            when(col("v") > 0, "pos").when(col("v") < 0, "neg")
+              .otherwise("zero_or_null").as("sign"),
+            least(col("v"), col("k")).as("lo"),
+            greatest(col("v"), col("k")).as("hi"),
+            nullif(col("k"), col("v")).as("nif"),
+            (col("v") > 0 || col("k") > 2).as("tv_or"),
+            (col("v") > 0 && col("k") > 2).as("tv_and")),
+          "SELECT id, CASE WHEN v > 0 THEN 'pos' WHEN v < 0 THEN 'neg' " +
+            "ELSE 'zero_or_null' END AS sign, " +
+            "LEAST(v, k) AS lo, GREATEST(v, k) AS hi, NULLIF(k, v) AS nif, " +
+            "(v > 0 OR k > 2) AS tv_or, (v > 0 AND k > 2) AS tv_and FROM l",
+          "case_three_valued")
+
+      case 14 => // date/time conventions: dayofweek is 1=Sunday..7 in Spark
+        // but dow() is 0=Sunday..6 in DuckDB — the SQL must add 1; hour/
+        // day extraction and interval shifts are ANSI-aligned
+        Gen(
+          l.filter(col("ts").isNotNull).groupBy(
+              date_trunc("hour", col("ts")).as("hr"),
+              dayofweek(col("ts")).as("dow1"))
+            .agg(count(lit(1)).as("n"),
+              max(col("ts") + expr("INTERVAL 90 minutes")).as("shifted")),
+          "SELECT DATE_TRUNC('hour', ts) AS hr, date_part('dow', ts) + 1 AS dow1, " +
+            "COUNT(*) AS n, MAX(ts + INTERVAL 90 MINUTE) AS shifted " +
+            "FROM l WHERE ts IS NOT NULL GROUP BY 1, 2",
+          "datetime_conventions")
+
+      case 15 => // ordered string aggregation: Spark has no string_agg with
+        // ORDER BY — sort-then-join over collect_list (which DROPS nulls,
+        // matching string_agg's null skipping); empty groups must yield
+        // NULL on both sides, hence the size guard
+        Gen(
+          l.groupBy(col("k"))
+            .agg(when(size(sort_array(collect_list(col("s")))) > 0,
+              array_join(sort_array(collect_list(col("s"))), "|"))
+              .as("cat"),
+              count(col("s")).as("ns")),
+          "SELECT k, STRING_AGG(s, '|' ORDER BY s) AS cat, COUNT(s) AS ns " +
+            "FROM l GROUP BY k",
+          "string_agg_ordered")
     }
   }
 
