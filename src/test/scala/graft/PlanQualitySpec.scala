@@ -235,6 +235,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q172: Q2 on REAL partsupp decorrelates to an aggregate+join, no per-row subquery") {
+    val p = physical("q172_sql_q2_partsupp")
+    assert(!p.contains("ScalarSubquery"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("min("), p)
+  }
+
+  test("q173: Q11 on REAL partsupp plans as two aggregates + filter, no per-row subquery") {
+    val p = physical("q173_sql_q11_partsupp")
+    assert(!p.contains("InSubquery"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q165: mixture draw plans WindowGroupLimit — map-side rank pruning before the source exchange") {
     val p = physical("q165_mixture_sample")
     // the literal budget bound (quota ≤ budget by construction) is what
