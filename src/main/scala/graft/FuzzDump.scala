@@ -98,14 +98,37 @@ object FuzzDump {
     }
   }
 
+  /** As-of right side: (k, rt, w) with UNIQUE (k, rt) — DuckDB's ASOF JOIN
+    * leaves the pick among exact-duplicate timestamps unspecified, so the
+    * generator removes the ambiguity both engines would tie-break
+    * differently. Null k rows stay in (they must match NOTHING per SQL
+    * semantics — the trap this family exists to probe). */
+  private val aSchema = StructType(Seq(
+    StructField("k", IntegerType, nullable = true),
+    StructField("rt", TimestampType, nullable = false),
+    StructField("w", IntegerType, nullable = false)))
+
+  private def genA(rnd: scala.util.Random): Seq[Row] = {
+    val epoch = 1700000000L
+    val n = 1 + rnd.nextInt(30)
+    (0 until n).map { i =>
+      ( if (rnd.nextInt(100) < 15) null else Int.box(rnd.nextInt(6)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          epoch + rnd.nextInt(14) * 86400 + rnd.nextInt(24) * 3600)),
+        Int.box(i))
+    }.groupBy(r => (r._1, r._2)).map(_._2.head)
+      .map(r => Row(r._1, r._2, r._3)).toSeq
+  }
+
   // ---- one generated case: (DataFrame plan, equivalent ANSI SQL) --------
 
   private case class Gen(df: DataFrame, sql: String, family: String)
 
-  /** Renders the SAME random decisions as a DataFrame plan over `l`/`r` and
-    * as ANSI SQL over tables `l`/`r`. Column aliases match exactly. */
-  private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame): Gen = {
-    rnd.nextInt(16) match {
+  /** Renders the SAME random decisions as a DataFrame plan over `l`/`r`/`a`
+    * and as ANSI SQL over the same views. Column aliases match exactly. */
+  private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
+                       a: DataFrame): Gen = {
+    rnd.nextInt(17) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -350,6 +373,22 @@ object FuzzDump {
           "SELECT k, STRING_AGG(s, '|' ORDER BY s) AS cat, COUNT(s) AS ns " +
             "FROM l GROUP BY k",
           "string_agg_ordered")
+
+      case 16 => // the engine's OWN as-of operator vs DuckDB's native
+        // ASOF JOIN: latest right row with rt <= ts per key. This is the
+        // lane's first family over a custom operator rather than
+        // SQL-expressible relational algebra — null keys and null left
+        // timestamps must match NOTHING (SQL comparison semantics).
+        Gen(
+          graft.ops.Relational.asofJoin(
+            l.filter(col("ts").isNotNull)
+              .select(col("id"), col("k"), col("ts")),
+            a.select(col("k"), col("rt"), col("w")),
+            "k", "ts", "rt", Seq("w")),
+          "SELECT l.id AS id, l.k AS k, l.ts AS ts, a.w AS w " +
+            "FROM (SELECT id, k, ts FROM l WHERE ts IS NOT NULL) l " +
+            "ASOF LEFT JOIN a ON l.k = a.k AND l.ts >= a.rt",
+          "asof_join")
     }
   }
 
@@ -380,10 +419,14 @@ object FuzzDump {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rRows, 3), rSchema)
         .write.mode("overwrite").parquet(s"$caseDir/r.parquet")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(genA(rnd), 2), aSchema)
+        .write.mode("overwrite").parquet(s"$caseDir/a.parquet")
       // both engines read the parquet back — identical input bits
       val l = spark.read.parquet(s"$caseDir/l.parquet")
       val r = spark.read.parquet(s"$caseDir/r.parquet")
-      val g = genQuery(rnd, l, r)
+      val a = spark.read.parquet(s"$caseDir/a.parquet")
+      val g = genQuery(rnd, l, r, a)
       g.df.coalesce(1).write.mode("overwrite").parquet(s"$caseDir/spark")
       val json =
         s"""{"seed": $seed, "family": "${g.family}",

@@ -174,8 +174,17 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
     val lCols = left.columns
+    // NULL join keys match NOTHING (SQL comparison semantics, identical to
+    // every equi-join in the engine and to a native ASOF JOIN): drop
+    // null-key RIGHT rows before the union — the window's partitionBy
+    // would otherwise group null-key rows of both sides together and
+    // carry values between them. Null-key LEFT rows then land in a
+    // partition with no right rows and carry null, exactly the SQL
+    // answer. Caught by the r11 cross-engine fuzz lane (asof_join family,
+    // seeds 3003/3050 vs DuckDB ASOF LEFT JOIN).
+    val rightKeyed = right.filter(col(key).isNotNull)
     // tag sides, align schemas: left rows carry null payload, right rows null left-cols
-    val rTagged = right.select(
+    val rTagged = rightKeyed.select(
       (col(key).as("__key") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
         carry.map(c => col(c).as(s"__c_$c")) ++: lCols.toIndexedSeq.map(c => lit(null).cast(
           left.schema(c).dataType).as(c))): _*)
@@ -224,7 +233,10 @@ object Relational {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"direction must be backward|forward|nearest, got '$direction'")
     val lCols = left.columns
-    val rTagged = right.select(
+    // null keys match nothing — same rule and same fuzz-caught rationale
+    // as [[asofJoin]]
+    val rightKeyed = right.filter(col(key).isNotNull)
+    val rTagged = rightKeyed.select(
       (col(key).as("__key") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
         col(rightTs).as("__c___rts") +:
         carry.map(c => col(c).as(s"__c_$c")) ++: lCols.toIndexedSeq.map(c =>

@@ -73,4 +73,29 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.count() === 1)
     assert(out.select("tag").head().isNullAt(0))
   }
+
+  test("null join keys match NOTHING (SQL comparison semantics; r11 fuzz-caught)") {
+    // the union+window compose would otherwise group null-key rows of both
+    // sides in one window partition and carry values between them —
+    // divergent from a native ASOF JOIN's ON l.k = r.k (caught by the
+    // cross-engine fuzz lane vs DuckDB, seeds 3003/3050)
+    val left = Seq((1L, Option("u"), 100L), (2L, None: Option[String], 100L))
+      .toDF("id", "k", "t")
+    val right = Seq((Option("u"), 90L, "a"), (None: Option[String], 50L, "nk"))
+      .toDF("k", "t", "tag")
+    val out = Relational.asofJoin(left, right, "k", "t", "t", Seq("tag"))
+      .select("id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(out === Map(1L -> Some("a"), 2L -> None))
+    def ts(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val lts = Seq((1L, Option("u"), ts(100)), (2L, None: Option[String], ts(100)))
+      .toDF("id", "k", "t")
+    val rts = Seq((Option("u"), ts(90), 9.0), (None: Option[String], ts(50), 5.0))
+      .toDF("k", "t", "v")
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val d = Relational.asofJoinDirectional(lts, rts, "k", "t", "t",
+          Seq("v"), dir, None)
+        .select("id", "v").as[(Long, Option[Double])].collect().toMap
+      assert(d(2L) === None, s"direction $dir must not match a null key")
+    }
+  }
 }

@@ -60,6 +60,7 @@ def main(fuzz_dir: str) -> int:
         con.sql("SET TimeZone='UTC'")
         con.sql(f"CREATE VIEW l AS SELECT * FROM read_parquet('{cd}/l.parquet/*.parquet')")
         con.sql(f"CREATE VIEW r AS SELECT * FROM read_parquet('{cd}/r.parquet/*.parquet')")
+        con.sql(f"CREATE VIEW a AS SELECT * FROM read_parquet('{cd}/a.parquet/*.parquet')")
         try:
             exp = con.sql(sql).df()
         except Exception as e:
