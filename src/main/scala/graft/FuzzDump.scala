@@ -128,7 +128,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(17) match {
+    rnd.nextInt(19) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -389,6 +389,47 @@ object FuzzDump {
             "FROM (SELECT id, k, ts FROM l WHERE ts IS NOT NULL) l " +
             "ASOF LEFT JOIN a ON l.k = a.k AND l.ts >= a.rt",
           "asof_join")
+
+      case 17 => // the engine's sessionize operator vs a window emulation:
+        // gap-start flags + running session counter + per-session rollup.
+        // Null user keys group together in BOTH renderings (window
+        // partitions treat null as one group) — consistent by design.
+        val gap = Seq(1800L, 3600L, 7200L)(rnd.nextInt(3))
+        Gen(
+          graft.ops.Relational.sessionize(
+            l.filter(col("ts").isNotNull), "k", "ts", "id", gap),
+          s"""WITH e AS (SELECT k, id, epoch_us(ts) AS us, ts FROM l WHERE ts IS NOT NULL),
+             |st AS (SELECT k, id, us,
+             |  CASE WHEN lag(us) OVER w IS NULL
+             |         OR us - lag(us) OVER w > ${gap * 1000000L} THEN 1 ELSE 0 END AS s0
+             |  FROM e WINDOW w AS (PARTITION BY k ORDER BY ts, id)),
+             |s2 AS (SELECT k, us, SUM(s0) OVER (PARTITION BY k ORDER BY us, id
+             |  ROWS UNBOUNDED PRECEDING) AS sess FROM st)
+             |SELECT k, sess, MIN(us) AS start_us, MAX(us) AS end_us,
+             |  COUNT(*) AS n_events, MAX(us) - MIN(us) AS dur_us
+             |FROM s2 GROUP BY k, sess""".stripMargin,
+          "sessionize")
+
+      case 18 => // the engine's SCD2 history build vs a window emulation:
+        // change-row filter (IS DISTINCT FROM with a first-row guard via
+        // the lagged tiebreak), then valid_from/valid_to over the FILTERED
+        // change set — the lead must be re-evaluated post-filter.
+        Gen(
+          graft.ops.Relational.scd2FromLog(
+            l.filter(col("ts").isNotNull).select("id", "k", "s", "ts"),
+            "k", "s", "ts", "id"),
+          """WITH e AS (SELECT k, id, s, ts FROM l WHERE ts IS NOT NULL),
+            |x AS (SELECT k, id, s, ts, lag(s) OVER w AS prev,
+            |  lag(id) OVER w AS prev_tb
+            |  FROM e WINDOW w AS (PARTITION BY k ORDER BY ts ASC, id ASC)),
+            |f AS (SELECT k, id, s, ts FROM x
+            |  WHERE prev_tb IS NULL OR (s IS DISTINCT FROM prev))
+            |SELECT k, id, s, valid_from, valid_to,
+            |  (valid_to IS NULL) AS is_current
+            |FROM (SELECT k, id, s, ts AS valid_from,
+            |  lead(ts) OVER (PARTITION BY k ORDER BY ts, id) AS valid_to
+            |  FROM f)""".stripMargin,
+          "scd2_history")
     }
   }
 
