@@ -128,7 +128,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(19) match {
+    rnd.nextInt(22) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -430,6 +430,77 @@ object FuzzDump {
             |  lead(ts) OVER (PARTITION BY k ORDER BY ts, id) AS valid_to
             |  FROM f)""".stripMargin,
           "scd2_history")
+
+      case 19 => // the engine's funnel operator vs chained conditional
+        // window-min CTEs: each t_i = min(ts WHERE type=s_i AND ts>t_{i-1})
+        // over the user partition. Steps drawn from the collation-trap
+        // pool (case variants, trailing/leading space, unicode) — binary
+        // IN/equality in both engines. Null users form one window
+        // partition on both sides; null-ts events never win a min.
+        val pool = Seq("alpha", "Alpha", "beta", "beta ", " alpha", "gamma",
+          "délta")
+        val nSteps = 2 + rnd.nextInt(2)
+        val steps = rnd.shuffle(pool).take(nSteps)
+        val stepList = steps.map(s => s"'$s'").mkString(", ")
+        val ctes = new StringBuilder(
+          s"WITH e AS (SELECT k, s AS typ, ts FROM l WHERE s IN ($stepList))")
+        var prev = "e"
+        steps.zipWithIndex.foreach { case (st, i) =>
+          val cond =
+            if (i == 0) s"typ = '$st'" else s"typ = '$st' AND ts > t$i"
+          ctes.append(s", w${i + 1} AS (SELECT *, " +
+            s"min(CASE WHEN $cond THEN ts END) OVER (PARTITION BY k) " +
+            s"AS t${i + 1} FROM $prev)")
+          prev = s"w${i + 1}"
+        }
+        val proj = (1 to nSteps).map(i => s"min(t$i) AS t$i").mkString(", ")
+        Gen(
+          graft.ops.Relational.funnel(l, "k", "s", "ts", steps),
+          ctes.toString +
+            s" SELECT k, $proj FROM $prev WHERE t1 IS NOT NULL GROUP BY k",
+          "funnel")
+
+      case 20 => // the engine's retention-cohort matrix vs a two-agg + join
+        // emulation; ISO Monday-anchored date_trunc('week') in both
+        // engines, week_n re-derived from epoch microseconds.
+        Gen(
+          graft.ops.Relational.retentionCohorts(
+            l.filter(col("ts").isNotNull), "k", "ts"),
+          """WITH e AS (SELECT k, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+            |  FROM l WHERE ts IS NOT NULL),
+            |f AS (SELECT k, min(wk) AS cohort_week FROM e GROUP BY k),
+            |a2 AS (SELECT DISTINCT k, wk AS act_week FROM e)
+            |SELECT cohort_week, act_week, count(DISTINCT k) AS n_users,
+            |  CAST(FLOOR((epoch_us(act_week) - epoch_us(cohort_week))
+            |    / 604800000000.0) AS BIGINT) AS week_n
+            |FROM a2 JOIN f USING (k)
+            |GROUP BY cohort_week, act_week""".stripMargin,
+          "retention")
+
+      case 21 => // the engine's per-group equi-width histogram vs the same
+        // bucket arithmetic in SQL: bounds agg, broadcast-join, bin =
+        // least(floor((v-mn)/(mx-mn)*bins), bins-1) with the mx=mn -> 0
+        // constant-group rule, lo_edge floor-truncated at 1e-6. All-null
+        // groups emit one null-bin row on both sides; null join keys drop.
+        val bins = Seq(3, 4, 5, 7)(rnd.nextInt(4))
+        val (vc, vSql) =
+          Seq(("v", "CAST(v AS DOUBLE)"), ("d", "d"))(rnd.nextInt(2))
+        Gen(
+          graft.ops.Relational.histogram(l, "k", vc, bins),
+          s"""WITH b AS (SELECT k, min($vSql) AS mn, max($vSql) AS mx
+             |  FROM l GROUP BY k),
+             |j AS (SELECT l.k AS k, $vSql AS vv, b.mn, b.mx
+             |  FROM l JOIN b USING (k)),
+             |c AS (SELECT k, mn, mx,
+             |  CASE WHEN mx = mn THEN 0
+             |       ELSE LEAST(CAST(FLOOR((vv - mn) / (mx - mn) * $bins)
+             |                       AS BIGINT), $bins - 1)
+             |  END AS bin FROM j)
+             |SELECT k, bin,
+             |  FLOOR((mn + bin * (mx - mn) / $bins) * 1e6) / 1e6 AS lo_edge,
+             |  count(*) AS n
+             |FROM c GROUP BY k, bin, mn, mx""".stripMargin,
+          "histogram")
     }
   }
 
