@@ -35,4 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // overflow the 240m JDK17 default; when it fills, the JIT silently stops
   // compiling and every later query runs interpreted-slow.
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++
+  // extra JVM flags for A/B experiments (e.g. JIT tiering/compiler-thread
+  // knobs) without editing the build: space-separated in SPARK_GRAFT_JVM
+  sys.env.get("SPARK_GRAFT_JVM").map(_.trim).filter(_.nonEmpty)
+    .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)
