@@ -128,7 +128,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(22) match {
+    rnd.nextInt(26) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -478,10 +478,11 @@ object FuzzDump {
           "retention")
 
       case 21 => // the engine's per-group equi-width histogram vs the same
-        // bucket arithmetic in SQL: bounds agg, broadcast-join, bin =
+        // bucket arithmetic in SQL: bounds agg, null-safe group join-back
+        // (the null-key stratum is a group, not droppable), bin =
         // least(floor((v-mn)/(mx-mn)*bins), bins-1) with the mx=mn -> 0
         // constant-group rule, lo_edge floor-truncated at 1e-6. All-null
-        // groups emit one null-bin row on both sides; null join keys drop.
+        // groups emit one null-bin row on both sides.
         val bins = Seq(3, 4, 5, 7)(rnd.nextInt(4))
         val (vc, vSql) =
           Seq(("v", "CAST(v AS DOUBLE)"), ("d", "d"))(rnd.nextInt(2))
@@ -490,7 +491,7 @@ object FuzzDump {
           s"""WITH b AS (SELECT k, min($vSql) AS mn, max($vSql) AS mx
              |  FROM l GROUP BY k),
              |j AS (SELECT l.k AS k, $vSql AS vv, b.mn, b.mx
-             |  FROM l JOIN b USING (k)),
+             |  FROM l JOIN b ON (l.k IS NOT DISTINCT FROM b.k)),
              |c AS (SELECT k, mn, mx,
              |  CASE WHEN mx = mn THEN 0
              |       ELSE LEAST(CAST(FLOOR((vv - mn) / (mx - mn) * $bins)
@@ -501,6 +502,96 @@ object FuzzDump {
              |  count(*) AS n
              |FROM c GROUP BY k, bin, mn, mx""".stripMargin,
           "histogram")
+
+      case 22 => // MAD outlier profile vs the quantile_cont emulation (the
+        // q118 authoring pattern) over random null-heavy groups: all-null
+        // groups carry NULL med/mad through to n_outliers=0 on both sides;
+        // percentile/quantile_cont share the (n-1)p linear interpolation,
+        // pinned by round(...,4) before reuse on BOTH engines.
+        val kMad = Seq(1.0, 2.0, 3.0)(rnd.nextInt(3))
+        val (mc, mSql) = Seq(("v", "v"), ("d", "d"))(rnd.nextInt(2))
+        Gen(
+          graft.ops.Relational.madOutliers(l, "k", mc, kMad),
+          s"""WITH m AS (SELECT k, round(quantile_cont($mSql, 0.5), 4) AS med,
+             |    count(*) AS n
+             |  FROM l GROUP BY k),
+             |md AS (SELECT e.k, m.med, m.n,
+             |    round(quantile_cont(abs(e.$mSql - m.med), 0.5), 4) AS mad
+             |  FROM l e JOIN m ON (m.k IS NOT DISTINCT FROM e.k)
+             |  GROUP BY e.k, m.med, m.n)
+             |SELECT e.k, md.n, md.med, md.mad,
+             |  CAST(sum(CASE WHEN abs(e.$mSql - md.med) > $kMad * md.mad
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM l e JOIN md ON (md.k IS NOT DISTINCT FROM e.k)
+             |GROUP BY e.k, md.n, md.med, md.mad""".stripMargin,
+          "mad_outliers")
+
+      case 23 => // winsorized clipped mean vs the q111 authoring pattern:
+        // exact percentile bounds rounded to 4 decimals BEFORE clipping,
+        // DECIMAL(18,6) exact sum, n counts null-value rows too (the
+        // count(*)-vs-clip-ignores-null cranny this family exists for).
+        val (pLo, pHi) = Seq((0.05, 0.95), (0.1, 0.9), (0.25, 0.75))(rnd.nextInt(3))
+        val (wc, wSql) = Seq(("v", "v"), ("d", "d"))(rnd.nextInt(2))
+        Gen(
+          graft.ops.Relational.winsorizedStats(l, "k", wc, pLo, pHi),
+          s"""WITH b AS (SELECT k,
+             |    round(quantile_cont($wSql, $pLo), 4) AS lo,
+             |    round(quantile_cont($wSql, $pHi), 4) AS hi,
+             |    count(*) AS n
+             |  FROM l GROUP BY k)
+             |SELECT e.k, b.n, b.lo, b.hi,
+             |  floor(CAST(sum(CAST(least(greatest(e.$wSql, b.lo), b.hi)
+             |      AS DECIMAL(18,6))) AS DOUBLE) / b.n * 1e6) / 1e6
+             |    AS clipped_mean
+             |FROM l e JOIN b ON (b.k IS NOT DISTINCT FROM e.k)
+             |GROUP BY e.k, b.n, b.lo, b.hi""".stripMargin,
+          "winsorized")
+
+      case 24 => // gap-filled bucket counts vs a generate_series grid: the
+        // grid is (distinct keys incl. NULL) × (bucket sequence); the
+        // count join-back is NULL-SAFE on the key so the null-key
+        // stratum's real counts land on its grid rows. All-null-ts input
+        // → NULL bounds → empty series → empty result on both sides.
+        val step = Seq(3600, 7200, 86400)(rnd.nextInt(3))
+        Gen(
+          graft.ops.Relational.gapFillCounts(l, "k", "ts", step),
+          s"""WITH b2 AS (SELECT k, CAST(to_timestamp(FLOOR(epoch(ts) / $step)
+             |    * $step) AS TIMESTAMP) AS bucket FROM l),
+             |c AS (SELECT k, bucket, count(*) AS n FROM b2
+             |  WHERE bucket IS NOT NULL GROUP BY k, bucket),
+             |bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b2),
+             |grid AS (SELECT unnest(generate_series(lo, hi,
+             |    INTERVAL ($step) SECOND)) AS bucket FROM bounds),
+             |keys AS (SELECT DISTINCT k FROM l),
+             |g AS (SELECT keys.k, grid.bucket FROM grid CROSS JOIN keys)
+             |SELECT g.k, g.bucket, COALESCE(c.n, 0) AS n
+             |FROM g LEFT JOIN c
+             |  ON (g.k IS NOT DISTINCT FROM c.k AND g.bucket = c.bucket)""".stripMargin,
+          "gapfill")
+
+      case 25 => // the bounded-heap top_k_by aggregate vs a row_number
+        // emulation: identical (ord DESC, payload ASC) keep order, null
+        // payload/ord rows skipped by the heap and the WHERE alike, empty
+        // groups emit one all-null row via posexplode_outer / LEFT JOIN.
+        graft.functions.TopKFunctions.ensureRegistered(l.sparkSession)
+        val kTop = 1 + rnd.nextInt(4)
+        Gen(
+          l.groupBy(col("k"))
+            .agg(expr(s"top_k_by(cast(id as bigint), cast(v as double), $kTop)")
+              .as("tk"))
+            .select(col("k"), posexplode_outer(col("tk")))
+            .select(col("k"), col("pos"),
+              col("col.payload").as("payload"), col("col.ord").as("ord")),
+          s"""WITH f AS (SELECT k, CAST(id AS BIGINT) AS payload,
+             |    CAST(v AS DOUBLE) AS ord FROM l WHERE v IS NOT NULL),
+             |r AS (SELECT k, payload, ord, row_number() OVER
+             |    (PARTITION BY k ORDER BY ord DESC, payload ASC) AS rn
+             |  FROM f),
+             |kk AS (SELECT DISTINCT k FROM l)
+             |SELECT kk.k, r2.rn - 1 AS pos, r2.payload, r2.ord
+             |FROM kk LEFT JOIN (SELECT * FROM r WHERE rn <= $kTop) r2
+             |  ON (kk.k IS NOT DISTINCT FROM r2.k)""".stripMargin,
+          "topk_by")
     }
   }
 

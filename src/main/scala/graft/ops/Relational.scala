@@ -344,7 +344,16 @@ object Relational {
     val grid = bounds
       .select(explode(expr(s"sequence(lo, hi, interval $stepSec seconds)")).as("bucket"))
       .crossJoin(df.select(col(key)).distinct())
-    grid.join(counts, Seq(key, "bucket"), "left").na.fill(0L, Seq("n"))
+    // `<=>` on the key: the null-key group gap-fills like any other
+    // stratum (its counts must land on the grid, not vanish into n=0 —
+    // see joinGroupNullSafe); buckets in the grid are never null
+    grid.join(
+        counts.withColumnRenamed(key, "__gkey")
+          .withColumnRenamed("bucket", "__gbucket"),
+        col(key) <=> col("__gkey") && col("bucket") === col("__gbucket"),
+        "left")
+      .drop("__gkey", "__gbucket")
+      .na.fill(0L, Seq("n"))
   }
 
   /** Batch sessionization: split each key's event stream into sessions at
@@ -614,6 +623,20 @@ object Relational {
     * decimals BEFORE clipping (the q88 cross-engine parity discipline —
     * interpolation formulas differ in last-ulp between engines), and the
     * clipped mean is a DECIMAL-exact sum over the clamped values. */
+  /** Broadcast join of a grouped-profile table back onto its source with
+    * NULL as a matchable group value (`<=>`): GROUP BY made the null key
+    * a group, so the join-back must keep it — a plain equi-join silently
+    * drops the whole "uncategorized" stratum, which at 100 TB is
+    * invisible data loss (caught by the cross-engine fuzz lane: the
+    * winsorized/MAD/histogram profilers lost every null-key row at this
+    * seam). The grouped side's key is renamed first so the self-derived
+    * lineage cannot trip ambiguous-self-join resolution. */
+  private def joinGroupNullSafe(df: DataFrame, grouped: DataFrame,
+                                key: String): DataFrame =
+    df.join(broadcast(grouped.withColumnRenamed(key, "__gkey")),
+        col(key) <=> col("__gkey"))
+      .drop("__gkey")
+
   def winsorizedStats(df: DataFrame, key: String, valueCol: String,
                       pLo: Double, pHi: Double): DataFrame = {
     val v = col(valueCol)
@@ -621,7 +644,7 @@ object Relational {
       round(expr(s"percentile($valueCol, $pLo)"), 4).as("lo"),
       round(expr(s"percentile($valueCol, $pHi)"), 4).as("hi"),
       count(lit(1)).as("n"))
-    df.join(broadcast(bounds), Seq(key))
+    joinGroupNullSafe(df, bounds, key)
       .withColumn("__clip", least(greatest(v, col("lo")), col("hi")))
       .groupBy(col(key), col("lo"), col("hi"), col("n"))
       .agg(sum(col("__clip").cast(DecimalType(18, 6))).cast("double")
@@ -650,7 +673,7 @@ object Relational {
       round(expr(s"percentile_approx($valueCol, $pLo, $accuracy)"), 4).as("lo"),
       round(expr(s"percentile_approx($valueCol, $pHi, $accuracy)"), 4).as("hi"),
       count(lit(1)).as("n"))
-    df.join(broadcast(bounds), Seq(key))
+    joinGroupNullSafe(df, bounds, key)
       .withColumn("__clip", least(greatest(v, col("lo")), col("hi")))
       .groupBy(col(key), col("lo"), col("hi"), col("n"))
       .agg(sum(col("__clip").cast(DecimalType(18, 6))).cast("double")
@@ -679,7 +702,7 @@ object Relational {
         floor((v.cast("double") - col("mn")) / (col("mx") - col("mn")) * bins)
           .cast("long"),
         lit(bins - 1L)))
-    df.join(broadcast(bounds), Seq(key))
+    joinGroupNullSafe(df, bounds, key)
       .withColumn("bin", bin)
       .groupBy(col(key), col("bin"), col("mn"), col("mx"))
       .agg(count(lit(1)).as("n"))
@@ -704,10 +727,10 @@ object Relational {
     val med = df.groupBy(col(key))
       .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("med"),
         count(lit(1)).as("n"))
-    val mad = df.join(broadcast(med), Seq(key))
+    val mad = joinGroupNullSafe(df, med, key)
       .groupBy(col(key), col("med"), col("n"))
       .agg(round(expr(s"percentile(abs($valueCol - med), 0.5)"), 4).as("mad"))
-    df.join(broadcast(mad), Seq(key))
+    joinGroupNullSafe(df, mad, key)
       .groupBy(col(key), col("med"), col("mad"), col("n"))
       .agg(sum(when(abs(v - col("med")) > lit(k) * col("mad"), 1L)
         .otherwise(0L)).as("n_outliers"))

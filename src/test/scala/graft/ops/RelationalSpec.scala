@@ -245,6 +245,28 @@ class RelationalSpec extends SparkSpec {
     assert(out.filter(_._1 == "b") === Set(("b", 0L, 7.0, 2L)))
   }
 
+  test("group profilers keep the null-key stratum (fuzz-caught) and still broadcast") {
+    // GROUP BY makes null a group; the join-back must not drop it. Before
+    // the null-safe join fix, every null-key row vanished at this seam.
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 5.0), (None, 7.0))
+      .toDF("k", "v")
+    val hist = Relational.histogram(df, "k", "v", 2)
+    val nullBins = hist.filter(col("k").isNull)
+      .select("bin", "n").as[(Long, Long)].collect().toSet
+    assert(nullBins === Set((0L, 1L), (1L, 1L))) // 5.0 -> bin0, 7.0 -> bin1
+    val win = Relational.winsorizedStats(df, "k", "v", 0.05, 0.95)
+    assert(win.filter(col("k").isNull).count() === 1L)
+    val mad = Relational.madOutliers(df, "k", "v", 3.0)
+    val madNull = mad.filter(col("k").isNull)
+      .select("n", "med").as[(Long, Double)].collect()
+    assert(madNull.toSeq === Seq((2L, 6.0)))
+    // the null-safe `<=>` key is still a hash-joinable equi key: the
+    // profile join-back must stay a broadcast hash join, not degrade to BNLJ
+    val phys = hist.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"expected BroadcastHashJoin in:\n$phys")
+  }
+
   test("funnel: steps must occur in order; out-of-order steps don't count") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val e = Seq(
