@@ -128,7 +128,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(26) match {
+    rnd.nextInt(27) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -592,6 +592,40 @@ object FuzzDump {
              |FROM kk LEFT JOIN (SELECT * FROM r WHERE rn <= $kTop) r2
              |  ON (kk.k IS NOT DISTINCT FROM r2.k)""".stripMargin,
           "topk_by")
+
+      case 26 => // exact-OLS trend + one-step forecast vs the same integer
+        // power sums re-derived in SQL: x = truncated (epoch - group min)/
+        // step, y = value; n counts null rows while every sum skips them
+        // (the count(*)-vs-sum cranny), all-null-x/-y groups carry NULL
+        // slope/forecast through CASE on both sides, constant-x groups hit
+        // the denom=0 -> slope 0 rule, outputs floor-truncated at 1e-6.
+        val step = Seq(3600, 43200, 86400)(rnd.nextInt(3))
+        Gen(
+          graft.ops.Relational.trendForecast(l, "k", "ts", "v", step),
+          s"""WITH s AS (SELECT k,
+             |    CAST(FLOOR((epoch(ts) - min(epoch(ts))
+             |      OVER (PARTITION BY k)) / $step) AS BIGINT) AS x,
+             |    CAST(v AS BIGINT) AS y FROM l),
+             |a AS (SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x*x) AS sxx, sum(x*y) AS sxy, max(x) AS xmax
+             |  FROM s GROUP BY k),
+             |b AS (SELECT *,
+             |    CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx AS denom
+             |  FROM a),
+             |c AS (SELECT k, n, xmax, sx, sy,
+             |    CASE WHEN denom = 0 THEN 0.0
+             |         ELSE (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+             |              / denom END AS sl
+             |  FROM b),
+             |d2 AS (SELECT k, n, xmax, sl,
+             |    (CAST(sy AS DOUBLE) - sl * CAST(sx AS DOUBLE)) / n AS ic
+             |  FROM c)
+             |SELECT k, n, FLOOR(sl*1e6)/1e6 AS slope,
+             |  FLOOR(ic*1e6)/1e6 AS intercept,
+             |  FLOOR((ic + sl*(CAST(xmax AS DOUBLE)+1.0))*1e6)/1e6
+             |    AS forecast_next
+             |FROM d2""".stripMargin,
+          "trend_forecast")
     }
   }
 
