@@ -115,6 +115,18 @@ object ScaleCheck {
         Seq(col("l_returnflag"), col("l_linestatus")),
         Seq(col("l_extendedprice").desc, col("l_orderkey").asc)).count()
     }
+    time("group_profilers", nLi) {
+      // the r11 null-safe join-back path: grouped bounds (broadcast) back
+      // onto the corpus — per-unit cost must stay flat as the corpus
+      // multiplies because the profile side scales with GROUPS, not rows.
+      // l_suppkey keys ~10k groups; forced through the derived columns so
+      // column pruning cannot hollow the probe (verify skill gotcha).
+      ops.Relational.histogram(li, "l_suppkey", "l_extendedprice", 16)
+        .agg(max(col("lo_edge")), sum(col("n"))).collect()
+      ops.Relational.winsorizedStatsApprox(
+          li, "l_suppkey", "l_extendedprice", 0.05, 0.95, 1000)
+        .agg(max(col("clipped_mean")), sum(col("n"))).collect()
+    }
     time("exact_dedup_fingerprint", nDocs) {
       dedup.Dedup.exact(docs, col("text"), Seq(col("doc_id"))).count()
     }
