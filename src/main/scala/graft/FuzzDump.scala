@@ -67,8 +67,17 @@ object FuzzDump {
   private val stringPool = Seq("alpha", "Alpha", "ALPHA", " alpha", "beta ",
     "beta", "", "gamma", "Γάμμα", "délta", "delta\t", "0", "00", null)
 
+  /** Multiplies every generated table's row budget: the default tiny cases
+    * (≤40 rows) probe null/tie/empty-group semantics; SPARK_GRAFT_FUZZ_ROWS
+    * = 50 stretches the same generators to ~2000-row inputs so the SAME
+    * random queries also cross multi-partition shuffle/window/AQE paths
+    * (3-partition inputs, 8 shuffle partitions) instead of collapsing into
+    * single-task plans. */
+  private val rowScale: Int =
+    sys.env.get("SPARK_GRAFT_FUZZ_ROWS").map(_.toInt).filter(_ >= 1).getOrElse(1)
+
   private def genL(rnd: scala.util.Random): Seq[Row] = {
-    val n = 1 + rnd.nextInt(40)
+    val n = 1 + rnd.nextInt(40 * rowScale)
     (0 until n).map { i =>
       val epoch = 1700000000000000L // 2023-11-14T22:13:20Z, micros
       Row(
@@ -88,7 +97,7 @@ object FuzzDump {
   }
 
   private def genR(rnd: scala.util.Random): Seq[Row] = {
-    val n = 1 + rnd.nextInt(40)
+    val n = 1 + rnd.nextInt(40 * rowScale)
     (0 until n).map { i =>
       Row(
         i,
@@ -110,7 +119,7 @@ object FuzzDump {
 
   private def genA(rnd: scala.util.Random): Seq[Row] = {
     val epoch = 1700000000L
-    val n = 1 + rnd.nextInt(30)
+    val n = 1 + rnd.nextInt(30 * rowScale)
     (0 until n).map { i =>
       ( if (rnd.nextInt(100) < 15) null else Int.box(rnd.nextInt(6)),
         java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(

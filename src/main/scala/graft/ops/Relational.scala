@@ -630,7 +630,13 @@ object Relational {
     * invisible data loss (caught by the cross-engine fuzz lane: the
     * winsorized/MAD/histogram profilers lost every null-key row at this
     * seam). The grouped side's key is renamed first so the self-derived
-    * lineage cannot trip ambiguous-self-join resolution. */
+    * lineage cannot trip ambiguous-self-join resolution.
+    *
+    * Scale boundary: the broadcast is correct while the KEY CARDINALITY is
+    * driver-bounded — the profiler contract (strata: event types, langs,
+    * suppliers), one row per group. Profiling an id-cardinality key would
+    * make the "profile" data-sized; that is a different operator (a
+    * window), not a bigger broadcast. */
   private def joinGroupNullSafe(df: DataFrame, grouped: DataFrame,
                                 key: String): DataFrame =
     df.join(broadcast(grouped.withColumnRenamed(key, "__gkey")),
