@@ -348,11 +348,12 @@ object Relational {
     // stratum (its counts must land on the grid, not vanish into n=0 —
     // see joinGroupNullSafe); buckets in the grid are never null
     grid.join(
-        counts.withColumnRenamed(key, "__gkey")
-          .withColumnRenamed("bucket", "__gbucket"),
-        col(key) <=> col("__gkey") && col("bucket") === col("__gbucket"),
+        counts.withColumnRenamed(key, "__graft_gkey")
+          .withColumnRenamed("bucket", "__graft_gbucket"),
+        col(key) <=> col("__graft_gkey") &&
+          col("bucket") === col("__graft_gbucket"),
         "left")
-      .drop("__gkey", "__gbucket")
+      .drop("__graft_gkey", "__graft_gbucket")
       .na.fill(0L, Seq("n"))
   }
 
@@ -638,10 +639,13 @@ object Relational {
     * make the "profile" data-sized; that is a different operator (a
     * window), not a bigger broadcast. */
   private def joinGroupNullSafe(df: DataFrame, grouped: DataFrame,
-                                key: String): DataFrame =
-    df.join(broadcast(grouped.withColumnRenamed(key, "__gkey")),
-        col(key) <=> col("__gkey"))
-      .drop("__gkey")
+                                key: String): DataFrame = {
+    require(!df.columns.contains("__graft_gkey"),
+      "joinGroupNullSafe: input already carries the reserved __graft_gkey column")
+    df.join(broadcast(grouped.withColumnRenamed(key, "__graft_gkey")),
+        col(key) <=> col("__graft_gkey"))
+      .drop("__graft_gkey")
+  }
 
   def winsorizedStats(df: DataFrame, key: String, valueCol: String,
                       pLo: Double, pHi: Double): DataFrame = {
