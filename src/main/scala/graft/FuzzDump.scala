@@ -137,7 +137,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(27) match {
+    rnd.nextInt(29) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -635,6 +635,40 @@ object FuzzDump {
              |    AS forecast_next
              |FROM d2""".stripMargin,
           "trend_forecast")
+
+      case 27 => // the flagship merge-detection plan (J3, main.py's core)
+        // vs a SQL full-outer emulation on random null-heavy inputs: keys
+        // lower-cased on both sides, the target deduped keep-smallest-id
+        // per lowered key (ALL null-key targets collapse to ONE delete
+        // row — they are one window partition), null source keys classify
+        // as create (never delete), markers not key-nullness decide sides.
+        Gen(
+          graft.ops.Relational.mergePlan(l, r, "s", "ws", "rid"),
+          """WITH src AS (SELECT id, k, v, d, dec, s, ts, lower(s) AS jk,
+            |    TRUE AS is_src FROM l),
+            |t0 AS (SELECT rid, lower(ws) AS jk, row_number() OVER
+            |    (PARTITION BY lower(ws) ORDER BY rid) AS rn FROM r),
+            |tgt AS (SELECT jk, rid, TRUE AS is_tgt FROM t0 WHERE rn = 1)
+            |SELECT src.id, src.k, src.v, src.d, src.dec, src.s, src.ts,
+            |  CASE WHEN src.is_src IS NULL THEN 'delete'
+            |       WHEN tgt.is_tgt IS NULL THEN 'create'
+            |       ELSE 'update' END AS op_flag,
+            |  tgt.rid AS target_id
+            |FROM src FULL JOIN tgt ON src.jk = tgt.jk""".stripMargin,
+          "merge_plan")
+
+      case 28 => // the salted skew join vs a PLAIN inner join: the
+        // hot/cold decomposition (broadcast hot set, salt×explode the hot
+        // slice, anti-join the cold slice, unionByName) must be
+        // result-invariant — dup keys multiply, null keys drop, no row
+        // lost or doubled at the hot/cold boundary.
+        val hotThresh = 1L + rnd.nextInt(4)
+        Gen(
+          graft.ops.Relational.saltedJoin(l, r, "k", 3, hotThresh),
+          """SELECT l.k AS k, l.id, l.v, l.d, l.dec, l.s, l.ts,
+            |  r.rid, r.w, r.ws
+            |FROM l JOIN r USING (k)""".stripMargin,
+          "salted_join")
     }
   }
 
