@@ -676,9 +676,16 @@ object FuzzDump {
     val outDir = args.headOption.getOrElse("/tmp/graft_fuzz")
     val nCases = args.lift(1).map(_.toInt).getOrElse(120)
     val baseSeed = args.lift(2).map(_.toInt).getOrElse(1)
+    // config-differential knobs: the SAME seeds must produce the SAME
+    // results under any engine configuration — a config-dependent
+    // divergence (AQE on/off, 1 vs N shuffle partitions) is the scariest
+    // wrong-results class, so the lane can re-run under any combination
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_FUZZ_CPUS", "8")}]")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_FUZZ_AQE", "true"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_FUZZ_SHUFFLE", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       // write int64 micros, not INT96: identical bits for both readers
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
