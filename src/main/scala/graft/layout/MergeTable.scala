@@ -168,8 +168,19 @@ object MergeTable {
   }
 
   /** Steps 2+3 of the protocol; idempotent, so a recovering writer and a
-    * slow original writer racing through it converge. */
-  private def finishCommit(dir: String, pr: Properties): Unit = {
+    * slow original writer racing through it converge.
+    *
+    * The `_latest` swap is guarded against REGRESSION: a slow-but-alive
+    * winner of version n can be overtaken by a recoverer that finishes n
+    * on its behalf and then commits n+1 — the laggard's unconditional
+    * swap would move `_latest` back to n, breaking monotonic reads until
+    * the next writer's recover() heals it. The version check closes that
+    * window to the instant between check and rename (POSIX offers no
+    * conditional rename; on an object store this whole swap is a
+    * conditional-put and the residue vanishes). A regression that slips
+    * through the residual instant still only exposes a CONSISTENT older
+    * snapshot and is rolled forward by the next merge/compact entry. */
+  private[layout] def finishCommit(dir: String, pr: Properties): Unit = {
     val version = pr.getProperty("version").toLong
     val stage = pr.getProperty("stage", "")
     val vDir = Paths.get(dir, s"v$version")
@@ -180,7 +191,8 @@ object MergeTable {
         case _: java.nio.file.FileAlreadyExistsException => ()
       }
     }
-    writeAtomic(dir, pr, manifestPath(dir))
+    if (readManifest(dir).forall(_.version < version))
+      writeAtomic(dir, pr, manifestPath(dir))
   }
 
   /** Roll an interrupted commit forward: if the version AFTER `_latest`

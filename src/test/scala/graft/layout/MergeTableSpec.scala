@@ -148,6 +148,32 @@ class MergeTableSpec extends SparkSpec {
     assert(contents(dir) === Set((1L, "a", 1.0)))
   }
 
+  test("a laggard finisher cannot regress _latest past a newer commit") {
+    // The overtake race: writer A claims v1 but stalls before its _latest
+    // swap; a recoverer finishes v1 FOR it and commits v2. When A finally
+    // resumes its finishCommit(v1), the version guard must leave _latest
+    // at v2 — an unconditional swap would regress reads to v1 until the
+    // next writer entry.
+    val dir = freshDir()
+    MergeTable.merge(spark, dir, changes((1L, "a", 1.0, "create")), "id")  // v0
+    MergeTable.merge(spark, dir, changes((2L, "b", 2.0, "create")), "id")  // v1
+    MergeTable.merge(spark, dir, changes((3L, "c", 3.0, "create")), "id")  // v2
+    val after = contents(dir)
+    // replay v1's recorded protocol step exactly as the stalled writer would
+    val pr = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(dir, "_manifest_v1"))
+    try pr.load(in) finally in.close()
+    MergeTable.finishCommit(dir, pr)
+    assert(contents(dir) === after,
+      "a replayed v1 finishCommit must not regress the table")
+    val latest = new java.util.Properties()
+    val in2 = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(dir, "_latest"))
+    try latest.load(in2) finally in2.close()
+    assert(latest.getProperty("version") === "2")
+  }
+
   test("deleting every row of a bucket leaves a readable table; compact+vacuum fold versions") {
     val dir = freshDir()
     MergeTable.merge(spark, dir,
