@@ -137,7 +137,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(29) match {
+    rnd.nextInt(45) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -539,7 +539,19 @@ object FuzzDump {
         // exact percentile bounds rounded to 4 decimals BEFORE clipping,
         // DECIMAL(18,6) exact sum, n counts null-value rows too (the
         // count(*)-vs-clip-ignores-null cranny this family exists for).
-        val (pLo, pHi) = Seq((0.05, 0.95), (0.1, 0.9), (0.25, 0.75))(rnd.nextInt(3))
+        // The percentile pairs are DYADIC (k/2^m) on purpose: the inputs
+        // are dyadic too (v integer; d = integer/8), so every
+        // interpolation intermediate — pos=(n-1)p, the frac weights, both
+        // products, the sum — is EXACT in binary in both engines, making
+        // the quantile bit-identical regardless of each engine's formula
+        // arrangement, and round(·,4)'s exact-tie rule (away from zero)
+        // agrees too. A non-dyadic p (0.05) makes the quantile land one
+        // ulp either side of a true x.xxxx5 half-boundary (the dyadic
+        // data grid produces such ties CONSTANTLY), where Spark's
+        // BigDecimal round and DuckDB's fp round diverge — seed 9022
+        // caught exactly that: quantile_cont=-53.481249999999996,
+        // engines rounded to -53.4812 vs -53.4813.
+        val (pLo, pHi) = Seq((0.25, 0.75), (0.125, 0.875), (0.0625, 0.9375))(rnd.nextInt(3))
         val (wc, wSql) = Seq(("v", "v"), ("d", "d"))(rnd.nextInt(2))
         Gen(
           graft.ops.Relational.winsorizedStats(l, "k", wc, pLo, pHi),
@@ -656,6 +668,340 @@ object FuzzDump {
             |  tgt.rid AS target_id
             |FROM src FULL JOIN tgt ON src.jk = tgt.jk""".stripMargin,
           "merge_plan")
+
+      case 29 => // DISTINCT aggregates: COUNT/SUM(DISTINCT) skip nulls and
+        // dedup BEFORE aggregation in both engines; the binary-collation
+        // string pool makes 'alpha'/'Alpha' distinct on purpose; the plain
+        // COUNT(*)/AVG alongside catch an implementation that dedups the
+        // whole group instead of per-aggregate
+        Gen(
+          l.groupBy(col("k"))
+            .agg(countDistinct(col("v")).as("ndv"),
+              sum_distinct(col("v")).as("sdv"),
+              countDistinct(col("s")).as("nds"),
+              count(lit(1)).as("n"),
+              avg(col("v")).as("av")),
+          "SELECT k, COUNT(DISTINCT v) AS ndv, SUM(DISTINCT v) AS sdv, " +
+            "COUNT(DISTINCT s) AS nds, COUNT(*) AS n, AVG(v) AS av " +
+            "FROM l GROUP BY k",
+          "distinct_aggs")
+
+      case 30 => // max_by/min_by vs arg_max/arg_min: the ord expression is
+        // UNIQUE per row (v*1000 + unique id) so neither engine's
+        // unspecified tie-break can fire; null v -> null ord rows are
+        // skipped by the argmax in both engines; all-null-ord groups
+        // return NULL
+        Gen(
+          l.select(col("k"), col("id"),
+              (col("v").cast(LongType) * 1000 + col("id")).as("ord"))
+            .groupBy(col("k"))
+            .agg(max_by(col("id"), col("ord")).as("best_id"),
+              min_by(col("id"), col("ord")).as("worst_id"),
+              max(col("ord")).as("mord")),
+          "SELECT k, arg_max(id, ord) AS best_id, arg_min(id, ord) AS worst_id, " +
+            "MAX(ord) AS mord FROM (SELECT k, id, CAST(v AS BIGINT) * 1000 + id " +
+            "AS ord FROM l) GROUP BY k",
+          "argmax")
+
+      case 31 => // pivot with a PINNED value list vs FILTERed aggregates:
+        // Spark names single-agg pivot columns by the bare value; binary
+        // equality on s (no trim/case folding) on both sides; a pivot cell
+        // with no matching rows is NULL, exactly like SUM FILTER over an
+        // empty set
+        Gen(
+          l.groupBy(col("k")).pivot("s", Seq("alpha", "beta", "gamma"))
+            .agg(sum(col("v"))),
+          "SELECT k, SUM(v) FILTER (WHERE s = 'alpha') AS alpha, " +
+            "SUM(v) FILTER (WHERE s = 'beta') AS beta, " +
+            "SUM(v) FILTER (WHERE s = 'gamma') AS gamma FROM l GROUP BY k",
+          "pivot_filter")
+
+      case 32 => // array higher-order functions: filter -> transform ->
+        // fold vs list_filter -> list_transform -> list_sum. Spark's
+        // aggregate with a 0 seed returns 0 on an all-null (emptied) list
+        // while DuckDB's list_sum returns NULL -> the SQL must COALESCE.
+        // Same trap on the string leg (caught live, seeds 9127/9195):
+        // Spark's array_join on an EMPTY array returns '' but DuckDB's
+        // array_to_string([]) returns NULL -> COALESCE(·, '') there too.
+        // The string leg sorts post-filter so neither engine's null-in-list
+        // ordering convention is ever exercised.
+        Gen(
+          l.select(col("id"),
+            aggregate(
+              transform(
+                filter(array(col("v"), col("k"), col("v") + col("k")),
+                  x => x.isNotNull),
+                x => x * 2),
+              lit(0), (acc, x) => acc + x).as("hsum"),
+            array_join(
+              sort_array(filter(array(col("s"), lower(col("s"))),
+                x => x.isNotNull)), ",").as("sj")),
+          "SELECT id, COALESCE(list_sum(list_transform(list_filter(" +
+            "[v, k, v + k], x -> x IS NOT NULL), x -> x * 2)), 0) AS hsum, " +
+            "COALESCE(array_to_string(list_sort(list_filter([s, lower(s)], " +
+            "x -> x IS NOT NULL)), ','), '') AS sj FROM l",
+          "array_hof")
+
+      case 33 => // NTILE / PERCENT_RANK / CUME_DIST: ntile's ANSI
+        // remainder rule (first n%b buckets get the extra row) needs a
+        // TOTAL order (id tiebreak); percent_rank/cume_dist are exercised
+        // WITH ties on purpose — (rank-1)/(n-1) and peers-inclusive
+        // fraction are ANSI-pinned, single-row partitions hit the n=1 -> 0
+        // edge
+        val nt = 2 + rnd.nextInt(4)
+        Gen(
+          l.select(col("id"),
+            ntile(nt).over(Window.partitionBy(col("k"))
+              .orderBy(col("v").asc_nulls_first, col("id"))).as("nt"),
+            percent_rank().over(Window.partitionBy(col("k"))
+              .orderBy(col("v").asc_nulls_first)).as("pr"),
+            cume_dist().over(Window.partitionBy(col("k"))
+              .orderBy(col("v").asc_nulls_first)).as("cd")),
+          s"SELECT id, NTILE($nt) OVER (PARTITION BY k ORDER BY v ASC NULLS FIRST, id) AS nt, " +
+            "PERCENT_RANK() OVER (PARTITION BY k ORDER BY v ASC NULLS FIRST) AS pr, " +
+            "CUME_DIST() OVER (PARTITION BY k ORDER BY v ASC NULLS FIRST) AS cd " +
+            "FROM l",
+          "window_dist")
+
+      case 34 => // integer division/modulo sign conventions: Spark DIV is
+        // truncation toward zero — the SQL pins the same with TRUNC over
+        // double division rather than trusting DuckDB's `//` (which
+        // FLOORS); both engines' % takes the dividend's sign; pmod is
+        // authored as the double-% identity; divisor k+7 is never zero
+        // (Spark yields NULL on /0 where DuckDB raises), nulls propagate
+        Gen(
+          l.select(col("id"), col("v"),
+            expr("v DIV (k + 7)").as("q"),
+            (col("v") % (col("k") + 7)).as("m"),
+            pmod(col("v"), col("k") + 7).as("pm"),
+            (col("v") / (col("k") + 7)).as("fd")),
+          "SELECT id, v, CAST(TRUNC(CAST(v AS DOUBLE) / (k + 7)) AS BIGINT) AS q, " +
+            "v % (k + 7) AS m, ((v % (k + 7)) + (k + 7)) % (k + 7) AS pm, " +
+            "CAST(v AS DOUBLE) / (k + 7) AS fd FROM l",
+          "int_arith")
+
+      case 35 => // FIRST_VALUE/LAST_VALUE with IGNORE NULLS over the full
+        // partition frame, plus a nulls-respecting NTH_VALUE: the frame is
+        // pinned to UNBOUNDED..UNBOUNDED on both sides because last_value
+        // under the DEFAULT frame is the famous current-row footgun this
+        // family would otherwise measure instead of the null skipping
+        Gen(
+          l.select(col("id"),
+            first(col("v"), ignoreNulls = true)
+              .over(Window.partitionBy(col("k")).orderBy(col("id"))
+                .rowsBetween(Window.unboundedPreceding,
+                  Window.unboundedFollowing)).as("fv"),
+            last(col("v"), ignoreNulls = true)
+              .over(Window.partitionBy(col("k")).orderBy(col("id"))
+                .rowsBetween(Window.unboundedPreceding,
+                  Window.unboundedFollowing)).as("lv"),
+            nth_value(col("v"), 2)
+              .over(Window.partitionBy(col("k")).orderBy(col("id"))
+                .rowsBetween(Window.unboundedPreceding,
+                  Window.unboundedFollowing)).as("nv")),
+          "SELECT id, FIRST_VALUE(v IGNORE NULLS) OVER w AS fv, " +
+            "LAST_VALUE(v IGNORE NULLS) OVER w AS lv, " +
+            "NTH_VALUE(v, 2) OVER w AS nv FROM l WINDOW w AS " +
+            "(PARTITION BY k ORDER BY id " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+          "first_last_ignore_nulls")
+
+      case 36 => // explicit GROUPING SETS ((k), (s), ()) — the asymmetric
+        // level list neither ROLLUP nor CUBE can express; grouping_id
+        // disambiguates a real NULL group key from a rolled-up one, same
+        // bit-packing identity as the cube family
+        Gen(
+          l.groupingSets(Seq(Seq(col("k")), Seq(col("s")), Seq.empty),
+              col("k"), col("s"))
+            .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+              grouping_id().as("gid")),
+          "SELECT k, s, COUNT(*) AS n, SUM(v) AS sv, " +
+            "GROUPING(k)*2 + GROUPING(s) AS gid FROM l " +
+            "GROUP BY GROUPING SETS ((k), (s), ())",
+          "grouping_sets")
+
+      case 37 => // string position/pad conventions over the unicode pool:
+        // both engines count CODEPOINTS (probed: length('Γάμμα')=5 in
+        // both), instr ≡ strpos (1-based, 0 when absent), lpad TRUNCATES
+        // when the target is shorter, reverse/translate are
+        // codepoint-wise. The one divergence is substring's start=0:
+        // Spark treats 0 like 1 (Hive rule) while DuckDB consumes a
+        // position before the first char ('abcdef',0,3 → 'ab') — the SQL
+        // must author max(pos,1) for non-negative pos.
+        val pos = Seq(0, 1, 2, -1)(rnd.nextInt(4))
+        val sqlPos = if (pos == 0) 1 else pos
+        Gen(
+          l.select(col("id"),
+            expr(s"substring(s, $pos, 3)").as("sub"),
+            instr(col("s"), "a").as("ix"),
+            lpad(col("s"), 7, "*").as("lp"),
+            rpad(col("s"), 3, "xy").as("rp"),
+            translate(col("s"), "al", "@1").as("tr"),
+            reverse(col("s")).as("rev")),
+          s"SELECT id, substring(s, $sqlPos, 3) AS sub, strpos(s, 'a') AS ix, " +
+            "lpad(s, 7, '*') AS lp, rpad(s, 3, 'xy') AS rp, " +
+            "translate(s, 'al', '@1') AS tr, reverse(s) AS rev FROM l",
+          "string_pos")
+
+      case 38 => // regex + LIKE/ILIKE: Java regex vs RE2 agree on the
+        // simple-class subset authored here; the authoring traps are (a)
+        // Spark regexp_replace is GLOBAL by default — DuckDB needs the
+        // explicit 'g' flag, and (b) both return '' (not NULL) for a
+        // non-matching regexp_extract but NULL for NULL input. rlike ≡
+        // regexp_matches (partial match, both), LIKE is binary-collation
+        // in both, ILIKE case-folds in both.
+        Gen(
+          l.select(col("id"),
+            regexp_extract(col("s"), "([a-z]+)", 1).as("rx"),
+            regexp_replace(col("s"), "[aeiou]", "#").as("rr"),
+            col("s").like("%a%").as("lk"),
+            col("s").ilike("%A%").as("ilk"),
+            col("s").rlike("^[A-Z]").as("rl")),
+          "SELECT id, regexp_extract(s, '([a-z]+)', 1) AS rx, " +
+            "regexp_replace(s, '[aeiou]', '#', 'g') AS rr, " +
+            "s LIKE '%a%' AS lk, s ILIKE '%A%' AS ilk, " +
+            "regexp_matches(s, '^[A-Z]') AS rl FROM l",
+          "regexp_like")
+
+      case 39 => // split + concat_ws: Spark split takes a REGEX but a
+        // plain char is the literal subset string_split matches; BOTH
+        // keep interior AND trailing empty fields ('' → [''], 'aa' by
+        // 'a' → ['','','']) and concat_ws SKIPS nulls (all-null → '').
+        // Arrays are compared via array_join/len so the checker never
+        // sees engine-specific list renderings.
+        Gen(
+          l.select(col("id"),
+            concat_ws("|", col("s"), col("s"), lit("z")).as("cw"),
+            array_join(split(coalesce(col("s"), lit("")), "a"), "/").as("sp"),
+            size(split(coalesce(col("s"), lit("")), "a")).as("nsp")),
+          "SELECT id, concat_ws('|', s, s, 'z') AS cw, " +
+            "array_to_string(string_split(COALESCE(s, ''), 'a'), '/') AS sp, " +
+            "len(string_split(COALESCE(s, ''), 'a')) AS nsp FROM l",
+          "split_concat")
+
+      case 40 => // month arithmetic: add_months clamps into the target
+        // month (Nov 30 + 3 → Feb 29/28) in BOTH engines, but DuckDB's
+        // DATE + INTERVAL MONTH returns a TIMESTAMP — the SQL must cast
+        // back to DATE; date_add/datediff('day') and last_day line up
+        // directly. The +dayShift spread pushes base dates through a
+        // month end so the clamp rule actually fires.
+        val m = 1 + rnd.nextInt(3)
+        val dayShift = rnd.nextInt(17)
+        Gen(
+          l.select(col("id"),
+            date_add(col("ts").cast("date"), dayShift).as("base"),
+            add_months(date_add(col("ts").cast("date"), dayShift), m).as("am"),
+            last_day(date_add(col("ts").cast("date"), dayShift)).as("ld"),
+            datediff(date_add(col("ts").cast("date"), dayShift),
+              lit("2023-11-01").cast("date")).as("dd")),
+          s"""SELECT id, CAST(ts AS DATE) + $dayShift AS base,
+             |  CAST(CAST(ts AS DATE) + $dayShift + INTERVAL $m MONTH AS DATE) AS am,
+             |  last_day(CAST(ts AS DATE) + $dayShift) AS ld,
+             |  datediff('day', DATE '2023-11-01', CAST(ts AS DATE) + $dayShift) AS dd
+             |FROM l""".stripMargin,
+          "month_arith")
+
+      case 41 => // RANGE frame with a NUMERIC offset: the frame is
+        // value-distance, not row-distance (tied v values are peers and
+        // always co-framed), and the null-ordering stratum is its own
+        // peer group whose frame is all nulls — COUNT(*) counts the null
+        // peers while SUM over them is NULL, in both engines. DuckDB
+        // defaults ASC to NULLS LAST, so NULLS FIRST is authored
+        // explicitly to match Spark.
+        val span = 1 + rnd.nextInt(5)
+        Gen(
+          l.select(col("id"), col("k"), col("v"),
+            sum(col("v")).over(Window.partitionBy(col("k"))
+              .orderBy(col("v").asc_nulls_first)
+              .rangeBetween(-span, 0)).as("rsum"),
+            count(lit(1)).over(Window.partitionBy(col("k"))
+              .orderBy(col("v").asc_nulls_first)
+              .rangeBetween(-span, 0)).as("rcnt")),
+          s"SELECT id, k, v, SUM(v) OVER w AS rsum, COUNT(*) OVER w AS rcnt " +
+            "FROM l WINDOW w AS (PARTITION BY k ORDER BY v ASC NULLS FIRST " +
+            s"RANGE BETWEEN $span PRECEDING AND CURRENT ROW)",
+          "range_frame")
+
+      case 42 => // the A34 canonical dedup map vs its SQL re-derivation:
+        // lower → strip non-[a-z\s] (RE2 and Java agree on the ASCII
+        // class; unicode chars strip in both) → collapse \s runs → trim →
+        // md5 over UTF-8 (identical bytes in both engines). The pool's
+        // case/space variants collapse into real multi-doc clusters so
+        // survivor/n_copies/is_survivor window math is exercised, and
+        // DuckDB regexp_replace needs the 'g' flag both times.
+        Gen(
+          graft.dedup.Dedup.canonicalDedupMap(l, "id", col("s")),
+          """WITH c AS (SELECT id,
+            |  md5(trim(regexp_replace(regexp_replace(lower(COALESCE(s, '')),
+            |    '[^a-z\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp FROM l)
+            |SELECT id, fp, MIN(id) OVER (PARTITION BY fp) AS survivor,
+            |  COUNT(*) OVER (PARTITION BY fp) AS n_copies,
+            |  id = MIN(id) OVER (PARTITION BY fp) AS is_survivor
+            |FROM c""".stripMargin,
+          "canonical_dedup")
+
+      case 43 => // the A30 PMI collocation operator vs a lead()-free
+        // bigram re-derivation: docs are synthesized as
+        // concat_ws(' ', s, 'x', v) so the tiny-vocabulary pool yields
+        // REPEATED bigrams past the min-count gate (and concat_ws's
+        // null-skipping is part of what's diffed). All counts are exact
+        // integers; pmi = floor(ln(ratio)*1e6)/1e6 where the ratio is a
+        // small rational — ln lands on a 1e-6 granule only at ratio=1,
+        // which is exactly 0.0 in both engines.
+        val txt = concat_ws(" ", col("s"), lit("x"), col("v").cast("string"))
+        Gen(
+          graft.text.TextAnalysis.pmiCollocations(l.select(txt.as("t")),
+            col("t"), minCount = 2L),
+          """WITH docs AS (SELECT list_filter(string_split(
+            |    concat_ws(' ', s, 'x', CAST(v AS VARCHAR)), ' '),
+            |    x -> x <> '') AS ws FROM l),
+            |pairs AS (SELECT list_extract(ws, i) AS w1,
+            |    list_extract(ws, i + 1) AS w2
+            |  FROM docs CROSS JOIN UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+            |  WHERE len(ws) >= 2),
+            |uni AS (SELECT unnest(ws) AS w FROM docs),
+            |cb AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2),
+            |cu AS (SELECT w, COUNT(*) AS cu FROM uni GROUP BY w),
+            |nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nb FROM pairs),
+            |nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nu FROM uni)
+            |SELECT cb.w1, cb.w2, cb.n_pair,
+            |  CAST(floor(ln(cb.n_pair * nu.nu * nu.nu
+            |      / (nb.nb * c1.cu * c2.cu)) * 1e6) AS DOUBLE) / 1e6 AS pmi
+            |FROM cb
+            |JOIN cu c1 ON (c1.w = cb.w1) JOIN cu c2 ON (c2.w = cb.w2)
+            |CROSS JOIN nb CROSS JOIN nu
+            |WHERE cb.n_pair >= 2""".stripMargin,
+          "pmi")
+
+      case 44 => // the A31 temperature-scaled mixture weights vs the same
+        // long-math discipline in SQL: token counts stay exact BIGINTs,
+        // √share is IEEE-correctly-rounded in both engines (the
+        // sqrt-not-pow rule), and the normalizer is the operator's own
+        // partition-order-independent form — each √share floor-truncated
+        // to 12 decimals and summed as BIGINTs. The constant 'x' token
+        // keeps every doc ≥1 token so the zero-total NaN-cast minefield
+        // (Spark CAST(NaN AS LONG)=0, DuckDB raises) never opens.
+        val mtxt = concat_ws(" ", col("s"), lit("x"), col("v").cast("string"))
+        Gen(
+          graft.text.TextAnalysis.mixtureWeights(
+            l.select(col("k"), mtxt.as("t")), "k", col("t")),
+          """WITH per AS (SELECT k, COUNT(*) AS n_docs,
+            |    SUM(len(list_filter(string_split(
+            |      concat_ws(' ', s, 'x', CAST(v AS VARCHAR)), ' '),
+            |      x -> x <> ''))) AS n_tokens
+            |  FROM l GROUP BY k),
+            |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot FROM per),
+            |sq AS (SELECT k, n_docs, n_tokens,
+            |    CAST(n_tokens AS DOUBLE) / tot.tot AS share,
+            |    sqrt(CAST(n_tokens AS DOUBLE) / tot.tot) AS sqs
+            |  FROM per CROSS JOIN tot),
+            |z AS (SELECT SUM(CAST(floor(sqs * 1e12) AS BIGINT)) AS zi FROM sq)
+            |SELECT k, n_docs, n_tokens,
+            |  CAST(floor(share * 1e6) AS DOUBLE) / 1e6 AS token_share,
+            |  CAST(floor(sqs / (CAST(zi AS DOUBLE) / 1e12) * 1e6) AS DOUBLE) / 1e6
+            |    AS mix_weight
+            |FROM sq CROSS JOIN z""".stripMargin,
+          "mixture_weights")
 
       case 28 => // the salted skew join vs a PLAIN inner join: the
         // hot/cold decomposition (broadcast hot set, salt×explode the hot
