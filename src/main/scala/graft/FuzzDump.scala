@@ -137,7 +137,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(45) match {
+    rnd.nextInt(48) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -1002,6 +1002,134 @@ object FuzzDump {
             |    AS mix_weight
             |FROM sq CROSS JOIN z""".stripMargin,
           "mixture_weights")
+
+      case 45 => // the q26 quality-feature heuristics vs their SQL
+        // re-derivation over synthesized text: stopwords are injected
+        // per-row via pmod-indexed literals (null v/k make concat_ws drop
+        // the token — part of what's diffed), lengths are codepoints in
+        // both engines, and every ratio is floor-truncated at 1e-6 (the
+        // module's round-tie discipline).
+        // try_element_at, NOT element_at: Spark 4.1's element_at with a
+        // RUNTIME-null index returns the array's LAST element (the
+        // constant-folded path and the docs both say NULL — caught live
+        // by this lane, seeds 12187/12203); try_element_at is the
+        // spec-conformant form and matches DuckDB's list_extract(·, NULL).
+        val stops = Seq("the", "a", "of", "and", "to", "in")
+        val stopArr = array(stops.map(lit): _*)
+        val qtxt = concat_ws(" ", col("s"),
+          try_element_at(stopArr, pmod(col("v"), lit(6)) + 1),
+          lower(col("s")),
+          try_element_at(stopArr, pmod(col("k"), lit(6)) + 1))
+        val stopList = stops.map(w => s"'$w'").mkString("[", ", ", "]")
+        Gen(
+          graft.text.TextAnalysis.qualityFeatures(
+              l.select(col("id"), qtxt.as("t")), col("t"))
+            .select(col("id"), col("n_words"), col("n_chars_m"),
+              col("stop_ratio"), col("mean_word_len"), col("quality")),
+          s"""WITH t AS (SELECT id, concat_ws(' ', s,
+             |    list_extract($stopList, ((v % 6) + 6) % 6 + 1), lower(s),
+             |    list_extract($stopList, ((k % 6) + 6) % 6 + 1)) AS text FROM l),
+             |w AS (SELECT id, text,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM t),
+             |f AS (SELECT id, CAST(len(ws) AS BIGINT) AS n_words,
+             |    CAST(length(text) AS BIGINT) AS n_chars_m,
+             |    CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop,
+             |    CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) AS char_sum
+             |  FROM w)
+             |SELECT id, n_words, n_chars_m,
+             |  floor((CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 1e6) / 1e6 AS stop_ratio,
+             |  floor((CASE WHEN n_words > 0 THEN char_sum / n_words ELSE 0.0 END) * 1e6) / 1e6 AS mean_word_len,
+             |  floor((0.5 * least(n_words / 20.0, 1.0)
+             |    + 0.3 * (CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END)
+             |    + 0.2 * least((CASE WHEN n_words > 0 THEN char_sum / n_words ELSE 0.0 END) / 8.0, 1.0)) * 1e6) / 1e6 AS quality
+             |FROM f""".stripMargin,
+          "quality_features")
+
+      case 46 => // the q25 marker-lexicon language ID vs a CASE ladder:
+        // per-language scores are exact marker-hit counts, the pick is
+        // argmax with ties broken by language-name order (the operator's
+        // foldRight over sorted names ≡ CASE de→en→es→fr→zh) and "und"
+        // when every score is zero. Marker words are injected per-row via
+        // pmod-indexed literals so real cross-language ties occur.
+        val mk = Seq("the", "of", "and", "data", "valor", "gruppe",
+          "wert", "table", "hash", "join")
+        val mkArr = array(mk.map(lit): _*)
+        // try_element_at for the same runtime-null-index reason as the
+        // quality family (seeds 12125/12136/12141/12174/12177/12206)
+        val ltxt = concat_ws(" ", col("s"),
+          try_element_at(mkArr, pmod(col("v"), lit(10)) + 1),
+          try_element_at(mkArr, pmod(col("v") + col("k"), lit(10)) + 1))
+        val mkList = mk.map(w => s"'$w'").mkString("[", ", ", "]")
+        def scoreSql(markers: Seq[String]): String =
+          s"CAST(len(list_filter(ws, x -> x IN (${markers.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+        val bylang = graft.text.TextAnalysis.langMarkers.toMap
+        Gen(
+          l.select(col("id"), ltxt.as("t"))
+            .select(col("id"),
+              graft.text.TextAnalysis.langScore(col("t"), bylang("de")).as("s_de"),
+              graft.text.TextAnalysis.langScore(col("t"), bylang("en")).as("s_en"),
+              graft.text.TextAnalysis.langScore(col("t"), bylang("es")).as("s_es"),
+              graft.text.TextAnalysis.langScore(col("t"), bylang("fr")).as("s_fr"),
+              graft.text.TextAnalysis.langScore(col("t"), bylang("zh")).as("s_zh"),
+              graft.text.TextAnalysis.langId(col("t")).as("lang")),
+          s"""WITH t AS (SELECT id, concat_ws(' ', s,
+             |    list_extract($mkList, ((v % 10) + 10) % 10 + 1),
+             |    list_extract($mkList, (((v + k) % 10) + 10) % 10 + 1)) AS text FROM l),
+             |w AS (SELECT id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM t),
+             |sc AS (SELECT id,
+             |    ${scoreSql(bylang("de"))} AS s_de, ${scoreSql(bylang("en"))} AS s_en,
+             |    ${scoreSql(bylang("es"))} AS s_es, ${scoreSql(bylang("fr"))} AS s_fr,
+             |    ${scoreSql(bylang("zh"))} AS s_zh
+             |  FROM w)
+             |SELECT id, s_de, s_en, s_es, s_fr, s_zh,
+             |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+             |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+             |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+             |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+             |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+             |       ELSE 'zh' END AS lang
+             |FROM sc""".stripMargin,
+          "langid")
+
+      case 47 => // the A51 entropy profile vs the q164 oracle pattern on
+        // synthesized text: char/token Shannon entropies with the
+        // module's decimal-staged sum (each p·ln p rounded to 6 decimals
+        // and summed as DECIMAL(28,6) so the aggregate is
+        // merge-order-independent), inner-join semantics dropping docs
+        // whose text empties out — on BOTH sides.
+        val etxt = concat_ws(" ", col("s"), lower(col("s")),
+          col("v").cast("string"))
+        Gen(
+          graft.text.TextAnalysis.entropyProfile(
+            l.select(col("id"), etxt.as("t")), "id", col("t"), 2.0),
+          """WITH t AS (SELECT id, concat_ws(' ', s, lower(s),
+            |    CAST(v AS VARCHAR)) AS text FROM l),
+            |w AS (SELECT id, text,
+            |    list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM t),
+            |ch AS (SELECT id, c, count(*) AS cnt
+            |  FROM (SELECT id, unnest(string_split(text, '')) AS c FROM t)
+            |  WHERE c <> ' ' AND c <> '' GROUP BY 1, 2),
+            |cht AS (SELECT id, sum(cnt) AS n FROM ch GROUP BY id),
+            |che AS (SELECT ch.id, max(cht.n) AS n_chars,
+            |    floor(-CAST(sum(CAST(round(
+            |      (CAST(cnt AS DOUBLE) / CAST(cht.n AS DOUBLE))
+            |        * ln(CAST(cnt AS DOUBLE) / CAST(cht.n AS DOUBLE)), 6)
+            |      AS DECIMAL(28,6))) AS DOUBLE) * 1e6) / 1e6 AS h_chars
+            |  FROM ch JOIN cht ON cht.id = ch.id GROUP BY ch.id),
+            |tk AS (SELECT id, tkn, count(*) AS cnt
+            |  FROM (SELECT id, unnest(ws) AS tkn FROM w) GROUP BY 1, 2),
+            |tkt AS (SELECT id, sum(cnt) AS n FROM tk GROUP BY id),
+            |tke AS (SELECT tk.id, max(tkt.n) AS n_words,
+            |    floor(-CAST(sum(CAST(round(
+            |      (CAST(cnt AS DOUBLE) / CAST(tkt.n AS DOUBLE))
+            |        * ln(CAST(cnt AS DOUBLE) / CAST(tkt.n AS DOUBLE)), 6)
+            |      AS DECIMAL(28,6))) AS DOUBLE) * 1e6) / 1e6 AS h_words
+            |  FROM tk JOIN tkt ON tkt.id = tk.id GROUP BY tk.id)
+            |SELECT che.id, CAST(che.n_chars AS BIGINT) AS n_chars_nospace,
+            |  che.h_chars, CAST(tke.n_words AS BIGINT) AS n_tokens, tke.h_words,
+            |  che.h_chars < 2.0 AS low_entropy
+            |FROM che JOIN tke ON tke.id = che.id""".stripMargin,
+          "entropy_profile")
 
       case 28 => // the salted skew join vs a PLAIN inner join: the
         // hot/cold decomposition (broadcast hot set, salt×explode the hot

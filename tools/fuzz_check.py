@@ -33,7 +33,12 @@ def canon_cell(x):
     if isinstance(x, bool):
         return "true" if x else "false"
     if isinstance(x, (int, float, Decimal)):
-        return f"{float(x):.6f}"
+        # fold IEEE negative zero into +0.0: Spark's floor() narrows
+        # through LONG (+0.0) while DuckDB's floor() stays DOUBLE and
+        # preserves -0.0 — numerically equal, but %.6f renders them
+        # '-0.000000' vs '0.000000' (caught live, seed 12164)
+        v = float(x)
+        return f"{v + 0.0:.6f}"
     # pandas.Timestamp / datetime both stringify stably; strip tz suffix noise
     s = str(x)
     return s[:-6] if s.endswith("+00:00") else s
