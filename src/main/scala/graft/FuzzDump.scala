@@ -1160,6 +1160,18 @@ object FuzzDump {
         sys.env.getOrElse("SPARK_GRAFT_FUZZ_AQE", "true"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_FUZZ_SHUFFLE", "8"))
+      // codegen-differential knob: SPARK_GRAFT_FUZZ_CODEGEN=off runs the
+      // SAME seeds fully interpreted (no whole-stage codegen, expression
+      // factory pinned to NO_CODEGEN). Both modes must match DuckDB, so
+      // they transitively must match each other — the lane dimension that
+      // catches wrong-results codegen/interpreted divergences like the
+      // Spark 4.1.2 element_at(array, null-index) bug this lane found.
+      .config("spark.sql.codegen.wholeStage",
+        if (sys.env.get("SPARK_GRAFT_FUZZ_CODEGEN").contains("off")) "false"
+        else "true")
+      .config("spark.sql.codegen.factoryMode",
+        if (sys.env.get("SPARK_GRAFT_FUZZ_CODEGEN").contains("off"))
+          "NO_CODEGEN" else "FALLBACK")
       .config("spark.sql.session.timeZone", "UTC")
       // write int64 micros, not INT96: identical bits for both readers
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
