@@ -137,7 +137,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(48) match {
+    rnd.nextInt(53) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -1130,6 +1130,126 @@ object FuzzDump {
             |  che.h_chars < 2.0 AS low_entropy
             |FROM che JOIN tke ON tke.id = che.id""".stripMargin,
           "entropy_profile")
+
+      case 48 => // the q69 PII redaction vs the same RE2-safe patterns in
+        // DuckDB: emails then phone-runs replaced by typed placeholders,
+        // counts via regexp_count ≡ len(regexp_extract_all). Spark
+        // regexp_replace is global by default — the SQL needs 'g' on both
+        // rewrites. The synthesized text plants one real email and one
+        // real phone per row around the pool word; concat_ws's null-skip
+        // means a null s just shortens the text instead of nulling it,
+        // so the regex legs always see a real string.
+        val ptxt = concat_ws(" ", col("s"),
+          concat(lit("u"), col("id"), lit("@ex.com")),
+          lower(col("s")), lit("+1-555-0123"))
+        val em = graft.text.TextAnalysis.EmailRe
+        val ph = graft.text.TextAnalysis.PhoneRe
+        Gen(
+          l.select(col("id"), ptxt.as("pii"))
+            .select(col("id"),
+              graft.text.TextAnalysis.redactPii(col("pii")).as("red"),
+              regexp_count(col("pii"), lit(em)).cast("long").as("n_email"),
+              regexp_count(col("pii"), lit(ph)).cast("long").as("n_phone")),
+          s"""WITH p AS (SELECT id, concat_ws(' ', s, 'u' || id || '@ex.com',
+             |    lower(s), '+1-555-0123') AS pii FROM l)
+             |SELECT id,
+             |  regexp_replace(regexp_replace(pii, '$em', '<EMAIL>', 'g'),
+             |    '$ph', '<PHONE>', 'g') AS red,
+             |  CAST(len(regexp_extract_all(pii, '$em')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(pii, '$ph')) AS BIGINT) AS n_phone
+             |FROM p""".stripMargin,
+          "pii_redact")
+
+      case 49 => // the A22 RAG chunking operator with RANDOMIZED
+        // chunk/stride geometry vs the q112 oracle pattern: posexplode
+        // ordinals ≡ (start-1)/stride (starts are exactly 1+k·stride),
+        // Spark's slice ≡ DuckDB's inclusive list range, the tail chunk's
+        // n_tokens = least(chunk, len-start+1), and a doc whose text
+        // empties out yields NO chunks on either side.
+        val ct = 2 + rnd.nextInt(3)
+        val st = 2 + rnd.nextInt(3)
+        val ctxt = concat_ws(" ", col("s"), lower(col("s")),
+          col("v").cast("string"), upper(col("s")),
+          col("k").cast("string"), lit("x"))
+        Gen(
+          graft.text.TextAnalysis.chunkForEmbedding(
+            l.select(col("id"), ctxt.as("t")), "id", col("t"), ct, st),
+          s"""WITH t AS (SELECT id, concat_ws(' ', s, lower(s),
+             |    CAST(v AS VARCHAR), upper(s), CAST(k AS VARCHAR), 'x') AS text FROM l),
+             |w AS (SELECT id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM t),
+             |st AS (SELECT id, ws,
+             |    unnest(generate_series(1, len(ws), $st)) AS start_tok
+             |  FROM w WHERE len(ws) >= 1)
+             |SELECT id, CAST((start_tok - 1) / $st AS BIGINT) AS chunk_id,
+             |  CAST(start_tok AS BIGINT) AS start_tok,
+             |  CAST(least($ct, len(ws) - start_tok + 1) AS BIGINT) AS n_tokens,
+             |  array_to_string(ws[start_tok:start_tok + ${ct - 1}], ' ') AS chunk_text
+             |FROM st""".stripMargin,
+          "chunking")
+
+      case 50 => // the content fingerprint + shared normalizer vs their
+        // SQL forms: fingerprint trims FIRST then collapses (a trailing
+        // tab becomes a trailing space that survives into the md5), while
+        // normalized() collapses first — the op-order difference is part
+        // of what's pinned. trim is ASCII-space-only in BOTH engines;
+        // null s → NULL fp but '' norm (the coalesce asymmetry).
+        Gen(
+          l.select(col("id"),
+            graft.text.TextAnalysis.fingerprint(col("s")).as("fp"),
+            graft.text.TextAnalysis.normalized(col("s")).as("norm")),
+          """SELECT id,
+            |  md5(regexp_replace(lower(trim(s)), '\s+', ' ', 'g')) AS fp,
+            |  lower(trim(regexp_replace(COALESCE(s, ''), '\s+', ' ', 'g'))) AS norm
+            |FROM l""".stripMargin,
+          "fingerprint")
+
+      case 51 => // the NATIVE repetition-ratio kernel (a custom codegen'd
+        // Expression, not built-ins) vs the q46 oracle pattern: distinct
+        // 3-grams over a deliberately periodic word sequence (s repeated
+        // 6×) so duplicate grams actually occur; <3 words or null text →
+        // 1.0; ratios are small-integer rationals whose 6-decimal
+        // rounding can never land on a tie.
+        val rtxt = concat_ws(" ", col("s"), col("s"), col("s"),
+          lower(col("s")), col("s"), col("s"), col("s"))
+        Gen(
+          l.select(col("id"),
+            graft.text.TextAnalysis.repetitionRatio(rtxt, 3).as("distinct_ratio")),
+          """WITH t AS (SELECT id, concat_ws(' ', s, s, s, lower(s), s, s, s) AS text FROM l),
+            |w AS (SELECT id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM t),
+            |g AS (SELECT id, CASE WHEN len(ws) >= 3
+            |    THEN list_transform(generate_series(1, len(ws) - 2),
+            |         i -> array_to_string(ws[i:i+2], ' '))
+            |    ELSE [] END AS grams FROM w)
+            |SELECT id, CASE WHEN len(grams) > 0
+            |  THEN round(CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+            |  ELSE 1.0 END AS distinct_ratio FROM g""".stripMargin,
+          "repetition")
+
+      case 52 => // the q27 token-count trio vs SQL: whitespace words, the
+        // chars/4 BPE estimate floored at the word count, and the match
+        // count of the GPT-2-style pretokenizer regex (ASCII classes +
+        // leftmost-first alternation — identical in Java and RE2; the
+        // planted "it's" exercises the contraction branch, the unicode
+        // pool words fall through to the [^\sA-Za-z0-9]+ run branch).
+        val ttxt = concat_ws(" ", col("s"), col("v").cast("string"),
+          lower(col("s")), lit("it's"))
+        val bre = graft.text.TextAnalysis.BpeRe.replace("'", "''")
+        Gen(
+          graft.text.TextAnalysis.tokenCounts(
+              l.select(col("id"), ttxt.as("t")), col("t"))
+            .select(col("id"), col("n_tokens_ws"), col("n_tokens_bpe"),
+              col("n_tokens_re")),
+          s"""WITH t AS (SELECT id, concat_ws(' ', s, CAST(v AS VARCHAR),
+             |    lower(s), 'it''s') AS text FROM l),
+             |w AS (SELECT id, text,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM t)
+             |SELECT id, CAST(len(ws) AS BIGINT) AS n_tokens_ws,
+             |  greatest(CAST(len(ws) AS BIGINT),
+             |    CAST(ceil(length(text) / 4.0) AS BIGINT)) AS n_tokens_bpe,
+             |  CAST(len(regexp_extract_all(text, '$bre')) AS BIGINT) AS n_tokens_re
+             |FROM w""".stripMargin,
+          "token_counts")
 
       case 28 => // the salted skew join vs a PLAIN inner join: the
         // hot/cold decomposition (broadcast hot set, salt×explode the hot
