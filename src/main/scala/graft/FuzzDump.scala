@@ -137,7 +137,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(53) match {
+    rnd.nextInt(55) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -1250,6 +1250,57 @@ object FuzzDump {
              |  CAST(len(regexp_extract_all(text, '$bre')) AS BIGINT) AS n_tokens_re
              |FROM w""".stripMargin,
           "token_counts")
+
+      case 53 => // the A16-family EWMA smoother vs its integer lag-chain
+        // re-derivation: coef_j = 3^j·4^(L-1-j) exact integers, norm =
+        // 4^L − 3^L, only the final division is a double (floor-trunc
+        // 6dp). Randomized lookback; a null v ANYWHERE in the chain nulls
+        // the whole weighted sum and drops the row — in both engines.
+        val lb = 2 + rnd.nextInt(3)
+        val ecoefs = (0 until lb).map(j =>
+          BigInt(3).pow(j).toLong * BigInt(4).pow(lb - 1 - j).toLong)
+        val enorm = ecoefs.sum
+        val echain = (s"v * ${ecoefs.head}" +:
+          (1 until lb).map(j => s"lag(v, $j) OVER w * ${ecoefs(j)}"))
+          .mkString(" + ")
+        Gen(
+          graft.ops.Relational.ewmaSmooth(
+            l.select(col("k"), col("id"), col("v")), "k", "id", "v", lb),
+          s"""WITH wnd AS (SELECT k, id, v, $echain AS wsum
+             |  FROM l WINDOW w AS (PARTITION BY k ORDER BY id))
+             |SELECT k, id, v,
+             |  floor(CAST(wsum AS DOUBLE) / $enorm.0 * 1e6) / 1e6 AS ewma
+             |FROM wnd WHERE wsum IS NOT NULL""".stripMargin,
+          "ewma")
+
+      case 54 => // the A16 rolling z-score anomaly gate vs the q103
+        // oracle pattern, with RANDOM lookback/z and nullable values the
+        // gap-filled production series never has: count() skips nulls in
+        // both engines, so a null inside the frame keeps cnt < L and the
+        // row stays unflagged warmup; a null v at the probe row nulls
+        // is_anomaly itself (Spark's && ≡ the SQL CASE's null
+        // propagation); zero-variance history flags ANY deviation.
+        val zlb = 2 + rnd.nextInt(3)
+        val zz = Seq(2.0, 3.0)(rnd.nextInt(2))
+        val zmean = "CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)"
+        val zvar = s"(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)"
+        val zdev = s"(CAST(v AS DOUBLE) - $zmean)"
+        Gen(
+          graft.ops.Relational.rollingAnomalies(
+            l.select(col("k"), col("id"), col("v")), "k", "id", "v", zlb, zz),
+          s"""WITH wnd AS (SELECT k, id, v,
+             |    count(v) OVER w AS cnt, sum(v) OVER w AS s1,
+             |    sum(v * v) OVER w AS s2
+             |  FROM l WINDOW w AS (PARTITION BY k ORDER BY id
+             |    ROWS BETWEEN $zlb PRECEDING AND 1 PRECEDING))
+             |SELECT k, id, v,
+             |  CASE WHEN cnt = $zlb THEN floor(($zmean) * 1e6) / 1e6 END AS mean_prev,
+             |  CASE WHEN cnt = $zlb THEN
+             |    CASE WHEN $zvar > 0 THEN $zdev * $zdev > ${zz * zz} * ($zvar)
+             |         ELSE $zdev <> 0 END
+             |  ELSE FALSE END AS is_anomaly
+             |FROM wnd""".stripMargin,
+          "rolling_zscore")
 
       case 28 => // the salted skew join vs a PLAIN inner join: the
         // hot/cold decomposition (broadcast hot set, salt×explode the hot
