@@ -137,7 +137,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(55) match {
+    rnd.nextInt(57) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -1301,6 +1301,46 @@ object FuzzDump {
              |  ELSE FALSE END AS is_anomaly
              |FROM wnd""".stripMargin,
           "rolling_zscore")
+
+      case 55 => // the A18 Efraimidis-Spirakis weighted sample vs its SQL
+        // re-derivation: u from md5(seed|id) (conv ≡ the '0x'-cast hex
+        // idiom), key = ln(u)/w floor-trunc 1e-9, global top-k via ORDER
+        // BY DESC + id tiebreak + LIMIT. Null and non-positive weights
+        // are EXCLUDED in both engines (the operator's documented rule —
+        // ±Inf through floor/cast is the one non-portable path). Random
+        // k and seed per case.
+        val wk = 3 + rnd.nextInt(8)
+        val wseed = s"fz${rnd.nextInt(1000)}"
+        Gen(
+          graft.ops.Relational.weightedSample(
+            l.select(col("id"), col("v")), col("id"), col("v"), wk, wseed),
+          s"""WITH keyed AS (SELECT id, v,
+             |    floor(ln((CAST(('0x' || substring(md5('$wseed|' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+             |        / 4294967296.0) / CAST(v AS DOUBLE) * 1e9) / 1e9 AS samp_key
+             |  FROM l WHERE CAST(v AS DOUBLE) > 0)
+             |SELECT id, v, samp_key FROM keyed
+             |ORDER BY samp_key DESC, id LIMIT $wk""".stripMargin,
+          "weighted_sample")
+
+      case 56 => // the A33 deterministic split assignment vs SQL: bucket
+        // = md5-hex-head(seed|id) % 100, thresholds carve train/val/test.
+        // Random thresholds and seed; the property under test is that the
+        // SAME row lands in the SAME split in both engines — the
+        // stability contract eval-set hygiene rests on.
+        val tp = 50 + rnd.nextInt(40)
+        val vp = 1 + rnd.nextInt(99 - tp)
+        val sseed = s"sp${rnd.nextInt(1000)}"
+        Gen(
+          graft.ops.Relational.splitAssign(
+            l.select(col("id"), col("s")), col("id"), sseed, tp, vp),
+          s"""WITH b AS (SELECT id, s,
+             |    CAST(('0x' || substring(md5('$sseed|' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+             |  FROM l)
+             |SELECT id, s, bucket,
+             |  CASE WHEN bucket < $tp THEN 'train'
+             |       WHEN bucket < ${tp + vp} THEN 'val' ELSE 'test' END AS split
+             |FROM b""".stripMargin,
+          "split_assign")
 
       case 28 => // the salted skew join vs a PLAIN inner join: the
         // hot/cold decomposition (broadcast hot set, salt×explode the hot
