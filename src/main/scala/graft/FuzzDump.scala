@@ -137,7 +137,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(57) match {
+    rnd.nextInt(59) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -1341,6 +1341,81 @@ object FuzzDump {
              |       WHEN bucket < ${tp + vp} THEN 'val' ELSE 'test' END AS split
              |FROM b""".stripMargin,
           "split_assign")
+
+      case 57 => // the A43 gram-dominance NATIVE kernel (single-pass
+        // codegen'd fold) vs the q147 SQL re-derivation: word-bigram
+        // counts, the top gram under the cnt DESC / gram DESC tie-break,
+        // top_frac against the space-joined total chars, dup_frac over
+        // gram occurrences — deliberately periodic text so dup grams and
+        // ties both occur; docs under 2 words take the NULL-top/0.0 path.
+        val gtxt = concat_ws(" ", col("s"), col("s"), lower(col("s")),
+          col("s"), col("v").cast("string"), col("s"))
+        Gen(
+          graft.text.TextAnalysis.topGramDominance(
+            l.select(col("id"), gtxt.as("t")), "id", col("t"), 2),
+          """WITH t AS (SELECT id, concat_ws(' ', s, s, lower(s), s,
+            |    CAST(v AS VARCHAR), s) AS text FROM l),
+            |w AS (SELECT id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM t),
+            |g AS (SELECT id, array_to_string(ws[i:i+1], ' ') AS gram
+            |  FROM (SELECT id, ws,
+            |    unnest(generate_series(1, greatest(len(ws)-1, 0))) AS i FROM w)),
+            |c AS (SELECT id, gram, count(*) AS cnt FROM g GROUP BY id, gram),
+            |top AS (SELECT id, gram, cnt FROM (
+            |  SELECT id, gram, cnt, row_number() OVER (PARTITION BY id
+            |    ORDER BY cnt DESC, gram DESC) AS rn FROM c) WHERE rn = 1),
+            |agg AS (SELECT id, sum(cnt) AS n_grams,
+            |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ
+            |  FROM c GROUP BY id),
+            |tot AS (SELECT id, length(array_to_string(ws, ' ')) AS total_chars FROM w)
+            |SELECT t.id, top.gram AS top_gram,
+            |  coalesce(top.cnt, 0) AS top_cnt,
+            |  CASE WHEN t.total_chars > 0 AND top.gram IS NOT NULL
+            |    THEN round(top.cnt * length(top.gram) / CAST(t.total_chars AS DOUBLE), 6)
+            |    ELSE 0.0 END AS top_frac,
+            |  CASE WHEN coalesce(a.n_grams, 0) > 0
+            |    THEN round(a.dup_occ / CAST(a.n_grams AS DOUBLE), 6)
+            |    ELSE 0.0 END AS dup_frac
+            |FROM tot t
+            |LEFT JOIN top ON top.id = t.id
+            |LEFT JOIN agg a ON a.id = t.id""".stripMargin,
+          "gram_dominance")
+
+      case 58 => // the chargram-Jaccard NATIVE kernel (one O(|a|+|b|)
+        // codegen'd pass) on consecutive-id pairs vs the q75 verify-stage
+        // SQL: distinct char-3-grams of the normalized texts,
+        // inter/union with the union=0 → 0.0 rule; short texts (< 3
+        // chars) have empty gram sets. Unions stay ≤ ~30 so the 6-decimal
+        // round can never land on a tie (first power-of-2 denominator
+        // with a 7-digit expansion is 128).
+        val jtxt = concat_ws(" ", col("s"), lower(col("s")),
+          col("v").cast("string"))
+        Gen(
+          graft.dedup.Dedup.charGramJaccard(
+            l.select(col("id").as("a"))
+              .join(l.select(col("id").as("b")), col("b") === col("a") + 1),
+            l.select(col("id"), jtxt.as("t")), "id", col("t"), n = 3),
+          """WITH t AS (SELECT id, concat_ws(' ', s, lower(s),
+            |    CAST(v AS VARCHAR)) AS text FROM l),
+            |nrm AS (SELECT id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt FROM t),
+            |p AS (SELECT x.id AS a, y.id AS b FROM l x JOIN l y ON y.id = x.id + 1),
+            |cg AS (SELECT DISTINCT id, substring(nt, i, 3) AS g
+            |  FROM (SELECT id, nt,
+            |    unnest(generate_series(1, greatest(length(nt) - 2, 0))) AS i FROM nrm)),
+            |szs AS (SELECT id, count(*) AS sz FROM cg GROUP BY id),
+            |itr AS (SELECT p.a, p.b, count(*) AS inter FROM p
+            |  JOIN cg ga ON ga.id = p.a
+            |  JOIN cg gb ON gb.id = p.b AND gb.g = ga.g
+            |  GROUP BY p.a, p.b)
+            |SELECT p.a, p.b,
+            |  CASE WHEN coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(itr.inter, 0) = 0 THEN 0.0
+            |    ELSE round(CAST(coalesce(itr.inter, 0) AS DOUBLE)
+            |      / CAST(coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(itr.inter, 0) AS DOUBLE), 6)
+            |  END AS jaccard
+            |FROM p
+            |LEFT JOIN itr ON itr.a = p.a AND itr.b = p.b
+            |LEFT JOIN szs sa ON sa.id = p.a
+            |LEFT JOIN szs sb ON sb.id = p.b""".stripMargin,
+          "chargram_kernel")
 
       case 28 => // the salted skew join vs a PLAIN inner join: the
         // hot/cold decomposition (broadcast hot set, salt×explode the hot
