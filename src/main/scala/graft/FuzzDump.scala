@@ -137,7 +137,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(59) match {
+    rnd.nextInt(60) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -1416,6 +1416,54 @@ object FuzzDump {
             |LEFT JOIN szs sa ON sa.id = p.a
             |LEFT JOIN szs sb ON sb.id = p.b""".stripMargin,
           "chargram_kernel")
+
+      case 59 => // the winnowing-fingerprint NATIVE kernel (Rabin-Karp
+        // rolling char-8-gram hash + monotonic-deque window-4 min, one
+        // fused O(n) pass) vs the q56 pure-SQL re-derivation
+        // (list_reduce polynomial hash + list_min window slices).
+        // Synthesized texts straddle the 8-char boundary so the
+        // empty-fingerprint path fires; try_element_at (not element_at)
+        // reads the head/tail because empty arrays would throw under
+        // ANSI — and a null INDEX is the upstream codegen bug anyway.
+        val wtxt2 = concat_ws(" ", col("s"), lower(col("s")),
+          col("v").cast("string"), upper(col("s")))
+        Gen(
+          l.select(col("id"),
+              graft.text.TextAnalysis.winnowFingerprints(wtxt2).as("fps"))
+            .select(col("id"),
+              size(col("fps")).cast("long").as("n_fps"),
+              try_element_at(col("fps"), lit(1)).as("min_fp"),
+              try_element_at(col("fps"), lit(-1)).as("max_fp"),
+              aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum")),
+          """WITH d AS (
+            |  SELECT id,
+            |    lower(trim(regexp_replace(concat_ws(' ', s, lower(s),
+            |      CAST(v AS VARCHAR), upper(s)), '\s+', ' ', 'g'))) AS t
+            |  FROM l
+            |), grams AS (
+            |  SELECT id,
+            |    CASE WHEN length(t) >= 8 THEN
+            |      list_transform(range(1, length(t) - 8 + 2),
+            |        p -> list_reduce(
+            |               list_transform(range(p, p + 8),
+            |                 j -> CAST(unicode(substring(t, CAST(j AS INTEGER), 1)) AS BIGINT)),
+            |               (a, b) -> (a * 131 + b) % 1000000007))
+            |    ELSE CAST([] AS BIGINT[]) END AS gs
+            |  FROM d
+            |), fset AS (
+            |  SELECT id,
+            |    CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[])
+            |    ELSE list_sort(list_distinct(
+            |      list_transform(range(1, greatest(len(gs) - 4 + 1, 1) + 1),
+            |        i -> list_min(list_slice(gs, i, least(i + 4 - 1, len(gs)))))))
+            |    END AS fps
+            |  FROM grams
+            |)
+            |SELECT id, len(fps) AS n_fps, fps[1] AS min_fp,
+            |  fps[len(fps)] AS max_fp,
+            |  CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
+            |FROM fset""".stripMargin,
+          "winnow_kernel")
 
       case 28 => // the salted skew join vs a PLAIN inner join: the
         // hot/cold decomposition (broadcast hot set, salt×explode the hot
