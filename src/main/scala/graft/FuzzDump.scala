@@ -137,7 +137,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(60) match {
+    rnd.nextInt(61) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -1464,6 +1464,27 @@ object FuzzDump {
             |  CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
             |FROM fset""".stripMargin,
           "winnow_kernel")
+
+      case 60 => // the simhash16 NATIVE kernel (one md5 per word, 16-bit
+        // hex-high-bit majority) vs the q68 SQL re-derivation: per-word
+        // md5s, each of the 16 leading hex digits votes +1/-1 on its
+        // high bit, ties and EMPTY docs go to '0' (list_sum of an empty
+        // list is NULL in DuckDB → NULL > 0 is false → '0', matching the
+        // kernel's all-zero signature for wordless text).
+        val shtxt = concat_ws(" ", col("s"), lower(col("s")),
+          col("v").cast("string"))
+        val shBits = (1 to 16).map { i =>
+          s"""CASE WHEN list_sum(list_transform(hws, h -> CASE WHEN substring(h, $i, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"""
+        }.mkString("(", " || ", ")")
+        Gen(
+          l.select(col("id"),
+            graft.dedup.Dedup.simhash16(shtxt).as("sh")),
+          s"""WITH t AS (SELECT id, concat_ws(' ', s, lower(s),
+             |    CAST(v AS VARCHAR)) AS text FROM l),
+             |w AS (SELECT id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM t),
+             |hw AS (SELECT id, list_transform(ws, x -> md5(x)) AS hws FROM w)
+             |SELECT id, $shBits AS sh FROM hw""".stripMargin,
+          "simhash_kernel")
 
       case 28 => // the salted skew join vs a PLAIN inner join: the
         // hot/cold decomposition (broadcast hot set, salt×explode the hot
