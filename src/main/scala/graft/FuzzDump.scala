@@ -137,7 +137,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(61) match {
+    rnd.nextInt(62) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -1485,6 +1485,32 @@ object FuzzDump {
              |hw AS (SELECT id, list_transform(ws, x -> md5(x)) AS hws FROM w)
              |SELECT id, $shBits AS sh FROM hw""".stripMargin,
           "simhash_kernel")
+
+      case 61 => // the Aho-Corasick canary NATIVE kernel (one text
+        // traversal for all patterns) vs the q135 replace-delta SQL:
+        // n_hits = (len - len(replace))/len(pattern) counts
+        // LEFT-TO-RIGHT NON-OVERLAPPING matches, first_pos = 1-based
+        // codepoint strpos. The pattern set includes single/double-char
+        // digit runs ('0' vs '00' over '00'-bearing texts probes the
+        // non-overlap rule), a unicode pattern, and pool words repeated
+        // in the synthesized text for real multi-hit rows.
+        val canaries = Seq("alpha", "beta", "0", "00", "am", "délta")
+        val ctext = concat_ws(" ", col("s"), col("s"), lower(col("s")),
+          col("v").cast("string"), col("s"), lit("x"))
+        val canList = canaries.map(c => s"'$c'").mkString("[", ", ", "]")
+        Gen(
+          graft.text.TextAnalysis.canaryScanAC(
+            l.select(col("id"), ctext.as("t")), "id", col("t"), canaries),
+          s"""WITH t AS (SELECT id, concat_ws(' ', s, s, lower(s),
+             |    CAST(v AS VARCHAR), s, 'x') AS text FROM l),
+             |c AS (SELECT unnest($canList) AS canary)
+             |SELECT id, canary,
+             |  CAST((length(text) - length(replace(text, canary, '')))
+             |    / length(canary) AS BIGINT) AS n_hits,
+             |  CAST(strpos(text, canary) AS BIGINT) AS first_pos
+             |FROM t, c
+             |WHERE contains(text, canary)""".stripMargin,
+          "canary_kernel")
 
       case 28 => // the salted skew join vs a PLAIN inner join: the
         // hot/cold decomposition (broadcast hot set, salt×explode the hot
