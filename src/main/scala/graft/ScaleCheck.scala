@@ -21,7 +21,12 @@ object ScaleCheck {
     val mult = if (args.nonEmpty) args(0).toInt else 16
     val only = args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(label: String): Boolean = only.forall(_.exists(label.startsWith))
-    val spark = SparkSession.builder().master("local[32]")
+    // thread count shared with the HostLoad.measure call below: HostLoad's
+    // calibration reference is pinned for local[32] and self-disables on
+    // any other count — passing the literal here keeps that guard honest
+    // if this master line ever changes
+    val cpus = "32"
+    val spark = SparkSession.builder().master(s"local[$cpus]")
       // 32 matches the bench config; high multipliers can need more initial
       // partitions to keep a shuffle partition inside execution memory
       // (AQE coalesces back down when small) — override per run:
@@ -59,7 +64,7 @@ object ScaleCheck {
     // every probe line carries the measured host-load calibration (r10
     // verdict task 7): the probe TRENDS are the 100 TB evidence, and a
     // loaded window could otherwise pollute a trend point without a trace
-    val hostLoad = graft.util.HostLoad.measure(spark)
+    val hostLoad = graft.util.HostLoad.measure(spark, cpus)
     // spill accounting (r10 verdict task 4): per-task spill bytes summed
     // over each probe's window, so the spill-resilience tier
     // (SPARK_DRIVER_MEM=8g, the heaviest shapes at 64x) records WHETHER

@@ -160,21 +160,39 @@ object SparkEntry {
   /** Build (once per tier, marker-memoized) and register the `partsupp`
     * temp view for [[SqlQ2PsText]]/[[SqlQ11PsText]]. The derivation is
     * pure arithmetic over (p_partkey, s_suppkey) so both the fixture and
-    * any re-run are bit-identical: suppkeys (p*3 + i*7) mod |supplier|
-    * for i ∈ 0..3 (distinct mod 100), availqty and supplycost closed-form
+    * any re-run are bit-identical: suppkeys min(s_suppkey) +
+    * (p*3 + i*7) mod |supplier| for i ∈ 0..3 (domain-anchored, offsets
+    * require()d distinct mod |supplier|), availqty and supplycost closed-form
     * — supplycost lands on exact DECIMAL(12,2) cents via a 0.01 decimal
     * MULTIPLY (never division: the FuzzDump lane proved DuckDB decimal
     * division degrades to DOUBLE). */
   private def ensurePartsupp(s: SparkSession, d: String): Unit = {
     partsuppFixtureSub = s"$PartsuppFixtureDir/${new java.io.File(d).getName}"
     val fx = partsuppFixtureSub
-    val marker = new java.io.File(s"$fx/_built_v1")
+    val marker = new java.io.File(s"$fx/_built_v2")
     if (!marker.exists()) {
-      val nSupp = t(s, d, "supplier").count()
+      // derive from the ACTUAL supplier key domain, not an assumed 0-based
+      // one: offset by min(s_suppkey) so a 1-based (standard TPC-H) tier
+      // yields no dangling ps_suppkey=0 rows, and require the domain dense
+      // so min + pmod(...) always lands on a real supplier
+      val dom = t(s, d, "supplier")
+        .agg(min("s_suppkey").cast("long"), max("s_suppkey").cast("long"),
+          count(lit(1)))
+        .head()
+      val (minSupp, maxSupp, nSupp) =
+        (dom.getLong(0), dom.getLong(1), dom.getLong(2))
+      require(maxSupp - minSupp + 1 == nSupp,
+        s"partsupp fixture needs a dense supplier key domain, got " +
+          s"[$minSupp,$maxSupp] with $nSupp rows")
+      // '4 suppliers per part' needs the four i*7 offsets distinct mod
+      // |supplier| — fails only for |supplier| ∈ {1,2,3,7,14,21}
+      require(Set(0L, 7L, 14L, 21L).map(o => ((o % nSupp) + nSupp) % nSupp).size == 4,
+        s"i*7 offsets collide mod $nSupp suppliers — the fixture's " +
+          "4-distinct-suppliers-per-part derivation does not hold")
       t(s, d, "part").select(col("p_partkey").as("ps_partkey"))
         .withColumn("i", explode(array((0 until 4).map(lit): _*)))
         .withColumn("ps_suppkey",
-          pmod(col("ps_partkey") * 3 + col("i") * 7, lit(nSupp)))
+          pmod(col("ps_partkey") * 3 + col("i") * 7, lit(nSupp)) + lit(minSupp))
         .withColumn("ps_availqty",
           (pmod(col("ps_partkey") * 13 + col("ps_suppkey") * 7, lit(9999)) + 1)
             .cast("int"))

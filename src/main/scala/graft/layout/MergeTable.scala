@@ -167,6 +167,19 @@ object MergeTable {
     finishCommit(dir, pr)
   }
 
+  /** A claimed commit whose staged data AND published `v<n>` directory are
+    * both gone — unrecoverable (the data no longer exists anywhere, e.g. a
+    * vacuum raced the writer before its stage rename). The claim manifest
+    * is withdrawn before this is thrown, so the table heals: the NEXT
+    * writer re-claims the same version number cleanly instead of every
+    * future recover() rethrowing forever. */
+  final class LostCommitException(dir: String, version: Long, stage: String)
+    extends RuntimeException(
+      s"MergeTable commit v$version at $dir is unrecoverable: its staged " +
+        s"data dir '$stage' and published v$version dir are both missing " +
+        "(a vacuum likely deleted an in-flight stage); the claim was " +
+        "withdrawn — the interrupted merge must be re-run")
+
   /** Steps 2+3 of the protocol; idempotent, so a recovering writer and a
     * slow original writer racing through it converge.
     *
@@ -179,13 +192,24 @@ object MergeTable {
     * conditional rename; on an object store this whole swap is a
     * conditional-put and the residue vanishes). A regression that slips
     * through the residual instant still only exposes a CONSISTENT older
-    * snapshot and is rolled forward by the next merge/compact entry. */
+    * snapshot and is rolled forward by the next merge/compact entry.
+    *
+    * A claim whose stage AND v-dir are BOTH missing (its data is gone —
+    * the vacuum-races-writer shape) is withdrawn — the immutable history
+    * entry is deleted so the table does not wedge — and reported loudly
+    * ONCE via [[LostCommitException]]. */
   private[layout] def finishCommit(dir: String, pr: Properties): Unit = {
     val version = pr.getProperty("version").toLong
     val stage = pr.getProperty("stage", "")
     val vDir = Paths.get(dir, s"v$version")
     if (stage.nonEmpty && !Files.exists(vDir)) {
-      try Files.move(Paths.get(dir, stage), vDir, StandardCopyOption.ATOMIC_MOVE)
+      val stagePath = Paths.get(dir, stage)
+      if (!Files.exists(stagePath)) {
+        // unrecoverable: withdraw the claim (heals the table), fail loudly
+        Files.deleteIfExists(Paths.get(dir, s"_manifest_v$version"))
+        throw new LostCommitException(dir, version, stage)
+      }
+      try Files.move(stagePath, vDir, StandardCopyOption.ATOMIC_MOVE)
       catch { // the other racer already renamed it
         case _: java.nio.file.NoSuchFileException if Files.exists(vDir) => ()
         case _: java.nio.file.FileAlreadyExistsException => ()
@@ -216,10 +240,26 @@ object MergeTable {
     f.delete(); ()
   }
 
+  /** Resolve the immutable history manifest for `version`. A CLAIMED but
+    * UNFINISHED commit (the manifest records a stage dir and `v<version>`
+    * does not exist yet — a writer between CAS claim and data rename, or
+    * crashed there) is rolled forward HERE rather than read through:
+    * reading through it would make [[readBuckets]] silently treat the
+    * absent bucket dirs as all-deleted, i.e. time travel and CDC would
+    * return wrong results instead of erroring. Roll-forward is the same
+    * idempotent [[finishCommit]] every writer runs; if the staged data is
+    * gone too, this fails loudly ([[LostCommitException]]) instead of
+    * returning a manifest that reads as an empty snapshot. */
   private def manifestAt(dir: String, version: Long): Manifest = {
     val p = Paths.get(dir, s"_manifest_v$version")
     require(Files.exists(p),
       s"no manifest for version $version at $dir (expired or never committed)")
+    val pr = new Properties()
+    val in = Files.newInputStream(p)
+    try pr.load(in) finally in.close()
+    val stage = pr.getProperty("stage", "")
+    if (stage.nonEmpty && !Files.exists(Paths.get(dir, s"v$version")))
+      finishCommit(dir, pr) // roll the unfinished commit forward (or throw)
     parseManifest(p)
   }
 
@@ -433,11 +473,24 @@ object MergeTable {
     readBuckets(spark, dir, manifestAt(dir, version), None).drop(BucketCol)
 
   /** Committed versions still readable (manifest history present),
-    * ascending. */
+    * ascending. A version whose commit is CLAIMED but not yet finished
+    * (stage recorded, `v<n>` dir absent — a writer mid-commit) is
+    * excluded: it is not yet a readable snapshot, and listing it would
+    * invite a [[readAt]] on data that is still being renamed. It appears
+    * once its data rename lands (its own writer's, or any later writer's
+    * recover()). */
   def versions(dir: String): Seq[Long] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
       .map(_.getName).filter(_.matches("_manifest_v\\d+"))
       .map(_.stripPrefix("_manifest_v").toLong).sorted
+      .filter { v =>
+        Files.exists(Paths.get(dir, s"v$v")) || {
+          val pr = new Properties()
+          val in = Files.newInputStream(Paths.get(dir, s"_manifest_v$v"))
+          try pr.load(in) finally in.close()
+          pr.getProperty("stage", "").isEmpty // no-data commit (e.g. replay)
+        }
+      }
 
   /** CDC between two committed versions: one row per key whose value
     * CHANGED (op ∈ insert/update/delete; insert/update rows carry the
@@ -487,22 +540,41 @@ object MergeTable {
   /** Delete version directories referenced by NO retained manifest
     * (superseded snapshots and failed merges). Time travel bounds what is
     * reclaimable: every version in [[versions]] keeps its referenced dirs
-    * alive — [[expireVersions]] first, then vacuum. Safe for the
-    * single-writer model; with concurrent readers a grace period goes
-    * here. Returns deleted dirs. */
-  def vacuum(dir: String): Seq[String] = {
+    * alive — [[expireVersions]] first, then vacuum. Returns deleted dirs.
+    *
+    * Stage-dir reclamation honours `stageGraceMs`: a `_stage_v*` dir is a
+    * crash orphan ONLY once it has been idle past the grace window —
+    * recover() above finishes CLAIMED stages, but an UNCLAIMED stage that
+    * a live concurrent writer is still filling is indistinguishable from
+    * an orphan by name alone. Deleting it out from under the writer lets
+    * the writer still win its CAS and publish a manifest whose data is
+    * gone (the [[LostCommitException]] shape). The mtime check makes that
+    * race require a writer stalled longer than the grace period mid-write;
+    * pass `stageGraceMs = 0` only when no writer can be live (the r11
+    * single-operator cleanup shape). */
+  def vacuum(dir: String, stageGraceMs: Long = 3600000L): Seq[String] = {
     recover(dir)
     val m = requireManifest(dir)
     val referenced = versions(dir).map(manifestAt(dir, _))
       .flatMap(h => h.buckets.values.toSeq :+ h.version)
       .toSet ++ m.buckets.values + m.version
+    val now = System.currentTimeMillis()
+    def idlePastGrace(f: java.io.File): Boolean = {
+      // newest mtime anywhere under the stage (the dir itself goes stale
+      // while parquet part files are still landing inside it)
+      def newest(x: java.io.File): Long =
+        (x.lastModified() +: Option(x.listFiles()).getOrElse(Array.empty)
+          .map(newest).toSeq).max
+      now - newest(f) >= stageGraceMs
+    }
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && (
         (f.getName.matches("v\\d+") &&
           !referenced.contains(f.getName.stripPrefix("v").toLong)) ||
         // crash-orphaned staging dirs (a writer that died before its CAS
-        // claim); recover() above already rolled forward any CLAIMED stage
-        f.getName.startsWith("_stage_v")))
+        // claim); recover() above already rolled forward any CLAIMED stage,
+        // and the grace window protects a live writer's in-flight stage
+        (f.getName.startsWith("_stage_v") && idlePastGrace(f))))
       .map { f => deleteRecursively(f); f.getName }
   }
 }

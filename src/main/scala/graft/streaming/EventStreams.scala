@@ -505,29 +505,33 @@ object EventStreams {
         .schema(spark.read.parquet(srcPath).schema)
         .option("maxFilesPerTrigger", "1").parquet(srcPath)
       // restore after awaitTermination (same async-clone race as the
-      // outer-join harness — see streamOuterJoinCrashResume)
+      // outer-join harness — see streamOuterJoinCrashResume); the try
+      // opens at the conf.set so a start()-time failure (analysis error,
+      // bad checkpoint) cannot leave the session pinned at 4 partitions
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = graft.model.Tables.normalizeTs(src)
-          .withWatermark("ts", delay)
-          .dropDuplicatesWithinWatermark("event_id")
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", s"$spool/ck")
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
-            if (bomb && id == 0L) throw new RuntimeException(crashMsg)
-          }
-          .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination()
-      catch {
-        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-          var cause: Throwable = e
-          var injected = false
-          while (cause != null && !injected) {
-            injected = Option(cause.getMessage).exists(_.contains(crashMsg))
-            cause = cause.getCause
-          }
-          if (!injected) throw e // a real failure, not our bomb
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = graft.model.Tables.normalizeTs(src)
+            .withWatermark("ts", delay)
+            .dropDuplicatesWithinWatermark("event_id")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$spool/ck")
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+              if (bomb && id == 0L) throw new RuntimeException(crashMsg)
+            }
+            .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            var cause: Throwable = e
+            var injected = false
+            while (cause != null && !injected) {
+              injected = Option(cause.getMessage).exists(_.contains(crashMsg))
+              cause = cause.getCause
+            }
+            if (!injected) throw e // a real failure, not our bomb
+        }
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     def batchDirs(): Int = {
@@ -688,26 +692,28 @@ object EventStreams {
       // plan with the restored partition count (pinning 32 state stores in
       // the checkpoint instead of the documented 4)
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = intervalJoinOuter(graft.model.Tables.normalizeTs(src),
-            leftType, rightType)
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", s"$spool/ck")
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
-            if (bomb && id == crashAfterBatch) throw new RuntimeException(crashMsg)
-          }
-          .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination()
-      catch {
-        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-          var cause: Throwable = e
-          var injected = false
-          while (cause != null && !injected) {
-            injected = Option(cause.getMessage).exists(_.contains(crashMsg))
-            cause = cause.getCause
-          }
-          if (!injected) throw e // a real failure, not our bomb
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = intervalJoinOuter(graft.model.Tables.normalizeTs(src),
+              leftType, rightType)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$spool/ck")
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+              if (bomb && id == crashAfterBatch) throw new RuntimeException(crashMsg)
+            }
+            .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            var cause: Throwable = e
+            var injected = false
+            while (cause != null && !injected) {
+              injected = Option(cause.getMessage).exists(_.contains(crashMsg))
+              cause = cause.getCause
+            }
+            if (!injected) throw e // a real failure, not our bomb
+        }
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     def batchDirs(): Long = {

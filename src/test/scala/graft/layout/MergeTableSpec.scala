@@ -386,4 +386,92 @@ class MergeTableSpec extends SparkSpec {
     assert(contents(dir) ===
       Set((1L, "a", 1.0), (2L, "b2", 2.5), (3L, "c", 3.0)))
   }
+
+  /** Re-fabricate the claim-without-data-rename crash window: _manifest_v1
+    * published (the CAS claim) but the stage dir never renamed to v1 and
+    * _latest still at v0 — exactly the state a writer killed between
+    * commit() step 1 and step 2 leaves behind. */
+  private def fabricateClaimedUnswapped(dir: String): String = {
+    val pr = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(dir, "_manifest_v1"))
+    try pr.load(in) finally in.close()
+    val stage = pr.getProperty("stage")
+    assert(stage != null && stage.nonEmpty)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, "v1"),
+      java.nio.file.Paths.get(dir, stage))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "_manifest_v0"),
+      java.nio.file.Paths.get(dir, "_latest"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stage
+  }
+
+  test("claimed-but-unswapped commit: versions() excludes it; readAt rolls it forward") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir,
+      changes((1L, "a", 1.0, "create"), (2L, "b", 2.0, "create")), "id")
+    MergeTable.merge(spark, dir, changes((2L, "b2", 2.5, "update")), "id")
+    fabricateClaimedUnswapped(dir)
+    // the in-flight claim is NOT listed as a readable snapshot (ADVICE r11:
+    // listing it invited a readAt on absent bucket dirs, which readBuckets
+    // silently treated as all-deleted — silently wrong time travel)
+    assert(MergeTable.versions(dir) === Seq(0L))
+    // but an explicit readAt(1) rolls the commit forward instead of
+    // reading through it
+    assert(MergeTable.readAt(spark, dir, 1L).as[(Long, String, Double)]
+      .collect().toSet === Set((1L, "a", 1.0), (2L, "b2", 2.5)))
+    assert(MergeTable.versions(dir) === Seq(0L, 1L))
+    // roll-forward ran the full idempotent finishCommit, so the table is
+    // simply healthy afterwards: the next writer commits v2 on top
+    assert(MergeTable.merge(spark, dir,
+      changes((3L, "c", 3.0, "create")), "id") === Some(2L))
+    assert(contents(dir) ===
+      Set((1L, "a", 1.0), (2L, "b2", 2.5), (3L, "c", 3.0)))
+  }
+
+  test("vacuum grace period protects a live writer's in-flight stage") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir, changes((1L, "a", 1.0, "create")), "id")
+    // an UNCLAIMED stage a concurrent writer is still filling (fresh mtime)
+    val live = java.nio.file.Paths.get(dir, "_stage_v1_testlive")
+    java.nio.file.Files.createDirectories(live)
+    java.nio.file.Files.writeString(live.resolve("part-0"), "in-flight")
+    assert(!MergeTable.vacuum(dir).contains("_stage_v1_testlive"),
+      "default-grace vacuum must not reap a fresh in-flight stage")
+    assert(java.nio.file.Files.exists(live))
+    // zero grace = the explicit no-concurrent-writers cleanup shape
+    assert(MergeTable.vacuum(dir, stageGraceMs = 0L)
+      .contains("_stage_v1_testlive"))
+    assert(!java.nio.file.Files.exists(live))
+  }
+
+  test("a claim whose stage and v-dir are both gone fails loudly once, then heals") {
+    val dir = freshDir()
+    MergeTable.merge(spark, dir,
+      changes((1L, "a", 1.0, "create"), (2L, "b", 2.0, "create")), "id")
+    MergeTable.merge(spark, dir, changes((2L, "b2", 2.5, "update")), "id")
+    val stage = fabricateClaimedUnswapped(dir)
+    // the vacuum-races-writer shape: the staged data disappears before the
+    // rename lands — the commit's data is gone from the universe
+    val stagePath = java.nio.file.Paths.get(dir, stage)
+    Option(stagePath.toFile.listFiles()).getOrElse(Array.empty)
+      .foreach(f => { def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); () }
+        rm(f) })
+    java.nio.file.Files.delete(stagePath)
+    // first entrant reports the lost commit LOUDLY (not silently-empty
+    // time travel, not a permanent NoSuchFileException wedge)
+    val e = intercept[MergeTable.LostCommitException] {
+      MergeTable.merge(spark, dir, changes((3L, "c", 3.0, "create")), "id")
+    }
+    assert(e.getMessage.contains("v1"))
+    // ...and WITHDRAWS the claim: the table is healed, the next merge
+    // re-claims version 1 cleanly
+    assert(MergeTable.merge(spark, dir,
+      changes((3L, "c", 3.0, "create")), "id") === Some(1L))
+    assert(contents(dir) ===
+      Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+  }
 }
