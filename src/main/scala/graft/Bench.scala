@@ -24,7 +24,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
+    graft.plans.ElementAtNullIndexGuard.ensureInjected(spark)
     spark.sparkContext.setLogLevel("WARN")
     // ingestion contract first (see Verify): named failure beats N timed errors
     graft.model.Contracts.preflight(spark, sfDir)

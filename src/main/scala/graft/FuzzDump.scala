@@ -137,7 +137,7 @@ object FuzzDump {
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
                        a: DataFrame): Gen = {
-    rnd.nextInt(62) match {
+    rnd.nextInt(63) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -1512,6 +1512,35 @@ object FuzzDump {
              |WHERE contains(text, canary)""".stripMargin,
           "canary_kernel")
 
+      case 62 => // RAW element_at with a runtime-nullable computed index —
+        // the EXACT shape that diverged from DuckDB in round 11 (seeds
+        // 12125-12206 pattern: codegen returned the LAST element for a
+        // null index; families 45/46 had to author around it with
+        // try_element_at). The ElementAtNullIndexGuard resolution rule
+        // (injected via spark.sql.extensions in this session) now rewrites
+        // it to the null-correct form, so the once-forbidden form is
+        // directly diffable against DuckDB's list_extract(·, NULL) = NULL.
+        // A downstream grouped count over one marker column makes the
+        // guarded NULL flow through an exchange, not just a projection.
+        val nMk = 4 + rnd.nextInt(5) // 4..8 markers
+        val mk = (1 to nMk).map(i => s"mk$i")
+        val mkArr = array(mk.map(lit): _*)
+        val mkList = mk.map(w => s"'$w'").mkString("[", ", ", "]")
+        Gen(
+          l.select(col("id"),
+              element_at(mkArr, pmod(col("v"), lit(nMk)) + 1).as("m1"),
+              element_at(mkArr, pmod(col("v") + col("k"), lit(nMk)) + 1).as("m2"))
+            .groupBy(col("m1"))
+            .agg(count(lit(1)).as("n"), count(col("m2")).as("n_m2"),
+              min(col("id")).as("min_id")),
+          s"""WITH t AS (SELECT id,
+             |    list_extract($mkList, ((v % $nMk) + $nMk) % $nMk + 1) AS m1,
+             |    list_extract($mkList, (((v + k) % $nMk) + $nMk) % $nMk + 1) AS m2
+             |  FROM l)
+             |SELECT m1, count(*) AS n, count(m2) AS n_m2, min(id) AS min_id
+             |FROM t GROUP BY m1""".stripMargin,
+          "element_at_guard")
+
       case 28 => // the salted skew join vs a PLAIN inner join: the
         // hot/cold decomposition (broadcast hot set, salt×explode the hot
         // slice, anti-join the cold slice, unionByName) must be
@@ -1557,7 +1586,9 @@ object FuzzDump {
       // write int64 micros, not INT96: identical bits for both readers
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
+    graft.plans.ElementAtNullIndexGuard.ensureInjected(spark)
     spark.sparkContext.setLogLevel("WARN")
     val root = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(root)

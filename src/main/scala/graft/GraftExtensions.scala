@@ -24,6 +24,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the custom as-of join strategy (graft.plans) for config-based
     // sessions; imperative sessions get it via AsofJoin.ensureStrategy
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // upstream Spark 4.1.2 wrong-results codegen guard (BASELINE.md):
+    // element_at(array, runtime-null index) returns the LAST element under
+    // whole-stage codegen; the rule rewrites the exposed shape to its
+    // null-correct form. Injected at RESOLUTION time so the corrected
+    // nullability (upstream's ElementAt.nullable ignores the index's —
+    // the root of the codegen divergence) is part of the analyzed schema;
+    // the optimizer injection is the backstop for plans assembled from
+    // fragments the analyzer pass missed, and the no-config imperative
+    // door is ElementAtNullIndexGuard.ensureInjected.
+    ext.injectResolutionRule(_ => graft.plans.ElementAtNullIndexGuard)
+    ext.injectOptimizerRule(_ => graft.plans.ElementAtNullIndexGuard)
     ext.injectFunction((
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),

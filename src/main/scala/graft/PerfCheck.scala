@@ -7,7 +7,8 @@ object PerfCheck {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false").config("spark.sql.extensions", "graft.GraftExtensions").getOrCreate()
+    graft.plans.ElementAtNullIndexGuard.ensureInjected(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
     val names = if (args.nonEmpty) args.toSeq else Seq("q22_lsh_pairs", "q51_neardup_clusters", "q35_stream_tumbling", "q03_merge_diff", "q94_ann_ivf")

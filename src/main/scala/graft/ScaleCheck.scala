@@ -35,7 +35,8 @@ object ScaleCheck {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false").config("spark.sql.extensions", "graft.GraftExtensions").getOrCreate()
+    graft.plans.ElementAtNullIndexGuard.ensureInjected(spark)
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
 

@@ -21,7 +21,9 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
+    graft.plans.ElementAtNullIndexGuard.ensureInjected(s)
     s.sparkContext.setLogLevel("ERROR")
     s
   }
