@@ -57,6 +57,22 @@ object LayoutTxn {
       s"concurrent layout commit at $dir: version $version $why; " +
         "re-read the layout and retry the upsert")
 
+  /** A claimed layout commit whose staged partition is gone AND whose
+    * destination partition is absent — the data no longer exists anywhere
+    * (e.g. the stage was swept while the writer stalled past grace between
+    * staging and claiming, or was partially deleted). The claim is
+    * withdrawn before this is thrown so the layout heals: the next writer
+    * re-claims the version cleanly instead of silently committing stale
+    * partition contents — the [[MergeTable.LostCommitException]]
+    * discipline at the layout layer. */
+  final class LostLayoutCommitException(dir: String, version: Long,
+                                        stage: String, part: String)
+    extends RuntimeException(
+      s"layout commit v$version at $dir is unrecoverable: staged partition " +
+        s"'$stage/$part' and its destination are both missing (the stage " +
+        "was likely swept while the writer stalled); the claim was " +
+        "withdrawn — the interrupted upsert must be re-run")
+
   /** One partitioned subtree participating in a commit. `sub` is the
     * subtree below the layout root ("" = the root itself, e.g. the
     * `_docmap` doc store rides the same commit as its postings).
@@ -116,9 +132,20 @@ object LayoutTxn {
       parts("dels").foreach(p => deleteRecursively(dest.resolve(p).toFile))
       parts("moves").foreach { p =>
         val from = subRoot(s"$dir/$stage", sub).resolve(p)
-        if (Files.exists(from)) { // absent = a prior (crashed) pass moved it
-          deleteRecursively(dest.resolve(p).toFile)
-          Files.move(from, dest.resolve(p), StandardCopyOption.ATOMIC_MOVE)
+        val to = dest.resolve(p)
+        if (Files.exists(from)) {
+          deleteRecursively(to.toFile)
+          Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+        } else if (!Files.exists(to)) {
+          // 'absent from stage' normally means a prior (crashed) pass
+          // already moved it — but then the DESTINATION exists. Source and
+          // destination both missing means the staged data is LOST (stage
+          // swept under a stalled writer, or partial delete): withdraw the
+          // claim so the layout heals, and fail loudly instead of silently
+          // advancing the version over stale/absent partition contents.
+          Files.deleteIfExists(claimPath(dir, version))
+          throw new LostLayoutCommitException(dir, version, stage,
+            if (sub.isEmpty) p else s"$sub/$p")
         }
       }
     }

@@ -205,14 +205,22 @@ object MergeTable {
     if (stage.nonEmpty && !Files.exists(vDir)) {
       val stagePath = Paths.get(dir, stage)
       if (!Files.exists(stagePath)) {
-        // unrecoverable: withdraw the claim (heals the table), fail loudly
-        Files.deleteIfExists(Paths.get(dir, s"_manifest_v$version"))
-        throw new LostCommitException(dir, version, stage)
-      }
-      try Files.move(stagePath, vDir, StandardCopyOption.ATOMIC_MOVE)
-      catch { // the other racer already renamed it
-        case _: java.nio.file.NoSuchFileException if Files.exists(vDir) => ()
-        case _: java.nio.file.FileAlreadyExistsException => ()
+        // the stage is gone — but between our vDir check above and this
+        // stage check, a racing recoverer/writer may have COMPLETED the
+        // stage→vDir move (ATOMIC_MOVE guarantees vDir exists once the
+        // stage disappears that way). Re-check before withdrawing: only a
+        // stage AND vDir both absent NOW is a genuinely lost commit.
+        if (!Files.exists(vDir)) {
+          // unrecoverable: withdraw the claim (heals the table), fail loudly
+          Files.deleteIfExists(Paths.get(dir, s"_manifest_v$version"))
+          throw new LostCommitException(dir, version, stage)
+        }
+      } else {
+        try Files.move(stagePath, vDir, StandardCopyOption.ATOMIC_MOVE)
+        catch { // the other racer already renamed it
+          case _: java.nio.file.NoSuchFileException if Files.exists(vDir) => ()
+          case _: java.nio.file.FileAlreadyExistsException => ()
+        }
       }
     }
     if (readManifest(dir).forall(_.version < version))
@@ -485,10 +493,16 @@ object MergeTable {
       .map(_.stripPrefix("_manifest_v").toLong).sorted
       .filter { v =>
         Files.exists(Paths.get(dir, s"v$v")) || {
-          val pr = new Properties()
-          val in = Files.newInputStream(Paths.get(dir, s"_manifest_v$v"))
-          try pr.load(in) finally in.close()
-          pr.getProperty("stage", "").isEmpty // no-data commit (e.g. replay)
+          // a manifest deleted between the listing above and this read
+          // (expireVersions, or a LostCommitException withdrawal) just
+          // means the version is not listable — this is a read-only
+          // listing, it must not throw on a concurrent writer's cleanup
+          try {
+            val pr = new Properties()
+            val in = Files.newInputStream(Paths.get(dir, s"_manifest_v$v"))
+            try pr.load(in) finally in.close()
+            pr.getProperty("stage", "").isEmpty // no-data commit (e.g. replay)
+          } catch { case _: java.nio.file.NoSuchFileException => false }
         }
       }
 
@@ -555,8 +569,24 @@ object MergeTable {
   def vacuum(dir: String, stageGraceMs: Long = 3600000L): Seq[String] = {
     recover(dir)
     val m = requireManifest(dir)
-    val referenced = versions(dir).map(manifestAt(dir, _))
-      .flatMap(h => h.buckets.values.toSeq :+ h.version)
+    // referenced comes from ALL _manifest_v* files parsed directly —
+    // UNFILTERED, unlike versions(), whose reader-facing listing excludes
+    // claimed-but-unfinished commits. A writer that claims v<N> between
+    // this scan and the final listFiles pass below must not have the
+    // committed dirs its manifest references (including the prior
+    // versions its untouched buckets still point at) deleted out from
+    // under it: any PUBLISHED manifest protects its versions, in-flight
+    // or not. A manifest vanishing mid-scan (expireVersions, claim
+    // withdrawal) is simply skipped.
+    val referenced = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .map(_.getName).filter(_.matches("_manifest_v\\d+"))
+      .flatMap { name =>
+        try {
+          val h = parseManifest(Paths.get(dir, name))
+          h.buckets.values.toSeq :+ h.version
+        } catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
+      }
       .toSet ++ m.buckets.values + m.version
     val now = System.currentTimeMillis()
     def idlePastGrace(f: java.io.File): Boolean = {

@@ -259,16 +259,28 @@ object Similarity {
     *   cells is handled by exactly this union: removed from its old
     *   directory (left_anti below), written into its new one.
     *
-    * The rewrite is Spark's dynamic partition overwrite — untouched
-    * directories are not listed, read, or replaced (IvfUpsertSpec pins
-    * the file-level claim), so maintenance cost follows the DELTA and the
-    * touched-cell fraction, the MergeTable commit property (§2.1 ⊕K7)
-    * replayed at the index layer. When upserts skew the cell sizes, the
-    * recluster signal is [[Relational.skewProfile]] over `cell` — retrain
-    * + full rewrite is then a deliberate batch operation, not something
-    * maintenance does implicitly. Returns the touched cell ids. */
+    * The rewrite commits through [[graft.layout.LayoutTxn]]: replacement
+    * contents for the touched cells are STAGED to a `_lstage_` dir
+    * (readers never see it), the commit is CAS-claimed (exactly one
+    * writer per version — a concurrent upsert gets
+    * [[graft.layout.LayoutTxn.ConflictException]] and retries against
+    * the new version), and only then are the touched `cell=` dirs swapped
+    * in; a touched cell whose last row was superseded is recorded as a
+    * deletion and its dir dropped. Untouched directories are not listed,
+    * read, or replaced (IvfUpsertSpec pins the file-level claim), so
+    * maintenance cost follows the DELTA and the touched-cell fraction —
+    * the MergeTable commit property (§2.1 ⊕K7) replayed at the index
+    * layer, now with its writer-writer atomicity too. When upserts skew
+    * the cell sizes, the recluster signal is [[Relational.skewProfile]]
+    * over `cell` — retrain + full rewrite is then a deliberate batch
+    * operation, not something maintenance does implicitly. Returns the
+    * touched cell ids. */
   def ivfUpsertLayout(spark: SparkSession, layoutDir: String,
-                      cents: Array[Seq[Float]], changes: DataFrame): Seq[Int] = {
+                      cents: Array[Seq[Float]], changes: DataFrame,
+                      txnGraceMs: Long = 600000L): Seq[Int] = {
+    // roll forward any crashed commit / conflict on a live one BEFORE
+    // reading the layout, and learn the version this commit must succeed
+    val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
     val assignedNew = ivfAssign(changes, cents)
       .select(col("vec_id"), col("embedding"), col("cell"))
       .transform(graft.util.Cleanup.checkpoint(_))
@@ -286,29 +298,11 @@ object Similarity {
       .join(assignedNew.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"), col("cell"))
     val replacement = survivors.unionByName(assignedNew)
-    // evaluated BEFORE the write: replacement's plan reads layoutDir, so
-    // any action on it after the overwrite would see the mutated files
-    val remaining = replacement.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSet
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try {
-      replacement.repartition(col("cell"))
-        .sortWithinPartitions(col("cell"), col("vec_id"))
-        .write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
-    } finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-    // dynamic overwrite only replaces partitions PRESENT in the written
-    // data — a touched cell whose last row was superseded writes nothing
-    // and would keep its stale files. Drop emptied directories explicitly.
-    val fs = new org.apache.hadoop.fs.Path(layoutDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (touched.toSet -- remaining).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$layoutDir/cell=$c"), true)
-    }
+    // stage + CAS-claim + swap; the replacement plan reads layoutDir but
+    // is fully materialized into the stage before any live dir is touched
+    graft.layout.LayoutTxn.commit(spark, layoutDir, parent, Seq(
+      graft.layout.LayoutTxn.Group("", replacement, "cell", Seq("vec_id"),
+        touched.map(c => s"cell=$c"))))
     touched
   }
 
@@ -328,19 +322,32 @@ object Similarity {
     * op — the FAISS retrain discipline at the layout layer. */
   def reclusterCells(spark: SparkSession, layoutDir: String,
                      cells: Int = 16, skewThreshold: Double = 2.0,
-                     iters: Int = 3, dims: Int = 64): Option[Array[Seq[Float]]] = {
+                     iters: Int = 3, dims: Int = 64,
+                     txnGraceMs: Long = 600000L): Option[Array[Seq[Float]]] = {
+    // same maintenance-writer entry as ivfUpsertLayout: roll forward /
+    // conflict BEFORE reading the layout the rewrite is computed from
+    val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
     val atRest = spark.read.parquet(layoutDir)
       .select(col("vec_id"), col("embedding"), col("cell"))
     val skew = graft.ops.Relational.skewProfile(atRest, "cell")
       .select(col("skew_factor")).head().getDouble(0)
     if (skew < skewThreshold) None
     else {
-      // settle the corpus off the directory the write below replaces
       val corpus = atRest.select(col("vec_id"), col("embedding"))
         .transform(graft.util.Cleanup.checkpoint(_))
       val cents = ivfCentroids(corpus, cells, iters, dims)
-      graft.layout.DataLayout.writePartitionedSorted(
-        ivfAssign(corpus, cents), layoutDir, Seq("cell"), Seq("vec_id"))
+      // a full rewrite touches every live cell dir plus every cell the
+      // retrained assignment can produce — cells emptied by the retrain
+      // become deletions at swap, exactly like an upsert's emptied cell
+      val existingDirs = Option(new java.io.File(layoutDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(_.getName).toSet
+      val touched = (existingDirs ++ (0 until cells).map(c => s"cell=$c"))
+        .toSeq.sorted
+      graft.layout.LayoutTxn.commit(spark, layoutDir, parent, Seq(
+        graft.layout.LayoutTxn.Group("", ivfAssign(corpus, cents), "cell",
+          Seq("vec_id"), touched)))
       Some(cents)
     }
   }

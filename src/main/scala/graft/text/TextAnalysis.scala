@@ -278,18 +278,25 @@ object TextAnalysis {
     * buckets the new text never mentions, and without the map finding
     * them would need a full index scan). Only touched buckets are read
     * (the isin is a PartitionFilter), their postings exploded, superseded
-    * doc ids anti-joined out, the delta unioned in, and ONE
-    * dynamic-partition overwrite rewrites exactly those `tb=` dirs; a
-    * bucket emptied by the upsert has its dir deleted (dynamic overwrite
-    * alone would leave it stale). The doc map maintains itself the same
-    * way (dm= dirs keyed by doc id mod buckets). Work is proportional to
+    * doc ids anti-joined out, the delta unioned in, and exactly those
+    * `tb=` dirs (plus the doc map's touched `dm=` dirs — both subtrees
+    * ride ONE commit as two [[graft.layout.LayoutTxn.Group]]s) are
+    * rewritten through the [[graft.layout.LayoutTxn]] stage/CAS-claim/swap
+    * protocol: a concurrent upsert gets
+    * [[graft.layout.LayoutTxn.ConflictException]] instead of interleaving
+    * files, and a bucket emptied by the upsert is recorded as a deletion
+    * and its dir dropped. Work is proportional to
     * the TOUCHED buckets' postings, not the corpus — though unlike IVF
     * cells a document's terms fan out across ~min(buckets, |terms|)
     * buckets, so the row bound (touched postings re-grouped), not the
     * directory count, is the claim. Returns the touched bucket ids. */
   def indexUpsertLayout(spark: org.apache.spark.sql.SparkSession,
                         layoutDir: String, newDocs: DataFrame, idCol: String,
-                        text: Column, buckets: Int = 16): Seq[Long] = {
+                        text: Column, buckets: Int = 16,
+                        txnGraceMs: Long = 600000L): Seq[Long] = {
+    // roll forward any crashed commit / conflict on a live one BEFORE
+    // reading the layout this delta is computed against
+    val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
     val delta = invertedIndex(newDocs, idCol, text)
       .withColumn("tb", termBucket(col("term"), buckets))
       .transform(graft.util.Cleanup.checkpoint(_))
@@ -324,47 +331,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
       .select(col("term"), col("df"), col("postings"), col("tb"))
-    // evaluated BEFORE the write: replacement's plan reads layoutDir
-    val remaining = replacement.select(col("tb")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try {
-      replacement.repartition(col("tb"))
-        .sortWithinPartitions(col("tb"), col("term"))
-        .write.mode("overwrite").partitionBy("tb").parquet(layoutDir)
-    } finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-    val fs = new org.apache.hadoop.fs.Path(layoutDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (touched.toSet -- remaining).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$layoutDir/tb=$b"), true)
-    }
-    // maintain the doc store the same way: upserted docs' old rows out,
-    // their new (doc, bucket) rows in — only the delta doc-ids' dm= dirs
-    // rewrite (dm = doc_id mod buckets, so the touched set is the delta's)
+    // the doc store maintains itself in the SAME commit: upserted docs'
+    // old rows out, their new (doc, bucket) rows in — only the delta
+    // doc-ids' dm= dirs rewrite (dm = doc_id mod buckets, so the touched
+    // set is the delta's). A dm dir emptied by the upsert becomes a
+    // deletion at swap (stale doc→bucket rows would inflate later
+    // upserts' touched-bucket sets).
     val dmTouched = deltaIds
       .select(pmod(col("doc_id"), lit(buckets.toLong)).as("dm")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(_.getLong(0)).toSeq.sorted
     val dmSurvivors = spark.read.parquet(docMapPath)
       .filter(col("dm").isin(dmTouched.map(Long.box): _*))
       .join(deltaIds, Seq("doc_id"), "left_anti")
     val dmReplacement = dmSurvivors.unionByName(docMapOf(delta, buckets))
       .select(col("doc_id"), col("tb"), col("dm"))
-      .transform(graft.util.Cleanup.checkpoint(_)) // reads docMapPath: settle before overwrite
-    writeDocMap(dmReplacement, docMapPath)
-    // mirror the tb= cleanup: a dm dir whose sole occupant was an upserted
-    // doc that now has no surviving terms never rewrites under dynamic
-    // overwrite, and its stale doc→bucket rows would inflate later
-    // upserts' touched-bucket sets (extra work, results still correct)
-    val dmRemaining = dmReplacement.select(col("dm")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    (dmTouched.toSet -- dmRemaining).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$docMapPath/dm=$b"), true)
-    }
+    // ONE stage/CAS-claim/swap commit covers both subtrees — postings and
+    // doc store can never diverge under a crash or a racing writer; both
+    // replacement plans read the live layout but are fully materialized
+    // into the stage before any live dir is touched
+    graft.layout.LayoutTxn.commit(spark, layoutDir, parent, Seq(
+      graft.layout.LayoutTxn.Group("", replacement, "tb", Seq("term"),
+        touched.map(b => s"tb=$b")),
+      graft.layout.LayoutTxn.Group(DocMapDir, dmReplacement, "dm",
+        Seq("doc_id"), dmTouched.map(b => s"dm=$b"))))
     touched
   }
 

@@ -64,6 +64,81 @@ class IvfUpsertSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 3)
   }
 
+  test("a live concurrent committer makes the upsert CONFLICT loudly — the layout is untouched, not interleaved") {
+    val dir = Files.createTempDirectory("ivf_conflict").toString + "/layout"
+    Similarity.writeIvfLayout(vecs(
+      1L -> Seq(0.9f, 0.1f, 0f, 0f),
+      2L -> Seq(0.1f, 0.9f, 0f, 0f)), cents, dir)
+    // fabricate another writer's FRESH claim for the next version — the
+    // state a live upsert mid-commit leaves on disk
+    Files.writeString(Paths.get(dir, "_layout_commit_v1"), "version=1\n")
+    val before = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("int"))
+      .as[(Long, Int)].collect().toSeq.sorted
+    intercept[graft.layout.LayoutTxn.ConflictException] {
+      Similarity.ivfUpsertLayout(spark, dir, cents,
+        vecs(9L -> Seq(0.8f, 0.2f, 0f, 0f)))
+    }
+    val after = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("int"))
+      .as[(Long, Int)].collect().toSeq.sorted
+    assert(after === before, "a conflicted upsert must leave no trace")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_lstage_")), "no stage residue")
+  }
+
+  test("two genuinely concurrent upserts with retry-on-conflict both land; the result composes") {
+    val dir = Files.createTempDirectory("ivf_race").toString + "/layout"
+    Similarity.writeIvfLayout(vecs(
+      1L -> Seq(0.9f, 0.1f, 0f, 0f),
+      2L -> Seq(0.1f, 0.9f, 0f, 0f)), cents, dir)
+    // the documented caller policy: on ConflictException re-run the upsert
+    // against the new current version (each retry re-reads the layout). A
+    // FileNotFoundException under the retry is the OTHER documented
+    // residual — this writer's READ overlapped the winner's swap (layout
+    // snapshot isolation is out of LayoutTxn's scope) — and re-running is
+    // the same correct response.
+    def retryable(e: Throwable): Boolean = {
+      var c = e
+      while (c != null) {
+        if (c.isInstanceOf[graft.layout.LayoutTxn.ConflictException] ||
+          c.isInstanceOf[java.io.FileNotFoundException]) return true
+        c = c.getCause
+      }
+      false
+    }
+    def upsertWithRetry(id: Long, emb: Seq[Float]): Unit = {
+      var done = false
+      var attempts = 0
+      while (!done) {
+        attempts += 1
+        require(attempts <= 50, "livelock: conflict retry never converged")
+        try {
+          Similarity.ivfUpsertLayout(spark, dir, cents, vecs(id -> emb))
+          done = true
+        } catch {
+          case e: Exception if retryable(e) => Thread.sleep(50)
+        }
+      }
+    }
+    val threads = Seq(
+      new Thread(() => upsertWithRetry(10L, Seq(0.85f, 0.15f, 0f, 0f))),
+      new Thread(() => upsertWithRetry(11L, Seq(0f, 0f, 0.9f, 0.1f))))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    threads.foreach(_.setUncaughtExceptionHandler((_, e) => { errs.add(e); () }))
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer died: ${Option(errs.peek()).map(_.toString)}")
+    // both deltas composed — one linear history, nothing lost or interleaved
+    val got = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("int"))
+      .as[(Long, Int)].collect().toSeq.sorted
+    assert(got === Seq(1L -> 0, 2L -> 1, 10L -> 0, 11L -> 2))
+    assert(graft.layout.LayoutTxn.currentVersion(dir) === 2L,
+      "two commits = two versions, a linear history")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_lstage_")), "no stage residue")
+  }
+
   test("recluster below the skew threshold is a NO-OP: no file is touched") {
     val dir = Files.createTempDirectory("ivf_recluster_noop").toString + "/layout"
     // one vector per cell: skew_factor = 1.0, the balanced ideal

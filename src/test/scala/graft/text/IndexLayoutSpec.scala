@@ -102,6 +102,41 @@ class IndexLayoutSpec extends SparkSpec {
       .filter(col("doc_id") === 5L).count() === 0)
   }
 
+  test("a live concurrent committer makes indexUpsertLayout CONFLICT loudly — postings AND doc map untouched") {
+    val d = Files.createTempDirectory("idx_conflict").toString + "/idx"
+    val base = Seq((4L, "alpha beta"), (5L, "gamma delta"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeIndexLayout(
+      TextAnalysis.invertedIndex(base, "doc_id", col("text")), d, buckets = 4)
+    // another writer's FRESH claim for the next layout version
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d, "_layout_commit_v1"), "version=1\n")
+    def snap(path: String): Set[(String, Long)] =
+      spark.read.parquet(path).select("term", "df")
+        .as[(String, Long)].collect().toSet
+    val before = snap(d)
+    val dmBefore = spark.read.parquet(s"$d/_docmap")
+      .select("doc_id", "tb").as[(Long, Long)].collect().toSet
+    intercept[graft.layout.LayoutTxn.ConflictException] {
+      TextAnalysis.indexUpsertLayout(spark, d,
+        Seq((9L, "epsilon zeta")).toDF("doc_id", "text"),
+        "doc_id", col("text"), buckets = 4)
+    }
+    assert(snap(d) === before, "conflicted upsert must not touch postings")
+    assert(spark.read.parquet(s"$d/_docmap")
+      .select("doc_id", "tb").as[(Long, Long)].collect().toSet === dmBefore,
+      "conflicted upsert must not touch the doc map")
+    assert(!new java.io.File(d).listFiles()
+      .exists(_.getName.startsWith("_lstage_")), "no stage residue")
+    // withdraw the fabricated claim: the upsert then lands cleanly as v1
+    java.nio.file.Files.delete(java.nio.file.Paths.get(d, "_layout_commit_v1"))
+    TextAnalysis.indexUpsertLayout(spark, d,
+      Seq((9L, "epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", col("text"), buckets = 4)
+    assert(graft.layout.LayoutTxn.currentVersion(d) === 1L)
+    assert(snap(d).map(_._1).contains("epsilon"))
+  }
+
   test("layout search is semantically identical to searching the fresh index") {
     val terms = Seq("scan", "batch")
     val viaLayout = TextAnalysis.searchIndexLayout(spark, layoutDir, terms)
