@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // door is ElementAtNullIndexGuard.ensureInjected.
     ext.injectResolutionRule(_ => graft.plans.ElementAtNullIndexGuard)
     ext.injectOptimizerRule(_ => graft.plans.ElementAtNullIndexGuard)
+    // MERGE INTO / VERSION AS OF / reads of MergeTableSql-registered
+    // MergeTable names through the SQL front door (⊕K7 via verbatim SQL)
+    ext.injectResolutionRule(_ => graft.plans.MergeTableSqlResolution)
     ext.injectFunction((
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),

@@ -581,7 +581,7 @@ object SparkEntry {
     }
   }
 
-  /** 172 queries, numbered q01-q173: q19 was never assigned (a round-2
+  /** 175 queries, numbered q01-q176: q19 was never assigned (a round-2
     * numbering skip, kept to preserve every already-recorded artifact's
     * query ids). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2798,6 +2798,73 @@ object SparkEntry {
       s.sql(SqlQ11PsText)
     }),
 
+    // ⊕K7 via the SQL front door: the q63 two-commit load as two verbatim
+    // ANSI MERGE INTO statements (conditional DELETE, UPDATE SET *,
+    // conditional INSERT *) resolved by MergeTableSqlResolution and
+    // dispatched to MergeTable.merge — same final state, same oracle
+    // closed form as q63. The second statement's classification read is
+    // bucket-pruned to the source keys' buckets; its snapshot version
+    // fences the commit (expectedParent CAS).
+    "q174_sql_merge_into" -> ((s, d) => {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_sql_merge")).toString + "/t"
+      graft.plans.MergeTableSql.register("orders_mt", dir, numBuckets = 8)
+      t(s, d, "orders").createOrReplaceTempView("orders_raw")
+      s.sql("""MERGE INTO orders_mt t USING (
+          SELECT o_orderkey AS okey, o_custkey AS cust,
+                 o_totalprice AS price, o_orderstatus AS status
+          FROM orders_raw WHERE o_orderkey % 7 < 3) s
+        ON t.okey = s.okey
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("""MERGE INTO orders_mt t USING (
+          SELECT o_orderkey AS okey, o_custkey AS cust,
+                 CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS price,
+                 CASE WHEN o_orderkey % 7 = 1 THEN 'U'
+                      ELSE o_orderstatus END AS status
+          FROM orders_raw WHERE o_orderkey % 7 IN (1, 2, 3)) s
+        ON t.okey = s.okey
+        WHEN MATCHED AND s.okey % 7 = 2 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.okey % 7 <> 2 THEN INSERT *""")
+      graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
+    }),
+
+    // ⊕K7 SQL time travel: VERSION AS OF over the shared q66 fixture —
+    // the parser's RelationTimeTravel node resolved to MergeTable.readAt,
+    // same snapshot, same oracle as q66.
+    "q175_sql_version_as_of" -> ((s, d) => {
+      graft.plans.MergeTableSql.register("orders_mt_shared",
+        ordersMergeTableShared(s, d))
+      s.sql("""SELECT okey, cust, price, status
+        FROM orders_mt_shared VERSION AS OF 0 ORDER BY okey""")
+    }),
+
+    // ⊕K7 SQL MERGE, the source-driven-retention shape: WHEN NOT MATCHED
+    // BY SOURCE THEN DELETE prunes every target row the source no longer
+    // carries (the classification join goes full-outer — the one MERGE
+    // form that must see every target row).
+    "q176_sql_merge_nmbs" -> ((s, d) => {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_sql_nmbs")).toString + "/t"
+      graft.plans.MergeTableSql.register("orders_mt_nmbs", dir, numBuckets = 8)
+      t(s, d, "orders").createOrReplaceTempView("orders_raw")
+      s.sql("""MERGE INTO orders_mt_nmbs t USING (
+          SELECT o_orderkey AS okey, o_custkey AS cust,
+                 o_totalprice AS price, o_orderstatus AS status
+          FROM orders_raw WHERE o_orderkey % 7 < 3) s
+        ON t.okey = s.okey
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("""MERGE INTO orders_mt_nmbs t USING (
+          SELECT o_orderkey AS okey, o_custkey AS cust,
+                 o_totalprice AS price, o_orderstatus AS status
+          FROM orders_raw WHERE o_orderkey % 7 = 0) s
+        ON t.okey = s.okey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
+    }),
+
     // ⊕ exact substring DEDUP applied (Lee et al. 2022): q148 measures
     // cross-doc duplicated spans; this removes every word position covered
     // by a ≥2-doc 5-gram span and reconstructs the text — the transform a
@@ -4113,6 +4180,25 @@ object SparkEntry {
     "q173_sql_q11_partsupp" ->
       (s"WITH partsupp AS (SELECT * FROM read_parquet(" +
         s"'$partsuppFixtureSub/partsupp.parquet/*.parquet'))\n" + SqlQ11PsText),
+
+    // q174: the SQL MERGE INTO load lands on exactly the q63 final state
+    "q174_sql_merge_into" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 1.0 ELSE o_totalprice END AS price,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN 'U' ELSE o_orderstatus END AS status
+        |FROM orders WHERE o_orderkey % 7 IN (0, 1, 3) ORDER BY okey""".stripMargin,
+
+    // q175: VERSION AS OF 0 is exactly the q66 snapshot
+    "q175_sql_version_as_of" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS price,
+        |  o_orderstatus AS status
+        |FROM orders WHERE o_orderkey % 7 < 3 ORDER BY okey""".stripMargin,
+
+    // q176: NOT MATCHED BY SOURCE DELETE retains only the source's keys
+    "q176_sql_merge_nmbs" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS price,
+        |  o_orderstatus AS status
+        |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY okey""".stripMargin,
 
     // q161: the oracle replays the same span algebra — flagged 5-gram
     // starts (min(doc)<>max(doc) over the gram), cover positions, word

@@ -275,6 +275,25 @@ object MergeTable {
   def read(spark: SparkSession, dir: String): DataFrame =
     readBuckets(spark, dir, requireManifest(dir), None).drop(BucketCol)
 
+  /** Current committed version, None if no table exists yet. */
+  def currentVersion(dir: String): Option[Long] =
+    readManifest(dir).map(_.version)
+
+  /** Current contents restricted to the buckets `keys`' values hash into —
+    * the pruned read a MERGE classification wants: only the directories
+    * the merge itself would rewrite are scanned, so the cost follows the
+    * delta. `keys` carries one column of key values (any name); it is cast
+    * to the table's key type so the bucket hash matches the layout's. */
+  def readForKeys(spark: SparkSession, dir: String, keys: DataFrame): DataFrame = {
+    val m = requireManifest(dir)
+    val keyType = m.schema(m.key).dataType
+    val buckets = keys
+      .select(pmod(hash(keys.columns.map(col).head.cast(keyType)),
+        lit(m.numBuckets)).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    readBuckets(spark, dir, m, Some(buckets)).drop(BucketCol)
+  }
+
   /** Last committed streaming batch id, -1 if none / no table. */
   def lastBatchId(dir: String): Long =
     readManifest(dir).map(_.batchId).getOrElse(-1L)
@@ -318,10 +337,21 @@ object MergeTable {
   def merge(spark: SparkSession, dir: String, changes: DataFrame, key: String,
             opCol: String = "op_flag", numBuckets: Int = 16,
             batchId: Long = -1L,
-            updateWhen: Option[(String => Column, String => Column) => Column] = None): Option[Long] = {
+            updateWhen: Option[(String => Column, String => Column) => Column] = None,
+            expectedParent: Option[Option[Long]] = None): Option[Long] = {
     Files.createDirectories(Paths.get(dir))
     recover(dir) // roll forward any commit interrupted between claim and swap
     val prior = readManifest(dir)
+    // serializability fence for callers whose CHANGES were computed from a
+    // snapshot (the SQL MERGE classification): if another writer committed
+    // between that read and this commit, the classification is stale —
+    // conflict loudly instead of applying it. Some(None) = "expected no
+    // table yet". Callers whose changes are snapshot-independent (explicit
+    // op batches) pass None and keep last-merge-wins.
+    expectedParent.foreach { p =>
+      if (prior.map(_.version) != p)
+        throw new ConflictException(dir, prior.map(_.version + 1).getOrElse(0L))
+    }
     if (batchId >= 0 && prior.exists(_.batchId >= batchId)) return None
     prior.foreach(m => require(m.key == key,
       s"MergeTable at $dir is keyed by '${m.key}', not '$key'"))

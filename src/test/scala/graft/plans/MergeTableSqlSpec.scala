@@ -1,0 +1,158 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.layout.MergeTable
+
+/** The SQL front door for ⊕K7: verbatim `MERGE INTO` / `VERSION AS OF` /
+  * plain SELECT over [[MergeTableSql]]-registered MergeTable names,
+  * resolved by the extension-injected [[MergeTableSqlResolution]] rule
+  * (SparkSpec's session carries `spark.sql.extensions=graft.GraftExtensions`,
+  * the same config every engine entry point sets). */
+class MergeTableSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(tag: String): (String, String) = {
+    val name = s"mt_$tag"
+    val dir = Files.createTempDirectory(s"sqlmerge_$tag").toString + "/t"
+    MergeTableSql.register(name, dir, numBuckets = 4)
+    (name, dir)
+  }
+
+  private def state(dir: String): Seq[(Long, Double, String)] =
+    MergeTable.read(spark, dir)
+      .select(col("k"), col("price"), col("status"))
+      .as[(Long, Double, String)].collect().toSeq.sortBy(_._1)
+
+  test("MERGE INTO creates the table (INSERT *), then update/delete/insert in one statement") {
+    val (name, dir) = freshTable("full")
+    Seq((1L, 10.0, "A"), (2L, 20.0, "A"), (3L, 30.0, "A"))
+      .toDF("k", "price", "status").createOrReplaceTempView("src_base")
+    // first MERGE creates the table
+    val v0 = spark.sql(
+      s"""MERGE INTO $name t USING src_base s ON t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .collect().head.getLong(0)
+    assert(v0 === 0L)
+    assert(state(dir) === Seq((1L, 10.0, "A"), (2L, 20.0, "A"), (3L, 30.0, "A")))
+    // mixed batch: update k=1, delete k=2, insert k=4 — conditions across
+    // clauses, evaluated per ANSI first-applicable order
+    Seq((1L, 11.0, "U"), (2L, 0.0, "X"), (4L, 40.0, "N"))
+      .toDF("k", "price", "status").createOrReplaceTempView("src_delta")
+    val v1 = spark.sql(
+      s"""MERGE INTO $name t USING src_delta s ON t.k = s.k
+         |WHEN MATCHED AND s.status = 'X' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND s.status <> 'X' THEN INSERT *""".stripMargin)
+      .collect().head.getLong(0)
+    assert(v1 === 1L)
+    assert(state(dir) === Seq((1L, 11.0, "U"), (3L, 30.0, "A"), (4L, 40.0, "N")))
+  }
+
+  test("MERGE assignments: SET with expressions over both sides, INSERT (cols) VALUES") {
+    val (name, dir) = freshTable("assign")
+    Seq((1L, 10.0, "A"), (2L, 20.0, "A"))
+      .toDF("k", "price", "status").createOrReplaceTempView("src_a0")
+    spark.sql(s"""MERGE INTO $name t USING src_a0 s ON t.k = s.k
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    Seq((1L, 5.0, "u"), (9L, 90.0, "n"))
+      .toDF("k", "price", "status").createOrReplaceTempView("src_a1")
+    spark.sql(
+      s"""MERGE INTO $name t USING src_a1 s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET price = t.price + s.price
+         |WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price * 2)""".stripMargin)
+      .collect()
+    // updated row keeps unassigned status; inserted row nulls it
+    assert(MergeTable.read(spark, dir)
+      .select(col("k"), col("price"), col("status"))
+      .as[(Long, Double, Option[String])].collect().toSeq.sortBy(_._1) ===
+      Seq((1L, 15.0, Some("A")), (2L, 20.0, Some("A")), (9L, 180.0, None)))
+  }
+
+  test("WHEN MATCHED AND condition referencing the TARGET gates the update (stale-update drop)") {
+    val (name, dir) = freshTable("cond")
+    Seq((1L, 10.0, "A"), (2L, 20.0, "A"))
+      .toDF("k", "price", "status").createOrReplaceTempView("src_c0")
+    spark.sql(s"""MERGE INTO $name t USING src_c0 s ON t.k = s.k
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    // only rows where the source price BEATS the target commit
+    Seq((1L, 5.0, "low"), (2L, 25.0, "hi"))
+      .toDF("k", "price", "status").createOrReplaceTempView("src_c1")
+    spark.sql(
+      s"""MERGE INTO $name t USING src_c1 s ON t.k = s.k
+         |WHEN MATCHED AND s.price > t.price THEN UPDATE SET *""".stripMargin)
+      .collect()
+    assert(state(dir) === Seq((1L, 10.0, "A"), (2L, 25.0, "hi")))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE THEN DELETE removes target rows absent from the source") {
+    val (name, dir) = freshTable("nmbs")
+    Seq((1L, 10.0, "A"), (2L, 20.0, "A"), (3L, 30.0, "A"))
+      .toDF("k", "price", "status").createOrReplaceTempView("src_n0")
+    spark.sql(s"""MERGE INTO $name t USING src_n0 s ON t.k = s.k
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    Seq((2L, 21.0, "B")).toDF("k", "price", "status")
+      .createOrReplaceTempView("src_n1")
+    spark.sql(
+      s"""MERGE INTO $name t USING src_n1 s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()
+    assert(state(dir) === Seq((2L, 21.0, "B")))
+  }
+
+  test("VERSION AS OF and plain SELECT resolve through SQL; version pins each snapshot") {
+    val (name, dir) = freshTable("tt")
+    Seq((1L, 10.0, "A")).toDF("k", "price", "status")
+      .createOrReplaceTempView("src_t0")
+    spark.sql(s"""MERGE INTO $name t USING src_t0 s ON t.k = s.k
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    Seq((1L, 99.0, "Z")).toDF("k", "price", "status")
+      .createOrReplaceTempView("src_t1")
+    spark.sql(s"""MERGE INTO $name t USING src_t1 s ON t.k = s.k
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(spark.sql(s"SELECT price FROM $name VERSION AS OF 0")
+      .as[Double].collect().toSeq === Seq(10.0))
+    assert(spark.sql(s"SELECT price FROM $name").as[Double].collect().toSeq
+      === Seq(99.0))
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $name v WHERE v.status = 'Z'")
+      .as[Long].head() === 1L)
+    // dir sanity: both versions listable through the Scala API too
+    assert(MergeTable.versions(dir) === Seq(0L, 1L))
+  }
+
+  test("SQL MERGE is serializable: a commit landing between classification and merge conflicts loudly") {
+    val (name, dir) = freshTable("serial")
+    Seq((1L, 10.0, "A")).toDF("k", "price", "status")
+      .createOrReplaceTempView("src_s0")
+    spark.sql(s"""MERGE INTO $name t USING src_s0 s ON t.k = s.k
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    // simulate the interleaving at the API layer: classification read at
+    // version 0, another writer commits version 1, then the stale merge
+    val stale = MergeTable.read(spark, dir)
+      .withColumn("op_flag", lit("update"))
+    graft.layout.MergeTable.merge(spark, dir,
+      Seq((7L, 70.0, "C", "create")).toDF("k", "price", "status", "op_flag"),
+      "k") // the interloper: now at version 1
+    intercept[MergeTable.ConflictException] {
+      MergeTable.merge(spark, dir, stale, "k",
+        expectedParent = Some(Some(0L))) // classified at v0 — must conflict
+    }
+    // un-fenced merges keep last-write-wins (explicit-op callers)
+    assert(MergeTable.currentVersion(dir) === Some(1L))
+  }
+
+  test("temp views shadow registered names: registration never hijacks an existing relation") {
+    val (name, _) = freshTable("shadow")
+    Seq((42L, 1.0, "V")).toDF("k", "price", "status")
+      .createOrReplaceTempView(name)
+    try {
+      // the temp view resolves FIRST (built-in rules run before injected
+      // ones): SELECT sees the view, not the merge table
+      assert(spark.sql(s"SELECT k FROM $name").as[Long].head() === 42L)
+    } finally spark.catalog.dropTempView(name)
+  }
+}
