@@ -581,7 +581,7 @@ object SparkEntry {
     }
   }
 
-  /** 175 queries, numbered q01-q176: q19 was never assigned (a round-2
+  /** 178 queries, numbered q01-q179: q19 was never assigned (a round-2
     * numbering skip, kept to preserve every already-recorded artifact's
     * query ids). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2865,6 +2865,68 @@ object SparkEntry {
       graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
     }),
 
+    // ⊕K7 schema evolution beyond add-column (q77's counterpart): DROP is
+    // a metadata-only commit — the column leaves the schema and every
+    // physical projection; no bucket rewrites (MergeEvolutionSpec pins the
+    // file-level claim; this entry pins the semantics via the oracle).
+    "q177_evolution_drop" -> ((s, d) => {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_evo_drop")).toString + "/t"
+      val o = t(s, d, "orders").select(col("o_orderkey").as("okey"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("price"))
+      graft.layout.MergeTable.merge(s, dir,
+        o.filter(col("okey") % 7 < 3).withColumn("op_flag", lit("create")),
+        "okey", numBuckets = 8)
+      graft.layout.MergeTable.alterDropColumn(dir, "cust")
+      graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
+    }),
+
+    // ⊕K7 evolution: RENAME is metadata-only (files keep their at-write
+    // column name; the manifest's projections alias it) — and merges
+    // AFTER the rename address the new name while pre-rename buckets
+    // still read through the projection.
+    "q178_evolution_rename" -> ((s, d) => {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_evo_rename")).toString + "/t"
+      val o = t(s, d, "orders").select(col("o_orderkey").as("okey"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("price"))
+      graft.layout.MergeTable.merge(s, dir,
+        o.filter(col("okey") % 7 < 3).withColumn("op_flag", lit("create")),
+        "okey", numBuckets = 8)
+      graft.layout.MergeTable.alterRenameColumn(dir, "price", "amount")
+      graft.layout.MergeTable.merge(s, dir,
+        o.filter(col("okey") % 7 === 1)
+          .select(col("okey"), col("cust"),
+            (col("price") + lit(1.0)).as("amount"))
+          .withColumn("op_flag", lit("update")),
+        "okey")
+      graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
+    }),
+
+    // ⊕K7 evolution: WIDEN int→bigint is metadata-only — pre-widen
+    // buckets keep int32 files and up-cast in the read plan; the
+    // post-widen merge writes values only the wide type can hold
+    // (cust + 3e9 overflows int32), proving the widen is real.
+    "q179_evolution_widen" -> ((s, d) => {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_evo_widen")).toString + "/t"
+      val o = t(s, d, "orders").select(col("o_orderkey").as("okey"),
+        col("o_custkey").cast("int").as("cust"), col("o_totalprice").as("price"))
+      graft.layout.MergeTable.merge(s, dir,
+        o.filter(col("okey") % 7 < 3).withColumn("op_flag", lit("create")),
+        "okey", numBuckets = 8)
+      graft.layout.MergeTable.alterWidenColumn(dir, "cust",
+        org.apache.spark.sql.types.LongType)
+      graft.layout.MergeTable.merge(s, dir,
+        o.filter(col("okey") % 7 === 1)
+          .select(col("okey"),
+            (col("cust").cast("long") + lit(3000000000L)).as("cust"),
+            col("price"))
+          .withColumn("op_flag", lit("update")),
+        "okey")
+      graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
+    }),
+
     // ⊕ exact substring DEDUP applied (Lee et al. 2022): q148 measures
     // cross-doc duplicated spans; this removes every word position covered
     // by a ≥2-doc 5-gram span and reconstructs the text — the transform a
@@ -4199,6 +4261,25 @@ object SparkEntry {
       """SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS price,
         |  o_orderstatus AS status
         |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY okey""".stripMargin,
+
+    // q177: the dropped column is simply absent from the final state
+    "q177_evolution_drop" ->
+      """SELECT o_orderkey AS okey, o_totalprice AS price
+        |FROM orders WHERE o_orderkey % 7 < 3 ORDER BY okey""".stripMargin,
+
+    // q178: the renamed column carries pre-rename values plus the
+    // post-rename update, under the new name
+    "q178_evolution_rename" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 1.0 ELSE o_totalprice END AS amount
+        |FROM orders WHERE o_orderkey % 7 < 3 ORDER BY okey""".stripMargin,
+
+    // q179: widened column holds post-widen values beyond int32 range
+    "q179_evolution_widen" ->
+      """SELECT o_orderkey AS okey,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN o_custkey + 3000000000 ELSE o_custkey END AS cust,
+        |  o_totalprice AS price
+        |FROM orders WHERE o_orderkey % 7 < 3 ORDER BY okey""".stripMargin,
 
     // q161: the oracle replays the same span algebra — flagged 5-gram
     // starts (min(doc)<>max(doc) over the gram), cover positions, word

@@ -42,11 +42,18 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *    for one key is rejected like ANSI MERGE's duplicate-source-row
   *    error. An op of "update" on an unmatched key inserts — so a plain
   *    last-write-wins upsert needs no op column bookkeeping at all.
-  *  - **Add-column schema evolution.** A batch may carry new columns:
+  *  - **Metadata-only schema evolution.** A batch may carry new columns:
   *    they append to the schema as nullable, pre-evolution rows read as
-  *    null (parquet scans under an explicit schema null-fill columns a
-  *    file lacks — no old bucket is rewritten), and [[readAt]] keeps each
-  *    version's own schema. Type changes and column drops are rejected.
+  *    null, and [[readAt]] keeps each version's own schema. Drop, rename,
+  *    and loss-free type widening are explicit commits
+  *    ([[alterDropColumn]]/[[alterRenameColumn]]/[[alterWidenColumn]])
+  *    that move NO data: the manifest interns each distinct PHYSICAL
+  *    write schema and maps every bucket to the one its files carry, so
+  *    reads scan each bucket group under its at-write names and types and
+  *    cast/alias/null-fill to the current logical schema in the plan.
+  *    In-batch type changes and column omissions are still rejected —
+  *    evolution is always a deliberate commit, never an accident of one
+  *    batch's shape.
   *
   * **Optimistic concurrency (round 11).** Two concurrent writers both
   * reading parent version n would previously last-write-win the `_latest`
@@ -85,9 +92,24 @@ object MergeTable {
 
   private val KnownOps = Seq("create", "update", "delete")
 
+  /** One interned PHYSICAL schema — the column names and types a set of
+    * bucket files was actually written with — plus the projection from
+    * CURRENT logical field names to this schema's physical names. Reading
+    * a bucket group = explicit-schema scan of the projected physical
+    * fields, then cast+alias to the logical schema (absent logical fields
+    * null-fill). This is what makes drop / rename / type-widen evolution
+    * METADATA-ONLY commits: no file is ever rewritten — old files keep
+    * their physical names and types forever, and the manifest's
+    * projections say how today's schema reads them. */
+  private[layout] case class PhysSchema(schemaJson: String,
+                                        proj: Map[String, String]) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
   private case class Manifest(version: Long, batchId: Long, key: String,
                               numBuckets: Int, schemaJson: String,
-                              buckets: Map[Int, Long]) {
+                              buckets: Map[Int, (Long, Int)],
+                              phys: Map[Int, PhysSchema]) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -98,15 +120,38 @@ object MergeTable {
     val in = Files.newInputStream(p)
     try props.load(in) finally in.close()
     val buckets = props.getProperty("buckets", "") match {
-      case "" => Map.empty[Int, Long]
+      case "" => Map.empty[Int, (Long, Int)]
       case s => s.split(",").iterator.map { kv =>
-        val Array(b, v) = kv.split(":"); b.toInt -> v.toLong
+        kv.split(":") match {
+          case Array(b, v) => b.toInt -> (v.toLong, 0) // pre-evolution format
+          case Array(b, v, sid) => b.toInt -> (v.toLong, sid.toInt)
+        }
       }.toMap
     }
+    val schemaJson = props.getProperty("schema")
+    val physIds = props.getProperty("physids", "") match {
+      case "" => Seq.empty[Int]
+      case s => s.split(",").toSeq.map(_.toInt)
+    }
+    val phys =
+      if (physIds.isEmpty) {
+        // pre-evolution manifest: one identity schema id 0
+        val fields = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+          .fieldNames.toSeq
+        Map(0 -> PhysSchema(schemaJson, fields.map(n => n -> n).toMap))
+      } else physIds.map { id =>
+        val proj = props.getProperty(s"phys.$id.proj", "") match {
+          case "" => Map.empty[String, String]
+          case s => s.split(",").iterator.map { lp =>
+            val Array(l, ph) = lp.split("=", 2); l -> ph
+          }.toMap
+        }
+        id -> PhysSchema(props.getProperty(s"phys.$id.schema"), proj)
+      }.toMap
     Manifest(props.getProperty("version").toLong,
       props.getProperty("batchId").toLong, props.getProperty("key"),
-      props.getProperty("numBuckets").toInt, props.getProperty("schema"),
-      buckets)
+      props.getProperty("numBuckets").toInt, schemaJson,
+      buckets, phys)
   }
 
   private def readManifest(dir: String): Option[Manifest] = {
@@ -138,7 +183,14 @@ object MergeTable {
     p.setProperty("numBuckets", m.numBuckets.toString)
     p.setProperty("schema", m.schemaJson)
     p.setProperty("buckets",
-      m.buckets.toSeq.sorted.map { case (b, v) => s"$b:$v" }.mkString(","))
+      m.buckets.toSeq.sorted.map { case (b, (v, sid)) => s"$b:$v:$sid" }
+        .mkString(","))
+    p.setProperty("physids", m.phys.keys.toSeq.sorted.mkString(","))
+    m.phys.foreach { case (id, ps) =>
+      p.setProperty(s"phys.$id.schema", ps.schemaJson)
+      p.setProperty(s"phys.$id.proj",
+        ps.proj.toSeq.sorted.map { case (l, ph) => s"$l=$ph" }.mkString(","))
+    }
     p.setProperty("stage", stageDir.getOrElse(""))
     p
   }
@@ -303,22 +355,41 @@ object MergeTable {
       throw new IllegalArgumentException(s"no MergeTable manifest at $dir"))
 
   /** Read the live buckets (optionally restricted), [[BucketCol]] kept.
-    * Buckets are grouped by owning version and each version contributes
-    * one pruned scan of only its owned `__pk_bucket=` directories — a
-    * bucket dir can be absent (every row deleted), which is simply no
-    * rows. */
+    * Buckets are grouped by (owning version, physical schema id); each
+    * group contributes one pruned scan of only its owned `__pk_bucket=`
+    * directories — a bucket dir can be absent (every row deleted), which
+    * is simply no rows. Each scan uses the group's PHYSICAL schema
+    * (exactly what the files were written with, restricted to the fields
+    * the current logical schema projects), then casts and aliases to the
+    * logical schema: a dropped column is simply not projected, a renamed
+    * column reads under its at-write name, a widened column reads at its
+    * at-write type and up-casts in the plan — zero rewrites, and the
+    * parquet reader is never asked to convert a type itself. */
   private def readBuckets(spark: SparkSession, dir: String, m: Manifest,
                           only: Option[Set[Int]]): DataFrame = {
     val schema = m.schema
     val withBucket = schema.add(BucketCol, IntegerType, nullable = false)
     val live = m.buckets.filter { case (b, _) => only.forall(_.contains(b)) }
-    val scans = live.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (v, bs) =>
-      val vDir = s"$dir/v$v"
-      val dirs = bs.keys.toSeq.sorted.map(b => s"$vDir/$BucketCol=$b")
-        .filter(d => Files.isDirectory(Paths.get(d)))
-      if (dirs.isEmpty) None
-      else Some(spark.read.option("basePath", vDir).schema(withBucket)
-        .parquet(dirs: _*))
+    val scans = live.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
+      case ((v, sid), bs) =>
+        val ps = m.phys.getOrElse(sid, throw new IllegalStateException(
+          s"manifest v${m.version} at $dir references unknown schema id $sid"))
+        val physSchema = ps.schema
+        val readFields = schema.fields.toSeq.flatMap(lf =>
+          ps.proj.get(lf.name).flatMap(pn => physSchema.fields.find(_.name == pn)))
+        val readSchema = StructType(readFields)
+          .add(BucketCol, IntegerType, nullable = false)
+        val vDir = s"$dir/v$v"
+        val dirs = bs.keys.toSeq.sorted.map(b => s"$vDir/$BucketCol=$b")
+          .filter(d => Files.isDirectory(Paths.get(d)))
+        if (dirs.isEmpty) None
+        else Some(spark.read.option("basePath", vDir).schema(readSchema)
+          .parquet(dirs: _*)
+          .select(schema.fields.toSeq.map { lf =>
+            ps.proj.get(lf.name)
+              .map(pn => col(pn).cast(lf.dataType).as(lf.name))
+              .getOrElse(lit(null).cast(lf.dataType).as(lf.name))
+          } :+ col(BucketCol): _*))
     }
     scans.reduceOption(_.unionByName(_)).getOrElse(
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withBucket))
@@ -368,11 +439,13 @@ object MergeTable {
           require(cf.dataType == pf.dataType,
             s"column '${pf.name}' would change type " +
               s"${pf.dataType.simpleString} -> ${cf.dataType.simpleString}; " +
-              "MergeTable evolution is add-column only")
+              "merge batches must match the current schema — widen first " +
+              "with alterWidenColumn (a metadata-only commit)")
         }
       }
       m.schema.fieldNames.foreach(n => require(chFields.exists(_.name == n),
-        s"batch missing existing column '$n' — evolution is add-column only"))
+        s"batch missing existing column '$n' — drop columns with " +
+          "alterDropColumn (a metadata-only commit), not by omission"))
     }
     val widened: StructType = prior match {
       case None => StructType(chFields)
@@ -466,11 +539,99 @@ object MergeTable {
           when(takeSrc, col(BucketCol)).otherwise(col("__t_bucket")).as(BucketCol): _*)
       DataLayout.writePartitionedSorted(out, s"$dir/$stage", Seq(BucketCol), Seq(key))
     }
+    // intern this commit's physical schema: new files are always written
+    // under the CURRENT logical names and types, so the write schema is an
+    // identity projection — reused if an identical one already exists
+    val identityProj = widened.fieldNames.toSeq.map(n => n -> n).toMap
+    val priorPhys = prior.map(_.phys).getOrElse(Map.empty[Int, PhysSchema])
+    val sid = priorPhys.collectFirst {
+      case (id, ps) if ps.schemaJson == schemaJson && ps.proj == identityProj => id
+    }.getOrElse(priorPhys.keys.maxOption.map(_ + 1).getOrElse(0))
     commit(dir, Manifest(newV, batchId, key, nb, schemaJson,
-        prior.map(_.buckets).getOrElse(Map.empty) ++ changed.map(_ -> newV)),
+        prior.map(_.buckets).getOrElse(Map.empty) ++
+          changed.map(_ -> (newV, sid)),
+        priorPhys + (sid -> PhysSchema(schemaJson, identityProj))),
       if (changed.nonEmpty) Some(stage) else None)
     Some(newV)
   }
+
+  // ---- metadata-only schema evolution: drop / rename / widen ---------------
+
+  /** One evolution commit: same CAS + roll-forward discipline as a merge,
+    * version advances, NO data moves (stage is empty). */
+  private def alterCommit(dir: String, f: Manifest => Manifest): Long = {
+    recover(dir)
+    val m = requireManifest(dir)
+    val next = f(m).copy(version = m.version + 1)
+    commit(dir, next, None)
+    next.version
+  }
+
+  /** Drop a column — metadata-only: the field leaves the logical schema
+    * and every physical schema's projection, so no scan ever reads it
+    * again; the bytes stay in the immutable files (readable via
+    * [[readAt]] on pre-drop versions) until those versions expire.
+    * Re-adding the same name later null-fills pre-readd rows — the old
+    * projection entry is gone, so dropped values never resurrect. The key
+    * cannot be dropped. Returns the committed version. */
+  def alterDropColumn(dir: String, column: String): Long =
+    alterCommit(dir, { m =>
+      require(column != m.key, s"cannot drop the key column '$column'")
+      require(m.schema.fieldNames.contains(column),
+        s"no column '$column' in ${m.schema.fieldNames.mkString(", ")}")
+      m.copy(
+        schemaJson =
+          StructType(m.schema.fields.filterNot(_.name == column)).json,
+        phys = m.phys.view.mapValues(ps =>
+          ps.copy(proj = ps.proj - column)).toMap)
+    })
+
+  /** Rename a column — metadata-only: the logical schema renames and every
+    * physical schema's projection re-keys (the files keep their at-write
+    * column name; reads alias it). Renaming the key updates the manifest
+    * key — values are untouched, so bucket placement is unchanged.
+    * Returns the committed version. */
+  def alterRenameColumn(dir: String, from: String, to: String): Long =
+    alterCommit(dir, { m =>
+      require(m.schema.fieldNames.contains(from),
+        s"no column '$from' in ${m.schema.fieldNames.mkString(", ")}")
+      require(!m.schema.fieldNames.contains(to),
+        s"column '$to' already exists")
+      m.copy(
+        key = if (m.key == from) to else m.key,
+        schemaJson = StructType(m.schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)).json,
+        phys = m.phys.view.mapValues { ps =>
+          ps.proj.get(from) match {
+            case Some(p) => ps.copy(proj = ps.proj - from + (to -> p))
+            case None => ps // schema id predates the column: stays null-filled
+          }
+        }.toMap)
+    })
+
+  /** Widen a column's type (int→long, float→double, decimal precision —
+    * any loss-free upcast) — metadata-only: old files keep their at-write
+    * type and up-cast in the read plan; new commits write the widened
+    * type under a new schema id. The KEY is excluded: bucket placement is
+    * `hash(key value at its type)`, and e.g. hash(1L) ≠ hash(1: Int) —
+    * widening the key would send future merges to the wrong buckets.
+    * Returns the committed version. */
+  def alterWidenColumn(dir: String, column: String, to: DataType): Long =
+    alterCommit(dir, { m =>
+      require(column != m.key,
+        s"cannot widen the key column '$column': bucket placement hashes " +
+          "the key at its type; a widened key would re-hash away from " +
+          "historical buckets")
+      val f = m.schema.fields.find(_.name == column).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$column' in ${m.schema.fieldNames.mkString(", ")}"))
+      require(org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(f.dataType, to),
+        s"${f.dataType.simpleString} -> ${to.simpleString} is not a " +
+          "loss-free upcast; widening must preserve every stored value")
+      m.copy(schemaJson = StructType(m.schema.fields.map(x =>
+        if (x.name == column) x.copy(dataType = to) else x)).json)
+    })
 
   /** `foreachBatch` adapter: idempotent streaming upsert sink. A retried
     * micro-batch (same batchId) is skipped via the manifest's recorded id
@@ -499,7 +660,16 @@ object MergeTable {
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
       .map(_.getName.stripPrefix(s"$BucketCol=").toInt)
-    commit(dir, m.copy(version = newV, buckets = liveDirs.map(_ -> newV).toMap),
+    // the rewrite lands under the current logical schema (identity
+    // projection); with every bucket re-owned, older schema ids drop out
+    // of THIS manifest (time travel keeps them via the older manifests)
+    val identityProj = m.schema.fieldNames.toSeq.map(n => n -> n).toMap
+    val sid = m.phys.collectFirst {
+      case (id, ps) if ps.schemaJson == m.schemaJson && ps.proj == identityProj => id
+    }.getOrElse(m.phys.keys.maxOption.map(_ + 1).getOrElse(0))
+    commit(dir, m.copy(version = newV,
+        buckets = liveDirs.map(_ -> (newV, sid)).toMap,
+        phys = Map(sid -> PhysSchema(m.schemaJson, identityProj))),
       Some(stage))
     newV
   }
@@ -553,12 +723,16 @@ object MergeTable {
     val key = m2.key
     val touched = (m1.buckets.keySet ++ m2.buckets.keySet)
       .filter(b => m1.buckets.get(b) != m2.buckets.get(b))
-    // align the older snapshot to the newer schema (add-column evolution):
-    // columns added after fromVersion read as typed nulls
-    val old = m2.schema.fields.foldLeft(
-        readBuckets(spark, dir, m1, Some(touched)))((df, f) =>
-      if (df.columns.contains(f.name)) df
-      else df.withColumn(f.name, lit(null).cast(f.dataType)))
+    // align the older snapshot to the newer LOGICAL schema by reading its
+    // buckets under the newer manifest's projections (which alter-rename/
+    // widen keep updated for every interned schema id): a renamed column
+    // compares value-to-value across the boundary, a widened one up-casts,
+    // a column added after fromVersion null-fills, a dropped one is not
+    // compared. Schema ids a compact pruned from m2 fall back to m1's own
+    // projection (keyed by m1-era names — those columns then null-fill).
+    val old = readBuckets(spark, dir,
+        m1.copy(schemaJson = m2.schemaJson, phys = m1.phys ++ m2.phys),
+        Some(touched))
       .select(payload.map(c => col(c).as(s"__o_$c")): _*)
     val neu = readBuckets(spark, dir, m2, Some(touched)).drop(BucketCol)
     val j = neu.join(old, col(key) === col(s"__o_$key"), "full_outer")
@@ -614,10 +788,10 @@ object MergeTable {
       .flatMap { name =>
         try {
           val h = parseManifest(Paths.get(dir, name))
-          h.buckets.values.toSeq :+ h.version
+          h.buckets.values.map(_._1).toSeq :+ h.version
         } catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
       }
-      .toSet ++ m.buckets.values + m.version
+      .toSet ++ m.buckets.values.map(_._1) + m.version
     val now = System.currentTimeMillis()
     def idlePastGrace(f: java.io.File): Boolean = {
       // newest mtime anywhere under the stage (the dir itself goes stale
