@@ -89,6 +89,33 @@ object Bench {
       // state stores are their own one-time setup on top of the agg path
       graft.streaming.EventStreams.runToCompletion(spark, sfDir, "append")(
         graft.streaming.EventStreams.intervalJoin(_, "signup", "error", "1 minute"))
+      // each remaining STATEFUL operator JIT-compiles its own state
+      // machine on first use (measured r13: q155/q156/q38 carried
+      // 1-3 s of jit_ms inside their timed runs): watermarked dedup,
+      // LEFT OUTER interval join (null-side path), session windows
+      graft.streaming.EventStreams.runToCompletion(spark, sfDir, "append")(
+        _.withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("event_id"))
+      graft.streaming.EventStreams.runToCompletion(spark, sfDir, "append")(
+        graft.streaming.EventStreams.intervalJoinOuter(_, "signup", "error",
+          "1 minute", "1 minute"))
+      graft.streaming.EventStreams.runToCompletion(spark, sfDir)(
+        graft.streaming.EventStreams.sessionAgg(_, "30 minutes"))
+      // ...and the MergeTable commit path (q63/q174-class protocol:
+      // observe-metrics checkpoint, full-outer when-chain join, bucketed
+      // write, CAS commit) over a 100-row throwaway table
+      locally {
+        val tiny = spark.range(100).selectExpr("id AS okey",
+          "id AS cust", "CAST(id AS DOUBLE) AS price", "'w' AS status",
+          "'create' AS op_flag")
+        val wdir = java.nio.file.Files.createTempDirectory("graft_warm_mt")
+        graft.util.Cleanup.registerTempDir(wdir)
+        graft.layout.MergeTable.merge(spark, s"$wdir/t", tiny, "okey",
+          numBuckets = 4)
+        graft.layout.MergeTable.merge(spark, s"$wdir/t",
+          tiny.limit(20).withColumn("op_flag",
+            org.apache.spark.sql.functions.lit("update")), "okey")
+      }
     } catch { case _: Throwable => () }
     // Timed action = full materialization through the noop sink: every
     // projection is evaluated and every row serialized, exactly like the

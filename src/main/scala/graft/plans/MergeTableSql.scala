@@ -3,9 +3,9 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFieldName, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterColumns, Assignment, DeleteAction, DropColumns, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, RenameColumn, SubqueryAlias, UpdateAction, UpdateStarAction}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions._
@@ -104,8 +104,45 @@ object MergeTableSqlResolution extends Rule[LogicalPlan] {
         val (dir, _) = MergeTableSql.lookup(u.multipartIdentifier).get
         SubqueryAlias(u.multipartIdentifier.last,
           MergeTable.read(SparkSession.active, dir).queryExecution.logical)
+      // ALTER TABLE ... DROP/RENAME/ALTER COLUMN → the metadata-only
+      // evolution commits. Field names must be top-level (the hash-bucketed
+      // payload is flat); nested paths fail loud below.
+      case DropColumns(u: UnresolvedTable, cols, ifExists)
+          if MergeTableSql.lookup(u.multipartIdentifier).isDefined =>
+        val (dir, _) = MergeTableSql.lookup(u.multipartIdentifier).get
+        GraftAlterCommand(dir, cols.map(fieldName).map(c =>
+          ("drop", c, "", None)), ifExists)
+      case RenameColumn(u: UnresolvedTable, col, newName)
+          if MergeTableSql.lookup(u.multipartIdentifier).isDefined =>
+        val (dir, _) = MergeTableSql.lookup(u.multipartIdentifier).get
+        GraftAlterCommand(dir,
+          Seq(("rename", fieldName(col), newName, None)), ifExists = false)
+      case AlterColumns(u: UnresolvedTable, specs)
+          if MergeTableSql.lookup(u.multipartIdentifier).isDefined =>
+        val (dir, _) = MergeTableSql.lookup(u.multipartIdentifier).get
+        val ops = specs.map { sp =>
+          val to = sp.newDataType.getOrElse(
+            throw new UnsupportedOperationException(
+              "graft ALTER COLUMN supports TYPE changes only (loss-free " +
+                "widening); comments/positions/defaults are not table state " +
+                "MergeTable keeps"))
+          require(sp.newNullability.isEmpty && sp.newComment.isEmpty &&
+            sp.newPosition.isEmpty && sp.newDefaultExpression.isEmpty &&
+            !sp.dropDefault,
+            "graft ALTER COLUMN supports TYPE changes only")
+          ("widen", fieldName(sp.column), "", Some(to))
+        }
+        GraftAlterCommand(dir, ops, ifExists = false)
     }
   }
+
+  private def fieldName(f: org.apache.spark.sql.catalyst.analysis.FieldName): String =
+    f match {
+      case UnresolvedFieldName(Seq(one)) => one
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE: nested field ${other.name.mkString(".")} — " +
+          "MergeTable payloads are flat")
+    }
 
   private def stripAlias(p: LogicalPlan): (Option[String], Seq[String]) =
     p match {
@@ -128,6 +165,31 @@ final class MergeSqlSpec(val source: LogicalPlan, val condition: Expression,
   override def toString: String =
     s"MergeSqlSpec(matched=${matched.size}, notMatched=${notMatched.size}, " +
       s"notMatchedBySource=${notMatchedBySource.size})"
+}
+
+/** The eager command an ALTER TABLE statement over a registered
+  * MergeTable executes: each op is ("drop"|"rename"|"widen", column,
+  * newName, newType), applied in order as metadata-only evolution
+  * commits. Output: the final committed version. */
+case class GraftAlterCommand(dir: String,
+                             ops: Seq[(String, String, String, Option[org.apache.spark.sql.types.DataType])],
+                             ifExists: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val versions = ops.map {
+      case ("drop", c, _, _) =>
+        if (ifExists && !MergeTable.read(spark, dir).columns.contains(c)) -1L
+        else MergeTable.alterDropColumn(dir, c)
+      case ("rename", from, to, _) => MergeTable.alterRenameColumn(dir, from, to)
+      case ("widen", c, _, Some(to)) => MergeTable.alterWidenColumn(dir, c, to)
+      case other => throw new IllegalStateException(s"bad alter op $other")
+    }
+    Seq(Row(versions.max))
+  }
 }
 
 /** The eager command `spark.sql("MERGE INTO ...")` executes. Output is

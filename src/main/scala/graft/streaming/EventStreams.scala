@@ -179,6 +179,12 @@ object EventStreams {
         .option("checkpointLocation", s"$spool/ck")
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val target = if (perBatch) s"$outDir/batch_id=$id" else outDir
+          // NOT coalesce(1): folding the spool write to one task pulls the
+          // stateful stage into that task too (no shuffle boundary between
+          // state ops and the sink), serializing the state-store work —
+          // measured 13.6 s vs 11.3 s on the 6-query streaming set
+          // (BASELINE.md r13 A/B). The per-batch write-job overhead is not
+          // the floor; per-batch planning + state commits are.
           batch.write.mode("overwrite").parquet(target)
           ()
         }

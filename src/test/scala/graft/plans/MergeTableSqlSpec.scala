@@ -145,6 +145,40 @@ class MergeTableSqlSpec extends SparkSpec {
     assert(MergeTable.currentVersion(dir) === Some(1L))
   }
 
+  test("ALTER TABLE DROP/RENAME/ALTER COLUMN resolve to the metadata-only evolution commits") {
+    val (name, dir) = freshTable("alter")
+    Seq((1L, 10, "A"), (2L, 20, "B")).toDF("k", "n", "status")
+      .select(col("k"), col("n").cast("int"), col("status"))
+      .createOrReplaceTempView("src_alter")
+    spark.sql(s"""MERGE INTO $name t USING src_alter s ON t.k = s.k
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val before = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).count(_.endsWith(".parquet"))
+    spark.sql(s"ALTER TABLE $name DROP COLUMN status").collect()
+    assert(MergeTable.read(spark, dir).columns.toSeq === Seq("k", "n"))
+    spark.sql(s"ALTER TABLE $name RENAME COLUMN n TO amount").collect()
+    assert(MergeTable.read(spark, dir).columns.toSeq === Seq("k", "amount"))
+    val v = spark.sql(s"ALTER TABLE $name ALTER COLUMN amount TYPE decimal(20,4)")
+      .collect().head.getLong(0)
+    assert(v === 3L)
+    assert(MergeTable.read(spark, dir).schema("amount").dataType ===
+      org.apache.spark.sql.types.DecimalType(20, 4))
+    // decimal widen is one of the shapes the parquet reader itself cannot
+    // do — values must still read exactly, cast in the plan
+    assert(spark.sql(s"SELECT CAST(amount AS STRING) AS a FROM $name WHERE k = 2")
+      .as[String].head() === "20.0000")
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).count(_.endsWith(".parquet"))
+    assert(after === before, "three ALTERs must move no data")
+    // narrowing through SQL is rejected by the same upcast gate
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $name ALTER COLUMN amount TYPE int").collect()
+    }
+    // DROP COLUMN IF EXISTS on a missing column is a no-op, not an error
+    spark.sql(s"ALTER TABLE $name DROP COLUMN IF EXISTS ghost").collect()
+    assert(MergeTable.read(spark, dir).columns.toSeq === Seq("k", "amount"))
+  }
+
   test("temp views shadow registered names: registration never hijacks an existing relation") {
     val (name, _) = freshTable("shadow")
     Seq((42L, 1.0, "V")).toDF("k", "price", "status")
