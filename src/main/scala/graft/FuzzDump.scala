@@ -1587,8 +1587,13 @@ object FuzzDump {
       case 64 => // STREAMING session windows (gap-merged per key) vs the
         // batch gaps-and-islands rendering: sessions must merge
         // identically across micro-batch boundaries (the state-store merge
-        // path) as in one batch pass. Break strictly at diff >= gap —
-        // session_window's interval is [start, last+gap).
+        // path) as in one batch pass. Break strictly at diff > gap: an
+        // event landing EXACTLY at the previous session's end (prev_ts +
+        // gap) still MERGES — Spark coalesces sessions when nextStart <=
+        // prevEnd, boundary inclusive. (The first rendering broke at >=
+        // and the large-row sweep caught the 1-row split on an exact-gap
+        // pair — seed 15037, the kind of boundary the fuzz lane exists
+        // for.)
         val g = 1 + rnd.nextInt(300) // minutes
         val lPath = l.inputFiles.head.replaceAll("/[^/]*$", "")
         val streamed = graft.streaming.EventStreams.spoolRun(
@@ -1610,7 +1615,7 @@ object FuzzDump {
              |m AS (SELECT k, ts, dec,
              |    CASE WHEN lag(ts) OVER (PARTITION BY k ORDER BY ts) IS NULL
              |           OR ts - lag(ts) OVER (PARTITION BY k ORDER BY ts)
-             |                >= INTERVAL '$g minutes'
+             |                > INTERVAL '$g minutes'
              |         THEN 1 ELSE 0 END AS brk
              |  FROM o),
              |grp AS (SELECT k, ts, dec,

@@ -581,6 +581,37 @@ object ScaleCheck {
       util.Cleanup.drain()
     }
 
+    // The SQL front door's MERGE INTO must keep merge()'s delta-
+    // proportionality: its classification join reads ONLY the buckets the
+    // source keys hash into (MergeTable.readForKeys) before dispatching,
+    // so the SQL statement's cost = classification over ~1/64 of the
+    // table + the merge itself. Compare this line across mult values like
+    // merge_one_bucket — it must grow with table/64, never the table.
+    if (want("sql_merge")) {
+      val mtDir = java.nio.file.Files.createTempDirectory("scale_sqlmerge").toString + "/t"
+      val orders = amplify(model.Tables.orders(spark, d), Seq("o_orderkey"))
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        .withColumn("op_flag", lit("create"))
+      layout.MergeTable.merge(spark, mtDir, orders, "k", numBuckets = 64)
+      graft.plans.MergeTableSql.register("scale_mt", mtDir)
+      val oneBucket = model.Tables.orders(spark, d)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") + lit(1.0)).as("p"))
+        .filter(pmod(hash(col("k")), lit(64)) === 0)
+      oneBucket.createOrReplaceTempView("scale_mt_delta")
+      val nOne = oneBucket.count()
+      time(s"sql_merge_one_bucket_delta_${nOne}_rows", nOne) {
+        spark.sql(
+          """MERGE INTO scale_mt t USING scale_mt_delta s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      }
+      graft.plans.MergeTableSql.unregister("scale_mt")
+      util.Cleanup.registerTempDir(
+        java.nio.file.Paths.get(mtDir).getParent)
+      util.Cleanup.drain()
+    }
+
     // The ANN-index analogue of the MergeTable claim: IVF upsert cost
     // follows the DELTA and its touched-cell fraction, never the corpus.
     // Build a mult-scaled 64-cell layout once (timed for contrast), then

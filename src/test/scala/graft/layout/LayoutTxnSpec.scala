@@ -172,6 +172,47 @@ class LayoutTxnSpec extends SparkSpec {
     assert(readIds(dir) === Seq(0 -> 1L, 1 -> 10L))
   }
 
+  test("TWO-group commit (the index + _docmap shape): both subtrees swap atomically and roll forward together") {
+    val dir = newDir("ltxn_2group")
+    def docGroup(df: org.apache.spark.sql.DataFrame, parts: Seq[Int]) =
+      LayoutTxn.Group("_docmap", df, "p", Seq("id"), parts.map(i => s"p=$i"))
+    // v1: postings p=0, docmap p=0
+    LayoutTxn.commit(spark, dir, LayoutTxn.begin(dir), Seq(
+      group(rows(0 -> 1L), Seq(0)),
+      docGroup(rows(0 -> 100L), Seq(0))))
+    assert(readIds(dir) === Seq(0 -> 1L))
+    assert(spark.read.parquet(s"$dir/_docmap").count() === 1)
+    // fabricate a CLAIMED 2-group v2 (replace postings p=0, empty docmap
+    // p=0, add docmap p=1) crashed before its swap
+    val stage = "_lstage_v2_fab2"
+    DataLayout.writePartitionedSorted(rows(0 -> 9L),
+      s"$dir/$stage", Seq("p"), Seq("id"))
+    DataLayout.writePartitionedSorted(rows(1 -> 101L),
+      s"$dir/$stage/_docmap", Seq("p"), Seq("id"))
+    val pr = new java.util.Properties()
+    pr.setProperty("version", "2")
+    pr.setProperty("stage", stage)
+    pr.setProperty("groups", "2")
+    pr.setProperty("group.0.sub", "")
+    pr.setProperty("group.0.moves", "p=0")
+    pr.setProperty("group.0.dels", "")
+    pr.setProperty("group.1.sub", "_docmap")
+    pr.setProperty("group.1.moves", "p=1")
+    pr.setProperty("group.1.dels", "p=0")
+    val out = java.nio.file.Files.newOutputStream(
+      Paths.get(dir, "_layout_commit_v2"))
+    try pr.store(out, "fabricated 2-group claim") finally out.close()
+    // roll forward: BOTH subtrees land from the one claim
+    assert(LayoutTxn.begin(dir, graceMs = 0L) === 2L)
+    assert(readIds(dir) === Seq(0 -> 9L))
+    assert(!Files.exists(Paths.get(s"$dir/_docmap/p=0")),
+      "the docmap deletion rides the same commit")
+    assert(spark.read.parquet(s"$dir/_docmap")
+      .select(col("p").cast("int"), col("id")).as[(Int, Long)]
+      .collect().toSeq === Seq(1 -> 101L))
+    assert(!Files.exists(Paths.get(s"$dir/$stage")))
+  }
+
   test("a commit declaring partitions outside its touched set is rejected before any claim") {
     val dir = newDir("ltxn_declared")
     val parent = LayoutTxn.begin(dir)

@@ -145,6 +145,38 @@ class MergeTableSqlSpec extends SparkSpec {
     assert(MergeTable.currentVersion(dir) === Some(1L))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION carries new source columns; plain MERGE keeps the target schema") {
+    val (name, dir) = freshTable("evo")
+    Seq((1L, 10.0, "A")).toDF("k", "price", "status")
+      .createOrReplaceTempView("src_e0")
+    spark.sql(s"""MERGE INTO $name t USING src_e0 s ON t.k = s.k
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    // source grows a column; WITH SCHEMA EVOLUTION widens the table
+    Seq((1L, 11.0, "B", "x1"), (2L, 20.0, "C", "x2"))
+      .toDF("k", "price", "status", "tag").createOrReplaceTempView("src_e1")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $name t USING src_e1 s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(MergeTable.read(spark, dir).columns.toSeq ===
+      Seq("k", "price", "status", "tag"))
+    assert(MergeTable.read(spark, dir).select("k", "tag")
+      .as[(Long, String)].collect().toSet === Set(1L -> "x1", 2L -> "x2"))
+    // plain MERGE with a source carrying a column the TARGET lacks: the
+    // undeclared column is ignored (no silent evolution); matching
+    // columns (tag) still flow through INSERT *
+    Seq((3L, 30.0, "D", "x3", "zz"))
+      .toDF("k", "price", "status", "tag", "extra")
+      .createOrReplaceTempView("src_e2")
+    spark.sql(s"""MERGE INTO $name t USING src_e2 s ON t.k = s.k
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(MergeTable.read(spark, dir).columns.toSeq ===
+      Seq("k", "price", "status", "tag"),
+      "plain MERGE must not evolve the schema")
+    assert(MergeTable.read(spark, dir).filter(col("k") === 3L)
+      .select("tag").as[String].head() === "x3")
+  }
+
   test("ALTER TABLE DROP/RENAME/ALTER COLUMN resolve to the metadata-only evolution commits") {
     val (name, dir) = freshTable("alter")
     Seq((1L, 10, "A"), (2L, 20, "B")).toDF("k", "n", "status")
