@@ -4783,7 +4783,11 @@ object SparkEntry {
     "q38_session_window" ->
       """WITH o AS (SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS brk
+        |         -- strictly >: an event landing EXACTLY gap after the
+        |         -- previous one still MERGES (Spark session_window
+        |         -- coalesces at nextStart <= prevEnd, boundary inclusive
+        |         -- — the rule fuzz family 64 pinned on seed 15037)
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o)
