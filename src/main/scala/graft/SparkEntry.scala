@@ -581,7 +581,7 @@ object SparkEntry {
     }
   }
 
-  /** 178 queries, numbered q01-q179: q19 was never assigned (a round-2
+  /** 180 queries, numbered q01-q181: q19 was never assigned (a round-2
     * numbering skip, kept to preserve every already-recorded artifact's
     * query ids). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2903,6 +2903,43 @@ object SparkEntry {
       graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
     }),
 
+    // ⊕K7 SQL DML: DELETE FROM ... WHERE — snapshot-classified rows
+    // emitted as one delete batch through the same expectedParent-fenced
+    // commit; only buckets holding matching keys rewrite.
+    "q180_sql_delete" -> ((s, d) => {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_sql_del")).toString + "/t"
+      graft.plans.MergeTableSql.register("orders_mt_del", dir, numBuckets = 8)
+      t(s, d, "orders").createOrReplaceTempView("orders_raw")
+      s.sql("""MERGE INTO orders_mt_del t USING (
+          SELECT o_orderkey AS okey, o_custkey AS cust,
+                 o_totalprice AS price, o_orderstatus AS status
+          FROM orders_raw WHERE o_orderkey % 7 < 3) s
+        ON t.okey = s.okey
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("DELETE FROM orders_mt_del WHERE okey % 7 = 2")
+      graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
+    }),
+
+    // ⊕K7 SQL DML: UPDATE ... SET expr WHERE — assignments evaluated over
+    // the current row (unassigned columns keep their values); the final
+    // state is exactly the q63/q174 closed form.
+    "q181_sql_update" -> ((s, d) => {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_sql_upd")).toString + "/t"
+      graft.plans.MergeTableSql.register("orders_mt_upd", dir, numBuckets = 8)
+      t(s, d, "orders").createOrReplaceTempView("orders_raw")
+      s.sql("""MERGE INTO orders_mt_upd t USING (
+          SELECT o_orderkey AS okey, o_custkey AS cust,
+                 o_totalprice AS price, o_orderstatus AS status
+          FROM orders_raw WHERE o_orderkey % 7 IN (0, 1, 3)) s
+        ON t.okey = s.okey
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("""UPDATE orders_mt_upd SET price = price + 1.0, status = 'U'
+        WHERE okey % 7 = 1""")
+      graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
+    }),
+
     // ⊕K7 evolution: WIDEN int→bigint is metadata-only — pre-widen
     // buckets keep int32 files and up-cast in the read plan; the
     // post-widen merge writes values only the wide type can hold
@@ -4273,6 +4310,19 @@ object SparkEntry {
       """SELECT o_orderkey AS okey, o_custkey AS cust,
         |  CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 1.0 ELSE o_totalprice END AS amount
         |FROM orders WHERE o_orderkey % 7 < 3 ORDER BY okey""".stripMargin,
+
+    // q180: DELETE WHERE retains the untouched keys
+    "q180_sql_delete" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS price,
+        |  o_orderstatus AS status
+        |FROM orders WHERE o_orderkey % 7 IN (0, 1) ORDER BY okey""".stripMargin,
+
+    // q181: UPDATE SET expr WHERE lands on the q63/q174 closed form
+    "q181_sql_update" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 1.0 ELSE o_totalprice END AS price,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN 'U' ELSE o_orderstatus END AS status
+        |FROM orders WHERE o_orderkey % 7 IN (0, 1, 3) ORDER BY okey""".stripMargin,
 
     // q179: widened column holds post-widen values beyond int32 range
     "q179_evolution_widen" ->

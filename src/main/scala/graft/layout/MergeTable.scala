@@ -331,6 +331,10 @@ object MergeTable {
   def currentVersion(dir: String): Option[Long] =
     readManifest(dir).map(_.version)
 
+  /** The table's key column name (as of the current manifest — renames
+    * move it). */
+  def tableKey(dir: String): String = requireManifest(dir).key
+
   /** Current contents restricted to the buckets `keys`' values hash into —
     * the pruned read a MERGE classification wants: only the directories
     * the merge itself would rewrite are scanned, so the cost follows the

@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFieldName, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{AlterColumns, Assignment, DeleteAction, DropColumns, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, RenameColumn, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterColumns, Assignment, DeleteAction, DeleteFromTable, DropColumns, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, RenameColumn, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions._
@@ -104,6 +104,21 @@ object MergeTableSqlResolution extends Rule[LogicalPlan] {
         val (dir, _) = MergeTableSql.lookup(u.multipartIdentifier).get
         SubqueryAlias(u.multipartIdentifier.last,
           MergeTable.read(SparkSession.active, dir).queryExecution.logical)
+      // DELETE FROM t WHERE cond / UPDATE t SET ... [WHERE cond] — the
+      // remaining DML verbs, classified against the current snapshot and
+      // committed as one op batch through the same expectedParent fence
+      case DeleteFromTable(tgt, cond) if stripAlias(tgt)._2.nonEmpty &&
+          MergeTableSql.lookup(stripAlias(tgt)._2).isDefined =>
+        val (alias, nameParts) = stripAlias(tgt)
+        val (dir, nb) = MergeTableSql.lookup(nameParts).get
+        GraftDmlCommand(dir, nb, alias.getOrElse(nameParts.last),
+          new DmlSpec(isDelete = true, Nil, Option(cond)))
+      case UpdateTable(tgt, assignments, cond) if stripAlias(tgt)._2.nonEmpty &&
+          MergeTableSql.lookup(stripAlias(tgt)._2).isDefined =>
+        val (alias, nameParts) = stripAlias(tgt)
+        val (dir, nb) = MergeTableSql.lookup(nameParts).get
+        GraftDmlCommand(dir, nb, alias.getOrElse(nameParts.last),
+          new DmlSpec(isDelete = false, assignments, cond))
       // ALTER TABLE ... DROP/RENAME/ALTER COLUMN → the metadata-only
       // evolution commits. Field names must be top-level (the hash-bucketed
       // payload is flat); nested paths fail loud below.
@@ -165,6 +180,65 @@ final class MergeSqlSpec(val source: LogicalPlan, val condition: Expression,
   override def toString: String =
     s"MergeSqlSpec(matched=${matched.size}, notMatched=${notMatched.size}, " +
       s"notMatchedBySource=${notMatchedBySource.size})"
+}
+
+/** Opaque holder for a DELETE/UPDATE statement's unresolved pieces (the
+  * [[MergeSqlSpec]] discipline: not a Product of expressions, so the
+  * analyzer leaves them for [[GraftDmlCommand.run]]). */
+final class DmlSpec(val isDelete: Boolean, val assignments: Seq[Assignment],
+                    val condition: Option[Expression]) {
+  override def toString: String =
+    if (isDelete) "DmlSpec(DELETE)" else s"DmlSpec(UPDATE ${assignments.size})"
+}
+
+/** The eager command `DELETE FROM t WHERE ...` / `UPDATE t SET ... WHERE
+  * ...` executes: classify the current snapshot rows under the WHERE
+  * condition, emit one op batch (delete, or update with assignments
+  * applied — unassigned columns keep their values), and commit through
+  * [[MergeTable.merge]] under the same expectedParent serializability
+  * fence as SQL MERGE. Only the buckets holding matching keys are
+  * rewritten. Output: the committed version (-1 = empty no-op). */
+case class GraftDmlCommand(dir: String, numBuckets: Int,
+                           targetAlias: String, spec: DmlSpec)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  private val OpCol = "__graft_dml_op"
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snapVer = MergeTable.currentVersion(dir)
+    require(snapVer.isDefined, s"no MergeTable at $dir")
+    val key = MergeTable.tableKey(dir)
+    val tgt = MergeTable.read(spark, dir).alias(targetAlias)
+    val hit = spec.condition
+      .map(c => tgt.filter(coalesce(Bridge.columnOf(c), lit(false))))
+      .getOrElse(tgt)
+    val schema = MergeTable.read(spark, dir).schema
+    val changes =
+      if (spec.isDelete) hit.withColumn(OpCol, lit("delete"))
+      else {
+        val assigned = spec.assignments.map(a =>
+          (a.key match {
+            case u: UnresolvedAttribute => u.nameParts.last
+            case a: Attribute => a.name
+            case other => throw new UnsupportedOperationException(
+              s"graft UPDATE: assignment target ${other.sql}")
+          }) -> a.value).toMap
+        require(!assigned.keys.exists(_.equalsIgnoreCase(key)),
+          s"graft UPDATE: cannot assign the key column '$key' (a key " +
+            "change is a delete + insert — express it as MERGE)")
+        hit.select(schema.fields.toSeq.map { f =>
+          assigned.find(_._1.equalsIgnoreCase(f.name))
+            .map { case (_, v) => Bridge.columnOf(v).cast(f.dataType).as(f.name) }
+            .getOrElse(col(f.name))
+        } :+ lit("update").as(OpCol): _*)
+      }
+    val v = MergeTable.merge(spark, dir, changes, key, opCol = OpCol,
+      numBuckets = numBuckets, expectedParent = Some(snapVer))
+    Seq(Row(v.getOrElse(-1L)))
+  }
 }
 
 /** The eager command an ALTER TABLE statement over a registered

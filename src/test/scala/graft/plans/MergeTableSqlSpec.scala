@@ -211,6 +211,31 @@ class MergeTableSqlSpec extends SparkSpec {
     assert(MergeTable.read(spark, dir).columns.toSeq === Seq("k", "amount"))
   }
 
+  test("DELETE FROM and UPDATE resolve through SQL: snapshot-classified, bucket-pruned, key-protected") {
+    val (name, dir) = freshTable("dml")
+    Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
+      .toDF("k", "price", "status").createOrReplaceTempView("src_dml")
+    spark.sql(s"""MERGE INTO $name t USING src_dml s ON t.k = s.k
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    // UPDATE with an expression over the current row, WHERE filtered
+    val v1 = spark.sql(
+      s"UPDATE $name SET price = price * 2, status = 'X' WHERE k <= 2")
+      .collect().head.getLong(0)
+    assert(v1 === 1L)
+    assert(state(dir) === Seq((1L, 20.0, "X"), (2L, 40.0, "X"), (3L, 30.0, "C")))
+    // DELETE WHERE
+    spark.sql(s"DELETE FROM $name WHERE status = 'X' AND price > 30.0").collect()
+    assert(state(dir) === Seq((1L, 20.0, "X"), (3L, 30.0, "C")))
+    // unconditional DELETE empties the table
+    spark.sql(s"DELETE FROM $name").collect()
+    assert(MergeTable.read(spark, dir).count() === 0L)
+    // the key column cannot be assigned
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $name SET k = 99").collect()
+    }
+    assert(e.getMessage.contains("key column"))
+  }
+
   test("temp views shadow registered names: registration never hijacks an existing relation") {
     val (name, _) = freshTable("shadow")
     Seq((42L, 1.0, "V")).toDF("k", "price", "status")
