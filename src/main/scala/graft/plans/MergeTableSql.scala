@@ -119,6 +119,28 @@ object MergeTableSqlResolution extends Rule[LogicalPlan] {
         val (dir, nb) = MergeTableSql.lookup(nameParts).get
         GraftDmlCommand(dir, nb, alias.getOrElse(nameParts.last),
           new DmlSpec(isDelete = false, assignments, cond))
+      // DESCRIBE [TABLE] t → the current logical schema as rows, with the
+      // table's key and version in the comment column
+      case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation =>
+        (d.relation match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+              if MergeTableSql.lookup(u.multipartIdentifier).isDefined =>
+            val (dir, _) = MergeTableSql.lookup(u.multipartIdentifier).get
+            val m = MergeTable.read(SparkSession.active, dir).schema
+            val key = MergeTable.tableKey(dir)
+            val ver = MergeTable.currentVersion(dir).getOrElse(-1L)
+            val rows = m.fields.toSeq.map { f =>
+              org.apache.spark.sql.catalyst.InternalRow(
+                org.apache.spark.unsafe.types.UTF8String.fromString(f.name),
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  f.dataType.simpleString),
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  (if (f.name == key) "key; " else "") + s"graft MergeTable v$ver"))
+            }
+            Some(org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+              d.output, rows))
+          case _ => None
+        }).getOrElse(d)
       // ALTER TABLE ... DROP/RENAME/ALTER COLUMN → the metadata-only
       // evolution commits. Field names must be top-level (the hash-bucketed
       // payload is flat); nested paths fail loud below.

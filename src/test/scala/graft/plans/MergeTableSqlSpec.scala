@@ -236,6 +236,21 @@ class MergeTableSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("key column"))
   }
 
+  test("DESCRIBE TABLE lists the current logical schema with key and version") {
+    val (name, _) = freshTable("desc")
+    Seq((1L, 10.0, "A")).toDF("k", "price", "status")
+      .createOrReplaceTempView("src_desc")
+    spark.sql(s"""MERGE INTO $name t USING src_desc s ON t.k = s.k
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    spark.sql(s"ALTER TABLE $name RENAME COLUMN price TO amount").collect()
+    val rows = spark.sql(s"DESCRIBE TABLE $name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.map(_._1).toSeq === Seq("k", "amount", "status"))
+    assert(rows.head._3.startsWith("key; "))
+    assert(rows.head._3.contains("v1"), s"version in comment: ${rows.head._3}")
+    assert(rows(1)._2 === "double")
+  }
+
   test("temp views shadow registered names: registration never hijacks an existing relation") {
     val (name, _) = freshTable("shadow")
     Seq((42L, 1.0, "V")).toDF("k", "price", "status")
