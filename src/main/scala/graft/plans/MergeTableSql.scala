@@ -41,6 +41,12 @@ import graft.layout.MergeTable
   *    a stale classification.
   *  - `SELECT ... FROM t VERSION AS OF n` → [[MergeTable.readAt]].
   *  - `SELECT ... FROM t` → [[MergeTable.read]] (current snapshot).
+  *  - `DELETE FROM t [WHERE c]` / `UPDATE t SET a = e, ... [WHERE c]` →
+  *    [[GraftDmlCommand]] (snapshot-classified op batch, same fence).
+  *  - `ALTER TABLE t DROP COLUMN [IF EXISTS] c | RENAME COLUMN a TO b |
+  *    ALTER COLUMN c TYPE dt` → [[GraftAlterCommand]] (the metadata-only
+  *    evolution commits).
+  *  - `DESCRIBE [TABLE] t` → the current logical schema as rows.
   *
   * `MERGE WITH SCHEMA EVOLUTION` carries new source columns into the
   * table via MergeTable's add-column evolution; plain MERGE restricts the
@@ -278,7 +284,8 @@ case class GraftAlterCommand(dir: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val versions = ops.map {
       case ("drop", c, _, _) =>
-        if (ifExists && !MergeTable.read(spark, dir).columns.contains(c)) -1L
+        if (ifExists && !MergeTable.read(spark, dir).columns
+            .exists(_.equalsIgnoreCase(c))) -1L
         else MergeTable.alterDropColumn(dir, c)
       case ("rename", from, to, _) => MergeTable.alterRenameColumn(dir, from, to)
       case ("widen", c, _, Some(to)) => MergeTable.alterWidenColumn(dir, c, to)
