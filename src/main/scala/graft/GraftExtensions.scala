@@ -35,9 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // door is ElementAtNullIndexGuard.ensureInjected.
     ext.injectResolutionRule(_ => graft.plans.ElementAtNullIndexGuard)
     ext.injectOptimizerRule(_ => graft.plans.ElementAtNullIndexGuard)
-    // MERGE INTO / VERSION AS OF / reads of MergeTableSql-registered
-    // MergeTable names through the SQL front door (⊕K7 via verbatim SQL)
+    // MERGE INTO / VERSION+TIMESTAMP AS OF / INSERT / DML / reads of
+    // MergeTableSql-registered MergeTable names through the SQL front
+    // door (⊕K7 via verbatim SQL)
     ext.injectResolutionRule(_ => graft.plans.MergeTableSqlResolution)
+    // lifecycle verbs Spark's grammar lacks (OPTIMIZE / VACUUM /
+    // DESCRIBE HISTORY) + parse-time CREATE TABLE ... USING graft
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),

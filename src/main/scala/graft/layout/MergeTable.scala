@@ -16,12 +16,20 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * atomically-swapped manifest pointer), reduced to its minimal public
   * core:
   *
-  *  - **Hash-bucketed layout.** Rows live in `pmod(hash(key), numBuckets)`
-  *    buckets, written hive-partitioned by [[BucketCol]] and sorted by the
-  *    key inside each file. A merge rewrites ONLY the buckets its change
-  *    keys hash into — cost scales with the delta, not the table. At
+  *  - **Hash-bucketed layout.** Rows live in `pmod(hash(key...),
+  *    numBuckets)` buckets, written hive-partitioned by [[BucketCol]] and
+  *    sorted by the key inside each file. The key may be COMPOSITE
+  *    ([[mergeKeys]] — e.g. (id, date)): the bucket hash, the ANSI
+  *    duplicate-source check, and the classification join all run over
+  *    the key tuple. A merge rewrites ONLY the buckets its change keys
+  *    hash into — cost scales with the delta, not the table. At
   *    100 TB that is the difference between rewriting gigabytes and
   *    rewriting everything.
+  *  - **Commit history & time travel by wall-clock (r14).** Every commit
+  *    stamps its manifest with a monotone wall-clock, the operation kind,
+  *    and the batch row count; [[history]] surfaces them (DESCRIBE
+  *    HISTORY), and [[readAtTimestamp]]/[[versionForTimestamp]] resolve
+  *    `TIMESTAMP AS OF` to the newest version at-or-before the instant.
   *  - **Snapshot isolation.** Each commit writes a NEW `v<n>/` directory;
   *    the manifest maps each bucket to the version that last rewrote it.
   *    Readers resolve the manifest once and read immutable directories —
@@ -87,10 +95,22 @@ object MergeTable {
         s"committed by another writer (expected parent ${version - 1}); " +
         "re-read the table and retry the merge")
 
-  /** Reserved layout column: `pmod(hash(key), numBuckets)`. */
+  /** Reserved layout column: `pmod(hash(key columns...), numBuckets)`. */
   val BucketCol = "__pk_bucket"
 
   private val KnownOps = Seq("create", "update", "delete")
+
+  /** Key columns are stored comma-joined in the manifest's `key` property
+    * (one property, N names) — so a key column name may not contain a
+    * comma. Checked once at table creation. */
+  private def joinKeys(keys: Seq[String]): String = {
+    require(keys.nonEmpty, "MergeTable needs at least one key column")
+    require(keys.forall(!_.contains(",")),
+      s"key column names may not contain ',': ${keys.mkString(", ")}")
+    require(keys.distinct.size == keys.size,
+      s"duplicate key columns: ${keys.mkString(", ")}")
+    keys.mkString(",")
+  }
 
   /** One interned PHYSICAL schema — the column names and types a set of
     * bucket files was actually written with — plus the projection from
@@ -109,8 +129,12 @@ object MergeTable {
   private case class Manifest(version: Long, batchId: Long, key: String,
                               numBuckets: Int, schemaJson: String,
                               buckets: Map[Int, (Long, Int)],
-                              phys: Map[Int, PhysSchema]) {
+                              phys: Map[Int, PhysSchema],
+                              ts: Long = 0L, op: String = "",
+                              rows: Long = -1L) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    /** The key COLUMNS — `key` is their comma-joined manifest encoding. */
+    def keys: Seq[String] = key.split(",").toSeq
   }
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_latest")
@@ -151,7 +175,12 @@ object MergeTable {
     Manifest(props.getProperty("version").toLong,
       props.getProperty("batchId").toLong, props.getProperty("key"),
       props.getProperty("numBuckets").toInt, schemaJson,
-      buckets, phys)
+      buckets, phys,
+      // pre-r14 manifests carry no timestamp/op/rows: ts 0 sorts before
+      // any real wall-clock, op/rows read as unknown
+      ts = Option(props.getProperty("ts")).map(_.toLong).getOrElse(0L),
+      op = props.getProperty("op", ""),
+      rows = Option(props.getProperty("rows")).map(_.toLong).getOrElse(-1L))
   }
 
   private def readManifest(dir: String): Option[Manifest] = {
@@ -192,8 +221,21 @@ object MergeTable {
         ps.proj.toSeq.sorted.map { case (l, ph) => s"$l=$ph" }.mkString(","))
     }
     p.setProperty("stage", stageDir.getOrElse(""))
+    p.setProperty("ts", m.ts.toString)
+    p.setProperty("op", m.op)
+    p.setProperty("rows", m.rows.toString)
     p
   }
+
+  /** Commit wall-clock for a new manifest: real time, clamped STRICTLY
+    * increasing against the parent so (a) a host clock step backwards can
+    * never make `TIMESTAMP AS OF` (max version with ts <= t) skip a
+    * version, and (b) two commits never share an instant — resolving v(n)
+    * 's own recorded timestamp always yields v(n), not a same-millisecond
+    * v(n+1). Write-once per manifest, so replay determinism is unaffected
+    * — the manifest is immutable history, not query input. */
+  private def commitTs(prior: Option[Manifest]): Long =
+    math.max(System.currentTimeMillis(), prior.map(_.ts + 1).getOrElse(0L))
 
   private def writeAtomic(dir: String, p: Properties, target: Path): Unit = {
     val tmp = Files.createTempFile(Paths.get(dir), "_commit_tmp_", "")
@@ -331,21 +373,35 @@ object MergeTable {
   def currentVersion(dir: String): Option[Long] =
     readManifest(dir).map(_.version)
 
-  /** The table's key column name (as of the current manifest — renames
-    * move it). */
-  def tableKey(dir: String): String = requireManifest(dir).key
+  /** The table's key column names, in layout order (as of the current
+    * manifest — renames move them). */
+  def tableKeys(dir: String): Seq[String] = requireManifest(dir).keys
+
+  /** Single-key convenience for [[tableKeys]]; throws on a composite-key
+    * table (callers that can meet composites should use [[tableKeys]]). */
+  def tableKey(dir: String): String = tableKeys(dir) match {
+    case Seq(one) => one
+    case more => throw new UnsupportedOperationException(
+      s"MergeTable at $dir has a composite key (${more.mkString(", ")}); " +
+        "use tableKeys")
+  }
 
   /** Current contents restricted to the buckets `keys`' values hash into —
     * the pruned read a MERGE classification wants: only the directories
     * the merge itself would rewrite are scanned, so the cost follows the
-    * delta. `keys` carries one column of key values (any name); it is cast
-    * to the table's key type so the bucket hash matches the layout's. */
+    * delta. `keys` carries the key value columns POSITIONALLY (one column
+    * per table key, any names); each is cast to its table key type so the
+    * bucket hash matches the layout's. */
   def readForKeys(spark: SparkSession, dir: String, keys: DataFrame): DataFrame = {
     val m = requireManifest(dir)
-    val keyType = m.schema(m.key).dataType
+    require(keys.columns.length == m.keys.size,
+      s"readForKeys: table keys (${m.keys.mkString(", ")}) need " +
+        s"${m.keys.size} column(s), got ${keys.columns.length}")
+    val hashed = keys.columns.toSeq.zip(m.keys).map { case (c, k) =>
+      col(c).cast(m.schema(k).dataType)
+    }
     val buckets = keys
-      .select(pmod(hash(keys.columns.map(col).head.cast(keyType)),
-        lit(m.numBuckets)).as("__b"))
+      .select(pmod(hash(hashed: _*), lit(m.numBuckets)).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
     readBuckets(spark, dir, m, Some(buckets)).drop(BucketCol)
   }
@@ -413,7 +469,21 @@ object MergeTable {
             opCol: String = "op_flag", numBuckets: Int = 16,
             batchId: Long = -1L,
             updateWhen: Option[(String => Column, String => Column) => Column] = None,
-            expectedParent: Option[Option[Long]] = None): Option[Long] = {
+            expectedParent: Option[Option[Long]] = None): Option[Long] =
+    mergeKeys(spark, dir, changes, Seq(key), opCol, numBuckets, batchId,
+      updateWhen, expectedParent)
+
+  /** [[merge]] over a COMPOSITE key: rows live in
+    * `pmod(hash(k1, k2, ...), numBuckets)` buckets, the ANSI one-source-
+    * row-per-key check and the classification join run over the key TUPLE,
+    * and [[readForKeys]] prunes on the tuple hash. A single-element `keys`
+    * is exactly [[merge]]. */
+  def mergeKeys(spark: SparkSession, dir: String, changes: DataFrame,
+                keys: Seq[String], opCol: String = "op_flag",
+                numBuckets: Int = 16, batchId: Long = -1L,
+                updateWhen: Option[(String => Column, String => Column) => Column] = None,
+                expectedParent: Option[Option[Long]] = None): Option[Long] = {
+    val key = joinKeys(keys)
     Files.createDirectories(Paths.get(dir))
     recover(dir) // roll forward any commit interrupted between claim and swap
     val prior = readManifest(dir)
@@ -459,7 +529,8 @@ object MergeTable {
         StructType(m.schema.fields ++ added)
     }
     val payload = widened.fieldNames.toSeq
-    require(payload.contains(key), s"key '$key' not in payload $payload")
+    keys.foreach(k =>
+      require(payload.contains(k), s"key '$k' not in payload $payload"))
 
     // Checkpointed once: the join and the write must not recompute an
     // arbitrarily expensive upstream plan. EVERY batch-stats check rides
@@ -476,17 +547,19 @@ object MergeTable {
     // EMPTY observation map (measured, r11), so the checkpoint is the one
     // reliable delivery point.
     val obs = new org.apache.spark.sql.Observation
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
     val ch = changes.select(payload.map(col) :+
         coalesce(col(opCol).cast("string"), lit("<null>")).as("__op") :+
-        pmod(hash(col(key)), lit(nb)).as(BucketCol): _*)
+        pmod(hash(keys.map(col): _*), lit(nb)).as(BucketCol): _*)
       .withColumn("__srcdup", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(key))))
+        org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)))
       .observe(obs,
         collect_set(col(BucketCol)).as("buckets"),
         collect_set(when(!col("__op").isin(KnownOps: _*), col("__op")))
           .as("bad_ops"),
-        count(when(col(key).isNull, 1)).as("null_keys"),
-        max(col("__srcdup")).as("max_dup"))
+        count(when(anyKeyNull, 1)).as("null_keys"),
+        max(col("__srcdup")).as("max_dup"),
+        count(lit(1)).as("n_rows"))
       .transform(graft.util.Cleanup.checkpoint(_))
       .drop("__srcdup")
     val stats = obs.get // delivered by the checkpoint job
@@ -499,6 +572,7 @@ object MergeTable {
       require(maxDup <= 1L,
         s"duplicate keys in merge source (one '$key' appears $maxDup times)" +
           " — ANSI MERGE forbids multiple source rows per target row"))
+    val nRows = stats("n_rows").asInstanceOf[Long]
     val changed = stats("buckets").asInstanceOf[scala.collection.Seq[Int]].toSet
     val schemaJson = widened.json
     val newV = prior.map(_.version + 1).getOrElse(0L)
@@ -514,7 +588,7 @@ object MergeTable {
     if (changed.nonEmpty && priorData.isEmpty) {
       DataLayout.writePartitionedSorted(
         ch.filter(col("__op") =!= "delete").drop("__op"),
-        s"$dir/$stage", Seq(BucketCol), Seq(key))
+        s"$dir/$stage", Seq(BucketCol), keys)
     } else if (changed.nonEmpty) {
       // align the target side to the widened schema: columns this batch
       // adds read as typed nulls from pre-evolution buckets
@@ -524,8 +598,12 @@ object MergeTable {
         else df.withColumn(f.name, lit(null).cast(f.dataType)))
       val tgt = cur.select(payload.map(c => col(c).as(s"__t_$c")) :+
         col(BucketCol).as("__t_bucket"): _*)
-      val j = ch.join(tgt, col(key) === col(s"__t_$key"), "full_outer")
-      val matched = col("__op").isNotNull && col(s"__t_$key").isNotNull
+      // key parts are non-null (checked above), so plain equalities — no
+      // null-safe operator needed; the tuple matches iff every part does
+      val keyEq = keys.map(k => col(k) === col(s"__t_$k")).reduce(_ && _)
+      val tgtHit = col(s"__t_${keys.head}").isNotNull
+      val j = ch.join(tgt, keyEq, "full_outer")
+      val matched = col("__op").isNotNull && tgtHit
       val condOk = coalesce(
         updateWhen.map(f => f(n => col(n), n => col(s"__t_$n")))
           .getOrElse(lit(true)),
@@ -535,13 +613,13 @@ object MergeTable {
       // or matched by a conditionally-rejected update. Matched deletes and
       // unmatched deletes produce nothing.
       val takeSrc = col("__op").isNotNull && col("__op") =!= "delete" &&
-        (col(s"__t_$key").isNull || condOk)
-      val keepTgt = (col("__op").isNull && col(s"__t_$key").isNotNull) ||
+        (!tgtHit || condOk)
+      val keepTgt = (col("__op").isNull && tgtHit) ||
         (matched && col("__op") =!= "delete" && !condOk)
       val out = j.filter(takeSrc || keepTgt).select(
         payload.map(c => when(takeSrc, col(c)).otherwise(col(s"__t_$c")).as(c)) :+
           when(takeSrc, col(BucketCol)).otherwise(col("__t_bucket")).as(BucketCol): _*)
-      DataLayout.writePartitionedSorted(out, s"$dir/$stage", Seq(BucketCol), Seq(key))
+      DataLayout.writePartitionedSorted(out, s"$dir/$stage", Seq(BucketCol), keys)
     }
     // intern this commit's physical schema: new files are always written
     // under the CURRENT logical names and types, so the write schema is an
@@ -554,19 +632,42 @@ object MergeTable {
     commit(dir, Manifest(newV, batchId, key, nb, schemaJson,
         prior.map(_.buckets).getOrElse(Map.empty) ++
           changed.map(_ -> (newV, sid)),
-        priorPhys + (sid -> PhysSchema(schemaJson, identityProj))),
+        priorPhys + (sid -> PhysSchema(schemaJson, identityProj)),
+        ts = commitTs(prior), op = "merge", rows = nRows),
       if (changed.nonEmpty) Some(stage) else None)
     Some(newV)
+  }
+
+  /** Create an EMPTY table: one metadata-only v0 commit recording the
+    * schema, keys, and bucket count — the SQL `CREATE TABLE ... USING
+    * graft` shape. Later merges validate their batches against this
+    * schema exactly as against any committed one. No-op error if a table
+    * already exists at `dir`. */
+  def create(spark: SparkSession, dir: String, schema: StructType,
+             keys: Seq[String], numBuckets: Int = 16): Long = {
+    val key = joinKeys(keys)
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"key '$k' not in schema ${schema.fieldNames.mkString(", ")}"))
+    Files.createDirectories(Paths.get(dir))
+    recover(dir)
+    require(readManifest(dir).isEmpty, s"a MergeTable already exists at $dir")
+    val identityProj = schema.fieldNames.toSeq.map(n => n -> n).toMap
+    commit(dir, Manifest(0L, -1L, key, numBuckets, schema.json,
+      Map.empty, Map(0 -> PhysSchema(schema.json, identityProj)),
+      ts = commitTs(None), op = "create", rows = 0L), None)
+    0L
   }
 
   // ---- metadata-only schema evolution: drop / rename / widen ---------------
 
   /** One evolution commit: same CAS + roll-forward discipline as a merge,
     * version advances, NO data moves (stage is empty). */
-  private def alterCommit(dir: String, f: Manifest => Manifest): Long = {
+  private def alterCommit(dir: String, op: String,
+                          f: Manifest => Manifest): Long = {
     recover(dir)
     val m = requireManifest(dir)
-    val next = f(m).copy(version = m.version + 1)
+    val next = f(m).copy(version = m.version + 1,
+      ts = commitTs(Some(m)), op = op, rows = 0L)
     commit(dir, next, None)
     next.version
   }
@@ -579,8 +680,9 @@ object MergeTable {
     * projection entry is gone, so dropped values never resurrect. The key
     * cannot be dropped. Returns the committed version. */
   def alterDropColumn(dir: String, column: String): Long =
-    alterCommit(dir, { m =>
-      require(column != m.key, s"cannot drop the key column '$column'")
+    alterCommit(dir, "alter-drop", { m =>
+      require(!m.keys.contains(column),
+        s"cannot drop the key column '$column'")
       require(m.schema.fieldNames.contains(column),
         s"no column '$column' in ${m.schema.fieldNames.mkString(", ")}")
       m.copy(
@@ -596,13 +698,13 @@ object MergeTable {
     * key — values are untouched, so bucket placement is unchanged.
     * Returns the committed version. */
   def alterRenameColumn(dir: String, from: String, to: String): Long =
-    alterCommit(dir, { m =>
+    alterCommit(dir, "alter-rename", { m =>
       require(m.schema.fieldNames.contains(from),
         s"no column '$from' in ${m.schema.fieldNames.mkString(", ")}")
       require(!m.schema.fieldNames.contains(to),
         s"column '$to' already exists")
       m.copy(
-        key = if (m.key == from) to else m.key,
+        key = m.keys.map(k => if (k == from) to else k).mkString(","),
         schemaJson = StructType(m.schema.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f)).json,
         phys = m.phys.view.mapValues { ps =>
@@ -621,8 +723,8 @@ object MergeTable {
     * widening the key would send future merges to the wrong buckets.
     * Returns the committed version. */
   def alterWidenColumn(dir: String, column: String, to: DataType): Long =
-    alterCommit(dir, { m =>
-      require(column != m.key,
+    alterCommit(dir, "alter-widen", { m =>
+      require(!m.keys.contains(column),
         s"cannot widen the key column '$column': bucket placement hashes " +
           "the key at its type; a widened key would re-hash away from " +
           "historical buckets")
@@ -659,7 +761,7 @@ object MergeTable {
     val newV = m.version + 1
     val stage = s"_stage_v${newV}_${java.util.UUID.randomUUID().toString.take(8)}"
     DataLayout.writePartitionedSorted(
-      readBuckets(spark, dir, m, None), s"$dir/$stage", Seq(BucketCol), Seq(m.key))
+      readBuckets(spark, dir, m, None), s"$dir/$stage", Seq(BucketCol), m.keys)
     val liveDirs = Option(new java.io.File(s"$dir/$stage").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
@@ -673,7 +775,8 @@ object MergeTable {
     }.getOrElse(m.phys.keys.maxOption.map(_ + 1).getOrElse(0))
     commit(dir, m.copy(version = newV,
         buckets = liveDirs.map(_ -> (newV, sid)).toMap,
-        phys = Map(sid -> PhysSchema(m.schemaJson, identityProj))),
+        phys = Map(sid -> PhysSchema(m.schemaJson, identityProj)),
+        ts = commitTs(Some(m)), op = "compact", rows = 0L),
       Some(stage))
     newV
   }
@@ -724,7 +827,6 @@ object MergeTable {
     val m1 = manifestAt(dir, fromVersion)
     val m2 = manifestAt(dir, toVersion)
     val payload = m2.schema.fieldNames.toSeq
-    val key = m2.key
     val touched = (m1.buckets.keySet ++ m2.buckets.keySet)
       .filter(b => m1.buckets.get(b) != m2.buckets.get(b))
     // align the older snapshot to the newer LOGICAL schema by reading its
@@ -739,15 +841,75 @@ object MergeTable {
         Some(touched))
       .select(payload.map(c => col(c).as(s"__o_$c")): _*)
     val neu = readBuckets(spark, dir, m2, Some(touched)).drop(BucketCol)
-    val j = neu.join(old, col(key) === col(s"__o_$key"), "full_outer")
-    val inserted = col(s"__o_$key").isNull
-    val deleted = col(key).isNull
+    val keyEq = m2.keys.map(k => col(k) === col(s"__o_$k")).reduce(_ && _)
+    val j = neu.join(old, keyEq, "full_outer")
+    val inserted = col(s"__o_${m2.keys.head}").isNull
+    val deleted = col(m2.keys.head).isNull
     val changed = payload.map(c => !(col(c) <=> col(s"__o_$c"))).reduce(_ || _)
     j.filter(changed).select(
       when(inserted, lit("insert")).when(deleted, lit("delete"))
         .otherwise(lit("update")).as(opCol) +:
         payload.map(c => when(deleted, col(s"__o_$c")).otherwise(col(c)).as(c)): _*)
   }
+
+  /** Commit history over the RETAINED versions (ascending): version,
+    * commit wall-clock, operation kind (create / merge / compact /
+    * alter-*), and the merge batch's row count (0 for metadata-only
+    * commits, -1 for pre-history manifests that recorded none) — the
+    * `DESCRIBE HISTORY` surface that makes time travel and vacuum
+    * retention usable without reading manifests by hand. Driver-side cost
+    * is one small Properties read per retained version (bounded by
+    * [[expireVersions]]' retention, never by table size). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val rows = versions(dir).flatMap { v =>
+      try {
+        val m = parseManifest(Paths.get(dir, s"_manifest_v$v"))
+        Some(Row(m.version, new java.sql.Timestamp(m.ts),
+          if (m.op.isEmpty) null else m.op, m.rows,
+          m.key, m.numBuckets))
+      } catch { case _: java.nio.file.NoSuchFileException => None }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("committed_at",
+          org.apache.spark.sql.types.TimestampType, nullable = false),
+        org.apache.spark.sql.types.StructField("operation",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("batch_rows",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("num_buckets",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
+
+  /** Newest retained version whose commit wall-clock is <= `tsMillis` —
+    * the `TIMESTAMP AS OF` resolution. Version order is authoritative for
+    * ties (commit timestamps are clamped monotone non-decreasing, see
+    * [[commitTs]]). Errors when `tsMillis` precedes the oldest retained
+    * commit: "before the table existed" must fail loudly, not silently
+    * read an empty snapshot. */
+  def versionForTimestamp(dir: String, tsMillis: Long): Long = {
+    val stamped = versions(dir).flatMap { v =>
+      try Some(v -> parseManifest(Paths.get(dir, s"_manifest_v$v")).ts)
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    }
+    require(stamped.nonEmpty, s"no retained versions at $dir")
+    val at = stamped.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no version committed at or before $tsMillis at $dir " +
+        s"(oldest retained commit: version ${stamped.head._1} at " +
+        s"${stamped.head._2})")
+    at.map(_._1).max
+  }
+
+  /** Table contents AS OF a wall-clock instant — [[readAt]] of
+    * [[versionForTimestamp]]. */
+  def readAtTimestamp(spark: SparkSession, dir: String,
+                      tsMillis: Long): DataFrame =
+    readAt(spark, dir, versionForTimestamp(dir, tsMillis))
 
   /** Drop manifest history older than the newest `keepLast` versions so
     * [[vacuum]] can reclaim the snapshot directories only they reference.

@@ -1,0 +1,209 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{ColumnDefinition, CreateTable, LogicalPlan, TableSpec}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+
+import graft.layout.MergeTable
+
+/** The SQL-only table LIFECYCLE for [[MergeTableSql]]-registered (or
+  * created) MergeTables — the verbs a pure-SQL session needs to
+  * bootstrap and maintain a table without touching the Scala API:
+  *
+  *  - `CREATE TABLE t (cols) USING graft LOCATION '<dir>' TBLPROPERTIES
+  *    ('graft.key'='k1[,k2...]' [, 'graft.buckets'='n'])` — Spark's own
+  *    grammar parses this; the provider name `graft` marks it, and the
+  *    conversion happens AT PARSE TIME (on the parsed, pre-analysis
+  *    plan), so no analyzer-rule ordering can route it into the session
+  *    catalog's unknown-provider error. Creates an empty v0 manifest and
+  *    registers the name. `IF NOT EXISTS` re-registers idempotently.
+  *  - `OPTIMIZE t` → [[MergeTable.compact]] (fold accumulated versions
+  *    back to one pruned scan per read).
+  *  - `VACUUM t [RETAIN n VERSIONS]` → optionally
+  *    [[MergeTable.expireVersions]] to the newest n, then
+  *    [[MergeTable.vacuum]] (reclaim unreferenced snapshot dirs and
+  *    crash-orphaned stages past the grace window).
+  *  - `DESCRIBE HISTORY t` → [[MergeTable.history]] (version, commit
+  *    wall-clock, operation, batch rows — the audit surface behind
+  *    `VERSION/TIMESTAMP AS OF` and vacuum retention decisions).
+  *
+  * These three maintenance verbs are not in Spark's grammar at all, so
+  * they are matched textually BEFORE delegation (the standard injected-
+  * parser pattern); every other statement — including the graft MERGE /
+  * DML / SELECT shapes — parses through the delegate untouched and
+  * resolves via [[MergeTableSqlResolution]]. A maintenance verb over an
+  * UNREGISTERED name falls through to the delegate's parse error — the
+  * parser never claims syntax for tables it does not know. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val Ident = """([A-Za-z_][A-Za-z0-9_]*)"""
+  private val OptimizeRe = ("""(?is)^\s*OPTIMIZE\s+""" + Ident + """\s*;?\s*$""").r
+  private val VacuumRe =
+    ("""(?is)^\s*VACUUM\s+""" + Ident +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
+  private val HistoryRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
+
+  private def dirOf(name: String): Option[String] =
+    MergeTableSql.lookup(Seq(name)).map(_._1)
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeRe(name) if dirOf(name).isDefined =>
+      GraftOptimizeCommand(dirOf(name).get)
+    case VacuumRe(name, retain) if dirOf(name).isDefined =>
+      GraftVacuumCommand(dirOf(name).get, Option(retain).map(_.toInt))
+    case HistoryRe(name) if dirOf(name).isDefined =>
+      GraftHistoryCommand(dirOf(name).get)
+    case _ => delegate.parsePlan(sqlText) match {
+      case ct: CreateTable => GraftCreateTableCommand.convert(ct)
+      case other => other
+    }
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** `CREATE TABLE ... USING graft`: an empty v0 manifest (schema, keys,
+  * bucket count — [[MergeTable.create]]) plus a [[MergeTableSql]]
+  * registration. Output: the created version (0), or -1 when IF NOT
+  * EXISTS found an existing table (which is then just re-registered —
+  * idempotent bootstrap). */
+case class GraftCreateTableCommand(name: String, tableSchema: StructType,
+                                   keys: Seq[String], location: String,
+                                   numBuckets: Int, ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val exists = MergeTable.currentVersion(location).isDefined
+    val v =
+      if (exists) {
+        require(ifNotExists,
+          s"a MergeTable already exists at $location — CREATE TABLE IF " +
+            "NOT EXISTS re-registers it; plain CREATE TABLE refuses")
+        -1L
+      } else MergeTable.create(spark, location, tableSchema, keys, numBuckets)
+    MergeTableSql.register(name, location, numBuckets)
+    Seq(Row(v))
+  }
+}
+
+object GraftCreateTableCommand {
+
+  /** Convert a parsed `CreateTable` whose provider is `graft` into the
+    * eager command; any other provider passes through untouched. Called
+    * at PARSE time by [[GraftSqlParser]] so the session catalog's
+    * provider lookup never sees the unknown name. */
+  private[plans] def convert(ct: CreateTable): LogicalPlan = {
+    // fresh from the parser the spec is UnresolvedTableSpec (provider,
+    // location, and TBLPROPERTIES are already plain strings; only OPTIONS
+    // carry unevaluated expressions); a resolved TableSpec matches too
+    val (provider, location, props): (Option[String], Option[String], Map[String, String]) =
+      ct.tableSpec match {
+        case s: TableSpec => (s.provider, s.location, s.options ++ s.properties)
+        case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+          val opts = u.optionExpression.options.collect {
+            case (k, org.apache.spark.sql.catalyst.expressions.Literal(v, _))
+                if v != null => k -> v.toString
+          }.toMap
+          (u.provider, u.location, opts ++ u.properties)
+        case _ => (None, None, Map.empty)
+      }
+    if (!provider.exists(_.equalsIgnoreCase("graft"))) return ct
+    val name = ct.name match {
+      case UnresolvedIdentifier(Seq(one), _) => one
+      case other => throw new UnsupportedOperationException(
+        s"graft CREATE TABLE: single-part table names only, got $other")
+    }
+    require(ct.partitioning.isEmpty,
+      "graft CREATE TABLE: PARTITIONED BY does not apply — the layout is " +
+        "hash-bucketed by key ('graft.buckets' sizes it)")
+    val loc = location.getOrElse(throw new IllegalArgumentException(
+      "graft CREATE TABLE requires LOCATION '<dir>' (the MergeTable root)"))
+    val keys = props.get("graft.key").map(_.split(",").toSeq.map(_.trim))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft CREATE TABLE requires TBLPROPERTIES " +
+          "('graft.key'='k1[,k2...]') — the MERGE key column(s)"))
+    val schema = StructType(ct.columns.map(columnToField))
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"graft.key column '$k' is not in the CREATE TABLE column list"))
+    GraftCreateTableCommand(name, schema, keys, loc,
+      props.get("graft.buckets").map(_.toInt).getOrElse(16), ct.ignoreIfExists)
+  }
+
+  private def columnToField(c: ColumnDefinition): StructField = {
+    require(c.defaultValue.isEmpty && c.generationExpression.isEmpty &&
+      c.identityColumnSpec.isEmpty,
+      s"graft CREATE TABLE: column '${c.name}' — defaults/generated/" +
+        "identity columns are not MergeTable state")
+    StructField(c.name, c.dataType, c.nullable)
+  }
+}
+
+/** `OPTIMIZE t` → [[MergeTable.compact]]: every live bucket rewritten
+  * into one new version (reads fold back to one pruned scan). Output:
+  * the committed version. */
+case class GraftOptimizeCommand(dir: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(MergeTable.compact(spark, dir)))
+}
+
+/** `VACUUM t [RETAIN n VERSIONS]` → optional [[MergeTable
+  * .expireVersions]] + [[MergeTable.vacuum]]. Output: versions expired
+  * and snapshot/stage dirs deleted. */
+case class GraftVacuumCommand(dir: String, retain: Option[Int])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("expired_versions", LongType, nullable = false)(),
+    AttributeReference("deleted_dirs", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val expired = retain.map(n =>
+      MergeTable.expireVersions(dir, keepLast = n).size.toLong).getOrElse(0L)
+    val deleted = MergeTable.vacuum(dir).size.toLong
+    Seq(Row(expired, deleted))
+  }
+}
+
+/** `DESCRIBE HISTORY t` → [[MergeTable.history]] rows (ascending by
+  * version): the audit trail behind time travel and vacuum retention. */
+case class GraftHistoryCommand(dir: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = true)(),
+    AttributeReference("batch_rows", LongType, nullable = false)(),
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("num_buckets", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    MergeTable.history(spark, dir).collect().toSeq
+}

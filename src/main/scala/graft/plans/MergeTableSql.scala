@@ -23,30 +23,48 @@ import graft.layout.MergeTable
   * with row-level-operation support) is anything to EXECUTE them against.
   * [[MergeTableSql.register]] binds a table name to a MergeTable
   * directory, and [[MergeTableSqlResolution]] (injected by
-  * [[graft.GraftExtensions]]) resolves the three SQL shapes against it:
+  * [[graft.GraftExtensions]]) resolves the SQL shapes against it:
   *
-  *  - `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED [AND c] THEN UPDATE
-  *    SET * | SET a = e, ... | DELETE, WHEN NOT MATCHED [AND c] THEN
-  *    INSERT * | (cols) VALUES (...), WHEN NOT MATCHED BY SOURCE [AND c]
-  *    THEN DELETE | UPDATE SET ...` → [[GraftMergeCommand]], which
-  *    classifies each row against the current snapshot (first applicable
-  *    clause per ANSI order; conditions may reference BOTH sides) and
-  *    dispatches one op-flagged batch to [[MergeTable.merge]]. The
-  *    classification read is pruned to the buckets the source keys hash
-  *    into (the same buckets the merge rewrites) unless a NOT MATCHED BY
-  *    SOURCE clause forces a full scan — at 100 TB the MERGE stays
-  *    delta-proportional. Serializability: the snapshot version read at
-  *    classification is passed as `expectedParent`, so a concurrent
-  *    commit between classify and merge CAS-conflicts instead of applying
-  *    a stale classification.
-  *  - `SELECT ... FROM t VERSION AS OF n` → [[MergeTable.readAt]].
+  *  - `MERGE INTO t USING s ON t.k1 = s.k1 [AND t.k2 = s.k2 ...] WHEN
+  *    MATCHED [AND c] THEN UPDATE SET * | SET a = e, ... | DELETE, WHEN
+  *    NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (...), WHEN NOT
+  *    MATCHED BY SOURCE [AND c] THEN DELETE | UPDATE SET ...` →
+  *    [[GraftMergeCommand]], which classifies each row against the
+  *    current snapshot (first applicable clause per ANSI order;
+  *    conditions may reference BOTH sides) and dispatches one op-flagged
+  *    batch to [[MergeTable.mergeKeys]]. The ON condition is a
+  *    conjunction of target-key = source-key equalities — one per table
+  *    key column, composite keys included. The classification read is
+  *    pruned to the buckets the source key TUPLES hash into (the same
+  *    buckets the merge rewrites) unless a NOT MATCHED BY SOURCE clause
+  *    forces a full scan — at 100 TB the MERGE stays delta-proportional.
+  *    Serializability: the snapshot version read at classification is
+  *    passed as `expectedParent`, so a concurrent commit between
+  *    classify and merge CAS-conflicts instead of applying a stale
+  *    classification.
+  *  - `SELECT ... FROM t VERSION AS OF n` → [[MergeTable.readAt]];
+  *    `... FROM t TIMESTAMP AS OF '<ts>'` → [[MergeTable
+  *    .readAtTimestamp]] (newest version committed at-or-before the
+  *    instant, from the write-once per-version manifest timestamps).
   *  - `SELECT ... FROM t` → [[MergeTable.read]] (current snapshot).
   *  - `DELETE FROM t [WHERE c]` / `UPDATE t SET a = e, ... [WHERE c]` →
   *    [[GraftDmlCommand]] (snapshot-classified op batch, same fence).
+  *  - `INSERT INTO t [(cols)] SELECT ...` → [[GraftInsertCommand]]
+  *    (insert-only batch — existing keys upsert last-write-wins, the
+  *    MergeTable `create`-op semantics); `INSERT OVERWRITE t SELECT ...`
+  *    additionally deletes every target key the source does not carry.
   *  - `ALTER TABLE t DROP COLUMN [IF EXISTS] c | RENAME COLUMN a TO b |
   *    ALTER COLUMN c TYPE dt` → [[GraftAlterCommand]] (the metadata-only
-  *    evolution commits).
+  *    evolution commits; names resolve case-insensitively to the
+  *    manifest's canonical case, matching Spark's default resolution).
   *  - `DESCRIBE [TABLE] t` → the current logical schema as rows.
+  *
+  * [[GraftSqlParser]] (also injected) adds the verbs Spark's grammar
+  * lacks: `CREATE TABLE t (cols) USING graft LOCATION dir TBLPROPERTIES
+  * ('graft.key'='k1[,k2]')` (converted at parse time — no analyzer
+  * ordering hazard), `OPTIMIZE t`, `VACUUM t [RETAIN n VERSIONS]`, and
+  * `DESCRIBE HISTORY t` — a pure-SQL session can create, load, maintain,
+  * and audit a table without touching the Scala API.
   *
   * `MERGE WITH SCHEMA EVOLUTION` carries new source columns into the
   * table via MergeTable's add-column evolution; plain MERGE restricts the
@@ -57,7 +75,14 @@ object MergeTableSql {
 
   /** Bind `name` (single-part, case-insensitive) to a MergeTable
     * directory for SQL resolution. `numBuckets` applies only if a MERGE
-    * CREATES the table. */
+    * CREATES the table.
+    *
+    * The registry is PROCESS-GLOBAL and unscoped: every session built in
+    * this JVM resolves the name to the same directory, and re-registering
+    * a name repoints all of them (deliberately — the registry is a
+    * name-to-directory binding, not a catalog; a long-lived multi-tenant
+    * JVM should [[unregister]] when a binding's owner is done, as the
+    * engine's own queries do). */
   def register(name: String, dir: String, numBuckets: Int = 16): Unit = {
     registry.put(name.toLowerCase(java.util.Locale.ROOT), (dir, numBuckets))
     ()
@@ -99,12 +124,30 @@ object MergeTableSqlResolution extends Rule[LogicalPlan] {
       case RelationTimeTravel(u: UnresolvedRelation, ts, version)
           if MergeTableSql.lookup(u.multipartIdentifier).isDefined =>
         val (dir, _) = MergeTableSql.lookup(u.multipartIdentifier).get
-        require(ts.isEmpty, "graft MergeTable time travel is by version " +
-          "(VERSION AS OF n); TIMESTAMP AS OF is not supported")
-        val v = version.getOrElse(throw new IllegalArgumentException(
-          "VERSION AS OF requires a version literal")).toLong
+        val snapshot = (ts, version) match {
+          case (None, Some(v)) =>
+            MergeTable.readAt(SparkSession.active, dir, v.toLong)
+          case (Some(e), None) =>
+            MergeTable.readAtTimestamp(SparkSession.active, dir,
+              evalTimestampMillis(e))
+          case _ => throw new IllegalArgumentException(
+            "time travel needs VERSION AS OF n or TIMESTAMP AS OF ts")
+        }
         SubqueryAlias(u.multipartIdentifier.last,
-          MergeTable.readAt(SparkSession.active, dir, v).queryExecution.logical)
+          snapshot.queryExecution.logical)
+      // INSERT INTO / INSERT OVERWRITE a registered MergeTable: the query
+      // stays unresolved inside the opaque spec (the MergeSqlSpec
+      // discipline) and resolves in run() against the live snapshot
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+          if stripAlias(i.table)._2.nonEmpty &&
+            MergeTableSql.lookup(stripAlias(i.table)._2).isDefined =>
+        val (_, nameParts) = stripAlias(i.table)
+        val (dir, nb) = MergeTableSql.lookup(nameParts).get
+        require(i.partitionSpec.isEmpty,
+          "graft INSERT: PARTITION clauses do not apply (layout is " +
+            "hash-bucketed by key)")
+        GraftInsertCommand(dir, nb,
+          new InsertSpec(i.query, i.userSpecifiedCols, i.overwrite, i.byName))
       case u: UnresolvedRelation
           if MergeTableSql.lookup(u.multipartIdentifier).isDefined =>
         val (dir, _) = MergeTableSql.lookup(u.multipartIdentifier).get
@@ -133,7 +176,7 @@ object MergeTableSqlResolution extends Rule[LogicalPlan] {
               if MergeTableSql.lookup(u.multipartIdentifier).isDefined =>
             val (dir, _) = MergeTableSql.lookup(u.multipartIdentifier).get
             val m = MergeTable.read(SparkSession.active, dir).schema
-            val key = MergeTable.tableKey(dir)
+            val keys = MergeTable.tableKeys(dir)
             val ver = MergeTable.currentVersion(dir).getOrElse(-1L)
             val rows = m.fields.toSeq.map { f =>
               org.apache.spark.sql.catalyst.InternalRow(
@@ -141,7 +184,8 @@ object MergeTableSqlResolution extends Rule[LogicalPlan] {
                 org.apache.spark.unsafe.types.UTF8String.fromString(
                   f.dataType.simpleString),
                 org.apache.spark.unsafe.types.UTF8String.fromString(
-                  (if (f.name == key) "key; " else "") + s"graft MergeTable v$ver"))
+                  (if (keys.contains(f.name)) "key; " else "") +
+                    s"graft MergeTable v$ver"))
             }
             Some(org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
               d.output, rows))
@@ -186,6 +230,22 @@ object MergeTableSqlResolution extends Rule[LogicalPlan] {
         s"graft ALTER TABLE: nested field ${other.name.mkString(".")} — " +
           "MergeTable payloads are flat")
     }
+
+  /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis: the parser
+    * hands a literal (string or timestamp); cast it under the session
+    * timezone and evaluate — only foldable shapes are meaningful for a
+    * point-in-time read. */
+  private def evalTimestampMillis(e: Expression): Long = {
+    val cast = org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.TimestampType,
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    require(cast.resolved && cast.foldable,
+      s"graft TIMESTAMP AS OF needs a literal timestamp, got ${e.sql}")
+    val micros = cast.eval(null)
+    require(micros != null,
+      s"graft TIMESTAMP AS OF: ${e.sql} does not cast to a timestamp")
+    Math.floorDiv(micros.asInstanceOf[Long], 1000L)
+  }
 
   private def stripAlias(p: LogicalPlan): (Option[String], Seq[String]) =
     p match {
@@ -238,7 +298,7 @@ case class GraftDmlCommand(dir: String, numBuckets: Int,
   override def run(spark: SparkSession): Seq[Row] = {
     val snapVer = MergeTable.currentVersion(dir)
     require(snapVer.isDefined, s"no MergeTable at $dir")
-    val key = MergeTable.tableKey(dir)
+    val keys = MergeTable.tableKeys(dir)
     val tgt = MergeTable.read(spark, dir).alias(targetAlias)
     val hit = spec.condition
       .map(c => tgt.filter(coalesce(Bridge.columnOf(c), lit(false))))
@@ -254,16 +314,106 @@ case class GraftDmlCommand(dir: String, numBuckets: Int,
             case other => throw new UnsupportedOperationException(
               s"graft UPDATE: assignment target ${other.sql}")
           }) -> a.value).toMap
-        require(!assigned.keys.exists(_.equalsIgnoreCase(key)),
-          s"graft UPDATE: cannot assign the key column '$key' (a key " +
-            "change is a delete + insert — express it as MERGE)")
+        keys.foreach(key =>
+          require(!assigned.keys.exists(_.equalsIgnoreCase(key)),
+            s"graft UPDATE: cannot assign the key column '$key' (a key " +
+              "change is a delete + insert — express it as MERGE)"))
         hit.select(schema.fields.toSeq.map { f =>
           assigned.find(_._1.equalsIgnoreCase(f.name))
             .map { case (_, v) => Bridge.columnOf(v).cast(f.dataType).as(f.name) }
             .getOrElse(col(f.name))
         } :+ lit("update").as(OpCol): _*)
       }
-    val v = MergeTable.merge(spark, dir, changes, key, opCol = OpCol,
+    val v = MergeTable.mergeKeys(spark, dir, changes, keys, opCol = OpCol,
+      numBuckets = numBuckets, expectedParent = Some(snapVer))
+    Seq(Row(v.getOrElse(-1L)))
+  }
+}
+
+/** Opaque holder for an INSERT INTO / INSERT OVERWRITE statement's
+  * unresolved query (the [[MergeSqlSpec]] discipline). */
+final class InsertSpec(val query: LogicalPlan,
+                       val userCols: Seq[String],
+                       val overwrite: Boolean,
+                       val byName: Boolean) {
+  override def toString: String =
+    s"InsertSpec(overwrite=$overwrite, cols=${userCols.mkString(",")})"
+}
+
+/** The eager command `INSERT INTO t [(cols)] SELECT ...` executes: map
+  * the query output to the table schema (positionally, by the explicit
+  * column list, or BY NAME), store-assignment cast, and commit one
+  * `create`-op batch — existing keys upsert last-write-wins (MergeTable's
+  * create-on-matched semantics), duplicate keys WITHIN the batch are the
+  * usual ANSI error. `INSERT OVERWRITE` additionally deletes every
+  * target key the source does not carry (classified with one pruned-free
+  * full-outer pass, the NOT MATCHED BY SOURCE shape). Output: the
+  * committed version. */
+case class GraftInsertCommand(dir: String, numBuckets: Int, spec: InsertSpec)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  private val OpCol = "__graft_insert_op"
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snapVer = MergeTable.currentVersion(dir)
+    require(snapVer.isDefined,
+      s"no MergeTable at $dir — CREATE TABLE ... USING graft first " +
+        "(or create it with a MERGE INTO whose NOT MATCHED clause inserts)")
+    val keys = MergeTable.tableKeys(dir)
+    val schema = MergeTable.read(spark, dir).schema
+    val src0 = Bridge.ofRows(spark, spec.query)
+    val srcNames = src0.columns.toSeq
+    // a query output column may be named after its expression text
+    // ("9.5", "count(*)") — rename positionally to reference-safe names
+    // before selecting, so no name ever re-parses as a field path
+    val src = src0.toDF(srcNames.indices.map(i => s"__src_c$i"): _*)
+    val mapped: DataFrame =
+      if (spec.byName || spec.userCols.nonEmpty) {
+        val srcIdxFor: String => Option[Int] =
+          if (spec.userCols.nonEmpty) {
+            // INSERT INTO t (c1, c2, ...): the list names target columns,
+            // positionally matching the query output
+            require(spec.userCols.size == srcNames.length,
+              s"graft INSERT: column list names ${spec.userCols.size} " +
+                s"columns but the query produces ${srcNames.length}")
+            (t: String) => spec.userCols.zipWithIndex.collectFirst {
+              case (u, i) if u.equalsIgnoreCase(t) => i }
+          } else (t: String) => srcNames.zipWithIndex.collectFirst {
+            case (s, i) if s.equalsIgnoreCase(t) => i }
+        keys.foreach(k => require(srcIdxFor(k).isDefined,
+          s"graft INSERT: key column '$k' missing from the insert"))
+        src.select(schema.fields.toSeq.map { f =>
+          srcIdxFor(f.name)
+            .map(i => col(s"__src_c$i").cast(f.dataType).as(f.name))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
+        }: _*)
+      } else {
+        require(srcNames.length == schema.fields.length,
+          s"graft INSERT: table has ${schema.fields.length} columns but " +
+            s"the query produces ${srcNames.length} — list target " +
+            "columns explicitly to insert a subset")
+        src.select(schema.fields.toSeq.zipWithIndex.map {
+          case (f, i) => col(s"__src_c$i").cast(f.dataType).as(f.name)
+        }: _*)
+      }
+    val changes =
+      if (!spec.overwrite) mapped.withColumn(OpCol, lit("create"))
+      else {
+        // OVERWRITE = replace the table contents: source rows insert, and
+        // every live key absent from the source deletes (left-anti on the
+        // key tuple; the merge itself then rewrites only touched buckets
+        // — for an overwrite that is naturally most of them)
+        val live = MergeTable.read(spark, dir)
+        val srcKeys = mapped.select(keys.map(col): _*)
+        val gone = live.join(srcKeys,
+          keys.map(k => live(k) === srcKeys(k)).reduce(_ && _), "left_anti")
+        mapped.withColumn(OpCol, lit("create"))
+          .unionByName(gone.withColumn(OpCol, lit("delete")))
+      }
+    val v = MergeTable.mergeKeys(spark, dir, changes, keys, opCol = OpCol,
       numBuckets = numBuckets, expectedParent = Some(snapVer))
     Seq(Row(v.getOrElse(-1L)))
   }
@@ -281,14 +431,25 @@ case class GraftAlterCommand(dir: String,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
 
+  /** The user-typed name resolved to the manifest's canonical-case column
+    * (Spark's default resolution is case-insensitive; MergeTable's alter*
+    * methods take the stored exact name). Unmatched names pass through
+    * unchanged so alter* raises its own no-such-column error. Re-read per
+    * op — an earlier op in the same statement may have renamed/dropped. */
+  private def canonical(spark: SparkSession, c: String): String =
+    MergeTable.read(spark, dir).columns
+      .find(_.equalsIgnoreCase(c)).getOrElse(c)
+
   override def run(spark: SparkSession): Seq[Row] = {
     val versions = ops.map {
       case ("drop", c, _, _) =>
         if (ifExists && !MergeTable.read(spark, dir).columns
             .exists(_.equalsIgnoreCase(c))) -1L
-        else MergeTable.alterDropColumn(dir, c)
-      case ("rename", from, to, _) => MergeTable.alterRenameColumn(dir, from, to)
-      case ("widen", c, _, Some(to)) => MergeTable.alterWidenColumn(dir, c, to)
+        else MergeTable.alterDropColumn(dir, canonical(spark, c))
+      case ("rename", from, to, _) =>
+        MergeTable.alterRenameColumn(dir, canonical(spark, from), to)
+      case ("widen", c, _, Some(to)) =>
+        MergeTable.alterWidenColumn(dir, canonical(spark, c), to)
       case other => throw new IllegalStateException(s"bad alter op $other")
     }
     Seq(Row(versions.max))
@@ -310,20 +471,24 @@ case class GraftMergeCommand(dir: String, numBuckets: Int,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val src = Bridge.ofRows(spark, spec.source)
-    val (tKey, sKey) = keyNames(src)
+    val pairs = keyPairs(src)
     val snapVer = MergeTable.currentVersion(dir)
     val changes = snapVer match {
-      case None => classifyFirstCommit(src, tKey, sKey)
-      case Some(_) => classifyAgainstSnapshot(spark, src, tKey, sKey)
+      case None => classifyFirstCommit(src, pairs)
+      case Some(_) => classifyAgainstSnapshot(spark, src, pairs)
     }
-    val v = MergeTable.merge(spark, dir, changes, tKey, opCol = OpCol,
-      numBuckets = numBuckets, expectedParent = Some(snapVer))
+    val v = MergeTable.mergeKeys(spark, dir, changes, pairs.map(_._1),
+      opCol = OpCol, numBuckets = numBuckets, expectedParent = Some(snapVer))
     Seq(Row(v.getOrElse(-1L)))
   }
 
-  // ---- ON condition: one target-key = source-key equality -----------------
+  // ---- ON condition: conjunction of target-key = source-key equalities ----
 
-  private def keyNames(src: DataFrame): (String, String) = {
+  /** (targetKey, sourceKey) per ON equality, in ON order — one pair is
+    * the classic single-key MERGE, more is a composite key. Each conjunct
+    * must be one target-column = source-column equality; anything else
+    * (OR, non-equality, expressions over columns) is rejected loudly. */
+  private def keyPairs(src: DataFrame): Seq[(String, String)] = {
     val sAlias: Option[String] = spec.source match {
       case SubqueryAlias(id, _) => Some(id.name.toLowerCase(java.util.Locale.ROOT))
       case _ => None
@@ -335,7 +500,12 @@ case class GraftMergeCommand(dir: String, numBuckets: Int,
         case Seq(c) => (None, c)
         case other => unsupported(s"qualified name ${other.mkString(".")}")
       }
-    spec.condition match {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val pairs = conjuncts(spec.condition).map {
       case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
         (side(l), side(r)) match {
           case ((Some(`tAlias`), tc), (_, sc)) => (tc, sc)
@@ -349,9 +519,14 @@ case class GraftMergeCommand(dir: String, numBuckets: Int,
           case other => unsupported(s"ON condition sides $other")
         }
       case other => unsupported(
-        s"ON condition ${other.sql}; graft MERGE requires a single " +
-          "target-key = source-key equality")
+        s"ON conjunct ${other.sql}; graft MERGE requires target-key = " +
+          "source-key equalities (AND-ed for a composite key)")
     }
+    require(pairs.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.size
+        == pairs.size,
+      s"graft MERGE INTO: duplicate target key in ON " +
+        pairs.map { case (t, s) => s"$t = $s" }.mkString(", "))
+    pairs
   }
 
   private def unsupported(what: String): Nothing =
@@ -417,22 +592,27 @@ case class GraftMergeCommand(dir: String, numBuckets: Int,
   /** No table yet: every source row is NOT MATCHED; only the insert
     * section can apply. Defines the table schema: source columns for
     * INSERT *, the assigned columns for INSERT (cols) VALUES. */
-  private def classifyFirstCommit(src: DataFrame, tKey: String,
-                                  sKey: String): DataFrame = {
+  private def classifyFirstCommit(src: DataFrame,
+                                  pairs: Seq[(String, String)]): DataFrame = {
     require(spec.notMatched.nonEmpty,
       s"MERGE INTO $dir: no table exists yet and the statement has no " +
         "WHEN NOT MATCHED THEN INSERT clause")
     val idx = clauseIdx(spec.notMatched)
+    val tKeyFor = (c: String) =>
+      pairs.collectFirst { case (t, s) if s.equalsIgnoreCase(c) => t }
+    val sKeyFor = (c: String) =>
+      pairs.collectFirst { case (t, s) if t.equalsIgnoreCase(c) => s }
     val payload: Seq[String] =
       if (spec.notMatched.exists(_.isInstanceOf[InsertStarAction]))
-        src.columns.toSeq.map(c => if (c.equalsIgnoreCase(sKey)) tKey else c)
+        src.columns.toSeq.map(c => tKeyFor(c).getOrElse(c))
       else spec.notMatched.collect { case InsertAction(_, as) =>
         as.map(a => lastName(a.key))
       }.flatten.distinct
-    val srcVal = (c: String) =>
-      if (c.equalsIgnoreCase(tKey)) src(sKey)
-      else if (src.columns.exists(_.equalsIgnoreCase(c))) src(c)
-      else lit(null)
+    val srcVal = (c: String) => sKeyFor(c) match {
+      case Some(s) => src(s)
+      case None =>
+        if (src.columns.exists(_.equalsIgnoreCase(c))) src(c) else lit(null)
+    }
     src
       .select(payload.map(c =>
         sectionValue(spec.notMatched, idx, c, srcVal(c), lit(null)).as(c)) :+
@@ -445,15 +625,19 @@ case class GraftMergeCommand(dir: String, numBuckets: Int,
     * target), not-matched-by-source — evaluating clause conditions with
     * both sides in scope. */
   private def classifyAgainstSnapshot(spark: SparkSession, src: DataFrame,
-                                      tKey: String, sKey: String): DataFrame = {
+                                      pairs: Seq[(String, String)]): DataFrame = {
     val nmbs = spec.notMatchedBySource
+    val sKeyFor = (c: String) =>
+      pairs.collectFirst { case (t, s) if t.equalsIgnoreCase(c) => s }
     val tgt0 =
       if (nmbs.nonEmpty) MergeTable.read(spark, dir) // must see EVERY target row
-      else MergeTable.readForKeys(spark, dir, src.select(src(sKey)))
+      else MergeTable.readForKeys(spark, dir,
+        src.select(pairs.map { case (_, s) => src(s) }: _*))
     val tgtCols = tgt0.columns.toSeq
     val extra =
       if (spec.withSchemaEvolution)
-        src.columns.toSeq.filterNot(c => c.equalsIgnoreCase(sKey) ||
+        src.columns.toSeq.filterNot(c => sKeyFor(c).isDefined ||
+          pairs.exists(_._2.equalsIgnoreCase(c)) ||
           tgtCols.exists(_.equalsIgnoreCase(c)))
       else Nil
     val payload = tgtCols ++ extra
@@ -473,10 +657,11 @@ case class GraftMergeCommand(dir: String, numBuckets: Int,
       .when(srcOnly, opChain(spec.notMatched, nmIdx))
       .otherwise(opChain(nmbs, nmbsIdx))
 
-    val srcVal = (c: String) =>
-      if (c.equalsIgnoreCase(tKey)) srcP(sKey)
-      else if (src.columns.exists(_.equalsIgnoreCase(c))) srcP(c)
-      else lit(null)
+    val srcVal = (c: String) => sKeyFor(c) match {
+      case Some(s) => srcP(s)
+      case None =>
+        if (src.columns.exists(_.equalsIgnoreCase(c))) srcP(c) else lit(null)
+    }
     val tgtVal = (c: String) =>
       if (tgtCols.exists(_.equalsIgnoreCase(c))) tgtP(c) else lit(null)
     val value = (c: String) => {

@@ -1,0 +1,197 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.layout.MergeTable
+
+/** The r14 SQL surface: composite-key MERGE (ON conjunctions), TIMESTAMP
+  * AS OF, and the SQL-only lifecycle — CREATE TABLE ... USING graft,
+  * INSERT INTO/OVERWRITE, OPTIMIZE, VACUUM, DESCRIBE HISTORY — a table
+  * created, loaded, mutated, compacted, audited, and read through SQL
+  * text alone. */
+class SqlLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    graft.util.Cleanup.registerTempDir(
+      Files.createTempDirectory(s"sqllc_$tag")).toString + "/t"
+
+  test("MERGE INTO on a composite (id, day) ON conjunction: per-tuple update/delete/insert") {
+    val dir = freshDir("ck")
+    val name = "mt_ck"
+    MergeTableSql.register(name, dir, numBuckets = 4)
+    try {
+      Seq((1L, "mon", 10.0), (1L, "tue", 11.0), (2L, "mon", 20.0))
+        .toDF("id", "day", "v").createOrReplaceTempView("ck_base")
+      spark.sql(s"""MERGE INTO $name t USING ck_base s
+        ON t.id = s.id AND t.day = s.day
+        WHEN NOT MATCHED THEN INSERT *""").collect()
+      assert(MergeTable.tableKeys(dir) === Seq("id", "day"))
+      Seq((1L, "mon", 15.0), (1L, "tue", 0.0), (3L, "mon", 30.0))
+        .toDF("id", "day", "v").createOrReplaceTempView("ck_delta")
+      spark.sql(s"""MERGE INTO $name t USING ck_delta s
+        ON t.id = s.id AND t.day = s.day
+        WHEN MATCHED AND s.v = 0.0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""").collect()
+      val got = spark.sql(s"SELECT id, day, v FROM $name")
+        .as[(Long, String, Double)].collect().toSet
+      assert(got === Set((1L, "mon", 15.0), (2L, "mon", 20.0),
+        (3L, "mon", 30.0)))
+      // non-equality conjunct rejected loudly
+      val e = intercept[Exception](spark.sql(
+        s"""MERGE INTO $name t USING ck_delta s
+           ON t.id = s.id AND t.day > s.day
+           WHEN MATCHED THEN DELETE""").collect())
+      assert(e.getMessage.contains("conjunct"))
+    } finally MergeTableSql.unregister(name)
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest version at-or-before; before-first errors") {
+    val dir = freshDir("asof")
+    val name = "mt_asof"
+    MergeTableSql.register(name, dir, numBuckets = 2)
+    try {
+      MergeTable.merge(spark, dir,
+        Seq((1L, 1.0, "create")).toDF("k", "v", "op_flag"), "k", numBuckets = 2)
+      Thread.sleep(15)
+      MergeTable.merge(spark, dir,
+        Seq((1L, 2.0, "update")).toDF("k", "v", "op_flag"), "k")
+      val stamps = spark.sql(s"DESCRIBE HISTORY $name")
+        .select(date_format(col("committed_at"),
+          "yyyy-MM-dd HH:mm:ss.SSS").as("f"))
+        .as[String].collect().toSeq
+      assert(stamps.size === 2)
+      val got0 = spark.sql(
+        s"SELECT v FROM $name TIMESTAMP AS OF '${stamps.head}'")
+        .as[Double].collect().toSeq
+      assert(got0 === Seq(1.0))
+      val got1 = spark.sql(
+        s"SELECT v FROM $name TIMESTAMP AS OF '${stamps(1)}'")
+        .as[Double].collect().toSeq
+      assert(got1 === Seq(2.0))
+      val e = intercept[Exception](spark.sql(
+        s"SELECT v FROM $name TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
+      assert(e.getMessage.contains("at or before"))
+    } finally MergeTableSql.unregister(name)
+  }
+
+  test("SQL-only lifecycle: CREATE TABLE, INSERT INTO, UPDATE, OPTIMIZE, DESCRIBE HISTORY, VACUUM") {
+    val dir = freshDir("lc")
+    val name = "mt_lc"
+    try {
+      val v = spark.sql(
+        s"""CREATE TABLE $name (k BIGINT, v DOUBLE, tag STRING)
+           |USING graft LOCATION '$dir'
+           |TBLPROPERTIES ('graft.key'='k', 'graft.buckets'='4')""".stripMargin)
+        .collect().head.getLong(0)
+      assert(v === 0L)
+      assert(MergeTable.tableKeys(dir) === Seq("k"))
+      // idempotent bootstrap: IF NOT EXISTS re-registers, plain refuses
+      assert(spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $name (k BIGINT, v DOUBLE, tag STRING)
+           |USING graft LOCATION '$dir'
+           |TBLPROPERTIES ('graft.key'='k')""".stripMargin)
+        .collect().head.getLong(0) === -1L)
+      intercept[Exception](spark.sql(
+        s"""CREATE TABLE $name (k BIGINT, v DOUBLE, tag STRING)
+           |USING graft LOCATION '$dir'
+           |TBLPROPERTIES ('graft.key'='k')""".stripMargin).collect())
+
+      Seq((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "c"))
+        .toDF("k", "v", "tag").createOrReplaceTempView("lc_src")
+      spark.sql(s"INSERT INTO $name SELECT k, v, tag FROM lc_src").collect()
+      // column-list insert: unlisted column null-fills
+      spark.sql(s"INSERT INTO $name (k, v) SELECT 9, 9.5").collect()
+      spark.sql(s"UPDATE $name SET v = v * 10 WHERE k = 2").collect()
+      assert(spark.sql(s"SELECT k, v FROM $name ORDER BY k")
+        .as[(Long, Double)].collect().toSeq ===
+        Seq((1L, 1.0), (2L, 20.0), (3L, 3.0), (9L, 9.5)))
+      assert(spark.sql(s"SELECT tag FROM $name WHERE k = 9")
+        .as[Option[String]].collect().toSeq === Seq(None))
+
+      // 4 commits so far (create + 2 inserts + update); OPTIMIZE folds them
+      spark.sql(s"OPTIMIZE $name").collect()
+      val hist = spark.sql(s"DESCRIBE HISTORY $name")
+        .select("version", "operation", "batch_rows")
+        .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(hist === Seq((0L, "create", 0L), (1L, "merge", 3L),
+        (2L, "merge", 1L), (3L, "merge", 1L), (4L, "compact", 0L)))
+
+      // VACUUM RETAIN 1 VERSIONS: history shrinks to the compacted head,
+      // superseded snapshot dirs are reclaimed, data intact
+      val vac = spark.sql(s"VACUUM $name RETAIN 1 VERSIONS").collect().head
+      assert(vac.getLong(0) === 4L) // expired versions 0-3
+      assert(vac.getLong(1) >= 1L)  // at least one snapshot dir reclaimed
+      assert(spark.sql(s"SELECT count(*) FROM $name").as[Long].collect().head === 4L)
+      assert(spark.sql(s"DESCRIBE HISTORY $name").count() === 1L)
+    } finally MergeTableSql.unregister(name)
+  }
+
+  test("INSERT INTO existing keys upserts (last-write-wins); INSERT OVERWRITE replaces the contents") {
+    val dir = freshDir("ins")
+    val name = "mt_ins"
+    try {
+      spark.sql(s"""CREATE TABLE $name (k BIGINT, v DOUBLE) USING graft
+        LOCATION '$dir' TBLPROPERTIES ('graft.key'='k', 'graft.buckets'='2')""")
+        .collect()
+      spark.sql(s"INSERT INTO $name VALUES (1, 1.0), (2, 2.0)").collect()
+      spark.sql(s"INSERT INTO $name VALUES (2, 22.0), (3, 3.0)").collect()
+      assert(spark.sql(s"SELECT k, v FROM $name ORDER BY k")
+        .as[(Long, Double)].collect().toSeq ===
+        Seq((1L, 1.0), (2L, 22.0), (3L, 3.0)))
+      spark.sql(s"INSERT OVERWRITE $name VALUES (2, 200.0), (7, 7.0)").collect()
+      assert(spark.sql(s"SELECT k, v FROM $name ORDER BY k")
+        .as[(Long, Double)].collect().toSeq === Seq((2L, 200.0), (7L, 7.0)))
+    } finally MergeTableSql.unregister(name)
+  }
+
+  test("composite-key lifecycle: CREATE with graft.key='id,day', INSERT, DELETE on one tuple") {
+    val dir = freshDir("cklc")
+    val name = "mt_cklc"
+    try {
+      spark.sql(s"""CREATE TABLE $name (id BIGINT, day STRING, v DOUBLE)
+        USING graft LOCATION '$dir'
+        TBLPROPERTIES ('graft.key'='id,day', 'graft.buckets'='4')""").collect()
+      assert(MergeTable.tableKeys(dir) === Seq("id", "day"))
+      spark.sql(
+        s"INSERT INTO $name VALUES (1, 'mon', 1.0), (1, 'tue', 2.0)").collect()
+      spark.sql(s"DELETE FROM $name WHERE id = 1 AND day = 'tue'").collect()
+      assert(spark.sql(s"SELECT id, day, v FROM $name")
+        .as[(Long, String, Double)].collect().toSeq === Seq((1L, "mon", 1.0)))
+      // UPDATE may not assign ANY key part
+      val e = intercept[Exception](spark.sql(
+        s"UPDATE $name SET day = 'wed' WHERE id = 1").collect())
+      assert(e.getMessage.contains("key column"))
+    } finally MergeTableSql.unregister(name)
+  }
+
+  test("maintenance verbs over unregistered names fall through to the delegate parser") {
+    val e = intercept[Exception](spark.sql("OPTIMIZE nope_not_registered"))
+    assert(e.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException]
+      || e.getMessage.toLowerCase.contains("syntax"))
+  }
+
+  test("DROP COLUMN IF EXISTS matches case-insensitively (canonical-case resolution)") {
+    val dir = freshDir("cs")
+    val name = "mt_cs"
+    MergeTableSql.register(name, dir, numBuckets = 2)
+    try {
+      MergeTable.merge(spark, dir,
+        Seq((1L, 1.0, "x", "create")).toDF("k", "cust", "tag", "op_flag"),
+        "k", numBuckets = 2)
+      // case-variant name DROPS the column (Spark default resolution is
+      // case-insensitive), rather than throwing or silently no-oping
+      spark.sql(s"ALTER TABLE $name DROP COLUMN IF EXISTS CUST").collect()
+      assert(MergeTable.read(spark, dir).columns.toSeq === Seq("k", "tag"))
+      // absent name with IF EXISTS is a true no-op
+      spark.sql(s"ALTER TABLE $name DROP COLUMN IF EXISTS nothere").collect()
+      // case-variant RENAME resolves too
+      spark.sql(s"ALTER TABLE $name RENAME COLUMN TAG TO label").collect()
+      assert(MergeTable.read(spark, dir).columns.toSeq === Seq("k", "label"))
+    } finally MergeTableSql.unregister(name)
+  }
+}
