@@ -58,20 +58,31 @@ object LayoutTxn {
         "re-read the layout and retry the upsert")
 
   /** A claimed layout commit whose staged partition is gone AND whose
-    * destination partition is absent — the data no longer exists anywhere
-    * (e.g. the stage was swept while the writer stalled past grace between
-    * staging and claiming, or was partially deleted). The claim is
-    * withdrawn before this is thrown so the layout heals: the next writer
-    * re-claims the version cleanly instead of silently committing stale
-    * partition contents — the [[MergeTable.LostCommitException]]
-    * discipline at the layout layer. */
+    * destination was not written by THIS commit (absent, or carrying a
+    * prior version's contents without this commit's swap marker) — the
+    * staged data no longer exists anywhere (e.g. the stage was swept while
+    * the writer stalled past grace between staging and claiming, or was
+    * partially deleted). The claim is withdrawn before this is thrown so
+    * the layout heals: the next writer re-claims the version cleanly
+    * instead of silently committing stale partition contents — the
+    * [[MergeTable.LostCommitException]] discipline at the layout layer.
+    *
+    * TORN-STATE RESIDUE: the throw can land mid-swap — earlier groups'
+    * deletions and moves of the SAME commit may already be applied, so
+    * until the interrupted upsert is re-run the layout can mix this
+    * commit's partitions with the parent version's (the same exposure a
+    * reader overlapping any swap has — see the object scaladoc; the
+    * version file still names the parent, and the re-run upsert reclaims
+    * the version and re-stages every touched partition). */
   final class LostLayoutCommitException(dir: String, version: Long,
                                         stage: String, part: String)
     extends RuntimeException(
       s"layout commit v$version at $dir is unrecoverable: staged partition " +
-        s"'$stage/$part' and its destination are both missing (the stage " +
-        "was likely swept while the writer stalled); the claim was " +
-        "withdrawn — the interrupted upsert must be re-run")
+        s"'$stage/$part' is missing and its destination was not written by " +
+        "this commit (the stage was likely swept while the writer " +
+        "stalled); the claim was withdrawn — the interrupted upsert must " +
+        "be re-run (earlier partitions of this commit may already be " +
+        "swapped in; the re-run restores a single version)")
 
   /** One partitioned subtree participating in a commit. `sub` is the
     * subtree below the layout root ("" = the root itself, e.g. the
@@ -80,6 +91,16 @@ object LayoutTxn {
     * `touched` with no rows in `replacement` are deleted at swap. */
   case class Group(sub: String, replacement: DataFrame, partCol: String,
                    sortCols: Seq[String], touched: Seq[String])
+
+  /** Per-commit swap marker, written INSIDE every staged partition dir
+    * before the claim and carried along by the dir move: at roll-forward,
+    * 'destination exists' alone cannot distinguish 'a prior pass already
+    * moved this partition' from 'the stage was swept and the destination
+    * still holds the REPLACED version's contents' — the marker can. Hive
+    * partition discovery ignores `_`-prefixed files, and each move
+    * replaces the whole dest dir, so a partition carries exactly the
+    * marker of the commit that last wrote it. */
+  private[layout] def markerName(version: Long): String = s"_lcommit_v$version"
 
   private val VersionFile = "_layout_version"
   private def versionPath(dir: String): Path = Paths.get(dir, VersionFile)
@@ -136,13 +157,17 @@ object LayoutTxn {
         if (Files.exists(from)) {
           deleteRecursively(to.toFile)
           Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
-        } else if (!Files.exists(to)) {
+        } else if (!Files.exists(to.resolve(markerName(version)))) {
           // 'absent from stage' normally means a prior (crashed) pass
-          // already moved it — but then the DESTINATION exists. Source and
-          // destination both missing means the staged data is LOST (stage
-          // swept under a stalled writer, or partial delete): withdraw the
-          // claim so the layout heals, and fail loudly instead of silently
-          // advancing the version over stale/absent partition contents.
+          // already moved it — in which case the DESTINATION carries THIS
+          // commit's swap marker (staged alongside the data, moved with
+          // the dir). No marker means the staged data is LOST: dest
+          // absent entirely, OR dest still holding the PARENT version's
+          // contents because the stage was swept under a stalled writer —
+          // the replaced-partition case a bare existence check would
+          // silently accept as 'already moved'. Withdraw the claim so the
+          // layout heals, and fail loudly instead of advancing the
+          // version over stale/absent partition contents.
           Files.deleteIfExists(claimPath(dir, version))
           throw new LostLayoutCommitException(dir, version, stage,
             if (sub.isEmpty) p else s"$sub/$p")
@@ -214,6 +239,9 @@ object LayoutTxn {
       val present = Option(stageSub.toFile.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith(s"${g.partCol}="))
         .map(_.getName).toSet
+      // the swap marker rides in the staged dir and moves with it
+      present.foreach(p =>
+        Files.createFile(stageSub.resolve(p).resolve(markerName(newV))))
       val unexpected = present -- g.touched.toSet
       require(unexpected.isEmpty,
         s"replacement for '${g.sub}' wrote partitions outside its declared " +

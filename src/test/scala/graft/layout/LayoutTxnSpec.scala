@@ -40,6 +40,9 @@ class LayoutTxnSpec extends SparkSpec {
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("p="))
       .map(_.getName).toSet
+    // real commits stamp each staged partition with the swap marker
+    present.foreach(p => Files.createFile(
+      Paths.get(s"$dir/$stage", p, LayoutTxn.markerName(version))))
     val touched = parts.map(i => s"p=$i")
     val pr = new Properties()
     pr.setProperty("version", version.toString)
@@ -170,6 +173,37 @@ class LayoutTxnSpec extends SparkSpec {
     LayoutTxn.commit(spark, dir, parent, Seq(group(rows(1 -> 10L), Seq(1))))
     assert(LayoutTxn.currentVersion(dir) === 2L)
     assert(readIds(dir) === Seq(0 -> 1L, 1 -> 10L))
+  }
+
+  test("stage swept under a stalled writer with the REPLACED partition still at the destination: fails loudly instead of committing stale contents") {
+    val dir = newDir("ltxn_staledest")
+    LayoutTxn.commit(spark, dir, LayoutTxn.begin(dir),
+      Seq(group(rows(0 -> 1L), Seq(0))))
+    // claim for v2 REPLACING p=0 — then the stage is swept while the
+    // writer stalls. The destination p=0 still exists with v1's contents;
+    // a bare existence check would accept it as 'already moved' and
+    // advance the version over stale data (the r13 advisory's exact gap).
+    // The swap marker distinguishes the cases: p=0 carries _lcommit_v1,
+    // not _lcommit_v2.
+    val stage = fabricateClaimedCommit(dir, 2L, rows(0 -> 99L), Seq(0))
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(dir, stage))
+    val e = intercept[LayoutTxn.LostLayoutCommitException] {
+      LayoutTxn.begin(dir, graceMs = 0L)
+    }
+    assert(e.getMessage.contains("not written by"))
+    assert(!Files.exists(Paths.get(dir, "_layout_commit_v2")),
+      "the claim must be withdrawn")
+    // v1 contents are intact and the table heals: a re-run lands as v2
+    assert(readIds(dir) === Seq(0 -> 1L))
+    val parent = LayoutTxn.begin(dir, graceMs = 0L)
+    assert(parent === 1L)
+    LayoutTxn.commit(spark, dir, parent, Seq(group(rows(0 -> 99L), Seq(0))))
+    assert(LayoutTxn.currentVersion(dir) === 2L)
+    assert(readIds(dir) === Seq(0 -> 99L))
   }
 
   test("TWO-group commit (the index + _docmap shape): both subtrees swap atomically and roll forward together") {
