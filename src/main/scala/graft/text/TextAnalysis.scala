@@ -1414,19 +1414,24 @@ object TextAnalysis {
     * Determinism is the q152 recipe: each distinct symbol's p·ln(p) term
     * is rounded to 6dp and summed as exact DECIMAL(28,6) (order-free),
     * the final entropy floor-truncated. Both explodes are scan-stage; the
-    * only exchanges are the two (doc, symbol)-keyed partial-agg rollups. */
+    * only exchanges are the two (doc, symbol)-keyed partial-agg rollups
+    * and the per-doc final rollup — NO window and NO sort anywhere: the
+    * per-doc symbol total is `size(symbol array)`, a scalar computed
+    * BEFORE the explode and carried through as a grouping column (it is
+    * functionally dependent on the doc id). The r13 1024×-tier knee
+    * (~2M docs/host) was the doc-keyed WindowExec sort spilling; the
+    * same plan as two hash aggregations has no sort to spill — both
+    * stages stay in whole-stage codegen. */
   def entropyProfile(docs: DataFrame, idCol: String, text: Column,
                      minCharEntropy: Double = 2.0): DataFrame = {
-    def entropyOf(sym: Column, tag: String, src: DataFrame): DataFrame = {
-      val cnt = src.select(col(idCol), sym.as("y"))
-        .groupBy(col(idCol), col("y")).agg(count(lit(1)).as("c"))
-      // per-doc total as a window over the count table: one doc-keyed
-      // exchange instead of a groupBy + join-back (2 exchanges per branch,
-      // not 4 — measured 8 → 4 exchanges for the two branches); the final
-      // per-doc rollup then reuses the window's partitioning
-      val n = sum(col("c")).over(Window.partitionBy(col(idCol)))
+    def entropyOf(tag: String, src: DataFrame): DataFrame = {
+      // src = (idCol, n, y): n is the doc's total symbol count, constant
+      // per doc, so grouping by it adds no groups — and the final rollup
+      // needs no window/join to recover it
+      val cnt = src.groupBy(col(idCol), col("n"), col("y"))
+        .agg(count(lit(1)).as("c"))
       val p = col("c").cast("double") / col("n").cast("double")
-      cnt.withColumn("n", n)
+      cnt
         .select(col(idCol), col("n"),
           round(p * log(p), 6).cast(DecimalType(28, 6)).as("t"))
         .groupBy(col(idCol))
@@ -1434,11 +1439,13 @@ object TextAnalysis {
           (floor(-sum(col("t")).cast("double") * lit(1e6)).cast("double")
             / lit(1e6)).as(s"h_$tag"))
     }
-    val chars = docs.select(col(idCol),
-      explode(filter(split(text, ""), c => c =!= "" && c =!= " ")).as("ch"))
-    val toks = docs.select(col(idCol), explode(words(text)).as("tk"))
-    entropyOf(col("ch"), "chars", chars)
-      .join(entropyOf(col("tk"), "words", toks), Seq(idCol))
+    val charArr = filter(split(text, ""), c => c =!= "" && c =!= " ")
+    val chars = docs.select(col(idCol), size(charArr).as("n"),
+      explode(charArr).as("y"))
+    val toks = docs.select(col(idCol), size(words(text)).as("n"),
+      explode(words(text)).as("y"))
+    entropyOf("chars", chars)
+      .join(entropyOf("words", toks), Seq(idCol))
       .select(col(idCol), col("n_chars").cast("long").as("n_chars_nospace"),
         col("h_chars"), col("n_words").cast("long").as("n_tokens"),
         col("h_words"),
