@@ -135,16 +135,43 @@ object FuzzDump {
 
   /** Renders the SAME random decisions as a DataFrame plan over `l`/`r`/`a`
     * and as ANSI SQL over the same views. Column aliases match exactly. */
+  /** Total family count — keep in sync with genQuery's match arms. */
+  private val NumFamilies = 66
+
   /** SPARK_GRAFT_FUZZ_FAMILIES=63,64,65 restricts the family draw — a
     * dedicated sweep over a new or suspect family without waiting for the
-    * uniform draw to land on it. Unset = uniform over all families. */
+    * uniform draw to land on it. Unset = uniform over all families.
+    * Out-of-range ids fail at startup with the valid range, not as a
+    * MatchError mid-sweep. */
   private val familyPick: Option[IndexedSeq[Int]] =
     sys.env.get("SPARK_GRAFT_FUZZ_FAMILIES")
       .map(_.split(",").toIndexedSeq.map(_.trim.toInt))
+      .map { ids =>
+        val bad = ids.filterNot(i => i >= 0 && i < NumFamilies)
+        require(bad.isEmpty,
+          s"SPARK_GRAFT_FUZZ_FAMILIES: unknown family id(s) " +
+            s"${bad.mkString(",")} — valid range is 0..${NumFamilies - 1}")
+        ids
+      }
 
-  private def genQuery(rnd: scala.util.Random, l: DataFrame, r: DataFrame,
-                       a: DataFrame): Gen = {
-    familyPick.map(p => p(rnd.nextInt(p.size))).getOrElse(rnd.nextInt(66)) match {
+  /** The family is drawn from an INDEPENDENT RNG stream derived from the
+    * case seed (r14): consuming the draw from the content stream meant
+    * every family-count bump (63→66 in r13) re-keyed all recorded repro
+    * seeds. With the split stream, adding families only remaps which
+    * family a seed lands on — the case content for (seed, family) pairs
+    * that keep their family is bit-identical, and future family
+    * additions never shift the content stream at all. (Seeds recorded
+    * before r14 are re-keyed ONCE by this split; their regressions are
+    * pinned in specs, not in the lane.) */
+  private def drawFamily(seed: Int): Int = {
+    val famRnd = new scala.util.Random(seed * 0x9E3779B97F4A7C15L + 0x1234567)
+    familyPick.map(p => p(famRnd.nextInt(p.size)))
+      .getOrElse(famRnd.nextInt(NumFamilies))
+  }
+
+  private def genQuery(seed: Int, rnd: scala.util.Random, l: DataFrame,
+                       r: DataFrame, a: DataFrame): Gen = {
+    drawFamily(seed) match {
       case 0 => // join → projection (all six join types; null keys match nothing)
         val (how, sqlHow) = Seq(
           ("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"),
@@ -1714,7 +1741,7 @@ object FuzzDump {
       val l = spark.read.parquet(s"$caseDir/l.parquet")
       val r = spark.read.parquet(s"$caseDir/r.parquet")
       val a = spark.read.parquet(s"$caseDir/a.parquet")
-      val g = genQuery(rnd, l, r, a)
+      val g = genQuery(seed, rnd, l, r, a)
       g.df.coalesce(1).write.mode("overwrite").parquet(s"$caseDir/spark")
       val json =
         s"""{"seed": $seed, "family": "${g.family}",
