@@ -612,6 +612,40 @@ object ScaleCheck {
       util.Cleanup.drain()
     }
 
+    // Composite-key variant (r14): the same delta-proportionality claim
+    // with the bucket hash over a (k1, k2) TUPLE and the SQL door parsing
+    // an ON conjunction — readForKeys prunes on the tuple hash, so the
+    // one-bucket line must track table/64 exactly like single-key.
+    if (want("sql_merge_ck")) {
+      val mtDir = java.nio.file.Files.createTempDirectory("scale_sqlmerge_ck").toString + "/t"
+      val orders = amplify(model.Tables.orders(spark, d), Seq("o_orderkey"))
+        .select((col("o_orderkey") % 1000).as("k1"),
+          expr("o_orderkey DIV 1000").as("k2"),
+          col("o_totalprice").as("p"))
+        .withColumn("op_flag", lit("create"))
+      layout.MergeTable.mergeKeys(spark, mtDir, orders, Seq("k1", "k2"),
+        numBuckets = 64)
+      graft.plans.MergeTableSql.register("scale_mt_ck", mtDir)
+      val oneBucket = model.Tables.orders(spark, d)
+        .select((col("o_orderkey") % 1000).as("k1"),
+          expr("o_orderkey DIV 1000").as("k2"),
+          (col("o_totalprice") + lit(1.0)).as("p"))
+        .filter(pmod(hash(col("k1"), col("k2")), lit(64)) === 0)
+      oneBucket.createOrReplaceTempView("scale_mt_ck_delta")
+      val nOne = oneBucket.count()
+      time(s"sql_merge_ck_one_bucket_delta_${nOne}_rows", nOne) {
+        spark.sql(
+          """MERGE INTO scale_mt_ck t USING scale_mt_ck_delta s
+            |ON t.k1 = s.k1 AND t.k2 = s.k2
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      }
+      graft.plans.MergeTableSql.unregister("scale_mt_ck")
+      util.Cleanup.registerTempDir(
+        java.nio.file.Paths.get(mtDir).getParent)
+      util.Cleanup.drain()
+    }
+
     // The ANN-index analogue of the MergeTable claim: IVF upsert cost
     // follows the DELTA and its touched-cell fraction, never the corpus.
     // Build a mult-scaled 64-cell layout once (timed for contrast), then
