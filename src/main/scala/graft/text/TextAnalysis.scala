@@ -1439,11 +1439,18 @@ object TextAnalysis {
           (floor(-sum(col("t")).cast("double") * lit(1e6)).cast("double")
             / lit(1e6)).as(s"h_$tag"))
     }
-    val charArr = filter(split(text, ""), c => c =!= "" && c =!= " ")
-    val chars = docs.select(col(idCol), size(charArr).as("n"),
-      explode(charArr).as("y"))
-    val toks = docs.select(col(idCol), size(words(text)).as("n"),
-      explode(words(text)).as("y"))
+    // materialize each symbol array as an ATTRIBUTE before size/explode:
+    // written inline, the analyzer's generator extraction leaves the raw
+    // array expression in the post-Generate projection, re-building the
+    // whole array PER EXPLODED ROW — O(len²) per doc (measured 7× on
+    // q164). As a lower-projection alias referenced twice by a non-cheap
+    // expression, CollapseProject keeps it one-eval-per-doc.
+    def exploded(arr: Column): DataFrame = docs
+      .select(col(idCol), arr.as("__arr"))
+      .select(col(idCol), size(col("__arr")).as("n"),
+        explode(col("__arr")).as("y"))
+    val chars = exploded(filter(split(text, ""), c => c =!= "" && c =!= " "))
+    val toks = exploded(words(text))
     entropyOf("chars", chars)
       .join(entropyOf("words", toks), Seq(idCol))
       .select(col(idCol), col("n_chars").cast("long").as("n_chars_nospace"),
