@@ -146,6 +146,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       (children: Seq[Expression]) => BpeEncode.build(children)))
     ext.injectFunction((
+      FunctionIdentifier("entropy_profile"),
+      new ExpressionInfo(classOf[graft.functions.EntropyProfile].getName,
+        "entropy_profile"),
+      (children: Seq[Expression]) => graft.functions.EntropyProfile.build(children)))
+    ext.injectFunction((
       FunctionIdentifier("word_grams"),
       new ExpressionInfo(classOf[graft.functions.WordGrams].getName, "word_grams"),
       (children: Seq[Expression]) => graft.functions.WordGrams.build(children)))

@@ -227,8 +227,9 @@ object ScaleCheck {
       text.TextAnalysis.cTfIdf(docs, "source", col("text"), 10).count()
     }
     time("entropy_filter", nDocs) {
-      // two symbol branches, each 2 window exchanges over (doc, symbol)
-      // counts; per-doc cost is the claim (symbol alphabet is bounded)
+      // two symbol branches, each TWO hash aggregations (r14: the per-doc
+      // total rides the explode as size(arr) — no window, no sort, which
+      // was the 1024x spill source); per-doc cost is the claim
       text.TextAnalysis.entropyProfile(docs, "doc_id", col("text"))
         .filter(!col("low_entropy")).count()
     }

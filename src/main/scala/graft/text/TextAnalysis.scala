@@ -1413,17 +1413,42 @@ object TextAnalysis {
     *
     * Determinism is the q152 recipe: each distinct symbol's p·ln(p) term
     * is rounded to 6dp and summed as exact DECIMAL(28,6) (order-free),
-    * the final entropy floor-truncated. Both explodes are scan-stage; the
-    * only exchanges are the two (doc, symbol)-keyed partial-agg rollups
-    * and the per-doc final rollup — NO window and NO sort anywhere: the
-    * per-doc symbol total is `size(symbol array)`, a scalar computed
-    * BEFORE the explode and carried through as a grouping column (it is
-    * functionally dependent on the doc id). The r13 1024×-tier knee
-    * (~2M docs/host) was the doc-keyed WindowExec sort spilling; the
-    * same plan as two hash aggregations has no sort to spill — both
-    * stages stay in whole-stage codegen. */
+    * the final entropy floor-truncated.
+    *
+    * The whole computation is ONE SCAN-STAGE PROJECTION: the fused
+    * [[graft.functions.EntropyProfile]] kernel counts both symbol
+    * alphabets and folds the exact decimal terms in one codegen'd text
+    * traversal per document — no explode, no aggregation, no window, NO
+    * EXCHANGE of any kind. The r13 1024×-tier spill knee (~2M docs/host:
+    * first the doc-keyed window sort, then the (doc,symbol) hash-agg
+    * fallback sort once the window was removed) structurally cannot
+    * exist — at any corpus size this is embarrassingly parallel map
+    * work. [[entropyProfileExchange]] keeps the portable exchange-based
+    * formulation as the parity reference (EntropyKernelSpec proves them
+    * row-identical; the shared DuckDB oracle pins both). */
   def entropyProfile(docs: DataFrame, idCol: String, text: Column,
                      minCharEntropy: Double = 2.0): DataFrame = {
+    val prof = org.apache.spark.sql.graftbridge.Bridge.columnOf(
+      graft.functions.EntropyProfile(
+        org.apache.spark.sql.graftbridge.Bridge.expressionOf(text)))
+    docs
+      .select(col(idCol), prof.as("__ep"))
+      .filter(col("__ep").isNotNull)
+      .select(col(idCol),
+        col("__ep")("n_chars_nospace").as("n_chars_nospace"),
+        col("__ep")("h_chars").as("h_chars"),
+        col("__ep")("n_tokens").as("n_tokens"),
+        col("__ep")("h_words").as("h_words"))
+      .withColumn("low_entropy", col("h_chars") < minCharEntropy)
+  }
+
+  /** The exchange-based reference formulation of [[entropyProfile]] —
+    * two hash aggregations per symbol branch (the per-doc total rides the
+    * explode as `size(arr)`, so there is no window and no sort), built
+    * from portable Spark primitives. Kept as the kernel's parity
+    * reference; identical output contract. */
+  def entropyProfileExchange(docs: DataFrame, idCol: String, text: Column,
+                             minCharEntropy: Double = 2.0): DataFrame = {
     def entropyOf(tag: String, src: DataFrame): DataFrame = {
       // src = (idCol, n, y): n is the doc's total symbol count, constant
       // per doc, so grouping by it adds no groups — and the final rollup
@@ -1442,9 +1467,7 @@ object TextAnalysis {
     // materialize each symbol array as an ATTRIBUTE before size/explode:
     // written inline, the analyzer's generator extraction leaves the raw
     // array expression in the post-Generate projection, re-building the
-    // whole array PER EXPLODED ROW — O(len²) per doc (measured 7× on
-    // q164). As a lower-projection alias referenced twice by a non-cheap
-    // expression, CollapseProject keeps it one-eval-per-doc.
+    // whole array PER EXPLODED ROW — O(len²) per doc
     def exploded(arr: Column): DataFrame = docs
       .select(col(idCol), arr.as("__arr"))
       .select(col(idCol), size(col("__arr")).as("n"),
