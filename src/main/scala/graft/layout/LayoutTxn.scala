@@ -112,14 +112,23 @@ object LayoutTxn {
   /** Current committed version; 0 for a layout that predates the protocol
     * (or was just [re]built whole — full builds wipe the dir, version
     * state included, and restart history). */
-  def currentVersion(dir: String): Long = {
+  def currentVersion(dir: String): Long = currentVersionInfo(dir)._1
+
+  /** (version, commit wall-clock millis) of the current layout commit —
+    * the MergeTable manifest-timestamp discipline at the layout layer
+    * (r14): the claim stamps its creation instant and finish() carries it
+    * into the version file, so an operator can tell WHEN an index layout
+    * last changed without external bookkeeping. ts = 0 for pre-r14 or
+    * freshly rebuilt layouts. */
+  def currentVersionInfo(dir: String): (Long, Long) = {
     val p = versionPath(dir)
-    if (!Files.exists(p)) 0L
+    if (!Files.exists(p)) (0L, 0L)
     else {
       val pr = new Properties()
       val in = Files.newInputStream(p)
       try pr.load(in) finally in.close()
-      pr.getProperty("version").toLong
+      (pr.getProperty("version").toLong,
+        Option(pr.getProperty("ts")).map(_.toLong).getOrElse(0L))
     }
   }
 
@@ -178,6 +187,7 @@ object LayoutTxn {
     if (currentVersion(dir) < version) {
       val vp = new Properties()
       vp.setProperty("version", version.toString)
+      vp.setProperty("ts", pr.getProperty("ts", "0"))
       writeAtomic(dir, vp, versionPath(dir))
     }
   }
@@ -229,6 +239,7 @@ object LayoutTxn {
     val pr = new Properties()
     pr.setProperty("version", newV.toString)
     pr.setProperty("stage", stage)
+    pr.setProperty("ts", System.currentTimeMillis().toString)
     pr.setProperty("groups", groups.size.toString)
     groups.zipWithIndex.foreach { case (g, i) =>
       val stageSub = subRoot(s"$dir/$stage", g.sub)

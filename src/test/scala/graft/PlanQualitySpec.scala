@@ -33,6 +33,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q164: the entropy profile is EXCHANGE-FREE scan work below its output sort") {
+    val p = physical("q164_entropy")
+    // one fused kernel projection: no explode, no aggregation, no window
+    // — the only allowed exchange is the final ORDER BY's range partition
+    assert(p.contains("entropy_profile"), p)
+    assert(!p.contains("Generate"), s"unexpected explode in: $p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregation in: $p")
+    assert(!p.contains("Window"), s"unexpected window in: $p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"entropy plan should only exchange for its sort: $p")
+  }
+
   test("q09: per-group top-k uses WindowGroupLimit (partial rank pruning)") {
     val p = physical("q09_window_rank")
     assert(p.contains("WindowGroupLimit"), p)
@@ -267,13 +279,6 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(n <= 3, s"expected <= 3 hash exchanges, got $n\n$p")
-  }
-
-  test("q164: entropy branches use window totals — 2 exchanges per branch, not 4") {
-    val p = physical("q164_entropy")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    val n = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(n <= 4, s"expected <= 4 hash exchanges (2 per symbol branch), got $n\n$p")
   }
 
   test("q163: c-TF-IDF derives everything from one count table — bounded exchanges, partial aggs") {

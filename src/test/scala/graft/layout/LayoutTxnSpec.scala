@@ -63,6 +63,9 @@ class LayoutTxnSpec extends SparkSpec {
     LayoutTxn.commit(spark, dir, p0,
       Seq(group(rows(0 -> 1L, 1 -> 2L, 2 -> 3L), Seq(0, 1, 2))))
     assert(LayoutTxn.currentVersion(dir) === 1L)
+    // r14: the commit stamps its wall-clock into the version file
+    val (_, ts1) = LayoutTxn.currentVersionInfo(dir)
+    assert(ts1 > 0L && ts1 <= System.currentTimeMillis())
     val p2Before = Files.list(Paths.get(s"$dir/p=2")).toArray.toSeq
       .map(_.toString).sorted
       .map(p => p -> Files.getLastModifiedTime(Paths.get(p)))
