@@ -145,6 +145,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       (children: Seq[Expression]) => BpeEncode.build(children)))
+    // SQL table-valued functions over registered MergeTables: CDC and
+    // commit history as composable relations (the read-side counterparts
+    // of the DESCRIBE HISTORY / VERSION AS OF verbs)
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(graft.plans.MergeTableSql.getClass.getName,
+        "graft_changes"),
+      (children: Seq[Expression]) =>
+        graft.plans.MergeTableSql.changesPlan(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      new ExpressionInfo(graft.plans.MergeTableSql.getClass.getName,
+        "graft_history"),
+      (children: Seq[Expression]) =>
+        graft.plans.MergeTableSql.historyPlan(children)))
     ext.injectFunction((
       FunctionIdentifier("entropy_profile"),
       new ExpressionInfo(classOf[graft.functions.EntropyProfile].getName,

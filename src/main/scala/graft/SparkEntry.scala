@@ -3067,6 +3067,20 @@ object SparkEntry {
       graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
     }),
 
+    // ⊕K7 CDC through pure SQL (r14): the graft_changes table-valued
+    // function (injected via GraftExtensions) exposes
+    // MergeTable.changesBetween as a composable relation — same
+    // manifest-diff pruning, same q67 closed form, reachable without any
+    // Scala.
+    "q185_sql_cdc" -> ((s, d) => {
+      graft.plans.MergeTableSql.register("orders_mt_cdc",
+        ordersMergeTableShared(s, d))
+      val out = s.sql("""SELECT op_flag, okey, cust, price, status
+        FROM graft_changes('orders_mt_cdc', 0, 1) ORDER BY okey""")
+      graft.plans.MergeTableSql.unregister("orders_mt_cdc")
+      out
+    }),
+
     // ⊕ exact substring DEDUP applied (Lee et al. 2022): q148 measures
     // cross-doc duplicated spans; this removes every word position covered
     // by a ≥2-doc 5-gram span and reconstructs the text — the transform a
@@ -4858,6 +4872,19 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey % 7 < 3 ORDER BY okey""".stripMargin,
 
     "q67_cdc_diff" ->
+      """SELECT 'update' AS op_flag, o_orderkey AS okey, o_custkey AS cust,
+        |  o_totalprice + 1.0 AS price, 'U' AS status
+        |FROM orders WHERE o_orderkey % 7 = 1
+        |UNION ALL
+        |SELECT 'insert', o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 7 = 3
+        |UNION ALL
+        |SELECT 'delete', o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 7 = 2
+        |ORDER BY okey""".stripMargin,
+
+    // q185: the SQL TVF reads the identical CDC the Scala API computes
+    "q185_sql_cdc" ->
       """SELECT 'update' AS op_flag, o_orderkey AS okey, o_custkey AS cust,
         |  o_totalprice + 1.0 AS price, 'U' AS status
         |FROM orders WHERE o_orderkey % 7 = 1

@@ -94,6 +94,47 @@ object MergeTableSql {
 
   private[plans] def isEmpty: Boolean = registry.isEmpty
 
+  // ---- SQL table-valued functions (injected by GraftExtensions) ----------
+
+  private def litString(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got ${other.sql}")
+  }
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got ${other.sql}")
+  }
+
+  private def dirFor(name: String): String =
+    lookup(Seq(name)).map(_._1).getOrElse(throw new IllegalArgumentException(
+      s"'$name' is not a registered graft MergeTable"))
+
+  /** `SELECT * FROM graft_changes('t', fromV, toV)` — CDC between two
+    * committed versions through pure SQL ([[MergeTable.changesBetween]]:
+    * manifest-diff pruned to buckets whose owning version changed). */
+  def changesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 3,
+      "graft_changes(table_name, from_version, to_version) expects 3 arguments")
+    val dir = dirFor(litString(args(0), "graft_changes: table_name"))
+    MergeTable.changesBetween(SparkSession.active, dir,
+      litLong(args(1), "graft_changes: from_version"),
+      litLong(args(2), "graft_changes: to_version"))
+      .queryExecution.logical
+  }
+
+  /** `SELECT * FROM graft_history('t')` — the commit-history rows, same
+    * surface as `DESCRIBE HISTORY t` but composable in a query. */
+  def historyPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "graft_history(table_name) expects 1 argument")
+    val dir = dirFor(litString(args.head, "graft_history: table_name"))
+    MergeTable.history(SparkSession.active, dir).queryExecution.logical
+  }
+
   private[plans] def lookup(nameParts: Seq[String]): Option[(String, Int)] =
     nameParts match {
       case Seq(one) =>

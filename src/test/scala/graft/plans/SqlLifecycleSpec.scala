@@ -169,6 +169,36 @@ class SqlLifecycleSpec extends SparkSpec {
     } finally MergeTableSql.unregister(name)
   }
 
+  test("graft_changes / graft_history table functions: CDC and history as composable SQL relations") {
+    val dir = freshDir("tvf")
+    val name = "mt_tvf"
+    MergeTableSql.register(name, dir, numBuckets = 2)
+    try {
+      MergeTable.merge(spark, dir,
+        Seq((1L, 1.0, "create"), (2L, 2.0, "create")).toDF("k", "v", "op_flag"),
+        "k", numBuckets = 2)
+      MergeTable.merge(spark, dir,
+        Seq((1L, 9.0, "update"), (2L, 0.0, "delete"), (3L, 3.0, "create"))
+          .toDF("k", "v", "op_flag"), "k")
+      val cdc = spark.sql(
+        s"SELECT op_flag, k, v FROM graft_changes('$name', 0, 1) ORDER BY k")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(cdc === Seq(("update", 1L, 9.0), ("delete", 2L, 2.0),
+        ("insert", 3L, 3.0)))
+      // composable: aggregate over the TVF
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft_changes('$name', 0, 1) WHERE op_flag = 'delete'")
+        .as[Long].collect().head === 1L)
+      val hist = spark.sql(
+        s"SELECT version, operation FROM graft_history('$name') ORDER BY version")
+        .as[(Long, String)].collect().toSeq
+      assert(hist === Seq((0L, "merge"), (1L, "merge")))
+      val e = intercept[Exception](spark.sql(
+        "SELECT * FROM graft_changes('nope_unregistered', 0, 1)").collect())
+      assert(e.getMessage.contains("not a registered"))
+    } finally MergeTableSql.unregister(name)
+  }
+
   test("maintenance verbs over unregistered names fall through to the delegate parser") {
     val e = intercept[Exception](spark.sql("OPTIMIZE nope_not_registered"))
     assert(e.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException]
