@@ -746,8 +746,17 @@ object MergeTable {
                   numBuckets: Int = 16,
                   updateWhen: Option[(String => Column, String => Column) => Column] = None)
                  : (DataFrame, Long) => Unit =
+    upsertBatchKeys(dir, Seq(key), opCol, numBuckets, updateWhen)
+
+  /** [[upsertBatch]] over a COMPOSITE key — the exactly-once foreachBatch
+    * recipe with tuple-hashed bucket placement ([[mergeKeys]]). */
+  def upsertBatchKeys(dir: String, keys: Seq[String],
+                      opCol: String = "op_flag", numBuckets: Int = 16,
+                      updateWhen: Option[(String => Column, String => Column) => Column] = None)
+                     : (DataFrame, Long) => Unit =
     (batch, id) => {
-      merge(batch.sparkSession, dir, batch, key, opCol, numBuckets, id, updateWhen)
+      mergeKeys(batch.sparkSession, dir, batch, keys, opCol, numBuckets, id,
+        updateWhen)
       ()
     }
 

@@ -143,6 +143,20 @@ class MergeCompositeKeySpec extends SparkSpec {
     }
   }
 
+  test("upsertBatchKeys: composite-key streaming sink skips replayed batchIds (exactly-once recipe)") {
+    val dir = freshDir("batch")
+    val sink = MergeTable.upsertBatchKeys(dir, Seq("id", "date"), numBuckets = 2)
+    sink(Seq((1L, "a", 1.0, "create"), (1L, "b", 2.0, "create"))
+      .toDF("id", "date", "v", "op_flag"), 0L)
+    sink(Seq((1L, "a", 9.0, "update")).toDF("id", "date", "v", "op_flag"), 1L)
+    // a RETRIED micro-batch (same id, different payload) must be ignored
+    sink(Seq((1L, "a", 777.0, "update")).toDF("id", "date", "v", "op_flag"), 1L)
+    val got = MergeTable.read(spark, dir).select("id", "date", "v")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got === Set((1L, "a", 9.0), (1L, "b", 2.0)))
+    assert(MergeTable.lastBatchId(dir) === 1L)
+  }
+
   test("key-shape mismatch on an existing table fails loudly") {
     val dir = freshDir("shape")
     MergeTable.mergeKeys(spark, dir,
