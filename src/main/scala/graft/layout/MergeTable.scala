@@ -377,6 +377,10 @@ object MergeTable {
     * manifest — renames move them). */
   def tableKeys(dir: String): Seq[String] = requireManifest(dir).keys
 
+  /** The table's bucket count (fixed at creation — bucket placement is
+    * `pmod(hash(key), numBuckets)`, so it can never change in place). */
+  def tableNumBuckets(dir: String): Int = requireManifest(dir).numBuckets
+
   /** Single-key convenience for [[tableKeys]]; throws on a composite-key
     * table (callers that can meet composites should use [[tableKeys]]). */
   def tableKey(dir: String): String = tableKeys(dir) match {
@@ -899,13 +903,25 @@ object MergeTable {
     * ties (commit timestamps are clamped monotone non-decreasing, see
     * [[commitTs]]). Errors when `tsMillis` precedes the oldest retained
     * commit: "before the table existed" must fail loudly, not silently
-    * read an empty snapshot. */
+    * read an empty snapshot.
+    *
+    * Manifests that recorded NO wall-clock (ts = 0, pre-history format)
+    * are excluded from resolution: an un-stamped version cannot satisfy a
+    * point-in-time read — otherwise a table whose retained history is all
+    * un-stamped would resolve ANY instant since the epoch to its newest
+    * version, silently reading the latest snapshot where the
+    * before-first-commit case errors loudly. */
   def versionForTimestamp(dir: String, tsMillis: Long): Long = {
-    val stamped = versions(dir).flatMap { v =>
+    val stamped0 = versions(dir).flatMap { v =>
       try Some(v -> parseManifest(Paths.get(dir, s"_manifest_v$v")).ts)
       catch { case _: java.nio.file.NoSuchFileException => None }
     }
-    require(stamped.nonEmpty, s"no retained versions at $dir")
+    require(stamped0.nonEmpty, s"no retained versions at $dir")
+    val stamped = stamped0.filter(_._2 > 0L)
+    require(stamped.nonEmpty,
+      s"no retained version at $dir carries a commit timestamp (pre-" +
+        "history manifests) — TIMESTAMP AS OF cannot resolve against " +
+        "un-stamped history; use VERSION AS OF")
     val at = stamped.filter(_._2 <= tsMillis)
     require(at.nonEmpty,
       s"no version committed at or before $tsMillis at $dir " +

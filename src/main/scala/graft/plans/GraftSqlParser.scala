@@ -90,8 +90,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   * idempotent bootstrap). */
 case class GraftCreateTableCommand(name: String, tableSchema: StructType,
                                    keys: Seq[String], location: String,
-                                   numBuckets: Int, ifNotExists: Boolean)
+                                   declaredBuckets: Option[Int],
+                                   ifNotExists: Boolean)
     extends LeafRunnableCommand {
+
+  private def numBuckets: Int = declaredBuckets.getOrElse(16)
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -103,9 +106,39 @@ case class GraftCreateTableCommand(name: String, tableSchema: StructType,
         require(ifNotExists,
           s"a MergeTable already exists at $location — CREATE TABLE IF " +
             "NOT EXISTS re-registers it; plain CREATE TABLE refuses")
+        // IF NOT EXISTS re-registration is idempotent ONLY when the DDL
+        // agrees with the table it found: a statement declaring different
+        // columns, keys, or bucket count would otherwise succeed silently
+        // and every later read/merge would behave unlike its DDL claims —
+        // mirror the strictness of the fresh-create branch.
+        val have = MergeTable.read(spark, location).schema
+        val declared = tableSchema
+        require(declared.fields.length == have.fields.length &&
+            declared.fields.zip(have.fields).forall { case (d, h) =>
+              d.name.equalsIgnoreCase(h.name) && d.dataType == h.dataType },
+          s"CREATE TABLE IF NOT EXISTS $name: declared columns (" +
+            declared.fields.map(f => s"${f.name} ${f.dataType.simpleString}")
+              .mkString(", ") +
+            s") do not match the existing MergeTable at $location (" +
+            have.fields.map(f => s"${f.name} ${f.dataType.simpleString}")
+              .mkString(", ") + ")")
+        val haveKeys = MergeTable.tableKeys(location)
+        require(keys.size == haveKeys.size &&
+            keys.zip(haveKeys).forall { case (d, h) => d.equalsIgnoreCase(h) },
+          s"CREATE TABLE IF NOT EXISTS $name: declared graft.key (" +
+            keys.mkString(",") + ") does not match the existing table's (" +
+            haveKeys.mkString(",") + ")")
+        // bucket count is checked only when the DDL DECLARES one — an
+        // undeclared graft.buckets means "whatever the table has", not
+        // "the default 16"
+        val haveBuckets = MergeTable.tableNumBuckets(location)
+        declaredBuckets.foreach(nb => require(nb == haveBuckets,
+          s"CREATE TABLE IF NOT EXISTS $name: declared graft.buckets " +
+            s"$nb does not match the existing table's $haveBuckets"))
         -1L
       } else MergeTable.create(spark, location, tableSchema, keys, numBuckets)
-    MergeTableSql.register(name, location, numBuckets)
+    MergeTableSql.register(name, location,
+      if (exists) MergeTable.tableNumBuckets(location) else numBuckets)
     Seq(Row(v))
   }
 }
@@ -150,7 +183,7 @@ object GraftCreateTableCommand {
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"graft.key column '$k' is not in the CREATE TABLE column list"))
     GraftCreateTableCommand(name, schema, keys, loc,
-      props.get("graft.buckets").map(_.toInt).getOrElse(16), ct.ignoreIfExists)
+      props.get("graft.buckets").map(_.toInt), ct.ignoreIfExists)
   }
 
   private def columnToField(c: ColumnDefinition): StructField = {

@@ -424,6 +424,17 @@ case class GraftInsertCommand(dir: String, numBuckets: Int, spec: InsertSpec)
               case (u, i) if u.equalsIgnoreCase(t) => i }
           } else (t: String) => srcNames.zipWithIndex.collectFirst {
             case (s, i) if s.equalsIgnoreCase(t) => i }
+        // every NAME the statement carries must hit a real target column —
+        // a typo'd column-list entry or BY NAME source column that matches
+        // nothing would otherwise be silently dropped and the real target
+        // column null-filled (silent data loss); fail loudly like the key
+        // check below does
+        val unknown =
+          (if (spec.userCols.nonEmpty) spec.userCols else srcNames)
+            .filterNot(n => schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+        require(unknown.isEmpty,
+          s"graft INSERT: column(s) ${unknown.mkString(", ")} do not " +
+            s"exist in the table (${schema.fieldNames.mkString(", ")})")
         keys.foreach(k => require(srcIdxFor(k).isDefined,
           s"graft INSERT: key column '$k' missing from the insert"))
         src.select(schema.fields.toSeq.map { f =>
@@ -446,12 +457,18 @@ case class GraftInsertCommand(dir: String, numBuckets: Int, spec: InsertSpec)
         // OVERWRITE = replace the table contents: source rows insert, and
         // every live key absent from the source deletes (left-anti on the
         // key tuple; the merge itself then rewrites only touched buckets
-        // — for an overwrite that is naturally most of them)
+        // — for an overwrite that is naturally most of them). The mapped
+        // source is materialized ONCE (the mergeKeys checkpoint
+        // discipline): it feeds both the anti-join's key set and the
+        // insert rows, and a non-deterministic source query evaluated
+        // twice could delete keys the insert side then re-produces (or
+        // keep rows the anti-join never saw).
+        val mappedOnce = mapped.transform(graft.util.Cleanup.checkpoint(_))
         val live = MergeTable.read(spark, dir)
-        val srcKeys = mapped.select(keys.map(col): _*)
+        val srcKeys = mappedOnce.select(keys.map(col): _*)
         val gone = live.join(srcKeys,
           keys.map(k => live(k) === srcKeys(k)).reduce(_ && _), "left_anti")
-        mapped.withColumn(OpCol, lit("create"))
+        mappedOnce.withColumn(OpCol, lit("create"))
           .unionByName(gone.withColumn(OpCol, lit("delete")))
       }
     val v = MergeTable.mergeKeys(spark, dir, changes, keys, opCol = OpCol,
@@ -512,8 +529,26 @@ case class GraftMergeCommand(dir: String, numBuckets: Int,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val src = Bridge.ofRows(spark, spec.source)
-    val pairs = keyPairs(src)
+    val onPairs = keyPairs(src)
     val snapVer = MergeTable.currentVersion(dir)
+    // ON-conjunct order is SYNTAX, not layout: against an existing table
+    // the pairs canonicalize to the manifest's key order and case (ANSI
+    // conjunction is commutative — `ON t.k2 = s.k2 AND t.k1 = s.k1` must
+    // hash and validate identically to the declared order). Only the
+    // first commit, where the statement DEFINES the layout, keeps ON
+    // order.
+    val pairs = snapVer match {
+      case None => onPairs
+      case Some(_) =>
+        val tks = MergeTable.tableKeys(dir)
+        require(tks.size == onPairs.size &&
+            tks.forall(k => onPairs.exists(_._1.equalsIgnoreCase(k))),
+          s"graft MERGE INTO: ON keys (${onPairs.map(_._1).mkString(", ")}) " +
+            s"do not match the table's keys (${tks.mkString(", ")})")
+        tks.map { k =>
+          (k, onPairs.find(_._1.equalsIgnoreCase(k)).get._2)
+        }
+    }
     val changes = snapVer match {
       case None => classifyFirstCommit(src, pairs)
       case Some(_) => classifyAgainstSnapshot(spark, src, pairs)

@@ -68,6 +68,32 @@ class MergeHistorySpec extends SparkSpec {
     assert(e.getMessage.contains("at or before"))
   }
 
+  test("un-stamped (pre-history) manifests cannot satisfy TIMESTAMP AS OF") {
+    val dir = freshDir("nots")
+    MergeTable.merge(spark, dir,
+      Seq((1L, 1.0, "create")).toDF("k", "v", "op_flag"), "k", numBuckets = 2)
+    // strip the ts property from every manifest, simulating a table whose
+    // retained history predates commit timestamps (the pre-history
+    // format parses as ts = 0)
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.startsWith("_manifest_v") ||
+        p.getFileName.toString == "_latest")
+      .foreach { p =>
+        val lines = java.nio.file.Files.readAllLines(p)
+        val kept = new java.util.ArrayList[String]()
+        lines.forEach(l => if (!l.startsWith("ts=")) { kept.add(l); () })
+        java.nio.file.Files.write(p, kept)
+      }
+    // any instant >= epoch previously resolved to the newest version —
+    // silently reading the latest snapshot; now it fails loudly
+    val e = intercept[IllegalArgumentException](
+      MergeTable.versionForTimestamp(dir, System.currentTimeMillis()))
+    assert(e.getMessage.contains("commit timestamp"))
+    // VERSION AS OF still works — only point-in-time reads need stamps
+    assert(MergeTable.readAt(spark, dir, 0L).count() === 1L)
+  }
+
   test("expired versions leave the timestamp resolution (vacuum retention composes)") {
     val dir = freshDir("expire")
     MergeTable.merge(spark, dir,

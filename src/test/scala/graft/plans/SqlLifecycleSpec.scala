@@ -199,6 +199,118 @@ class SqlLifecycleSpec extends SparkSpec {
     } finally MergeTableSql.unregister(name)
   }
 
+  test("composite MERGE with ON conjuncts in REVERSED order canonicalizes to the table's key order") {
+    val dir = freshDir("onord")
+    val name = "mt_onord"
+    MergeTableSql.register(name, dir, numBuckets = 4)
+    try {
+      Seq((1L, "mon", 1.0), (2L, "tue", 2.0))
+        .toDF("id", "day", "v").createOrReplaceTempView("onord_base")
+      spark.sql(s"""MERGE INTO $name t USING onord_base s
+        ON t.id = s.id AND t.day = s.day
+        WHEN NOT MATCHED THEN INSERT *""").collect()
+      assert(MergeTable.tableKeys(dir) === Seq("id", "day"))
+      // ANSI conjunction is commutative: the reordered ON must classify
+      // and hash identically to the declared key order, not fail the
+      // manifest key check or bucket-hash the tuple positionally wrong
+      Seq((1L, "mon", 10.0), (3L, "wed", 3.0))
+        .toDF("id", "day", "v").createOrReplaceTempView("onord_delta")
+      spark.sql(s"""MERGE INTO $name t USING onord_delta s
+        ON t.day = s.day AND t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""").collect()
+      assert(spark.sql(s"SELECT id, day, v FROM $name ORDER BY id")
+        .as[(Long, String, Double)].collect().toSeq ===
+        Seq((1L, "mon", 10.0), (2L, "tue", 2.0), (3L, "wed", 3.0)))
+      // ON keys that are not the table's keys fail loudly
+      val e = intercept[Exception](spark.sql(
+        s"""MERGE INTO $name t USING onord_delta s
+           ON t.id = s.id
+           WHEN MATCHED THEN DELETE""").collect())
+      assert(e.getMessage.contains("do not match the table's keys"))
+    } finally MergeTableSql.unregister(name)
+  }
+
+  test("INSERT column names that match no table column fail loudly (no silent null-fill)") {
+    val dir = freshDir("badcol")
+    val name = "mt_badcol"
+    try {
+      spark.sql(s"""CREATE TABLE $name (k BIGINT, v DOUBLE, tag STRING)
+        USING graft LOCATION '$dir'
+        TBLPROPERTIES ('graft.key'='k', 'graft.buckets'='2')""").collect()
+      // typo'd column-list entry: 'vv' names nothing — before the check,
+      // the 9.5 was silently dropped and v null-filled
+      val e1 = intercept[Exception](spark.sql(
+        s"INSERT INTO $name (k, vv) SELECT 1, 9.5").collect())
+      assert(e1.getMessage.contains("vv"))
+      // BY NAME with an unknown source column fails the same way
+      val e2 = intercept[Exception](spark.sql(
+        s"INSERT INTO $name BY NAME SELECT 1 AS k, 9.5 AS vv").collect())
+      assert(e2.getMessage.contains("vv"))
+      assert(spark.sql(s"SELECT count(*) FROM $name").as[Long].head() === 0L)
+    } finally MergeTableSql.unregister(name)
+  }
+
+  test("CREATE TABLE IF NOT EXISTS validates declared columns/keys/buckets against the existing table") {
+    val dir = freshDir("ddlchk")
+    val name = "mt_ddlchk"
+    try {
+      spark.sql(s"""CREATE TABLE $name (k BIGINT, v DOUBLE) USING graft
+        LOCATION '$dir' TBLPROPERTIES ('graft.key'='k', 'graft.buckets'='4')""")
+        .collect()
+      // agreeing DDL (buckets undeclared = "whatever the table has"): ok
+      assert(spark.sql(s"""CREATE TABLE IF NOT EXISTS $name (k BIGINT, v DOUBLE)
+        USING graft LOCATION '$dir' TBLPROPERTIES ('graft.key'='k')""")
+        .collect().head.getLong(0) === -1L)
+      // disagreeing column type
+      val e1 = intercept[Exception](spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $name (k BIGINT, v STRING)
+           USING graft LOCATION '$dir' TBLPROPERTIES ('graft.key'='k')""")
+        .collect())
+      assert(e1.getMessage.contains("do not match"))
+      // disagreeing key
+      val e2 = intercept[Exception](spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $name (k BIGINT, v DOUBLE)
+           USING graft LOCATION '$dir' TBLPROPERTIES ('graft.key'='v')""")
+        .collect())
+      assert(e2.getMessage.contains("graft.key"))
+      // disagreeing bucket count (explicitly declared)
+      val e3 = intercept[Exception](spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $name (k BIGINT, v DOUBLE) USING graft
+           LOCATION '$dir' TBLPROPERTIES ('graft.key'='k', 'graft.buckets'='8')""")
+        .collect())
+      assert(e3.getMessage.contains("graft.buckets"))
+    } finally MergeTableSql.unregister(name)
+  }
+
+  test("INSERT OVERWRITE evaluates a non-deterministic source exactly once") {
+    val dir = freshDir("ovw1")
+    val name = "mt_ovw1"
+    try {
+      spark.sql(s"""CREATE TABLE $name (k BIGINT, v DOUBLE) USING graft
+        LOCATION '$dir' TBLPROPERTIES ('graft.key'='k', 'graft.buckets'='2')""")
+        .collect()
+      spark.sql(s"INSERT INTO $name SELECT id, 0.0 FROM range(0, 40)").collect()
+      // rand()-filtered source: were the query evaluated once for the
+      // delete classification and again for the insert rows, the two key
+      // sets would diverge and the final state would not equal the
+      // inserted rows (leftover undeleted keys / keys the anti-join never
+      // saw). Materialized once, table state == exactly the source rows.
+      spark.sql(s"""INSERT OVERWRITE $name
+        SELECT id, rand(7) FROM range(0, 40) WHERE rand(11) < 0.5""").collect()
+      val table = spark.sql(s"SELECT k FROM $name ORDER BY k")
+        .as[Long].collect().toSeq
+      assert(table.nonEmpty && table.size < 40) // the filter really filtered
+      assert(table === table.distinct)
+      // every surviving key carries the single-evaluation value: re-running
+      // the SAME overwrite with a DETERMINISTIC source replaces cleanly
+      spark.sql(s"INSERT OVERWRITE $name SELECT id, 1.0 FROM range(5, 8)").collect()
+      assert(spark.sql(s"SELECT k, v FROM $name ORDER BY k")
+        .as[(Long, Double)].collect().toSeq ===
+        Seq((5L, 1.0), (6L, 1.0), (7L, 1.0)))
+    } finally MergeTableSql.unregister(name)
+  }
+
   test("maintenance verbs over unregistered names fall through to the delegate parser") {
     val e = intercept[Exception](spark.sql("OPTIMIZE nope_not_registered"))
     assert(e.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException]
