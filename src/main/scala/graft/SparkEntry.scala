@@ -3081,6 +3081,43 @@ object SparkEntry {
       out
     }),
 
+    // ⊕K8 × composite keys (r15): the streaming foreachBatch upsert onto
+    // a (user_id, event_type) TUPLE-keyed table — upsertBatchKeys'
+    // bucket hash, duplicate-source check, and newer-wins condition all
+    // run over the tuple; the final state is each (user, type)'s latest
+    // event, which the oracle states as a two-column argmax. Replay
+    // idempotence for the composite path is crash-proven in
+    // MergeCompositeKeySpec (same injected post-commit crash as q141).
+    "q186_stream_upsert_ck" -> ((s, d) => {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_stream_ck_tbl")).toString + "/t"
+      EventStreams.streamUpsert(s, d, dir,
+          keys = Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ⊕K7 CDC by WALL-CLOCK (r15): the graft_changes window named by
+    // TIMESTAMP literals instead of version numbers — each boundary
+    // resolves through versionForTimestamp (newest stamped commit
+    // at-or-before, the TIMESTAMP AS OF rule), so "what changed between
+    // 2am and 3am" needs no history read first. Same q67 closed form.
+    "q187_sql_cdc_window" -> ((s, d) => {
+      graft.plans.MergeTableSql.register("orders_mt_cw",
+        ordersMergeTableShared(s, d))
+      val stamps = s.sql("DESCRIBE HISTORY orders_mt_cw")
+        .orderBy(col("version"))
+        .select(date_format(col("committed_at"), "yyyy-MM-dd HH:mm:ss.SSS"))
+        .collect().map(_.getString(0))
+      val out = s.sql(s"""SELECT op_flag, okey, cust, price, status
+        FROM graft_changes('orders_mt_cw',
+          TIMESTAMP '${stamps(0)}', TIMESTAMP '${stamps(1)}')
+        ORDER BY okey""")
+      graft.plans.MergeTableSql.unregister("orders_mt_cw")
+      out
+    }),
+
     // ⊕ exact substring DEDUP applied (Lee et al. 2022): q148 measures
     // cross-doc duplicated spans; this removes every word position covered
     // by a ≥2-doc 5-gram span and reconstructs the text — the transform a
@@ -4885,6 +4922,28 @@ object SparkEntry {
 
     // q185: the SQL TVF reads the identical CDC the Scala API computes
     "q185_sql_cdc" ->
+      """SELECT 'update' AS op_flag, o_orderkey AS okey, o_custkey AS cust,
+        |  o_totalprice + 1.0 AS price, 'U' AS status
+        |FROM orders WHERE o_orderkey % 7 = 1
+        |UNION ALL
+        |SELECT 'insert', o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 7 = 3
+        |UNION ALL
+        |SELECT 'delete', o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 7 = 2
+        |ORDER BY okey""".stripMargin,
+
+    // q186: latest event per (user, type) TUPLE — the composite-key
+    // streaming upsert's final state as a two-column argmax
+    "q186_stream_upsert_ck" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // q187: the timestamp-bounded change window resolves to exactly the
+    // (v0, v1) diff — same closed form as q67/q185
+    "q187_sql_cdc_window" ->
       """SELECT 'update' AS op_flag, o_orderkey AS okey, o_custkey AS cust,
         |  o_totalprice + 1.0 AS price, 'U' AS status
         |FROM orders WHERE o_orderkey % 7 = 1

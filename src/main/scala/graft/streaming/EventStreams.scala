@@ -301,22 +301,24 @@ object EventStreams {
   }
 
   /** The upsert micro-batch body shared by [[streamUpsert]] and
-    * [[streamUpsertCrashResume]]: keep the batch's newest row per key,
-    * MERGE with newer-wins semantics and the batch id for idempotence. */
-  private def mergeUpsertBatch(tableDir: String)(batch: DataFrame, id: Long): Unit = {
+    * [[streamUpsertCrashResume]]: keep the batch's newest row per key
+    * (single OR composite — the tuple-hashed ⊕K8 form, r15), MERGE with
+    * newer-wins semantics and the batch id for idempotence. */
+  private def mergeUpsertBatch(tableDir: String, keys: Seq[String])
+                              (batch: DataFrame, id: Long): Unit = {
     import graft.layout.MergeTable
     val newerWins = Some((s: String => org.apache.spark.sql.Column,
                           t: String => org.apache.spark.sql.Column) =>
       s("ts") > t("ts") || (s("ts") === t("ts") && s("event_id") > t("event_id")))
-    // MERGE wants one row per key per batch: keep the batch's newest
-    val latest = graft.ops.Relational.dedupKeepFirst(batch, Seq("user_id"),
+    // MERGE wants one row per key TUPLE per batch: keep the batch's newest
+    val latest = graft.ops.Relational.dedupKeepFirst(batch, keys,
         Seq(col("ts").desc, col("event_id").desc))
       .withColumn("op_flag", lit("update")) // update-of-unmatched inserts
     // 4 buckets: the upsert table is keyed by user_id (~150 keys at the
     // bench tier); the default 16 quadruples per-commit file+stats I/O
     // across the 3+ replay commits for nothing. Bucket count pins at
     // table creation — size it to the table, not a constant.
-    MergeTable.merge(batch.sparkSession, tableDir, latest, "user_id",
+    MergeTable.mergeKeys(batch.sparkSession, tableDir, latest, keys,
       numBuckets = 4, batchId = id, updateWhen = newerWins)
     ()
   }
@@ -333,14 +335,15 @@ object EventStreams {
   // demonstrate the multi-commit replay protocol at half of 3's fixed
   // per-batch MERGE cost
   def streamUpsert(spark: SparkSession, dir: String, tableDir: String,
-                   nFiles: Int = 2): DataFrame = {
+                   nFiles: Int = 2,
+                   keys: Seq[String] = Seq("user_id")): DataFrame = {
     import graft.layout.MergeTable
     val filesDir = sharedSplitDir(spark, dir, nFiles)
     val srcDir = graft.util.Cleanup.registerTempDir(
       java.nio.file.Files.createTempDirectory("graft_stream_upsert"))
     val q = upsertSource(spark, s"$filesDir/files").writeStream
       .option("checkpointLocation", s"$srcDir/ck")
-      .foreachBatch(mergeUpsertBatch(tableDir) _)
+      .foreachBatch(mergeUpsertBatch(tableDir, keys) _)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     MergeTable.read(spark, tableDir)
@@ -359,7 +362,8 @@ object EventStreams {
     * (q141, same latest-per-key oracle as q64). */
   def streamUpsertCrashResume(spark: SparkSession, dir: String,
                               tableDir: String, nFiles: Int = 2,
-                              crashAfterBatch: Long = 0L): DataFrame = {
+                              crashAfterBatch: Long = 0L,
+                              keys: Seq[String] = Seq("user_id")): DataFrame = {
     import graft.layout.MergeTable
     val filesDir = sharedSplitDir(spark, dir, nFiles)
     val srcDir = graft.util.Cleanup.registerTempDir(
@@ -369,7 +373,7 @@ object EventStreams {
       val q = upsertSource(spark, s"$filesDir/files").writeStream
         .option("checkpointLocation", s"$srcDir/ck")
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          mergeUpsertBatch(tableDir)(batch, id)
+          mergeUpsertBatch(tableDir, keys)(batch, id)
           // crash AFTER the sink commit, BEFORE the checkpoint records
           // the batch — the replay-window failure
           if (bomb && id == crashAfterBatch) throw new RuntimeException(crashMsg)

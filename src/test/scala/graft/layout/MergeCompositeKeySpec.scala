@@ -157,6 +157,28 @@ class MergeCompositeKeySpec extends SparkSpec {
     assert(MergeTable.lastBatchId(dir) === 1L)
   }
 
+  test("composite-key streaming upsert survives a post-commit crash (q141 proof on a tuple key)") {
+    // the q141 worst-case window — sink committed, checkpoint didn't —
+    // replayed onto a (user_id, event_type) TUPLE-keyed table: the
+    // harness inside streamUpsertCrashResume asserts one committed
+    // version per applied batch (the replayed batch is SKIPPED), and the
+    // final state must equal an uninterrupted run's
+    val sfDir = "/root/testdata/sf0.001"
+    val crashed = freshDir("ckcrash")
+    val clean = freshDir("ckclean")
+    val keys = Seq("user_id", "event_type")
+    val a = graft.streaming.EventStreams
+      .streamUpsertCrashResume(spark, sfDir, crashed, keys = keys)
+      .select("user_id", "event_type", "event_id", "value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val b = graft.streaming.EventStreams
+      .streamUpsert(spark, sfDir, clean, keys = keys)
+      .select("user_id", "event_type", "event_id", "value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(a === b && a.nonEmpty)
+    assert(MergeTable.tableKeys(crashed) === keys)
+  }
+
   test("key-shape mismatch on an existing table fails loudly") {
     val dir = freshDir("shape")
     MergeTable.mergeKeys(spark, dir,

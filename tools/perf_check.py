@@ -143,7 +143,9 @@ MULTI_COMMIT = {"q63_merge_upsert", "q64_stream_upsert",
                 # pays the protocol once
                 "q66_time_travel", "q67_cdc_diff",
                 # schema evolution runs the same two-commit protocol as q63
-                "q77_schema_evolution"}
+                "q77_schema_evolution",
+                # composite-key form of q64: same two foreachBatch commits
+                "q186_stream_upsert_ck"}
 MULTI_COMMIT_MIN_SPARK = 4.5  # quiet-host; scaled by measured host_load
 
 
