@@ -647,6 +647,44 @@ object ScaleCheck {
       util.Cleanup.drain()
     }
 
+    // OPTIMIZE cost shape (r15 verdict task 8): a full compact rewrites
+    // every live bucket — cost ∝ table, by construction — while
+    // compactStale folds only the SMALLEST bucket groups, so its cost
+    // follows the folded buckets' data. Fragment a mult-scaled 64-bucket
+    // table with 4 one-bucket merges, then time subset vs full: across
+    // mult values the subset line must track ~4/64 of the table (the
+    // folded fraction) and stay far under the full line.
+    if (want("sql_optimize")) {
+      val mtDir = java.nio.file.Files.createTempDirectory("scale_optimize").toString + "/t"
+      val orders = amplify(model.Tables.orders(spark, d), Seq("o_orderkey"))
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        .withColumn("op_flag", lit("create"))
+      layout.MergeTable.merge(spark, mtDir, orders, "k", numBuckets = 64)
+      (0 until 4).foreach { b =>
+        val delta = model.Tables.orders(spark, d)
+          .select(col("o_orderkey").as("k"),
+            (col("o_totalprice") + lit(1.0)).as("p"))
+          .filter(pmod(hash(col("k")), lit(64)) === b)
+          .withColumn("op_flag", lit("update"))
+        layout.MergeTable.merge(spark, mtDir, delta, "k")
+      }
+      require(layout.MergeTable.scanGroups(mtDir) == 5)
+      val nFolded = layout.MergeTable.read(spark, mtDir)
+        .filter(pmod(hash(col("k")), lit(64)) < 4).count()
+      time(s"sql_optimize_subset_${nFolded}_rows", nFolded) {
+        require(layout.MergeTable.compactStale(spark, mtDir, maxGroups = 2)
+          .isDefined)
+      }
+      require(layout.MergeTable.scanGroups(mtDir) == 2)
+      val nAll = layout.MergeTable.read(spark, mtDir).count()
+      time(s"sql_optimize_full_${nAll}_rows", nAll) {
+        layout.MergeTable.compact(spark, mtDir)
+      }
+      util.Cleanup.registerTempDir(
+        java.nio.file.Paths.get(mtDir).getParent)
+      util.Cleanup.drain()
+    }
+
     // The ANN-index analogue of the MergeTable claim: IVF upsert cost
     // follows the DELTA and its touched-cell fraction, never the corpus.
     // Build a mult-scaled 64-cell layout once (timed for contrast), then

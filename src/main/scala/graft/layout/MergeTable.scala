@@ -764,35 +764,93 @@ object MergeTable {
       ()
     }
 
-  /** Rewrite every live bucket into one new version (the read-side cost of
-    * accumulating versions is one pruned scan per distinct version — this
-    * folds them back to one), dropping all-deleted buckets from the
-    * manifest. Follow with [[vacuum]] to reclaim the orphaned versions. */
-  def compact(spark: SparkSession, dir: String): Long = {
+  /** Rewrite live buckets into one new version (the read-side cost of
+    * accumulating versions is one pruned scan per distinct (version,
+    * schema) group — this folds the rewritten buckets back to one group),
+    * dropping all-deleted buckets from the manifest. Follow with
+    * [[vacuum]] to reclaim the orphaned versions.
+    *
+    * `only` restricts the rewrite to a bucket SUBSET (r15): buckets
+    * outside it are not read, not rewritten, and keep their manifest
+    * entries — so maintenance cost follows the chosen subset, not the
+    * table. The default rewrites everything (the `OPTIMIZE t` verb);
+    * [[compactStale]] is the policy that picks a subset worth paying
+    * for. Subset reads are indistinguishable from full-compaction reads
+    * (the manifest group-scan machinery is the same either way —
+    * MergeTableSpec pins equality). */
+  def compact(spark: SparkSession, dir: String,
+              only: Option[Set[Int]] = None): Long = {
     recover(dir)
     val m = requireManifest(dir)
     val newV = m.version + 1
     val stage = s"_stage_v${newV}_${java.util.UUID.randomUUID().toString.take(8)}"
-    DataLayout.writePartitionedSorted(
-      readBuckets(spark, dir, m, None), s"$dir/$stage", Seq(BucketCol), m.keys)
+    val chosen = m.buckets.keySet.filter(b => only.forall(_.contains(b)))
+    if (chosen.nonEmpty)
+      DataLayout.writePartitionedSorted(
+        readBuckets(spark, dir, m, Some(chosen)), s"$dir/$stage",
+        Seq(BucketCol), m.keys)
     val liveDirs = Option(new java.io.File(s"$dir/$stage").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
       .map(_.getName.stripPrefix(s"$BucketCol=").toInt)
     // the rewrite lands under the current logical schema (identity
-    // projection); with every bucket re-owned, older schema ids drop out
+    // projection); untouched buckets keep their owning (version, schema)
+    // entries, and schema ids no longer referenced by ANY bucket drop out
     // of THIS manifest (time travel keeps them via the older manifests)
     val identityProj = m.schema.fieldNames.toSeq.map(n => n -> n).toMap
     val sid = m.phys.collectFirst {
       case (id, ps) if ps.schemaJson == m.schemaJson && ps.proj == identityProj => id
     }.getOrElse(m.phys.keys.maxOption.map(_ + 1).getOrElse(0))
+    val kept = m.buckets.filterNot { case (b, _) => chosen.contains(b) }
+    val buckets = kept ++ liveDirs.map(_ -> (newV, sid))
+    val referencedSids = buckets.values.map(_._2).toSet + sid
     commit(dir, m.copy(version = newV,
-        buckets = liveDirs.map(_ -> (newV, sid)).toMap,
-        phys = Map(sid -> PhysSchema(m.schemaJson, identityProj)),
+        buckets = buckets,
+        phys = (m.phys + (sid -> PhysSchema(m.schemaJson, identityProj)))
+          .filter { case (id, _) => referencedSids.contains(id) },
         ts = commitTs(Some(m)), op = "compact", rows = 0L),
-      Some(stage))
+      if (chosen.nonEmpty) Some(stage) else None)
     newV
   }
+
+  /** Group-count-gated SUBSET compaction — the OPTIMIZE policy whose cost
+    * stays bounded when the table does not need a full rewrite. A read
+    * scans one bucket group per distinct (owning version, schema id)
+    * pair; when the table has accumulated more than `maxGroups` such
+    * groups, the buckets of the SMALLEST groups (fewest buckets) are
+    * folded into one new version so at most `maxGroups` remain — the LSM
+    * merge-small-runs policy: a steady merge cadence leaves many
+    * one-or-two-bucket groups beside the big initial-load group, and
+    * folding the little ones buys the group-count reduction at
+    * delta-shaped cost while the big group is left in place. At or under
+    * `maxGroups`, a no-op: don't rewrite 100 TB to tidy a table that is
+    * already tidy. Returns the committed version, or None for the no-op.
+    * (A full `compact()` remains the deliberate whole-table rewrite.) */
+  def compactStale(spark: SparkSession, dir: String,
+                   maxGroups: Int = 4): Option[Long] = {
+    require(maxGroups >= 1, s"compactStale: maxGroups $maxGroups must be >= 1")
+    recover(dir)
+    val m = requireManifest(dir)
+    val sizes = m.buckets.groupBy(_._2).view.mapValues(_.size).toMap
+    if (sizes.size <= maxGroups) None
+    else {
+      // the compacted output forms ONE new group, so keep the
+      // (maxGroups - 1) largest as-is and fold everything else
+      val keep = sizes.toSeq
+        .sortBy { case ((v, sid), n) => (-n, -v, sid) }
+        .take(maxGroups - 1).map(_._1).toSet
+      val folded = m.buckets.collect {
+        case (b, g) if !keep.contains(g) => b
+      }.toSet
+      Some(compact(spark, dir, Some(folded)))
+    }
+  }
+
+  /** Distinct (owning version, physical schema) bucket groups in the
+    * current manifest — the read-side fragmentation measure: one pruned
+    * scan per group. [[compactStale]] bounds it. */
+  def scanGroups(dir: String): Int =
+    requireManifest(dir).buckets.values.toSet.size
 
   /** Table contents AS OF `version` — time travel via the immutable
     * per-version manifest. Same pruned-scan mechanics as [[read]]: cost is

@@ -81,6 +81,39 @@ class MergeTableSpec extends SparkSpec {
       Set((1L, "a", 1.0), (2L, "b2", 2.2), (3L, "c", 3.0), (4L, "d", 4.0)))
   }
 
+  test("compactStale folds only the SMALLEST bucket groups; reads equal full compaction (r15)") {
+    val dir = freshDir()
+    // initial load spreads 32 keys over 8 buckets (one big group), then
+    // three single-key merges leave three one-bucket groups beside it
+    MergeTable.merge(spark, dir,
+      (1L to 32L).map(i => (i, s"n$i", i.toDouble, "create"))
+        .toDF("id", "name", "score", "op_flag"), "id", numBuckets = 8)
+    Seq(1L, 2L, 3L).foreach(k =>
+      MergeTable.merge(spark, dir, changes((k, s"u$k", k + 0.5, "update")), "id"))
+    val before = contents(dir)
+    val groups0 = MergeTable.scanGroups(dir)
+    assert(groups0 >= 3, s"expected fragmented table, got $groups0 groups")
+    val v = MergeTable.compactStale(spark, dir, maxGroups = 2)
+    assert(v.contains(4L))
+    assert(MergeTable.scanGroups(dir) <= 2)
+    // subset compaction is invisible to reads
+    assert(contents(dir) === before)
+    // the BIG group (initial load) was kept in place: the compacted
+    // version's directory holds only the folded little groups' buckets,
+    // a strict subset of the table
+    val compacted = spark.read.option("basePath", s"$dir/v4")
+      .parquet(s"$dir/v4").select("id").as[Long].collect().toSet
+    assert(compacted.size < 32 && Set(1L, 2L, 3L).subsetOf(compacted),
+      s"compacted dir should hold the folded buckets only, got $compacted")
+    // at-or-under the bound: a no-op (nothing rewritten, no new version)
+    assert(MergeTable.compactStale(spark, dir, maxGroups = 2).isEmpty)
+    assert(MergeTable.currentVersion(dir).contains(4L))
+    // and a later FULL compact still reads identically (subset ≡ full)
+    MergeTable.compact(spark, dir)
+    assert(MergeTable.scanGroups(dir) === 1)
+    assert(contents(dir) === before)
+  }
+
   test("batchId replay is skipped (foreachBatch exactly-once)") {
     val dir = freshDir()
     assert(MergeTable.merge(spark, dir, changes((1L, "a", 1.0, "create")), "id",
