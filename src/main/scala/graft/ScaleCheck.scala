@@ -647,6 +647,38 @@ object ScaleCheck {
       util.Cleanup.drain()
     }
 
+    // Manifest data skipping (r15 verdict task 4): per-bucket min/max
+    // stats prune a selective non-key predicate's scan down to the
+    // matching buckets, driver-side. The fixture gives the value column
+    // per-bucket LOCALITY (v = bucket*1e6 + noise — the batch-load shape
+    // stats exist for); compare the skipping line against the full-scan
+    // line across mult: skipping must track ~1/64 of the table.
+    if (want("sql_skipping")) {
+      val mtDir = java.nio.file.Files.createTempDirectory("scale_skip").toString + "/t"
+      val orders = amplify(model.Tables.orders(spark, d), Seq("o_orderkey"))
+        .select(col("o_orderkey").as("k"),
+          (pmod(hash(col("o_orderkey")), lit(64)).cast("long") * lit(1000000L)
+            + (col("o_orderkey") % 1000L)).as("v"),
+          col("o_totalprice").as("p"))
+        .withColumn("op_flag", lit("create"))
+      layout.MergeTable.merge(spark, mtDir, orders, "k", numBuckets = 64)
+      val pred = col("v") >= 7000000L && col("v") < 8000000L // bucket 7 only
+      require(layout.MergeTable.prunableBuckets(mtDir, pred) == Some(Set(7)))
+      val nMatch = layout.MergeTable.readWhere(spark, mtDir, pred).count()
+      time(s"sql_skipping_pruned_${nMatch}_rows", nMatch) {
+        layout.MergeTable.readWhere(spark, mtDir, pred)
+          .agg(max(col("p")), count(lit(1))).collect()
+      }
+      val nAll = layout.MergeTable.read(spark, mtDir).count()
+      time(s"sql_skipping_fullscan_${nAll}_rows", nAll) {
+        layout.MergeTable.read(spark, mtDir).filter(pred)
+          .agg(max(col("p")), count(lit(1))).collect()
+      }
+      util.Cleanup.registerTempDir(
+        java.nio.file.Paths.get(mtDir).getParent)
+      util.Cleanup.drain()
+    }
+
     // OPTIMIZE cost shape (r15 verdict task 8): a full compact rewrites
     // every live bucket — cost ∝ table, by construction — while
     // compactStale folds only the SMALLEST bucket groups, so its cost

@@ -3098,6 +3098,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // ⊕K7 manifest data skipping (r15): readWhere prunes buckets whose
+    // recorded per-column min/max prove the predicate empty — driver-side,
+    // before any file is listed. On this hash-bucketed fixture the price
+    // ranges span every bucket (uncorrelated column — the honest common
+    // case), so the value proven HERE is correctness under stats: the
+    // pruned read must equal the plain filter row-for-row; the pruning
+    // win itself is pinned by MergeStatsSpec and the sql_skipping
+    // ScaleCheck probe on bucket-localized fixtures.
+    "q188_data_skipping" -> ((s, d) => {
+      val dir = ordersMergeTableShared(s, d)
+      graft.layout.MergeTable.readWhere(s, dir,
+          col("price") >= 50000.0 && col("price") < 150000.0 &&
+            col("status") === "U")
+        .orderBy(col("okey"))
+    }),
+
     // ⊕K7 CDC by WALL-CLOCK (r15): the graft_changes window named by
     // TIMESTAMP literals instead of version numbers — each boundary
     // resolves through versionForTimestamp (newest stamped commit
@@ -4931,6 +4947,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'delete', o_orderkey, o_custkey, o_totalprice, o_orderstatus
         |FROM orders WHERE o_orderkey % 7 = 2
+        |ORDER BY okey""".stripMargin,
+
+    // q188: the pruned read's result is the plain filter over q63's
+    // closed-form final state (status 'U' rows are exactly %7 = 1)
+    "q188_data_skipping" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust,
+        |  o_totalprice + 1.0 AS price, 'U' AS status
+        |FROM orders WHERE o_orderkey % 7 = 1
+        |  AND o_totalprice + 1.0 >= 50000.0 AND o_totalprice + 1.0 < 150000.0
         |ORDER BY okey""".stripMargin,
 
     // q186: latest event per (user, type) TUPLE — the composite-key

@@ -131,10 +131,84 @@ object MergeTable {
                               buckets: Map[Int, (Long, Int)],
                               phys: Map[Int, PhysSchema],
                               ts: Long = 0L, op: String = "",
-                              rows: Long = -1L) {
+                              rows: Long = -1L,
+                              stats: Map[Int, Map[String, (String, String)]] =
+                                Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     /** The key COLUMNS — `key` is their comma-joined manifest encoding. */
     def keys: Seq[String] = key.split(",").toSeq
+  }
+
+  // ---- per-bucket column stats (r15: non-key data skipping) ----------------
+
+  /** Column types that carry min/max stats: orderable atomics whose values
+    * round-trip losslessly through a string cast under a pinned timezone.
+    * Arrays/structs/maps/binary/boolean carry none (no useful order or no
+    * safe round-trip); a column without stats simply never prunes. */
+  private def statsEligible(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.StringType => true
+    case org.apache.spark.sql.types.DateType => true
+    case org.apache.spark.sql.types.TimestampType => true
+    case _ => false
+  }
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** One bucket's stats → the manifest property value:
+    * `col=b64(min):b64(max),col2=...` (column names are identifiers;
+    * values base64ed so arbitrary string data cannot collide with the
+    * separators). */
+  private def encodeStats(st: Map[String, (String, String)]): String =
+    st.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      s"$c=${b64(lo)}:${b64(hi)}"
+    }.mkString(",")
+
+  private def decodeStats(s: String): Map[String, (String, String)] =
+    if (s.isEmpty) Map.empty
+    else s.split(",").iterator.map { ent =>
+      val Array(c, mm) = ent.split("=", 2)
+      val Array(lo, hi) = mm.split(":", 2)
+      c -> (unb64(lo), unb64(hi))
+    }.toMap
+
+  /** Per-bucket min/max of every stats-eligible column, computed from the
+    * just-written stage files — one small job over the DELTA (never the
+    * table), reading values exactly as the files store them. Values are
+    * cast to string IN the job (session timezone, which the engine pins
+    * to UTC) so the manifest encoding is engine-portable. */
+  private def collectBucketStats(spark: SparkSession, stageDir: String,
+                                 schema: StructType)
+      : Map[Int, Map[String, (String, String)]] = {
+    val cols = schema.fields.toSeq.filter(f => statsEligible(f.dataType))
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap(f => Seq(
+      min(col(f.name)).cast("string").as(s"__lo_${f.name}"),
+      max(col(f.name)).cast("string").as(s"__hi_${f.name}")))
+    // the `__pk_bucket=` dirs are `_`-prefixed, so discovery from the
+    // stage root would skip them — list them explicitly under an explicit
+    // schema, the readBuckets discipline
+    val dirs = Option(new java.io.File(stageDir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
+      .map(_.getPath).sorted
+    if (dirs.isEmpty) return Map.empty
+    spark.read.option("basePath", stageDir)
+      .schema(schema.add(BucketCol, IntegerType, nullable = false))
+      .parquet(dirs: _*)
+      .groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val b = r.getInt(0)
+        b -> cols.flatMap { f =>
+          val lo = r.getAs[String](s"__lo_${f.name}")
+          val hi = r.getAs[String](s"__hi_${f.name}")
+          if (lo == null || hi == null) None // all-null column: no stats
+          else Some(f.name -> (lo, hi))
+        }.toMap
+      }.toMap
   }
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_latest")
@@ -172,6 +246,12 @@ object MergeTable {
         }
         id -> PhysSchema(props.getProperty(s"phys.$id.schema"), proj)
       }.toMap
+    import scala.jdk.CollectionConverters._
+    val stats = props.stringPropertyNames().asScala.toSeq
+      .filter(_.startsWith("stats."))
+      .map { k =>
+        k.stripPrefix("stats.").toInt -> decodeStats(props.getProperty(k))
+      }.filter(_._2.nonEmpty).toMap
     Manifest(props.getProperty("version").toLong,
       props.getProperty("batchId").toLong, props.getProperty("key"),
       props.getProperty("numBuckets").toInt, schemaJson,
@@ -180,7 +260,8 @@ object MergeTable {
       // any real wall-clock, op/rows read as unknown
       ts = Option(props.getProperty("ts")).map(_.toLong).getOrElse(0L),
       op = props.getProperty("op", ""),
-      rows = Option(props.getProperty("rows")).map(_.toLong).getOrElse(-1L))
+      rows = Option(props.getProperty("rows")).map(_.toLong).getOrElse(-1L),
+      stats = stats)
   }
 
   private def readManifest(dir: String): Option[Manifest] = {
@@ -224,6 +305,9 @@ object MergeTable {
     p.setProperty("ts", m.ts.toString)
     p.setProperty("op", m.op)
     p.setProperty("rows", m.rows.toString)
+    m.stats.foreach { case (b, st) =>
+      if (st.nonEmpty) p.setProperty(s"stats.$b", encodeStats(st))
+    }
     p
   }
 
@@ -408,6 +492,140 @@ object MergeTable {
       .select(pmod(hash(hashed: _*), lit(m.numBuckets)).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
     readBuckets(spark, dir, m, Some(buckets)).drop(BucketCol)
+  }
+
+  /** Current contents under `predicate`, with manifest-stats DATA
+    * SKIPPING (r15): buckets whose recorded per-column min/max prove no
+    * row can satisfy the predicate are not listed, opened, or scanned —
+    * driver-side pruning from the manifest alone, before any file I/O.
+    * The predicate is applied on the scan too (stats only prune, never
+    * answer). Pruning engages for conjuncts of the shape `col <op>
+    * literal` (op ∈ =, <, <=, >, >=, and BETWEEN's expansion) over
+    * stats-eligible columns; every other conjunct is kept but prunes
+    * nothing.
+    *
+    * What this buys at 100 TB is honest but conditional: per-bucket
+    * min/max only prune when values are LOCALIZED per bucket (batch
+    * loads whose buckets carry narrow ranges, dimension-correlated keys,
+    * compacted time-ordered history). A hash-bucketed layout spreads
+    * uncorrelated columns uniformly, where every bucket's range spans
+    * the domain and nothing prunes — forcing locality is what the
+    * Z-order layout (⊕K9) is for. The stats are still recorded
+    * delta-proportionally either way; a query that cannot prune pays
+    * only the manifest read. */
+  def readWhere(spark: SparkSession, dir: String,
+                predicate: Column): DataFrame = {
+    val m = requireManifest(dir)
+    readBuckets(spark, dir, m, prunedBuckets(spark, m, predicate))
+      .drop(BucketCol).filter(predicate)
+  }
+
+  /** The bucket subset [[readWhere]] would scan under `predicate`
+    * (None = no conjunct could prune, scan everything) — exposed for
+    * plan-quality assertions and operational "would this skip?"
+    * diagnostics. */
+  def prunableBuckets(dir: String, predicate: Column): Option[Set[Int]] =
+    prunedBuckets(SparkSession.active, requireManifest(dir), predicate)
+
+  private def prunedBuckets(spark: SparkSession, m: Manifest,
+                            predicate: Column): Option[Set[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference => CAttrRef, BinaryComparison, Cast => CCast, EqualTo => CEq, Expression => CExpr, GreaterThan => CGt, GreaterThanOrEqual => CGe, LessThan => CLt, LessThanOrEqual => CLe, Literal => CLit}
+    // the Column API builds unresolved function nodes (`>=` is
+    // UnresolvedFunction until the analyzer runs), so the predicate is
+    // ANALYZED against an empty relation of the table schema first —
+    // comparisons come back as typed catalyst nodes with any implicit
+    // casts made explicit. An unresolvable predicate (unknown column)
+    // prunes nothing here and fails loudly at the real scan.
+    val resolved: Option[CExpr] =
+      try {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+          .filter(predicate).queryExecution.analyzed match {
+          case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _) =>
+            Some(cond)
+          case _ => None
+        }
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    def conjuncts(e: CExpr): Seq[CExpr] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // an attribute, possibly under an analyzer-inserted order-preserving
+    // up-cast: the comparison then happens in the cast's target domain
+    def attrOf(e: CExpr): Option[(String, DataType)] = e match {
+      case a: CAttrRef => Some((a.name, a.dataType))
+      case c: CCast => c.child match {
+        case a: CAttrRef => Some((a.name, c.dataType))
+        case _ => None
+      }
+      case _ => None
+    }
+    def litOf(e: CExpr): Option[(Any, DataType)] = e match {
+      case CLit(v, dt) if v != null => Some((v, dt))
+      case c if c.foldable =>
+        Option(c.eval(null)).map(v => (v, c.dataType))
+      case _ => None
+    }
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    // evaluate `statString <op> literal` in the comparison domain by
+    // folding a tiny Cast-comparison — no hand-rolled per-type ordering;
+    // a stat that fails to parse yields null = keep the bucket
+    def cmp(op: (CExpr, CExpr) => BinaryComparison,
+            a: String, cmpDt: DataType, b: Any, bdt: DataType): Boolean = {
+      val l = CCast(CLit(org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.sql.types.StringType), cmpDt, tz)
+      op(l, CLit(b, bdt)).eval(null) match {
+        case java.lang.Boolean.TRUE => true
+        case _ => false
+      }
+    }
+    // a conjunct prunes bucket b when stats PROVE it can match no row
+    def pruneOf(e: CExpr): Option[(String, (String, String)) => Boolean] = {
+      def sides(l: CExpr, r: CExpr): Option[(String, DataType, Any, DataType, Boolean)] =
+        (attrOf(l), litOf(r), litOf(l), attrOf(r)) match {
+          case (Some((c, dt)), Some((v, vdt)), _, _) => Some((c, dt, v, vdt, false))
+          case (_, _, Some((v, vdt)), Some((c, dt))) => Some((c, dt, v, vdt, true))
+          case _ => None
+        }
+      val shape: Option[(String, DataType, Any, DataType, String)] = e match {
+        case CEq(l, r) => sides(l, r).map { case (c, dt, v, vd, _) => (c, dt, v, vd, "=") }
+        case CLt(l, r) => sides(l, r).map { case (c, dt, v, vd, f) =>
+          (c, dt, v, vd, if (f) ">" else "<") }
+        case CLe(l, r) => sides(l, r).map { case (c, dt, v, vd, f) =>
+          (c, dt, v, vd, if (f) ">=" else "<=") }
+        case CGt(l, r) => sides(l, r).map { case (c, dt, v, vd, f) =>
+          (c, dt, v, vd, if (f) "<" else ">") }
+        case CGe(l, r) => sides(l, r).map { case (c, dt, v, vd, f) =>
+          (c, dt, v, vd, if (f) "<=" else ">=") }
+        case _ => None
+      }
+      shape.flatMap { case (cname, cmpDt, v, vdt, op) =>
+        m.schema.fields.find(_.name.equalsIgnoreCase(cname))
+          .filter(f => statsEligible(f.dataType)).map { f =>
+            val canonical = f.name
+            (statCol: String, mm: (String, String)) => {
+              val (lo, hi) = mm
+              statCol == canonical && (op match {
+                // col = v: no row when v < min or v > max
+                case "=" => cmp(CGt(_, _), lo, cmpDt, v, vdt) ||
+                  cmp(CLt(_, _), hi, cmpDt, v, vdt)
+                // col < v: no row when min >= v
+                case "<" => cmp(CGe(_, _), lo, cmpDt, v, vdt)
+                case "<=" => cmp(CGt(_, _), lo, cmpDt, v, vdt)
+                // col > v: no row when max <= v
+                case ">" => cmp(CLe(_, _), hi, cmpDt, v, vdt)
+                case ">=" => cmp(CLt(_, _), hi, cmpDt, v, vdt)
+              })
+            }
+          }
+      }
+    }
+    val pruners = resolved.toSeq.flatMap(conjuncts).flatMap(pruneOf(_))
+    if (pruners.isEmpty || m.stats.isEmpty) None
+    else Some(m.buckets.keySet.filter { b =>
+      val st = m.stats.getOrElse(b, Map.empty)
+      // keep unless SOME conjunct proves emptiness from SOME recorded stat
+      !pruners.exists(p => st.exists { case (c, mm) => p(c, mm) })
+    })
   }
 
   /** Last committed streaming batch id, -1 if none / no table. */
@@ -633,11 +851,18 @@ object MergeTable {
     val sid = priorPhys.collectFirst {
       case (id, ps) if ps.schemaJson == schemaJson && ps.proj == identityProj => id
     }.getOrElse(priorPhys.keys.maxOption.map(_ + 1).getOrElse(0))
+    // per-bucket min/max of the REWRITTEN buckets, read back from the
+    // just-written stage (delta-proportional); untouched buckets keep
+    // their recorded stats, all-deleted rewritten buckets lose theirs
+    val newStats =
+      if (changed.isEmpty) Map.empty[Int, Map[String, (String, String)]]
+      else collectBucketStats(spark, s"$dir/$stage", widened)
     commit(dir, Manifest(newV, batchId, key, nb, schemaJson,
         prior.map(_.buckets).getOrElse(Map.empty) ++
           changed.map(_ -> (newV, sid)),
         priorPhys + (sid -> PhysSchema(schemaJson, identityProj)),
-        ts = commitTs(prior), op = "merge", rows = nRows),
+        ts = commitTs(prior), op = "merge", rows = nRows,
+        stats = prior.map(_.stats).getOrElse(Map.empty) -- changed ++ newStats),
       if (changed.nonEmpty) Some(stage) else None)
     Some(newV)
   }
@@ -693,7 +918,8 @@ object MergeTable {
         schemaJson =
           StructType(m.schema.fields.filterNot(_.name == column)).json,
         phys = m.phys.view.mapValues(ps =>
-          ps.copy(proj = ps.proj - column)).toMap)
+          ps.copy(proj = ps.proj - column)).toMap,
+        stats = m.stats.view.mapValues(_ - column).toMap)
     })
 
   /** Rename a column — metadata-only: the logical schema renames and every
@@ -715,6 +941,12 @@ object MergeTable {
           ps.proj.get(from) match {
             case Some(p) => ps.copy(proj = ps.proj - from + (to -> p))
             case None => ps // schema id predates the column: stays null-filled
+          }
+        }.toMap,
+        stats = m.stats.view.mapValues { st =>
+          st.get(from) match {
+            case Some(mm) => st - from + (to -> mm)
+            case None => st
           }
         }.toMap)
     })
@@ -804,11 +1036,15 @@ object MergeTable {
     val kept = m.buckets.filterNot { case (b, _) => chosen.contains(b) }
     val buckets = kept ++ liveDirs.map(_ -> (newV, sid))
     val referencedSids = buckets.values.map(_._2).toSet + sid
+    val newStats =
+      if (chosen.isEmpty) Map.empty[Int, Map[String, (String, String)]]
+      else collectBucketStats(spark, s"$dir/$stage", m.schema)
     commit(dir, m.copy(version = newV,
         buckets = buckets,
         phys = (m.phys + (sid -> PhysSchema(m.schemaJson, identityProj)))
           .filter { case (id, _) => referencedSids.contains(id) },
-        ts = commitTs(Some(m)), op = "compact", rows = 0L),
+        ts = commitTs(Some(m)), op = "compact", rows = 0L,
+        stats = m.stats -- chosen ++ newStats),
       if (chosen.nonEmpty) Some(stage) else None)
     newV
   }

@@ -1,0 +1,162 @@
+package graft.layout
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Non-key data skipping (r15 verdict task 4): every merge/compact
+  * records per-bucket min/max for the stats-eligible columns in the
+  * manifest, and `readWhere` prunes buckets whose recorded range proves a
+  * predicate can match no row — driver-side, before any file is listed or
+  * opened. Pruning only ever SHRINKS the scan; the predicate still runs
+  * on what is read, so a stats bug can cost rows, which is why every test
+  * here diffs readWhere against the unpruned filter. */
+class MergeStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    graft.util.Cleanup.registerTempDir(
+      Files.createTempDirectory(s"mstats_$tag")).toString + "/t"
+
+  /** Bucket of `id` under the table layout's own hash. */
+  private def bucketOf(id: Long, nb: Int): Int =
+    spark.range(1).select(pmod(hash(lit(id)), lit(nb))).head().getInt(0)
+
+  /** A 4-bucket table whose `v` values are LOCALIZED per bucket
+    * (v = bucket*100 + id%10): the shape where per-bucket min/max can
+    * prune — batch-loaded locality made deterministic for the test. */
+  private def localizedTable(tag: String): String = {
+    val dir = freshDir(tag)
+    val rows = (1L to 64L).map { id =>
+      val b = bucketOf(id, 4)
+      (id, b * 100L + id % 10, s"tag_$b", "create")
+    }
+    MergeTable.merge(spark, dir,
+      rows.toDF("id", "v", "tag", "op_flag"), "id", numBuckets = 4)
+    dir
+  }
+
+  test("readWhere prunes buckets by recorded min/max; result equals the unpruned filter") {
+    val dir = localizedTable("prune")
+    val pred = col("v") >= 200L && col("v") < 300L
+    // exactly bucket 2 survives the range
+    assert(MergeTable.prunableBuckets(dir, pred) === Some(Set(2)))
+    val got = MergeTable.readWhere(spark, dir, pred)
+      .as[(Long, Long, String)].collect().toSet
+    val want = MergeTable.read(spark, dir).filter(pred)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === want && got.nonEmpty)
+    // equality on the localized string column prunes to one bucket too
+    assert(MergeTable.prunableBuckets(dir, col("tag") === "tag_3") ===
+      Some(Set(3)))
+    // literal-on-the-left flips correctly
+    assert(MergeTable.prunableBuckets(dir, lit(200L) <= col("v") &&
+      lit(300L) > col("v")) === Some(Set(2)))
+    // an impossible range prunes EVERYTHING
+    assert(MergeTable.prunableBuckets(dir, col("v") > 10000L) ===
+      Some(Set.empty[Int]))
+    assert(MergeTable.readWhere(spark, dir, col("v") > 10000L).count() === 0L)
+  }
+
+  test("the pruned scan lists ONLY surviving bucket directories") {
+    val dir = localizedTable("scan")
+    val pruned = MergeTable.readWhere(spark, dir, col("v") >= 300L)
+    pruned.collect()
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        findScans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+    val locations = findScans(pruned.queryExecution.executedPlan)
+      .map(_.metadata.getOrElse("Location", ""))
+    val bucketDirs = locations.flatMap(
+      s"""${MergeTable.BucketCol}=(\\d+)""".r
+        .findAllMatchIn(_).map(_.group(1))).toSet
+    assert(bucketDirs === Set("3"),
+      s"scan should list only bucket 3's directory, got $bucketDirs")
+  }
+
+  test("unprunable predicates scan everything and still answer correctly") {
+    val dir = localizedTable("nop")
+    // non-comparison shape: no pruner extracted
+    assert(MergeTable.prunableBuckets(dir, col("v") % 2 === 0L).isEmpty)
+    assert(MergeTable.readWhere(spark, dir, col("v") % 2 === 0L).count() ===
+      MergeTable.read(spark, dir).filter(col("v") % 2 === 0L).count())
+    // unknown column: no pruner, loud analysis error only at execution
+    assert(MergeTable.prunableBuckets(dir, col("nope") === 1L).isEmpty)
+  }
+
+  test("merge updates the rewritten bucket's stats; untouched buckets keep theirs") {
+    val dir = localizedTable("upd")
+    // move bucket 2's values out of the 200-range entirely
+    val b2keys = (1L to 64L).filter(bucketOf(_, 4) == 2)
+    MergeTable.merge(spark, dir,
+      b2keys.map(id => (id, 9000L + id, "moved", "update"))
+        .toDF("id", "v", "tag", "op_flag"), "id")
+    // the old range now proves empty; the new one holds bucket 2 alone
+    assert(MergeTable.prunableBuckets(dir, col("v") >= 200L && col("v") < 300L)
+      === Some(Set.empty[Int]))
+    assert(MergeTable.prunableBuckets(dir, col("v") >= 9000L) === Some(Set(2)))
+    // untouched bucket 1 still prunes on its original range
+    assert(MergeTable.prunableBuckets(dir, col("v") >= 100L && col("v") < 200L)
+      === Some(Set(1)))
+  }
+
+  test("stats survive compact, follow renames, and drop with their column") {
+    val dir = localizedTable("evo")
+    MergeTable.compact(spark, dir)
+    assert(MergeTable.prunableBuckets(dir, col("v") >= 300L) === Some(Set(3)))
+    MergeTable.alterRenameColumn(dir, "v", "w")
+    assert(MergeTable.prunableBuckets(dir, col("w") >= 300L) === Some(Set(3)))
+    MergeTable.alterDropColumn(dir, "tag")
+    // dropped column: no pruner (schema lookup fails), no stale stats
+    assert(MergeTable.prunableBuckets(dir, col("tag") === "tag_3").isEmpty)
+    // widen keeps stats readable under the new type
+    MergeTable.alterWidenColumn(dir, "w",
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    assert(MergeTable.prunableBuckets(dir,
+      col("w") >= lit(BigDecimal(300))) === Some(Set(3)))
+  }
+
+  test("all-deleted buckets lose their stats; all-null columns record none") {
+    val dir = freshDir("nulls")
+    MergeTable.merge(spark, dir,
+      Seq((1L, Option.empty[Long], "create"), (2L, Option.empty[Long], "create"))
+        .toDF("id", "v", "op_flag"), "id", numBuckets = 2)
+    // v is all null: it records no stats, so nothing may prune on it
+    // (other columns' stats exist, hence Some(all live buckets))
+    val pb = MergeTable.prunableBuckets(dir, col("v") > 0L)
+    assert(pb.forall(_.size == 2), s"all-null column must not prune: $pb")
+    assert(MergeTable.readWhere(spark, dir, col("v") > 0L).count() === 0L)
+    // delete every row of key 1's bucket: its stats entry must go
+    MergeTable.merge(spark, dir,
+      Seq((1L, Option.empty[Long], "delete")).toDF("id", "v", "op_flag"), "id")
+    assert(MergeTable.readWhere(spark, dir, col("id") >= 0L)
+      .select("id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("timestamp stats prune under the pinned session timezone") {
+    val dir = freshDir("ts")
+    val rows = (1L to 32L).map { id =>
+      val b = bucketOf(id, 4)
+      // each bucket gets its own hour
+      (id, java.sql.Timestamp.valueOf(f"2026-03-01 0$b%d:00:00")
+        .toInstant.plusSeconds(id % 10), "create")
+    }
+    MergeTable.merge(spark, dir,
+      rows.toDF("id", "ts", "op_flag"), "id", numBuckets = 4)
+    val pred = col("ts") >= lit(java.sql.Timestamp.valueOf("2026-03-01 02:00:00")) &&
+      col("ts") < lit(java.sql.Timestamp.valueOf("2026-03-01 03:00:00"))
+    assert(MergeTable.prunableBuckets(dir, pred) === Some(Set(2)))
+    assert(MergeTable.readWhere(spark, dir, pred).count() ===
+      MergeTable.read(spark, dir).filter(pred).count())
+  }
+}
