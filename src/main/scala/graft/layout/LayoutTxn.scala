@@ -7,11 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Optimistic-concurrency commit protocol for MAINTAINED hive layouts —
   * the r11 MergeTable CAS discipline extended to the at-rest index layers
-  * (VERDICT r11 task 2). [[graft.sim.Similarity.ivfUpsertLayout]] and
-  * [[graft.text.TextAnalysis.indexUpsertLayout]] previously mutated their
-  * `cell=` / `tb=` directories with bare dynamic-partition overwrites: two
-  * concurrent upserts interleaved file-by-file and corrupted a partition
-  * dir silently. Every maintenance commit now goes through this protocol:
+  * (VERDICT r11 task 2), with READER SNAPSHOT ISOLATION since r15
+  * (VERDICT r14 task 3). [[graft.sim.Similarity.ivfUpsertLayout]] and
+  * [[graft.text.TextAnalysis.indexUpsertLayout]] commit through this
+  * protocol:
   *
   *  1. **STAGE.** The replacement contents of every touched partition are
   *     written to an attempt-unique `_lstage_v<n>_<uuid>/` dir (hive
@@ -19,33 +18,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     layout itself is untouched — a writer that dies here leaves only an
   *     orphan stage, swept by the next [[begin]] after a grace period.
   *  2. **CLAIM (the CAS).** The commit manifest — stage name, per-group
-  *     touched partitions and deletions — is published as the immutable
-  *     `_layout_commit_v<n>` file via `Files.createLink`: atomic
-  *     fail-if-exists, exactly one writer per parent version wins. The
-  *     loser deletes its stage and throws [[LayoutTxn.ConflictException]]
-  *     (retry = re-run the upsert against the new current version; the
-  *     re-run re-reads the committed layout, so its delta composes).
-  *  3. **SWAP.** Touched partition dirs are renamed in from the stage
-  *     (delete-old + atomic per-dir move), emptied partitions deleted,
-  *     then `_layout_version` advances by tmp-write + ATOMIC_MOVE.
+  *     partition column, touched partitions and deletions — is published
+  *     as the immutable `_layout_commit_v<n>` file via `Files.createLink`:
+  *     atomic fail-if-exists, exactly one writer per parent version wins.
+  *     The loser deletes its stage and throws [[LayoutTxn
+  *     .ConflictException]] (retry = re-run the upsert against the new
+  *     current version; the re-run re-reads the committed layout, so its
+  *     delta composes).
+  *  3. **PUBLISH.** The whole stage dir is renamed to the IMMUTABLE
+  *     version dir `_lv<n>/` — ONE atomic move, never an in-place
+  *     partition mutation — and `_layout_version` is swapped (tmp-write +
+  *     ATOMIC_MOVE) carrying the new per-sub partition→owning-version
+  *     MAP: each partition points at the version dir that last wrote it
+  *     (version 0 = the plain hive dirs a full rebuild leaves at the
+  *     root). Untouched partitions keep their map entry; touched
+  *     partitions with no surviving rows leave the map.
+  *
+  * **Reader snapshot isolation (r15).** [[resolve]]/[[readLayout]]
+  * resolve the version file ONCE and then read only immutable
+  * directories — `_lv<k>` dirs are never modified after their rename,
+  * root dirs are never modified after the version file exists (commits
+  * only repoint the map). A reader overlapping any number of commits
+  * sees exactly the partition set of the version it resolved — never a
+  * mix (LayoutIsolationSpec). Superseded version dirs are reclaimed in
+  * TWO phases by [[begin]]: a dir whose partitions are all unreferenced
+  * is first TOMBSTONED (`_superseded` marker) and only deleted once the
+  * marker is idle past the grace window — a reader that resolved within
+  * the grace period keeps its snapshot on disk (reads longer than the
+  * grace window are out of contract, the standard retention rule).
   *
   * A writer that crashes AFTER its claim is rolled FORWARD by the next
-  * writer's [[begin]] — the claim records everything the swap needs, and
-  * every swap step is idempotent. Because the swap mutates shared
-  * partition dirs (unlike MergeTable, whose data rename is one atomic
-  * whole-version move), roll-forward of a claim is fenced by freshness: a
-  * claim younger than the grace window means a LIVE writer is mid-swap,
-  * and [[begin]] throws [[ConflictException]] rather than racing its
-  * renames destructively. A stalled-past-grace writer racing its own
-  * recoverer is the same residual window MergeTable documents.
-  *
-  * What this protocol gives the index layers is WRITER-writer atomicity —
-  * one linear history of maintenance commits, no interleaved overwrites,
-  * loud conflicts. Reader-vs-writer SNAPSHOT isolation is deliberately out
-  * of scope: a reader overlapping a swap can see partition dirs from two
-  * commits (exactly as it could under the old dynamic overwrite, which
-  * additionally tore single files); the snapshot-isolated table surface in
-  * this engine is [[MergeTable]].
+  * writer's [[begin]] — the claim records everything the publish needs,
+  * and both publish steps are idempotent and atomic (the whole-dir
+  * rename replaced r11's per-partition swap, which could tear). A claim
+  * younger than the grace window still conflicts in [[begin]] rather
+  * than racing a live writer's publish.
   */
 object LayoutTxn {
 
@@ -57,78 +64,148 @@ object LayoutTxn {
       s"concurrent layout commit at $dir: version $version $why; " +
         "re-read the layout and retry the upsert")
 
-  /** A claimed layout commit whose staged partition is gone AND whose
-    * destination was not written by THIS commit (absent, or carrying a
-    * prior version's contents without this commit's swap marker) — the
-    * staged data no longer exists anywhere (e.g. the stage was swept while
-    * the writer stalled past grace between staging and claiming, or was
-    * partially deleted). The claim is withdrawn before this is thrown so
-    * the layout heals: the next writer re-claims the version cleanly
-    * instead of silently committing stale partition contents — the
-    * [[MergeTable.LostCommitException]] discipline at the layout layer.
-    *
-    * TORN-STATE RESIDUE: the throw can land mid-swap — earlier groups'
-    * deletions and moves of the SAME commit may already be applied, so
-    * until the interrupted upsert is re-run the layout can mix this
-    * commit's partitions with the parent version's (the same exposure a
-    * reader overlapping any swap has — see the object scaladoc; the
-    * version file still names the parent, and the re-run upsert reclaims
-    * the version and re-stages every touched partition). */
+  /** A claimed layout commit whose staged data AND published `_lv<n>`
+    * dir are both missing — the staged data no longer exists anywhere
+    * (e.g. the stage was swept while the writer stalled past grace
+    * between staging and claiming). The claim is withdrawn before this
+    * is thrown so the layout heals: the next writer re-claims the
+    * version cleanly — the [[MergeTable.LostCommitException]] discipline
+    * at the layout layer. Unlike r11's per-partition swap there is NO
+    * torn-state residue: the layout still reads as the parent version. */
   final class LostLayoutCommitException(dir: String, version: Long,
-                                        stage: String, part: String)
+                                        stage: String)
     extends RuntimeException(
-      s"layout commit v$version at $dir is unrecoverable: staged partition " +
-        s"'$stage/$part' is missing and its destination was not written by " +
-        "this commit (the stage was likely swept while the writer " +
-        "stalled); the claim was withdrawn — the interrupted upsert must " +
-        "be re-run (earlier partitions of this commit may already be " +
-        "swapped in; the re-run restores a single version)")
+      s"layout commit v$version at $dir is unrecoverable: its staged dir " +
+        s"'$stage' and published _lv$version dir are both missing (the " +
+        "stage was likely swept while the writer stalled); the claim was " +
+        "withdrawn — the interrupted upsert must be re-run")
 
   /** One partitioned subtree participating in a commit. `sub` is the
     * subtree below the layout root ("" = the root itself, e.g. the
     * `_docmap` doc store rides the same commit as its postings).
     * `touched` are partition DIR names ("cell=3"); partitions in
-    * `touched` with no rows in `replacement` are deleted at swap. */
+    * `touched` with no rows in `replacement` are deleted at swap.
+    * Partition dir names may not contain ',' or ':' (map encoding). */
   case class Group(sub: String, replacement: DataFrame, partCol: String,
                    sortCols: Seq[String], touched: Seq[String])
 
-  /** Per-commit swap marker, written INSIDE every staged partition dir
-    * before the claim and carried along by the dir move: at roll-forward,
-    * 'destination exists' alone cannot distinguish 'a prior pass already
-    * moved this partition' from 'the stage was swept and the destination
-    * still holds the REPLACED version's contents' — the marker can. Hive
-    * partition discovery ignores `_`-prefixed files, and each move
-    * replaces the whole dest dir, so a partition carries exactly the
-    * marker of the commit that last wrote it. */
-  private[layout] def markerName(version: Long): String = s"_lcommit_v$version"
-
   private val VersionFile = "_layout_version"
+  private val Tombstone = "_superseded"
   private def versionPath(dir: String): Path = Paths.get(dir, VersionFile)
   private def claimPath(dir: String, v: Long): Path =
     Paths.get(dir, s"_layout_commit_v$v")
-  private def subRoot(dir: String, sub: String): Path =
-    if (sub.isEmpty) Paths.get(dir) else Paths.get(dir, sub)
+  private def lvDir(dir: String, v: Long): Path = Paths.get(dir, s"_lv$v")
+  private def subRoot(base: Path, sub: String): Path =
+    if (sub.isEmpty) base else base.resolve(sub)
 
-  /** Current committed version; 0 for a layout that predates the protocol
-    * (or was just [re]built whole — full builds wipe the dir, version
-    * state included, and restart history). */
-  def currentVersion(dir: String): Long = currentVersionInfo(dir)._1
+  /** The version file's content: version, commit ts, and the per-sub
+    * partition→owning-version map ([[resolve]]'s input). A layout with
+    * no version file is pre-protocol / freshly rebuilt: version 0, no
+    * map — every sub root-lists. */
+  private case class VersionState(version: Long, ts: Long,
+                                  maps: Map[String, (String, Map[String, Long])]) {
+    // maps: sub -> (partCol, partName -> owningVersion)
+  }
 
-  /** (version, commit wall-clock millis) of the current layout commit —
-    * the MergeTable manifest-timestamp discipline at the layout layer
-    * (r14): the claim stamps its creation instant and finish() carries it
-    * into the version file, so an operator can tell WHEN an index layout
-    * last changed without external bookkeeping. ts = 0 for pre-r14 or
-    * freshly rebuilt layouts. */
-  def currentVersionInfo(dir: String): (Long, Long) = {
+  private def readState(dir: String): Option[VersionState] = {
     val p = versionPath(dir)
-    if (!Files.exists(p)) (0L, 0L)
+    if (!Files.exists(p)) None
     else {
       val pr = new Properties()
       val in = Files.newInputStream(p)
       try pr.load(in) finally in.close()
-      (pr.getProperty("version").toLong,
-        Option(pr.getProperty("ts")).map(_.toLong).getOrElse(0L))
+      val nSubs = pr.getProperty("subs", "0").toInt
+      val maps = (0 until nSubs).map { i =>
+        val sub = pr.getProperty(s"sub.$i.name")
+        val pc = pr.getProperty(s"sub.$i.partcol")
+        val m = pr.getProperty(s"sub.$i.map", "") match {
+          case "" => Map.empty[String, Long]
+          case s => s.split(",").iterator.map { ent =>
+            val idx = ent.lastIndexOf(':')
+            ent.substring(0, idx) -> ent.substring(idx + 1).toLong
+          }.toMap
+        }
+        sub -> (pc, m)
+      }.toMap
+      Some(VersionState(pr.getProperty("version").toLong,
+        Option(pr.getProperty("ts")).map(_.toLong).getOrElse(0L), maps))
+    }
+  }
+
+  /** Current committed version; 0 for a layout that predates the protocol
+    * (or was just [re]built whole — full builds wipe the dir, version
+    * state included, and restart history). */
+  def currentVersion(dir: String): Long =
+    readState(dir).map(_.version).getOrElse(0L)
+
+  /** (version, commit wall-clock millis) of the current layout commit —
+    * the MergeTable manifest-timestamp discipline at the layout layer
+    * (r14). ts = 0 for pre-protocol or freshly rebuilt layouts. */
+  def currentVersionInfo(dir: String): (Long, Long) =
+    readState(dir).map(s => (s.version, s.ts)).getOrElse((0L, 0L))
+
+  /** List the root hive partitions of one subtree (the version-0 /
+    * pre-protocol layout form). */
+  private def rootParts(dir: String, sub: String, partCol: String): Seq[String] =
+    Option(subRoot(Paths.get(dir), sub).toFile.listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+      .map(_.getName).sorted
+
+  /** The current snapshot's concrete partition directories for one
+    * subtree: (partition dir name, absolute path), resolved ONCE from
+    * the version file — each path is immutable (a root dir the protocol
+    * never mutates, or an `_lv<k>` version dir). `partCol` is only used
+    * for the pre-protocol root-listing fallback. */
+  def resolve(dir: String, sub: String, partCol: String)
+      : Seq[(String, String)] = {
+    readState(dir).flatMap(_.maps.get(sub)) match {
+      case None => // pre-protocol layout (or sub never committed): root
+        rootParts(dir, sub, partCol)
+          .map(p => p -> subRoot(Paths.get(dir), sub).resolve(p).toString)
+      case Some((_, m)) =>
+        m.toSeq.sortBy(_._1).map { case (p, v) =>
+          val base = if (v == 0L) subRoot(Paths.get(dir), sub)
+            else subRoot(lvDir(dir, v), sub)
+          p -> base.resolve(p).toString
+        }
+    }
+  }
+
+  /** Snapshot-isolated read of one subtree, optionally restricted to a
+    * partition subset (`only` = partition dir names, e.g. "cell=3") —
+    * the restriction prunes the DIRECTORY LIST driver-side before any
+    * file is listed, which is partition pruning without even a
+    * PartitionFilter. Partitions resolve to immutable dirs, so the
+    * returned plan keeps reading its snapshot regardless of concurrent
+    * commits. Partition column values parse from the dir names exactly
+    * as a plain hive read would parse them. */
+  def readLayout(spark: SparkSession, dir: String, sub: String,
+                 partCol: String,
+                 only: Option[Set[String]] = None): DataFrame = {
+    val all = resolve(dir, sub, partCol)
+    val parts = all.filter { case (p, _) => only.forall(_.contains(p)) }
+    // one scan per distinct base (root / each owning version dir): the
+    // basePath option is what turns the dir name into the partition
+    // column, and it must be a parent of every path in its scan
+    val byBase = parts.groupBy { case (p, path) =>
+      path.stripSuffix("/" + p)
+    }.toSeq.sortBy(_._1)
+    val scans = byBase.map { case (base, ps) =>
+      spark.read.option("basePath", base).parquet(ps.map(_._2): _*)
+    }
+    scans.reduceOption(_.unionByName(_)).getOrElse {
+      // nothing survived the restriction: an empty frame, its schema
+      // inferred from any live partition (or the sub root for a layout
+      // with none — which throws the standard path error when the layout
+      // truly doesn't exist, the honest outcome)
+      all.headOption match {
+        case Some((p, path)) =>
+          spark.read.option("basePath", path.stripSuffix("/" + p))
+            .parquet(path).limit(0)
+        case None =>
+          spark.read.parquet(subRoot(Paths.get(dir), sub).toString).limit(0)
+      }
     }
   }
 
@@ -145,57 +222,69 @@ object LayoutTxn {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Swap a claimed commit in; every step idempotent so a crashed swap
-    * re-runs to completion. */
+  /** Publish a claimed commit: whole-stage rename to `_lv<n>` + version
+    * file swap with the updated maps. Every step idempotent and atomic,
+    * so a crashed publish re-runs to completion and a recoverer racing
+    * the original writer converges. */
   private def finish(dir: String, pr: Properties): Unit = {
     val version = pr.getProperty("version").toLong
     val stage = pr.getProperty("stage")
+    if (currentVersion(dir) >= version) return // already published
+    val lv = lvDir(dir, version)
+    if (!Files.exists(lv)) {
+      val stagePath = Paths.get(dir, stage)
+      if (!Files.exists(stagePath)) {
+        // between the two checks a racer may have completed the rename
+        if (!Files.exists(lv)) {
+          Files.deleteIfExists(claimPath(dir, version))
+          throw new LostLayoutCommitException(dir, version, stage)
+        }
+      } else {
+        try Files.move(stagePath, lv, StandardCopyOption.ATOMIC_MOVE)
+        catch { // the other racer already renamed it
+          case _: java.nio.file.NoSuchFileException if Files.exists(lv) => ()
+          case _: java.nio.file.FileAlreadyExistsException => ()
+        }
+      }
+    }
+    // build the new version state: parent maps (version file, or root
+    // listing for a sub's first versioned commit) repointed by this
+    // commit's moves/dels
+    val parent = readState(dir)
     val nGroups = pr.getProperty("groups").toInt
-    (0 until nGroups).foreach { i =>
+    val committed = (0 until nGroups).map { i =>
       val sub = pr.getProperty(s"group.$i.sub")
-      val dest = subRoot(dir, sub)
-      Files.createDirectories(dest)
+      val pc = pr.getProperty(s"group.$i.partcol", "")
       def parts(kind: String): Seq[String] =
         pr.getProperty(s"group.$i.$kind", "") match {
           case "" => Seq.empty; case s => s.split(",").toSeq
         }
-      parts("dels").foreach(p => deleteRecursively(dest.resolve(p).toFile))
-      parts("moves").foreach { p =>
-        val from = subRoot(s"$dir/$stage", sub).resolve(p)
-        val to = dest.resolve(p)
-        if (Files.exists(from)) {
-          deleteRecursively(to.toFile)
-          Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
-        } else if (!Files.exists(to.resolve(markerName(version)))) {
-          // 'absent from stage' normally means a prior (crashed) pass
-          // already moved it — in which case the DESTINATION carries THIS
-          // commit's swap marker (staged alongside the data, moved with
-          // the dir). No marker means the staged data is LOST: dest
-          // absent entirely, OR dest still holding the PARENT version's
-          // contents because the stage was swept under a stalled writer —
-          // the replaced-partition case a bare existence check would
-          // silently accept as 'already moved'. Withdraw the claim so the
-          // layout heals, and fail loudly instead of advancing the
-          // version over stale/absent partition contents.
-          Files.deleteIfExists(claimPath(dir, version))
-          throw new LostLayoutCommitException(dir, version, stage,
-            if (sub.isEmpty) p else s"$sub/$p")
-        }
-      }
+      val parentMap: Map[String, Long] =
+        parent.flatMap(_.maps.get(sub).map(_._2)).getOrElse(
+          rootParts(dir, sub, pc).map(_ -> 0L).toMap)
+      val touched = (parts("moves") ++ parts("dels")).toSet
+      sub -> (pc, parentMap -- touched ++ parts("moves").map(_ -> version))
+    }.toMap
+    val carried = parent.map(_.maps).getOrElse(Map.empty)
+      .filterNot { case (sub, _) => committed.contains(sub) }
+    val maps = carried ++ committed
+    val vp = new Properties()
+    vp.setProperty("version", version.toString)
+    vp.setProperty("ts", pr.getProperty("ts", "0"))
+    vp.setProperty("subs", maps.size.toString)
+    maps.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((sub, (pc, m)), i) =>
+      vp.setProperty(s"sub.$i.name", sub)
+      vp.setProperty(s"sub.$i.partcol", pc)
+      vp.setProperty(s"sub.$i.map",
+        m.toSeq.sorted.map { case (p, v) => s"$p:$v" }.mkString(","))
     }
-    deleteRecursively(new java.io.File(dir, stage))
-    if (currentVersion(dir) < version) {
-      val vp = new Properties()
-      vp.setProperty("version", version.toString)
-      vp.setProperty("ts", pr.getProperty("ts", "0"))
-      writeAtomic(dir, vp, versionPath(dir))
-    }
+    if (currentVersion(dir) < version) writeAtomic(dir, vp, versionPath(dir))
   }
 
   /** Entry point for every maintenance writer: roll forward a crashed
-    * commit (or conflict loudly on a LIVE one), sweep orphaned stages idle
-    * past the grace window, and return the version the caller's commit
-    * must name as parent. */
+    * commit (or conflict loudly on a LIVE one), sweep orphaned stages and
+    * tombstoned superseded version dirs idle past the grace window, and
+    * return the version the caller's commit must name as parent. */
   def begin(dir: String, graceMs: Long = 600000L): Long = {
     if (!Files.isDirectory(Paths.get(dir))) return 0L
     var v = currentVersion(dir)
@@ -213,21 +302,52 @@ object LayoutTxn {
       v = currentVersion(dir)
       pending = claimPath(dir, v + 1)
     }
-    // sweep crash-orphaned stages (died before their CAS claim): any
-    // _lstage_* not referenced by a pending claim, idle past grace — the
-    // same mtime discipline as MergeTable.vacuum
     val now = System.currentTimeMillis()
     def newest(x: java.io.File): Long =
       (x.lastModified() +: Option(x.listFiles()).getOrElse(Array.empty)
         .map(newest).toSeq).max
+    // sweep crash-orphaned stages (died before their CAS claim): any
+    // _lstage_* not referenced by a pending claim, idle past grace
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("_lstage_") &&
         now - newest(f) >= graceMs)
       .foreach(deleteRecursively)
+    // two-phase reclamation of SUPERSEDED immutable dirs: phase 1 plants
+    // a tombstone in any _lv<k>/root-partition dir no map entry
+    // references; phase 2 deletes it once the tombstone is idle past
+    // grace — a reader that resolved within the window keeps its
+    // snapshot on disk
+    readState(dir).foreach { st =>
+      val referenced: Set[(Long, String, String)] = st.maps.toSeq.flatMap {
+        case (sub, (_, m)) => m.toSeq.map { case (p, ver) => (ver, sub, p) }
+      }.toSet
+      def sweep(target: java.io.File): Unit = {
+        val tomb = new java.io.File(target, Tombstone)
+        if (!tomb.exists()) { Files.createFile(tomb.toPath); () }
+        else if (now - tomb.lastModified() >= graceMs)
+          deleteRecursively(target)
+      }
+      // whole _lv<k> dirs (k < current) with zero referenced partitions
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("_lv\\d+"))
+        .foreach { f =>
+          val k = f.getName.stripPrefix("_lv").toLong
+          if (k < st.version && !referenced.exists(_._1 == k)) sweep(f)
+        }
+      // root partition dirs of MAPPED subs that the map no longer points
+      // at version 0 (a full rebuild wipes the version file first, so a
+      // mapless layout is never touched here)
+      st.maps.foreach { case (sub, (pc, _)) =>
+        rootParts(dir, sub, pc).foreach { p =>
+          if (!referenced.contains((0L, sub, p)))
+            sweep(subRoot(Paths.get(dir), sub).resolve(p).toFile)
+        }
+      }
+    }
     v
   }
 
-  /** Stage + CAS-claim + swap one commit of `groups` against `parent`
+  /** Stage + CAS-claim + publish one commit of `groups` against `parent`
     * (from [[begin]]). Returns the committed version. Throws
     * [[ConflictException]] (stage cleaned up) if another writer claimed
     * `parent + 1` first. */
@@ -242,22 +362,22 @@ object LayoutTxn {
     pr.setProperty("ts", System.currentTimeMillis().toString)
     pr.setProperty("groups", groups.size.toString)
     groups.zipWithIndex.foreach { case (g, i) =>
-      val stageSub = subRoot(s"$dir/$stage", g.sub)
+      require(g.touched.forall(p => !p.contains(",") && !p.contains(":")),
+        s"partition names may not contain ',' or ':': ${g.touched.mkString(" ")}")
+      val stageSub = subRoot(Paths.get(dir, stage), g.sub)
       DataLayout.writePartitionedSorted(
         g.replacement, stageSub.toString, Seq(g.partCol), g.sortCols)
       // partitions the replacement actually produced; a touched partition
-      // with no surviving rows becomes a deletion
+      // with no surviving rows becomes a deletion (it leaves the map)
       val present = Option(stageSub.toFile.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith(s"${g.partCol}="))
         .map(_.getName).toSet
-      // the swap marker rides in the staged dir and moves with it
-      present.foreach(p =>
-        Files.createFile(stageSub.resolve(p).resolve(markerName(newV))))
       val unexpected = present -- g.touched.toSet
       require(unexpected.isEmpty,
         s"replacement for '${g.sub}' wrote partitions outside its declared " +
           s"touched set: ${unexpected.mkString(",")}")
       pr.setProperty(s"group.$i.sub", g.sub)
+      pr.setProperty(s"group.$i.partcol", g.partCol)
       pr.setProperty(s"group.$i.moves",
         g.touched.filter(present.contains).mkString(","))
       pr.setProperty(s"group.$i.dels",

@@ -240,8 +240,12 @@ object Similarity {
     // one materialization feeds the driver-side cell collect AND the join
     val qCells = probeCells(queries, cents, nprobe).transform(graft.util.Cleanup.checkpoint(_))
     val probed = qCells.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val c = spark.read.parquet(layoutDir)
-      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+    // snapshot-isolated resolve (r15): the probed cells prune the
+    // DIRECTORY LIST driver-side, and each listed dir is immutable — a
+    // maintenance commit landing mid-query cannot mix two versions into
+    // this scan
+    val c = graft.layout.LayoutTxn.readLayout(spark, layoutDir, "", "cell",
+        Some(probed.map(p => s"cell=$p").toSet))
       .select(col("vec_id").as("nid"), col("embedding").as("__ce"), col("cell"))
     ivfRank(queries, c, qCells, k)
   }
@@ -286,15 +290,16 @@ object Similarity {
       .transform(graft.util.Cleanup.checkpoint(_))
     val newCells = assignedNew.select("cell").distinct()
       .collect().map(_.getInt(0)).toSet
-    val existing = spark.read.parquet(layoutDir)
+    val existing = graft.layout.LayoutTxn.readLayout(spark, layoutDir, "", "cell")
     val staleCells = existing
       .join(assignedNew.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .select("cell").distinct().collect().map(_.getInt(0)).toSet
     val touched = (newCells ++ staleCells).toSeq.sorted
     // survivors: rows of touched cells not superseded by the upsert —
-    // the isin is a PartitionFilter, so only touched dirs are read
-    val survivors = existing
-      .filter(col("cell").isin(touched.map(Int.box): _*))
+    // the touched set prunes the resolved dir list, so only those
+    // immutable dirs are read
+    val survivors = graft.layout.LayoutTxn.readLayout(spark, layoutDir, "",
+        "cell", Some(touched.map(c => s"cell=$c").toSet))
       .join(assignedNew.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"), col("cell"))
     val replacement = survivors.unionByName(assignedNew)
@@ -327,7 +332,7 @@ object Similarity {
     // same maintenance-writer entry as ivfUpsertLayout: roll forward /
     // conflict BEFORE reading the layout the rewrite is computed from
     val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
-    val atRest = spark.read.parquet(layoutDir)
+    val atRest = graft.layout.LayoutTxn.readLayout(spark, layoutDir, "", "cell")
       .select(col("vec_id"), col("embedding"), col("cell"))
     val skew = graft.ops.Relational.skewProfile(atRest, "cell")
       .select(col("skew_factor")).head().getDouble(0)
@@ -336,13 +341,11 @@ object Similarity {
       val corpus = atRest.select(col("vec_id"), col("embedding"))
         .transform(graft.util.Cleanup.checkpoint(_))
       val cents = ivfCentroids(corpus, cells, iters, dims)
-      // a full rewrite touches every live cell dir plus every cell the
+      // a full rewrite touches every live cell plus every cell the
       // retrained assignment can produce — cells emptied by the retrain
       // become deletions at swap, exactly like an upsert's emptied cell
-      val existingDirs = Option(new java.io.File(layoutDir).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-        .map(_.getName).toSet
+      val existingDirs = graft.layout.LayoutTxn
+        .resolve(layoutDir, "", "cell").map(_._1).toSet
       val touched = (existingDirs ++ (0 until cells).map(c => s"cell=$c"))
         .toSeq.sorted
       graft.layout.LayoutTxn.commit(spark, layoutDir, parent, Seq(

@@ -311,12 +311,13 @@ object TextAnalysis {
     // needs the doc store for the same information.
     val newTb = delta.select(col("tb")).distinct()
       .collect().map(_.getLong(0)).toSet
-    val staleTb = spark.read.parquet(docMapPath)
+    val staleTb = graft.layout.LayoutTxn
+      .readLayout(spark, layoutDir, DocMapDir, "dm")
       .join(deltaIds, Seq("doc_id"), "left_semi")
       .select(col("tb")).distinct().collect().map(_.getLong(0)).toSet
     val touched = (newTb ++ staleTb).toSeq.sorted
-    val existing = spark.read.parquet(layoutDir)
-      .filter(col("tb").isin(touched.map(Long.box): _*))
+    val existing = graft.layout.LayoutTxn.readLayout(spark, layoutDir, "",
+      "tb", Some(touched.map(b => s"tb=$b").toSet))
     val survivors = existing
       .select(col("tb"), col("term"), explode(col("postings")).as("p"))
       .select(col("tb"), col("term"), col("p.doc_id").as("doc_id"),
@@ -340,8 +341,9 @@ object TextAnalysis {
     val dmTouched = deltaIds
       .select(pmod(col("doc_id"), lit(buckets.toLong)).as("dm")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
-    val dmSurvivors = spark.read.parquet(docMapPath)
-      .filter(col("dm").isin(dmTouched.map(Long.box): _*))
+    val dmSurvivors = graft.layout.LayoutTxn
+      .readLayout(spark, layoutDir, DocMapDir, "dm",
+        Some(dmTouched.map(b => s"dm=$b").toSet))
       .join(deltaIds, Seq("doc_id"), "left_anti")
     val dmReplacement = dmSurvivors.unionByName(docMapOf(delta, buckets))
       .select(col("doc_id"), col("tb"), col("dm"))
@@ -363,8 +365,11 @@ object TextAnalysis {
   def searchIndexLayout(spark: org.apache.spark.sql.SparkSession, dir: String,
                         terms: Seq[String], buckets: Int = 16): DataFrame = {
     val tbs = terms.map(termBucketJvm(_, buckets)).distinct
-    val pruned = spark.read.parquet(dir)
-      .filter(col("tb").isin(tbs: _*))
+    // snapshot-isolated resolve (r15): the query terms' buckets prune
+    // the directory list driver-side; each listed dir is immutable, so
+    // an index upsert landing mid-search cannot mix two versions here
+    val pruned = graft.layout.LayoutTxn.readLayout(spark, dir, "", "tb",
+        Some(tbs.map(b => s"tb=$b").toSet))
       .drop("tb")
     searchAll(pruned, terms)
   }
