@@ -1452,7 +1452,11 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       q151FixtureSub = s"$Q151FixtureDir/${new java.io.File(d).getName}"
       val fx = q151FixtureSub
-      val marker = new java.io.File(s"$fx/_built_k16_mod7_v1")
+      // marker suffix encodes the at-rest layout FORMAT generation (lv2 =
+      // the r15 _lv<n> snapshot-isolation protocol): a format change bumps
+      // it, so memoization can never reuse a fixture written by an
+      // incompatible protocol (the r15 vacuous-pass hole)
+      val marker = new java.io.File(s"$fx/_built_k16_mod7_lv2")
       if (!marker.exists()) {
         val cents = Similarity.ivfCentroids(emb, 16)
         val isDelta = col("vec_id") % 7 === 0
@@ -1467,7 +1471,10 @@ object SparkEntry {
         Similarity.ivfUpsertLayout(s, s"$fx/layout", cents, emb.filter(isDelta))
         marker.createNewFile()
       }
-      s.read.parquet(s"$fx/layout")
+      // the maintained layout lives partly in immutable _lv<n> version
+      // dirs a plain hive read skips — readLayout resolves the committed
+      // snapshot (plain parquet here would return the STALE pre-upsert rows)
+      graft.layout.LayoutTxn.readLayout(s, s"$fx/layout", "", "cell")
         .select(col("vec_id"), col("cell").cast("int").as("cell"))
         .orderBy(col("vec_id"))
     }),
@@ -1488,7 +1495,8 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       q170FixtureSub = s"$Q170FixtureDir/${new java.io.File(d).getName}"
       val fx = q170FixtureSub
-      val marker = new java.io.File(s"$fx/_built_k16_absdrift_v1")
+      // lv2 = the r15 _lv<n> layout protocol; bump on format change (q151)
+      val marker = new java.io.File(s"$fx/_built_k16_absdrift_lv2")
       if (!marker.exists()) {
         val cents0 = Similarity.ivfCentroids(emb, 16)
         Similarity.writeIvfLayout(emb, cents0, s"$fx/layout")
@@ -1510,7 +1518,8 @@ object SparkEntry {
           .coalesce(1).write.mode("overwrite").parquet(s"$fx/centroids.parquet")
         marker.createNewFile()
       }
-      s.read.parquet(s"$fx/layout")
+      // snapshot-isolated read of the maintained layout (see q151)
+      graft.layout.LayoutTxn.readLayout(s, s"$fx/layout", "", "cell")
         .select(col("vec_id"), col("cell").cast("int").as("cell"))
         .orderBy(col("vec_id"))
     }),
@@ -3112,6 +3121,25 @@ object SparkEntry {
           col("price") >= 50000.0 && col("price") < 150000.0 &&
             col("status") === "U")
         .orderBy(col("okey"))
+    }),
+
+    // ⊕K7 manifest data skipping through the SQL DOOR (r16): the same
+    // pruned read q188 proves for the Scala readWhere, reached from
+    // verbatim `SELECT ... FROM t WHERE pred` — MergeTableSqlResolution
+    // routes the relation under a WHERE through readPruned with the
+    // predicate as the pruning hint, while the analyzer's own Filter
+    // stays on top and answers it. PlanQualitySpec pins the pruned
+    // directory list on a bucket-localized table; this query pins
+    // row-for-row correctness under stats on the hash-bucketed fixture.
+    "q189_sql_skipping" -> ((s, d) => {
+      graft.plans.MergeTableSql.register("orders_mt_skip",
+        ordersMergeTableShared(s, d))
+      val out = s.sql("""SELECT okey, cust, price, status
+        FROM orders_mt_skip
+        WHERE price >= 50000.0 AND price < 150000.0 AND status = 'U'
+        ORDER BY okey""")
+      graft.plans.MergeTableSql.unregister("orders_mt_skip")
+      out
     }),
 
     // ⊕K7 CDC by WALL-CLOCK (r15): the graft_changes window named by
@@ -4952,6 +4980,15 @@ object SparkEntry {
     // q188: the pruned read's result is the plain filter over q63's
     // closed-form final state (status 'U' rows are exactly %7 = 1)
     "q188_data_skipping" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust,
+        |  o_totalprice + 1.0 AS price, 'U' AS status
+        |FROM orders WHERE o_orderkey % 7 = 1
+        |  AND o_totalprice + 1.0 >= 50000.0 AND o_totalprice + 1.0 < 150000.0
+        |ORDER BY okey""".stripMargin,
+
+    // q189: the SQL-door pruned read answers exactly like q188's Scala
+    // readWhere (the status filter is explicit here; 'U' rows are %7 = 1)
+    "q189_sql_skipping" ->
       """SELECT o_orderkey AS okey, o_custkey AS cust,
         |  o_totalprice + 1.0 AS price, 'U' AS status
         |FROM orders WHERE o_orderkey % 7 = 1

@@ -36,9 +36,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * **Reader snapshot isolation (r15).** [[resolve]]/[[readLayout]]
   * resolve the version file ONCE and then read only immutable
-  * directories — `_lv<k>` dirs are never modified after their rename,
-  * root dirs are never modified after the version file exists (commits
-  * only repoint the map). A reader overlapping any number of commits
+  * directories — `_lv<k>` dirs' data files are never modified after
+  * their rename, root dirs' never after the version file exists (commits
+  * only repoint the map; the single sanctioned in-place write is the
+  * `_`-prefixed `_superseded` reclamation marker, invisible to every
+  * read). A reader overlapping any number of commits
   * sees exactly the partition set of the version it resolved — never a
   * mix (LayoutIsolationSpec). Superseded version dirs are reclaimed in
   * TWO phases by [[begin]]: a dir whose partitions are all unreferenced
@@ -254,13 +256,27 @@ object LayoutTxn {
     val nGroups = pr.getProperty("groups").toInt
     val committed = (0 until nGroups).map { i =>
       val sub = pr.getProperty(s"group.$i.sub")
-      val pc = pr.getProperty(s"group.$i.partcol", "")
       def parts(kind: String): Seq[String] =
         pr.getProperty(s"group.$i.$kind", "") match {
           case "" => Seq.empty; case s => s.split(",").toSeq
         }
+      val parentEntry = parent.flatMap(_.maps.get(sub))
+      // a claim missing the partcol property (pre-r15 writer) must NOT
+      // default to "" — rootParts("") lists zero partitions and every
+      // untouched root partition would silently leave the map (data loss
+      // on the upgrade path). Derive it: parent map first, then the
+      // touched dir names ("cell=3" → "cell"); refuse if neither knows.
+      val pc = Option(pr.getProperty(s"group.$i.partcol", ""))
+        .filter(_.nonEmpty)
+        .orElse(parentEntry.map(_._1).filter(_.nonEmpty))
+        .orElse((parts("moves") ++ parts("dels")).headOption
+          .map(_.takeWhile(_ != '=')).filter(_.nonEmpty))
+        .getOrElse(throw new IllegalStateException(
+          s"cannot roll forward layout claim v$version at $dir: no " +
+            s"partition column recorded or derivable for sub '$sub' — " +
+            "re-run the interrupted upsert"))
       val parentMap: Map[String, Long] =
-        parent.flatMap(_.maps.get(sub).map(_._2)).getOrElse(
+        parentEntry.map(_._2).getOrElse(
           rootParts(dir, sub, pc).map(_ -> 0L).toMap)
       val touched = (parts("moves") ++ parts("dels")).toSet
       sub -> (pc, parentMap -- touched ++ parts("moves").map(_ -> version))
@@ -323,8 +339,13 @@ object LayoutTxn {
       }.toSet
       def sweep(target: java.io.File): Unit = {
         val tomb = new java.io.File(target, Tombstone)
-        if (!tomb.exists()) { Files.createFile(tomb.toPath); () }
-        else if (now - tomb.lastModified() >= graceMs)
+        if (!tomb.exists()) {
+          // two sweepers racing the same tombstone is benign: the loser's
+          // createFile throws FileAlreadyExistsException, the grace clock
+          // starts from the winner's plant either way
+          try { Files.createFile(tomb.toPath); () }
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        } else if (now - tomb.lastModified() >= graceMs)
           deleteRecursively(target)
       }
       // whole _lv<k> dirs (k < current) with zero referenced partitions

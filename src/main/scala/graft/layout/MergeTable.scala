@@ -153,6 +153,16 @@ object MergeTable {
     case _ => false
   }
 
+  /** Field-level eligibility: the type check PLUS a name check — the
+    * manifest stats encoding separates entries with ',' '=' ':', and only
+    * VALUES are base64-protected. A column name containing a separator
+    * would make decodeStats unparseable and the whole table unreadable
+    * after its first stats-bearing commit, so such a column simply carries
+    * no stats (it never prunes — correct, just not fast). */
+  private def statsEligible(f: org.apache.spark.sql.types.StructField): Boolean =
+    statsEligible(f.dataType) &&
+      !f.name.exists(ch => ch == ',' || ch == '=' || ch == ':')
+
   private def b64(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
   private def unb64(s: String): String =
@@ -183,7 +193,7 @@ object MergeTable {
   private def collectBucketStats(spark: SparkSession, stageDir: String,
                                  schema: StructType)
       : Map[Int, Map[String, (String, String)]] = {
-    val cols = schema.fields.toSeq.filter(f => statsEligible(f.dataType))
+    val cols = schema.fields.toSeq.filter(statsEligible(_))
     if (cols.isEmpty) return Map.empty
     val aggs = cols.flatMap(f => Seq(
       min(col(f.name)).cast("string").as(s"__lo_${f.name}"),
@@ -514,10 +524,20 @@ object MergeTable {
     * delta-proportionally either way; a query that cannot prune pays
     * only the manifest read. */
   def readWhere(spark: SparkSession, dir: String,
-                predicate: Column): DataFrame = {
+                predicate: Column): DataFrame =
+    readPruned(spark, dir, predicate).filter(predicate)
+
+  /** The bucket-pruned scan [[readWhere]] wraps, WITHOUT the re-applied
+    * predicate — for callers that keep their own Filter on top (the SQL
+    * door routes `SELECT ... FROM t WHERE pred` here and leaves the
+    * analyzer's Filter in place, so the predicate evaluates exactly once
+    * while the scan still skips stats-proven-empty buckets). Stats only
+    * prune; the caller's filter answers. */
+  def readPruned(spark: SparkSession, dir: String,
+                 predicate: Column): DataFrame = {
     val m = requireManifest(dir)
     readBuckets(spark, dir, m, prunedBuckets(spark, m, predicate))
-      .drop(BucketCol).filter(predicate)
+      .drop(BucketCol)
   }
 
   /** The bucket subset [[readWhere]] would scan under `predicate`
@@ -544,17 +564,43 @@ object MergeTable {
             Some(cond)
           case _ => None
         }
-      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+      } catch {
+        // the SQL door hands this RAW parser output (subqueries, exotic
+        // shapes): anything the mini-analysis chokes on simply prunes
+        // nothing — the real scan still answers (and still fails loudly
+        // there if the predicate is genuinely bad)
+        case scala.util.control.NonFatal(_) => None
+      }
     def conjuncts(e: CExpr): Seq[CExpr] = e match {
       case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    // an attribute, possibly under an analyzer-inserted order-preserving
-    // up-cast: the comparison then happens in the cast's target domain
+    // an attribute, possibly under a cast — but ONLY a cast that preserves
+    // the ordering of the STORED stats in its target domain. The stats are
+    // string renderings of the column's NATIVE values in native order, so:
+    //  * to/from StringType never qualifies (lexical vs numeric order:
+    //    strings {"5","30"} record lo="30"; Cast(lo AS DOUBLE)=30.0 > 5
+    //    would wrongly prune the bucket whose row "5" matches 5.0);
+    //  * float→double never qualifies (the shortest-render stat string
+    //    re-parses to a DIFFERENT double than the value's own widening —
+    //    "0.1" → 0.1d ≠ (double)0.1f — so bounds can shift past a literal
+    //    at the edge);
+    //  * everything else must be a loss-free up-cast (numeric widening,
+    //    date→timestamp), where stat strings parse exactly in the wider
+    //    domain and native order carries over.
+    // A cast outside these rules returns None: the conjunct prunes
+    // nothing, the scan-side filter still answers correctly.
+    def orderPreserving(from: DataType, to: DataType): Boolean =
+      CCast.canUpCast(from, to) &&
+        from != org.apache.spark.sql.types.StringType &&
+        to != org.apache.spark.sql.types.StringType &&
+        !(from == org.apache.spark.sql.types.FloatType &&
+          to == org.apache.spark.sql.types.DoubleType)
     def attrOf(e: CExpr): Option[(String, DataType)] = e match {
       case a: CAttrRef => Some((a.name, a.dataType))
       case c: CCast => c.child match {
-        case a: CAttrRef => Some((a.name, c.dataType))
+        case a: CAttrRef if orderPreserving(a.dataType, c.dataType) =>
+          Some((a.name, c.dataType))
         case _ => None
       }
       case _ => None
@@ -600,7 +646,7 @@ object MergeTable {
       }
       shape.flatMap { case (cname, cmpDt, v, vdt, op) =>
         m.schema.fields.find(_.name.equalsIgnoreCase(cname))
-          .filter(f => statsEligible(f.dataType)).map { f =>
+          .filter(statsEligible(_)).map { f =>
             val canonical = f.name
             (statCol: String, mm: (String, String)) => {
               val (lo, hi) = mm
@@ -729,6 +775,15 @@ object MergeTable {
     // file, so no old bucket is rewritten), must carry every existing
     // column, and must not change an existing column's type
     val chFields = changes.schema.fields.toSeq.filterNot(_.name == opCol)
+    // the manifest's phys.proj property encodes `logical=physical` pairs
+    // ','-separated with the RAW names — a name containing either
+    // separator would corrupt the manifest at this very commit and make
+    // the whole table unreadable. Fail loudly instead. (':' is fine:
+    // stats split on '=' first and base64 values carry no ':'; such
+    // columns are merely stats-ineligible.)
+    chFields.foreach(f => require(!f.name.exists(c => c == ',' || c == '='),
+      s"column name '${f.name}' contains ',' or '=', which the manifest " +
+        "schema-projection encoding reserves — rename the column"))
     prior.foreach { m =>
       m.schema.fields.foreach { pf =>
         chFields.find(_.name == pf.name).foreach { cf =>
@@ -933,6 +988,9 @@ object MergeTable {
         s"no column '$from' in ${m.schema.fieldNames.mkString(", ")}")
       require(!m.schema.fieldNames.contains(to),
         s"column '$to' already exists")
+      require(!to.exists(c => c == ',' || c == '='),
+        s"column name '$to' contains ',' or '=', which the manifest " +
+          "schema-projection encoding reserves")
       m.copy(
         key = m.keys.map(k => if (k == from) to else k).mkString(","),
         schemaJson = StructType(m.schema.fields.map(f =>
@@ -971,8 +1029,23 @@ object MergeTable {
           .canUpCast(f.dataType, to),
         s"${f.dataType.simpleString} -> ${to.simpleString} is not a " +
           "loss-free upcast; widening must preserve every stored value")
-      m.copy(schemaJson = StructType(m.schema.fields.map(x =>
-        if (x.name == column) x.copy(dataType = to) else x)).json)
+      // untouched buckets' recorded stats are renderings of the OLD-type
+      // values. When the widen changes the ORDERING domain those bounds
+      // are no longer bounds — widen int→string and a plain `col = "30"`
+      // compares lexically against numeric-rendered lo/hi ("5" > "30"
+      // lexically) and silently prunes matching rows — so the widened
+      // column's stats are dropped table-wide (they re-derive on each
+      // bucket's next rewrite). Widens that keep the domain (int→long,
+      // decimal precision, date→timestamp) keep their stats: old
+      // renderings parse exactly in the wider type.
+      val reorders = to == org.apache.spark.sql.types.StringType ||
+        (f.dataType == org.apache.spark.sql.types.FloatType &&
+          to == org.apache.spark.sql.types.DoubleType)
+      m.copy(
+        schemaJson = StructType(m.schema.fields.map(x =>
+          if (x.name == column) x.copy(dataType = to) else x)).json,
+        stats = if (!reorders) m.stats
+          else m.stats.view.mapValues(_ - column).toMap)
     })
 
   /** `foreachBatch` adapter: idempotent streaming upsert sink. A retried

@@ -330,6 +330,30 @@ object MergeTableSqlResolution extends Rule[LogicalPlan] {
             "hash-bucketed by key)")
         GraftInsertCommand(dir, nb,
           new InsertSpec(i.query, i.userSpecifiedCols, i.overwrite, i.byName))
+      // SELECT ... FROM t [AS a] WHERE pred — the relation routes through
+      // readPruned with the WHERE as the pruning hint, so manifest-stats
+      // data skipping (the Scala readWhere path, q188) reaches pure SQL:
+      // buckets whose recorded min/max prove the predicate empty are never
+      // listed. The analyzer's own Filter stays ON TOP and answers the
+      // predicate exactly once (stats only prune, never answer).
+      // References qualified by this relation's name/alias are unqualified
+      // for the driver-side mini-analysis; a hint it cannot analyze
+      // (subqueries, unknown columns) simply prunes nothing.
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child)
+          if stripAlias(child)._2.nonEmpty &&
+            MergeTableSql.lookup(stripAlias(child)._2).isDefined =>
+        val (alias, nameParts) = stripAlias(child)
+        val (dir, _) = MergeTableSql.lookup(nameParts).get
+        val names = (nameParts.last +: alias.toSeq).map(_.toLowerCase)
+        val hint = cond.transform {
+          case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+              names.contains(a.nameParts.head.toLowerCase) =>
+            UnresolvedAttribute(Seq(a.nameParts.last))
+        }
+        org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
+          SubqueryAlias(alias.getOrElse(nameParts.last),
+            MergeTable.readPruned(SparkSession.active, dir,
+              Bridge.columnOf(hint)).queryExecution.logical))
       case u: UnresolvedRelation
           if MergeTableSql.lookup(u.multipartIdentifier).isDefined =>
         val (dir, _) = MergeTableSql.lookup(u.multipartIdentifier).get

@@ -357,4 +357,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("might_contain"), p)
     assert(!p.contains("ScalaUDF"), s"bloom probe regressed to a Scala UDF:\n$p")
   }
+
+  test("q189: SQL WHERE over a registered MergeTable lists ONLY stats-surviving bucket directories") {
+    import org.apache.spark.sql.functions._
+    // bucket-LOCALIZED values (the MergeStatsSpec shape): v = bucket*100+i,
+    // so per-bucket min/max ranges are disjoint and the predicate's range
+    // names exactly one bucket
+    val dir = graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory("pq_sqlskip")).toString + "/t"
+    val bOf = (id: Long) => spark.range(1)
+      .select(pmod(hash(lit(id)), lit(4))).head().getInt(0)
+    import spark.implicits._
+    graft.layout.MergeTable.merge(spark, dir,
+      (1L to 64L).map(id => (id, bOf(id) * 100L + id % 10, "create"))
+        .toDF("id", "v", "op_flag"), "id", numBuckets = 4)
+    graft.plans.MergeTableSql.register("pq_skip_t", dir)
+    try {
+      val out = spark.sql("SELECT id, v FROM pq_skip_t WHERE v >= 300 ORDER BY id")
+      val want = graft.layout.MergeTable.read(spark, dir)
+        .filter(col("v") >= 300L).select("id", "v")
+        .as[(Long, Long)].collect().toSet
+      assert(out.as[(Long, Long)].collect().toSet === want && want.nonEmpty)
+      // the scan's file listing covers exactly bucket 3's directory — the
+      // WHERE reached readPruned, not the full read
+      val p = out.queryExecution.executedPlan.toString
+      val buckets = s"""${graft.layout.MergeTable.BucketCol}=(\\d+)""".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(buckets === Set("3"),
+        s"SQL scan should list only bucket 3, got $buckets:\n$p")
+    } finally graft.plans.MergeTableSql.unregister("pq_skip_t")
+  }
 }

@@ -143,6 +143,101 @@ class MergeStatsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("casts that reorder the stats domain prune NOTHING — and drop no rows") {
+    // string column whose values sort differently as numbers: {"5","30"}
+    // records lexical lo="30", hi="5"; evaluating those bounds in a cast's
+    // numeric domain would 'prove' 5 outside [30,5] and silently drop the
+    // matching row — the r15 advisory's exact scenario
+    val dir = freshDir("castprune")
+    MergeTable.merge(spark, dir,
+      Seq((1L, "5", "create"), (2L, "30", "create"))
+        .toDF("id", "s", "op_flag"), "id", numBuckets = 1)
+    // numeric comparison over the string column: analyzer inserts a cast
+    // involving StringType → no pruner may engage
+    assert(MergeTable.prunableBuckets(dir, col("s").cast("double") === 5.0)
+      .isEmpty)
+    assert(MergeTable.readWhere(spark, dir, col("s").cast("double") === 5.0)
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+    // numeric column cast to string in the predicate: same rule, other
+    // direction (numeric-rendered stats must not be compared lexically)
+    val dir2 = freshDir("cast2s")
+    MergeTable.merge(spark, dir2,
+      Seq((1L, 5L, "create"), (2L, 30L, "create"))
+        .toDF("id", "v", "op_flag"), "id", numBuckets = 1)
+    assert(MergeTable.prunableBuckets(dir2,
+      col("v").cast("string") === "30").isEmpty)
+    assert(MergeTable.readWhere(spark, dir2, col("v").cast("string") === "30")
+      .select("id").as[Long].collect().toSeq === Seq(2L))
+    // an ORDER-PRESERVING up-cast still prunes: int column vs long literal
+    val dir3 = freshDir("upcast")
+    MergeTable.merge(spark, dir3,
+      Seq((1L, 5, "create"), (2L, 30, "create"))
+        .toDF("id", "n", "op_flag"), "id", numBuckets = 1)
+    assert(MergeTable.prunableBuckets(dir3, col("n") > lit(100L)) ===
+      Some(Set.empty[Int]))
+    // float→double is NOT order-preserving through the string stats
+    // (shortest-render re-parse shifts bounds): conservative no-prune
+    val dir4 = freshDir("f2d")
+    MergeTable.merge(spark, dir4,
+      Seq((1L, 0.1f, "create"), (2L, 0.3f, "create"))
+        .toDF("id", "f", "op_flag"), "id", numBuckets = 1)
+    assert(MergeTable.prunableBuckets(dir4, col("f") > lit(0.5d)).isEmpty)
+    assert(MergeTable.readWhere(spark, dir4, col("f") > lit(0.05d)).count() === 2L)
+  }
+
+  test("widening to a reordering type drops the column's stats instead of pruning with stale bounds") {
+    val dir = freshDir("widen2s")
+    MergeTable.merge(spark, dir,
+      Seq((1L, 5L, "create"), (2L, 30L, "create"))
+        .toDF("id", "v", "op_flag"), "id", numBuckets = 1)
+    // before the widen the numeric stats prune fine
+    assert(MergeTable.prunableBuckets(dir, col("v") > 100L) ===
+      Some(Set.empty[Int]))
+    MergeTable.alterWidenColumn(dir, "v", org.apache.spark.sql.types.StringType)
+    // stats recorded lo="5", hi="30" NUMERICALLY; a plain string equality
+    // (no cast anywhere — v IS a string now) compares lexically, where
+    // "30" < "5" would wrongly prune the bucket holding 30. The widen must
+    // have dropped the stats: nothing prunes, every row still answers.
+    val survivors = MergeTable.prunableBuckets(dir, col("v") === "30")
+    assert(survivors.forall(_.nonEmpty), s"stale stats pruned: $survivors")
+    assert(MergeTable.readWhere(spark, dir, col("v") === "30")
+      .select("id").as[Long].collect().toSeq === Seq(2L))
+    // a rewrite re-derives stats under the NEW type: pruning comes back
+    MergeTable.compact(spark, dir)
+    assert(MergeTable.readWhere(spark, dir, col("v") === "30")
+      .select("id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("separator-bearing column names: ':' is stats-ineligible but works; ',' and '=' are rejected loudly") {
+    // ':' survives the stats encoding (the '=' split comes first and
+    // base64 values carry no ':'), but the column is conservatively
+    // stats-ineligible — it never prunes, the table stays fully readable
+    val dir = freshDir("badname")
+    MergeTable.merge(spark, dir,
+      Seq((1L, 10L, 7L, "create"), (2L, 20L, 8L, "create"))
+        .toDF("id", "a:b", "v", "op_flag"), "id", numBuckets = 1)
+    assert(MergeTable.read(spark, dir).count() === 2L)
+    assert(MergeTable.prunableBuckets(dir, col("`a:b`") > 100L).isEmpty)
+    assert(MergeTable.prunableBuckets(dir, col("v") > 100L) ===
+      Some(Set.empty[Int]))
+    assert(MergeTable.readWhere(spark, dir, col("`a:b`") === 20L)
+      .select("id").as[Long].collect().toSeq === Seq(2L))
+    // ',' and '=' would corrupt the manifest's raw-name proj encoding at
+    // this very commit (table unreadable forever after): loud rejection
+    Seq("a,b", "a=b").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        MergeTable.merge(spark, freshDir("rej"),
+          Seq((1L, 10L, "create")).toDF("id", bad, "op_flag"),
+          "id", numBuckets = 1)
+      }
+      assert(e.getMessage.contains("reserves"), s"for '$bad': ${e.getMessage}")
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.alterRenameColumn(dir, "v", "x=y")
+    }
+    assert(e2.getMessage.contains("reserves"))
+  }
+
   test("timestamp stats prune under the pinned session timezone") {
     val dir = freshDir("ts")
     val rows = (1L to 32L).map { id =>

@@ -187,4 +187,111 @@ class SqlDmlFuzzSpec extends SparkSpec {
       } finally MergeTableSql.unregister(name)
     }
   }
+
+  test("random LIFECYCLE sequences: CREATE/INSERT/OVERWRITE/OPTIMIZE/VACUUM/ALTER interleaved with DML == collections model") {
+    // the r14-assigned adversarial lane the directed SqlLifecycleSpec
+    // tests don't cover: the FULL SQL verb set drawn randomly against one
+    // collections model — maintenance verbs (OPTIMIZE / compactStale /
+    // VACUUM) must never change answers, evolution verbs (RENAME / widen)
+    // must carry the model across the schema change, and the data verbs
+    // (INSERT / INSERT OVERWRITE / UPDATE / DELETE / MERGE) compose with
+    // all of them in any order.
+    var opsRun = 0
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(7000 + seed)
+      val name = s"fz_lc_$seed"
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory(s"sqlfz_lc_$seed")).toString + "/t"
+      // SQL-only bootstrap (no Scala create)
+      spark.sql(s"""CREATE TABLE $name (k BIGINT, v DOUBLE, tag STRING, n INT)
+        USING graft LOCATION '$dir'
+        TBLPROPERTIES ('graft.key'='k', 'graft.buckets'='2')""")
+      try {
+        // model: k -> (v, tag, n); n stays k*2 (value-stable across the
+        // widen, so only the TYPE changes mid-stream)
+        var model = Map.empty[Long, (Double, Option[String], Long)]
+        var tagCol = "tag"
+        var widened = false
+        def srcView(rows: Seq[(Long, Double, String)]): Unit = {
+          // column names/types must match the table's CURRENT schema
+          if (widened)
+            rows.map { case (k, v, t) => (k, v, t, k * 2) }
+              .toDF("k", "v", tagCol, "n").createOrReplaceTempView("fz_lc_src")
+          else
+            rows.map { case (k, v, t) => (k, v, t, (k * 2).toInt) }
+              .toDF("k", "v", tagCol, "n").createOrReplaceTempView("fz_lc_src")
+        }
+        def state(): Map[Long, (Double, Option[String], Long)] =
+          MergeTable.read(spark, dir)
+            .selectExpr("k", "v", s"$tagCol AS tag", "CAST(n AS BIGINT) AS n")
+            .as[(Long, Double, Option[String], Long)].collect()
+            .map { case (k, v, t, n) => k -> (v, t, n) }.toMap
+        def rndRows(step: Int): Seq[(Long, Double, String)] =
+          rnd.shuffle((0L to 17L).toList).take(2 + rnd.nextInt(6))
+            .map(k => (k, (k * 8 + step * 3 + seed).toDouble, s"s$step"))
+        for (step <- 1 to 6 + rnd.nextInt(4)) {
+          opsRun += 1
+          rnd.nextInt(10) match {
+            case 0 => // INSERT INTO: upsert, existing keys last-write-wins
+              val rows = rndRows(step)
+              srcView(rows)
+              spark.sql(s"INSERT INTO $name SELECT * FROM fz_lc_src")
+              model = model ++ rows.map { case (k, v, t) =>
+                k -> (v, Some(t): Option[String], k * 2) }
+            case 1 => // INSERT OVERWRITE: absent keys delete
+              val rows = rndRows(step)
+              srcView(rows)
+              spark.sql(s"INSERT OVERWRITE $name SELECT * FROM fz_lc_src")
+              model = rows.map { case (k, v, t) =>
+                k -> (v, Some(t): Option[String], k * 2) }.toMap
+            case 2 => // UPDATE arithmetic on a key-class
+              val (m0, r, c) = (2 + rnd.nextInt(3), rnd.nextInt(2), rnd.nextInt(9))
+              spark.sql(s"UPDATE $name SET v = v + $c WHERE k % $m0 = $r")
+              model = model ++ model.filter { case (k, _) => k % m0 == r }
+                .map { case (k, (v, t, n)) => k -> (v + c, t, n) }
+            case 3 => // DELETE on a key-class (sometimes zero-match)
+              val (m0, r) = (2 + rnd.nextInt(4), rnd.nextInt(4))
+              spark.sql(s"DELETE FROM $name WHERE k % $m0 = $r")
+              model = model.filter { case (k, _) => k % m0 != r }
+            case 4 => // MERGE: star update + star insert
+              val rows = rndRows(step)
+              srcView(rows)
+              spark.sql(s"""MERGE INTO $name t USING fz_lc_src s ON t.k = s.k
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+              model = model ++ rows.map { case (k, v, t) =>
+                k -> (v, Some(t): Option[String], k * 2) }
+            case 5 => // OPTIMIZE: version advances, answers must not
+              val before = MergeTable.currentVersion(dir).get
+              val v = spark.sql(s"OPTIMIZE $name").head().getLong(0)
+              assert(v > before, s"seed $seed step $step: OPTIMIZE no-op'd")
+            case 6 => // bucket-subset compaction (the OPTIMIZE policy path)
+              MergeTable.compactStale(spark, dir, maxGroups = 1 + rnd.nextInt(3))
+            case 7 => // VACUUM [RETAIN n VERSIONS]: reclamation only
+              if (rnd.nextBoolean())
+                spark.sql(s"VACUUM $name RETAIN ${1 + rnd.nextInt(3)} VERSIONS")
+              else spark.sql(s"VACUUM $name")
+            case 8 => // ALTER: rename the tag column (repeatable) or widen n
+              if (!widened && rnd.nextBoolean()) {
+                spark.sql(s"ALTER TABLE $name ALTER COLUMN n TYPE BIGINT")
+                widened = true
+              } else {
+                val next = s"tag_$step"
+                spark.sql(s"ALTER TABLE $name RENAME COLUMN $tagCol TO $next")
+                tagCol = next
+              }
+            case _ => // CREATE IF NOT EXISTS with the CURRENT DDL: idempotent
+              spark.sql(s"""CREATE TABLE IF NOT EXISTS $name
+                (k BIGINT, v DOUBLE, $tagCol STRING,
+                 n ${if (widened) "BIGINT" else "INT"})
+                USING graft LOCATION '$dir'
+                TBLPROPERTIES ('graft.key'='k', 'graft.buckets'='2')""")
+          }
+          assert(state() === model, s"seed $seed step $step diverged")
+        }
+      } finally MergeTableSql.unregister(name)
+    }
+    info(s"$opsRun lifecycle ops swept")
+    assert(opsRun >= 100, s"only $opsRun ops — widen the sweep")
+  }
 }

@@ -20,7 +20,12 @@ class IvfUpsertSpec extends SparkSpec {
   private def vecs(rows: (Long, Seq[Float])*) =
     rows.toDF("vec_id", "embedding")
 
-  test("upsert rewrites only touched cells; a moved vector leaves no stale copy; emptied dirs are dropped") {
+  private def readCells(dir: String): Seq[(Long, Int)] =
+    graft.layout.LayoutTxn.readLayout(spark, dir, "", "cell")
+      .select(col("vec_id"), col("cell").cast("int"))
+      .as[(Long, Int)].collect().toSeq.sorted
+
+  test("upsert rewrites only touched cells; a moved vector leaves no stale copy; emptied cells leave the snapshot") {
     val dir = Files.createTempDirectory("ivf_upsert").toString + "/layout"
     // base: id1 is cell0's ONLY member; id2→c1, id3→c2, id4→c3
     Similarity.writeIvfLayout(vecs(
@@ -39,18 +44,27 @@ class IvfUpsertSpec extends SparkSpec {
 
     // touched = old cell of the moved id (0) ∪ new cells (1, 2); NOT 3
     assert(touched === Seq(0, 1, 2))
-    // cell0 lost its only row: the directory must be gone, not stale
-    assert(!Files.exists(Paths.get(s"$dir/cell=0")))
-    // the untouched cell3 directory is bit-for-bit untouched
+    // cell0 lost its only row: it must be GONE from the committed snapshot
+    // (the physical root dir stays immutable until begin()'s two-phase
+    // sweep reclaims it — r15 reader snapshot isolation)
+    val resolved = graft.layout.LayoutTxn.resolve(dir, "", "cell").toMap
+    assert(!resolved.contains("cell=0"), "emptied cell must leave the map")
+    // touched cells repoint into the immutable _lv1 version dir;
+    // cell3 stays mapped to its untouched ROOT dir, bit-for-bit intact
+    assert(resolved("cell=1").contains("_lv1"))
+    assert(resolved("cell=2").contains("_lv1"))
+    assert(resolved("cell=3") === s"$dir/cell=3")
     val c3After = Files.list(Paths.get(s"$dir/cell=3")).toArray.toSeq
       .map(_.toString).sorted
     assert(c3After === c3Before)
     assert(c3After.map(p => Files.getLastModifiedTime(Paths.get(p))) === c3Mtimes)
     // final content = fresh assignment of the updated corpus, exactly once per id
-    val got = spark.read.parquet(dir)
-      .select(col("vec_id"), col("cell").cast("int"))
-      .as[(Long, Int)].collect().toSeq.sorted
-    assert(got === Seq(1L -> 2, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 1))
+    assert(readCells(dir) === Seq(1L -> 2, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 1))
+    // two begin()s past grace physically reclaim the emptied root dir
+    graft.layout.LayoutTxn.begin(dir, graceMs = 0L)
+    graft.layout.LayoutTxn.begin(dir, graceMs = 0L)
+    assert(!Files.exists(Paths.get(s"$dir/cell=0")))
+    assert(readCells(dir) === Seq(1L -> 2, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 1))
   }
 
   test("pure insert into one cell touches exactly that cell") {
@@ -61,7 +75,11 @@ class IvfUpsertSpec extends SparkSpec {
     val touched = Similarity.ivfUpsertLayout(spark, dir, cents,
       vecs(9L -> Seq(0.8f, 0.2f, 0f, 0f)))
     assert(touched === Seq(0))
-    assert(spark.read.parquet(dir).count() === 3)
+    assert(readCells(dir).map(_._1) === Seq(1L, 2L, 9L))
+    // the untouched cell reads in place at the root; only cell=0 repointed
+    val resolved = graft.layout.LayoutTxn.resolve(dir, "", "cell").toMap
+    assert(resolved("cell=1") === s"$dir/cell=1")
+    assert(resolved("cell=0").contains("_lv1"))
   }
 
   test("a live concurrent committer makes the upsert CONFLICT loudly — the layout is untouched, not interleaved") {
@@ -72,17 +90,12 @@ class IvfUpsertSpec extends SparkSpec {
     // fabricate another writer's FRESH claim for the next version — the
     // state a live upsert mid-commit leaves on disk
     Files.writeString(Paths.get(dir, "_layout_commit_v1"), "version=1\n")
-    val before = spark.read.parquet(dir)
-      .select(col("vec_id"), col("cell").cast("int"))
-      .as[(Long, Int)].collect().toSeq.sorted
+    val before = readCells(dir)
     intercept[graft.layout.LayoutTxn.ConflictException] {
       Similarity.ivfUpsertLayout(spark, dir, cents,
         vecs(9L -> Seq(0.8f, 0.2f, 0f, 0f)))
     }
-    val after = spark.read.parquet(dir)
-      .select(col("vec_id"), col("cell").cast("int"))
-      .as[(Long, Int)].collect().toSeq.sorted
-    assert(after === before, "a conflicted upsert must leave no trace")
+    assert(readCells(dir) === before, "a conflicted upsert must leave no trace")
     assert(!new java.io.File(dir).listFiles()
       .exists(_.getName.startsWith("_lstage_")), "no stage residue")
   }
@@ -129,10 +142,7 @@ class IvfUpsertSpec extends SparkSpec {
     threads.foreach(_.start()); threads.foreach(_.join(120000))
     assert(errs.isEmpty, s"writer died: ${Option(errs.peek()).map(_.toString)}")
     // both deltas composed — one linear history, nothing lost or interleaved
-    val got = spark.read.parquet(dir)
-      .select(col("vec_id"), col("cell").cast("int"))
-      .as[(Long, Int)].collect().toSeq.sorted
-    assert(got === Seq(1L -> 0, 2L -> 1, 10L -> 0, 11L -> 2))
+    assert(readCells(dir) === Seq(1L -> 0, 2L -> 1, 10L -> 0, 11L -> 2))
     assert(graft.layout.LayoutTxn.currentVersion(dir) === 2L,
       "two commits = two versions, a linear history")
     assert(!new java.io.File(dir).listFiles()
@@ -177,9 +187,8 @@ class IvfUpsertSpec extends SparkSpec {
     val freshCents = Similarity.ivfCentroids(corpus, k = 4, iters = 3, dims = 4)
     Similarity.writeIvfLayout(corpus, freshCents, freshDir)
     withClue("retrained centroids") { assert(got.get.toSeq === freshCents.toSeq) }
-    def cellsOf(d: String) = spark.read.parquet(d)
-      .select(col("vec_id"), col("cell").cast("int"))
-      .as[(Long, Int)].collect().toSeq.sorted
-    assert(cellsOf(dir) === cellsOf(freshDir))
+    // readCells works for both forms: the maintained layout resolves via
+    // its version map, the fresh plain-hive layout via the root fallback
+    assert(readCells(dir) === readCells(freshDir))
   }
 }

@@ -50,9 +50,16 @@ class IndexLayoutSpec extends SparkSpec {
     val scans = findScans(out.queryExecution.executedPlan)
     val scan = scans.find(_.metadata.get("Location").exists(_.contains("idx_layout")))
       .getOrElse(fail(s"no layout scan among ${scans.map(_.metadata.get("Location"))}"))
-    assert(scan.partitionFilters.exists(_.references.exists(_.name == "tb")),
-      s"no partition filter on tb: ${scan.partitionFilters}")
+    // r15: readLayout prunes the DIRECTORY LIST driver-side before Spark
+    // ever lists a file — stronger than a PartitionFilter (no non-matching
+    // dir is even enumerated). The observable: every input file of the
+    // layout scan sits under one of the query terms' tb= dirs.
     val expected = terms.map(TextAnalysis.termBucketJvm(_, 16)).distinct.toSet
+    val readBuckets = scan.relation.location.inputFiles.toSeq
+      .flatMap(_.split("/").find(_.startsWith("tb=")))
+      .map(_.stripPrefix("tb=").toLong).toSet
+    assert(readBuckets.nonEmpty && readBuckets.subsetOf(expected),
+      s"scan read buckets $readBuckets outside the query's $expected")
     val allBuckets = new java.io.File(layoutDir).listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("tb="))
     assert(expected.size < allBuckets, "fixture degenerate: nothing to prune")
@@ -72,7 +79,10 @@ class IndexLayoutSpec extends SparkSpec {
       df.select("term", "df", "postings")
         .collect().map(r => (r.getString(0), r.getLong(1),
           r.getSeq[Row](2))).toSet
-    val maintained = canon(spark.read.parquet(d))
+    // the maintained layout's committed snapshot (touched tb= dirs live in
+    // _lv1, which a plain hive read would skip)
+    val maintained = canon(
+      graft.layout.LayoutTxn.readLayout(spark, d, "", "tb"))
     val rebuilt = canon(TextAnalysis.invertedIndex(docs, "doc_id", col("text")))
     assert(maintained === rebuilt)
     // the stale reversed-word terms must be GONE, not just shadowed
@@ -83,7 +93,7 @@ class IndexLayoutSpec extends SparkSpec {
       rebuilt.exists(_._1 == reversedWord))
   }
 
-  test("indexUpsertLayout: an emptied sole-occupant dm= doc-map partition is deleted") {
+  test("indexUpsertLayout: an emptied sole-occupant dm= doc-map partition leaves the snapshot and is physically reclaimed by the sweep") {
     val d = Files.createTempDirectory("idx_dm_clean").toString + "/idx"
     // buckets=4: doc 5 is the SOLE occupant of dm=1 (5 mod 4; 1 and 9 absent)
     val base = Seq((4L, "alpha beta"), (5L, "gamma delta"), (8L, "alpha epsilon"))
@@ -91,15 +101,22 @@ class IndexLayoutSpec extends SparkSpec {
     TextAnalysis.writeIndexLayout(
       TextAnalysis.invertedIndex(base, "doc_id", col("text")), d, buckets = 4)
     assert(new java.io.File(s"$d/_docmap/dm=1").isDirectory)
-    // upsert doc 5 to empty text: no surviving terms, so dynamic overwrite
-    // never rewrites dm=1 — the explicit cleanup must remove it
+    // upsert doc 5 to empty text: no surviving terms — the commit records
+    // dm=1 as a deletion, so it leaves the version map immediately (the
+    // root dir stays on disk, immutable, until the two-phase sweep)
     TextAnalysis.indexUpsertLayout(spark, d,
       Seq((5L, "")).toDF("doc_id", "text"), "doc_id", col("text"), buckets = 4)
-    assert(!new java.io.File(s"$d/_docmap/dm=1").exists(),
-      "emptied dm= partition must be deleted, not left with stale rows")
-    // and the doc map carries no rows for the vanished doc
-    assert(spark.read.parquet(s"$d/_docmap")
+    assert(!graft.layout.LayoutTxn.resolve(d, "_docmap", "dm")
+      .exists(_._1 == "dm=1"),
+      "emptied dm= partition must leave the committed snapshot")
+    // and the committed doc map carries no rows for the vanished doc
+    assert(graft.layout.LayoutTxn.readLayout(spark, d, "_docmap", "dm")
       .filter(col("doc_id") === 5L).count() === 0)
+    // two begins past grace reclaim the emptied root dir physically
+    graft.layout.LayoutTxn.begin(d, graceMs = 0L)
+    graft.layout.LayoutTxn.begin(d, graceMs = 0L)
+    assert(!new java.io.File(s"$d/_docmap/dm=1").exists(),
+      "swept dm= partition must be deleted, not left with stale rows")
   }
 
   test("a live concurrent committer makes indexUpsertLayout CONFLICT loudly — postings AND doc map untouched") {
@@ -112,19 +129,20 @@ class IndexLayoutSpec extends SparkSpec {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(d, "_layout_commit_v1"), "version=1\n")
     def snap(path: String): Set[(String, Long)] =
-      spark.read.parquet(path).select("term", "df")
-        .as[(String, Long)].collect().toSet
+      graft.layout.LayoutTxn.readLayout(spark, path, "", "tb")
+        .select("term", "df").as[(String, Long)].collect().toSet
+    def dmSnap(path: String): Set[(Long, Long)] =
+      graft.layout.LayoutTxn.readLayout(spark, path, "_docmap", "dm")
+        .select("doc_id", "tb").as[(Long, Long)].collect().toSet
     val before = snap(d)
-    val dmBefore = spark.read.parquet(s"$d/_docmap")
-      .select("doc_id", "tb").as[(Long, Long)].collect().toSet
+    val dmBefore = dmSnap(d)
     intercept[graft.layout.LayoutTxn.ConflictException] {
       TextAnalysis.indexUpsertLayout(spark, d,
         Seq((9L, "epsilon zeta")).toDF("doc_id", "text"),
         "doc_id", col("text"), buckets = 4)
     }
     assert(snap(d) === before, "conflicted upsert must not touch postings")
-    assert(spark.read.parquet(s"$d/_docmap")
-      .select("doc_id", "tb").as[(Long, Long)].collect().toSet === dmBefore,
+    assert(dmSnap(d) === dmBefore,
       "conflicted upsert must not touch the doc map")
     assert(!new java.io.File(d).listFiles()
       .exists(_.getName.startsWith("_lstage_")), "no stage residue")
