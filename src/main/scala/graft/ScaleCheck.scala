@@ -717,6 +717,59 @@ object ScaleCheck {
       util.Cleanup.drain()
     }
 
+    // Stats-skipping × locality (r15 verdict task 9): on a hash-bucketed
+    // table every bucket spans an uncorrelated column's whole domain, so
+    // per-bucket manifest stats prune NOTHING (readWhere's documented
+    // limit). `OPTIMIZE ... CLUSTER BY (v)` sorts each bucket's files by
+    // that column; the scan-side pushed filter then prunes parquet row
+    // groups, so the DATA-PROPORTIONAL scan component tracks the matching
+    // fraction (1/128 here) while the unclustered scan decodes every
+    // byte. Read the two lines as (floor + data): both carry the same
+    // fixed per-bucket floor (manifest + 64 dir listings + task
+    // dispatch, ~0.4 s at local[32]); the gap between them is the
+    // decoded-bytes term, which clustering collapses — measured ~1.6×
+    // total at mult 128-512, i.e. the data term nearly vanishes while
+    // the floor stays. Small parquet blocks make the granularity visible
+    // at probe scale — at 100 TB the default 128 MB blocks give the same
+    // effect naturally, and the floor amortizes into irrelevance.
+    if (want("cluster_skip")) {
+      val mtDir = java.nio.file.Files.createTempDirectory("scale_cluster").toString + "/t"
+      val hc = spark.sparkContext.hadoopConfiguration
+      val oldBlock = Option(hc.get("parquet.block.size"))
+      hc.setInt("parquet.block.size", 128 * 1024)
+      try {
+        val orders = amplify(model.Tables.orders(spark, d), Seq("o_orderkey"))
+          .select(col("o_orderkey").as("k"),
+            // uniform over [0, 64000), independent of the bucket hash
+            pmod(hash(col("o_orderkey") + 1L), lit(64000)).cast("long").as("v"),
+            col("o_totalprice").as("p"))
+          .withColumn("op_flag", lit("create"))
+        layout.MergeTable.merge(spark, mtDir, orders, "k", numBuckets = 64)
+        val pred = col("v") >= 7000L && col("v") < 7500L // 1/128 of the domain
+        // the honest precondition: manifest stats must NOT prune here —
+        // this probe measures the within-bucket story those stats can't tell
+        require(layout.MergeTable.prunableBuckets(mtDir, pred).forall(_.size == 64),
+          "cluster_skip probe: manifest stats pruned an uncorrelated column")
+        layout.MergeTable.compact(spark, mtDir) // key-sorted baseline files
+        val nMatch = layout.MergeTable.readWhere(spark, mtDir, pred).count()
+        time(s"cluster_skip_unclustered_${nMatch}_rows", nMatch) {
+          layout.MergeTable.readWhere(spark, mtDir, pred)
+            .agg(max(col("p")), count(lit(1))).collect()
+        }
+        layout.MergeTable.compact(spark, mtDir, clusterBy = Some(Seq("v")))
+        time(s"cluster_skip_clustered_${nMatch}_rows", nMatch) {
+          layout.MergeTable.readWhere(spark, mtDir, pred)
+            .agg(max(col("p")), count(lit(1))).collect()
+        }
+      } finally oldBlock match {
+        case Some(v) => hc.set("parquet.block.size", v)
+        case None => hc.unset("parquet.block.size")
+      }
+      util.Cleanup.registerTempDir(
+        java.nio.file.Paths.get(mtDir).getParent)
+      util.Cleanup.drain()
+    }
+
     // The ANN-index analogue of the MergeTable claim: IVF upsert cost
     // follows the DELTA and its touched-cell fraction, never the corpus.
     // Build a mult-scaled 64-cell layout once (timed for contrast), then

@@ -540,6 +540,23 @@ object MergeTable {
       .drop(BucketCol)
   }
 
+  /** [[readWhere]] against a historical snapshot — stats are recorded in
+    * each version's OWN manifest, so time travel prunes with the bounds
+    * that were true at that version (a bucket rewritten since keeps its
+    * old bounds in the old manifest, untouched by later commits). */
+  def readWhereAt(spark: SparkSession, dir: String, version: Long,
+                  predicate: Column): DataFrame =
+    readPrunedAt(spark, dir, version, predicate).filter(predicate)
+
+  /** [[readPruned]] at a version (the SQL door's `VERSION/TIMESTAMP AS OF
+    * ... WHERE` route — the caller's Filter answers, stats only prune). */
+  def readPrunedAt(spark: SparkSession, dir: String, version: Long,
+                   predicate: Column): DataFrame = {
+    val m = manifestAt(dir, version)
+    readBuckets(spark, dir, m, prunedBuckets(spark, m, predicate))
+      .drop(BucketCol)
+  }
+
   /** The bucket subset [[readWhere]] would scan under `predicate`
     * (None = no conjunct could prune, scan everything) — exposed for
     * plan-quality assertions and operational "would this skip?"
@@ -549,7 +566,7 @@ object MergeTable {
 
   private def prunedBuckets(spark: SparkSession, m: Manifest,
                             predicate: Column): Option[Set[Int]] = {
-    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference => CAttrRef, BinaryComparison, Cast => CCast, EqualTo => CEq, Expression => CExpr, GreaterThan => CGt, GreaterThanOrEqual => CGe, LessThan => CLt, LessThanOrEqual => CLe, Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference => CAttrRef, BinaryComparison, Cast => CCast, EqualTo => CEq, Expression => CExpr, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt, LessThanOrEqual => CLe, Literal => CLit, StartsWith => CStartsWith}
     // the Column API builds unresolved function nodes (`>=` is
     // UnresolvedFunction until the analyzer runs), so the predicate is
     // ANALYZED against an empty relation of the table schema first —
@@ -624,8 +641,66 @@ object MergeTable {
         case _ => false
       }
     }
+    // a stats-eligible schema column for `cname`, canonical-cased
+    def eligible(cname: String): Option[String] =
+      m.schema.fields.find(_.name.equalsIgnoreCase(cname))
+        .filter(statsEligible(_)).map(_.name)
     // a conjunct prunes bucket b when stats PROVE it can match no row
-    def pruneOf(e: CExpr): Option[(String, (String, String)) => Boolean] = {
+    def pruneOf(e: CExpr): Option[(String, (String, String)) => Boolean] = e match {
+      // col IN (v1, v2, ...): no row when EVERY value falls outside
+      // [lo, hi] — the disjunction of equalities prunes only when each
+      // disjunct does
+      case CIn(v, list) if list.nonEmpty =>
+        attrOf(v).flatMap { case (cname, cmpDt) =>
+          val vals = list.map(litOf)
+          if (vals.exists(_.isEmpty)) None
+          else eligible(cname).map { canonical =>
+            (statCol: String, mm: (String, String)) =>
+              statCol == canonical && vals.flatten.forall { case (lv, lvdt) =>
+                cmp(CGt(_, _), mm._1, cmpDt, lv, lvdt) ||
+                  cmp(CLt(_, _), mm._2, cmpDt, lv, lvdt)
+              }
+          }
+        }
+      // col LIKE 'p%' (analyzed to StartsWith): matches sort in
+      // [p, pUpper) under binary UTF-8 order (= code-point order, which
+      // string stats record) — no row when hi < p or lo >= pUpper.
+      // pUpper = p with its last char incremented; skipped (conservative:
+      // only the hi < p half prunes) when the increment would cross into
+      // the surrogate range or overflow, where code-unit arithmetic stops
+      // tracking code-point order.
+      case CStartsWith(av, pv) =>
+        (attrOf(av), litOf(pv)) match {
+          case (Some((cname, dt)), Some((p, _)))
+              if dt == org.apache.spark.sql.types.StringType && p != null =>
+            eligible(cname).map { canonical =>
+              val prefix = p.toString
+              val upper: Option[String] = {
+                val cs = prefix.toCharArray
+                if (cs.isEmpty) None
+                else {
+                  val last = cs(cs.length - 1)
+                  val inc = (last + 1).toChar
+                  if (last == Char.MaxValue || Character.isSurrogate(last) ||
+                    Character.isSurrogate(inc)) None
+                  else Some(new String(cs, 0, cs.length - 1) + inc)
+                }
+              }
+              import org.apache.spark.unsafe.types.UTF8String
+              (statCol: String, mm: (String, String)) =>
+                statCol == canonical && {
+                  val lo = UTF8String.fromString(mm._1)
+                  val hi = UTF8String.fromString(mm._2)
+                  hi.compareTo(UTF8String.fromString(prefix)) < 0 ||
+                    upper.exists(u =>
+                      lo.compareTo(UTF8String.fromString(u)) >= 0)
+                }
+            }
+          case _ => None
+        }
+      case _ => pruneCmp(e)
+    }
+    def pruneCmp(e: CExpr): Option[(String, (String, String)) => Boolean] = {
       def sides(l: CExpr, r: CExpr): Option[(String, DataType, Any, DataType, Boolean)] =
         (attrOf(l), litOf(r), litOf(l), attrOf(r)) match {
           case (Some((c, dt)), Some((v, vdt)), _, _) => Some((c, dt, v, vdt, false))
@@ -1082,18 +1157,34 @@ object MergeTable {
     * [[compactStale]] is the policy that picks a subset worth paying
     * for. Subset reads are indistinguishable from full-compaction reads
     * (the manifest group-scan machinery is the same either way —
-    * MergeTableSpec pins equality). */
+    * MergeTableSpec pins equality).
+    *
+    * `clusterBy` (r16) sorts each bucket's rewrite by the given columns
+    * instead of the key — the production story for data skipping on a
+    * hash-bucketed table whose buckets all span the predicate column's
+    * domain (readWhere's honest per-bucket-stats limit). Bucket placement
+    * is untouched (it MUST stay hash(key)); what tightens is the PARQUET
+    * row-group/file statistics inside each bucket, which the scan-side
+    * pushed filter prunes on — so a selective predicate reads ~the
+    * matching fraction of each bucket's bytes instead of all of them
+    * (the `sql_cluster_skip` ScaleCheck probe measures exactly this).
+    * The clustering is a physical property of the rewritten files; it
+    * holds until later merges rewrite a bucket and is restored by the
+    * next clustered OPTIMIZE — the standard OPTIMIZE-cadence contract. */
   def compact(spark: SparkSession, dir: String,
-              only: Option[Set[Int]] = None): Long = {
+              only: Option[Set[Int]] = None,
+              clusterBy: Option[Seq[String]] = None): Long = {
     recover(dir)
     val m = requireManifest(dir)
+    clusterBy.foreach(_.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"CLUSTER BY column '$c' is not in ${m.schema.fieldNames.mkString(", ")}")))
     val newV = m.version + 1
     val stage = s"_stage_v${newV}_${java.util.UUID.randomUUID().toString.take(8)}"
     val chosen = m.buckets.keySet.filter(b => only.forall(_.contains(b)))
     if (chosen.nonEmpty)
       DataLayout.writePartitionedSorted(
         readBuckets(spark, dir, m, Some(chosen)), s"$dir/$stage",
-        Seq(BucketCol), m.keys)
+        Seq(BucketCol), clusterBy.getOrElse(m.keys))
     val liveDirs = Option(new java.io.File(s"$dir/$stage").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))

@@ -42,7 +42,8 @@ import graft.layout.MergeTable
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Ident = """([A-Za-z_][A-Za-z0-9_]*)"""
-  private val OptimizeRe = ("""(?is)^\s*OPTIMIZE\s+""" + Ident + """\s*;?\s*$""").r
+  private val OptimizeRe = ("""(?is)^\s*OPTIMIZE\s+""" + Ident +
+    """(?:\s+CLUSTER\s+BY\s+\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\))?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Ident +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
@@ -53,8 +54,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     MergeTableSql.lookup(Seq(name)).map(_._1)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(name) if dirOf(name).isDefined =>
-      GraftOptimizeCommand(dirOf(name).get)
+    case OptimizeRe(name, cluster) if dirOf(name).isDefined =>
+      GraftOptimizeCommand(dirOf(name).get,
+        Option(cluster).map(_.split(",").toSeq.map(_.trim)))
     case VacuumRe(name, retain) if dirOf(name).isDefined =>
       GraftVacuumCommand(dirOf(name).get, Option(retain).map(_.toInt))
     case HistoryRe(name) if dirOf(name).isDefined =>
@@ -195,16 +197,21 @@ object GraftCreateTableCommand {
   }
 }
 
-/** `OPTIMIZE t` → [[MergeTable.compact]]: every live bucket rewritten
-  * into one new version (reads fold back to one pruned scan). Output:
+/** `OPTIMIZE t [CLUSTER BY (c1[, c2...])]` → [[MergeTable.compact]]:
+  * every live bucket rewritten into one new version (reads fold back to
+  * one pruned scan); with CLUSTER BY, each bucket's files sort by the
+  * given columns so scan-side parquet statistics prune on them (the
+  * data-skipping production story for hash-bucketed tables). Output:
   * the committed version. */
-case class GraftOptimizeCommand(dir: String) extends LeafRunnableCommand {
+case class GraftOptimizeCommand(dir: String,
+                                clusterBy: Option[Seq[String]] = None)
+    extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(MergeTable.compact(spark, dir)))
+    Seq(Row(MergeTable.compact(spark, dir, clusterBy = clusterBy)))
 }
 
 /** `VACUUM t [RETAIN n VERSIONS]` → optional [[MergeTable

@@ -303,18 +303,25 @@ object MergeTableSqlResolution extends Rule[LogicalPlan] {
                 m.notMatchedBySourceActions, m.withSchemaEvolution))
           case None => m
         }
+      // time travel UNDER a WHERE: the same pruned-scan route as the
+      // current-snapshot Filter case below, driven by the HISTORICAL
+      // version's own manifest stats (readPrunedAt) — `SELECT ... FROM t
+      // VERSION AS OF n WHERE pred` skips stats-proven-empty buckets too
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
+          RelationTimeTravel(u: UnresolvedRelation, ts, version))
+          if MergeTableSql.lookup(u.multipartIdentifier).isDefined =>
+        val (dir, _) = MergeTableSql.lookup(u.multipartIdentifier).get
+        val v = resolveTravelVersion(dir, ts, version)
+        val hint = unqualify(cond, Seq(u.multipartIdentifier.last))
+        org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
+          SubqueryAlias(u.multipartIdentifier.last,
+            MergeTable.readPrunedAt(SparkSession.active, dir, v,
+              Bridge.columnOf(hint)).queryExecution.logical))
       case RelationTimeTravel(u: UnresolvedRelation, ts, version)
           if MergeTableSql.lookup(u.multipartIdentifier).isDefined =>
         val (dir, _) = MergeTableSql.lookup(u.multipartIdentifier).get
-        val snapshot = (ts, version) match {
-          case (None, Some(v)) =>
-            MergeTable.readAt(SparkSession.active, dir, v.toLong)
-          case (Some(e), None) =>
-            MergeTable.readAtTimestamp(SparkSession.active, dir,
-              evalTimestampMillis(e))
-          case _ => throw new IllegalArgumentException(
-            "time travel needs VERSION AS OF n or TIMESTAMP AS OF ts")
-        }
+        val snapshot = MergeTable.readAt(SparkSession.active, dir,
+          resolveTravelVersion(dir, ts, version))
         SubqueryAlias(u.multipartIdentifier.last,
           snapshot.queryExecution.logical)
       // INSERT INTO / INSERT OVERWRITE a registered MergeTable: the query
@@ -344,12 +351,7 @@ object MergeTableSqlResolution extends Rule[LogicalPlan] {
             MergeTableSql.lookup(stripAlias(child)._2).isDefined =>
         val (alias, nameParts) = stripAlias(child)
         val (dir, _) = MergeTableSql.lookup(nameParts).get
-        val names = (nameParts.last +: alias.toSeq).map(_.toLowerCase)
-        val hint = cond.transform {
-          case a: UnresolvedAttribute if a.nameParts.length == 2 &&
-              names.contains(a.nameParts.head.toLowerCase) =>
-            UnresolvedAttribute(Seq(a.nameParts.last))
-        }
+        val hint = unqualify(cond, nameParts.last +: alias.toSeq)
         org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
           SubqueryAlias(alias.getOrElse(nameParts.last),
             MergeTable.readPruned(SparkSession.active, dir,
@@ -448,6 +450,29 @@ object MergeTableSqlResolution extends Rule[LogicalPlan] {
         (Some(id.name), stripAlias(child)._2)
       case u: UnresolvedRelation => (None, u.multipartIdentifier)
       case _ => (None, Nil)
+    }
+
+  /** Strip this relation's name/alias qualifier off attribute references
+    * so the driver-side pruning mini-analysis (which sees only the bare
+    * table schema) can resolve them. */
+  private def unqualify(cond: Expression, names: Seq[String]): Expression = {
+    val lower = names.map(_.toLowerCase)
+    cond.transform {
+      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+          lower.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    }
+  }
+
+  /** VERSION AS OF n / TIMESTAMP AS OF ts → the concrete version. */
+  private def resolveTravelVersion(dir: String, ts: Option[Expression],
+                                   version: Option[String]): Long =
+    (ts, version) match {
+      case (None, Some(v)) => v.toLong
+      case (Some(e), None) =>
+        MergeTable.versionForTimestamp(dir, evalTimestampMillis(e))
+      case _ => throw new IllegalArgumentException(
+        "time travel needs VERSION AS OF n or TIMESTAMP AS OF ts")
     }
 }
 

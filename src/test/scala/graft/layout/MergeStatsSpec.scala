@@ -238,6 +238,92 @@ class MergeStatsSpec extends SparkSpec {
     assert(e2.getMessage.contains("reserves"))
   }
 
+  test("IN lists and LIKE-prefix predicates prune on recorded stats; results equal the unpruned filter") {
+    val dir = localizedTable("inlike")
+    // IN: every value inside bucket 2's [200,209] range → only bucket 2
+    assert(MergeTable.prunableBuckets(dir, col("v").isin(205L, 207L)) ===
+      Some(Set(2)))
+    assert(MergeTable.readWhere(spark, dir, col("v").isin(205L, 207L))
+      .as[(Long, Long, String)].collect().toSet ===
+      MergeTable.read(spark, dir).filter(col("v").isin(205L, 207L))
+        .as[(Long, Long, String)].collect().toSet)
+    // IN spanning two buckets keeps exactly those two
+    assert(MergeTable.prunableBuckets(dir, col("v").isin(105L, 301L)) ===
+      Some(Set(1, 3)))
+    // IN with every value outside the table prunes everything
+    assert(MergeTable.prunableBuckets(dir, col("v").isin(9999L, 8888L)) ===
+      Some(Set.empty[Int]))
+    assert(MergeTable.readWhere(spark, dir, col("v").isin(9999L)).count() === 0L)
+    // LIKE 'tag_3%': each bucket's tag is the constant "tag_<b>" → only 3
+    assert(MergeTable.prunableBuckets(dir, col("tag").startsWith("tag_3")) ===
+      Some(Set(3)))
+    assert(MergeTable.readWhere(spark, dir, col("tag").startsWith("tag_3"))
+      .as[(Long, Long, String)].collect().toSet ===
+      MergeTable.read(spark, dir).filter(col("tag").startsWith("tag_3"))
+        .as[(Long, Long, String)].collect().toSet)
+    // a prefix matching nothing prunes everything; empty prefix prunes nothing
+    assert(MergeTable.prunableBuckets(dir, col("tag").startsWith("zzz")) ===
+      Some(Set.empty[Int]))
+    assert(MergeTable.prunableBuckets(dir, col("tag").startsWith(""))
+      .forall(_.size == 4))
+  }
+
+  test("readWhereAt prunes with the HISTORICAL version's own stats; SQL VERSION AS OF ... WHERE routes through it") {
+    val dir = localizedTable("ttprune")
+    val pred = col("v") >= 200L && col("v") < 300L
+    // v1 moves bucket 2's values out of the 200-range
+    val b2keys = (1L to 64L).filter(bucketOf(_, 4) == 2)
+    MergeTable.merge(spark, dir,
+      b2keys.map(id => (id, 9000L + id, "moved", "update"))
+        .toDF("id", "v", "tag", "op_flag"), "id")
+    // current snapshot: nothing in range; historical v0: bucket 2's rows
+    assert(MergeTable.readWhere(spark, dir, pred).count() === 0L)
+    val histGot = MergeTable.readWhereAt(spark, dir, 0L, pred)
+      .as[(Long, Long, String)].collect().toSet
+    val histWant = MergeTable.readAt(spark, dir, 0L).filter(pred)
+      .as[(Long, Long, String)].collect().toSet
+    assert(histGot === histWant && histGot.nonEmpty)
+    // the SQL door's time-travel WHERE reads the same pruned snapshot and
+    // its scan lists ONLY bucket 2's directory
+    graft.plans.MergeTableSql.register("mstats_tt_t", dir)
+    try {
+      val out = spark.sql(
+        "SELECT id, v, tag FROM mstats_tt_t VERSION AS OF 0 " +
+          "WHERE v >= 200 AND v < 300 ORDER BY id")
+      assert(out.as[(Long, Long, String)].collect().toSet === histWant)
+      val p = out.queryExecution.executedPlan.toString
+      val buckets = s"""${MergeTable.BucketCol}=(\\d+)""".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(buckets === Set("2"), s"expected only bucket 2, got $buckets")
+    } finally graft.plans.MergeTableSql.unregister("mstats_tt_t")
+  }
+
+  test("OPTIMIZE t CLUSTER BY (v) sorts every bucket's files by v; answers and bucket placement unchanged") {
+    val dir = freshDir("cluster")
+    // v deliberately UNSORTED within buckets and uncorrelated with the key
+    val rows = (1L to 256L).map(id => (id, (id * 37) % 101, "create"))
+    MergeTable.merge(spark, dir, rows.toDF("id", "v", "op_flag"), "id",
+      numBuckets = 2)
+    val before = MergeTable.read(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    graft.plans.MergeTableSql.register("mstats_cluster_t", dir)
+    try spark.sql("OPTIMIZE mstats_cluster_t CLUSTER BY (v)")
+    finally graft.plans.MergeTableSql.unregister("mstats_cluster_t")
+    val after = MergeTable.read(spark, dir)
+    assert(after.as[(Long, Long)].collect().toSet === before)
+    // physical claim: within every rewritten file, rows are v-ascending —
+    // that in-file order is what parquet row-group stats prune on
+    after.inputFiles.foreach { f =>
+      val vs = spark.read.parquet(f).select("v").as[Long].collect().toSeq
+      assert(vs === vs.sorted, s"file $f not clustered by v")
+    }
+    // an unknown cluster column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.compact(spark, dir, clusterBy = Some(Seq("nope")))
+    }
+    assert(e.getMessage.contains("CLUSTER BY"))
+  }
+
   test("timestamp stats prune under the pinned session timezone") {
     val dir = freshDir("ts")
     val rows = (1L to 32L).map { id =>

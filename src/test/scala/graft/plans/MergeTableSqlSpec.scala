@@ -124,6 +124,27 @@ class MergeTableSqlSpec extends SparkSpec {
     assert(MergeTable.versions(dir) === Seq(0L, 1L))
   }
 
+  test("WHERE shapes the pruning hint can't analyze (subqueries, alias-qualified refs) still answer exactly") {
+    val (name, dir) = freshTable("whshapes")
+    Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "A"))
+      .toDF("k", "price", "status").createOrReplaceTempView("src_w0")
+    spark.sql(s"""MERGE INTO $name t USING src_w0 s ON t.k = s.k
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    // scalar subquery in the WHERE: the driver-side mini-analysis cannot
+    // resolve it → no pruner engages, the analyzer's Filter still answers
+    assert(spark.sql(
+      s"SELECT k FROM $name WHERE price > (SELECT avg(price) FROM $name)")
+      .as[Long].collect().toSeq.sorted === Seq(3L))
+    // alias-qualified reference: unqualified for the hint, answer exact
+    assert(spark.sql(
+      s"SELECT x.k FROM $name AS x WHERE x.price >= 20.0 ORDER BY x.k")
+      .as[Long].collect().toSeq === Seq(2L, 3L))
+    // table-name-qualified reference
+    assert(spark.sql(
+      s"SELECT $name.k FROM $name WHERE $name.status = 'A' ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 3L))
+  }
+
   test("SQL MERGE is serializable: a commit landing between classification and merge conflicts loudly") {
     val (name, dir) = freshTable("serial")
     Seq((1L, 10.0, "A")).toDF("k", "price", "status")
