@@ -160,6 +160,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_history"),
       (children: Seq[Expression]) =>
         graft.plans.MergeTableSql.historyPlan(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_rows"),
+      new ExpressionInfo(graft.plans.MergeTableSql.getClass.getName,
+        "graft_rows"),
+      (children: Seq[Expression]) =>
+        graft.plans.MergeTableSql.rowsPlan(children)))
     ext.injectFunction((
       FunctionIdentifier("entropy_profile"),
       new ExpressionInfo(classOf[graft.functions.EntropyProfile].getName,

@@ -3142,6 +3142,24 @@ object SparkEntry {
       out
     }),
 
+    // ⊕K7 manifest row counts (r16): every merge/compact records each
+    // rewritten bucket's EXACT row count, so `count(*)` over a registered
+    // table is a manifest read — zero files listed or opened, the O(1)
+    // metadata count a 100 TB table format owes its users. The
+    // graft_rows('t') TVF exposes the per-bucket counts as a relation;
+    // the oracle recomputes the table's live cardinality from the q63
+    // closed form. MergeStatsSpec pins the zero-I/O claim (LocalRelation
+    // plan, no file scan) and count maintenance across merge/delete/
+    // compact; countRows is the Scala form.
+    "q190_sql_rowcount" -> ((s, d) => {
+      graft.plans.MergeTableSql.register("orders_mt_rc",
+        ordersMergeTableShared(s, d))
+      val out = s.sql(
+        "SELECT sum(rows) AS n FROM graft_rows('orders_mt_rc')")
+      graft.plans.MergeTableSql.unregister("orders_mt_rc")
+      out
+    }),
+
     // ⊕K7 CDC by WALL-CLOCK (r15): the graft_changes window named by
     // TIMESTAMP literals instead of version numbers — each boundary
     // resolves through versionForTimestamp (newest stamped commit
@@ -4994,6 +5012,12 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey % 7 = 1
         |  AND o_totalprice + 1.0 >= 50000.0 AND o_totalprice + 1.0 < 150000.0
         |ORDER BY okey""".stripMargin,
+
+    // q190: the manifest row count equals the table's live cardinality
+    // (the q63 closed form: final state keys are %7 IN (0,1,3))
+    "q190_sql_rowcount" ->
+      """SELECT count(*) AS n FROM orders
+        |WHERE o_orderkey % 7 IN (0, 1, 3)""".stripMargin,
 
     // q186: latest event per (user, type) TUPLE — the composite-key
     // streaming upsert's final state as a two-column argmax

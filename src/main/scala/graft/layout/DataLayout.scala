@@ -2,7 +2,7 @@ package graft.layout
 
 import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical data layout for the 100 TB tier: hive-partitioned writes with
@@ -34,8 +34,16 @@ object DataLayout {
   def writePartitionedSorted(df: DataFrame, outDir: String,
                              partCols: Seq[String],
                              sortCols: Seq[String]): Unit =
+    writePartitionedSortedBy(df, outDir, partCols, sortCols.map(col))
+
+  /** [[writePartitionedSorted]] with arbitrary sort EXPRESSIONS — the
+    * in-file order can be computed (a Morton z-value, a binned key)
+    * without the expression ever entering the written schema. */
+  def writePartitionedSortedBy(df: DataFrame, outDir: String,
+                               partCols: Seq[String],
+                               sortExprs: Seq[Column]): Unit =
     df.repartition(partCols.map(col): _*)
-      .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
+      .sortWithinPartitions(partCols.map(col) ++ sortExprs: _*)
       .write.mode("overwrite")
       .partitionBy(partCols: _*)
       .parquet(outDir)

@@ -133,7 +133,8 @@ object MergeTable {
                               ts: Long = 0L, op: String = "",
                               rows: Long = -1L,
                               stats: Map[Int, Map[String, (String, String)]] =
-                                Map.empty) {
+                                Map.empty,
+                              bucketRows: Map[Int, Long] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     /** The key COLUMNS — `key` is their comma-joined manifest encoding. */
     def keys: Seq[String] = key.split(",").toSeq
@@ -185,17 +186,17 @@ object MergeTable {
       c -> (unb64(lo), unb64(hi))
     }.toMap
 
-  /** Per-bucket min/max of every stats-eligible column, computed from the
-    * just-written stage files — one small job over the DELTA (never the
-    * table), reading values exactly as the files store them. Values are
-    * cast to string IN the job (session timezone, which the engine pins
-    * to UTC) so the manifest encoding is engine-portable. */
+  /** Per-bucket (min/max of every stats-eligible column, exact row count),
+    * computed from the just-written stage files — one small job over the
+    * DELTA (never the table), reading values exactly as the files store
+    * them. Stat values are cast to string IN the job (session timezone,
+    * which the engine pins to UTC) so the manifest encoding is
+    * engine-portable; the counts give [[countRows]] its O(1) answer. */
   private def collectBucketStats(spark: SparkSession, stageDir: String,
                                  schema: StructType)
-      : Map[Int, Map[String, (String, String)]] = {
+      : (Map[Int, Map[String, (String, String)]], Map[Int, Long]) = {
     val cols = schema.fields.toSeq.filter(statsEligible(_))
-    if (cols.isEmpty) return Map.empty
-    val aggs = cols.flatMap(f => Seq(
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(f => Seq(
       min(col(f.name)).cast("string").as(s"__lo_${f.name}"),
       max(col(f.name)).cast("string").as(s"__hi_${f.name}")))
     // the `__pk_bucket=` dirs are `_`-prefixed, so discovery from the
@@ -205,20 +206,23 @@ object MergeTable {
       .getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
       .map(_.getPath).sorted
-    if (dirs.isEmpty) return Map.empty
-    spark.read.option("basePath", stageDir)
+    if (dirs.isEmpty) return (Map.empty, Map.empty)
+    val rows = spark.read.option("basePath", stageDir)
       .schema(schema.add(BucketCol, IntegerType, nullable = false))
       .parquet(dirs: _*)
       .groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*)
-      .collect().map { r =>
-        val b = r.getInt(0)
-        b -> cols.flatMap { f =>
-          val lo = r.getAs[String](s"__lo_${f.name}")
-          val hi = r.getAs[String](s"__hi_${f.name}")
-          if (lo == null || hi == null) None // all-null column: no stats
-          else Some(f.name -> (lo, hi))
-        }.toMap
+      .collect()
+    val stats = rows.map { r =>
+      val b = r.getInt(0)
+      b -> cols.flatMap { f =>
+        val lo = r.getAs[String](s"__lo_${f.name}")
+        val hi = r.getAs[String](s"__hi_${f.name}")
+        if (lo == null || hi == null) None // all-null column: no stats
+        else Some(f.name -> (lo, hi))
       }.toMap
+    }.toMap
+    val counts = rows.map(r => r.getInt(0) -> r.getAs[Long]("__n")).toMap
+    (stats, counts)
   }
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_latest")
@@ -262,6 +266,14 @@ object MergeTable {
       .map { k =>
         k.stripPrefix("stats.").toInt -> decodeStats(props.getProperty(k))
       }.filter(_._2.nonEmpty).toMap
+    // pre-r16 manifests carry no per-bucket row counts: countRows then
+    // reports None and falls back honestly to a scan
+    val bucketRows = props.getProperty("rowcounts", "") match {
+      case "" => Map.empty[Int, Long]
+      case s => s.split(",").iterator.map { kv =>
+        val Array(b, n) = kv.split(":"); b.toInt -> n.toLong
+      }.toMap
+    }
     Manifest(props.getProperty("version").toLong,
       props.getProperty("batchId").toLong, props.getProperty("key"),
       props.getProperty("numBuckets").toInt, schemaJson,
@@ -271,7 +283,7 @@ object MergeTable {
       ts = Option(props.getProperty("ts")).map(_.toLong).getOrElse(0L),
       op = props.getProperty("op", ""),
       rows = Option(props.getProperty("rows")).map(_.toLong).getOrElse(-1L),
-      stats = stats)
+      stats = stats, bucketRows = bucketRows)
   }
 
   private def readManifest(dir: String): Option[Manifest] = {
@@ -318,6 +330,9 @@ object MergeTable {
     m.stats.foreach { case (b, st) =>
       if (st.nonEmpty) p.setProperty(s"stats.$b", encodeStats(st))
     }
+    if (m.bucketRows.nonEmpty)
+      p.setProperty("rowcounts",
+        m.bucketRows.toSeq.sorted.map { case (b, n) => s"$b:$n" }.mkString(","))
     p
   }
 
@@ -538,6 +553,36 @@ object MergeTable {
     val m = requireManifest(dir)
     readBuckets(spark, dir, m, prunedBuckets(spark, m, predicate))
       .drop(BucketCol)
+  }
+
+  /** Exact live row count from the manifest alone — O(1) driver-side, no
+    * file listed or opened (every merge/compact records each rewritten
+    * bucket's exact count; at 100 TB `count(*)` is a metadata read, the
+    * standard table-format property). None when any live bucket predates
+    * per-bucket counts (pre-r16 manifests) — callers fall back to a scan. */
+  def countRows(dir: String): Option[Long] = {
+    val m = requireManifest(dir)
+    if (m.buckets.isEmpty) Some(0L)
+    else if (m.buckets.keySet.forall(m.bucketRows.contains))
+      Some(m.buckets.keySet.toSeq.map(m.bucketRows).sum)
+    else None
+  }
+
+  /** Per-bucket live row counts as a (bucket, rows) DataFrame — from the
+    * manifest when complete (zero data I/O), else computed by a grouped
+    * scan (pre-r16 manifests; honest fallback, same answer). Backs the
+    * `graft_rows('t')` SQL table function. */
+  def bucketRowCounts(spark: SparkSession, dir: String): DataFrame = {
+    val m = requireManifest(dir)
+    if (m.buckets.keySet.forall(m.bucketRows.contains)) {
+      import spark.implicits._
+      m.buckets.keySet.toSeq.sorted.map(b => (b, m.bucketRows(b)))
+        .toDF("bucket", "rows")
+    } else
+      readBuckets(spark, dir, m, None)
+        .groupBy(col(BucketCol).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("rows"))
+        .orderBy(col("bucket"))
   }
 
   /** [[readWhere]] against a historical snapshot — stats are recorded in
@@ -984,15 +1029,23 @@ object MergeTable {
     // per-bucket min/max of the REWRITTEN buckets, read back from the
     // just-written stage (delta-proportional); untouched buckets keep
     // their recorded stats, all-deleted rewritten buckets lose theirs
-    val newStats =
-      if (changed.isEmpty) Map.empty[Int, Map[String, (String, String)]]
+    val (newStats, newCounts) =
+      if (changed.isEmpty)
+        (Map.empty[Int, Map[String, (String, String)]], Map.empty[Int, Long])
       else collectBucketStats(spark, s"$dir/$stage", widened)
+    val buckets = prior.map(_.buckets).getOrElse(Map.empty) ++
+      changed.map(_ -> (newV, sid))
     commit(dir, Manifest(newV, batchId, key, nb, schemaJson,
-        prior.map(_.buckets).getOrElse(Map.empty) ++
-          changed.map(_ -> (newV, sid)),
+        buckets,
         priorPhys + (sid -> PhysSchema(schemaJson, identityProj)),
         ts = commitTs(prior), op = "merge", rows = nRows,
-        stats = prior.map(_.stats).getOrElse(Map.empty) -- changed ++ newStats),
+        stats = prior.map(_.stats).getOrElse(Map.empty) -- changed ++ newStats,
+        // rewritten buckets get fresh counts; a rewritten bucket whose
+        // rows ALL deleted stays in the bucket map (compact drops it) and
+        // counts 0 — its stage dir is empty, so newCounts has no entry
+        bucketRows = (prior.map(_.bucketRows).getOrElse(Map.empty)
+          ++ changed.map(_ -> 0L).toMap ++ newCounts)
+          .filter { case (b, _) => buckets.contains(b) }),
       if (changed.nonEmpty) Some(stage) else None)
     Some(newV)
   }
@@ -1173,18 +1226,51 @@ object MergeTable {
     * next clustered OPTIMIZE — the standard OPTIMIZE-cadence contract. */
   def compact(spark: SparkSession, dir: String,
               only: Option[Set[Int]] = None,
-              clusterBy: Option[Seq[String]] = None): Long = {
+              clusterBy: Option[Seq[String]] = None,
+              zorderBy: Option[(String, String)] = None): Long = {
     recover(dir)
     val m = requireManifest(dir)
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "compact: CLUSTER BY and ZORDER BY are mutually exclusive")
     clusterBy.foreach(_.foreach(c => require(m.schema.fieldNames.contains(c),
       s"CLUSTER BY column '$c' is not in ${m.schema.fieldNames.mkString(", ")}")))
+    zorderBy.foreach { case (a, b) => Seq(a, b).foreach { c =>
+      val f = m.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"ZORDER BY column '$c' is not in ${m.schema.fieldNames.mkString(", ")}"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"ZORDER BY column '$c' must be numeric, is ${f.dataType.simpleString}")
+    }}
     val newV = m.version + 1
     val stage = s"_stage_v${newV}_${java.util.UUID.randomUUID().toString.take(8)}"
     val chosen = m.buckets.keySet.filter(b => only.forall(_.contains(b)))
-    if (chosen.nonEmpty)
-      DataLayout.writePartitionedSorted(
-        readBuckets(spark, dir, m, Some(chosen)), s"$dir/$stage",
-        Seq(BucketCol), clusterBy.getOrElse(m.keys))
+    if (chosen.nonEmpty) {
+      val data = readBuckets(spark, dir, m, Some(chosen))
+      val sortExprs: Seq[Column] = zorderBy match {
+        case None => clusterBy.getOrElse(m.keys).map(col)
+        case Some((a, b)) =>
+          // bin each dimension into 16 cells over the CHOSEN data's
+          // min/max (one tiny agg — 4 doubles to the driver) and sort by
+          // the Morton z-value of the two cells: in-file locality on BOTH
+          // columns at once, so a 2-D box predicate prunes parquet row
+          // groups on both — `OPTIMIZE ZORDER BY`, the ⊕K9 curve applied
+          // inside each hash bucket
+          val r = data.agg(
+            min(col(a).cast("double")), max(col(a).cast("double")),
+            min(col(b).cast("double")), max(col(b).cast("double"))).head()
+          def cell(c: String, lo: Double, hi: Double): Column = {
+            val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+            least(greatest(((col(c).cast("double") - lit(lo)) / lit(span)
+              * lit(16)).cast("int"), lit(0)), lit(15))
+          }
+          if (r.isNullAt(0) || r.isNullAt(2)) clusterBy.getOrElse(m.keys).map(col)
+          else Seq(ZOrder.zvalue(
+            cell(a, r.getDouble(0), r.getDouble(1)),
+            cell(b, r.getDouble(2), r.getDouble(3))))
+      }
+      DataLayout.writePartitionedSortedBy(
+        data, s"$dir/$stage", Seq(BucketCol), sortExprs)
+    }
     val liveDirs = Option(new java.io.File(s"$dir/$stage").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
@@ -1200,15 +1286,18 @@ object MergeTable {
     val kept = m.buckets.filterNot { case (b, _) => chosen.contains(b) }
     val buckets = kept ++ liveDirs.map(_ -> (newV, sid))
     val referencedSids = buckets.values.map(_._2).toSet + sid
-    val newStats =
-      if (chosen.isEmpty) Map.empty[Int, Map[String, (String, String)]]
+    val (newStats, newCounts) =
+      if (chosen.isEmpty)
+        (Map.empty[Int, Map[String, (String, String)]], Map.empty[Int, Long])
       else collectBucketStats(spark, s"$dir/$stage", m.schema)
     commit(dir, m.copy(version = newV,
         buckets = buckets,
         phys = (m.phys + (sid -> PhysSchema(m.schemaJson, identityProj)))
           .filter { case (id, _) => referencedSids.contains(id) },
         ts = commitTs(Some(m)), op = "compact", rows = 0L,
-        stats = m.stats -- chosen ++ newStats),
+        stats = m.stats -- chosen ++ newStats,
+        bucketRows = (m.bucketRows -- chosen ++ newCounts)
+          .filter { case (b, _) => buckets.contains(b) }),
       if (chosen.nonEmpty) Some(stage) else None)
     newV
   }

@@ -43,7 +43,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Ident = """([A-Za-z_][A-Za-z0-9_]*)"""
   private val OptimizeRe = ("""(?is)^\s*OPTIMIZE\s+""" + Ident +
-    """(?:\s+CLUSTER\s+BY\s+\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\))?\s*;?\s*$""").r
+    """(?:\s+(CLUSTER|ZORDER)\s+BY\s+\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\))?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Ident +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
@@ -54,9 +54,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     MergeTableSql.lookup(Seq(name)).map(_._1)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(name, cluster) if dirOf(name).isDefined =>
-      GraftOptimizeCommand(dirOf(name).get,
-        Option(cluster).map(_.split(",").toSeq.map(_.trim)))
+    case OptimizeRe(name, verb, cols) if dirOf(name).isDefined =>
+      val colSeq = Option(cols).map(_.split(",").toSeq.map(_.trim))
+      Option(verb).map(_.toUpperCase) match {
+        case Some("ZORDER") =>
+          val cs = colSeq.get
+          require(cs.size == 2,
+            s"OPTIMIZE $name ZORDER BY takes exactly 2 columns, got ${cs.size}")
+          GraftOptimizeCommand(dirOf(name).get,
+            zorderBy = Some((cs.head, cs(1))))
+        case _ =>
+          GraftOptimizeCommand(dirOf(name).get, clusterBy = colSeq)
+      }
     case VacuumRe(name, retain) if dirOf(name).isDefined =>
       GraftVacuumCommand(dirOf(name).get, Option(retain).map(_.toInt))
     case HistoryRe(name) if dirOf(name).isDefined =>
@@ -197,21 +206,25 @@ object GraftCreateTableCommand {
   }
 }
 
-/** `OPTIMIZE t [CLUSTER BY (c1[, c2...])]` → [[MergeTable.compact]]:
-  * every live bucket rewritten into one new version (reads fold back to
-  * one pruned scan); with CLUSTER BY, each bucket's files sort by the
-  * given columns so scan-side parquet statistics prune on them (the
-  * data-skipping production story for hash-bucketed tables). Output:
-  * the committed version. */
+/** `OPTIMIZE t [CLUSTER BY (c1[, c2...]) | ZORDER BY (a, b)]` →
+  * [[MergeTable.compact]]: every live bucket rewritten into one new
+  * version (reads fold back to one pruned scan); with CLUSTER BY, each
+  * bucket's files sort by the given columns so scan-side parquet
+  * statistics prune on them (the data-skipping production story for
+  * hash-bucketed tables); with ZORDER BY, files sort by the Morton
+  * z-value of the two binned numeric columns so a 2-D box predicate
+  * prunes on BOTH at once. Output: the committed version. */
 case class GraftOptimizeCommand(dir: String,
-                                clusterBy: Option[Seq[String]] = None)
+                                clusterBy: Option[Seq[String]] = None,
+                                zorderBy: Option[(String, String)] = None)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(MergeTable.compact(spark, dir, clusterBy = clusterBy)))
+    Seq(Row(MergeTable.compact(spark, dir, clusterBy = clusterBy,
+      zorderBy = zorderBy)))
 }
 
 /** `VACUUM t [RETAIN n VERSIONS]` → optional [[MergeTable

@@ -226,6 +226,17 @@ object MergeTableSql {
     * commits whose wall-clock falls in [from_ts, to_ts] (timestamp
     * literals; either boundary may also be an integer version) — the
     * audit window query behind "what changed last night". */
+  /** `SELECT * FROM graft_rows('t')` — per-bucket live row counts as a
+    * relation, answered from the MANIFEST when complete (zero data I/O —
+    * `SELECT sum(rows) FROM graft_rows('t')` is the O(1) `count(*)` a
+    * 100 TB table wants; [[MergeTable.countRows]] is the Scala form). */
+  def rowsPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "graft_rows(table_name) expects 1 argument")
+    val dir = dirFor(litString(args.head, "graft_rows: table_name"))
+    MergeTable.bucketRowCounts(SparkSession.active, dir)
+      .queryExecution.logical
+  }
+
   def historyPlan(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 1 || args.size == 3,
       "graft_history(table_name[, from_ts, to_ts]) expects 1 or 3 arguments")

@@ -298,6 +298,43 @@ class MergeStatsSpec extends SparkSpec {
     } finally graft.plans.MergeTableSql.unregister("mstats_tt_t")
   }
 
+  test("manifest row counts: countRows is exact across merge/delete/compact; graft_rows answers with ZERO file I/O") {
+    val dir = localizedTable("counts") // 64 rows over 4 buckets
+    assert(MergeTable.countRows(dir) === Some(64L))
+    // delete one key: the rewritten bucket's count follows
+    MergeTable.merge(spark, dir,
+      Seq((1L, 0L, "x", "delete")).toDF("id", "v", "tag", "op_flag"), "id")
+    assert(MergeTable.countRows(dir) === Some(63L))
+    MergeTable.compact(spark, dir)
+    assert(MergeTable.countRows(dir) === Some(63L))
+    // the SQL surface: sum(rows) over graft_rows = count(*), and the plan
+    // reads NO files — the manifest is the whole input
+    graft.plans.MergeTableSql.register("mstats_rc_t", dir)
+    try {
+      val out = spark.sql("SELECT sum(rows) AS n FROM graft_rows('mstats_rc_t')")
+      assert(out.as[Long].head() === 63L)
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan"), s"graft_rows must not scan files:\n$p")
+    } finally graft.plans.MergeTableSql.unregister("mstats_rc_t")
+    // per-bucket counts agree with the real table
+    val got = MergeTable.bucketRowCounts(spark, dir)
+      .as[(Int, Long)].collect().toMap
+    assert(got.values.sum === MergeTable.read(spark, dir).count())
+    // a bucket emptied by deletes counts 0 (it stays mapped until a
+    // compact drops it — then its count entry goes too)
+    val b1keys = (1L to 64L).filter(bucketOf(_, 4) == 1)
+    MergeTable.merge(spark, dir,
+      b1keys.map(id => (id, 0L, "x", "delete")).toDF("id", "v", "tag", "op_flag"),
+      "id")
+    assert(MergeTable.countRows(dir) === Some(63L - b1keys.count(_ != 1L)))
+    assert(MergeTable.bucketRowCounts(spark, dir)
+      .as[(Int, Long)].collect().toMap.get(1).contains(0L))
+    MergeTable.compact(spark, dir)
+    assert(MergeTable.countRows(dir) === Some(63L - b1keys.count(_ != 1L)))
+    assert(!MergeTable.bucketRowCounts(spark, dir)
+      .as[(Int, Long)].collect().toMap.contains(1))
+  }
+
   test("OPTIMIZE t CLUSTER BY (v) sorts every bucket's files by v; answers and bucket placement unchanged") {
     val dir = freshDir("cluster")
     // v deliberately UNSORTED within buckets and uncorrelated with the key
@@ -322,6 +359,42 @@ class MergeStatsSpec extends SparkSpec {
       MergeTable.compact(spark, dir, clusterBy = Some(Seq("nope")))
     }
     assert(e.getMessage.contains("CLUSTER BY"))
+  }
+
+  test("OPTIMIZE t ZORDER BY (a, b) sorts every file by the Morton curve of both columns; answers unchanged") {
+    val dir = freshDir("zorder")
+    val rows = (1L to 512L).map(id =>
+      (id, (id * 37) % 257, (id * 91) % 263, "create"))
+    MergeTable.merge(spark, dir, rows.toDF("id", "a", "b", "op_flag"), "id",
+      numBuckets = 2)
+    val before = MergeTable.read(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    graft.plans.MergeTableSql.register("mstats_z_t", dir)
+    try spark.sql("OPTIMIZE mstats_z_t ZORDER BY (a, b)")
+    finally graft.plans.MergeTableSql.unregister("mstats_z_t")
+    val after = MergeTable.read(spark, dir)
+    assert(after.as[(Long, Long, Long)].collect().toSet === before)
+    // replicate the compaction's binning (16 cells over the data's min/max)
+    // and assert per-file z-monotonicity — the in-file order parquet
+    // row-group stats tighten on, for BOTH columns at once
+    val (loA, hiA) = (rows.map(_._2).min.toDouble, rows.map(_._2).max.toDouble)
+    val (loB, hiB) = (rows.map(_._3).min.toDouble, rows.map(_._3).max.toDouble)
+    def cell(v: Double, lo: Double, hi: Double): Int = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      math.min(15, math.max(0, ((v - lo) / span * 16).toInt))
+    }
+    after.inputFiles.foreach { f =>
+      val zs = spark.read.parquet(f).select("a", "b")
+        .as[(Long, Long)].collect().toSeq
+        .map { case (a, b) => ZOrder.zvalueScala(
+          cell(a.toDouble, loA, hiA), cell(b.toDouble, loB, hiB)) }
+      assert(zs === zs.sorted, s"file $f not z-ordered")
+    }
+    // a non-numeric or unknown column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.compact(spark, dir, zorderBy = Some(("id", "nope")))
+    }
+    assert(e.getMessage.contains("ZORDER BY"))
   }
 
   test("timestamp stats prune under the pinned session timezone") {
