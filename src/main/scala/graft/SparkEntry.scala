@@ -3155,7 +3155,7 @@ object SparkEntry {
       graft.plans.MergeTableSql.register("orders_mt_rc",
         ordersMergeTableShared(s, d))
       val out = s.sql(
-        "SELECT sum(rows) AS n FROM graft_rows('orders_mt_rc')")
+        "SELECT sum(rows) AS n FROM graft_rows('orders_mt_rc') ORDER BY n")
       graft.plans.MergeTableSql.unregister("orders_mt_rc")
       out
     }),
@@ -5017,7 +5017,7 @@ object SparkEntry {
     // (the q63 closed form: final state keys are %7 IN (0,1,3))
     "q190_sql_rowcount" ->
       """SELECT count(*) AS n FROM orders
-        |WHERE o_orderkey % 7 IN (0, 1, 3)""".stripMargin,
+        |WHERE o_orderkey % 7 IN (0, 1, 3) ORDER BY n""".stripMargin,
 
     // q186: latest event per (user, type) TUPLE — the composite-key
     // streaming upsert's final state as a two-column argmax

@@ -134,7 +134,9 @@ object MergeTable {
                               rows: Long = -1L,
                               stats: Map[Int, Map[String, (String, String)]] =
                                 Map.empty,
-                              bucketRows: Map[Int, Long] = Map.empty) {
+                              bucketRows: Map[Int, Long] = Map.empty,
+                              nullCounts: Map[Int, Map[String, Long]] =
+                                Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     /** The key COLUMNS — `key` is their comma-joined manifest encoding. */
     def keys: Seq[String] = key.split(",").toSeq
@@ -192,13 +194,17 @@ object MergeTable {
     * them. Stat values are cast to string IN the job (session timezone,
     * which the engine pins to UTC) so the manifest encoding is
     * engine-portable; the counts give [[countRows]] its O(1) answer. */
+  private case class BucketStats(stats: Map[Int, Map[String, (String, String)]],
+                                 counts: Map[Int, Long],
+                                 nulls: Map[Int, Map[String, Long]])
+
   private def collectBucketStats(spark: SparkSession, stageDir: String,
-                                 schema: StructType)
-      : (Map[Int, Map[String, (String, String)]], Map[Int, Long]) = {
+                                 schema: StructType): BucketStats = {
     val cols = schema.fields.toSeq.filter(statsEligible(_))
     val aggs = count(lit(1)).as("__n") +: cols.flatMap(f => Seq(
       min(col(f.name)).cast("string").as(s"__lo_${f.name}"),
-      max(col(f.name)).cast("string").as(s"__hi_${f.name}")))
+      max(col(f.name)).cast("string").as(s"__hi_${f.name}"),
+      count(col(f.name)).as(s"__nn_${f.name}")))
     // the `__pk_bucket=` dirs are `_`-prefixed, so discovery from the
     // stage root would skip them — list them explicitly under an explicit
     // schema, the readBuckets discipline
@@ -206,7 +212,7 @@ object MergeTable {
       .getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
       .map(_.getPath).sorted
-    if (dirs.isEmpty) return (Map.empty, Map.empty)
+    if (dirs.isEmpty) return BucketStats(Map.empty, Map.empty, Map.empty)
     val rows = spark.read.option("basePath", stageDir)
       .schema(schema.add(BucketCol, IntegerType, nullable = false))
       .parquet(dirs: _*)
@@ -217,12 +223,20 @@ object MergeTable {
       b -> cols.flatMap { f =>
         val lo = r.getAs[String](s"__lo_${f.name}")
         val hi = r.getAs[String](s"__hi_${f.name}")
-        if (lo == null || hi == null) None // all-null column: no stats
+        if (lo == null || hi == null) None // all-null column: no min/max
         else Some(f.name -> (lo, hi))
       }.toMap
     }.toMap
     val counts = rows.map(r => r.getInt(0) -> r.getAs[Long]("__n")).toMap
-    (stats, counts)
+    // null counts = rows − non-null rows, recorded for EVERY eligible
+    // column (unlike min/max, an all-null column's entry is the useful
+    // one: it is exactly what IS NOT NULL prunes on)
+    val nulls = rows.map { r =>
+      val b = r.getInt(0)
+      val n = r.getAs[Long]("__n")
+      b -> cols.map(f => f.name -> (n - r.getAs[Long](s"__nn_${f.name}"))).toMap
+    }.toMap
+    BucketStats(stats, counts, nulls)
   }
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_latest")
@@ -266,6 +280,17 @@ object MergeTable {
       .map { k =>
         k.stripPrefix("stats.").toInt -> decodeStats(props.getProperty(k))
       }.filter(_._2.nonEmpty).toMap
+    val nullCounts = props.stringPropertyNames().asScala.toSeq
+      .filter(_.startsWith("nulls."))
+      .map { k =>
+        k.stripPrefix("nulls.").toInt -> (props.getProperty(k) match {
+          case "" => Map.empty[String, Long]
+          case s => s.split(",").iterator.map { cn =>
+            val i = cn.lastIndexOf(':')
+            cn.substring(0, i) -> cn.substring(i + 1).toLong
+          }.toMap
+        })
+      }.filter(_._2.nonEmpty).toMap
     // pre-r16 manifests carry no per-bucket row counts: countRows then
     // reports None and falls back honestly to a scan
     val bucketRows = props.getProperty("rowcounts", "") match {
@@ -283,7 +308,7 @@ object MergeTable {
       ts = Option(props.getProperty("ts")).map(_.toLong).getOrElse(0L),
       op = props.getProperty("op", ""),
       rows = Option(props.getProperty("rows")).map(_.toLong).getOrElse(-1L),
-      stats = stats, bucketRows = bucketRows)
+      stats = stats, bucketRows = bucketRows, nullCounts = nullCounts)
   }
 
   private def readManifest(dir: String): Option[Manifest] = {
@@ -333,6 +358,10 @@ object MergeTable {
     if (m.bucketRows.nonEmpty)
       p.setProperty("rowcounts",
         m.bucketRows.toSeq.sorted.map { case (b, n) => s"$b:$n" }.mkString(","))
+    m.nullCounts.foreach { case (b, nc) =>
+      if (nc.nonEmpty) p.setProperty(s"nulls.$b",
+        nc.toSeq.sorted.map { case (c, n) => s"$c:$n" }.mkString(","))
+    }
     p
   }
 
@@ -785,13 +814,33 @@ object MergeTable {
           }
       }
     }
-    val pruners = resolved.toSeq.flatMap(conjuncts).flatMap(pruneOf(_))
-    if (pruners.isEmpty || m.stats.isEmpty) None
-    else Some(m.buckets.keySet.filter { b =>
-      val st = m.stats.getOrElse(b, Map.empty)
-      // keep unless SOME conjunct proves emptiness from SOME recorded stat
-      !pruners.exists(p => st.exists { case (c, mm) => p(c, mm) })
-    })
+    // IS [NOT] NULL conjuncts prune on the recorded per-bucket null
+    // counts (r16): `col IS NOT NULL` proves a bucket empty when every
+    // row's value is null (nullCount == rowCount — exactly the bucket
+    // min/max can never describe); `col IS NULL` when it has zero nulls.
+    // Absent counts (pre-r16 manifests) keep the bucket.
+    def nullPruneOf(e: CExpr): Option[Int => Boolean] = e match {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: CAttrRef) =>
+        eligible(a.name).map { canonical => (b: Int) =>
+          (for {
+            n <- m.nullCounts.get(b).flatMap(_.get(canonical))
+            rows <- m.bucketRows.get(b)
+          } yield n == rows).getOrElse(false)
+        }
+      case org.apache.spark.sql.catalyst.expressions.IsNull(a: CAttrRef) =>
+        eligible(a.name).map { canonical => (b: Int) =>
+          m.nullCounts.get(b).flatMap(_.get(canonical)).contains(0L)
+        }
+      case _ => None
+    }
+    val cs = resolved.toSeq.flatMap(conjuncts)
+    val bucketPruners: Seq[Int => Boolean] =
+      cs.flatMap(pruneOf(_)).map(p => (b: Int) =>
+        m.stats.getOrElse(b, Map.empty).exists { case (c, mm) => p(c, mm) }) ++
+        cs.flatMap(nullPruneOf(_))
+    if (bucketPruners.isEmpty) None
+    // keep unless SOME conjunct proves emptiness from SOME recorded stat
+    else Some(m.buckets.keySet.filter(b => !bucketPruners.exists(_(b))))
   }
 
   /** Last committed streaming batch id, -1 if none / no table. */
@@ -1029,9 +1078,8 @@ object MergeTable {
     // per-bucket min/max of the REWRITTEN buckets, read back from the
     // just-written stage (delta-proportional); untouched buckets keep
     // their recorded stats, all-deleted rewritten buckets lose theirs
-    val (newStats, newCounts) =
-      if (changed.isEmpty)
-        (Map.empty[Int, Map[String, (String, String)]], Map.empty[Int, Long])
+    val bs =
+      if (changed.isEmpty) BucketStats(Map.empty, Map.empty, Map.empty)
       else collectBucketStats(spark, s"$dir/$stage", widened)
     val buckets = prior.map(_.buckets).getOrElse(Map.empty) ++
       changed.map(_ -> (newV, sid))
@@ -1039,13 +1087,15 @@ object MergeTable {
         buckets,
         priorPhys + (sid -> PhysSchema(schemaJson, identityProj)),
         ts = commitTs(prior), op = "merge", rows = nRows,
-        stats = prior.map(_.stats).getOrElse(Map.empty) -- changed ++ newStats,
+        stats = prior.map(_.stats).getOrElse(Map.empty) -- changed ++ bs.stats,
         // rewritten buckets get fresh counts; a rewritten bucket whose
         // rows ALL deleted stays in the bucket map (compact drops it) and
-        // counts 0 — its stage dir is empty, so newCounts has no entry
+        // counts 0 — its stage dir is empty, so the measured map has no entry
         bucketRows = (prior.map(_.bucketRows).getOrElse(Map.empty)
-          ++ changed.map(_ -> 0L).toMap ++ newCounts)
-          .filter { case (b, _) => buckets.contains(b) }),
+          ++ changed.map(_ -> 0L).toMap ++ bs.counts)
+          .filter { case (b, _) => buckets.contains(b) },
+        nullCounts = prior.map(_.nullCounts).getOrElse(Map.empty) -- changed
+          ++ bs.nulls),
       if (changed.nonEmpty) Some(stage) else None)
     Some(newV)
   }
@@ -1102,7 +1152,8 @@ object MergeTable {
           StructType(m.schema.fields.filterNot(_.name == column)).json,
         phys = m.phys.view.mapValues(ps =>
           ps.copy(proj = ps.proj - column)).toMap,
-        stats = m.stats.view.mapValues(_ - column).toMap)
+        stats = m.stats.view.mapValues(_ - column).toMap,
+        nullCounts = m.nullCounts.view.mapValues(_ - column).toMap)
     })
 
   /** Rename a column — metadata-only: the logical schema renames and every
@@ -1133,6 +1184,12 @@ object MergeTable {
           st.get(from) match {
             case Some(mm) => st - from + (to -> mm)
             case None => st
+          }
+        }.toMap,
+        nullCounts = m.nullCounts.view.mapValues { nc =>
+          nc.get(from) match {
+            case Some(n) => nc - from + (to -> n)
+            case None => nc
           }
         }.toMap)
     })
@@ -1286,17 +1343,18 @@ object MergeTable {
     val kept = m.buckets.filterNot { case (b, _) => chosen.contains(b) }
     val buckets = kept ++ liveDirs.map(_ -> (newV, sid))
     val referencedSids = buckets.values.map(_._2).toSet + sid
-    val (newStats, newCounts) =
-      if (chosen.isEmpty)
-        (Map.empty[Int, Map[String, (String, String)]], Map.empty[Int, Long])
+    val bs =
+      if (chosen.isEmpty) BucketStats(Map.empty, Map.empty, Map.empty)
       else collectBucketStats(spark, s"$dir/$stage", m.schema)
     commit(dir, m.copy(version = newV,
         buckets = buckets,
         phys = (m.phys + (sid -> PhysSchema(m.schemaJson, identityProj)))
           .filter { case (id, _) => referencedSids.contains(id) },
         ts = commitTs(Some(m)), op = "compact", rows = 0L,
-        stats = m.stats -- chosen ++ newStats,
-        bucketRows = (m.bucketRows -- chosen ++ newCounts)
+        stats = m.stats -- chosen ++ bs.stats,
+        bucketRows = (m.bucketRows -- chosen ++ bs.counts)
+          .filter { case (b, _) => buckets.contains(b) },
+        nullCounts = (m.nullCounts -- chosen ++ bs.nulls)
           .filter { case (b, _) => buckets.contains(b) }),
       if (chosen.nonEmpty) Some(stage) else None)
     newV

@@ -298,6 +298,37 @@ class MergeStatsSpec extends SparkSpec {
     } finally graft.plans.MergeTableSql.unregister("mstats_tt_t")
   }
 
+  test("IS NULL / IS NOT NULL prune on recorded per-bucket null counts; results equal the unpruned filter") {
+    val dir = freshDir("nullskip")
+    // nullness localized by bucket: bucket 0's v is ALL null, bucket 1's
+    // has none — the shape min/max stats can never describe (an all-null
+    // column records no min/max at all)
+    val rows = (1L to 40L).map { id =>
+      val b = bucketOf(id, 2)
+      (id, if (b == 0) Option.empty[Long] else Some(id * 3), "create")
+    }
+    MergeTable.merge(spark, dir, rows.toDF("id", "v", "op_flag"), "id",
+      numBuckets = 2)
+    assert(MergeTable.prunableBuckets(dir, col("v").isNotNull) === Some(Set(1)))
+    assert(MergeTable.prunableBuckets(dir, col("v").isNull) === Some(Set(0)))
+    assert(MergeTable.readWhere(spark, dir, col("v").isNotNull)
+      .as[(Long, Option[Long])].collect().toSet ===
+      MergeTable.read(spark, dir).filter(col("v").isNotNull)
+        .as[(Long, Option[Long])].collect().toSet)
+    assert(MergeTable.readWhere(spark, dir, col("v").isNull).count() ===
+      rows.count(_._2.isEmpty).toLong)
+    // one null lands in bucket 1: it becomes mixed and must be KEPT by
+    // both predicates
+    val k1 = (1L to 40L).find(id => bucketOf(id, 2) == 1).get
+    MergeTable.merge(spark, dir,
+      Seq((k1, Option.empty[Long], "update")).toDF("id", "v", "op_flag"), "id")
+    assert(MergeTable.prunableBuckets(dir, col("v").isNull) ===
+      Some(Set(0, 1)))
+    assert(MergeTable.prunableBuckets(dir, col("v").isNotNull) === Some(Set(1)))
+    assert(MergeTable.readWhere(spark, dir, col("v").isNull).count() ===
+      rows.count(_._2.isEmpty).toLong + 1)
+  }
+
   test("manifest row counts: countRows is exact across merge/delete/compact; graft_rows answers with ZERO file I/O") {
     val dir = localizedTable("counts") // 64 rows over 4 buckets
     assert(MergeTable.countRows(dir) === Some(64L))
