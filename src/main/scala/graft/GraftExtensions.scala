@@ -166,6 +166,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_rows"),
       (children: Seq[Expression]) =>
         graft.plans.MergeTableSql.rowsPlan(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_stats"),
+      new ExpressionInfo(graft.plans.MergeTableSql.getClass.getName,
+        "graft_stats"),
+      (children: Seq[Expression]) =>
+        graft.plans.MergeTableSql.statsPlan(children)))
     ext.injectFunction((
       FunctionIdentifier("entropy_profile"),
       new ExpressionInfo(classOf[graft.functions.EntropyProfile].getName,

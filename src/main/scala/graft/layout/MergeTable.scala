@@ -614,6 +614,25 @@ object MergeTable {
         .orderBy(col("bucket"))
   }
 
+  /** The manifest's per-bucket column statistics as a (bucket, column,
+    * min, max, nulls, rows) DataFrame — pure manifest read, no data I/O.
+    * One row per (live bucket, eligible column) that has ANY recorded
+    * information; min/max NULL for all-null columns (which record only a
+    * null count). Backs the `graft_stats('t')` SQL table function — the
+    * "would this predicate skip?" operational surface. */
+  def bucketStatsTable(spark: SparkSession, dir: String): DataFrame = {
+    val m = requireManifest(dir)
+    import spark.implicits._
+    m.buckets.keySet.toSeq.sorted.flatMap { b =>
+      val st = m.stats.getOrElse(b, Map.empty)
+      val nc = m.nullCounts.getOrElse(b, Map.empty)
+      val rows = m.bucketRows.get(b)
+      (st.keySet ++ nc.keySet).toSeq.sorted.map { c =>
+        (b, c, st.get(c).map(_._1), st.get(c).map(_._2), nc.get(c), rows)
+      }
+    }.toDF("bucket", "column", "min", "max", "nulls", "rows")
+  }
+
   /** [[readWhere]] against a historical snapshot — stats are recorded in
     * each version's OWN manifest, so time travel prunes with the bounds
     * that were true at that version (a bucket rewritten since keeps its

@@ -237,6 +237,19 @@ object MergeTableSql {
       .queryExecution.logical
   }
 
+  /** `SELECT * FROM graft_stats('t')` — the manifest's per-bucket column
+    * statistics (min/max/null count/row count) as a relation: the
+    * operational "would this predicate skip?" diagnostic, answered from
+    * the manifest alone (no data I/O). min/max are the recorded string
+    * renderings; a column with no recorded bounds (all-null) rows with
+    * NULL min/max but a real null count. */
+  def statsPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "graft_stats(table_name) expects 1 argument")
+    val dir = dirFor(litString(args.head, "graft_stats: table_name"))
+    MergeTable.bucketStatsTable(SparkSession.active, dir)
+      .queryExecution.logical
+  }
+
   def historyPlan(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 1 || args.size == 3,
       "graft_history(table_name[, from_ts, to_ts]) expects 1 or 3 arguments")

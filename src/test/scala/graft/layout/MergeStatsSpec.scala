@@ -366,6 +366,29 @@ class MergeStatsSpec extends SparkSpec {
       .as[(Int, Long)].collect().toMap.contains(1))
   }
 
+  test("graft_stats exposes per-bucket min/max/nulls/rows from the manifest alone — no file I/O") {
+    val dir = localizedTable("statstvf")
+    graft.plans.MergeTableSql.register("mstats_st_t", dir)
+    try {
+      val out = spark.sql(
+        "SELECT * FROM graft_stats('mstats_st_t') WHERE column = 'v' ORDER BY bucket")
+      val got = out
+        .as[(Int, String, Option[String], Option[String], Option[Long], Option[Long])]
+        .collect().toSeq
+      assert(got.map(_._1) === Seq(0, 1, 2, 3))
+      got.foreach { case (b, _, lo, hi, nulls, rows) =>
+        // v = bucket*100 + id%10: bounds sit inside the bucket's century
+        assert(lo.get.toLong >= b * 100L && hi.get.toLong <= b * 100L + 9L,
+          s"bucket $b bounds [$lo,$hi]")
+        assert(nulls.contains(0L))
+        assert(rows.exists(_ > 0L))
+      }
+      assert(got.map(_._6.get).sum === 64L)
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan"), s"graft_stats must not scan files:\n$p")
+    } finally graft.plans.MergeTableSql.unregister("mstats_st_t")
+  }
+
   test("OPTIMIZE t CLUSTER BY (v) sorts every bucket's files by v; answers and bucket placement unchanged") {
     val dir = freshDir("cluster")
     // v deliberately UNSORTED within buckets and uncorrelated with the key
