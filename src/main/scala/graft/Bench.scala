@@ -154,7 +154,9 @@ object Bench {
       "q155_stream_dedup")
     val multiCommitFloor = Set("q63_merge_upsert", "q64_stream_upsert",
       "q66_time_travel", "q67_cdc_diff", "q77_schema_evolution",
-      "q141_stream_replay", "q186_stream_upsert_ck")
+      "q141_stream_replay", "q186_stream_upsert_ck",
+      // q191 runs a whole streaming follower (rate ticker + sink merge)
+      "q191_cdc_follow")
     // q156 replays the month as 2 time-ordered micro-batches (r11; was 4,
     // was 8) so the watermark ADVANCES (the null-side emission needs it;
     // any count >= 2 yields the identical settled region — see

@@ -3160,6 +3160,26 @@ object SparkEntry {
       out
     }),
 
+    // ⊕K7 × §2.9 CDC FOLLOWER (r16): exactly-once streaming DELIVERY of
+    // table changes — a rate-ticker Structured Streaming job whose each
+    // micro-batch appends the window (delivered, current] of
+    // changesBetween rows to a sink MergeTable, with the delivered
+    // watermark carried by the SINK's own transactional batchId (nothing
+    // rides the streaming checkpoint — a crashed or restarted follower
+    // re-derives it and the idempotent merge collapses double delivery).
+    // The oracle restates the one delivered window (v0→v1 = the q67
+    // closed form) with its __v tag. WindowedCdcSpec pins per-window
+    // tagging, restart idempotence, and a follower racing live commits.
+    "q191_cdc_follow" -> ((s, d) => {
+      val sink = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_cdcf_sink"))
+        .toString + "/t"
+      EventStreams.cdcFollow(s, ordersMergeTableShared(s, d), sink)
+        .select(col("change_op"), col("okey"), col("cust"), col("price"),
+          col("status"), col("__v"))
+        .orderBy(col("okey"))
+    }),
+
     // ⊕K7 CDC by WALL-CLOCK (r15): the graft_changes window named by
     // TIMESTAMP literals instead of version numbers — each boundary
     // resolves through versionForTimestamp (newest stamped commit
@@ -5018,6 +5038,22 @@ object SparkEntry {
     "q190_sql_rowcount" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_orderkey % 7 IN (0, 1, 3) ORDER BY n""".stripMargin,
+
+    // q191: the delivered CDC window is exactly the v0→v1 diff, tagged
+    // with its end version
+    "q191_cdc_follow" ->
+      """SELECT 'update' AS change_op, o_orderkey AS okey, o_custkey AS cust,
+        |  o_totalprice + 1.0 AS price, 'U' AS status, CAST(1 AS BIGINT) AS __v
+        |FROM orders WHERE o_orderkey % 7 = 1
+        |UNION ALL
+        |SELECT 'insert', o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+        |  CAST(1 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 7 = 3
+        |UNION ALL
+        |SELECT 'delete', o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+        |  CAST(1 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 7 = 2
+        |ORDER BY okey""".stripMargin,
 
     // q186: latest event per (user, type) TUPLE — the composite-key
     // streaming upsert's final state as a two-column argmax

@@ -744,4 +744,83 @@ object EventStreams {
     settledRollup(spark, dir,
       spark.read.parquet(outDir).drop("batch_id"), safety)
   }
+
+  /** Exactly-once CDC DELIVERY as a Structured Streaming job (⊕K7 × §2.9):
+    * follow a MergeTable's commit history and append each newly committed
+    * window's net change rows ([[graft.layout.MergeTable.changesBetween]],
+    * the graft_changes relation) to a SINK MergeTable. A rate-source tick
+    * drives each micro-batch — the standard ticker pattern for
+    * incremental pulls from a source system with no native stream — and
+    * each tick delivers the window (delivered, current], where
+    *
+    *   delivered = the SINK's own recorded transactional batchId,
+    *   NOT ticker/checkpoint state —
+    *
+    * so exactly-once needs nothing from the streaming checkpoint: a tick
+    * replayed after a crash, or a follower RESTARTED FROM SCRATCH with its
+    * checkpoint deleted, re-derives `delivered` from the sink, and the
+    * idempotent `mergeKeys(batchId = current)` collapses any double
+    * delivery — the same sink-transaction contract the K8 upsert rides
+    * (crash-proven there; WindowedCdcSpec pins per-window tagging,
+    * restart idempotence, and mid-stream commit pickup here).
+    *
+    * Sink rows carry the source payload, the CDC verb as `change_op`, and
+    * the window's end version as `__v`; the sink key is (__v, source
+    * keys) — append-only, one row per key per window. The sink is OWNED
+    * by the follower (an external writer would disturb the batchId
+    * watermark). Source retention bounds what is followable, exactly as
+    * for graft_changes. Returns the sink contents once `untilVersion`
+    * (default: the source's version at call time) has been delivered. */
+  def cdcFollow(spark: SparkSession, tableDir: String, sinkDir: String,
+                pollMs: Long = 100L,
+                untilVersion: Option[Long] = None,
+                timeoutMs: Long = 120000L): DataFrame = {
+    import graft.layout.MergeTable
+    val keys = MergeTable.tableKeys(tableDir)
+    val target = untilVersion.orElse(MergeTable.currentVersion(tableDir))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cdcFollow: no MergeTable at $tableDir"))
+    val ck = graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft_cdc_follow"))
+      .toString + "/ck"
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", 10).load()
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        deliverCdcWindow(spark, tableDir, sinkDir, keys)
+      }
+      .trigger(Trigger.ProcessingTime(s"$pollMs milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (MergeTable.lastBatchId(sinkDir) < target &&
+        System.currentTimeMillis() < deadline) {
+        q.exception.foreach(throw _) // a dead follower must fail loud, not time out
+        Thread.sleep(pollMs)
+      }
+      require(MergeTable.lastBatchId(sinkDir) >= target,
+        s"cdcFollow: sink did not reach source version $target in ${timeoutMs}ms")
+    } finally { q.stop(); q.awaitTermination() }
+    MergeTable.read(spark, sinkDir)
+  }
+
+  /** One follower tick: deliver (sink batchId, source current] if the
+    * window is non-empty. Bounded work: two manifest reads to decide, one
+    * changesBetween (touched buckets only) + one sink merge to deliver. */
+  private def deliverCdcWindow(spark: SparkSession, tableDir: String,
+                               sinkDir: String, keys: Seq[String]): Unit = {
+    import graft.layout.MergeTable
+    MergeTable.currentVersion(tableDir).foreach { current =>
+      val delivered = math.max(0L, MergeTable.lastBatchId(sinkDir))
+      if (current > delivered) {
+        val win = MergeTable.changesBetween(spark, tableDir, delivered, current)
+          .withColumnRenamed("op_flag", "change_op")
+          .withColumn("__v", lit(current))
+          .withColumn("op_flag", lit("create"))
+        MergeTable.mergeKeys(spark, sinkDir, win, "__v" +: keys,
+          batchId = current)
+        ()
+      }
+    }
+  }
 }

@@ -145,7 +145,10 @@ MULTI_COMMIT = {"q63_merge_upsert", "q64_stream_upsert",
                 # schema evolution runs the same two-commit protocol as q63
                 "q77_schema_evolution",
                 # composite-key form of q64: same two foreachBatch commits
-                "q186_stream_upsert_ck"}
+                "q186_stream_upsert_ck",
+                # q191 runs a whole streaming follower (rate ticker +
+                # transactional sink merge) for one delivered window
+                "q191_cdc_follow"}
 MULTI_COMMIT_MIN_SPARK = 4.5  # quiet-host; scaled by measured host_load
 
 
