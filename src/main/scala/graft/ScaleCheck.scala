@@ -770,6 +770,49 @@ object ScaleCheck {
       util.Cleanup.drain()
     }
 
+    // CDC follower cost shape (r16): delivering a window reads only the
+    // buckets whose owning version changed (changesBetween's manifest
+    // diff) plus a fixed streaming spin-up, so following a ONE-BUCKET
+    // commit costs the delta while a full-table rewrite window pays the
+    // table. The delta line must sit far under the full line and stay
+    // ~flat across mult; the full line grows with the table.
+    if (want("cdc_follow")) {
+      def freshPair(tag: String): (String, String) = {
+        val base = java.nio.file.Files.createTempDirectory(s"scale_cdcf_$tag")
+        util.Cleanup.registerTempDir(base)
+        (s"$base/src", s"$base/sink")
+      }
+      val orders = amplify(model.Tables.orders(spark, d), Seq("o_orderkey"))
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        .withColumn("op_flag", lit("create"))
+        .transform(util.Cleanup.checkpoint(_))
+      // line 1: one-bucket delta window
+      val (src1, sink1) = freshPair("delta")
+      layout.MergeTable.merge(spark, src1, orders, "k", numBuckets = 64)
+      layout.MergeTable.merge(spark, src1,
+        model.Tables.orders(spark, d)
+          .select(col("o_orderkey").as("k"), (col("o_totalprice") + 1.0).as("p"))
+          .filter(pmod(hash(col("k")), lit(64)) === 7)
+          .withColumn("op_flag", lit("update")), "k")
+      val nDelta = layout.MergeTable.changesBetween(spark, src1, 0, 1).count()
+      time(s"cdc_follow_delta_${nDelta}_rows", nDelta) {
+        streaming.EventStreams.cdcFollow(spark, src1, sink1)
+          .agg(max(col("p")), count(lit(1))).collect()
+      }
+      // line 2: full-table rewrite window (every key updated)
+      val (src2, sink2) = freshPair("full")
+      layout.MergeTable.merge(spark, src2, orders, "k", numBuckets = 64)
+      layout.MergeTable.merge(spark, src2,
+        orders.withColumn("p", col("p") + lit(1.0))
+          .withColumn("op_flag", lit("update")), "k")
+      val nFull = layout.MergeTable.changesBetween(spark, src2, 0, 1).count()
+      time(s"cdc_follow_full_${nFull}_rows", nFull) {
+        streaming.EventStreams.cdcFollow(spark, src2, sink2)
+          .agg(max(col("p")), count(lit(1))).collect()
+      }
+      util.Cleanup.drain()
+    }
+
     // The ANN-index analogue of the MergeTable claim: IVF upsert cost
     // follows the DELTA and its touched-cell fraction, never the corpus.
     // Build a mult-scaled 64-cell layout once (timed for contrast), then

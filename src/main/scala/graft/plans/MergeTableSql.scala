@@ -479,7 +479,7 @@ object MergeTableSqlResolution extends Rule[LogicalPlan] {
   /** Strip this relation's name/alias qualifier off attribute references
     * so the driver-side pruning mini-analysis (which sees only the bare
     * table schema) can resolve them. */
-  private def unqualify(cond: Expression, names: Seq[String]): Expression = {
+  private[plans] def unqualify(cond: Expression, names: Seq[String]): Expression = {
     val lower = names.map(_.toLowerCase)
     cond.transform {
       case a: UnresolvedAttribute if a.nameParts.length == 2 &&
@@ -543,7 +543,16 @@ case class GraftDmlCommand(dir: String, numBuckets: Int,
     val snapVer = MergeTable.currentVersion(dir)
     require(snapVer.isDefined, s"no MergeTable at $dir")
     val keys = MergeTable.tableKeys(dir)
-    val tgt = MergeTable.read(spark, dir).alias(targetAlias)
+    // the classification read prunes with manifest stats when the WHERE
+    // allows it (r16): buckets provably untouched by the predicate are
+    // never listed — a selective DELETE/UPDATE's read cost follows its
+    // selectivity, not the table. The condition itself still answers.
+    val scan = spec.condition match {
+      case Some(c) => MergeTable.readPruned(spark, dir, Bridge.columnOf(
+        MergeTableSqlResolution.unqualify(c, Seq(targetAlias))))
+      case None => MergeTable.read(spark, dir)
+    }
+    val tgt = scan.alias(targetAlias)
     val hit = spec.condition
       .map(c => tgt.filter(coalesce(Bridge.columnOf(c), lit(false))))
       .getOrElse(tgt)

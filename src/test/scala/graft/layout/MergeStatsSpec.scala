@@ -366,6 +366,29 @@ class MergeStatsSpec extends SparkSpec {
       .as[(Int, Long)].collect().toMap.contains(1))
   }
 
+  test("SQL DELETE/UPDATE classification reads through the pruned scan and still answers exactly") {
+    val dir = localizedTable("dmlprune")
+    val b3 = MergeTable.read(spark, dir).filter(col("v") >= 300L).count()
+    val b2 = MergeTable.read(spark, dir)
+      .filter(col("v") >= 200L && col("v") < 300L).count()
+    graft.plans.MergeTableSql.register("mstats_dml_t", dir)
+    try {
+      // UPDATE with a stats-prunable range: only bucket 3 is touched
+      spark.sql("UPDATE mstats_dml_t SET tag = 'hot' WHERE v >= 300")
+      assert(MergeTable.read(spark, dir)
+        .filter(col("tag") === "hot").count() === b3 && b3 > 0)
+      // DELETE with an ALIAS-qualified prunable range
+      spark.sql(
+        "DELETE FROM mstats_dml_t t WHERE t.v >= 200 AND t.v < 300")
+      assert(MergeTable.read(spark, dir).count() === 64L - b2 && b2 > 0)
+      assert(MergeTable.read(spark, dir)
+        .filter(col("v") >= 200L && col("v") < 300L).count() === 0L)
+      // zero-match prunable DELETE: a no-op commit, nothing lost
+      spark.sql("DELETE FROM mstats_dml_t WHERE v > 100000")
+      assert(MergeTable.read(spark, dir).count() === 64L - b2)
+    } finally graft.plans.MergeTableSql.unregister("mstats_dml_t")
+  }
+
   test("graft_stats exposes per-bucket min/max/nulls/rows from the manifest alone — no file I/O") {
     val dir = localizedTable("statstvf")
     graft.plans.MergeTableSql.register("mstats_st_t", dir)
