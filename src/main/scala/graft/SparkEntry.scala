@@ -3286,6 +3286,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ⊕ INCREMENTAL near-dup ingest against the AT-REST LSH index (r16 —
+    // q61's incremental discipline upgraded from exact-hash to NEAR-dup):
+    // the fixture indexes 80% of the corpus (writeLshIndex: band buckets
+    // hive-partitioned by a band-bucket hash), then lshIndexUpsert probes
+    // the remaining 20% batch — reading ONLY the partitions the batch's
+    // band keys hash into — returns the batch-vs-corpus candidate pairs,
+    // and appends the batch's band rows through the LayoutTxn protocol.
+    // The query exact-verifies the persisted pairs; the oracle recomputes
+    // the same corpus×batch band collisions + exact Jaccard from raw
+    // documents (the q22 recipe, restricted across the split). LshIndexSpec
+    // pins the file-level claims (only probed lb= dirs rewritten, ingests
+    // compose, concurrent ingest conflicts).
+    "q192_lsh_index_upsert" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = sharedFixture("lsh_idx", d) { fx =>
+        Dedup.writeLshIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id",
+          col("text"), s"$fx/idx")
+        Dedup.lshIndexUpsert(s, s"$fx/idx",
+            docs.filter(col("doc_id") % 5 === 0), "doc_id", col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/pairs")
+      }
+      Dedup.jaccardVerify(s.read.parquet(s"$base/pairs"), docs, "doc_id",
+          col("text"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // ⊕ quantile normalization of a numeric feature (the rank-gauss /
     // percentile-transform preprocessing step): percent_rank + cume_dist
     // + percentile bucket of n_chars WITHIN each source. Ties share a
@@ -3513,6 +3539,14 @@ object SparkEntry {
       s"""$bandCte,
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin),
+
+    // q192: corpus-vs-batch band collisions (the 80/20 doc_id%5 split),
+    // exact-verified — the q22 algebra restricted across the split
+    "q192_lsh_index_upsert" -> jaccardSql(
+      s"""$bandCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0)""".stripMargin),
 
     "q65_lsh_prefilter" -> {
       // mirror the MinHash-estimate prefilter: signature agreement >= 3/8

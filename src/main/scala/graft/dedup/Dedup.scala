@@ -598,6 +598,126 @@ object Dedup {
     definiteNew.unionByName(verifiedNew).drop("__fp")
   }
 
+  /** The minhash band-bucket rows behind [[writeLshIndex]]: one row per
+    * (doc, band) with the band's concatenated hash bucket and the hive
+    * partition key `lb = pmod(hash(band, bucket), partitions)`. */
+  private def lshBandRows(sig: DataFrame, idCol: String, bands: Int,
+                          rowsPerBand: Int, partitions: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("_", hs: _*).as("bucket"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+      .withColumn("lb", pmod(hash(col("band"), col("bucket")), lit(partitions)))
+  }
+
+  /** AT-REST LSH index for INCREMENTAL near-dup ingest dedup (⊕J8 × ⊕K10):
+    * the corpus's minhash band buckets written hive-partitioned by
+    * `lb = hash(band, bucket) mod partitions`. A new batch then probes
+    * ONLY the partitions its own band keys hash into ([[lshIndexUpsert]])
+    * — [[incrementalDedup]]'s bounded-ingest discipline upgraded from
+    * exact-hash to NEAR-dup. At 100 TB the index is |corpus| × bands tiny
+    * rows (id, band, 8-16 hex chars ×rowsPerBand), a small fraction of the
+    * corpus, and the probe cost follows the BATCH's band keys. */
+  def writeLshIndex(docs: DataFrame, idCol: String, text: Column,
+                    dir: String, numHashes: Int = 8, bands: Int = 4,
+                    partitions: Int = 16, k: Int = 3): Unit = {
+    require(numHashes % bands == 0, s"numHashes $numHashes % bands $bands != 0")
+    graft.layout.DataLayout.writePartitionedSorted(
+      lshBandRows(minhashSignature(docs, idCol, text, numHashes, k),
+        idCol, bands, numHashes / bands, partitions),
+      dir, Seq("lb"), Seq("band", "bucket", idCol))
+    // the index's parameters are LAYOUT facts: a probe with different
+    // hashing/banding/partitioning would silently miss everything, so
+    // they are persisted with the index and lshIndexUpsert reads them
+    // back instead of trusting caller arguments
+    val pr = new java.util.Properties()
+    pr.setProperty("numHashes", numHashes.toString)
+    pr.setProperty("bands", bands.toString)
+    pr.setProperty("partitions", partitions.toString)
+    pr.setProperty("k", k.toString)
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(dir, LshMeta))
+    try pr.store(out, "graft LSH index parameters") finally out.close()
+  }
+
+  private val LshMeta = "_lsh_meta"
+
+  private def readLshMeta(dir: String): (Int, Int, Int, Int) = {
+    val p = java.nio.file.Paths.get(dir, LshMeta)
+    require(java.nio.file.Files.exists(p),
+      s"no LSH index metadata at $dir — writeLshIndex first")
+    val pr = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(p)
+    try pr.load(in) finally in.close()
+    (pr.getProperty("numHashes").toInt, pr.getProperty("bands").toInt,
+      pr.getProperty("partitions").toInt, pr.getProperty("k").toInt)
+  }
+
+  /** The `lb=` partitions a batch's band keys hash into — the probe set
+    * [[lshIndexUpsert]] reads and rewrites (diagnostic/test surface). */
+  private[graft] def lshProbePartitions(docs: DataFrame, idCol: String,
+                                        text: Column, numHashes: Int = 8,
+                                        bands: Int = 4, partitions: Int = 16,
+                                        k: Int = 3): Set[Int] =
+    lshBandRows(minhashSignature(docs, idCol, text, numHashes, k),
+      idCol, bands, numHashes / bands, partitions)
+      .select("lb").distinct().collect().map(_.getInt(0)).toSet
+
+  /** Probe + append one NEW batch against a [[writeLshIndex]] directory:
+    * returns the (corpus id `a`, new id `b`) candidate pairs whose docs
+    * share any band bucket — feed [[jaccardVerify]] /
+    * [[minhashPrefilter]] exactly as with [[lshCandidates]] — and appends
+    * the batch's band rows to the index through the
+    * [[graft.layout.LayoutTxn]] stage/CAS-claim/publish protocol (a
+    * concurrent ingest gets `ConflictException`; a crashed one rolls
+    * forward; readers keep their snapshot).
+    *
+    * Scale shape: the probe reads ONLY the `lb=` partitions the batch's
+    * band keys hash into (driver-pruned immutable dirs — snapshot
+    * isolated, so the returned pair plan stays valid across later
+    * ingests); `maxBucketSize` df-caps degenerate corpus buckets before
+    * the equi-join (boilerplate-heavy buckets cost recall, never n²);
+    * the commit rewrites only the touched partitions, so ingest cost
+    * follows the BATCH. Append-only: batch ids are assumed new (the q61
+    * ingest contract) — re-ingesting an id duplicates its band rows. */
+  def lshIndexUpsert(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     newDocs: DataFrame, idCol: String, text: Column,
+                     maxBucketSize: Int = 10000,
+                     txnGraceMs: Long = 600000L): DataFrame = {
+    // hashing/banding/partitioning come from the INDEX's own metadata —
+    // mismatched probe parameters would silently find nothing
+    val (numHashes, bands, partitions, k) = readLshMeta(dir)
+    val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
+    val newRows = lshBandRows(
+        minhashSignature(newDocs, idCol, text, numHashes, k),
+        idCol, bands, numHashes / bands, partitions)
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val touched = newRows.select("lb").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val existing = graft.layout.LayoutTxn.readLayout(spark, dir, "", "lb",
+      Some(touched.map(b => s"lb=$b").toSet))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val capped = existing
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucketSize)
+    val pairs = capped.select(col("band"), col("bucket"), col(idCol).as("a"))
+      .join(newRows.select(col("band"), col("bucket"), col(idCol).as("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    // append the batch into exactly the touched partitions; the pair plan
+    // above reads the PRE-commit snapshot (immutable dirs) either way
+    graft.layout.LayoutTxn.commit(spark, dir, parent, Seq(
+      graft.layout.LayoutTxn.Group("",
+        existing.select(col(idCol), col("band"), col("bucket"), col("lb"))
+          .unionByName(newRows),
+        "lb", Seq("band", "bucket", idCol), touched.map(b => s"lb=$b"))))
+    pairs
+  }
+
   /** Winnowing-fingerprint near-dup candidates (the rolling-hash tier of
     * the dedup ladder — exact ⊂ winnowing ⊂ MinHash/LSH): docs sharing at
     * least `minShared` winnowing fingerprints
