@@ -770,6 +770,34 @@ object ScaleCheck {
       util.Cleanup.drain()
     }
 
+    // Incremental LSH ingest cost shape (r16, ⊕J25): probing a FIXED
+    // 50-doc batch against the at-rest index must cost ~the batch's band
+    // partitions (+ their corpus rows), not the corpus — compare the
+    // probe line across mult: corpus grows mult×, the probe line must
+    // grow sublinearly (only the probed partitions' row count grows).
+    if (want("lsh_ingest")) {
+      val dir = java.nio.file.Files.createTempDirectory("scale_lsh").toString + "/idx"
+      val docs = amplify(
+          model.Tables.documents(spark, d).select(col("doc_id"), col("text")),
+          Seq("doc_id"))
+        .transform(util.Cleanup.checkpoint(_))
+      val corpus = docs.filter(col("doc_id") % 1000L =!= 0)
+      val batch = docs.filter(col("doc_id") % 1000L === 0).limit(50)
+        .transform(util.Cleanup.checkpoint(_))
+      val nCorpus = corpus.count()
+      dedup.Dedup.writeLshIndex(corpus, "doc_id", col("text"), dir,
+        partitions = 64)
+      val nBatch = batch.count()
+      time(s"lsh_ingest_probe_${nCorpus}_corpus", nBatch) {
+        dedup.Dedup.lshIndexUpsert(spark, dir, batch, "doc_id", col("text"))
+          .count()
+        ()
+      }
+      util.Cleanup.registerTempDir(
+        java.nio.file.Paths.get(dir).getParent)
+      util.Cleanup.drain()
+    }
+
     // CDC follower cost shape (r16): delivering a window reads only the
     // buckets whose owning version changed (changesBetween's manifest
     // diff) plus a fixed streaming spin-up, so following a ONE-BUCKET
