@@ -3312,6 +3312,26 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ⊕ INCREMENTAL contained-copy ingest against the AT-REST winnowing
+    // index (r16 — q192's ⊕J25 pattern at the fingerprint tier): the
+    // fixture indexes 80% of the corpus, the remaining 20% batch probes
+    // only its fingerprints' fb= partitions and returns (corpus, new,
+    // n_shared) pairs with the df-cap computed EXACTLY (a fingerprint's
+    // every occurrence shares one partition). Complementary to q192:
+    // winnowing catches a pasted paragraph whole-doc Jaccard dilutes.
+    // The oracle recomputes the q57 algebra restricted across the split.
+    "q193_winnow_index_upsert" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = sharedFixture("winnow_idx", d) { fx =>
+        Dedup.writeWinnowIndex(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", col("text"), s"$fx/idx")
+        Dedup.winnowIndexUpsert(s, s"$fx/idx",
+            docs.filter(col("doc_id") % 5 === 0), "doc_id", col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/pairs")
+      }
+      s.read.parquet(s"$base/pairs").orderBy(col("a"), col("b"))
+    }),
+
     // ⊕ quantile normalization of a numeric feature (the rank-gauss /
     // percentile-transform preprocessing step): percent_rank + cume_dist
     // + percentile bucket of n_chars WITHIN each source. Ties share a
@@ -5411,6 +5431,17 @@ object SparkEntry {
          |  WHERE df <= 10)
          |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
          |FROM rare x JOIN rare y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a, b""".stripMargin,
+
+    // q193: the q57 winnowing algebra restricted across the 80/20 split
+    "q193_winnow_index_upsert" -> s"""$winnowCte,
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM fset),
+         |rare AS (SELECT doc_id, fp FROM (
+         |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM e)
+         |  WHERE df <= 10)
+         |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+         |FROM rare x JOIN rare y ON x.fp = y.fp
+         |WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
          |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a, b""".stripMargin,
 
     "q95_load_sink" ->

@@ -718,6 +718,88 @@ object Dedup {
     pairs
   }
 
+  private val WinnowMeta = "_winnow_meta"
+
+  /** AT-REST winnowing index for INCREMENTAL contained-copy ingest (the
+    * [[writeLshIndex]] pattern at the fingerprint tier): the corpus's
+    * winnowing fingerprints persisted hive-partitioned by
+    * `fb = hash(fp) mod partitions`. MinHash LSH scores WHOLE-doc
+    * similarity; this catches a pasted paragraph inside an otherwise-new
+    * doc — the two ingest paths are complementary, exactly as their batch
+    * forms (⊕J8 vs ⊕J9). All rows of one fingerprint share a partition,
+    * so a probe computes each shared fingerprint's document frequency
+    * EXACTLY from the probed partitions alone. */
+  def writeWinnowIndex(docs: DataFrame, idCol: String, text: Column,
+                       dir: String, k: Int = 8, w: Int = 4,
+                       partitions: Int = 16): Unit = {
+    graft.layout.DataLayout.writePartitionedSorted(
+      docs.select(col(idCol),
+          explode(TextAnalysis.winnowFingerprints(text, k, w)).as("fp"))
+        .withColumn("fb", pmod(hash(col("fp")), lit(partitions))),
+      dir, Seq("fb"), Seq("fp", idCol))
+    val pr = new java.util.Properties()
+    pr.setProperty("k", k.toString)
+    pr.setProperty("w", w.toString)
+    pr.setProperty("partitions", partitions.toString)
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(dir, WinnowMeta))
+    try pr.store(out, "graft winnowing index parameters") finally out.close()
+  }
+
+  /** Probe + append one NEW batch against a [[writeWinnowIndex]] directory:
+    * returns (corpus id `a`, new id `b`, n_shared) for pairs sharing at
+    * least `minShared` winnowing fingerprints — [[winnowingCandidates]]'
+    * algebra restricted across the corpus×batch split, with the df-cap
+    * computed over (probed corpus rows ∪ batch rows), which is EXACT
+    * because a fingerprint's every occurrence lives in one partition —
+    * and appends the batch's fingerprint rows through the
+    * [[graft.layout.LayoutTxn]] protocol. Probe cost follows the BATCH's
+    * fingerprint partitions, not the corpus (the ⊕J25 shape). */
+  def winnowIndexUpsert(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        newDocs: DataFrame, idCol: String, text: Column,
+                        maxDocFreq: Int = 10, minShared: Int = 2,
+                        txnGraceMs: Long = 600000L): DataFrame = {
+    val p = java.nio.file.Paths.get(dir, WinnowMeta)
+    require(java.nio.file.Files.exists(p),
+      s"no winnowing index metadata at $dir — writeWinnowIndex first")
+    val pr = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(p)
+    try pr.load(in) finally in.close()
+    val (k, w, partitions) = (pr.getProperty("k").toInt,
+      pr.getProperty("w").toInt, pr.getProperty("partitions").toInt)
+    val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
+    val newRows = newDocs.select(col(idCol),
+        explode(TextAnalysis.winnowFingerprints(text, k, w)).as("fp"))
+      .withColumn("fb", pmod(hash(col("fp")), lit(partitions)))
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val touched = newRows.select("fb").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val existing = graft.layout.LayoutTxn.readLayout(spark, dir, "", "fb",
+      Some(touched.map(b => s"fb=$b").toSet))
+    // df over (probed corpus ∪ batch) = the fingerprint's TRUE corpus-wide
+    // frequency (partition-contained), so the stopword cap matches a full
+    // recomputation exactly
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val all = existing.select(col(idCol), col("fp"))
+      .withColumn("__new", lit(false))
+      .unionByName(newRows.select(col(idCol), col("fp"))
+        .withColumn("__new", lit(true)))
+      .withColumn("__df", count(lit(1)).over(dfw))
+      .filter(col("__df") <= maxDocFreq)
+    val pairs = all.filter(!col("__new"))
+      .select(col("fp"), col(idCol).as("a"))
+      .join(all.filter(col("__new")).select(col("fp"), col(idCol).as("b")),
+        Seq("fp"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    graft.layout.LayoutTxn.commit(spark, dir, parent, Seq(
+      graft.layout.LayoutTxn.Group("",
+        existing.select(col(idCol), col("fp"), col("fb")).unionByName(newRows),
+        "fb", Seq("fp", idCol), touched.map(b => s"fb=$b"))))
+    pairs
+  }
+
   /** Winnowing-fingerprint near-dup candidates (the rolling-hash tier of
     * the dedup ladder — exact ⊂ winnowing ⊂ MinHash/LSH): docs sharing at
     * least `minShared` winnowing fingerprints
