@@ -717,6 +717,42 @@ object ScaleCheck {
       util.Cleanup.drain()
     }
 
+    // Merge-on-read DELETE (r16 deletion vectors): a selective delete
+    // whose victims span EVERY bucket is copy-on-write's worst case — it
+    // must rewrite all 64 buckets to remove ~0.1% of the rows — while the
+    // DV path writes only the victim keys. Both pay the same victim SCAN
+    // (finding the matches is irreducible); the gap is the WRITE
+    // amplification, which grows with the table on the CoW line and stays
+    // delta-sized on the DV line.
+    if (want("soft_delete")) {
+      def build(tag: String): String = {
+        val mtDir = java.nio.file.Files
+          .createTempDirectory(s"scale_sdel_$tag").toString + "/t"
+        val orders = amplify(model.Tables.orders(spark, d), Seq("o_orderkey"))
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+          .withColumn("op_flag", lit("create"))
+        layout.MergeTable.merge(spark, mtDir, orders, "k", numBuckets = 64)
+        util.Cleanup.registerTempDir(java.nio.file.Paths.get(mtDir).getParent)
+        mtDir
+      }
+      val dvDir = build("dv")
+      val cowDir = build("cow")
+      val pred = col("k") % 997L === 0L
+      val nVictims = layout.MergeTable.read(spark, dvDir).filter(pred).count()
+      time(s"soft_delete_dv_${nVictims}_rows", nVictims) {
+        require(layout.MergeTable.softDelete(spark, dvDir, pred).isDefined)
+      }
+      plans.MergeTableSql.register("scale_sdel_cow", cowDir, numBuckets = 64)
+      time(s"soft_delete_cow_${nVictims}_rows", nVictims) {
+        spark.sql("DELETE FROM scale_sdel_cow WHERE k % 997 = 0").collect()
+      }
+      plans.MergeTableSql.unregister("scale_sdel_cow")
+      require(layout.MergeTable.read(spark, dvDir).count() ==
+        layout.MergeTable.read(spark, cowDir).count(),
+        "soft_delete probe: DV and CoW deletes must agree")
+      util.Cleanup.drain()
+    }
+
     // Stats-skipping × locality (r15 verdict task 9): on a hash-bucketed
     // table every bucket spans an uncorrelated column's whole domain, so
     // per-bucket manifest stats prune NOTHING (readWhere's documented

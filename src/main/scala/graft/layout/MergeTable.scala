@@ -136,7 +136,8 @@ object MergeTable {
                                 Map.empty,
                               bucketRows: Map[Int, Long] = Map.empty,
                               nullCounts: Map[Int, Map[String, Long]] =
-                                Map.empty) {
+                                Map.empty,
+                              dvs: Map[Int, (Long, Long)] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     /** The key COLUMNS — `key` is their comma-joined manifest encoding. */
     def keys: Seq[String] = key.split(",").toSeq
@@ -299,6 +300,14 @@ object MergeTable {
         val Array(b, n) = kv.split(":"); b.toInt -> n.toLong
       }.toMap
     }
+    // deletion vectors (r16 soft delete): bucket -> (owning version of
+    // its tombstone file, tombstone count); absent on pre-DV manifests
+    val dvs = props.getProperty("dvs", "") match {
+      case null | "" => Map.empty[Int, (Long, Long)]
+      case s => s.split(",").iterator.map { kv =>
+        val Array(b, v, n) = kv.split(":"); b.toInt -> (v.toLong, n.toLong)
+      }.toMap
+    }
     Manifest(props.getProperty("version").toLong,
       props.getProperty("batchId").toLong, props.getProperty("key"),
       props.getProperty("numBuckets").toInt, schemaJson,
@@ -308,7 +317,8 @@ object MergeTable {
       ts = Option(props.getProperty("ts")).map(_.toLong).getOrElse(0L),
       op = props.getProperty("op", ""),
       rows = Option(props.getProperty("rows")).map(_.toLong).getOrElse(-1L),
-      stats = stats, bucketRows = bucketRows, nullCounts = nullCounts)
+      stats = stats, bucketRows = bucketRows, nullCounts = nullCounts,
+      dvs = dvs)
   }
 
   private def readManifest(dir: String): Option[Manifest] = {
@@ -362,6 +372,9 @@ object MergeTable {
       if (nc.nonEmpty) p.setProperty(s"nulls.$b",
         nc.toSeq.sorted.map { case (c, n) => s"$c:$n" }.mkString(","))
     }
+    if (m.dvs.nonEmpty)
+      p.setProperty("dvs", m.dvs.toSeq.sorted
+        .map { case (b, (v, n)) => s"$b:$v:$n" }.mkString(","))
     p
   }
 
@@ -907,9 +920,39 @@ object MergeTable {
               .getOrElse(lit(null).cast(lf.dataType).as(lf.name))
           } :+ col(BucketCol): _*))
     }
-    scans.reduceOption(_.unionByName(_)).getOrElse(
+    val base = scans.reduceOption(_.unionByName(_)).getOrElse(
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withBucket))
       .select((schema.fieldNames.toSeq :+ BucketCol).map(col): _*)
+    // merge-on-read soft delete (r16 deletion vectors): buckets with a
+    // recorded vector anti-join away their tombstoned keys. The vectors
+    // are delta-sized (softDelete writes only the victim keys) and the
+    // manifest knows their exact total, so small vectors BROADCAST — the
+    // 100 TB side is never shuffled to honour a kilobyte of tombstones.
+    // Key values live under fixed positional names (__dv_k<i>), immune to
+    // later key renames; key types can never change (widening keys is
+    // forbidden), so the stored types always match the manifest's.
+    val dvLive = m.dvs.filter { case (b, _) => live.contains(b) }
+    if (dvLive.isEmpty) base
+    else {
+      val kcols = m.keys.zipWithIndex
+      val dvS = StructType(kcols.map { case (k, i) =>
+        org.apache.spark.sql.types.StructField(s"__dv_k$i",
+          schema(k).dataType, nullable = false) })
+      val dirs = dvLive.toSeq.sortBy(_._1).map { case (b, (v, _)) =>
+        val d = s"$dir/v$v/_dv/$BucketCol=$b"
+        require(Files.isDirectory(Paths.get(d)),
+          s"manifest v${m.version} at $dir references a missing deletion-" +
+            s"vector dir $d — refusing to read (deleted rows would " +
+            "silently resurrect)")
+        d
+      }
+      val dv = spark.read.schema(dvS).parquet(dirs: _*)
+      val dvSide =
+        if (dvLive.values.map(_._2).sum <= 4000000L) broadcast(dv) else dv
+      base.join(dvSide,
+        kcols.map { case (k, i) => col(k) === col(s"__dv_k$i") }.reduce(_ && _),
+        "left_anti")
+    }
   }
 
   /** Apply one change batch. `changes` carries the payload columns plus
@@ -1114,7 +1157,11 @@ object MergeTable {
           ++ changed.map(_ -> 0L).toMap ++ bs.counts)
           .filter { case (b, _) => buckets.contains(b) },
         nullCounts = prior.map(_.nullCounts).getOrElse(Map.empty) -- changed
-          ++ bs.nulls),
+          ++ bs.nulls,
+        // rewritten buckets were read THROUGH their deletion vectors, so
+        // the rewrite materialized the tombstones — their vectors clear;
+        // untouched buckets keep theirs
+        dvs = prior.map(_.dvs).getOrElse(Map.empty) -- changed),
       if (changed.nonEmpty) Some(stage) else None)
     Some(newV)
   }
@@ -1273,6 +1320,79 @@ object MergeTable {
       ()
     }
 
+  /** Merge-on-read DELETE (r16 deletion vectors): rows matching
+    * `predicate` are tombstoned BY KEY in per-bucket deletion-vector
+    * files — no data bucket is rewritten. At 100 TB this is the
+    * difference between a delete that writes kilobytes (the victim keys)
+    * and one that rewrites every bucket the victims hash into (the
+    * [[merge]]-with-delete-ops copy-on-write path, still available): the
+    * rewrite cost is DEFERRED to the next [[compact]] or merge of each
+    * bucket, which reads through the vector and clears it — the standard
+    * DV contract every production table format converged on. Every read
+    * path applies the vectors ([[readBuckets]] anti-joins the tombstone
+    * keys — a broadcast; the vectors are delta-sized); time travel sees
+    * each version's OWN vectors; CDC treats a vector change as a touched
+    * bucket and emits the deletes. Consecutive soft deletes COMPOSE: the
+    * new per-bucket vector file is written as old-vector ∪ new-victims,
+    * so a bucket's whole vector is always one directory (reads never
+    * stack anti-joins). Manifest stats stay honest: min/max are kept
+    * (survivors ⊆ the recorded range — too-wide bounds prune less, never
+    * wrong), live row counts decrement exactly (victims are computed from
+    * the DV-applied read, so none is double-counted), and touched
+    * buckets' NON-ZERO null counts are dropped (a stale count could equal
+    * the reduced row count and wrongly prune `IS NOT NULL`; zero counts
+    * stay — deleting rows cannot create nulls). Returns the committed
+    * version, or None when nothing matched (no commit — deleting nothing
+    * is a no-op, not history noise). */
+  def softDelete(spark: SparkSession, dir: String,
+                 predicate: Column): Option[Long] = {
+    recover(dir)
+    val m = requireManifest(dir)
+    val kcols = m.keys.zipWithIndex
+    // victims: LIVE rows matching the predicate — the pruned, DV-applied
+    // read, reduced to key values + bucket, computed once (checkpointed:
+    // the counts action and the vector write must agree)
+    val victims = readBuckets(spark, dir, m, prunedBuckets(spark, m, predicate))
+      .filter(predicate)
+      .select(kcols.map { case (k, i) => col(k).as(s"__dv_k$i") } :+
+        col(BucketCol): _*)
+      .transform(graft.util.Cleanup.checkpoint(_))
+    // bounded driver state: one (bucket, count) row per touched bucket
+    val newCounts = victims.groupBy(col(BucketCol))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (newCounts.isEmpty) return None
+    val newV = m.version + 1
+    val stage = s"_stage_v${newV}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val dvS = StructType(kcols.map { case (k, i) =>
+      org.apache.spark.sql.types.StructField(s"__dv_k$i",
+        m.schema(k).dataType, nullable = false) })
+    val withB = dvS.add(BucketCol, IntegerType, nullable = false)
+    // fold the touched buckets' EXISTING tombstones into the new vector
+    // (grouped by owning version — the readBuckets discipline); untouched
+    // buckets' vectors are not read or rewritten
+    val prior = newCounts.keySet.toSeq.sorted
+      .flatMap(b => m.dvs.get(b).map { case (v, _) => (v, b) })
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (v, bs) =>
+        spark.read.option("basePath", s"$dir/v$v/_dv").schema(withB)
+          .parquet(bs.map { case (_, b) => s"$dir/v$v/_dv/$BucketCol=$b" }: _*)
+      }
+    val all = prior.foldLeft(victims)(_.unionByName(_))
+    DataLayout.writePartitionedSortedBy(all, s"$dir/$stage/_dv",
+      Seq(BucketCol), kcols.map { case (_, i) => col(s"__dv_k$i") })
+    commit(dir, m.copy(version = newV,
+        ts = commitTs(Some(m)), op = "delete", rows = newCounts.values.sum,
+        bucketRows = m.bucketRows ++ newCounts.flatMap { case (b, n) =>
+          m.bucketRows.get(b).map(c => b -> (c - n)) },
+        nullCounts = m.nullCounts.map { case (b, nc) =>
+          b -> (if (newCounts.contains(b)) nc.filter(_._2 == 0L) else nc)
+        }.filter(_._2.nonEmpty),
+        dvs = m.dvs ++ newCounts.map { case (b, n) =>
+          b -> (newV, m.dvs.get(b).map(_._2).getOrElse(0L) + n) }),
+      Some(stage))
+    Some(newV)
+  }
+
   /** Rewrite live buckets into one new version (the read-side cost of
     * accumulating versions is one pruned scan per distinct (version,
     * schema) group — this folds the rewritten buckets back to one group),
@@ -1374,7 +1494,10 @@ object MergeTable {
         bucketRows = (m.bucketRows -- chosen ++ bs.counts)
           .filter { case (b, _) => buckets.contains(b) },
         nullCounts = (m.nullCounts -- chosen ++ bs.nulls)
-          .filter { case (b, _) => buckets.contains(b) }),
+          .filter { case (b, _) => buckets.contains(b) },
+        // the rewrite read through the chosen buckets' deletion vectors —
+        // tombstones are materialized, their vectors clear
+        dvs = m.dvs -- chosen),
       if (chosen.nonEmpty) Some(stage) else None)
     newV
   }
@@ -1464,8 +1587,14 @@ object MergeTable {
     val m1 = manifestAt(dir, fromVersion)
     val m2 = manifestAt(dir, toVersion)
     val payload = m2.schema.fieldNames.toSeq
-    val touched = (m1.buckets.keySet ++ m2.buckets.keySet)
-      .filter(b => m1.buckets.get(b) != m2.buckets.get(b))
+    // a bucket is touched when its owning (version, schema) changed OR its
+    // deletion vector did — a soft delete moves no bucket but still
+    // changes that bucket's visible rows (readBuckets applies each
+    // manifest's own vectors, so the diff below sees the deletes)
+    val touched = (m1.buckets.keySet ++ m2.buckets.keySet ++
+        m1.dvs.keySet ++ m2.dvs.keySet)
+      .filter(b => m1.buckets.get(b) != m2.buckets.get(b) ||
+        m1.dvs.get(b) != m2.dvs.get(b))
     // align the older snapshot to the newer LOGICAL schema by reading its
     // buckets under the newer manifest's projections (which alter-rename/
     // widen keep updated for every interned schema id): a renamed column
@@ -1603,10 +1732,14 @@ object MergeTable {
       .flatMap { name =>
         try {
           val h = parseManifest(Paths.get(dir, name))
-          h.buckets.values.map(_._1).toSeq :+ h.version
+          // deletion-vector files live under their OWN commit's v-dir
+          // (often a dir no bucket points at) — those versions are
+          // referenced too, or vacuum would resurrect the deleted rows
+          h.buckets.values.map(_._1).toSeq ++
+            h.dvs.values.map(_._1) :+ h.version
         } catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
       }
-      .toSet ++ m.buckets.values.map(_._1) + m.version
+      .toSet ++ m.buckets.values.map(_._1) ++ m.dvs.values.map(_._1) + m.version
     val now = System.currentTimeMillis()
     def idlePastGrace(f: java.io.File): Boolean = {
       // newest mtime anywhere under the stage (the dir itself goes stale

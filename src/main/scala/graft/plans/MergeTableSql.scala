@@ -542,6 +542,22 @@ case class GraftDmlCommand(dir: String, numBuckets: Int,
   override def run(spark: SparkSession): Seq[Row] = {
     val snapVer = MergeTable.currentVersion(dir)
     require(snapVer.isDefined, s"no MergeTable at $dir")
+    // r16 merge-on-read DELETE: `SET spark.graft.delete.mode=soft` routes
+    // DELETE to deletion vectors — victim keys are tombstoned in
+    // delta-sized per-bucket vector files and NO bucket is rewritten
+    // (MergeTable.softDelete; the next rewrite of each bucket
+    // materializes). The default stays the copy-on-write rewrite below.
+    // Same visible semantics either way (a null WHERE is not a match);
+    // concurrent writers conflict on the version CAS exactly as here.
+    if (spec.isDelete &&
+        spark.conf.get("spark.graft.delete.mode", "rewrite") == "soft") {
+      val pred = spec.condition
+        .map(c => Bridge.columnOf(
+          MergeTableSqlResolution.unqualify(c, Seq(targetAlias))))
+        .getOrElse(lit(true))
+      val v = MergeTable.softDelete(spark, dir, pred)
+      return Seq(Row(v.getOrElse(-1L)))
+    }
     val keys = MergeTable.tableKeys(dir)
     // the classification read prunes with manifest stats when the WHERE
     // allows it (r16): buckets provably untouched by the predicate are

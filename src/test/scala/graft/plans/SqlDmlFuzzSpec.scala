@@ -98,9 +98,15 @@ class SqlDmlFuzzSpec extends SparkSpec {
               MergeTable.mergeKeys(spark, shadow, opBatch(composite,
                 hit.toSeq.map { case (k, (v, _)) =>
                   (k, v * 2, Some(s"u$step"), "update") }), keys)
-            case 2 => // DELETE on a key-class (sometimes zero-match)
+            case 2 => // DELETE on a key-class (sometimes zero-match),
+              // randomly routed merge-on-read (r16 deletion vectors): the
+              // model and the CoW shadow don't change, so soft ≡ rewrite
+              // must hold under every LATER op the sequence draws
               val (m, r) = (2 + rnd.nextInt(4), rnd.nextInt(4))
-              spark.sql(s"DELETE FROM $name WHERE k % $m = $r")
+              if (rnd.nextBoolean())
+                spark.conf.set("spark.graft.delete.mode", "soft")
+              try spark.sql(s"DELETE FROM $name WHERE k % $m = $r")
+              finally spark.conf.unset("spark.graft.delete.mode")
               val hit = model.filter { case (k, _) => k % m == r }
               model = model -- hit.keys
               MergeTable.mergeKeys(spark, shadow, opBatch(composite,
@@ -249,9 +255,14 @@ class SqlDmlFuzzSpec extends SparkSpec {
               spark.sql(s"UPDATE $name SET v = v + $c WHERE k % $m0 = $r")
               model = model ++ model.filter { case (k, _) => k % m0 == r }
                 .map { case (k, (v, t, n)) => k -> (v + c, t, n) }
-            case 3 => // DELETE on a key-class (sometimes zero-match)
+            case 3 => // DELETE on a key-class (sometimes zero-match),
+              // randomly merge-on-read — deletion vectors must compose
+              // with OPTIMIZE/VACUUM/OVERWRITE/ALTER later in the sequence
               val (m0, r) = (2 + rnd.nextInt(4), rnd.nextInt(4))
-              spark.sql(s"DELETE FROM $name WHERE k % $m0 = $r")
+              if (rnd.nextBoolean())
+                spark.conf.set("spark.graft.delete.mode", "soft")
+              try spark.sql(s"DELETE FROM $name WHERE k % $m0 = $r")
+              finally spark.conf.unset("spark.graft.delete.mode")
               model = model.filter { case (k, _) => k % m0 != r }
             case 4 => // MERGE: star update + star insert
               val rows = rndRows(step)
