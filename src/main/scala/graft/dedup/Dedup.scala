@@ -800,6 +800,110 @@ object Dedup {
     pairs
   }
 
+  private val SimhashMeta = "_simhash_meta"
+
+  /** One row per (doc, pigeonhole band): id, full fingerprint, band
+    * ordinal, band value, and the hive partition key
+    * `sb = hash(band, bval) mod partitions`. */
+  private def simhashIndexRows(docs: DataFrame, idCol: String, text: Column,
+                               maxDist: Int, partitions: Int): DataFrame = {
+    val cuts = simhashBandCuts(maxDist + 1)
+    docs.select(col(idCol), simhash16(text).as("sh"))
+      .select(col(idCol), col("sh"),
+        posexplode(array(cuts.map { case (st, ln) =>
+          substring(col("sh"), st, ln) }: _*)).as(Seq("band", "bval")))
+      .withColumn("sb", pmod(hash(col("band"), col("bval")), lit(partitions)))
+  }
+
+  /** AT-REST SimHash index for INCREMENTAL near-dup ingest (⊕J12 × ⊕K10 —
+    * the [[writeLshIndex]] pattern at the Hamming tier): the corpus's
+    * pigeonhole band rows persisted hive-partitioned by
+    * `sb = hash(band, bval) mod partitions`, each row carrying the FULL
+    * fingerprint so the probe's exact Hamming verify needs no second
+    * corpus read. MinHash LSH approximates set Jaccard; SimHash Hamming
+    * catches small token-level perturbations — complementary ingest
+    * tiers, exactly as their batch forms (⊕J8 vs ⊕J12). The pigeonhole
+    * split is LOSSLESS for the index's own maxDist: a (corpus, batch)
+    * pair within `maxDist` differs in ≤ maxDist positions, so at least
+    * one of the maxDist+1 bands matches exactly and that band's partition
+    * is — by construction — among the ones the batch probes. */
+  def writeSimhashIndex(docs: DataFrame, idCol: String, text: Column,
+                        dir: String, maxDist: Int = 2,
+                        partitions: Int = 16): Unit = {
+    graft.layout.DataLayout.writePartitionedSorted(
+      simhashIndexRows(docs, idCol, text, maxDist, partitions),
+      dir, Seq("sb"), Seq("band", "bval", idCol))
+    // layout facts persisted with the index (the _lsh_meta discipline): a
+    // probe with different banding/partitioning would silently miss
+    val pr = new java.util.Properties()
+    pr.setProperty("maxDist", maxDist.toString)
+    pr.setProperty("partitions", partitions.toString)
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(dir, SimhashMeta))
+    try pr.store(out, "graft SimHash index parameters") finally out.close()
+  }
+
+  /** Probe + append one NEW batch against a [[writeSimhashIndex]]
+    * directory: returns every (corpus id `a`, new id `b`, dist) pair
+    * within the index's Hamming `maxDist` — EXACT for the cross split
+    * (the pigeonhole losslessness above), one row per pair (the
+    * first-matching-band rule, no distinct shuffle) — and appends the
+    * batch's band rows through the [[graft.layout.LayoutTxn]]
+    * stage/CAS-claim/publish protocol (concurrent ingests conflict
+    * loudly; crashed ones roll forward; readers keep their snapshot).
+    * Probe cost follows the BATCH's band partitions, not the corpus (the
+    * ⊕J25 shape); collision buckets are bounded by the fingerprint
+    * space, never corpus² (the ⊕J12 adjacency argument). Append-only:
+    * batch ids are assumed new (the q61 ingest contract). */
+  def simhashIndexUpsert(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, newDocs: DataFrame, idCol: String,
+                         text: Column,
+                         txnGraceMs: Long = 600000L): DataFrame = {
+    val p = java.nio.file.Paths.get(dir, SimhashMeta)
+    require(java.nio.file.Files.exists(p),
+      s"no SimHash index metadata at $dir — writeSimhashIndex first")
+    val pr = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(p)
+    try pr.load(in) finally in.close()
+    val (maxDist, partitions) =
+      (pr.getProperty("maxDist").toInt, pr.getProperty("partitions").toInt)
+    val cuts = simhashBandCuts(maxDist + 1)
+    val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
+    val newRows = simhashIndexRows(newDocs, idCol, text, maxDist, partitions)
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val touched = newRows.select("sb").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val existing = graft.layout.LayoutTxn.readLayout(spark, dir, "", "sb",
+      Some(touched.map(b => s"sb=$b").toSet))
+    val l = existing.select(col("band"), col("bval"), col(idCol).as("a"),
+      col("sh").as("__sa"))
+    val r = newRows.select(col("band"), col("bval"), col(idCol).as("b"),
+      col("sh").as("__sb"))
+    val dist = (1 to 16).map(i =>
+        when(substring(col("__sa"), i, 1) =!= substring(col("__sb"), i, 1), 1)
+          .otherwise(0))
+      .reduce(_ + _)
+    // keep each qualifying pair ONLY in its first matching band — the
+    // simhashPairs uniqueness rule: a codegen predicate over data already
+    // in the join row, zero extra shuffles
+    val firstMatch = cuts.indices.map { i =>
+      cuts.take(i).map { case (st, ln) =>
+        substring(col("__sa"), st, ln) =!= substring(col("__sb"), st, ln)
+      }.foldLeft(col("band") === i)(_ && _)
+    }.reduce(_ || _)
+    val pairs = l.join(r, Seq("band", "bval"))
+      .filter(col("a") =!= col("b") && firstMatch)
+      .select(col("a"), col("b"), dist.cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+    graft.layout.LayoutTxn.commit(spark, dir, parent, Seq(
+      graft.layout.LayoutTxn.Group("",
+        existing.select(col(idCol), col("sh"), col("band"), col("bval"),
+            col("sb"))
+          .unionByName(newRows),
+        "sb", Seq("band", "bval", idCol), touched.map(b => s"sb=$b"))))
+    pairs
+  }
+
   /** Winnowing-fingerprint near-dup candidates (the rolling-hash tier of
     * the dedup ladder — exact ⊂ winnowing ⊂ MinHash/LSH): docs sharing at
     * least `minShared` winnowing fingerprints
