@@ -3332,6 +3332,50 @@ object SparkEntry {
       s.read.parquet(s"$base/pairs").orderBy(col("a"), col("b"))
     }),
 
+    // ⊕J27 incremental SimHash ingest index (r16 — the ⊕J25 pattern at
+    // the Hamming tier): the corpus's pigeonhole band rows at rest,
+    // partitioned by the band-value hash; a new batch probes ONLY its own
+    // band partitions (each row carries the full fingerprint, so the
+    // exact Hamming verify needs no second corpus read) and appends
+    // through LayoutTxn. The pigeonhole split is LOSSLESS for the
+    // index's maxDist, so the oracle can brute-recompute the cross-split
+    // Hamming join from raw text — the incremental answer must equal it
+    // exactly.
+    "q195_simhash_index_upsert" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = sharedFixture("simhash_idx", d) { fx =>
+        Dedup.writeSimhashIndex(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", col("text"), s"$fx/idx")
+        Dedup.simhashIndexUpsert(s, s"$fx/idx",
+            docs.filter(col("doc_id") % 5 === 0), "doc_id", col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/pairs")
+      }
+      s.read.parquet(s"$base/pairs").orderBy(col("a"), col("b"))
+    }),
+
+    // ⊕K7 merge-on-read DELETE (r16 deletion vectors): with
+    // `spark.graft.delete.mode=soft`, SQL DELETE tombstones the victim
+    // KEYS in delta-sized per-bucket vector files — no data bucket is
+    // rewritten (the commit's v-dir carries only `_dv/`); every read
+    // anti-joins the broadcast vectors. Two composed soft deletes prove
+    // vector union; the final read proves the merged visibility. At
+    // 100 TB this is the delete that writes kilobytes instead of
+    // rewriting every bucket the victims hash into — the rewrite is
+    // deferred to the next OPTIMIZE/merge of each bucket.
+    "q194_soft_delete" -> ((s, d) => {
+      val dir = dmlBaseCopy(s, d, "dml_base_lt3", Seq(0, 1, 2))
+      graft.plans.MergeTableSql.register("orders_mt_sdel", dir, numBuckets = 8)
+      s.conf.set("spark.graft.delete.mode", "soft")
+      try {
+        s.sql("DELETE FROM orders_mt_sdel WHERE okey % 7 = 2")
+        s.sql("DELETE FROM orders_mt_sdel WHERE status = 'F' AND okey % 7 = 1")
+      } finally {
+        s.conf.unset("spark.graft.delete.mode")
+        graft.plans.MergeTableSql.unregister("orders_mt_sdel")
+      }
+      graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
+    }),
+
     // ⊕ quantile normalization of a numeric feature (the rank-gauss /
     // percentile-transform preprocessing step): percent_rank + cume_dist
     // + percentile bucket of n_chars WITHIN each source. Ties share a
@@ -3611,6 +3655,23 @@ object SparkEntry {
          |UNION ALL
          |SELECT sh, sh, 0, CAST(n * (n - 1) / 2 AS BIGINT) FROM grp WHERE n >= 2
          |ORDER BY sha, shb""".stripMargin
+    },
+
+    // q195: the incremental SimHash probe is lossless for its maxDist
+    // (pigeonhole), so the oracle brute-recomputes the cross-split
+    // Hamming join over the 80/20 doc_id split — same kernel CTEs as q68
+    "q195_simhash_index_upsert" -> {
+      val dist = (1 to 16).map(i =>
+        s"(CASE WHEN substring(a.sh, $i, 1) <> substring(b.sh, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $wordsCte, $hashedWordsCte,
+         |sims AS (SELECT doc_id, $simhashSql AS sh FROM hw),
+         |corpus AS (SELECT * FROM sims WHERE doc_id % 5 <> 0),
+         |batch AS (SELECT * FROM sims WHERE doc_id % 5 = 0)
+         |SELECT a.doc_id AS a, b.doc_id AS b, CAST($dist AS BIGINT) AS dist
+         |FROM corpus a CROSS JOIN batch b
+         |WHERE $dist <= 2
+         |ORDER BY a, b""".stripMargin
     },
 
     "q75_chargram_jaccard" ->
@@ -4606,6 +4667,15 @@ object SparkEntry {
       """SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS price,
         |  o_orderstatus AS status
         |FROM orders WHERE o_orderkey % 7 IN (0, 1) ORDER BY okey""".stripMargin,
+
+    // q194: two composed soft DELETEs land on the same visible state a
+    // rewrite would — merge-on-read is a layout choice, not a semantic one
+    "q194_soft_delete" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS price,
+        |  o_orderstatus AS status
+        |FROM orders WHERE o_orderkey % 7 IN (0, 1)
+        |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 1)
+        |ORDER BY okey""".stripMargin,
 
     // q181: UPDATE SET expr WHERE lands on the q63/q174 closed form
     "q181_sql_update" ->
