@@ -3353,6 +3353,30 @@ object SparkEntry {
       s.read.parquet(s"$base/pairs").orderBy(col("a"), col("b"))
     }),
 
+    // ⊕K7 per-bucket value dictionaries (r16 categorical skipping):
+    // alterSetDictColumns designates columns whose distinct value SETS
+    // are recorded per bucket at each rewrite; equality/IN prunes on
+    // exact membership — the case min/max can't prune (a categorical
+    // bucket's lexical range is wide, its value set tiny). OPTIMIZE
+    // backfills; readWhere carries the predicate on the scan too (the
+    // sets only prune). MergeDictSpec pins the pruning claims; this
+    // entry gates answer correctness end-to-end.
+    "q196_dict_skipping" -> ((s, d) => {
+      val base = sharedFixture("dict_skip", d) { fx =>
+        val o = t(s, d, "orders").select(col("o_orderkey").as("okey"),
+          col("o_custkey").as("cust"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status"))
+          .filter(col("okey") % 7 < 3).withColumn("op_flag", lit("create"))
+        graft.layout.MergeTable.merge(s, s"$fx/t", o, "okey", numBuckets = 8)
+        graft.layout.MergeTable.alterSetDictColumns(s"$fx/t", Seq("status"))
+        graft.layout.MergeTable.compact(s, s"$fx/t")
+        ()
+      }
+      graft.layout.MergeTable.readWhere(s, s"$base/t",
+          col("status").isin("P", "F"))
+        .orderBy(col("okey"))
+    }),
+
     // ⊕K7 merge-on-read DELETE (r16 deletion vectors): with
     // `spark.graft.delete.mode=soft`, SQL DELETE tombstones the victim
     // KEYS in delta-sized per-bucket vector files — no data bucket is
@@ -4667,6 +4691,14 @@ object SparkEntry {
       """SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS price,
         |  o_orderstatus AS status
         |FROM orders WHERE o_orderkey % 7 IN (0, 1) ORDER BY okey""".stripMargin,
+
+    // q196: dictionary-pruned IN over the categorical column — pruning
+    // only shrinks the scan, the answer is the plain filter
+    "q196_dict_skipping" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS price,
+        |  o_orderstatus AS status
+        |FROM orders WHERE o_orderkey % 7 < 3 AND o_orderstatus IN ('P', 'F')
+        |ORDER BY okey""".stripMargin,
 
     // q194: two composed soft DELETEs land on the same visible state a
     // rewrite would — merge-on-read is a layout choice, not a semantic one

@@ -137,7 +137,11 @@ object MergeTable {
                               bucketRows: Map[Int, Long] = Map.empty,
                               nullCounts: Map[Int, Map[String, Long]] =
                                 Map.empty,
-                              dvs: Map[Int, (Long, Long)] = Map.empty) {
+                              dvs: Map[Int, (Long, Long)] = Map.empty,
+                              dictCols: Seq[String] = Nil,
+                              dictMax: Int = 0,
+                              dicts: Map[Int, Map[String, Set[String]]] =
+                                Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     /** The key COLUMNS — `key` is their comma-joined manifest encoding. */
     def keys: Seq[String] = key.split(",").toSeq
@@ -240,6 +244,61 @@ object MergeTable {
     BucketStats(stats, counts, nulls)
   }
 
+  /** Per-bucket DISTINCT VALUE SETS of the designated dictionary columns
+    * over a just-written stage (r16 categorical skipping) — the
+    * complement of min/max for unordered domains: a bucket holding
+    * {"US","CA"} has lexical bounds CA..US, which do NOT prune
+    * `country = 'DE'`; its value SET does, exactly. A (bucket, column)
+    * whose distinct count exceeds `maxVals` records NOTHING (unknown —
+    * never prunes; the cap is what keeps manifests small and the agg
+    * bounded). Values are cast to string IN the job, the min/max stats'
+    * round-trip discipline. Memory is bounded end-to-end: the candidate
+    * sets are shuffle-DISTINCTed first, oversized (bucket, column) pairs
+    * are dropped by COUNT before any collect_set builds a buffer, and
+    * driver state is ≤ buckets × cols × maxVals short strings. */
+  private def collectDicts(spark: SparkSession, stageDir: String,
+                           schema: StructType, cols: Seq[String],
+                           maxVals: Int): Map[Int, Map[String, Set[String]]] = {
+    val present = cols.filter(schema.fieldNames.contains)
+    val dirs = Option(new java.io.File(stageDir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
+      .map(_.getPath).sorted
+    if (present.isEmpty || dirs.isEmpty) return Map.empty
+    val stageBuckets = dirs.map(_.split(s"$BucketCol=").last.toInt)
+    val entries = present.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("ci"), col(c).cast("string").as("v")) }
+    val dis = spark.read.option("basePath", stageDir)
+      .schema(schema.add(BucketCol, IntegerType, nullable = false))
+      .parquet(dirs: _*)
+      .select(col(BucketCol).as("b"), explode(array(entries: _*)).as("e"))
+      .select(col("b"), col("e.ci").as("ci"), col("e.v").as("v"))
+      .filter(col("v").isNotNull).distinct()
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val sizes = dis.groupBy(col("b"), col("ci")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val small = sizes.filter(_._2 <= maxVals).keySet
+    val sets: Map[(Int, Int), Set[String]] =
+      if (small.isEmpty) Map.empty
+      else {
+        val keep = present.indices.map { i =>
+          val bs = small.collect { case (b, ci) if ci == i => Int.box(b) }.toSeq
+          if (bs.isEmpty) lit(false)
+          else col("ci") === i && col("b").isin(bs: _*)
+        }.reduce(_ || _)
+        dis.filter(keep).groupBy(col("b"), col("ci"))
+          .agg(collect_set(col("v")).as("vs")).collect()
+          .map(r => (r.getInt(0), r.getInt(1)) ->
+            r.getAs[scala.collection.Seq[String]]("vs").toSet).toMap
+      }
+    stageBuckets.map { b =>
+      b -> present.zipWithIndex.flatMap { case (c, i) =>
+        if (sizes.get((b, i)).exists(_ > maxVals)) None
+        else Some(c -> sets.getOrElse((b, i), Set.empty[String]))
+      }.toMap
+    }.toMap
+  }
+
   private def manifestPath(dir: String): Path = Paths.get(dir, "_latest")
 
   private def parseManifest(p: Path): Manifest = {
@@ -308,6 +367,27 @@ object MergeTable {
         val Array(b, v, n) = kv.split(":"); b.toInt -> (v.toLong, n.toLong)
       }.toMap
     }
+    // per-bucket value dictionaries (r16 categorical skipping): the
+    // designated columns, the per-bucket distinct-set cap, and each
+    // bucket's recorded sets (`col=b64v1:b64v2,...`; an entry with no
+    // values is an all-null column — any equality prunes it)
+    val dictCols = props.getProperty("dictcols", "") match {
+      case "" => Nil
+      case s => s.split(",").toSeq
+    }
+    val dictMax = Option(props.getProperty("dictmax")).map(_.toInt).getOrElse(0)
+    val dicts = props.stringPropertyNames().asScala.toSeq
+      .filter(_.startsWith("dict."))
+      .map { kk =>
+        kk.stripPrefix("dict.").toInt -> (props.getProperty(kk) match {
+          case "" => Map.empty[String, Set[String]]
+          case s => s.split(",", -1).iterator.map { ent =>
+            val Array(c, vs) = ent.split("=", 2)
+            c -> (if (vs.isEmpty) Set.empty[String]
+                  else vs.split(":").iterator.map(unb64).toSet)
+          }.toMap
+        })
+      }.filter(_._2.nonEmpty).toMap
     Manifest(props.getProperty("version").toLong,
       props.getProperty("batchId").toLong, props.getProperty("key"),
       props.getProperty("numBuckets").toInt, schemaJson,
@@ -318,7 +398,7 @@ object MergeTable {
       op = props.getProperty("op", ""),
       rows = Option(props.getProperty("rows")).map(_.toLong).getOrElse(-1L),
       stats = stats, bucketRows = bucketRows, nullCounts = nullCounts,
-      dvs = dvs)
+      dvs = dvs, dictCols = dictCols, dictMax = dictMax, dicts = dicts)
   }
 
   private def readManifest(dir: String): Option[Manifest] = {
@@ -375,6 +455,16 @@ object MergeTable {
     if (m.dvs.nonEmpty)
       p.setProperty("dvs", m.dvs.toSeq.sorted
         .map { case (b, (v, n)) => s"$b:$v:$n" }.mkString(","))
+    if (m.dictCols.nonEmpty) {
+      p.setProperty("dictcols", m.dictCols.mkString(","))
+      p.setProperty("dictmax", m.dictMax.toString)
+      m.dicts.toSeq.sortBy(_._1).foreach { case (b, ds) =>
+        if (ds.nonEmpty) p.setProperty(s"dict.$b",
+          ds.toSeq.sortBy(_._1).map { case (c, vs) =>
+            s"$c=${vs.toSeq.sorted.map(b64).mkString(":")}"
+          }.mkString(","))
+      }
+    }
     p
   }
 
@@ -865,11 +955,44 @@ object MergeTable {
         }
       case _ => None
     }
+    // equality / IN conjuncts prune on the recorded per-bucket VALUE
+    // DICTIONARIES (r16): the predicate literal is rendered to string in
+    // the DRIVER with the same Cast the recording job used, and a bucket
+    // whose set misses every value is provably empty — exact, no false
+    // pruning. Engages only on a BARE attribute (a cast on the column
+    // changes the rendering domain) with the recorded sets of the
+    // column's CURRENT type (widen drops them). Absent sets (unrecorded
+    // bucket, over-cap column) keep the bucket.
+    def dictPruneOf(e: CExpr): Option[Int => Boolean] = {
+      def render(v: Any, dt: DataType): String =
+        CCast(CLit(v, dt), org.apache.spark.sql.types.StringType, tz)
+          .eval(null).toString
+      def mk(a: CAttrRef, vals: Seq[(Any, DataType)]): Option[Int => Boolean] =
+        m.dictCols.find(_.equalsIgnoreCase(a.name))
+          .filter(c => m.schema.fields.exists(f =>
+            f.name == c && f.dataType == a.dataType))
+          .map { canonical =>
+            val rendered = vals.map { case (v, dt) => render(v, dt) }
+            (b: Int) => m.dicts.get(b).flatMap(_.get(canonical)) match {
+              case Some(set) => rendered.forall(!set.contains(_))
+              case None => false
+            }
+          }
+      e match {
+        case CEq(a: CAttrRef, l) => litOf(l).flatMap(v => mk(a, Seq(v)))
+        case CEq(l, a: CAttrRef) => litOf(l).flatMap(v => mk(a, Seq(v)))
+        case CIn(a: CAttrRef, list) if list.nonEmpty =>
+          val vals = list.map(litOf)
+          if (vals.exists(_.isEmpty)) None else mk(a, vals.flatten)
+        case _ => None
+      }
+    }
     val cs = resolved.toSeq.flatMap(conjuncts)
     val bucketPruners: Seq[Int => Boolean] =
       cs.flatMap(pruneOf(_)).map(p => (b: Int) =>
         m.stats.getOrElse(b, Map.empty).exists { case (c, mm) => p(c, mm) }) ++
-        cs.flatMap(nullPruneOf(_))
+        cs.flatMap(nullPruneOf(_)) ++
+        cs.flatMap(dictPruneOf(_))
     if (bucketPruners.isEmpty) None
     // keep unless SOME conjunct proves emptiness from SOME recorded stat
     else Some(m.buckets.keySet.filter(b => !bucketPruners.exists(_(b))))
@@ -1143,6 +1266,11 @@ object MergeTable {
     val bs =
       if (changed.isEmpty) BucketStats(Map.empty, Map.empty, Map.empty)
       else collectBucketStats(spark, s"$dir/$stage", widened)
+    val dcols = prior.map(_.dictCols).getOrElse(Nil)
+    val nd =
+      if (dcols.isEmpty || changed.isEmpty) Map.empty[Int, Map[String, Set[String]]]
+      else collectDicts(spark, s"$dir/$stage", widened, dcols,
+        prior.map(_.dictMax).getOrElse(0))
     val buckets = prior.map(_.buckets).getOrElse(Map.empty) ++
       changed.map(_ -> (newV, sid))
     commit(dir, Manifest(newV, batchId, key, nb, schemaJson,
@@ -1161,7 +1289,9 @@ object MergeTable {
         // rewritten buckets were read THROUGH their deletion vectors, so
         // the rewrite materialized the tombstones — their vectors clear;
         // untouched buckets keep theirs
-        dvs = prior.map(_.dvs).getOrElse(Map.empty) -- changed),
+        dvs = prior.map(_.dvs).getOrElse(Map.empty) -- changed,
+        dictCols = dcols, dictMax = prior.map(_.dictMax).getOrElse(0),
+        dicts = prior.map(_.dicts).getOrElse(Map.empty) -- changed ++ nd),
       if (changed.nonEmpty) Some(stage) else None)
     Some(newV)
   }
@@ -1219,7 +1349,9 @@ object MergeTable {
         phys = m.phys.view.mapValues(ps =>
           ps.copy(proj = ps.proj - column)).toMap,
         stats = m.stats.view.mapValues(_ - column).toMap,
-        nullCounts = m.nullCounts.view.mapValues(_ - column).toMap)
+        nullCounts = m.nullCounts.view.mapValues(_ - column).toMap,
+        dictCols = m.dictCols.filterNot(_ == column),
+        dicts = m.dicts.view.mapValues(_ - column).toMap)
     })
 
   /** Rename a column — metadata-only: the logical schema renames and every
@@ -1256,6 +1388,13 @@ object MergeTable {
           nc.get(from) match {
             case Some(n) => nc - from + (to -> n)
             case None => nc
+          }
+        }.toMap,
+        dictCols = m.dictCols.map(c => if (c == from) to else c),
+        dicts = m.dicts.view.mapValues { ds =>
+          ds.get(from) match {
+            case Some(vs) => ds - from + (to -> vs)
+            case None => ds
           }
         }.toMap)
     })
@@ -1296,7 +1435,46 @@ object MergeTable {
         schemaJson = StructType(m.schema.fields.map(x =>
           if (x.name == column) x.copy(dataType = to) else x)).json,
         stats = if (!reorders) m.stats
-          else m.stats.view.mapValues(_ - column).toMap)
+          else m.stats.view.mapValues(_ - column).toMap,
+        // dictionaries match by EXACT string rendering, and a widen can
+        // change the rendering (float 0.1 reads back as a longer double;
+        // decimal scale pads) — drop the widened column's sets always;
+        // they re-derive at the new type on each bucket's next rewrite
+        dicts = m.dicts.view.mapValues(_ - column).toMap)
+    })
+
+  /** Designate the columns that record per-bucket VALUE DICTIONARIES
+    * (r16 categorical skipping) — the equality-predicate complement of
+    * min/max stats: for unordered/categorical domains (country, status,
+    * tenant, source) a bucket's lexical range is wide but its value SET
+    * is tiny, and `col = 'DE'` prunes exactly on set membership where
+    * CA..US bounds keep the bucket. Metadata-only commit; each bucket
+    * records its sets at its NEXT rewrite (an `OPTIMIZE` backfills the
+    * whole table), and a (bucket, column) whose distinct count exceeds
+    * `maxValues` records nothing — unknown never prunes, and the cap is
+    * what keeps manifests small at any scale. Re-designating replaces the
+    * column list and INVALIDATES previously recorded sets (config and
+    * data must agree); pass Nil to disable. Returns the committed
+    * version. */
+  def alterSetDictColumns(dir: String, columns: Seq[String],
+                          maxValues: Int = 64): Long =
+    alterCommit(dir, "alter-dict", { m =>
+      require(columns.isEmpty || maxValues >= 1,
+        s"alterSetDictColumns: maxValues $maxValues must be >= 1")
+      columns.foreach { c =>
+        val f = m.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '$c' in ${m.schema.fieldNames.mkString(", ")}"))
+        require(statsEligible(f),
+          s"column '$c' (${f.dataType.simpleString}) is not " +
+            "dictionary-eligible: atomic orderable types with " +
+            "separator-free names only")
+      }
+      require(columns.distinct.size == columns.size,
+        s"duplicate dictionary columns: ${columns.mkString(", ")}")
+      m.copy(dictCols = columns,
+        dictMax = if (columns.isEmpty) 0 else maxValues,
+        dicts = Map.empty)
     })
 
   /** `foreachBatch` adapter: idempotent streaming upsert sink. A retried
@@ -1485,6 +1663,10 @@ object MergeTable {
     val bs =
       if (chosen.isEmpty) BucketStats(Map.empty, Map.empty, Map.empty)
       else collectBucketStats(spark, s"$dir/$stage", m.schema)
+    val nd =
+      if (m.dictCols.isEmpty || chosen.isEmpty)
+        Map.empty[Int, Map[String, Set[String]]]
+      else collectDicts(spark, s"$dir/$stage", m.schema, m.dictCols, m.dictMax)
     commit(dir, m.copy(version = newV,
         buckets = buckets,
         phys = (m.phys + (sid -> PhysSchema(m.schemaJson, identityProj)))
@@ -1497,7 +1679,9 @@ object MergeTable {
           .filter { case (b, _) => buckets.contains(b) },
         // the rewrite read through the chosen buckets' deletion vectors —
         // tombstones are materialized, their vectors clear
-        dvs = m.dvs -- chosen),
+        dvs = m.dvs -- chosen,
+        dicts = (m.dicts -- chosen ++ nd)
+          .filter { case (b, _) => buckets.contains(b) }),
       if (chosen.nonEmpty) Some(stage) else None)
     newV
   }
