@@ -753,6 +753,52 @@ object ScaleCheck {
       util.Cleanup.drain()
     }
 
+    // Parquet bloom filters (r16): a HIGH-CARDINALITY uncorrelated column
+    // (md5 strings here) defeats every manifest tier — min/max spans the
+    // domain, the value dictionary is over its cap, CLUSTER BY's one sort
+    // order is spent elsewhere — but a written per-column bloom lets the
+    // reader's pushed equality prune whole row groups. Same read both
+    // times; the only change is alterSetParquetBloom + OPTIMIZE between
+    // them. Small parquet blocks make the granularity visible at probe
+    // scale (the cluster_skip argument).
+    if (want("bloom_skip")) {
+      val mtDir = java.nio.file.Files.createTempDirectory("scale_bloom").toString + "/t"
+      val hc = spark.sparkContext.hadoopConfiguration
+      val oldBlock = Option(hc.get("parquet.block.size"))
+      hc.setInt("parquet.block.size", 128 * 1024)
+      try {
+        val orders = amplify(model.Tables.orders(spark, d), Seq("o_orderkey"))
+          .select(col("o_orderkey").as("k"),
+            md5(col("o_orderkey").cast("string")).as("u"),
+            col("o_totalprice").as("p"))
+          .withColumn("op_flag", lit("create"))
+        layout.MergeTable.merge(spark, mtDir, orders, "k", numBuckets = 64)
+        layout.MergeTable.compact(spark, mtDir) // no-bloom baseline files
+        val x = layout.MergeTable.read(spark, mtDir)
+          .orderBy(col("k")).select("u").head().getString(0)
+        val nMatch = 1L
+        time(s"bloom_skip_plain_${nMatch}_rows", nMatch) {
+          layout.MergeTable.readWhere(spark, mtDir, col("u") === x)
+            .agg(max(col("p")), count(lit(1))).collect()
+        }
+        layout.MergeTable.alterSetParquetBloom(mtDir, Seq("u"),
+          expectedNdv = 20000L) // ~rows per 128 KB row group
+        layout.MergeTable.compact(spark, mtDir)
+        time(s"bloom_skip_bloomed_${nMatch}_rows", nMatch) {
+          layout.MergeTable.readWhere(spark, mtDir, col("u") === x)
+            .agg(max(col("p")), count(lit(1))).collect()
+        }
+      } finally {
+        oldBlock match {
+          case Some(v) => hc.set("parquet.block.size", v)
+          case None => hc.unset("parquet.block.size")
+        }
+      }
+      util.Cleanup.registerTempDir(
+        java.nio.file.Paths.get(mtDir).getParent)
+      util.Cleanup.drain()
+    }
+
     // Stats-skipping × locality (r15 verdict task 9): on a hash-bucketed
     // table every bucket spans an uncorrelated column's whole domain, so
     // per-bucket manifest stats prune NOTHING (readWhere's documented

@@ -3377,6 +3377,32 @@ object SparkEntry {
         .orderBy(col("okey"))
     }),
 
+    // ⊕K7 parquet bloom filters (r16 file-level point-lookup skipping):
+    // alterSetParquetBloom designates columns every rewrite writes
+    // per-column blooms for; the vectorized reader's pushed equality then
+    // prunes whole row groups — the within-bucket story for
+    // high-cardinality uncorrelated columns, where min/max, dictionaries,
+    // and CLUSTER BY all run out. MergeBloomSpec pins the footer claim;
+    // the bloom_skip ScaleCheck probe measures the pruning; this entry
+    // gates the point lookup's answer end-to-end.
+    "q197_bloom_lookup" -> ((s, d) => {
+      val base = sharedFixture("bloom_pt", d) { fx =>
+        val o = t(s, d, "orders").select(col("o_orderkey").as("okey"),
+          md5(col("o_orderkey").cast("string")).as("u"),
+          col("o_totalprice").as("price"))
+          .filter(col("okey") % 7 < 3).withColumn("op_flag", lit("create"))
+        graft.layout.MergeTable.merge(s, s"$fx/t", o, "okey", numBuckets = 8)
+        graft.layout.MergeTable.alterSetParquetBloom(s"$fx/t", Seq("u"))
+        graft.layout.MergeTable.compact(s, s"$fx/t")
+        ()
+      }
+      val k0 = t(s, d, "orders").filter(col("o_orderkey") % 7 < 3)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      graft.layout.MergeTable.readWhere(s, s"$base/t",
+          col("u") === md5(lit(k0.toString)))
+        .orderBy(col("okey"))
+    }),
+
     // ⊕K7 merge-on-read DELETE (r16 deletion vectors): with
     // `spark.graft.delete.mode=soft`, SQL DELETE tombstones the victim
     // KEYS in delta-sized per-bucket vector files — no data bucket is
@@ -4698,6 +4724,16 @@ object SparkEntry {
       """SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS price,
         |  o_orderstatus AS status
         |FROM orders WHERE o_orderkey % 7 < 3 AND o_orderstatus IN ('P', 'F')
+        |ORDER BY okey""".stripMargin,
+
+    // q197: the bloom-pruned point lookup answers exactly the plain
+    // equality — md5 renders identically in both engines
+    "q197_bloom_lookup" ->
+      """SELECT o_orderkey AS okey, md5(CAST(o_orderkey AS VARCHAR)) AS u,
+        |  o_totalprice AS price
+        |FROM orders WHERE o_orderkey % 7 < 3
+        |  AND o_orderkey = (SELECT min(o_orderkey) FROM orders
+        |                    WHERE o_orderkey % 7 < 3)
         |ORDER BY okey""".stripMargin,
 
     // q194: two composed soft DELETEs land on the same visible state a

@@ -38,13 +38,16 @@ object DataLayout {
 
   /** [[writePartitionedSorted]] with arbitrary sort EXPRESSIONS — the
     * in-file order can be computed (a Morton z-value, a binned key)
-    * without the expression ever entering the written schema. */
+    * without the expression ever entering the written schema — and
+    * optional parquet writer options (r16: per-column bloom filters ride
+    * through here as `parquet.bloom.filter.enabled#col`). */
   def writePartitionedSortedBy(df: DataFrame, outDir: String,
                                partCols: Seq[String],
-                               sortExprs: Seq[Column]): Unit =
+                               sortExprs: Seq[Column],
+                               options: Map[String, String] = Map.empty): Unit =
     df.repartition(partCols.map(col): _*)
       .sortWithinPartitions(partCols.map(col) ++ sortExprs: _*)
-      .write.mode("overwrite")
+      .write.mode("overwrite").options(options)
       .partitionBy(partCols: _*)
       .parquet(outDir)
 

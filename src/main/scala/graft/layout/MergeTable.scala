@@ -141,7 +141,9 @@ object MergeTable {
                               dictCols: Seq[String] = Nil,
                               dictMax: Int = 0,
                               dicts: Map[Int, Map[String, Set[String]]] =
-                                Map.empty) {
+                                Map.empty,
+                              pqBloomCols: Seq[String] = Nil,
+                              pqBloomNdv: Long = 0L) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     /** The key COLUMNS — `key` is their comma-joined manifest encoding. */
     def keys: Seq[String] = key.split(",").toSeq
@@ -299,6 +301,20 @@ object MergeTable {
     }.toMap
   }
 
+  /** Parquet writer options for the manifest's designated bloom columns
+    * (r16 file-level point-lookup skipping): every rewrite of table data
+    * writes per-column bloom filters, and the vectorized reader's pushed
+    * equality prunes whole row groups on them — the WITHIN-bucket story
+    * for high-cardinality point lookups, where per-bucket min/max (random
+    * values span every range), dictionaries (over the distinct cap), and
+    * CLUSTER BY (one sort order serves one column) all run out. */
+  private def bloomOptions(cols: Seq[String], ndv: Long): Map[String, String] =
+    cols.flatMap { c =>
+      Seq(s"parquet.bloom.filter.enabled#$c" -> "true") ++
+        (if (ndv > 0) Seq(s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)
+         else Nil)
+    }.toMap
+
   private def manifestPath(dir: String): Path = Paths.get(dir, "_latest")
 
   private def parseManifest(p: Path): Manifest = {
@@ -388,6 +404,14 @@ object MergeTable {
           }.toMap
         })
       }.filter(_._2.nonEmpty).toMap
+    // parquet bloom filters (r16 file-level point-lookup skipping): the
+    // designated columns and expected NDV each rewrite writes blooms for
+    val pqBloomCols = props.getProperty("pqbloom", "") match {
+      case "" => Nil
+      case s => s.split(",").toSeq
+    }
+    val pqBloomNdv =
+      Option(props.getProperty("pqbloomndv")).map(_.toLong).getOrElse(0L)
     Manifest(props.getProperty("version").toLong,
       props.getProperty("batchId").toLong, props.getProperty("key"),
       props.getProperty("numBuckets").toInt, schemaJson,
@@ -398,7 +422,8 @@ object MergeTable {
       op = props.getProperty("op", ""),
       rows = Option(props.getProperty("rows")).map(_.toLong).getOrElse(-1L),
       stats = stats, bucketRows = bucketRows, nullCounts = nullCounts,
-      dvs = dvs, dictCols = dictCols, dictMax = dictMax, dicts = dicts)
+      dvs = dvs, dictCols = dictCols, dictMax = dictMax, dicts = dicts,
+      pqBloomCols = pqBloomCols, pqBloomNdv = pqBloomNdv)
   }
 
   private def readManifest(dir: String): Option[Manifest] = {
@@ -455,6 +480,10 @@ object MergeTable {
     if (m.dvs.nonEmpty)
       p.setProperty("dvs", m.dvs.toSeq.sorted
         .map { case (b, (v, n)) => s"$b:$v:$n" }.mkString(","))
+    if (m.pqBloomCols.nonEmpty) {
+      p.setProperty("pqbloom", m.pqBloomCols.mkString(","))
+      p.setProperty("pqbloomndv", m.pqBloomNdv.toString)
+    }
     if (m.dictCols.nonEmpty) {
       p.setProperty("dictcols", m.dictCols.mkString(","))
       p.setProperty("dictmax", m.dictMax.toString)
@@ -1215,11 +1244,13 @@ object MergeTable {
     // initial commit (or no changed bucket has any prior data): nothing to
     // match against, so skip the target read AND the full-outer join — the
     // batch's create/update rows all insert
+    val wopts = prior.map(m => bloomOptions(m.pqBloomCols, m.pqBloomNdv))
+      .getOrElse(Map.empty[String, String])
     val priorData = prior.filter(m => changed.exists(m.buckets.contains))
     if (changed.nonEmpty && priorData.isEmpty) {
-      DataLayout.writePartitionedSorted(
+      DataLayout.writePartitionedSortedBy(
         ch.filter(col("__op") =!= "delete").drop("__op"),
-        s"$dir/$stage", Seq(BucketCol), keys)
+        s"$dir/$stage", Seq(BucketCol), keys.map(col), wopts)
     } else if (changed.nonEmpty) {
       // align the target side to the widened schema: columns this batch
       // adds read as typed nulls from pre-evolution buckets
@@ -1250,7 +1281,8 @@ object MergeTable {
       val out = j.filter(takeSrc || keepTgt).select(
         payload.map(c => when(takeSrc, col(c)).otherwise(col(s"__t_$c")).as(c)) :+
           when(takeSrc, col(BucketCol)).otherwise(col("__t_bucket")).as(BucketCol): _*)
-      DataLayout.writePartitionedSorted(out, s"$dir/$stage", Seq(BucketCol), keys)
+      DataLayout.writePartitionedSortedBy(out, s"$dir/$stage", Seq(BucketCol),
+        keys.map(col), wopts)
     }
     // intern this commit's physical schema: new files are always written
     // under the CURRENT logical names and types, so the write schema is an
@@ -1351,7 +1383,8 @@ object MergeTable {
         stats = m.stats.view.mapValues(_ - column).toMap,
         nullCounts = m.nullCounts.view.mapValues(_ - column).toMap,
         dictCols = m.dictCols.filterNot(_ == column),
-        dicts = m.dicts.view.mapValues(_ - column).toMap)
+        dicts = m.dicts.view.mapValues(_ - column).toMap,
+        pqBloomCols = m.pqBloomCols.filterNot(_ == column))
     })
 
   /** Rename a column — metadata-only: the logical schema renames and every
@@ -1368,6 +1401,9 @@ object MergeTable {
       require(!to.exists(c => c == ',' || c == '='),
         s"column name '$to' contains ',' or '=', which the manifest " +
           "schema-projection encoding reserves")
+      require(!(m.pqBloomCols.contains(from) && to.contains("#")),
+        s"cannot rename bloom-filter column '$from' to '$to': '#' is " +
+          "reserved by the parquet per-column option encoding")
       m.copy(
         key = m.keys.map(k => if (k == from) to else k).mkString(","),
         schemaJson = StructType(m.schema.fields.map(f =>
@@ -1396,7 +1432,8 @@ object MergeTable {
             case Some(vs) => ds - from + (to -> vs)
             case None => ds
           }
-        }.toMap)
+        }.toMap,
+        pqBloomCols = m.pqBloomCols.map(c => if (c == from) to else c))
     })
 
   /** Widen a column's type (int→long, float→double, decimal precision —
@@ -1475,6 +1512,38 @@ object MergeTable {
       m.copy(dictCols = columns,
         dictMax = if (columns.isEmpty) 0 else maxValues,
         dicts = Map.empty)
+    })
+
+  /** Designate the columns every data rewrite writes PARQUET BLOOM
+    * FILTERS for (r16 file-level point-lookup skipping) — the
+    * within-bucket complement of the manifest tiers: a high-cardinality
+    * uncorrelated column (email, url, request id) defeats per-bucket
+    * min/max (random values span every range), value dictionaries (over
+    * the distinct cap), and CLUSTER BY (one sort order serves one
+    * column), but the vectorized reader's pushed equality prunes whole
+    * row groups on a written bloom. Metadata-only commit; files carry
+    * blooms from their NEXT rewrite (an `OPTIMIZE` backfills the table),
+    * `expectedNdv` sizes each filter (per row group — set it near the
+    * expected distinct values per file). No read-side code changes at
+    * all: the skipping is parquet-native, which is exactly why it
+    * composes with every other tier. Pass Nil to disable. Returns the
+    * committed version. */
+  def alterSetParquetBloom(dir: String, columns: Seq[String],
+                           expectedNdv: Long = 1000000L): Long =
+    alterCommit(dir, "alter-bloom", { m =>
+      require(columns.isEmpty || expectedNdv >= 1,
+        s"alterSetParquetBloom: expectedNdv $expectedNdv must be >= 1")
+      columns.foreach { c =>
+        require(m.schema.fieldNames.contains(c),
+          s"no column '$c' in ${m.schema.fieldNames.mkString(", ")}")
+        require(!c.exists(ch => ch == ',' || ch == '#' || ch == '='),
+          s"column name '$c' contains a character the parquet option " +
+            "encoding reserves (',', '#', '=')")
+      }
+      require(columns.distinct.size == columns.size,
+        s"duplicate bloom columns: ${columns.mkString(", ")}")
+      m.copy(pqBloomCols = columns,
+        pqBloomNdv = if (columns.isEmpty) 0L else expectedNdv)
     })
 
   /** `foreachBatch` adapter: idempotent streaming upsert sink. A retried
@@ -1643,7 +1712,8 @@ object MergeTable {
             cell(b, r.getDouble(2), r.getDouble(3))))
       }
       DataLayout.writePartitionedSortedBy(
-        data, s"$dir/$stage", Seq(BucketCol), sortExprs)
+        data, s"$dir/$stage", Seq(BucketCol), sortExprs,
+        bloomOptions(m.pqBloomCols, m.pqBloomNdv))
     }
     val liveDirs = Option(new java.io.File(s"$dir/$stage").listFiles())
       .getOrElse(Array.empty)
