@@ -49,6 +49,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
+  // r16 skipping-tier designation: `ALTER TABLE t SET DICTIONARY (c1, c2)
+  // [MAX n]` / `SET BLOOM (c1) [NDV n]` / `UNSET DICTIONARY|BLOOM` —
+  // pure-SQL reachability for the per-bucket value dictionaries and
+  // parquet bloom filters (the Scala alterSetDictColumns /
+  // alterSetParquetBloom verbs)
+  private val ColList = """([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)"""
+  private val SetSkipRe = ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
+    """\s+SET\s+(DICTIONARY|BLOOM)\s*\(\s*""" + ColList +
+    """\s*\)(?:\s+(?:MAX|NDV)\s+(\d+))?\s*;?\s*$""").r
+  private val UnsetSkipRe = ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
+    """\s+UNSET\s+(DICTIONARY|BLOOM)\s*;?\s*$""").r
 
   private def dirOf(name: String): Option[String] =
     MergeTableSql.lookup(Seq(name)).map(_._1)
@@ -70,6 +81,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftVacuumCommand(dirOf(name).get, Option(retain).map(_.toInt))
     case HistoryRe(name) if dirOf(name).isDefined =>
       GraftHistoryCommand(dirOf(name).get)
+    case SetSkipRe(name, kind, cols, param) if dirOf(name).isDefined =>
+      GraftAlterSkipCommand(dirOf(name).get, kind.toUpperCase,
+        cols.split(",").toSeq.map(_.trim), Option(param).map(_.toLong))
+    case UnsetSkipRe(name, kind) if dirOf(name).isDefined =>
+      GraftAlterSkipCommand(dirOf(name).get, kind.toUpperCase, Nil, None)
     case _ => delegate.parsePlan(sqlText) match {
       case ct: CreateTable => GraftCreateTableCommand.convert(ct)
       case other => other
@@ -242,6 +258,32 @@ case class GraftVacuumCommand(dir: String, retain: Option[Int])
       MergeTable.expireVersions(dir, keepLast = n).size.toLong).getOrElse(0L)
     val deleted = MergeTable.vacuum(dir).size.toLong
     Seq(Row(expired, deleted))
+  }
+}
+
+/** `ALTER TABLE t SET DICTIONARY (cols) [MAX n]` / `SET BLOOM (cols)
+  * [NDV n]` / `UNSET DICTIONARY|BLOOM` → the r16 skipping-tier
+  * designations ([[MergeTable.alterSetDictColumns]] /
+  * [[MergeTable.alterSetParquetBloom]]): metadata-only commits; the next
+  * rewrite of each bucket records sets / writes blooms, `OPTIMIZE t`
+  * backfills the whole table. Output: the committed version. */
+case class GraftAlterSkipCommand(dir: String, kind: String,
+                                 columns: Seq[String], param: Option[Long])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = kind match {
+      case "DICTIONARY" => MergeTable.alterSetDictColumns(dir, columns,
+        param.map(_.toInt).getOrElse(64))
+      case "BLOOM" => MergeTable.alterSetParquetBloom(dir, columns,
+        param.getOrElse(1000000L))
+      case other => throw new IllegalArgumentException(
+        s"unknown skipping tier '$other'")
+    }
+    Seq(Row(v))
   }
 }
 

@@ -237,7 +237,7 @@ class SqlDmlFuzzSpec extends SparkSpec {
             .map(k => (k, (k * 8 + step * 3 + seed).toDouble, s"s$step"))
         for (step <- 1 to 6 + rnd.nextInt(4)) {
           opsRun += 1
-          rnd.nextInt(10) match {
+          rnd.nextInt(11) match {
             case 0 => // INSERT INTO: upsert, existing keys last-write-wins
               val rows = rndRows(step)
               srcView(rows)
@@ -290,6 +290,15 @@ class SqlDmlFuzzSpec extends SparkSpec {
                 val next = s"tag_$step"
                 spark.sql(s"ALTER TABLE $name RENAME COLUMN $tagCol TO $next")
                 tagCol = next
+              }
+            case 9 => // skipping-tier designation (r16): dictionaries and
+              // parquet blooms only ever SHRINK scans — answers must not
+              // move under any interleaving with the other verbs
+              rnd.nextInt(3) match {
+                case 0 => spark.sql(s"ALTER TABLE $name SET DICTIONARY " +
+                  s"($tagCol) MAX ${1 + rnd.nextInt(8)}")
+                case 1 => spark.sql(s"ALTER TABLE $name SET BLOOM (v) NDV 100")
+                case _ => spark.sql(s"ALTER TABLE $name UNSET DICTIONARY")
               }
             case _ => // CREATE IF NOT EXISTS with the CURRENT DDL: idempotent
               spark.sql(s"""CREATE TABLE IF NOT EXISTS $name

@@ -131,6 +131,43 @@ class SqlLifecycleSpec extends SparkSpec {
     } finally MergeTableSql.unregister(name)
   }
 
+  test("ALTER TABLE SET DICTIONARY / SET BLOOM designate skipping tiers from pure SQL") {
+    val dir = freshDir("skip")
+    val name = "mt_skip"
+    try {
+      spark.sql(
+        s"""CREATE TABLE $name (k BIGINT, cat STRING, u STRING)
+           |USING graft LOCATION '$dir'
+           |TBLPROPERTIES ('graft.key'='k', 'graft.buckets'='4')""".stripMargin)
+        .collect()
+      (1L to 32L).map(k => (k, s"c${k % 2}", s"u$k"))
+        .toDF("k", "cat", "u").createOrReplaceTempView("skip_src")
+      spark.sql(s"INSERT INTO $name SELECT * FROM skip_src").collect()
+      val v1 = spark.sql(s"ALTER TABLE $name SET DICTIONARY (cat) MAX 8")
+        .collect().head.getLong(0)
+      val v2 = spark.sql(s"ALTER TABLE $name SET BLOOM (u) NDV 1000")
+        .collect().head.getLong(0)
+      assert(v2 === v1 + 1)
+      spark.sql(s"OPTIMIZE $name").collect() // backfill both tiers
+      // the dictionary prunes an absent in-range value everywhere; the
+      // SQL WHERE route rides the same prunedBuckets
+      assert(MergeTable.prunableBuckets(dir, col("cat") === "c0x") ===
+        Some(Set.empty[Int]))
+      assert(spark.sql(s"SELECT * FROM $name WHERE cat = 'c0x'").count() === 0L)
+      assert(spark.sql(s"SELECT k FROM $name WHERE u = 'u7'")
+        .as[Long].collect().toSeq === Seq(7L))
+      // UNSET disables: the in-range value keeps every bucket again
+      spark.sql(s"ALTER TABLE $name UNSET DICTIONARY").collect()
+      assert(MergeTable.prunableBuckets(dir, col("cat") === "c0x")
+        .forall(_.size == 4))
+      assert(spark.sql(s"SELECT count(*) FROM $name").as[Long].head() === 32L)
+      // unregistered names fall through to Spark's parser (loud error,
+      // never a silent no-op)
+      intercept[Exception](spark.sql(
+        "ALTER TABLE nope_unregistered SET DICTIONARY (x)").collect())
+    } finally MergeTableSql.unregister(name)
+  }
+
   test("INSERT INTO existing keys upserts (last-write-wins); INSERT OVERWRITE replaces the contents") {
     val dir = freshDir("ins")
     val name = "mt_ins"
