@@ -3403,6 +3403,30 @@ object SparkEntry {
         .orderBy(col("okey"))
     }),
 
+    // ⊕K7 zero-copy CLONE (r16): `CLONE src AS dst LOCATION ...` forks
+    // the snapshot via hard links (per-file cost, never per-byte) into an
+    // INDEPENDENT table; a DELETE against the clone must leave the source
+    // intact — both sides are emitted with a discriminator so the oracle
+    // hash proves content AND independence at once.
+    "q198_sql_clone" -> ((s, d) => {
+      val dir = dmlBaseCopy(s, d, "dml_base_lt3", Seq(0, 1, 2))
+      val cdir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_clone_run"))
+        .toString + "/t"
+      graft.plans.MergeTableSql.register("orders_mt_clsrc", dir, numBuckets = 8)
+      try {
+        s.sql(s"CLONE orders_mt_clsrc AS orders_mt_cl LOCATION '$cdir'")
+        s.sql("DELETE FROM orders_mt_cl WHERE okey % 7 = 2")
+      } finally {
+        graft.plans.MergeTableSql.unregister("orders_mt_cl")
+        graft.plans.MergeTableSql.unregister("orders_mt_clsrc")
+      }
+      graft.layout.MergeTable.read(s, cdir).withColumn("side", lit("clone"))
+        .unionByName(
+          graft.layout.MergeTable.read(s, dir).withColumn("side", lit("src")))
+        .orderBy(col("side"), col("okey"))
+    }),
+
     // ⊕K7 merge-on-read DELETE (r16 deletion vectors): with
     // `spark.graft.delete.mode=soft`, SQL DELETE tombstones the victim
     // KEYS in delta-sized per-bucket vector files — no data bucket is
@@ -4735,6 +4759,18 @@ object SparkEntry {
         |  AND o_orderkey = (SELECT min(o_orderkey) FROM orders
         |                    WHERE o_orderkey % 7 < 3)
         |ORDER BY okey""".stripMargin,
+
+    // q198: the clone (post-delete) and the untouched source, both sides
+    // hashed — independence is part of the oracle, not just the spec
+    "q198_sql_clone" ->
+      """SELECT * FROM (
+        |  SELECT 'clone' AS side, o_orderkey AS okey, o_custkey AS cust,
+        |         o_totalprice AS price, o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 7 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'src', o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 7 < 3)
+        |ORDER BY side, okey""".stripMargin,
 
     // q194: two composed soft DELETEs land on the same visible state a
     // rewrite would — merge-on-read is a layout choice, not a semantic one

@@ -1640,6 +1640,59 @@ object MergeTable {
     Some(newV)
   }
 
+  /** Zero-copy CLONE (r16): `dstDir` becomes an INDEPENDENT MergeTable
+    * whose data files are hard links to the versions the CURRENT src
+    * manifest references — the shallow-clone every production format
+    * offers for dev/test forks of big tables. Cost is per FILE (link
+    * creation), never per byte: cloning a 100 TB table moves no data.
+    * Only the referenced snapshot versions link (history does not
+    * follow — the clone's history starts at its head, like a fork);
+    * deletion-vector versions link too, so the clone sees exactly the
+    * src's live rows. After the clone the two tables share nothing but
+    * immutable inodes: merges write new version dirs on each side, and
+    * either side's vacuum deletes only its OWN links (the inode lives
+    * until its last link goes). Same-filesystem linking is attempted
+    * first; a cross-device clone falls back to per-file copy. Fails if
+    * `dstDir` already holds a table; a crashed clone leaves no manifest
+    * (readers see "no table") and re-running is idempotent. Returns the
+    * cloned version number (the src head's). */
+  def cloneTable(spark: SparkSession, srcDir: String, dstDir: String): Long = {
+    recover(srcDir)
+    val m = requireManifest(srcDir)
+    Files.createDirectories(Paths.get(dstDir))
+    require(readManifest(dstDir).isEmpty,
+      s"a MergeTable already exists at $dstDir — CLONE needs a fresh dir")
+    val versions = (m.buckets.values.map(_._1) ++ m.dvs.values.map(_._1))
+      .toSet + m.version
+    def linkTree(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(f => linkTree(f, new java.io.File(dst, f.getName)))
+      } else {
+        try Files.createLink(dst.toPath, src.toPath)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => () // re-run
+          case _: UnsupportedOperationException =>
+            Files.copy(src.toPath, dst.toPath,
+              StandardCopyOption.REPLACE_EXISTING); ()
+        }
+      }
+    versions.toSeq.sorted.foreach { v =>
+      val src = new java.io.File(srcDir, s"v$v")
+      // a no-data head commit (e.g. a metadata-only alter) has no v-dir
+      if (src.exists()) {
+        require(src.isDirectory, s"clone source v$v is not a directory")
+        linkTree(src, new java.io.File(dstDir, s"v$v"))
+      }
+    }
+    // the clone's single history entry IS the src head (same version
+    // number — the bucket map references vN dirs by number); commit last,
+    // so a crash mid-link leaves no readable table
+    commit(dstDir, m.copy(op = "clone", rows = 0L), None)
+    m.version
+  }
+
   /** Rewrite live buckets into one new version (the read-side cost of
     * accumulating versions is one pruned scan per distinct (version,
     * schema) group — this folds the rewritten buckets back to one group),

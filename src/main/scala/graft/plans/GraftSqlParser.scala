@@ -60,6 +60,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """\s*\)(?:\s+(?:MAX|NDV)\s+(\d+))?\s*;?\s*$""").r
   private val UnsetSkipRe = ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
     """\s+UNSET\s+(DICTIONARY|BLOOM)\s*;?\s*$""").r
+  // r16 zero-copy fork: `CLONE src AS dst LOCATION 'path'` — hard-linked
+  // snapshot clone ([[MergeTable.cloneTable]]), registered under `dst`
+  private val CloneRe = ("""(?is)^\s*CLONE\s+""" + Ident + """\s+AS\s+""" +
+    Ident + """\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
 
   private def dirOf(name: String): Option[String] =
     MergeTableSql.lookup(Seq(name)).map(_._1)
@@ -86,6 +90,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         cols.split(",").toSeq.map(_.trim), Option(param).map(_.toLong))
     case UnsetSkipRe(name, kind) if dirOf(name).isDefined =>
       GraftAlterSkipCommand(dirOf(name).get, kind.toUpperCase, Nil, None)
+    case CloneRe(src, dst, loc) if dirOf(src).isDefined =>
+      GraftCloneCommand(dirOf(src).get, dst, loc)
     case _ => delegate.parsePlan(sqlText) match {
       case ct: CreateTable => GraftCreateTableCommand.convert(ct)
       case other => other
@@ -283,6 +289,25 @@ case class GraftAlterSkipCommand(dir: String, kind: String,
       case other => throw new IllegalArgumentException(
         s"unknown skipping tier '$other'")
     }
+    Seq(Row(v))
+  }
+}
+
+/** `CLONE src AS dst LOCATION 'path'` → [[MergeTable.cloneTable]] (a
+  * hard-linked zero-copy snapshot fork — per-file cost, never per-byte)
+  * plus a [[MergeTableSql]] registration of the clone under `dst`.
+  * Output: the cloned version. */
+case class GraftCloneCommand(srcDir: String, dstName: String,
+                             location: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = MergeTable.cloneTable(spark, srcDir, location)
+    MergeTableSql.register(dstName, location,
+      MergeTable.tableNumBuckets(location))
     Seq(Row(v))
   }
 }
