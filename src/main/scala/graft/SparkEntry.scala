@@ -3403,6 +3403,39 @@ object SparkEntry {
         .orderBy(col("okey"))
     }),
 
+    // ⊕ hybrid retrieval (r16): BM25 keyword relevance fused with
+    // embedding-cosine ANN by reciprocal-rank fusion — the standard RAG
+    // retrieval stack composed from the engine's own tiers. Each side
+    // ranks its own top-50 (the lexical side is a TakeOrdered over the
+    // docs matching ≥1 query term; the vector side is the q24 brute
+    // kernel with one query); fusion is a full-outer join of two ≤50-row
+    // lists — the windows never see the corpus, only the candidate
+    // lists. Scores floor-truncated to 6dp BEFORE ranking in both
+    // engines so rank ties break identically.
+    "q199_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def t6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)
+      val lexTop = TextAnalysis.bm25(t(s, d, "documents"), "doc_id",
+          col("text"), Seq("vector", "query", "join"))
+        .select(col("doc_id").as("id"), t6(col("bm25")).as("__b"))
+        .orderBy(col("__b").desc, col("id")).limit(50)
+        .withColumn("lrnk",
+          row_number().over(Window.orderBy(col("__b").desc, col("id"))))
+        .select("id", "lrnk")
+      val emb = t(s, d, "embeddings")
+      val vecTop = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 0), emb, 50)
+        .select(col("nid").as("id"), col("rank").as("vrnk"))
+      lexTop.join(vecTop, Seq("id"), "full_outer")
+        .select(col("id"),
+          t6(coalesce(lit(1.0) / (lit(60) + col("lrnk")), lit(0.0)) +
+             coalesce(lit(1.0) / (lit(60) + col("vrnk")), lit(0.0))).as("rrf"))
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("rrf").desc, col("id"))).cast("long"))
+        .filter(col("rnk") <= 20)
+        .orderBy(col("rnk"))
+    }),
+
     // ⊕K7 zero-copy CLONE (r16): `CLONE src AS dst LOCATION ...` forks
     // the snapshot via hard links (per-file cost, never per-byte) into an
     // INDEPENDENT table; a DELETE against the clone must leave the source
@@ -4759,6 +4792,41 @@ object SparkEntry {
         |  AND o_orderkey = (SELECT min(o_orderkey) FROM orders
         |                    WHERE o_orderkey % 7 < 3)
         |ORDER BY okey""".stripMargin,
+
+    // q199: BM25 (smoothed Lucene idf, k1=1.2, b=0.75) + cosine top-50,
+    // fused by 1/(60+rank) — scores floor-truncated to 6dp before ranking
+    // in both engines so ties break identically
+    "q199_hybrid_rrf" ->
+      s"""WITH $wordsCte,
+         |lens AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS len FROM w),
+         |consts AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avglen FROM lens),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM w)
+         |  WHERE tok IN ('vector', 'query', 'join') GROUP BY 1, 2),
+         |dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t.doc_id,
+         |  floor(sum( ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2 /
+         |    (t.tf + 1.2 * (0.25 + 0.75 * l.len / c.avglen)) ) * 1e6) / 1e6 AS b6
+         |  FROM tf t JOIN dfs d USING (tok) JOIN lens l USING (doc_id), consts c
+         |  GROUP BY 1),
+         |lex AS (SELECT doc_id AS id,
+         |  row_number() OVER (ORDER BY b6 DESC, doc_id) AS lrnk FROM sc
+         |  QUALIFY lrnk <= 50),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |cs AS (SELECT vec_id, round(list_dot_product(qe, ce) /
+         |    (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS sim
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), qv
+         |  WHERE vec_id <> 0),
+         |vec AS (SELECT vec_id AS id,
+         |  row_number() OVER (ORDER BY sim DESC, vec_id) AS vrnk FROM cs
+         |  QUALIFY vrnk <= 50),
+         |fused AS (SELECT coalesce(l.id, v.id) AS id,
+         |  floor((coalesce(CAST(1.0 AS DOUBLE)/(60 + lrnk), 0) +
+         |         coalesce(CAST(1.0 AS DOUBLE)/(60 + vrnk), 0)) * 1e6) / 1e6 AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v ON l.id = v.id)
+         |SELECT id, rrf,
+         |  CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rnk
+         |FROM fused QUALIFY rnk <= 20 ORDER BY rnk""".stripMargin,
 
     // q198: the clone (post-delete) and the untouched source, both sides
     // hashed — independence is part of the oracle, not just the spec
