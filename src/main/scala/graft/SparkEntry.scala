@@ -3403,6 +3403,43 @@ object SparkEntry {
         .orderBy(col("okey"))
     }),
 
+    // ⊕K8 × ⊕J25 EXACTLY-ONCE streaming near-dup ingest (r16, q200): a
+    // file stream (one micro-batch per file) drives lshIngestSink — each
+    // batch's index append AND its candidate pairs commit in ONE
+    // LayoutTxn CAS keyed by the batchId, so a crash-replayed batch is
+    // skipped whole (the two-store atomicity problem solved by sharing
+    // the commit). Output: the pair log across both batches, normalized
+    // (least, greatest) so the batch ORDER (a file-source property) can't
+    // move the hash; the oracle recomputes all cross-split band
+    // collisions from raw text.
+    "q200_stream_lsh_ingest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = sharedFixture("lsh_stream", d) { fx =>
+        Dedup.writeLshIndex(docs.filter(col("doc_id") % 5 < 3), "doc_id",
+          col("text"), s"$fx/idx")
+        val filesDir = new java.io.File(s"$fx/files")
+        filesDir.mkdirs()
+        Seq(3, 4).zipWithIndex.foreach { case (m, i) =>
+          val tmp = s"$fx/tmp$i"
+          docs.filter(col("doc_id") % 5 === m).select("doc_id", "text")
+            .coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(filesDir, s"b$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          ()
+        }
+        graft.streaming.EventStreams.lshIngestStream(s, s"$fx/files",
+          s"$fx/idx")
+        Dedup.lshIngestPairs(s, s"$fx/idx")
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/pairs")
+      }
+      s.read.parquet(s"$base/pairs").orderBy(col("a"), col("b"))
+    }),
+
     // ⊕ hybrid retrieval (r16): BM25 keyword relevance fused with
     // embedding-cosine ANN by reciprocal-rank fusion — the standard RAG
     // retrieval stack composed from the engine's own tiers. Each side
@@ -4792,6 +4829,21 @@ object SparkEntry {
         |  AND o_orderkey = (SELECT min(o_orderkey) FROM orders
         |                    WHERE o_orderkey % 7 < 3)
         |ORDER BY okey""".stripMargin,
+
+    // q200: the streaming ingest's pair log = every band collision whose
+    // two docs sit in DIFFERENT splits (corpus %5<3, batch1 %5=3, batch2
+    // %5=4) — within-split pairs never probe each other; (least,
+    // greatest) normalization makes the set batch-order-invariant
+    "q200_stream_lsh_ingest" ->
+      s"""WITH $wordsCte, $shinglesCte, $sigCte, $bandCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
+         |    AND x.doc_id < y.doc_id
+         |  WHERE (CASE WHEN x.doc_id % 5 < 3 THEN 0
+         |              WHEN x.doc_id % 5 = 3 THEN 1 ELSE 2 END) <>
+         |        (CASE WHEN y.doc_id % 5 < 3 THEN 0
+         |              WHEN y.doc_id % 5 = 3 THEN 1 ELSE 2 END))
+         |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
 
     // q199: BM25 (smoothed Lucene idf, k1=1.2, b=0.75) + cosine top-50,
     // fused by 1/(60+rank) — scores floor-truncated to 6dp before ranking

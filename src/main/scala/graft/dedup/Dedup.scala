@@ -687,10 +687,33 @@ object Dedup {
                      newDocs: DataFrame, idCol: String, text: Column,
                      maxBucketSize: Int = 10000,
                      txnGraceMs: Long = 600000L): DataFrame = {
-    // hashing/banding/partitioning come from the INDEX's own metadata —
-    // mismatched probe parameters would silently find nothing
-    val (numHashes, bands, partitions, k) = readLshMeta(dir)
     val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
+    val p = lshProbe(spark, dir, newDocs, idCol, text, maxBucketSize)
+    // append the batch into exactly the touched partitions; the pair plan
+    // above reads the PRE-commit snapshot (immutable dirs) either way
+    graft.layout.LayoutTxn.commit(spark, dir, parent,
+      Seq(p.indexGroup(idCol)))
+    p.pairs
+  }
+
+  private case class LshProbe(newRows: DataFrame, touched: Seq[Int],
+                              existing: DataFrame, pairs: DataFrame) {
+    def indexGroup(idCol: String): graft.layout.LayoutTxn.Group =
+      graft.layout.LayoutTxn.Group("",
+        existing.select(col(idCol), col("band"), col("bucket"), col("lb"))
+          .unionByName(newRows),
+        "lb", Seq("band", "bucket", idCol), touched.map(b => s"lb=$b"))
+  }
+
+  /** The shared probe behind [[lshIndexUpsert]] and [[lshIngestBatch]]:
+    * band the batch, read ONLY its partitions from the current snapshot
+    * (hashing/banding/partitioning come from the index's own metadata —
+    * mismatched caller parameters would silently find nothing), df-cap
+    * degenerate buckets, and equi-join corpus × batch. */
+  private def lshProbe(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       newDocs: DataFrame, idCol: String, text: Column,
+                       maxBucketSize: Int): LshProbe = {
+    val (numHashes, bands, partitions, k) = readLshMeta(dir)
     val newRows = lshBandRows(
         minhashSignature(newDocs, idCol, text, numHashes, k),
         idCol, bands, numHashes / bands, partitions)
@@ -708,15 +731,54 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("a") =!= col("b"))
       .select(col("a"), col("b")).distinct()
-    // append the batch into exactly the touched partitions; the pair plan
-    // above reads the PRE-commit snapshot (immutable dirs) either way
-    graft.layout.LayoutTxn.commit(spark, dir, parent, Seq(
-      graft.layout.LayoutTxn.Group("",
-        existing.select(col(idCol), col("band"), col("bucket"), col("lb"))
-          .unionByName(newRows),
-        "lb", Seq("band", "bucket", idCol), touched.map(b => s"lb=$b"))))
-    pairs
+    LshProbe(newRows, touched, existing, pairs)
   }
+
+  /** EXACTLY-ONCE streaming near-dup ingest (⊕K8 × ⊕J25): the
+    * foreachBatch form of [[lshIndexUpsert]] whose candidate PAIRS are
+    * delivered through the index's own commit. Each micro-batch probes
+    * the index, then commits TWO groups in ONE LayoutTxn CAS — its band
+    * rows (sub "", the index) and its candidate pairs partitioned by
+    * batch (sub "pairs") — with the batchId recorded in the version
+    * state. A replayed micro-batch (crash after the commit, before the
+    * streaming checkpoint ack — the worst-case window) is skipped WHOLE:
+    * the index gains the batch's rows exactly once AND the pair log
+    * holds the batch's pairs exactly once. This is the two-store
+    * atomicity problem every stream that computes a result AND updates
+    * its own state has; the only clean answer is ONE commit for both,
+    * which the multi-group commit provides for free. */
+  def lshIngestBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     batch: DataFrame, idCol: String, text: Column,
+                     batchId: Long, maxBucketSize: Int = 10000,
+                     txnGraceMs: Long = 600000L): Unit = {
+    if (batchId >= 0 && graft.layout.LayoutTxn.lastBatchId(dir) >= batchId)
+      return // replay: both the index and the pair log already have it
+    val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
+    val p = lshProbe(spark, dir, batch, idCol, text, maxBucketSize)
+    graft.layout.LayoutTxn.commit(spark, dir, parent, Seq(
+      p.indexGroup(idCol),
+      graft.layout.LayoutTxn.Group("pairs",
+        p.pairs.withColumn("batch", lit(batchId)),
+        "batch", Seq("a", "b"), Seq(s"batch=$batchId"))),
+      batchId = batchId)
+    ()
+  }
+
+  /** foreachBatch adapter for [[lshIngestBatch]] — plug straight into
+    * `writeStream.foreachBatch`. */
+  def lshIngestSink(dir: String, idCol: String, text: Column,
+                    maxBucketSize: Int = 10000): (DataFrame, Long) => Unit =
+    (batch, id) =>
+      lshIngestBatch(batch.sparkSession, dir, batch, idCol, text, id,
+        maxBucketSize)
+
+  /** Every pair the streaming ingest has delivered so far, with its
+    * micro-batch id: (batch, a, b) — a snapshot-isolated read of the
+    * commit's own pair log. */
+  def lshIngestPairs(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    graft.layout.LayoutTxn.readLayout(spark, dir, "pairs", "batch")
+      .select(col("batch"), col("a"), col("b"))
 
   private val WinnowMeta = "_winnow_meta"
 

@@ -105,7 +105,8 @@ object LayoutTxn {
     * no version file is pre-protocol / freshly rebuilt: version 0, no
     * map — every sub root-lists. */
   private case class VersionState(version: Long, ts: Long,
-                                  maps: Map[String, (String, Map[String, Long])]) {
+                                  maps: Map[String, (String, Map[String, Long])],
+                                  batchId: Long = -1L) {
     // maps: sub -> (partCol, partName -> owningVersion)
   }
 
@@ -130,9 +131,18 @@ object LayoutTxn {
         sub -> (pc, m)
       }.toMap
       Some(VersionState(pr.getProperty("version").toLong,
-        Option(pr.getProperty("ts")).map(_.toLong).getOrElse(0L), maps))
+        Option(pr.getProperty("ts")).map(_.toLong).getOrElse(0L), maps,
+        Option(pr.getProperty("batchId")).map(_.toLong).getOrElse(-1L)))
     }
   }
+
+  /** Highest streaming batchId any commit recorded (monotone — a
+    * non-stream commit between micro-batches never lowers it), -1 if none
+    * — the [[graft.layout.MergeTable.lastBatchId]] exactly-once replay
+    * discipline at the layout layer (r16): a foreachBatch sink skips any
+    * batch at-or-below this whole. */
+  def lastBatchId(dir: String): Long =
+    readState(dir).map(_.batchId).getOrElse(-1L)
 
   /** Current committed version; 0 for a layout that predates the protocol
     * (or was just [re]built whole — full builds wipe the dir, version
@@ -287,6 +297,13 @@ object LayoutTxn {
     val vp = new Properties()
     vp.setProperty("version", version.toString)
     vp.setProperty("ts", pr.getProperty("ts", "0"))
+    // the recorded batchId is MONOTONE: a non-stream commit (no batchId
+    // in its claim) carries the parent's forward, so a replay check can
+    // never be defeated by an interleaved batch ingest
+    val bid = math.max(
+      parent.map(_.batchId).getOrElse(-1L),
+      Option(pr.getProperty("batchId")).map(_.toLong).getOrElse(-1L))
+    if (bid >= 0) vp.setProperty("batchId", bid.toString)
     vp.setProperty("subs", maps.size.toString)
     maps.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((sub, (pc, m)), i) =>
       vp.setProperty(s"sub.$i.name", sub)
@@ -373,13 +390,14 @@ object LayoutTxn {
     * [[ConflictException]] (stage cleaned up) if another writer claimed
     * `parent + 1` first. */
   def commit(spark: SparkSession, dir: String, parent: Long,
-             groups: Seq[Group]): Long = {
+             groups: Seq[Group], batchId: Long = -1L): Long = {
     val newV = parent + 1
     val stage = s"_lstage_v${newV}_${java.util.UUID.randomUUID().toString.take(8)}"
     Files.createDirectories(Paths.get(dir))
     val pr = new Properties()
     pr.setProperty("version", newV.toString)
     pr.setProperty("stage", stage)
+    if (batchId >= 0) pr.setProperty("batchId", batchId.toString)
     pr.setProperty("ts", System.currentTimeMillis().toString)
     pr.setProperty("groups", groups.size.toString)
     groups.zipWithIndex.foreach { case (g, i) =>

@@ -823,4 +823,27 @@ object EventStreams {
       }
     }
   }
+
+  /** Drive [[graft.dedup.Dedup.lshIngestSink]] over a parquet file
+    * directory — one micro-batch per file (maxFilesPerTrigger=1,
+    * AvailableNow) — the ⊕K8 harness for the EXACTLY-ONCE streaming
+    * near-dup ingest: every batch's index append AND candidate-pair
+    * delivery share one LayoutTxn commit keyed by the batchId, so a
+    * crash-replayed batch is skipped whole on restart from the same
+    * checkpoint. */
+  def lshIngestStream(spark: SparkSession, filesPath: String,
+                      idxDir: String, idCol: String = "doc_id",
+                      checkpoint: Option[String] = None): Unit = {
+    val ck = checkpoint.getOrElse(graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft_lsh_ingest"))
+      .toString + "/ck")
+    val q = spark.readStream
+      .schema(spark.read.parquet(filesPath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(filesPath)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch(graft.dedup.Dedup.lshIngestSink(idxDir, idCol, col("text")))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
 }

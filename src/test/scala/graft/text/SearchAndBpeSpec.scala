@@ -134,6 +134,29 @@ class SearchAndBpeSpec extends SparkSpec {
     assert(r === ((2L, 1L, 2L, 1.0, 0.25)))
   }
 
+  test("bm25: hand-computed scores; non-matching docs absent; rarity outranks frequency") {
+    val corpus = Seq(
+      (1L, "spark spark spark rows"), // tf(spark)=3, len 4
+      (2L, "spark rows"),             // tf(spark)=1, len 2
+      (3L, "disk only here"),         // no query term
+      (4L, "rare word appears once spark")) // tf(rare)=1, tf(spark)=1
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.bm25(corpus, "doc_id", col("text"),
+        Seq("spark", "rare"))
+      .as[(Long, Double)].collect().toMap
+    // doc 3 contains no query term: absent, not zero
+    assert(got.keySet === Set(1L, 2L, 4L))
+    // hand computation: N=4, avgLen=3.5; df(spark)=3, df(rare)=1
+    def idf(df: Double) = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+    def part(tf: Double, len: Double, df: Double) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / 3.5))
+    assert(math.abs(got(1L) - part(3, 4, 3)) < 1e-12)
+    assert(math.abs(got(2L) - part(1, 2, 3)) < 1e-12)
+    assert(math.abs(got(4L) - (part(1, 5, 3) + part(1, 5, 1))) < 1e-12)
+    // the rare term dominates: doc 4 outranks the spark-only docs
+    assert(got(4L) > got(1L) && got(4L) > got(2L))
+  }
+
   test("profile: one row per column with exact nulls/ndv/minmax") {
     import graft.ops.Relational
     val d = Seq[(java.lang.Long, String)]((1L, "x"), (2L, "x"), (null, "y"), (4L, null))
