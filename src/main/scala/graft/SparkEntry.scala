@@ -190,6 +190,13 @@ object SparkEntry {
   val PartsuppFixtureDir = "/tmp/graft_partsupp_fixture"
   @volatile private var partsuppFixtureSub: String = s"$PartsuppFixtureDir/sf0.01"
 
+  /** q201's STREAMING IVF-ingest fixture (q151's shape with the upsert
+    * delivered as two exactly-once micro-batches; corpus + frozen
+    * centroids pinned for the oracle), same per-tier memoization
+    * discipline as [[Q151FixtureDir]]. */
+  val Q201FixtureDir = "/tmp/graft_ivf_stream_fixture"
+  @volatile private var q201FixtureSub: String = s"$Q201FixtureDir/sf0.01"
+
   /** Pin tier-dependent oracle fixture paths to `sfDir`'s tier (see
     * [[q94FixtureSub]]); called by Verify before dumping [[oracleSql]]. */
   def setOracleTier(sfDir: String): Unit = {
@@ -198,6 +205,7 @@ object SparkEntry {
     q151FixtureSub = s"$Q151FixtureDir/${new java.io.File(sfDir).getName}"
     q170FixtureSub = s"$Q170FixtureDir/${new java.io.File(sfDir).getName}"
     partsuppFixtureSub = s"$PartsuppFixtureDir/${new java.io.File(sfDir).getName}"
+    q201FixtureSub = s"$Q201FixtureDir/${new java.io.File(sfDir).getName}"
   }
 
   /** Build (once per tier, marker-memoized) and register the `partsupp`
@@ -1453,10 +1461,12 @@ object SparkEntry {
       q151FixtureSub = s"$Q151FixtureDir/${new java.io.File(d).getName}"
       val fx = q151FixtureSub
       // marker suffix encodes the at-rest layout FORMAT generation (lv2 =
-      // the r15 _lv<n> snapshot-isolation protocol): a format change bumps
-      // it, so memoization can never reuse a fixture written by an
-      // incompatible protocol (the r15 vacuous-pass hole)
-      val marker = new java.io.File(s"$fx/_built_k16_mod7_lv2")
+      // the r15 _lv<n> snapshot-isolation protocol; lv3 = r16 maintenance
+      // preserves passenger columns, so upserted version dirs carry the
+      // layout's FULL schema): a format change bumps it, so memoization
+      // can never reuse a fixture written by an incompatible protocol
+      // (the r15 vacuous-pass hole)
+      val marker = new java.io.File(s"$fx/_built_k16_mod7_lv3")
       if (!marker.exists()) {
         val cents = Similarity.ivfCentroids(emb, 16)
         val isDelta = col("vec_id") % 7 === 0
@@ -3403,6 +3413,54 @@ object SparkEntry {
         .orderBy(col("okey"))
     }),
 
+    // ⊕K8 × ⊕K10 EXACTLY-ONCE streaming VECTOR-index maintenance (r16,
+    // q201): q151's maintained-≡-rebuilt proof with the upsert delivered
+    // as TWO micro-batches through ivfUpsertSink — each batch's cell
+    // rewrites commit with its batchId recorded (a crash-replayed batch
+    // skips whole), centroids frozen across the stream. The oracle
+    // recomputes every vector's argmax-cosine cell from the pinned true
+    // corpus + centroids FROM SCRATCH: the hash match proves the
+    // streaming-maintained layout equals a fresh rebuild.
+    "q201_stream_ivf_ingest" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      q201FixtureSub = s"$Q201FixtureDir/${new java.io.File(d).getName}"
+      val fx = q201FixtureSub
+      val marker = new java.io.File(s"$fx/_built_k16_mod7_lv2_b1")
+      if (!marker.exists()) {
+        val cents = Similarity.ivfCentroids(emb, 16)
+        val isDelta = col("vec_id") % 7 === 0
+        val stale = emb.withColumn("embedding",
+          when(isDelta, reverse(col("embedding"))).otherwise(col("embedding")))
+        Similarity.writeIvfLayout(stale, cents, s"$fx/layout")
+        emb.select(col("vec_id"), col("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/corpus.parquet")
+        import s.implicits._
+        cents.indices.map(i => (i, cents(i))).toDF("cell", "cw")
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/centroids.parquet")
+        // the delta as two single-file micro-batches (vec_id %14: 0 vs 7)
+        val files = new java.io.File(s"$fx/files"); files.mkdirs()
+        Seq(0, 7).zipWithIndex.foreach { case (m, i) =>
+          val tmp = s"$fx/tmp$i"
+          emb.filter(col("vec_id") % 14 === m)
+            .select(col("vec_id"), col("embedding"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(files, s"b$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          ()
+        }
+        graft.streaming.EventStreams.ivfIngestStream(s, files.toString,
+          s"$fx/layout", cents)
+        marker.createNewFile()
+      }
+      graft.layout.LayoutTxn.readLayout(s, s"$fx/layout", "", "cell")
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ⊕K8 × ⊕J25 EXACTLY-ONCE streaming near-dup ingest (r16, q200): a
     // file stream (one micro-batch per file) drives lshIngestSink — each
     // batch's index append AND its candidate pairs commit in ONE
@@ -4829,6 +4887,23 @@ object SparkEntry {
         |  AND o_orderkey = (SELECT min(o_orderkey) FROM orders
         |                    WHERE o_orderkey % 7 < 3)
         |ORDER BY okey""".stripMargin,
+
+    // q201: the q151 proof shape over the STREAMING maintenance path —
+    // DuckDB re-derives every assignment from the pinned corpus +
+    // frozen centroids from scratch
+    "q201_stream_ivf_ingest" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM read_parquet('$q201FixtureSub/corpus.parquet/*.parquet')),
+         |c AS (SELECT cell, CAST(cw AS DOUBLE[]) AS cw
+         |      FROM read_parquet('$q201FixtureSub/centroids.parquet/*.parquet')),
+         |s AS (SELECT v.vec_id, c.cell,
+         |  list_dot_product(v.emb, c.cw)
+         |    / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.cw, c.cw))) AS sim
+         |  FROM v CROSS JOIN c),
+         |a AS (SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM s)
+         |SELECT vec_id, CAST(cell AS INT) AS cell FROM a WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     // q200: the streaming ingest's pair log = every band collision whose
     // two docs sit in DIFFERENT splits (corpus %5<3, batch1 %5=3, batch2

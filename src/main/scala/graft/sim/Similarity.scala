@@ -281,16 +281,35 @@ object Similarity {
     * touched cell ids. */
   def ivfUpsertLayout(spark: SparkSession, layoutDir: String,
                       cents: Array[Seq[Float]], changes: DataFrame,
-                      txnGraceMs: Long = 600000L): Seq[Int] = {
+                      txnGraceMs: Long = 600000L,
+                      batchId: Long = -1L): Seq[Int] = {
+    // exactly-once streaming replay guard (r16, the q200 discipline at
+    // the vector tier): a micro-batch at-or-below the recorded id has
+    // already been applied whole — skip it (crash-after-commit window)
+    if (batchId >= 0 && graft.layout.LayoutTxn.lastBatchId(layoutDir) >= batchId)
+      return Seq.empty
     // roll forward any crashed commit / conflict on a live one BEFORE
     // reading the layout, and learn the version this commit must succeed
     val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
-    val assignedNew = ivfAssign(changes, cents)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val existing = graft.layout.LayoutTxn.readLayout(spark, layoutDir, "", "cell")
+    // the replacement must carry the layout's FULL schema: writeIvfLayout
+    // keeps whatever passenger columns the corpus carried (label, source,
+    // ...), and a rewrite that silently dropped them would leave later
+    // snapshots with DIFFERENT schemas across version dirs — the
+    // multi-base union then fails on the first partially-touched read
+    // (caught building q201: batch 1 of a stream died on the mix batch 0
+    // left). Batch columns project onto the layout schema; a column the
+    // batch lacks null-fills, extras are dropped.
+    val laySchema = existing.schema
+    val assigned0 = ivfAssign(changes, cents)
+    val assignedNew = assigned0.select(laySchema.fields.toSeq.map { f =>
+        if (assigned0.columns.contains(f.name))
+          col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
       .transform(graft.util.Cleanup.checkpoint(_))
     val newCells = assignedNew.select("cell").distinct()
       .collect().map(_.getInt(0)).toSet
-    val existing = graft.layout.LayoutTxn.readLayout(spark, layoutDir, "", "cell")
     val staleCells = existing
       .join(assignedNew.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .select("cell").distinct().collect().map(_.getInt(0)).toSet
@@ -301,15 +320,31 @@ object Similarity {
     val survivors = graft.layout.LayoutTxn.readLayout(spark, layoutDir, "",
         "cell", Some(touched.map(c => s"cell=$c").toSet))
       .join(assignedNew.select(col("vec_id")), Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(laySchema.fieldNames.toSeq.map(col): _*)
     val replacement = survivors.unionByName(assignedNew)
     // stage + CAS-claim + swap; the replacement plan reads layoutDir but
     // is fully materialized into the stage before any live dir is touched
     graft.layout.LayoutTxn.commit(spark, layoutDir, parent, Seq(
       graft.layout.LayoutTxn.Group("", replacement, "cell", Seq("vec_id"),
-        touched.map(c => s"cell=$c"))))
+        touched.map(c => s"cell=$c"))),
+      batchId = batchId)
     touched
   }
+
+  /** foreachBatch adapter for EXACTLY-ONCE streaming vector-index
+    * maintenance: each micro-batch upserts through [[ivfUpsertLayout]]
+    * with its batchId recorded in the layout's version state, so a
+    * crash-replayed batch is skipped whole — the ⊕K8 MergeTable recipe
+    * at the ANN tier. Centroids stay FROZEN across the stream (the
+    * FAISS IVF-add discipline); skew-gated [[reclusterCells]] remains
+    * the deliberate batch escape hatch. */
+  def ivfUpsertSink(layoutDir: String,
+                    cents: Array[Seq[Float]]): (DataFrame, Long) => Unit =
+    (batch, id) => {
+      ivfUpsertLayout(batch.sparkSession, layoutDir, cents, batch,
+        batchId = id)
+      ()
+    }
 
   /** The deliberate RECLUSTER batch op — the documented escape hatch after
     * [[ivfUpsertLayout]]'s frozen-centroid maintenance has let drifted

@@ -846,4 +846,24 @@ object EventStreams {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
   }
+
+  /** [[lshIngestStream]]'s shape at the VECTOR tier: drive
+    * [[graft.sim.Similarity.ivfUpsertSink]] over a parquet file directory
+    * (one micro-batch per file, AvailableNow) — exactly-once streaming
+    * IVF index maintenance under frozen centroids. */
+  def ivfIngestStream(spark: SparkSession, filesPath: String,
+                      layoutDir: String, cents: Array[Seq[Float]],
+                      checkpoint: Option[String] = None): Unit = {
+    val ck = checkpoint.getOrElse(graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft_ivf_ingest"))
+      .toString + "/ck")
+    val q = spark.readStream
+      .schema(spark.read.parquet(filesPath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(filesPath)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch(graft.sim.Similarity.ivfUpsertSink(layoutDir, cents))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
 }

@@ -67,6 +67,59 @@ class IvfUpsertSpec extends SparkSpec {
     assert(readCells(dir) === Seq(1L -> 2, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 1))
   }
 
+  test("passenger columns survive partially-touched maintenance — no schema mix across version dirs") {
+    val dir = Files.createTempDirectory("ivf_pass").toString + "/layout"
+    // the corpus carries a passenger column (a label): writeIvfLayout
+    // keeps it, so every later rewrite must too — the q201 regression
+    // (batch 1 of a stream died on the mixed schema batch 0 left)
+    Similarity.writeIvfLayout(Seq(
+        (1L, Seq(0.9f, 0.1f, 0f, 0f), "a"),
+        (2L, Seq(0.1f, 0.9f, 0f, 0f), "b"),
+        (3L, Seq(0f, 0.1f, 0.9f, 0f), "c"))
+      .toDF("vec_id", "embedding", "tag"), cents, dir)
+    // batch without the passenger column touches ONE cell
+    Similarity.ivfUpsertLayout(spark, dir, cents,
+      vecs(10L -> Seq(0f, 0f, 0f, 0.9f)))
+    val got = graft.layout.LayoutTxn.readLayout(spark, dir, "", "cell")
+      .select(col("vec_id"), col("tag"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got === Map(1L -> Some("a"), 2L -> Some("b"), 3L -> Some("c"),
+      10L -> None))
+    // and a SECOND partially-touched upsert reads the mixed-version
+    // layout cleanly (this is exactly where the unfixed code crashed)
+    Similarity.ivfUpsertLayout(spark, dir, cents,
+      vecs(11L -> Seq(0.9f, 0f, 0f, 0f)))
+    assert(graft.layout.LayoutTxn.readLayout(spark, dir, "", "cell")
+      .count() === 5L)
+  }
+
+  test("streaming replay: a micro-batch at-or-below the recorded batchId skips whole") {
+    val dir = Files.createTempDirectory("ivf_replay").toString + "/layout"
+    Similarity.writeIvfLayout(vecs(
+      1L -> Seq(0.9f, 0.1f, 0f, 0f),
+      2L -> Seq(0.1f, 0.9f, 0f, 0f)), cents, dir)
+    val b0 = vecs(10L -> Seq(0f, 0f, 1f, 0f))
+    Similarity.ivfUpsertLayout(spark, dir, cents, b0, batchId = 0L)
+    assert(graft.layout.LayoutTxn.lastBatchId(dir) === 0L)
+    val v = graft.layout.LayoutTxn.currentVersion(dir)
+    val state = readCells(dir)
+    assert(state.contains((10L, 2)))
+    // crash-after-commit window: the same batch re-delivers — no new
+    // version, no duplicate rows, empty touched set returned
+    assert(Similarity.ivfUpsertLayout(spark, dir, cents, b0,
+      batchId = 0L) === Seq.empty)
+    assert(graft.layout.LayoutTxn.currentVersion(dir) === v)
+    assert(readCells(dir) === state)
+    // a NON-stream upsert between batches carries the id forward
+    Similarity.ivfUpsertLayout(spark, dir, cents,
+      vecs(11L -> Seq(0f, 0f, 0f, 1f)))
+    assert(graft.layout.LayoutTxn.lastBatchId(dir) === 0L)
+    // and the next live batch applies normally
+    Similarity.ivfUpsertLayout(spark, dir, cents,
+      vecs(12L -> Seq(0f, 0f, 1f, 0f)), batchId = 1L)
+    assert(readCells(dir).contains((12L, 2)))
+  }
+
   test("pure insert into one cell touches exactly that cell") {
     val dir = Files.createTempDirectory("ivf_upsert2").toString + "/layout"
     Similarity.writeIvfLayout(vecs(
