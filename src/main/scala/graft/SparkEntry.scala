@@ -3498,6 +3498,33 @@ object SparkEntry {
       s.read.parquet(s"$base/pairs").orderBy(col("a"), col("b"))
     }),
 
+    // ⊕A53 × ⊕A55 BM25-ranked search AGAINST THE AT-REST INDEX (r16,
+    // q202): a production point search that never reads the corpus — the
+    // query terms' ≤k tb= dirs provide exact df/tf, the doc store
+    // provides lengths and N/avg (r16: the docmap carries Σtf per doc).
+    // The fixture indexes a STALE corpus (every 7th doc's text reversed)
+    // and repairs it through indexUpsertLayout, so the oracle's
+    // raw-TRUE-text BM25 recompute matching the layout search proves
+    // df/tf/len/N all survive incremental maintenance exactly.
+    "q202_bm25_index" -> ((s, d) => {
+      def t6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)
+      val docs = t(s, d, "documents")
+      val dir = sharedFixture("bm25_idx", d) { base =>
+        val isDelta = col("doc_id") % 7 === 0
+        val stale = docs.withColumn("text",
+          when(isDelta, reverse(col("text"))).otherwise(col("text")))
+        TextAnalysis.writeIndexLayout(
+          TextAnalysis.invertedIndex(stale, "doc_id", col("text")),
+          s"$base/idx")
+        TextAnalysis.indexUpsertLayout(s, s"$base/idx",
+          docs.filter(isDelta), "doc_id", col("text"))
+        ()
+      } + "/idx"
+      TextAnalysis.bm25SearchLayout(s, dir, Seq("vector", "query", "join"))
+        .select(col("doc_id"), t6(col("bm25")).as("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ⊕ hybrid retrieval (r16): BM25 keyword relevance fused with
     // embedding-cosine ANN by reciprocal-rank fusion — the standard RAG
     // retrieval stack composed from the engine's own tiers. Each side
@@ -4919,6 +4946,22 @@ object SparkEntry {
          |        (CASE WHEN y.doc_id % 5 < 3 THEN 0
          |              WHEN y.doc_id % 5 = 3 THEN 1 ELSE 2 END))
          |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
+
+    // q202: the q199 BM25 form over ALL documents — the layout search
+    // must equal the raw-text recompute exactly (maintenance-proof)
+    "q202_bm25_index" ->
+      s"""WITH $wordsCte,
+         |lens AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS len FROM w),
+         |consts AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avglen FROM lens),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM w)
+         |  WHERE tok IN ('vector', 'query', 'join') GROUP BY 1, 2),
+         |dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+         |SELECT t.doc_id,
+         |  floor(sum( ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2 /
+         |    (t.tf + 1.2 * (0.25 + 0.75 * l.len / c.avglen)) ) * 1e6) / 1e6 AS bm25
+         |FROM tf t JOIN dfs d USING (tok) JOIN lens l USING (doc_id), consts c
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // q199: BM25 (smoothed Lucene idf, k1=1.2, b=0.75) + cosine top-50,
     // fused by 1/(60+rank) — scores floor-truncated to 6dp before ranking

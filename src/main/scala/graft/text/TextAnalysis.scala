@@ -289,10 +289,18 @@ object TextAnalysis {
   }
 
   private val DocMapDir = "_docmap"
-  private def docMapOf(bucketedIndex: DataFrame, buckets: Int): DataFrame =
-    bucketedIndex.select(col("tb"), explode(col("postings")).as("p"))
-      .select(col("p.doc_id").as("doc_id"), col("tb")).distinct()
+  /** The doc store rows: (doc_id, tb) pairs plus the document's LENGTH in
+    * words (r16: Σ tf over its postings — what BM25's length
+    * normalization needs; keeping it here makes the at-rest index
+    * self-sufficient for RANKED search, no corpus read ever). */
+  private def docMapOf(bucketedIndex: DataFrame, buckets: Int): DataFrame = {
+    val occ = bucketedIndex.select(col("tb"), explode(col("postings")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("p.tf").as("tf"), col("tb"))
+    val lens = occ.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    occ.select(col("doc_id"), col("tb")).distinct()
+      .join(lens, "doc_id")
       .withColumn("dm", pmod(col("doc_id"), lit(buckets)))
+  }
   private def writeDocMap(dm: DataFrame, dir: String): Unit = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val spark = dm.sparkSession
@@ -386,7 +394,7 @@ object TextAnalysis {
         Some(dmTouched.map(b => s"dm=$b").toSet))
       .join(deltaIds, Seq("doc_id"), "left_anti")
     val dmReplacement = dmSurvivors.unionByName(docMapOf(delta, buckets))
-      .select(col("doc_id"), col("tb"), col("dm"))
+      .select(col("doc_id"), col("tb"), col("len"), col("dm"))
     // ONE stage/CAS-claim/swap commit covers both subtrees — postings and
     // doc store can never diverge under a crash or a racing writer; both
     // replacement plans read the live layout but are fully materialized
@@ -412,6 +420,41 @@ object TextAnalysis {
         Some(tbs.map(b => s"tb=$b").toSet))
       .drop("tb")
     searchAll(pruned, terms)
+  }
+
+  /** BM25-RANKED (disjunctive) search against the at-rest index — a
+    * production point search that NEVER reads the corpus: the query
+    * terms' ≤k `tb=` dirs provide exact df and per-doc tf, the doc store
+    * provides each candidate's length and the corpus N/avg-length (one
+    * tiny agg over docs×buckets rows, O(documents) not O(bytes)), and
+    * the score is exactly [[bm25]] over the indexed corpus — q202's
+    * oracle recomputes it from RAW TEXT and the hashes must match, which
+    * proves df/tf/len/N all survive incremental maintenance unchanged.
+    * Returns (doc_id, bm25) for every doc containing ≥1 query term. */
+  def bm25SearchLayout(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       terms: Seq[String], buckets: Int = 16,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25SearchLayout needs at least one query term")
+    val tbs = terms.map(termBucketJvm(_, buckets)).distinct
+    val pruned = graft.layout.LayoutTxn.readLayout(spark, dir, "", "tb",
+        Some(tbs.map(x => s"tb=$x").toSet))
+      .filter(col("term").isin(terms: _*))
+    val lens = graft.layout.LayoutTxn.readLayout(spark, dir, DocMapDir, "dm")
+      .select(col("doc_id"), col("len")).distinct()
+    val c = lens.agg(count(lit(1)).cast("double"),
+      avg(col("len").cast("double"))).head()
+    val (n, avgLen) = (c.getDouble(0), c.getDouble(1))
+    pruned.select(col("df").cast("double").as("__df"),
+        explode(col("postings")).as("p"))
+      .select(col("__df"), col("p.doc_id").as("doc_id"),
+        col("p.tf").cast("double").as("__tf"))
+      .join(lens, "doc_id")
+      .withColumn("__s",
+        log(lit(1.0) + (lit(n) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))) *
+          col("__tf") * lit(k1 + 1.0) /
+          (col("__tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("len").cast("double") / lit(avgLen))))
+      .groupBy(col("doc_id")).agg(sum(col("__s")).as("bm25"))
   }
 
   /** Conjunctive (AND) search over an [[invertedIndex]]: documents that

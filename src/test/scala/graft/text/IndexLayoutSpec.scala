@@ -163,4 +163,38 @@ class IndexLayoutSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(viaLayout === fresh && fresh.nonEmpty)
   }
+
+  test("bm25SearchLayout equals bm25 over the corpus — before AND after maintenance") {
+    val d = java.nio.file.Files.createTempDirectory("idx_bm25").toString + "/idx"
+    val base = Seq(
+      (1L, "spark rows spark spark table"),
+      (2L, "spark rows"),
+      (3L, "disk only here"),
+      (4L, "rare word appears once spark"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeIndexLayout(
+      TextAnalysis.invertedIndex(base, "doc_id", col("text")), d, buckets = 4)
+    val terms = Seq("spark", "rare")
+    def viaLayout: Map[Long, Double] =
+      TextAnalysis.bm25SearchLayout(spark, d, terms, buckets = 4)
+        .as[(Long, Double)].collect().toMap
+    def direct(corpus: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      TextAnalysis.bm25(corpus, "doc_id", col("text"), terms)
+        .as[(Long, Double)].collect().toMap
+    val a = viaLayout
+    val b = direct(base)
+    assert(a.keySet === b.keySet && a.keySet === Set(1L, 2L, 4L))
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"doc $k") }
+    // REPLACE doc 2 with a longer text (length, tf, and df all move) —
+    // the maintained index must keep scoring exactly like a fresh corpus
+    val repl = Seq((2L, "spark spark rare rare rare words words words"))
+      .toDF("doc_id", "text")
+    TextAnalysis.indexUpsertLayout(spark, d, repl, "doc_id", col("text"),
+      buckets = 4)
+    val after = viaLayout
+    val want = direct(base.filter(col("doc_id") =!= 2L).unionByName(repl))
+    assert(after.keySet === want.keySet)
+    after.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-12, s"doc $k after upsert") }
+  }
 }
