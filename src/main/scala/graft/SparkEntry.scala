@@ -3413,6 +3413,24 @@ object SparkEntry {
         .orderBy(col("okey"))
     }),
 
+    // ⊕K7 DESCRIBE DETAIL (r16): the one-row operational summary — pure
+    // manifest read (version, key, buckets, exact rows, scan groups,
+    // pending DV tombstones, dictionary/bloom designations). The fixture
+    // soft-deletes one key class and designates both skipping tiers, so
+    // every field is a closed form the oracle computes from orders.
+    "q203_describe_detail" -> ((s, d) => {
+      val dir = dmlBaseCopy(s, d, "dml_base_lt3", Seq(0, 1, 2))
+      graft.plans.MergeTableSql.register("orders_mt_det", dir, numBuckets = 8)
+      try {
+        s.conf.set("spark.graft.delete.mode", "soft")
+        try s.sql("DELETE FROM orders_mt_det WHERE okey % 7 = 2")
+        finally s.conf.unset("spark.graft.delete.mode")
+        s.sql("ALTER TABLE orders_mt_det SET DICTIONARY (status)")
+        s.sql("ALTER TABLE orders_mt_det SET BLOOM (cust)")
+        s.sql("DESCRIBE DETAIL orders_mt_det")
+      } finally graft.plans.MergeTableSql.unregister("orders_mt_det")
+    }),
+
     // ⊕K8 × ⊕K10 EXACTLY-ONCE streaming VECTOR-index maintenance (r16,
     // q201): q151's maintained-≡-rebuilt proof with the upsert delivered
     // as TWO micro-batches through ivfUpsertSink — each batch's cell
@@ -4914,6 +4932,16 @@ object SparkEntry {
         |  AND o_orderkey = (SELECT min(o_orderkey) FROM orders
         |                    WHERE o_orderkey % 7 < 3)
         |ORDER BY okey""".stripMargin,
+
+    // q203: every DESCRIBE DETAIL field is a closed form over orders
+    // (v0 load, v1 soft delete, v2 dict, v3 bloom; no bucket ever moved)
+    "q203_describe_detail" ->
+      """SELECT CAST(3 AS BIGINT) AS version, 'okey' AS key,
+        |  8 AS num_buckets,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 IN (0, 1)) AS "rows",
+        |  1 AS scan_groups,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 2) AS dv_tombstones,
+        |  'status' AS dict_cols, 'cust' AS bloom_cols""".stripMargin,
 
     // q201: the q151 proof shape over the STREAMING maintenance path —
     // DuckDB re-derives every assignment from the pinned corpus +

@@ -765,6 +765,40 @@ object MergeTable {
     }.toDF("bucket", "column", "min", "max", "nulls", "rows")
   }
 
+  /** One-row operational summary (the DESCRIBE DETAIL surface, r16):
+    * current version, key, bucket count, exact live rows (null when any
+    * bucket predates per-bucket counts), distinct scan groups (the
+    * fragmentation measure compactStale bounds), total deletion-vector
+    * tombstones awaiting materialization, and the designated dictionary /
+    * parquet-bloom columns. Pure manifest read — no file listed or opened
+    * at any scale. */
+  def detail(spark: SparkSession, dir: String): DataFrame = {
+    val m = requireManifest(dir)
+    val row = Row(m.version, m.key, m.numBuckets,
+      countRows(dir).map(java.lang.Long.valueOf).orNull,
+      m.buckets.values.toSet.size,
+      java.lang.Long.valueOf(m.dvs.values.map(_._2).sum),
+      m.dictCols.mkString(","), m.pqBloomCols.mkString(","))
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(row), 1),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("num_buckets",
+          IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("rows",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("scan_groups",
+          IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("dv_tombstones",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dict_cols",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("bloom_cols",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+  }
+
   /** [[readWhere]] against a historical snapshot — stats are recorded in
     * each version's OWN manifest, so time travel prunes with the bounds
     * that were true at that version (a bucket rewritten since keeps its

@@ -49,6 +49,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
+  private val DetailRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + Ident + """\s*;?\s*$""").r
   // r16 skipping-tier designation: `ALTER TABLE t SET DICTIONARY (c1, c2)
   // [MAX n]` / `SET BLOOM (c1) [NDV n]` / `UNSET DICTIONARY|BLOOM` —
   // pure-SQL reachability for the per-bucket value dictionaries and
@@ -85,6 +87,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftVacuumCommand(dirOf(name).get, Option(retain).map(_.toInt))
     case HistoryRe(name) if dirOf(name).isDefined =>
       GraftHistoryCommand(dirOf(name).get)
+    case DetailRe(name) if dirOf(name).isDefined =>
+      GraftDetailCommand(dirOf(name).get)
     case SetSkipRe(name, kind, cols, param) if dirOf(name).isDefined =>
       GraftAlterSkipCommand(dirOf(name).get, kind.toUpperCase,
         cols.split(",").toSeq.map(_.trim), Option(param).map(_.toLong))
@@ -291,6 +295,26 @@ case class GraftAlterSkipCommand(dir: String, kind: String,
     }
     Seq(Row(v))
   }
+}
+
+/** `DESCRIBE DETAIL t` → [[MergeTable.detail]]: the one-row operational
+  * summary (version, key, buckets, exact rows, scan groups, pending
+  * deletion-vector tombstones, dictionary/bloom designations) — a pure
+  * manifest read. */
+case class GraftDetailCommand(dir: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("num_buckets", IntegerType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = true)(),
+    AttributeReference("scan_groups", IntegerType, nullable = false)(),
+    AttributeReference("dv_tombstones", LongType, nullable = false)(),
+    AttributeReference("dict_cols", StringType, nullable = false)(),
+    AttributeReference("bloom_cols", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    MergeTable.detail(spark, dir).collect().toSeq
 }
 
 /** `CLONE src AS dst LOCATION 'path'` → [[MergeTable.cloneTable]] (a

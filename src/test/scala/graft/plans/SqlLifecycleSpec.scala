@@ -156,6 +156,14 @@ class SqlLifecycleSpec extends SparkSpec {
       assert(spark.sql(s"SELECT * FROM $name WHERE cat = 'c0x'").count() === 0L)
       assert(spark.sql(s"SELECT k FROM $name WHERE u = 'u7'")
         .as[Long].collect().toSeq === Seq(7L))
+      // DESCRIBE DETAIL reflects both designations, exact rows, and the
+      // compacted single scan group — all from the manifest alone
+      val det = spark.sql(s"DESCRIBE DETAIL $name").head()
+      assert(det.getAs[String]("dict_cols") === "cat")
+      assert(det.getAs[String]("bloom_cols") === "u")
+      assert(det.getAs[Long]("rows") === 32L)
+      assert(det.getAs[Int]("scan_groups") === 1)
+      assert(det.getAs[Long]("dv_tombstones") === 0L)
       // UNSET disables: the in-range value keeps every bucket again
       spark.sql(s"ALTER TABLE $name UNSET DICTIONARY").collect()
       assert(MergeTable.prunableBuckets(dir, col("cat") === "c0x")
