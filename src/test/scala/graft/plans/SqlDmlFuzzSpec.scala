@@ -218,6 +218,11 @@ class SqlDmlFuzzSpec extends SparkSpec {
         var model = Map.empty[Long, (Double, Option[String], Long)]
         var tagCol = "tag"
         var widened = false
+        // (dir, model snapshot, tag column name at clone time): every
+        // clone must still equal its snapshot at sequence end no matter
+        // what later ops did to the source (r16 CLONE independence)
+        var clones = List.empty[(String,
+          Map[Long, (Double, Option[String], Long)], String)]
         def srcView(rows: Seq[(Long, Double, String)]): Unit = {
           // column names/types must match the table's CURRENT schema
           if (widened)
@@ -237,7 +242,7 @@ class SqlDmlFuzzSpec extends SparkSpec {
             .map(k => (k, (k * 8 + step * 3 + seed).toDouble, s"s$step"))
         for (step <- 1 to 6 + rnd.nextInt(4)) {
           opsRun += 1
-          rnd.nextInt(11) match {
+          rnd.nextInt(12) match {
             case 0 => // INSERT INTO: upsert, existing keys last-write-wins
               val rows = rndRows(step)
               srcView(rows)
@@ -291,7 +296,15 @@ class SqlDmlFuzzSpec extends SparkSpec {
                 spark.sql(s"ALTER TABLE $name RENAME COLUMN $tagCol TO $next")
                 tagCol = next
               }
-            case 9 => // skipping-tier designation (r16): dictionaries and
+            case 9 if clones.size < 3 => // CLONE (r16): fork pinned to
+              // THIS instant's model — later source ops must never leak
+              val cdir = graft.util.Cleanup.registerTempDir(
+                java.nio.file.Files.createTempDirectory(
+                  s"sqlfz_clone_${seed}_$step")).toString + "/t"
+              spark.sql(s"CLONE $name AS ${name}_c$step LOCATION '$cdir'")
+              MergeTableSql.unregister(s"${name}_c$step")
+              clones ::= ((cdir, model, tagCol))
+            case 10 => // skipping-tier designation (r16): dictionaries and
               // parquet blooms only ever SHRINK scans — answers must not
               // move under any interleaving with the other verbs
               rnd.nextInt(3) match {
@@ -308,6 +321,15 @@ class SqlDmlFuzzSpec extends SparkSpec {
                 TBLPROPERTIES ('graft.key'='k', 'graft.buckets'='2')""")
           }
           assert(state() === model, s"seed $seed step $step diverged")
+        }
+        // every clone still equals the model AT ITS FORK INSTANT — no
+        // later source mutation, compaction, vacuum, or evolution leaked
+        clones.foreach { case (cdir, snap, tc) =>
+          val got = MergeTable.read(spark, cdir)
+            .selectExpr("k", "v", s"$tc AS tag", "CAST(n AS BIGINT) AS n")
+            .as[(Long, Double, Option[String], Long)].collect()
+            .map { case (k, v, t, nn) => k -> (v, t, nn) }.toMap
+          assert(got === snap, s"seed $seed: clone at $cdir diverged")
         }
       } finally MergeTableSql.unregister(name)
     }
