@@ -717,6 +717,26 @@ object ScaleCheck {
       util.Cleanup.drain()
     }
 
+    // Zero-copy CLONE (r16): cost is per FILE (hard links), never per
+    // byte — the probe line must stay ~FLAT as mult scales the table's
+    // bytes 4× per step (the file count is pinned by the 64 buckets).
+    if (want("clone")) {
+      val mtDir = java.nio.file.Files.createTempDirectory("scale_clone").toString + "/t"
+      val orders = amplify(model.Tables.orders(spark, d), Seq("o_orderkey"))
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        .withColumn("op_flag", lit("create"))
+      layout.MergeTable.merge(spark, mtDir, orders, "k", numBuckets = 64)
+      val n = layout.MergeTable.countRows(mtDir).getOrElse(0L)
+      val dst = java.nio.file.Files.createTempDirectory("scale_clone_dst").toString + "/t"
+      time(s"clone_${n}_rows", n) {
+        layout.MergeTable.cloneTable(spark, mtDir, dst)
+      }
+      require(layout.MergeTable.countRows(dst) == Some(n))
+      util.Cleanup.registerTempDir(java.nio.file.Paths.get(mtDir).getParent)
+      util.Cleanup.registerTempDir(java.nio.file.Paths.get(dst).getParent)
+      util.Cleanup.drain()
+    }
+
     // Merge-on-read DELETE (r16 deletion vectors): a selective delete
     // whose victims span EVERY bucket is copy-on-write's worst case — it
     // must rewrite all 64 buckets to remove ~0.1% of the rows — while the
