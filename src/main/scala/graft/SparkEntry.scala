@@ -4941,7 +4941,8 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 IN (0, 1)) AS "rows",
         |  1 AS scan_groups,
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 2) AS dv_tombstones,
-        |  'status' AS dict_cols, 'cust' AS bloom_cols""".stripMargin,
+        |  'status' AS dict_cols, 'cust' AS bloom_cols
+        |ORDER BY version""".stripMargin,
 
     // q201: the q151 proof shape over the STREAMING maintenance path —
     // DuckDB re-derives every assignment from the pinned corpus +
