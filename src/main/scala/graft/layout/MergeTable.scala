@@ -1051,11 +1051,60 @@ object MergeTable {
       }
     }
     val cs = resolved.toSeq.flatMap(conjuncts)
+    // KEY-equality pruning (r16): when the conjuncts pin EVERY key part
+    // to a literal (bare attribute, native type — the bucket hash is
+    // computed over native values), the row's only possible bucket is
+    // pmod(hash(parts in key order), numBuckets) — the readForKeys
+    // access path surfaced to every predicate route (readWhere, SQL
+    // WHERE, DELETE/UPDATE classification): a point lookup reads ONE
+    // bucket no matter how big the table. A single-column key also
+    // prunes IN-lists to the union of its values' buckets. Conflicting
+    // equalities (k = 1 AND k = 2) keep one value's bucket — the
+    // scan-side filter answers (empty), pruning only ever shrinks.
+    val keyPruners: Seq[Int => Boolean] = {
+      def keyOf(a: CAttrRef): Option[String] =
+        m.keys.find(k => k.equalsIgnoreCase(a.name) &&
+          m.schema.fields.exists(f => f.name == k && f.dataType == a.dataType))
+      def bucketOf(vals: Seq[(Any, DataType)]): Int = {
+        val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+          vals.map { case (v, dt) => CLit(v, dt) }).eval(null)
+          .asInstanceOf[Int]
+        ((h % m.numBuckets) + m.numBuckets) % m.numBuckets
+      }
+      val eqs: Map[String, (Any, DataType)] = cs.flatMap {
+        case CEq(a: CAttrRef, l) =>
+          for (k <- keyOf(a); v <- litOf(l)) yield k -> v
+        case CEq(l, a: CAttrRef) =>
+          for (k <- keyOf(a); v <- litOf(l)) yield k -> v
+        case _ => None
+      }.toMap
+      val full: Option[Int => Boolean] =
+        if (m.keys.forall(eqs.contains)) {
+          val b0 = bucketOf(m.keys.map(eqs))
+          Some((b: Int) => b != b0)
+        } else None
+      val inList: Seq[Int => Boolean] = m.keys match {
+        case Seq(onlyKey) => cs.flatMap {
+          case CIn(a: CAttrRef, list)
+              if list.nonEmpty && keyOf(a).contains(onlyKey) =>
+            val vals = list.map(litOf)
+            if (vals.exists(_.isEmpty)) None
+            else {
+              val keep = vals.flatten.map(v => bucketOf(Seq(v))).toSet
+              Some((b: Int) => !keep.contains(b))
+            }
+          case _ => None
+        }
+        case _ => Seq.empty
+      }
+      full.toSeq ++ inList
+    }
     val bucketPruners: Seq[Int => Boolean] =
       cs.flatMap(pruneOf(_)).map(p => (b: Int) =>
         m.stats.getOrElse(b, Map.empty).exists { case (c, mm) => p(c, mm) }) ++
         cs.flatMap(nullPruneOf(_)) ++
-        cs.flatMap(dictPruneOf(_))
+        cs.flatMap(dictPruneOf(_)) ++
+        keyPruners
     if (bucketPruners.isEmpty) None
     // keep unless SOME conjunct proves emptiness from SOME recorded stat
     else Some(m.buckets.keySet.filter(b => !bucketPruners.exists(_(b))))

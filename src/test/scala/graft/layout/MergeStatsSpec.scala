@@ -490,4 +490,48 @@ class MergeStatsSpec extends SparkSpec {
     assert(MergeTable.readWhere(spark, dir, pred).count() ===
       MergeTable.read(spark, dir).filter(pred).count())
   }
+
+  test("key equality prunes to the layout's own bucket (point lookups read ONE bucket)") {
+    val dir = localizedTable("keyeq")
+    val b5 = bucketOf(5L, 4)
+    assert(MergeTable.prunableBuckets(dir, col("id") === 5L) === Some(Set(b5)))
+    // int literal coerces to the long key and still engages
+    assert(MergeTable.prunableBuckets(dir, col("id") === 5) === Some(Set(b5)))
+    // extra conjuncts compose; literal-on-the-left flips
+    assert(MergeTable.prunableBuckets(dir,
+      lit(5L) === col("id") && col("v") >= 0L) === Some(Set(b5)))
+    val got = MergeTable.readWhere(spark, dir, col("id") === 5L)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === MergeTable.read(spark, dir).filter(col("id") === 5L)
+      .as[(Long, Long, String)].collect().toSeq && got.nonEmpty)
+    // IN-lists union the values' buckets
+    val want = Set(5L, 6L, 7L).map(bucketOf(_, 4))
+    assert(MergeTable.prunableBuckets(dir,
+      col("id").isin(5L, 6L, 7L)) === Some(want))
+    assert(MergeTable.readWhere(spark, dir, col("id").isin(5L, 6L, 7L))
+      .count() === 3L)
+    // a conflicting conjunction keeps one bucket; the filter answers empty
+    assert(MergeTable.readWhere(spark, dir,
+      col("id") === 5L && col("id") === 6L).count() === 0L)
+  }
+
+  test("composite keys prune only when EVERY part is pinned") {
+    val dir = freshDir("keyeq_ck")
+    val rows = for (i <- 1L to 8L; p <- Seq("a", "b"))
+      yield (i, p, i * 10L, "create")
+    MergeTable.mergeKeys(spark, dir,
+      rows.toDF("id", "part", "v", "op_flag"), Seq("id", "part"),
+      numBuckets = 4)
+    val expect = spark.range(1)
+      .select(pmod(hash(lit(3L), lit("a")), lit(4))).head().getInt(0)
+    assert(MergeTable.prunableBuckets(dir,
+      col("id") === 3L && col("part") === "a") === Some(Set(expect)))
+    val got = MergeTable.readWhere(spark, dir,
+        col("id") === 3L && col("part") === "a")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((3L, "a", 30L)))
+    // one part alone must NOT engage the key pruner (the tuple hash needs
+    // every part); stats may or may not prune — answers decide
+    assert(MergeTable.readWhere(spark, dir, col("id") === 3L).count() === 2L)
+  }
 }
