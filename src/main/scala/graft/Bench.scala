@@ -116,6 +116,14 @@ object Bench {
           tiny.limit(20).withColumn("op_flag",
             org.apache.spark.sql.functions.lit("update")), "okey")
       }
+      // one-time MEMOIZED fixture builds (VERDICT r16 task 1a): on a cold
+      // /tmp the at-rest ANN/LSH/BM25 layouts, streamed ingest states,
+      // partsupp derivation, and shared DML base tables are constructed
+      // on first use — that is input preparation, not plan execution, so
+      // it belongs here with ensureSpool, never inside a timed window
+      // (the driver's r16 cold-host artifact charged ~25 s of builds to
+      // q94/q140/q176/q200/q201 and read 3× a warm run)
+      SparkEntry.warmFixtures(spark, sfDir)
     } catch { case _: Throwable => () }
     // Timed action = full materialization through the noop sink: every
     // projection is evaluated and every row serialized, exactly like the
@@ -208,71 +216,94 @@ object Bench {
     require(SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSet.size ==
       SparkEntry.queries.size,
       "duplicate qNN short-key prefix in SparkEntry.queries")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        // per-run GC + JIT wall deltas (r10 verdict task 5): the recurring
-        // "one query reads 5x its clean time in the driver artifact"
-        // spikes (r8 q85/q147, r10 q139) could never name their source —
-        // these two counters attribute a spike to collector pressure or
-        // code-cache churn instead of arguing from re-runs. Recorded for
-        // the run that produced the kept (best) time.
-        def gcNow(): Long = {
-          import scala.jdk.CollectionConverters._
-          java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-            .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
-        }
-        def jitNow(): Long =
-          Option(java.lang.management.ManagementFactory.getCompilationMXBean)
-            .map(_.getTotalCompilationTime).getOrElse(0L)
-        def once(): (Double, Option[String], Long, Long) = {
-          val (gc0, jit0) = (gcNow(), jitNow())
-          val t0 = System.nanoTime()
-          val err = try {
-            // same harness terminal as Verify (materializeOrdered scaladoc):
-            // Bench must time the exact plan shape Verify hash-checks
-            SparkEntry.materializeOrdered(fn(spark, sfDir))
-              .write.format("noop").mode("overwrite").save(); None
-          } catch { case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
-          }
-          val t = (System.nanoTime() - t0) / 1e9
-          val (gcD, jitD) = (gcNow() - gc0, jitNow() - jit0)
-          // release per-query scratch (broadcasts, temp dirs, checkpointed
-          // RDD blocks) outside the timed window — the next run rebuilds
-          // its own, and leaked blocks would poison LATER queries' memory
-          graft.util.Cleanup.drain()
-          // untimed old-gen relief: when the heap crosses half of max,
-          // collect NOW (between queries) rather than letting a full GC
-          // strike mid-measurement — the r8 drift (+15% on an unchanged
-          // slice as the suite grew 135→168 queries) is exactly the
-          // signature of GC debt landing on later queries' clocks
-          val rt = Runtime.getRuntime
-          if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 2)
-            System.gc()
-          (t, err, gcD, jitD)
-        }
-        var (best, err, gcMs, jitMs) = once()
-        var r = 1
-        while (err.isEmpty && r < runs) {
-          val (t, e, g, j) = once()
-          if (e.isEmpty && t < best) { best = t; gcMs = g; jitMs = j }
-          r += 1
-        }
-        var retried = false
-        if (err.isEmpty && violates(name, best)) {
-          retried = true
-          val (t, e, g, j) = once()
-          if (e.isEmpty && t < best) { best = t; gcMs = g; jitMs = j }
-        }
-        // storage pool after drain: should stay ~0 across the whole run —
-        // a growing number here means a new operator leaked blocks
-        System.err.println(f"[bench] $name%-28s ${best}%8.3fs" +
-          f" gc=${gcMs}ms jit=${jitMs}ms" +
-          f" storage=${graft.util.Cleanup.storageMb()}%.1fMB" +
-          (if (retried) " (retried: exceeded 4x fixture)" else ""))
-        (name, best, err, gcMs, jitMs)
+    // per-run GC + JIT wall deltas (r10 verdict task 5): the recurring
+    // "one query reads 5x its clean time in the driver artifact"
+    // spikes (r8 q85/q147, r10 q139) could never name their source —
+    // these two counters attribute a spike to collector pressure or
+    // code-cache churn instead of arguing from re-runs. Recorded for
+    // the run that produced the kept (best) time.
+    def gcNow(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+    }
+    def jitNow(): Long =
+      Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+        .map(_.getTotalCompilationTime).getOrElse(0L)
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String], Long, Long) = {
+      val (gc0, jit0) = (gcNow(), jitNow())
+      val t0 = System.nanoTime()
+      val err = try {
+        // same harness terminal as Verify (materializeOrdered scaladoc):
+        // Bench must time the exact plan shape Verify hash-checks
+        SparkEntry.materializeOrdered(fn(spark, sfDir))
+          .write.format("noop").mode("overwrite").save(); None
+      } catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
       }
+      val t = (System.nanoTime() - t0) / 1e9
+      val (gcD, jitD) = (gcNow() - gc0, jitNow() - jit0)
+      // release per-query scratch (broadcasts, temp dirs, checkpointed
+      // RDD blocks) outside the timed window — the next run rebuilds
+      // its own, and leaked blocks would poison LATER queries' memory
+      graft.util.Cleanup.drain()
+      // untimed old-gen relief: when the heap crosses half of max,
+      // collect NOW (between queries) rather than letting a full GC
+      // strike mid-measurement — the r8 drift (+15% on an unchanged
+      // slice as the suite grew 135→168 queries) is exactly the
+      // signature of GC debt landing on later queries' clocks
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 2)
+        System.gc()
+      (t, err, gcD, jitD)
+    }
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val measured =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Option[String], Long, Long)]()
+    suite.foreach { case (name, fn) =>
+      var (best, err, gcMs, jitMs) = timeOnce(fn)
+      var r = 1
+      while (err.isEmpty && r < runs) {
+        val (t, e, g, j) = timeOnce(fn)
+        if (e.isEmpty && t < best) { best = t; gcMs = g; jitMs = j }
+        r += 1
+      }
+      var retried = false
+      if (err.isEmpty && violates(name, best)) {
+        retried = true
+        val (t, e, g, j) = timeOnce(fn)
+        if (e.isEmpty && t < best) { best = t; gcMs = g; jitMs = j }
+      }
+      // storage pool after drain: should stay ~0 across the whole run —
+      // a growing number here means a new operator leaked blocks
+      System.err.println(f"[bench] $name%-28s ${best}%8.3fs" +
+        f" gc=${gcMs}ms jit=${jitMs}ms" +
+        f" storage=${graft.util.Cleanup.storageMb()}%.1fMB" +
+        (if (retried) " (retried: exceeded 4x fixture)" else ""))
+      measured(name) = (best, err, gcMs, jitMs)
+    }
+    // End-of-suite retry (VERDICT r16 task 1c): co-tenant load on a shared
+    // host is BURSTY on a minutes cadence — a query flagged during a burst
+    // often reads clean once the burst passes. Each still-violating query
+    // gets one more run AFTER the whole suite (minutes later on the
+    // clock); the min is kept (a plan cannot get faster than itself — the
+    // min measures the plan, the max measures the host) and BOTH readings
+    // land in the artifact ("retried_end": [mid-suite, final]) so a
+    // consumer sees the burst rather than inferring it.
+    val retriedEnd = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    measured.toSeq.foreach { case (name, (best, err, _, _)) =>
+      if (err.isEmpty && violates(name, best)) {
+        val (t, e, g, j) = timeOnce(suite.toMap.apply(name))
+        val kept = if (e.isEmpty) math.min(best, t) else best
+        retriedEnd(name) = (best, kept)
+        System.err.println(f"[bench] $name%-28s end-of-suite retry: " +
+          f"$best%.3fs -> $kept%.3fs")
+        if (e.isEmpty && t < best) measured(name) = (t, e, g, j)
+      }
+    }
+    val results = measured.toSeq.map { case (k, (v, e, g, j)) => (k, v, e, g, j) }
     // times at ms precision: the one output line must stay SHORT enough to
     // survive a log-tail capture window whole (r3's line outgrew it and the
     // recorded artifact lost its head -> unparseable; r8's 168-full-name
@@ -308,6 +339,11 @@ object Bench {
       case (k, v, None, _, _) if violates(k, v) =>
         s"\"" + short(k) + "\":" + ms(v)
     }.mkString("{", ",", "}")
+    // end-of-suite retries: [mid-suite reading, kept final reading] per
+    // query — full line only (the compact line must stay small)
+    val retriedJson = retriedEnd.toSeq.map { case (k, (a, b)) =>
+      s"\"" + short(k) + "\":[" + ms(a) + "," + ms(b) + "]"
+    }.mkString("{", ",", "}")
     val nFailed = results.count(_._3.isDefined)
     // headline value counts SUCCESSFUL queries only, and is -1 (obviously
     // invalid) when anything failed: a fast-erroring query must never make
@@ -334,7 +370,7 @@ object Bench {
     // ascending-query-name order ("t_ms", ~4 chars/entry vs ~13 in the
     // map), so neither the total nor any timing is ever truncated.
     // tools/perf_check.py reads whichever line carries "queries".
-    println(s"""{"metric":"total","value":${ms(value)},"unit":"sec","host_load":${f"$hostLoad%.2f"},"host_load_end":${f"$hostLoadEnd%.2f"},"queries":$qs,"gc_ms":$gcs,"jit_ms":$jits,"errors":$errs,"warnings":$warns,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(value)},"unit":"sec","host_load":${f"$hostLoad%.2f"},"host_load_end":${f"$hostLoadEnd%.2f"},"queries":$qs,"gc_ms":$gcs,"jit_ms":$jits,"errors":$errs,"warnings":$warns,"retried_end":$retriedJson,"n_failed":$nFailed,"sf":"$sfDir"}""")
     val tMs = results.map { case (_, v, err, _, _) =>
       val signed = if (err.isDefined) -v else v
       math.round(signed * 1000).toString

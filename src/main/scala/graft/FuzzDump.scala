@@ -136,7 +136,7 @@ object FuzzDump {
   /** Renders the SAME random decisions as a DataFrame plan over `l`/`r`/`a`
     * and as ANSI SQL over the same views. Column aliases match exactly. */
   /** Total family count — keep in sync with genQuery's match arms. */
-  private val NumFamilies = 66
+  private val NumFamilies = 68
 
   /** SPARK_GRAFT_FUZZ_FAMILIES=63,64,65 restricts the family draw — a
     * dedicated sweep over a new or suspect family without waiting for the
@@ -1670,6 +1670,158 @@ object FuzzDump {
           streamed,
           "SELECT DISTINCT k, v, s FROM l",
           "stream_dedup")
+
+      case 66 => // MergeTable LIFECYCLE → READ-ROUTE differential (r17,
+        // VERDICT r16 task 6): a random merge/soft-delete/designation
+        // sequence builds a table from l, a MODEL of each committed
+        // version is rendered as SQL over the l view, and a random READ
+        // ROUTE — readWhere at head, readWhereAt at a historical version,
+        // SQL `VERSION AS OF ... WHERE`, or a key-equality point lookup —
+        // must match the model exactly. Updates write ABSOLUTE values
+        // (v := 10*id + c) so the model composes order-free; soft-delete
+        // victims are the engine's own current rows, mirrored as
+        // WHERE NOT coalesce(pred, FALSE). Dict/bloom/cluster
+        // designations and compaction are drawn too — they must never
+        // change ANSWERS, only pruning (wrong-pruning = silent wrong
+        // rows, the r16 ADVICE bug class).
+        val s = l.sparkSession
+        import graft.layout.MergeTable
+        val dir = graft.util.Cleanup.registerTempDir(
+          java.nio.file.Files.createTempDirectory("fz_mt")).toString + "/t"
+        val payload = Seq("id", "k", "v", "d", "dec", "s")
+        MergeTable.merge(s, dir,
+          l.select(payload.map(col): _*).withColumn("op_flag", lit("create")),
+          "id", numBuckets = 4)
+        // (version, model SQL over view l) for every committed version
+        var states = Vector(
+          MergeTable.currentVersion(dir).get ->
+            "SELECT id, k, v, d, dec, s FROM l")
+        def record(sql: String): Unit =
+          states = states :+ (MergeTable.currentVersion(dir).get -> sql)
+        if (rnd.nextBoolean()) {
+          MergeTable.alterSetDictColumns(dir, Seq("s"))
+          record(states.last._2) // metadata-only: same visible state
+        }
+        if (rnd.nextBoolean()) {
+          MergeTable.alterSetParquetBloom(dir, Seq("v"))
+          record(states.last._2)
+        }
+        (0 until 1 + rnd.nextInt(2)).foreach { _ =>
+          val m = 2 + rnd.nextInt(2) // id % m = 0 always matches id 0
+          val c = rnd.nextInt(7)
+          MergeTable.merge(s, dir,
+            l.filter(col("id") % m === 0)
+              .select(col("id"), col("k"),
+                (lit(10) * col("id") + lit(c)).as("v"),
+                col("d"), col("dec"), col("s"))
+              .withColumn("op_flag", lit("update")), "id")
+          record(s"SELECT id, k, CASE WHEN id % $m = 0 THEN 10 * id + $c " +
+            s"ELSE v END AS v, d, dec, s FROM (${states.last._2})")
+        }
+        if (rnd.nextBoolean()) {
+          val (delPred, delSql) = rnd.nextInt(3) match {
+            case 0 =>
+              val c = rnd.nextInt(6); (col("k") === c, s"k = $c")
+            case 1 => (col("s") === "alpha", "s = 'alpha'")
+            case 2 =>
+              val c = rnd.nextInt(200); (col("v") > c, s"v > $c")
+          }
+          if (MergeTable.softDelete(s, dir, delPred).isDefined)
+            record(s"SELECT * FROM (${states.last._2}) " +
+              s"WHERE NOT coalesce($delSql, FALSE)")
+        }
+        if (rnd.nextBoolean()) {
+          MergeTable.compact(s, dir,
+            clusterBy = if (rnd.nextBoolean()) Some(Seq("v")) else None)
+          record(states.last._2)
+        }
+        val (readPred, readSql) = rnd.nextInt(6) match {
+          case 0 => val c = rnd.nextInt(6); (col("k") === c, s"k = $c")
+          case 1 => val c = rnd.nextInt(200) - 100; (col("v") > c, s"v > $c")
+          case 2 => (col("s") === "alpha", "s = 'alpha'")
+          case 3 => (col("s").like("al%"), "s LIKE 'al%'")
+          case 4 => val c1 = rnd.nextInt(6); val c2 = rnd.nextInt(6)
+            (col("k").isin(c1, c2), s"k IN ($c1, $c2)")
+          case 5 => (col("v").isNotNull, "v IS NOT NULL")
+        }
+        rnd.nextInt(4) match {
+          case 0 => // head read through the stats/dict/bloom/key pruners
+            Gen(MergeTable.readWhere(s, dir, readPred)
+              .select(payload.map(col): _*),
+              s"SELECT id, k, v, d, dec, s FROM (${states.last._2}) " +
+                s"WHERE $readSql",
+              "mt_read_head")
+          case 1 => // pruned TIME TRAVEL: historical version's OWN stats
+            val (vj, sqlJ) = states(rnd.nextInt(states.size))
+            Gen(MergeTable.readWhereAt(s, dir, vj, readPred)
+              .select(payload.map(col): _*),
+              s"SELECT id, k, v, d, dec, s FROM ($sqlJ) WHERE $readSql",
+              "mt_read_at")
+          case 2 => // the SQL door: VERSION AS OF ... WHERE
+            val (vj, sqlJ) = states(rnd.nextInt(states.size))
+            val tn = s"fz_mt_$seed"
+            graft.plans.MergeTableSql.register(tn, dir, numBuckets = 4)
+            val df = s.sql(s"SELECT id, k, v, d, dec, s FROM $tn " +
+              s"VERSION AS OF $vj WHERE $readSql")
+            graft.plans.MergeTableSql.unregister(tn)
+            Gen(df,
+              s"SELECT id, k, v, d, dec, s FROM ($sqlJ) WHERE $readSql",
+              "mt_read_sql_asof")
+          case 3 => // KEY-equality point lookup (the r16 bucket pruner)
+            val c = rnd.nextInt(40 * rowScale)
+            Gen(MergeTable.readWhere(s, dir, col("id") === c)
+              .select(payload.map(col): _*),
+              s"SELECT id, k, v, d, dec, s FROM (${states.last._2}) " +
+                s"WHERE id = $c",
+              "mt_read_point")
+        }
+
+      case 67 => // CLONE-then-DIVERGE differential (r17): fork the table,
+        // mutate BOTH sides differently, read BOTH with a discriminator —
+        // independence (no leak either way) is part of the diffed answer,
+        // under every config dimension the lane runs (codegen-off,
+        // AQE-off, shuffle-partitions).
+        val s = l.sparkSession
+        import graft.layout.MergeTable
+        val root = graft.util.Cleanup.registerTempDir(
+          java.nio.file.Files.createTempDirectory("fz_cl")).toString
+        val src = s"$root/src"; val dst = s"$root/dst"
+        val payload = Seq("id", "k", "v", "d", "dec", "s")
+        MergeTable.merge(s, src,
+          l.select(payload.map(col): _*).withColumn("op_flag", lit("create")),
+          "id", numBuckets = 4)
+        val c0 = rnd.nextInt(7)
+        MergeTable.merge(s, src,
+          l.filter(col("id") % 2 === 0)
+            .select(col("id"), col("k"),
+              (lit(10) * col("id") + lit(c0)).as("v"),
+              col("d"), col("dec"), col("s"))
+            .withColumn("op_flag", lit("update")), "id")
+        val atClone = "SELECT id, k, CASE WHEN id % 2 = 0 THEN " +
+          s"10 * id + $c0 ELSE v END AS v, d, dec, s FROM l"
+        MergeTable.cloneTable(s, src, dst)
+        // diverge: the clone soft-deletes id % 3 = 0 (always non-empty:
+        // id 0 exists), the source updates id % 3 = 0 — neither may leak
+        MergeTable.softDelete(s, dst, col("id") % 3 === 0)
+        val c1 = rnd.nextInt(7)
+        MergeTable.merge(s, src,
+          l.filter(col("id") % 3 === 0)
+            .select(col("id"), col("k"),
+              (lit(100) * col("id") + lit(c1)).as("v"),
+              col("d"), col("dec"), col("s"))
+            .withColumn("op_flag", lit("update")), "id")
+        val srcFinal = "SELECT id, k, CASE WHEN id % 3 = 0 THEN " +
+          s"100 * id + $c1 ELSE CASE WHEN id % 2 = 0 THEN 10 * id + $c0 " +
+          "ELSE v END END AS v, d, dec, s FROM l"
+        val dstFinal = s"SELECT * FROM ($atClone) WHERE NOT id % 3 = 0"
+        val out = MergeTable.read(s, src).select(payload.map(col): _*)
+          .withColumn("side", lit("src"))
+          .unionByName(MergeTable.read(s, dst).select(payload.map(col): _*)
+            .withColumn("side", lit("clone")))
+        Gen(out,
+          s"SELECT *, 'src' AS side FROM ($srcFinal) UNION ALL " +
+            s"SELECT *, 'clone' AS side FROM ($dstFinal)",
+          "mt_clone_diverge")
 
       case 28 => // the salted skew join vs a PLAIN inner join: the
         // hot/cold decomposition (broadcast hot set, salt×explode the hot

@@ -540,6 +540,38 @@ object ScaleCheck {
       }
     }
 
+    // DELETE(ids) at mult x (r17, VERDICT r16 task 2): delete cost must
+    // track the VICTIMS' partitions, never the corpus — the `_docmap`
+    // reverse map turns "find the victims' rows" into a pruned read, so
+    // a FIXED victim count across mults keeps the delete line ~flat
+    // (modulo the touched-partition fraction) while the build line grows
+    // with the corpus. Compare both lines across mult values.
+    if (want("index_delete")) {
+      val root = java.nio.file.Files.createTempDirectory("scale_idxdel")
+      graft.util.Cleanup.registerTempDir(root)
+      val idxDir = s"$root/idx"; val lshDir = s"$root/lsh"
+      time(s"index_delete_build_${nDocs}_docs", nDocs) {
+        text.TextAnalysis.writeIndexLayout(docs, "doc_id", col("text"),
+          idxDir, 16)
+      }
+      // fixed 64-victim set regardless of mult (base-copy ids only, so
+      // the set exists at every mult)
+      val victims = model.Tables.documents(spark, d)
+        .select(col("doc_id")).orderBy(col("doc_id")).limit(64)
+        .transform(graft.util.Cleanup.checkpoint(_))
+      val nVict = victims.count()
+      time(s"index_delete_text_${nVict}_victims", nVict) {
+        text.TextAnalysis.indexDeleteLayout(spark, idxDir, victims,
+          "doc_id", 16)
+      }
+      time(s"index_delete_lsh_build_${nDocs}_docs", nDocs) {
+        dedup.Dedup.writeLshIndex(docs, "doc_id", col("text"), lshDir)
+      }
+      time(s"index_delete_lsh_${nVict}_victims", nVict) {
+        dedup.Dedup.lshIndexDelete(spark, lshDir, victims, "doc_id")
+      }
+    }
+
     // The MergeTable claim to verify at scale: commit cost follows the
     // DELTA, not the table. Build a mult-scaled table once, then commit a
     // FIXED-size delta (the sf0.1-sized slice) against it — if merges read

@@ -636,6 +636,48 @@ object SparkEntry {
     }
   }
 
+  /** Every query whose first run on a COLD /tmp pays a one-time
+    * marker-memoized fixture build (at-rest layouts, streamed ingest
+    * states, the partsupp derivation) — the construction is input
+    * preparation, not what the query measures. Bench runs these ONCE in
+    * its untimed warmup (VERDICT r16 task 1a: the driver's r16 artifact
+    * charged q94/q140/q151/q170/q200/q201/q202's builds to their timed
+    * first runs on a cold host, inflating the suite 3×); Verify needs no
+    * special handling (it is not timed). Kept in ONE place so a new
+    * memoized fixture must be registered here to stay honest. */
+  val fixtureBuildingQueries: Seq[String] = Seq(
+    "q94_ann_ivf", "q140_ann_ivfpq", "q151_ann_upsert", "q170_ann_recluster",
+    "q172_sql_q2_partsupp", "q173_sql_q11_partsupp",
+    "q200_stream_lsh_ingest", "q201_stream_ivf_ingest", "q202_bm25_index",
+    "q204_index_delete", "q205_lsh_index_delete", "q206_winnow_index_delete",
+    "q207_simhash_index_delete")
+
+  /** Force every memoized fixture build (marker-on-disk AND process-shared)
+    * so nothing one-time lands inside a timed window: the marker-memoized
+    * queries above run once end-to-end (their SECOND run is the timed
+    * one), and the process-shared MergeTable bases (dmlBaseCopy /
+    * ordersMergeTableShared) build their shared masters. Failures are
+    * swallowed — a genuinely broken query must fail (and be timed as
+    * failed) in the measured suite, not vanish in warmup. */
+  def warmFixtures(s: SparkSession, d: String): Unit = {
+    try ensurePartsupp(s, d) catch { case _: Throwable => () }
+    try { ordersMergeTableShared(s, d); () } catch { case _: Throwable => () }
+    Seq(("dml_base_lt3", Seq(0, 1, 2), false),
+        ("dml_base_013", Seq(0, 1, 3), false),
+        ("dml_base_ck", Seq(0, 1, 2), true)).foreach { case (tag, m7, ck) =>
+      try { dmlBaseCopy(s, d, tag, m7, ck); () }
+      catch { case _: Throwable => () }
+    }
+    fixtureBuildingQueries.foreach { name =>
+      try materializeOrdered(queries(name)(s, d))
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    // release warmup scratch so the timed suite starts from the same
+    // storage/broadcast state a warm-host run would
+    graft.util.Cleanup.drain()
+  }
+
   /** 180 queries, numbered q01-q181: q19 was never assigned (a round-2
     * numbering skip, kept to preserve every already-recorded artifact's
     * query ids). */
@@ -3543,6 +3585,132 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ⊕A53 DELETE(ids) against the at-rest inverted index (r17 — VERDICT
+    // r16 task 2): every 7th doc leaves the index through
+    // indexDeleteLayout (postings out of exactly the _docmap-located
+    // buckets, df re-aggregated, doc-store rows gone so N/avg-length
+    // SHRINK), then the same BM25 point search as q202 runs against the
+    // maintained layout. The oracle recomputes BM25 from raw text over
+    // the SURVIVING docs only — the hash match proves the delete left
+    // df/tf/len/N exactly as a rebuild-without-victims would.
+    "q204_index_delete" -> ((s, d) => {
+      def t6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)
+      val docs = t(s, d, "documents")
+      val dir = sharedFixture("bm25_del", d) { base =>
+        TextAnalysis.writeIndexLayout(docs, "doc_id", col("text"),
+          s"$base/idx", 16)
+        TextAnalysis.indexDeleteLayout(s, s"$base/idx",
+          docs.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+        ()
+      } + "/idx"
+      TextAnalysis.bm25SearchLayout(s, dir, Seq("vector", "query", "join"))
+        .select(col("doc_id"), t6(col("bm25")).as("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ⊕K7 × ⊕K8 × ⊕A53 CDC-DRIVEN INDEX MAINTENANCE (r17 — the loop
+    // closed): a document MergeTable takes an UPDATE merge, a soft
+    // DELETE, and an INSERT merge after the index's baseline snapshot;
+    // the cdcIndexFollow streaming follower derives each window from the
+    // INDEX's own recorded batchId, pulls it via changesBetween, and
+    // applies both verbs in one exactly-once indexApplyLayout commit.
+    // The output is the same BM25 point search as q202 against the
+    // followed index; the oracle recomputes BM25 from the table's FINAL
+    // logical state expressed over raw documents — updates re-scored,
+    // deletes out of N, inserts in.
+    "q208_cdc_index_follow" -> ((s, d) => {
+      def t6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)
+      val docs = t(s, d, "documents")
+      val dir = sharedFixture("cdc_idx", d) { base =>
+        val tdir = s"$base/t"
+        // v0: the whole corpus — the index's baseline snapshot
+        graft.layout.MergeTable.merge(s, tdir,
+          docs.select(col("doc_id"), col("text"))
+            .withColumn("op_flag", lit("create")), "doc_id", numBuckets = 8)
+        TextAnalysis.writeIndexLayout(
+          docs.select(col("doc_id"), col("text")), "doc_id", col("text"),
+          s"$base/idx", 16)
+        // v1: UPDATE — every 7th doc's text reverses
+        graft.layout.MergeTable.merge(s, tdir,
+          docs.filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id"), reverse(col("text")).as("text"))
+            .withColumn("op_flag", lit("update")), "doc_id")
+        // v2: soft DELETE — every 5th doc leaves the table
+        graft.layout.MergeTable.softDelete(s, tdir, col("doc_id") % 5 === 0)
+        // v3: INSERT — every 3rd doc re-enters under a shifted id
+        graft.layout.MergeTable.merge(s, tdir,
+          docs.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+            .withColumn("op_flag", lit("create")), "doc_id")
+        graft.streaming.EventStreams.cdcIndexFollow(s, tdir, s"$base/idx")
+        ()
+      } + "/idx"
+      TextAnalysis.bm25SearchLayout(s, dir, Seq("vector", "query", "join"))
+        .select(col("doc_id"), t6(col("bm25")).as("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ⊕J25 DELETE(ids) against the at-rest LSH ingest index (r17): the
+    // index holds ALL docs, every 5th doc is deleted, then the SAME texts
+    // re-ingest under shifted ids (doc_id + 1000000). The probe pairs
+    // must be exactly corpus(%5≠0) × shifted-batch band collisions — if
+    // the delete left any victim row behind, the victim's ORIGINAL id
+    // would collide with its own shifted twin and surface as an extra
+    // pair the oracle (which recomputes collisions from raw text over
+    // the surviving split) does not contain.
+    "q205_lsh_index_delete" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = sharedFixture("lsh_del", d) { fx =>
+        Dedup.writeLshIndex(docs, "doc_id", col("text"), s"$fx/idx")
+        Dedup.lshIndexDelete(s, s"$fx/idx",
+          docs.filter(col("doc_id") % 5 === 0).select("doc_id"), "doc_id")
+        Dedup.lshIndexUpsert(s, s"$fx/idx",
+            docs.filter(col("doc_id") % 5 === 0)
+              .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+            "doc_id", col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/pairs")
+      }
+      s.read.parquet(s"$base/pairs").orderBy(col("a"), col("b"))
+    }),
+
+    // ⊕J26 DELETE(ids) against the at-rest winnowing index (r17) — the
+    // q205 proof shape at the fingerprint tier. The df-cap recomputes
+    // over the SURVIVORS ∪ batch (exact, partition-contained), so a
+    // leaked victim row would ALSO shift document frequencies — the
+    // oracle catches both leak modes.
+    "q206_winnow_index_delete" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = sharedFixture("winnow_del", d) { fx =>
+        Dedup.writeWinnowIndex(docs, "doc_id", col("text"), s"$fx/idx")
+        Dedup.winnowIndexDelete(s, s"$fx/idx",
+          docs.filter(col("doc_id") % 5 === 0).select("doc_id"), "doc_id")
+        Dedup.winnowIndexUpsert(s, s"$fx/idx",
+            docs.filter(col("doc_id") % 5 === 0)
+              .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+            "doc_id", col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/pairs")
+      }
+      s.read.parquet(s"$base/pairs").orderBy(col("a"), col("b"))
+    }),
+
+    // ⊕J27 DELETE(ids) against the at-rest SimHash index (r17) — the
+    // q205 proof shape at the Hamming tier (pigeonhole-lossless, so the
+    // oracle brute-recomputes the cross join exactly).
+    "q207_simhash_index_delete" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = sharedFixture("simhash_del", d) { fx =>
+        Dedup.writeSimhashIndex(docs, "doc_id", col("text"), s"$fx/idx")
+        Dedup.simhashIndexDelete(s, s"$fx/idx",
+          docs.filter(col("doc_id") % 5 === 0).select("doc_id"), "doc_id")
+        Dedup.simhashIndexUpsert(s, s"$fx/idx",
+            docs.filter(col("doc_id") % 5 === 0)
+              .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+            "doc_id", col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/pairs")
+      }
+      s.read.parquet(s"$base/pairs").orderBy(col("a"), col("b"))
+    }),
+
     // ⊕ hybrid retrieval (r16): BM25 keyword relevance fused with
     // embedding-cosine ANN by reciprocal-rank fusion — the standard RAG
     // retrieval stack composed from the engine's own tiers. Each side
@@ -4991,6 +5159,85 @@ object SparkEntry {
          |    (t.tf + 1.2 * (0.25 + 0.75 * l.len / c.avglen)) ) * 1e6) / 1e6 AS bm25
          |FROM tf t JOIN dfs d USING (tok) JOIN lens l USING (doc_id), consts c
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // q204: BM25 over the SURVIVING corpus only — N, avg length, df, tf
+    // all recomputed from raw text with the deleted docs absent; the
+    // layout search must match exactly (delete ≡ rebuild-without-victims)
+    "q204_index_delete" ->
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') ws
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |lens AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS len FROM w),
+         |consts AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avglen FROM lens),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM w)
+         |  WHERE tok IN ('vector', 'query', 'join') GROUP BY 1, 2),
+         |dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+         |SELECT t.doc_id,
+         |  floor(sum( ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2 /
+         |    (t.tf + 1.2 * (0.25 + 0.75 * l.len / c.avglen)) ) * 1e6) / 1e6 AS bm25
+         |FROM tf t JOIN dfs d USING (tok) JOIN lens l USING (doc_id), consts c
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // q208: BM25 over the table's FINAL logical state — updates applied,
+    // deletes absent from N, inserts present under their shifted ids
+    "q208_cdc_index_follow" ->
+      s"""WITH fin AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END AS text
+         |  FROM documents WHERE doc_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+         |w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') ws FROM fin),
+         |lens AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS len FROM w),
+         |consts AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avglen FROM lens),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM w)
+         |  WHERE tok IN ('vector', 'query', 'join') GROUP BY 1, 2),
+         |dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+         |SELECT t.doc_id,
+         |  floor(sum( ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2 /
+         |    (t.tf + 1.2 * (0.25 + 0.75 * l.len / c.avglen)) ) * 1e6) / 1e6 AS bm25
+         |FROM tf t JOIN dfs d USING (tok) JOIN lens l USING (doc_id), consts c
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // q205: band collisions between the surviving corpus and the shifted
+    // re-ingest batch — recomputed from raw text, so any leaked victim
+    // row in the engine surfaces as an extra pair
+    "q205_lsh_index_delete" ->
+      s"""WITH $wordsCte, $shinglesCte, $sigCte, $bandCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id + 1000000 AS b
+         |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0)
+         |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
+
+    // q206: the q193 algebra over (survivors ∪ shifted batch) — the
+    // df-cap window sees exactly what the engine's probed partitions see
+    "q206_winnow_index_delete" ->
+      s"""$winnowCte,
+         |e0 AS (SELECT doc_id, unnest(fps) AS fp FROM fset),
+         |e AS (SELECT CASE WHEN doc_id % 5 = 0 THEN doc_id + 1000000 ELSE doc_id END AS doc_id, fp FROM e0),
+         |rare AS (SELECT doc_id, fp FROM (
+         |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM e)
+         |  WHERE df <= 10)
+         |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+         |FROM rare x JOIN rare y ON x.fp = y.fp
+         |WHERE x.doc_id < 1000000 AND y.doc_id >= 1000000
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a, b""".stripMargin,
+
+    // q207: the q195 brute Hamming cross join with the batch ids shifted
+    "q207_simhash_index_delete" -> {
+      val dist = (1 to 16).map(i =>
+        s"(CASE WHEN substring(a.sh, $i, 1) <> substring(b.sh, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $wordsCte, $hashedWordsCte,
+         |sims AS (SELECT doc_id, $simhashSql AS sh FROM hw),
+         |corpus AS (SELECT * FROM sims WHERE doc_id % 5 <> 0),
+         |batch AS (SELECT doc_id + 1000000 AS doc_id, sh FROM sims WHERE doc_id % 5 = 0)
+         |SELECT a.doc_id AS a, b.doc_id AS b, CAST($dist AS BIGINT) AS dist
+         |FROM corpus a CROSS JOIN batch b
+         |WHERE $dist <= 2
+         |ORDER BY a, b""".stripMargin
+    },
 
     // q199: BM25 (smoothed Lucene idf, k1=1.2, b=0.75) + cosine top-50,
     // fused by 1/(60+rank) — scores floor-truncated to 6dp before ranking

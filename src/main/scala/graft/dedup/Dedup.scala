@@ -613,6 +613,89 @@ object Dedup {
       .withColumn("lb", pmod(hash(col("band"), col("bucket")), lit(partitions)))
   }
 
+  // ---- id → index-partition reverse map ("_docmap", r17) -------------------
+  // Every dedup ingest index keeps a tiny doc store beside its rows: one
+  // (id, pb) row per index partition holding that id's rows, hive-
+  // partitioned by dm = hash(id) mod partitions. Without it, DELETE(ids)
+  // cannot find the partitions holding a victim's rows short of scanning
+  // the whole index (a doc's band/fingerprint partitions are functions of
+  // its TEXT, which a delete no longer has) — the same reason the ⊕A53
+  // inverted-index layout keeps its doc store (VERDICT r16 task 2). The
+  // map rides the SAME LayoutTxn commit as the index rows, so the two can
+  // never diverge under a crash or a racing writer.
+  private val DedupDocMap = "_docmap"
+
+  private def dedupDocMapRows(rows: DataFrame, idCol: String, pCol: String,
+                              partitions: Int): DataFrame =
+    rows.select(col(idCol), col(pCol).cast("int").as("pb")).distinct()
+      .withColumn("dm", pmod(hash(col(idCol)), lit(partitions)))
+
+  private def hasDocMap(dir: String): Boolean =
+    new java.io.File(dir, DedupDocMap).isDirectory ||
+      graft.layout.LayoutTxn.resolve(dir, DedupDocMap, "dm").nonEmpty
+
+  /** The `_docmap` append group for one ingested batch — absent on
+    * indexes written before r17 (no reverse map → no delete support;
+    * upserts still work and skip the map rather than maintaining a
+    * silently INCOMPLETE one, which would make later deletes miss rows). */
+  private def docMapAppendGroup(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, newRows: DataFrame,
+                                idCol: String, pCol: String,
+                                partitions: Int)
+      : Option[graft.layout.LayoutTxn.Group] = {
+    if (!hasDocMap(dir)) return None
+    val nm = dedupDocMapRows(newRows, idCol, pCol, partitions)
+    val touched = nm.select("dm").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val existing = graft.layout.LayoutTxn.readLayout(spark, dir, DedupDocMap,
+      "dm", Some(touched.map(b => s"dm=$b").toSet))
+    Some(graft.layout.LayoutTxn.Group(DedupDocMap,
+      existing.select(col(idCol), col("pb"), col("dm")).unionByName(nm),
+      "dm", Seq("pb", idCol), touched.map(b => s"dm=$b")))
+  }
+
+  /** DELETE(ids) against an at-rest dedup index (⊕J25/⊕J26/⊕J27 — VERDICT
+    * r16 task 2), shared machinery: the victims' `dm=` reverse-map
+    * partitions are read (driver-pruned) to locate exactly the index
+    * partitions holding their rows; those partitions are rewritten minus
+    * the victims and the victims' map rows are removed — BOTH subtrees in
+    * ONE LayoutTxn commit. Cost follows the victims' partitions, never
+    * the corpus; a partition emptied by the delete is recorded as a
+    * deletion and leaves the snapshot (physical reclamation by begin()'s
+    * two-phase sweep). Returns the touched index partition ids. */
+  private def dedupIndexDelete(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, victims: DataFrame, idCol: String,
+                               pCol: String, partitions: Int,
+                               sortCols: Seq[String],
+                               txnGraceMs: Long): Seq[Int] = {
+    require(hasDocMap(dir),
+      s"index at $dir has no $DedupDocMap reverse map (written before " +
+        "delete support) — rebuild it with the index writer to enable " +
+        "DELETE(ids)")
+    val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
+    val ids = victims.select(col(idCol)).distinct()
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val dmTouched = ids
+      .select(pmod(hash(col(idCol)), lit(partitions)).as("dm")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val dmAll = graft.layout.LayoutTxn.readLayout(spark, dir, DedupDocMap,
+      "dm", Some(dmTouched.map(b => s"dm=$b").toSet))
+    val pbTouched = dmAll.join(ids, Seq(idCol), "left_semi")
+      .select("pb").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (pbTouched.isEmpty) return Seq.empty // no victim has indexed rows
+    val survivors = graft.layout.LayoutTxn.readLayout(spark, dir, "", pCol,
+        Some(pbTouched.map(b => s"$pCol=$b").toSet))
+      .join(ids, Seq(idCol), "left_anti")
+    val dmSurvivors = dmAll.join(ids, Seq(idCol), "left_anti")
+      .select(col(idCol), col("pb"), col("dm"))
+    graft.layout.LayoutTxn.commit(spark, dir, parent, Seq(
+      graft.layout.LayoutTxn.Group("", survivors, pCol, sortCols,
+        pbTouched.map(b => s"$pCol=$b")),
+      graft.layout.LayoutTxn.Group(DedupDocMap, dmSurvivors, "dm",
+        Seq("pb", idCol), dmTouched.map(b => s"dm=$b"))))
+    pbTouched
+  }
+
   /** AT-REST LSH index for INCREMENTAL near-dup ingest dedup (⊕J8 × ⊕K10):
     * the corpus's minhash band buckets written hive-partitioned by
     * `lb = hash(band, bucket) mod partitions`. A new batch then probes
@@ -620,15 +703,21 @@ object Dedup {
     * — [[incrementalDedup]]'s bounded-ingest discipline upgraded from
     * exact-hash to NEAR-dup. At 100 TB the index is |corpus| × bands tiny
     * rows (id, band, 8-16 hex chars ×rowsPerBand), a small fraction of the
-    * corpus, and the probe cost follows the BATCH's band keys. */
+    * corpus, and the probe cost follows the BATCH's band keys. A `_docmap`
+    * reverse map (id → lb) written beside the rows makes
+    * [[lshIndexDelete]] possible (r17). */
   def writeLshIndex(docs: DataFrame, idCol: String, text: Column,
                     dir: String, numHashes: Int = 8, bands: Int = 4,
                     partitions: Int = 16, k: Int = 3): Unit = {
     require(numHashes % bands == 0, s"numHashes $numHashes % bands $bands != 0")
+    val rows = lshBandRows(minhashSignature(docs, idCol, text, numHashes, k),
+        idCol, bands, numHashes / bands, partitions)
+      .transform(graft.util.Cleanup.checkpoint(_))
     graft.layout.DataLayout.writePartitionedSorted(
-      lshBandRows(minhashSignature(docs, idCol, text, numHashes, k),
-        idCol, bands, numHashes / bands, partitions),
-      dir, Seq("lb"), Seq("band", "bucket", idCol))
+      rows, dir, Seq("lb"), Seq("band", "bucket", idCol))
+    graft.layout.DataLayout.writePartitionedSorted(
+      dedupDocMapRows(rows, idCol, "lb", partitions),
+      s"$dir/$DedupDocMap", Seq("dm"), Seq("pb", idCol))
     // the index's parameters are LAYOUT facts: a probe with different
     // hashing/banding/partitioning would silently miss everything, so
     // they are persisted with the index and lshIndexUpsert reads them
@@ -689,11 +778,28 @@ object Dedup {
                      txnGraceMs: Long = 600000L): DataFrame = {
     val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
     val p = lshProbe(spark, dir, newDocs, idCol, text, maxBucketSize)
+    val (_, _, partitions, _) = readLshMeta(dir)
     // append the batch into exactly the touched partitions; the pair plan
-    // above reads the PRE-commit snapshot (immutable dirs) either way
+    // above reads the PRE-commit snapshot (immutable dirs) either way.
+    // The _docmap reverse map rides the same commit (r17, delete support).
     graft.layout.LayoutTxn.commit(spark, dir, parent,
-      Seq(p.indexGroup(idCol)))
+      Seq(p.indexGroup(idCol)) ++
+        docMapAppendGroup(spark, dir, p.newRows, idCol, "lb", partitions))
     p.pairs
+  }
+
+  /** DELETE(ids) from a [[writeLshIndex]] directory (⊕J25, r17): removes
+    * the victims' band rows AND their reverse-map rows in one commit,
+    * rewriting only the `lb=` partitions the `_docmap` locates. After the
+    * delete, probes can never return a victim as a candidate `a` — the
+    * maintained index equals one rebuilt without the victims
+    * (LshIndexDeleteSpec). Returns the touched `lb` partition ids. */
+  def lshIndexDelete(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     victims: DataFrame, idCol: String,
+                     txnGraceMs: Long = 600000L): Seq[Int] = {
+    val (_, _, partitions, _) = readLshMeta(dir)
+    dedupIndexDelete(spark, dir, victims, idCol, "lb", partitions,
+      Seq("band", "bucket", idCol), txnGraceMs)
   }
 
   private case class LshProbe(newRows: DataFrame, touched: Seq[Int],
@@ -752,14 +858,27 @@ object Dedup {
                      batchId: Long, maxBucketSize: Int = 10000,
                      txnGraceMs: Long = 600000L): Unit = {
     if (batchId >= 0 && graft.layout.LayoutTxn.lastBatchId(dir) >= batchId)
-      return // replay: both the index and the pair log already have it
+      return // fast path: the PUBLISHED state already has it
     val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
+    // The authoritative replay check runs AFTER begin(): lastBatchId reads
+    // only the published version state, so a commit that crashed between
+    // its claim CAS and its publish is invisible to the pre-check — begin
+    // rolls that claim forward, and only THEN is the published batchId
+    // trustworthy. Guarding only before begin would re-commit the rolled-
+    // forward batch on top of itself: duplicate band rows, and the batch
+    // colliding with itself in `existing` (ADVICE r16, high).
+    if (batchId >= 0 && graft.layout.LayoutTxn.lastBatchId(dir) >= batchId)
+      return // the claimed-but-unpublished commit was just rolled forward
     val p = lshProbe(spark, dir, batch, idCol, text, maxBucketSize)
+    val (_, _, partitions, _) = readLshMeta(dir)
+    // index rows + pair log + _docmap reverse map: ONE commit (r17 adds
+    // the map so lshIndexDelete can locate a victim's partitions)
     graft.layout.LayoutTxn.commit(spark, dir, parent, Seq(
       p.indexGroup(idCol),
       graft.layout.LayoutTxn.Group("pairs",
         p.pairs.withColumn("batch", lit(batchId)),
-        "batch", Seq("a", "b"), Seq(s"batch=$batchId"))),
+        "batch", Seq("a", "b"), Seq(s"batch=$batchId"))) ++
+        docMapAppendGroup(spark, dir, p.newRows, idCol, "lb", partitions),
       batchId = batchId)
     ()
   }
@@ -794,11 +913,16 @@ object Dedup {
   def writeWinnowIndex(docs: DataFrame, idCol: String, text: Column,
                        dir: String, k: Int = 8, w: Int = 4,
                        partitions: Int = 16): Unit = {
+    val rows = docs.select(col(idCol),
+        explode(TextAnalysis.winnowFingerprints(text, k, w)).as("fp"))
+      .withColumn("fb", pmod(hash(col("fp")), lit(partitions)))
+      .transform(graft.util.Cleanup.checkpoint(_))
     graft.layout.DataLayout.writePartitionedSorted(
-      docs.select(col(idCol),
-          explode(TextAnalysis.winnowFingerprints(text, k, w)).as("fp"))
-        .withColumn("fb", pmod(hash(col("fp")), lit(partitions))),
-      dir, Seq("fb"), Seq("fp", idCol))
+      rows, dir, Seq("fb"), Seq("fp", idCol))
+    // id → fb reverse map for winnowIndexDelete (r17)
+    graft.layout.DataLayout.writePartitionedSorted(
+      dedupDocMapRows(rows, idCol, "fb", partitions),
+      s"$dir/$DedupDocMap", Seq("dm"), Seq("pb", idCol))
     val pr = new java.util.Properties()
     pr.setProperty("k", k.toString)
     pr.setProperty("w", w.toString)
@@ -858,8 +982,29 @@ object Dedup {
     graft.layout.LayoutTxn.commit(spark, dir, parent, Seq(
       graft.layout.LayoutTxn.Group("",
         existing.select(col(idCol), col("fp"), col("fb")).unionByName(newRows),
-        "fb", Seq("fp", idCol), touched.map(b => s"fb=$b"))))
+        "fb", Seq("fp", idCol), touched.map(b => s"fb=$b"))) ++
+        docMapAppendGroup(spark, dir, newRows, idCol, "fb", partitions))
     pairs
+  }
+
+  /** DELETE(ids) from a [[writeWinnowIndex]] directory (⊕J26, r17): the
+    * victims' fingerprint rows and reverse-map rows leave in one commit,
+    * rewriting only the `fb=` partitions the `_docmap` locates. The
+    * df-cap exactness claim is untouched: a fingerprint's every
+    * occurrence still shares one partition, so post-delete probes compute
+    * document frequency over exactly the surviving corpus. Returns the
+    * touched `fb` partition ids. */
+  def winnowIndexDelete(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, victims: DataFrame, idCol: String,
+                        txnGraceMs: Long = 600000L): Seq[Int] = {
+    val p = java.nio.file.Paths.get(dir, WinnowMeta)
+    require(java.nio.file.Files.exists(p),
+      s"no winnowing index metadata at $dir — writeWinnowIndex first")
+    val pr = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(p)
+    try pr.load(in) finally in.close()
+    dedupIndexDelete(spark, dir, victims, idCol, "fb",
+      pr.getProperty("partitions").toInt, Seq("fp", idCol), txnGraceMs)
   }
 
   private val SimhashMeta = "_simhash_meta"
@@ -892,9 +1037,14 @@ object Dedup {
   def writeSimhashIndex(docs: DataFrame, idCol: String, text: Column,
                         dir: String, maxDist: Int = 2,
                         partitions: Int = 16): Unit = {
+    val rows = simhashIndexRows(docs, idCol, text, maxDist, partitions)
+      .transform(graft.util.Cleanup.checkpoint(_))
     graft.layout.DataLayout.writePartitionedSorted(
-      simhashIndexRows(docs, idCol, text, maxDist, partitions),
-      dir, Seq("sb"), Seq("band", "bval", idCol))
+      rows, dir, Seq("sb"), Seq("band", "bval", idCol))
+    // id → sb reverse map for simhashIndexDelete (r17)
+    graft.layout.DataLayout.writePartitionedSorted(
+      dedupDocMapRows(rows, idCol, "sb", partitions),
+      s"$dir/$DedupDocMap", Seq("dm"), Seq("pb", idCol))
     // layout facts persisted with the index (the _lsh_meta discipline): a
     // probe with different banding/partitioning would silently miss
     val pr = new java.util.Properties()
@@ -962,8 +1112,29 @@ object Dedup {
         existing.select(col(idCol), col("sh"), col("band"), col("bval"),
             col("sb"))
           .unionByName(newRows),
-        "sb", Seq("band", "bval", idCol), touched.map(b => s"sb=$b"))))
+        "sb", Seq("band", "bval", idCol), touched.map(b => s"sb=$b"))) ++
+        docMapAppendGroup(spark, dir, newRows, idCol, "sb", partitions))
     pairs
+  }
+
+  /** DELETE(ids) from a [[writeSimhashIndex]] directory (⊕J27, r17): the
+    * victims' pigeonhole band rows and reverse-map rows leave in one
+    * commit, rewriting only the `sb=` partitions the `_docmap` locates.
+    * The pigeonhole losslessness is untouched — it is a per-pair
+    * property of the banding, not of corpus membership. Returns the
+    * touched `sb` partition ids. */
+  def simhashIndexDelete(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, victims: DataFrame, idCol: String,
+                         txnGraceMs: Long = 600000L): Seq[Int] = {
+    val p = java.nio.file.Paths.get(dir, SimhashMeta)
+    require(java.nio.file.Files.exists(p),
+      s"no SimHash index metadata at $dir — writeSimhashIndex first")
+    val pr = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(p)
+    try pr.load(in) finally in.close()
+    dedupIndexDelete(spark, dir, victims, idCol, "sb",
+      pr.getProperty("partitions").toInt, Seq("band", "bval", idCol),
+      txnGraceMs)
   }
 
   /** Winnowing-fingerprint near-dup candidates (the rolling-hash tier of

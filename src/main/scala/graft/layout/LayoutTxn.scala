@@ -226,13 +226,10 @@ object LayoutTxn {
     f.delete(); ()
   }
 
-  private def writeAtomic(dir: String, pr: Properties, target: Path): Unit = {
-    val tmp = Files.createTempFile(Paths.get(dir), "_ltxn_tmp_", "")
-    val out = Files.newOutputStream(tmp)
-    try pr.store(out, "graft layout commit") finally out.close()
-    Files.move(tmp, target,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  // the atomic-pointer-swap primitive, via the StoreOps seam (r17): see
+  // StoreOps' scaladoc for the object-store conditional-put mapping
+  private def writeAtomic(dir: String, pr: Properties, target: Path): Unit =
+    StoreOps.atomicSwap(dir, pr, "graft layout commit", target)
 
   /** Publish a claimed commit: whole-stage rename to `_lv<n>` + version
     * file swap with the updated maps. Every step idempotent and atomic,
@@ -422,18 +419,14 @@ object LayoutTxn {
       pr.setProperty(s"group.$i.dels",
         g.touched.filterNot(present.contains).mkString(","))
     }
-    // the CAS: publish the immutable claim, exactly one winner per parent
-    val tmp = Files.createTempFile(Paths.get(dir), "_ltxn_tmp_", "")
-    val out = Files.newOutputStream(tmp)
-    try pr.store(out, "graft layout commit") finally out.close()
-    try Files.createLink(claimPath(dir, newV), tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        deleteRecursively(new java.io.File(dir, stage))
-        throw new ConflictException(dir, newV,
-          s"was committed by another writer (expected parent $parent)")
-    } finally Files.deleteIfExists(tmp)
+    // the CAS, via the StoreOps seam: publish the immutable claim,
+    // exactly one winner per parent
+    if (!StoreOps.casPublish(dir, pr, "graft layout commit",
+        claimPath(dir, newV))) {
+      deleteRecursively(new java.io.File(dir, stage))
+      throw new ConflictException(dir, newV,
+        s"was committed by another writer (expected parent $parent)")
+    }
     finish(dir, pr)
     newV
   }

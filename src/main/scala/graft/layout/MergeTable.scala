@@ -507,27 +507,19 @@ object MergeTable {
   private def commitTs(prior: Option[Manifest]): Long =
     math.max(System.currentTimeMillis(), prior.map(_.ts + 1).getOrElse(0L))
 
-  private def writeAtomic(dir: String, p: Properties, target: Path): Unit = {
-    val tmp = Files.createTempFile(Paths.get(dir), "_commit_tmp_", "")
-    val out = Files.newOutputStream(tmp)
-    try p.store(out, "graft MergeTable manifest") finally out.close()
-    Files.move(tmp, target,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  // the atomic-pointer-swap primitive, via the StoreOps seam (r17): see
+  // StoreOps' scaladoc for the object-store conditional-put mapping
+  private def writeAtomic(dir: String, p: Properties, target: Path): Unit =
+    StoreOps.atomicSwap(dir, p, "graft MergeTable manifest", target)
 
   private def commit(dir: String, m: Manifest, stageDir: Option[String]): Unit = {
     val pr = props(m, stageDir)
     val history = Paths.get(dir, s"_manifest_v${m.version}")
-    val tmp = Files.createTempFile(Paths.get(dir), "_commit_tmp_", "")
-    val out = Files.newOutputStream(tmp)
-    try pr.store(out, "graft MergeTable manifest") finally out.close()
-    try Files.createLink(history, tmp)          // the CAS: one winner per version
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        stageDir.foreach(s => deleteRecursively(new java.io.File(dir, s)))
-        throw new ConflictException(dir, m.version)
-    } finally Files.deleteIfExists(tmp)
+    // the CAS, via the StoreOps seam: one winner per version
+    if (!StoreOps.casPublish(dir, pr, "graft MergeTable manifest", history)) {
+      stageDir.foreach(s => deleteRecursively(new java.io.File(dir, s)))
+      throw new ConflictException(dir, m.version)
+    }
     finishCommit(dir, pr)
   }
 
@@ -1422,6 +1414,10 @@ object MergeTable {
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"key '$k' not in schema ${schema.fieldNames.mkString(", ")}"))
     Files.createDirectories(Paths.get(dir))
+    // probe ONCE at the door: the commit CAS stands on fail-if-exists
+    // hard links — a filesystem without them must fail table creation
+    // loudly, not the first merge mid-write (VERDICT r16 task 4)
+    StoreOps.requireHardLinks(Paths.get(dir), "CREATE TABLE")
     recover(dir)
     require(readManifest(dir).isEmpty, s"a MergeTable already exists at $dir")
     val identityProj = schema.fieldNames.toSeq.map(n => n -> n).toMap
@@ -1736,13 +1732,44 @@ object MergeTable {
     * either side's vacuum deletes only its OWN links (the inode lives
     * until its last link goes). Same-filesystem linking is attempted
     * first; a cross-device clone falls back to per-file copy. Fails if
-    * `dstDir` already holds a table; a crashed clone leaves no manifest
-    * (readers see "no table") and re-running is idempotent. Returns the
-    * cloned version number (the src head's). */
+    * `dstDir` already holds a table; a clone that crashes BEFORE its
+    * history-entry claim leaves no manifest (readers see "no table") and
+    * re-running relinks idempotently, while one that crashes BETWEEN the
+    * claim and the `_latest` swap is rolled FORWARD by the re-run (the
+    * claim is the last step after every link, so finishing the pointer
+    * swap completes the original clone). Returns the cloned version
+    * number (the src head's). */
   def cloneTable(spark: SparkSession, srcDir: String, dstDir: String): Long = {
     recover(srcDir)
     val m = requireManifest(srcDir)
     Files.createDirectories(Paths.get(dstDir))
+    // the dst filesystem must support hard links AT ALL (its own commit
+    // CAS needs them too); cross-DEVICE src→dst still degrades to
+    // per-file copy below — that boundary failure (EXDEV) is orthogonal
+    // to link support (VERDICT r16 task 4 / ADVICE r16 medium)
+    StoreOps.requireHardLinks(Paths.get(dstDir), "CLONE")
+    // A prior clone attempt that crashed between its history-entry CAS
+    // and the `_latest` swap left `_manifest_v<head'>` with NO `_latest`:
+    // the isEmpty gate below would pass but commit()'s CAS would then
+    // conflict forever, and recover() can't heal it (it scans up from
+    // `_latest`+1 = v0; the clone's only history entry is head'). Roll
+    // that claim forward instead — every data link landed before the
+    // claim (the claim is cloneTable's LAST step), so finishing the
+    // pointer swap completes the ORIGINAL clone (of the src head as of
+    // the first attempt), idempotently (ADVICE r16 low).
+    if (readManifest(dstDir).isEmpty) {
+      val pendingClone = Option(new java.io.File(dstDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.matches("_manifest_v\\d+"))
+        .sortBy(_.getName.stripPrefix("_manifest_v").toLong).lastOption
+      pendingClone.foreach { f =>
+        val pr = new Properties()
+        val in = Files.newInputStream(f.toPath)
+        try pr.load(in) finally in.close()
+        finishCommit(dstDir, pr)
+        return pr.getProperty("version").toLong
+      }
+    }
     require(readManifest(dstDir).isEmpty,
       s"a MergeTable already exists at $dstDir — CLONE needs a fresh dir")
     val versions = (m.buckets.values.map(_._1) ++ m.dvs.values.map(_._1))
@@ -1752,15 +1779,7 @@ object MergeTable {
         dst.mkdirs()
         Option(src.listFiles()).getOrElse(Array.empty)
           .foreach(f => linkTree(f, new java.io.File(dst, f.getName)))
-      } else {
-        try Files.createLink(dst.toPath, src.toPath)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => () // re-run
-          case _: UnsupportedOperationException =>
-            Files.copy(src.toPath, dst.toPath,
-              StandardCopyOption.REPLACE_EXISTING); ()
-        }
-      }
+      } else StoreOps.linkOrCopy(dst.toPath, src.toPath)
     versions.toSeq.sorted.foreach { v =>
       val src = new java.io.File(srcDir, s"v$v")
       // a no-data head commit (e.g. a metadata-only alter) has no v-dir

@@ -824,6 +824,84 @@ object EventStreams {
     }
   }
 
+  /** CDC-DRIVEN INDEX MAINTENANCE (r17 — VERDICT r16 task 3, closing the
+    * loop between ⊕K7's CDC and ⊕A53's index maintenance): follow a
+    * document MergeTable's commit history and apply each newly committed
+    * window — inserts/updates as index upserts, deletes as index deletes,
+    * BOTH verbs in the window's ONE
+    * [[graft.text.TextAnalysis.indexApplyLayout]] commit — to an at-rest
+    * inverted-index layout. The [[cdcFollow]] discipline with the INDEX
+    * as the sink:
+    *
+    *   delivered = the index layout's own recorded transactional batchId,
+    *   NOT ticker/checkpoint state —
+    *
+    * so exactly-once needs nothing from the streaming checkpoint: a tick
+    * replayed after a crash, or a follower restarted from scratch,
+    * re-derives `delivered` from the index and the batchId-guarded apply
+    * collapses any double delivery. Contract: the index was built over
+    * the table's version-`fromVersion` SNAPSHOT (0 = the table's first
+    * commit, the common case — for a later baseline, stamp the index
+    * first with an empty `indexApplyLayout(batchId = fromVersion)`).
+    * Returns once `untilVersion` (default: the source's version at call
+    * time) has been applied. */
+  def cdcIndexFollow(spark: SparkSession, tableDir: String, idxDir: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     buckets: Int = 16, pollMs: Long = 100L,
+                     untilVersion: Option[Long] = None,
+                     timeoutMs: Long = 120000L): Unit = {
+    import graft.layout.{LayoutTxn, MergeTable}
+    val target = untilVersion.orElse(MergeTable.currentVersion(tableDir))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cdcIndexFollow: no MergeTable at $tableDir"))
+    val ck = graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft_cdc_idx"))
+      .toString + "/ck"
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", 10).load()
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        deliverIndexWindow(spark, tableDir, idxDir, idCol, textCol, buckets)
+      }
+      .trigger(Trigger.ProcessingTime(s"$pollMs milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (LayoutTxn.lastBatchId(idxDir) < target &&
+        System.currentTimeMillis() < deadline) {
+        q.exception.foreach(throw _) // a dead follower fails loud, not slow
+        Thread.sleep(pollMs)
+      }
+      require(LayoutTxn.lastBatchId(idxDir) >= target,
+        s"cdcIndexFollow: index did not reach source version $target " +
+          s"in ${timeoutMs}ms")
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  /** One index-follower tick: apply (index batchId, source current] if
+    * non-empty. Bounded work: one manifest read + one version-state read
+    * to decide; one changesBetween (touched buckets only) + one
+    * indexApplyLayout (touched tb/dm partitions only) to deliver. */
+  private def deliverIndexWindow(spark: SparkSession, tableDir: String,
+                                 idxDir: String, idCol: String,
+                                 textCol: String, buckets: Int): Unit = {
+    import graft.layout.{LayoutTxn, MergeTable}
+    MergeTable.currentVersion(tableDir).foreach { current =>
+      val delivered = math.max(0L, LayoutTxn.lastBatchId(idxDir))
+      if (current > delivered) {
+        val win = MergeTable.changesBetween(spark, tableDir, delivered,
+            current)
+          .transform(graft.util.Cleanup.checkpoint(_))
+        graft.text.TextAnalysis.indexApplyLayout(spark, idxDir,
+          win.filter(col("op_flag") =!= "delete")
+            .select(col(idCol), col(textCol)),
+          Some(win.filter(col("op_flag") === "delete").select(col(idCol))),
+          idCol, col(textCol), buckets, batchId = current)
+        ()
+      }
+    }
+  }
+
   /** Drive [[graft.dedup.Dedup.lshIngestSink]] over a parquet file
     * directory — one micro-batch per file (maxFilesPerTrigger=1,
     * AvailableNow) — the ⊕K8 harness for the EXACTLY-ONCE streaming

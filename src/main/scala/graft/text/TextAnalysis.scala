@@ -275,7 +275,24 @@ object TextAnalysis {
     * IndexLayoutSpec asserts the PartitionFilters; q166's oracle proves
     * layout+pruned-search ≡ searching a freshly built index. */
   def writeIndexLayout(index: DataFrame, dir: String,
-                       buckets: Int = 16): Unit = {
+                       buckets: Int = 16): Unit =
+    writeIndexLayoutImpl(index, dir, buckets, rawDocs = None)
+
+  /** [[writeIndexLayout]] from the RAW corpus: builds the inverted index
+    * AND a doc store that covers term-less documents too (sentinel rows,
+    * see [[docMapOf]]) — use this form when the corpus may contain empty
+    * documents and [[bm25SearchLayout]] must agree with [[bm25]] over raw
+    * text. The index-only form can't know about docs it never saw; its
+    * doc store defines the corpus as "indexed docs". */
+  def writeIndexLayout(docs: DataFrame, idCol: String, text: Column,
+                       dir: String, buckets: Int): Unit =
+    writeIndexLayoutImpl(invertedIndex(docs, idCol, text), dir, buckets,
+      rawDocs = Some((docs, idCol, text)))
+
+  private def writeIndexLayoutImpl(index: DataFrame, dir: String,
+                                   buckets: Int,
+                                   rawDocs: Option[(DataFrame, String, Column)])
+      : Unit = {
     val bucketed = index.withColumn("tb", termBucket(col("term"), buckets))
       .transform(graft.util.Cleanup.checkpoint(_))
     bucketed.write.partitionBy("tb").mode("overwrite").parquet(dir)
@@ -285,21 +302,40 @@ object TextAnalysis {
     // index. `_`-prefixed, so the layout's own partition discovery skips
     // it; partitioned by a doc bucket so maintenance rewrites only
     // touched dm= dirs.
-    writeDocMap(docMapOf(bucketed, buckets), s"$dir/$DocMapDir")
+    writeDocMap(docMapOf(bucketed, buckets, rawDocs), s"$dir/$DocMapDir")
   }
 
   private val DocMapDir = "_docmap"
   /** The doc store rows: (doc_id, tb) pairs plus the document's LENGTH in
     * words (r16: Σ tf over its postings — what BM25's length
     * normalization needs; keeping it here makes the at-rest index
-    * self-sufficient for RANKED search, no corpus read ever). */
-  private def docMapOf(bucketedIndex: DataFrame, buckets: Int): DataFrame = {
+    * self-sufficient for RANKED search, no corpus read ever).
+    *
+    * When the RAW corpus is available (`rawDocs`), term-less documents
+    * (empty/whitespace-only text — zero postings anywhere) each get ONE
+    * sentinel row (tb = -1, len = 0), so the doc store covers the WHOLE
+    * corpus: [[bm25SearchLayout]]'s N/avg-length then equal [[bm25]] over
+    * the raw docs even for corpora with empty documents (ADVICE r16).
+    * Without raw docs the store necessarily covers indexed docs only —
+    * the index alone cannot know what it never saw. */
+  private def docMapOf(bucketedIndex: DataFrame, buckets: Int,
+                       rawDocs: Option[(DataFrame, String, Column)] = None)
+      : DataFrame = {
     val occ = bucketedIndex.select(col("tb"), explode(col("postings")).as("p"))
       .select(col("p.doc_id").as("doc_id"), col("p.tf").as("tf"), col("tb"))
     val lens = occ.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
-    occ.select(col("doc_id"), col("tb")).distinct()
+    val mapped = occ.select(col("doc_id"), col("tb")).distinct()
       .join(lens, "doc_id")
-      .withColumn("dm", pmod(col("doc_id"), lit(buckets)))
+    val whole = rawDocs match {
+      case None => mapped
+      case Some((docs, idCol, text)) =>
+        val sentinels = docs
+          .filter(size(words(text)) === 0)
+          .select(col(idCol).cast("long").as("doc_id")).distinct()
+          .withColumn("tb", lit(-1L)).withColumn("len", lit(0L))
+        mapped.unionByName(sentinels)
+    }
+    whole.withColumn("dm", pmod(col("doc_id"), lit(buckets)))
   }
   private def writeDocMap(dm: DataFrame, dir: String): Unit = {
     val key = "spark.sql.sources.partitionOverwriteMode"
@@ -341,18 +377,52 @@ object TextAnalysis {
   def indexUpsertLayout(spark: org.apache.spark.sql.SparkSession,
                         layoutDir: String, newDocs: DataFrame, idCol: String,
                         text: Column, buckets: Int = 16,
-                        txnGraceMs: Long = 600000L): Seq[Long] = {
+                        txnGraceMs: Long = 600000L): Seq[Long] =
+    indexApplyLayout(spark, layoutDir, newDocs, None, idCol, text, buckets,
+      txnGraceMs)
+
+  /** Apply ONE mixed change window — upserted docs AND deleted ids — to a
+    * [[writeIndexLayout]] directory in ONE commit (r17, the CDC-follower
+    * shape: a MergeTable window carries both verbs, and applying them in
+    * two commits would leave a crash window where only half the window
+    * landed). `batchId >= 0` records the window's id in the layout's
+    * version state for the exactly-once replay discipline (the q200/q201
+    * contract: a replayed window is skipped WHOLE, with the authoritative
+    * re-check AFTER begin() — ADVICE r16 high). Victims = deleted ids ∪
+    * upserted ids (a replaced doc's old postings leave even for terms its
+    * new text lacks); deleted docs leave the doc store outright (N
+    * shrinks), upserted docs re-enter it (term-less ones as sentinels).
+    * Returns the touched `tb` bucket ids. */
+  def indexApplyLayout(spark: org.apache.spark.sql.SparkSession,
+                       layoutDir: String, newDocs: DataFrame,
+                       deleteIds: Option[DataFrame], idCol: String,
+                       text: Column, buckets: Int = 16,
+                       txnGraceMs: Long = 600000L,
+                       batchId: Long = -1L): Seq[Long] = {
+    if (batchId >= 0 &&
+        graft.layout.LayoutTxn.lastBatchId(layoutDir) >= batchId)
+      return Seq.empty // fast path: the PUBLISHED state already has it
     // roll forward any crashed commit / conflict on a live one BEFORE
     // reading the layout this delta is computed against
     val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
+    // authoritative replay check AFTER begin() (ADVICE r16 high): a
+    // commit crashed between claim and publish is invisible above
+    if (batchId >= 0 &&
+        graft.layout.LayoutTxn.lastBatchId(layoutDir) >= batchId)
+      return Seq.empty
     val delta = invertedIndex(newDocs, idCol, text)
       .withColumn("tb", termBucket(col("term"), buckets))
       .transform(graft.util.Cleanup.checkpoint(_))
     val deltaIds = newDocs.select(col(idCol).cast("long").as("doc_id"))
       .distinct().transform(graft.util.Cleanup.checkpoint(_))
-    val docMapPath = s"$layoutDir/$DocMapDir"
+    val victimIds = deleteIds match {
+      case None => deltaIds
+      case Some(ds) => deltaIds
+        .unionByName(ds.select(col(idCol).cast("long").as("doc_id")))
+        .distinct().transform(graft.util.Cleanup.checkpoint(_))
+    }
     // touched = buckets the NEW terms hash into ∪ buckets holding the
-    // upserted docs' OLD postings — the latter via the doc→bucket reverse
+    // victims' OLD postings — the latter via the doc→bucket reverse
     // map, because a replaced doc's stale terms (gone from the new text)
     // hash into buckets the delta's own terms never mention. The IVF
     // analogue reads stale cells off the vec_id column; an inverted index
@@ -361,8 +431,9 @@ object TextAnalysis {
       .collect().map(_.getLong(0)).toSet
     val staleTb = graft.layout.LayoutTxn
       .readLayout(spark, layoutDir, DocMapDir, "dm")
-      .join(deltaIds, Seq("doc_id"), "left_semi")
-      .select(col("tb")).distinct().collect().map(_.getLong(0)).toSet
+      .join(victimIds, Seq("doc_id"), "left_semi")
+      .select(col("tb")).filter(col("tb") >= 0) // tb=-1 = term-less sentinel
+      .distinct().collect().map(_.getLong(0)).toSet
     val touched = (newTb ++ staleTb).toSeq.sorted
     val existing = graft.layout.LayoutTxn.readLayout(spark, layoutDir, "",
       "tb", Some(touched.map(b => s"tb=$b").toSet))
@@ -370,7 +441,7 @@ object TextAnalysis {
       .select(col("tb"), col("term"), explode(col("postings")).as("p"))
       .select(col("tb"), col("term"), col("p.doc_id").as("doc_id"),
         col("p.tf").as("tf"))
-      .join(deltaIds, Seq("doc_id"), "left_anti")
+      .join(victimIds, Seq("doc_id"), "left_anti")
     val deltaOcc = delta
       .select(col("tb"), col("term"), explode(col("postings")).as("p"))
       .select(col("tb"), col("term"), col("p.doc_id").as("doc_id"),
@@ -380,31 +451,90 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
       .select(col("term"), col("df"), col("postings"), col("tb"))
-    // the doc store maintains itself in the SAME commit: upserted docs'
-    // old rows out, their new (doc, bucket) rows in — only the delta
-    // doc-ids' dm= dirs rewrite (dm = doc_id mod buckets, so the touched
-    // set is the delta's). A dm dir emptied by the upsert becomes a
-    // deletion at swap (stale doc→bucket rows would inflate later
-    // upserts' touched-bucket sets).
-    val dmTouched = deltaIds
+    // the doc store maintains itself in the SAME commit: victims' old
+    // rows out, upserted docs' new (doc, bucket) rows in — only the
+    // victims' dm= dirs rewrite (dm = doc_id mod buckets). A dm dir
+    // emptied by the window becomes a deletion at swap (stale doc→bucket
+    // rows would inflate later windows' touched-bucket sets).
+    val dmTouched = victimIds
       .select(pmod(col("doc_id"), lit(buckets.toLong)).as("dm")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val dmSurvivors = graft.layout.LayoutTxn
       .readLayout(spark, layoutDir, DocMapDir, "dm",
         Some(dmTouched.map(b => s"dm=$b").toSet))
-      .join(deltaIds, Seq("doc_id"), "left_anti")
-    val dmReplacement = dmSurvivors.unionByName(docMapOf(delta, buckets))
+      .join(victimIds, Seq("doc_id"), "left_anti")
+    // the delta's doc-map rows carry term-less sentinels too: a doc
+    // REPLACED with empty text must stay in the doc store (len 0), or
+    // bm25SearchLayout's N would silently shrink below bm25()'s
+    val dmReplacement = dmSurvivors
+      .unionByName(docMapOf(delta, buckets, Some((newDocs, idCol, text))))
       .select(col("doc_id"), col("tb"), col("len"), col("dm"))
     // ONE stage/CAS-claim/swap commit covers both subtrees — postings and
     // doc store can never diverge under a crash or a racing writer; both
     // replacement plans read the live layout but are fully materialized
-    // into the stage before any live dir is touched
-    graft.layout.LayoutTxn.commit(spark, layoutDir, parent, Seq(
-      graft.layout.LayoutTxn.Group("", replacement, "tb", Seq("term"),
-        touched.map(b => s"tb=$b")),
-      graft.layout.LayoutTxn.Group(DocMapDir, dmReplacement, "dm",
-        Seq("doc_id"), dmTouched.map(b => s"dm=$b"))))
+    // into the stage before any live dir is touched. An empty window with
+    // a batchId still commits (dm group, zero touched) so the recorded
+    // batchId advances — the CDC follower's progress watermark.
+    val postingsGroup =
+      if (touched.isEmpty) Seq.empty
+      else Seq(graft.layout.LayoutTxn.Group("", replacement, "tb",
+        Seq("term"), touched.map(b => s"tb=$b")))
+    graft.layout.LayoutTxn.commit(spark, layoutDir, parent,
+      postingsGroup :+ graft.layout.LayoutTxn.Group(DocMapDir, dmReplacement,
+        "dm", Seq("doc_id"), dmTouched.map(b => s"dm=$b")),
+      batchId = batchId)
     touched
+  }
+
+  /** DELETE(ids) from a [[writeIndexLayout]] directory (⊕A53, r17 —
+    * VERDICT r16 task 2): removes the victims' postings from exactly the
+    * `tb=` buckets the `_docmap` locates (per-term df re-aggregates over
+    * the survivors; a term losing its last posting leaves the index; a
+    * bucket losing its last term is recorded as a deletion) and removes
+    * the victims' doc-store rows — including term-less sentinels — so
+    * BM25's N/avg-length shrink to the surviving corpus. Both subtrees
+    * ride ONE LayoutTxn commit. Unlike an upsert-to-empty-text (which
+    * KEEPS the doc as a zero-length corpus member), delete removes the
+    * document from the corpus outright. Cost follows the victims'
+    * buckets, never the index. Returns the touched `tb` bucket ids. */
+  def indexDeleteLayout(spark: org.apache.spark.sql.SparkSession,
+                        layoutDir: String, victims: DataFrame, idCol: String,
+                        buckets: Int = 16,
+                        txnGraceMs: Long = 600000L): Seq[Long] = {
+    val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
+    val ids = victims.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().transform(graft.util.Cleanup.checkpoint(_))
+    val dmTouched = ids
+      .select(pmod(col("doc_id"), lit(buckets.toLong)).as("dm")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val dmAll = graft.layout.LayoutTxn
+      .readLayout(spark, layoutDir, DocMapDir, "dm",
+        Some(dmTouched.map(b => s"dm=$b").toSet))
+    val tbTouched = dmAll.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("tb")).filter(col("tb") >= 0) // tb=-1 = term-less sentinel
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val dmSurvivors = dmAll.join(ids, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("tb"), col("len"), col("dm"))
+    val postingsGroup = if (tbTouched.isEmpty) Seq.empty else {
+      val existing = graft.layout.LayoutTxn.readLayout(spark, layoutDir, "",
+        "tb", Some(tbTouched.map(b => s"tb=$b").toSet))
+      val replacement = existing
+        .select(col("tb"), col("term"), explode(col("postings")).as("p"))
+        .select(col("tb"), col("term"), col("p.doc_id").as("doc_id"),
+          col("p.tf").as("tf"))
+        .join(ids, Seq("doc_id"), "left_anti")
+        .groupBy(col("tb"), col("term"))
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+            .as("postings"))
+        .select(col("term"), col("df"), col("postings"), col("tb"))
+      Seq(graft.layout.LayoutTxn.Group("", replacement, "tb", Seq("term"),
+        tbTouched.map(b => s"tb=$b")))
+    }
+    graft.layout.LayoutTxn.commit(spark, layoutDir, parent,
+      postingsGroup :+ graft.layout.LayoutTxn.Group(DocMapDir, dmSurvivors,
+        "dm", Seq("doc_id"), dmTouched.map(b => s"dm=$b")))
+    tbTouched
   }
 
   /** Conjunctive search over a [[writeIndexLayout]] directory: terms →

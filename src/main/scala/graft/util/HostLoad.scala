@@ -11,7 +11,23 @@ import org.apache.spark.sql.SparkSession
   * any other CPU count the range-sum measures thread count, not load, so
   * the factor falls back to 1.0. SPARK_GRAFT_HOST_LOAD overrides for
   * controlled experiments (same clamp — no path may exceed the
-  * calibration bound, else an inflated factor disables perf guardrails). */
+  * calibration bound, else an inflated factor disables perf guardrails).
+  *
+  * KNOWN LIMITATION of the ≤2.0 clamp (r16 post-mortem, VERDICT r16 task
+  * 5): the clamp is deliberate — an unbounded factor would let a
+  * pathological calibration window disable every guardrail — but it means
+  * a host loaded PAST 2× (the driver's r16 run calibrated 1.63 at start
+  * under co-tenant pressure that later measurements put well above the
+  * clamp) under-scales the floors and the 4× ratio bar, so genuine
+  * co-tenant inflation surfaces as warnings on unchanged plans. The r17
+  * mitigations live in Bench: memoized fixture builds moved to the
+  * untimed warmup (cold-start half of the r16 artifact) and an
+  * end-of-suite retry of flagged queries with both readings recorded
+  * (burst half). Compare artifacts by their recorded host_load brackets;
+  * a warning-laden artifact at high load on an unchanged tree is host
+  * noise until a quiet re-run confirms it (BENCH_r16: 372.6 s with 11
+  * warnings on the driver host; 120.8 s, zero warnings, same tree,
+  * quiet). */
 object HostLoad {
   val QuietRef = 0.24 // quiet-host best-of-3, this hardware, local[32]
 

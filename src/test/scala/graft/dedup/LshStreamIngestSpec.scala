@@ -51,6 +51,35 @@ class LshStreamIngestSpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().toSet === pairs)
   }
 
+  test("a batch whose commit CRASHED between claim and publish replays exactly-once") {
+    val dir = Files.createTempDirectory("lsh_cw").toString + "/idx"
+    Dedup.writeLshIndex(corpus, "doc_id", col("text"), dir, partitions = 8)
+    val d0 = docsOf(10L -> "alpha beta gamma delta epsilon theta")
+    val d1 = docsOf(20L -> "alpha beta gamma delta epsilon iota")
+    Dedup.lshIngestBatch(spark, dir, d0, "doc_id", col("text"), batchId = 0L)
+    val prior = graft.layout.TxnCrashTestOps.saveVersionFile(dir)
+    Dedup.lshIngestBatch(spark, dir, d1, "doc_id", col("text"), batchId = 1L)
+    val wantV = LayoutTxn.currentVersion(dir)
+    val wantRows = LayoutTxn.readLayout(spark, dir, "", "lb").count()
+    val wantPairs = Dedup.lshIngestPairs(spark, dir)
+      .as[(Int, Long, Long)].collect().toSet
+    // crash window: batch 1's commit is CLAIMED but not PUBLISHED — the
+    // published state still reads batchId 0, so the pre-begin() guard is
+    // blind to it (ADVICE r16 high). The replay's begin() rolls the claim
+    // forward; the post-begin() guard must then skip the batch WHOLE
+    // instead of re-committing it on top of its own rolled-forward rows.
+    graft.layout.TxnCrashTestOps.unpublishLast(dir, prior)
+    assert(LayoutTxn.lastBatchId(dir) === 0L,
+      "crash state: the claim must be invisible to the published batchId")
+    Dedup.lshIngestBatch(spark, dir, d1, "doc_id", col("text"), batchId = 1L)
+    assert(LayoutTxn.currentVersion(dir) === wantV, "no extra version")
+    assert(LayoutTxn.readLayout(spark, dir, "", "lb").count() === wantRows,
+      "no duplicate band rows")
+    assert(Dedup.lshIngestPairs(spark, dir)
+      .as[(Int, Long, Long)].collect().toSet === wantPairs,
+      "no duplicate or self-colliding pairs")
+  }
+
   test("an interleaved NON-stream upsert never lowers the recorded batchId") {
     val dir = Files.createTempDirectory("lsh_si2").toString + "/idx"
     Dedup.writeLshIndex(corpus, "doc_id", col("text"), dir, partitions = 8)

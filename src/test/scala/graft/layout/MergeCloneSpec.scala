@@ -114,4 +114,52 @@ class MergeCloneSpec extends SparkSpec {
     assert(MergeTable.cloneTable(spark, src, dst2) === 0L)
     assert(MergeTable.read(spark, dst2).count() === 64L)
   }
+
+  test("a clone crashed BETWEEN its history claim and the _latest swap rolls forward on re-run") {
+    val src = table("claimcrash")
+    val dst = freshDir("claimcrash_dst")
+    MergeTable.cloneTable(spark, src, dst)
+    // crash simulation: the claim (_manifest_v0) landed — cloneTable's
+    // LAST step — but the _latest swap did not. Pre-r17 this wedged: the
+    // isEmpty gate passed, then commit()'s CAS conflicted forever, and
+    // recover() couldn't heal (it scans from _latest+1 = v0 upward but
+    // needs _latest to exist to know the table's head) — ADVICE r16 low.
+    Files.delete(Paths.get(dst, "_latest"))
+    assert(MergeTable.currentVersion(dst).isEmpty, "crash state: no _latest")
+    assert(MergeTable.cloneTable(spark, src, dst) === 0L)
+    assert(MergeTable.read(spark, dst).count() === 64L)
+    // and the healed clone is fully functional (its own commits work)
+    MergeTable.merge(spark, dst, Seq((1L, 777L, "x", "update"))
+      .toDF("id", "v", "tag", "op_flag"), "id")
+    assert(MergeTable.read(spark, dst)
+      .filter(col("id") === 1L).select("v").as[Long].head() === 777L)
+  }
+
+  test("cross-device CLONE falls back to per-file copy (EXDEV is not UnsupportedOperation)") {
+    val shm = new java.io.File("/dev/shm")
+    assume(shm.isDirectory && Files.getFileStore(shm.toPath) !=
+      Files.getFileStore(Paths.get("/tmp")), "needs a second filesystem")
+    val src = table("xdev")
+    val root = Files.createTempDirectory(shm.toPath, "graft_xdev_")
+    try {
+      val dst = root.toString + "/t"
+      // pre-r17 this threw FileSystemException(EXDEV): the fallback only
+      // caught UnsupportedOperationException (ADVICE r16 medium)
+      assert(MergeTable.cloneTable(spark, src, dst) === 0L)
+      assert(MergeTable.read(spark, dst).as[(Long, Long, String)]
+        .collect().toSet ===
+        MergeTable.read(spark, src).as[(Long, Long, String)]
+          .collect().toSet)
+      // copied, not linked: the dst data file owns its only name
+      val nlink = Files.getAttribute(firstDataFile(dst), "unix:nlink")
+        .asInstanceOf[Number].intValue()
+      assert(nlink === 1, s"cross-device files must be copies, nlink=$nlink")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+  }
 }

@@ -120,6 +120,29 @@ class IvfUpsertSpec extends SparkSpec {
     assert(readCells(dir).contains((12L, 2)))
   }
 
+  test("a batch whose commit CRASHED between claim and publish replays without an extra version") {
+    val dir = Files.createTempDirectory("ivf_cw").toString + "/layout"
+    Similarity.writeIvfLayout(vecs(
+      1L -> Seq(0.9f, 0.1f, 0f, 0f),
+      2L -> Seq(0.1f, 0.9f, 0f, 0f)), cents, dir)
+    val b0 = vecs(10L -> Seq(0f, 0f, 1f, 0f))
+    Similarity.ivfUpsertLayout(spark, dir, cents, b0, batchId = 0L)
+    val prior = graft.layout.TxnCrashTestOps.saveVersionFile(dir)
+    val b1 = vecs(11L -> Seq(0f, 0f, 0f, 1f))
+    Similarity.ivfUpsertLayout(spark, dir, cents, b1, batchId = 1L)
+    val wantV = graft.layout.LayoutTxn.currentVersion(dir)
+    val wantCells = readCells(dir)
+    // claim landed, publish didn't (ADVICE r16 high): the replay's
+    // begin() rolls it forward — the post-begin() guard must skip the
+    // batch instead of committing a redundant version on top
+    graft.layout.TxnCrashTestOps.unpublishLast(dir, prior)
+    assert(graft.layout.LayoutTxn.lastBatchId(dir) === 0L)
+    assert(Similarity.ivfUpsertLayout(spark, dir, cents, b1,
+      batchId = 1L) === Seq.empty)
+    assert(graft.layout.LayoutTxn.currentVersion(dir) === wantV)
+    assert(readCells(dir) === wantCells)
+  }
+
   test("pure insert into one cell touches exactly that cell") {
     val dir = Files.createTempDirectory("ivf_upsert2").toString + "/layout"
     Similarity.writeIvfLayout(vecs(

@@ -93,7 +93,7 @@ class IndexLayoutSpec extends SparkSpec {
       rebuilt.exists(_._1 == reversedWord))
   }
 
-  test("indexUpsertLayout: an emptied sole-occupant dm= doc-map partition leaves the snapshot and is physically reclaimed by the sweep") {
+  test("indexUpsertLayout: a doc replaced with empty text KEEPS a sentinel doc-map row (it is still a corpus member), its postings gone") {
     val d = Files.createTempDirectory("idx_dm_clean").toString + "/idx"
     // buckets=4: doc 5 is the SOLE occupant of dm=1 (5 mod 4; 1 and 9 absent)
     val base = Seq((4L, "alpha beta"), (5L, "gamma delta"), (8L, "alpha epsilon"))
@@ -101,22 +101,71 @@ class IndexLayoutSpec extends SparkSpec {
     TextAnalysis.writeIndexLayout(
       TextAnalysis.invertedIndex(base, "doc_id", col("text")), d, buckets = 4)
     assert(new java.io.File(s"$d/_docmap/dm=1").isDirectory)
-    // upsert doc 5 to empty text: no surviving terms — the commit records
-    // dm=1 as a deletion, so it leaves the version map immediately (the
-    // root dir stays on disk, immutable, until the two-phase sweep)
+    // upsert doc 5 to empty text: its postings vanish, but the doc stays
+    // a corpus member — the doc store keeps ONE sentinel row (tb=-1,
+    // len=0) so BM25's N/avg-length over the at-rest index still equal
+    // bm25() over raw text (r17, ADVICE r16 low). Removing a doc from
+    // the corpus outright is indexDeleteLayout's job, not an upsert's.
     TextAnalysis.indexUpsertLayout(spark, d,
       Seq((5L, "")).toDF("doc_id", "text"), "doc_id", col("text"), buckets = 4)
+    val dmRows = graft.layout.LayoutTxn.readLayout(spark, d, "_docmap", "dm")
+      .filter(col("doc_id") === 5L)
+      .select(col("tb"), col("len")).as[(Long, Long)].collect().toSeq
+    assert(dmRows === Seq((-1L, 0L)), s"sentinel row expected, got $dmRows")
+    // and its postings really are gone from every touched bucket
+    assert(TextAnalysis.searchIndexLayout(spark, d, Seq("gamma"), buckets = 4)
+      .count() === 0)
+  }
+
+  test("indexDeleteLayout: delete == rebuild without the victims; emptied partitions reclaim; BM25 N shrinks") {
+    val d = Files.createTempDirectory("idx_del").toString + "/idx"
+    val base = Seq(
+      (1L, "spark rows spark spark table"),
+      (2L, "spark rows"),
+      (3L, "disk only here"),
+      (4L, "rare word appears once spark"),
+      (5L, "gamma delta unique terms"))  // doc 3 = dm=3's SOLE occupant
+      .toDF("doc_id", "text")
+    TextAnalysis.writeIndexLayout(base, "doc_id", col("text"), d, buckets = 4)
+    assert(new java.io.File(s"$d/_docmap/dm=3").isDirectory)
+    val touched = TextAnalysis.indexDeleteLayout(spark, d,
+      Seq(3L, 5L).toDF("doc_id"), "doc_id", buckets = 4)
+    assert(touched.nonEmpty)
+    // maintained-after-delete == scratch rebuild over the survivors
+    val d2 = Files.createTempDirectory("idx_del2").toString + "/idx"
+    val survivors = base.filter(!col("doc_id").isin(3L, 5L))
+    TextAnalysis.writeIndexLayout(survivors, "doc_id", col("text"), d2,
+      buckets = 4)
+    def postings(dir: String) = graft.layout.LayoutTxn
+      .readLayout(spark, dir, "", "tb")
+      .select(col("term"), col("df"), explode(col("postings")).as("p"))
+      .select(col("term"), col("df"), col("p.doc_id"), col("p.tf"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(postings(d) === postings(d2))
+    def dmRows(dir: String) = graft.layout.LayoutTxn
+      .readLayout(spark, dir, "_docmap", "dm")
+      .select(col("doc_id"), col("tb"), col("len"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dmRows(d) === dmRows(d2))
+    // doc 3 was dm=3's sole occupant: the partition left the snapshot and
+    // the two-phase sweep reclaims the root dir physically
     assert(!graft.layout.LayoutTxn.resolve(d, "_docmap", "dm")
-      .exists(_._1 == "dm=1"),
+      .exists(_._1 == "dm=3"),
       "emptied dm= partition must leave the committed snapshot")
-    // and the committed doc map carries no rows for the vanished doc
-    assert(graft.layout.LayoutTxn.readLayout(spark, d, "_docmap", "dm")
-      .filter(col("doc_id") === 5L).count() === 0)
-    // two begins past grace reclaim the emptied root dir physically
     graft.layout.LayoutTxn.begin(d, graceMs = 0L)
     graft.layout.LayoutTxn.begin(d, graceMs = 0L)
-    assert(!new java.io.File(s"$d/_docmap/dm=1").exists(),
-      "swept dm= partition must be deleted, not left with stale rows")
+    assert(!new java.io.File(s"$d/_docmap/dm=3").exists(),
+      "swept dm= partition must be deleted from disk")
+    // BM25 over the maintained index == bm25 over the surviving raw docs
+    // (N shrank from 5 to 3 — delete removes corpus membership, unlike
+    // the upsert-to-empty sentinel path)
+    val terms = Seq("spark", "rare")
+    val a = TextAnalysis.bm25SearchLayout(spark, d, terms, buckets = 4)
+      .as[(Long, Double)].collect().toMap
+    val b = TextAnalysis.bm25(survivors, "doc_id", col("text"), terms)
+      .as[(Long, Double)].collect().toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"doc $k") }
   }
 
   test("a live concurrent committer makes indexUpsertLayout CONFLICT loudly — postings AND doc map untouched") {
@@ -196,5 +245,54 @@ class IndexLayoutSpec extends SparkSpec {
     assert(after.keySet === want.keySet)
     after.foreach { case (k, v) =>
       assert(math.abs(v - want(k)) < 1e-12, s"doc $k after upsert") }
+  }
+
+  test("empty documents count toward BM25's N/avg-length (docs-form layout + maintenance)") {
+    val d = java.nio.file.Files.createTempDirectory("idx_bm25e").toString + "/idx"
+    // docs 5 and 6 are term-less: invisible to the postings, but bm25()
+    // over raw text counts them in N and in the avg length — the at-rest
+    // index must agree (ADVICE r16 low: pre-r17 the doc store only held
+    // indexed docs, shifting every idf and length normalization)
+    val base = Seq(
+      (1L, "spark rows spark spark table"),
+      (2L, "spark rows"),
+      (3L, "disk only here"),
+      (4L, "rare word appears once spark"),
+      (5L, ""),
+      (6L, "   "))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeIndexLayout(base, "doc_id", col("text"), d, buckets = 4)
+    val terms = Seq("spark", "rare")
+    def viaLayout: Map[Long, Double] =
+      TextAnalysis.bm25SearchLayout(spark, d, terms, buckets = 4)
+        .as[(Long, Double)].collect().toMap
+    def direct(corpus: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      TextAnalysis.bm25(corpus, "doc_id", col("text"), terms)
+        .as[(Long, Double)].collect().toMap
+    val a = viaLayout
+    val b = direct(base)
+    assert(a.keySet === b.keySet && a.keySet === Set(1L, 2L, 4L))
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"doc $k") }
+    // REPLACING a doc with empty text must keep it in the corpus (N
+    // constant), remove its postings, and still match raw-text bm25
+    val repl = Seq((2L, "")).toDF("doc_id", "text")
+    TextAnalysis.indexUpsertLayout(spark, d, repl, "doc_id", col("text"),
+      buckets = 4)
+    val after = viaLayout
+    val want = direct(base.filter(col("doc_id") =!= 2L).unionByName(repl))
+    assert(after.keySet === want.keySet && after.keySet === Set(1L, 4L))
+    after.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-12, s"doc $k after empty-replace") }
+    // and the reverse: an empty doc gaining text joins the postings
+    val grow = Seq((5L, "spark appears")).toDF("doc_id", "text")
+    TextAnalysis.indexUpsertLayout(spark, d, grow, "doc_id", col("text"),
+      buckets = 4)
+    val corpus2 = base.filter(!col("doc_id").isin(2L, 5L))
+      .unionByName(repl).unionByName(grow)
+    val after2 = viaLayout
+    val want2 = direct(corpus2)
+    assert(after2.keySet === want2.keySet && after2.keySet.contains(5L))
+    after2.foreach { case (k, v) =>
+      assert(math.abs(v - want2(k)) < 1e-12, s"doc $k after grow") }
   }
 }
