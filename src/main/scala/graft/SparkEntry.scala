@@ -197,6 +197,12 @@ object SparkEntry {
   val Q201FixtureDir = "/tmp/graft_ivf_stream_fixture"
   @volatile private var q201FixtureSub: String = s"$Q201FixtureDir/sf0.01"
 
+  /** q209's IVF-delete fixture (layout minus victims + pinned surviving
+    * corpus + frozen centroids), same per-tier memoization discipline as
+    * [[Q151FixtureDir]]. */
+  val Q209FixtureDir = "/tmp/graft_ivf_delete_fixture"
+  @volatile private var q209FixtureSub: String = s"$Q209FixtureDir/sf0.01"
+
   /** Pin tier-dependent oracle fixture paths to `sfDir`'s tier (see
     * [[q94FixtureSub]]); called by Verify before dumping [[oracleSql]]. */
   def setOracleTier(sfDir: String): Unit = {
@@ -206,6 +212,7 @@ object SparkEntry {
     q170FixtureSub = s"$Q170FixtureDir/${new java.io.File(sfDir).getName}"
     partsuppFixtureSub = s"$PartsuppFixtureDir/${new java.io.File(sfDir).getName}"
     q201FixtureSub = s"$Q201FixtureDir/${new java.io.File(sfDir).getName}"
+    q209FixtureSub = s"$Q209FixtureDir/${new java.io.File(sfDir).getName}"
   }
 
   /** Build (once per tier, marker-memoized) and register the `partsupp`
@@ -650,7 +657,8 @@ object SparkEntry {
     "q172_sql_q2_partsupp", "q173_sql_q11_partsupp",
     "q200_stream_lsh_ingest", "q201_stream_ivf_ingest", "q202_bm25_index",
     "q204_index_delete", "q205_lsh_index_delete", "q206_winnow_index_delete",
-    "q207_simhash_index_delete")
+    "q207_simhash_index_delete", "q208_cdc_index_follow", "q209_ann_delete",
+    "q210_stream_winnow_ingest", "q211_stream_simhash_ingest")
 
   /** Force every memoized fixture build (marker-on-disk AND process-shared)
     * so nothing one-time lands inside a timed window: the marker-memoized
@@ -3650,6 +3658,105 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ⊕K8 × ⊕J26 EXACTLY-ONCE streaming contained-copy ingest (r17 —
+    // q200's discipline at the fingerprint tier): a file stream drives
+    // winnowIngestSink; each micro-batch's fingerprint rows, its
+    // (a, b, n_shared) pairs, and its reverse-map rows share ONE
+    // LayoutTxn CAS keyed by the batchId. The oracle recomputes each
+    // batch's pairs with the df-cap over exactly the state THAT batch
+    // probed (corpus ∪ batches so far) — the per-batch window is part of
+    // the semantics, not an implementation detail.
+    "q210_stream_winnow_ingest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = sharedFixture("winnow_stream", d) { fx =>
+        Dedup.writeWinnowIndex(docs.filter(col("doc_id") % 5 < 3), "doc_id",
+          col("text"), s"$fx/idx")
+        val filesDir = new java.io.File(s"$fx/files")
+        filesDir.mkdirs()
+        Seq(3, 4).zipWithIndex.foreach { case (m, i) =>
+          val tmp = s"$fx/tmp$i"
+          docs.filter(col("doc_id") % 5 === m).select("doc_id", "text")
+            .coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(filesDir, s"b$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          ()
+        }
+        graft.streaming.EventStreams.winnowIngestStream(s, s"$fx/files",
+          s"$fx/idx")
+        Dedup.winnowIngestPairs(s, s"$fx/idx")
+          .select(col("a"), col("b"), col("n_shared"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/pairs")
+      }
+      s.read.parquet(s"$base/pairs").orderBy(col("a"), col("b"))
+    }),
+
+    // ⊕K8 × ⊕J27 EXACTLY-ONCE streaming Hamming-tier ingest (r17): the
+    // q200 discipline with the SimHash probe. No df cap at this tier, so
+    // the oracle is stage-ordered: a pair is delivered iff its `a` doc
+    // ARRIVED strictly before its `b` doc (corpus < batch0 < batch1) and
+    // their Hamming distance is within the index's maxDist — exact by
+    // pigeonhole losslessness.
+    "q211_stream_simhash_ingest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = sharedFixture("simhash_stream", d) { fx =>
+        Dedup.writeSimhashIndex(docs.filter(col("doc_id") % 5 < 3),
+          "doc_id", col("text"), s"$fx/idx")
+        val filesDir = new java.io.File(s"$fx/files")
+        filesDir.mkdirs()
+        Seq(3, 4).zipWithIndex.foreach { case (m, i) =>
+          val tmp = s"$fx/tmp$i"
+          docs.filter(col("doc_id") % 5 === m).select("doc_id", "text")
+            .coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(filesDir, s"b$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          ()
+        }
+        graft.streaming.EventStreams.simhashIngestStream(s, s"$fx/files",
+          s"$fx/idx")
+        Dedup.simhashIngestPairs(s, s"$fx/idx")
+          .select(col("a"), col("b"), col("dist"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/pairs")
+      }
+      s.read.parquet(s"$base/pairs").orderBy(col("a"), col("b"))
+    }),
+
+    // ⊕K10 DELETE(ids) against the at-rest IVF ANN layout (r17 — the
+    // vector tier of the delete story): every 5th vector leaves through
+    // ivfDeleteLayout (victims' cells located by the same id-only
+    // columnar semi-join the upsert's stale-find uses; only those cell=
+    // dirs rewrite). The oracle re-derives the argmax-cosine assignment
+    // of the SURVIVING corpus from the pinned frozen centroids from
+    // scratch — the q151 proof shape applied to deletion: the hash match
+    // proves delete ≡ rebuild-without-victims.
+    "q209_ann_delete" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      q209FixtureSub = s"$Q209FixtureDir/${new java.io.File(d).getName}"
+      val fx = q209FixtureSub
+      val marker = new java.io.File(s"$fx/_built_k16_mod5_lv3")
+      if (!marker.exists()) {
+        val cents = Similarity.ivfCentroids(emb, 16)
+        Similarity.writeIvfLayout(emb, cents, s"$fx/layout")
+        Similarity.ivfDeleteLayout(s, s"$fx/layout",
+          emb.filter(col("vec_id") % 5 === 0).select("vec_id"))
+        emb.filter(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id"), col("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/corpus.parquet")
+        import s.implicits._
+        cents.indices.map(i => (i, cents(i))).toDF("cell", "cw")
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/centroids.parquet")
+        marker.createNewFile()
+      }
+      graft.layout.LayoutTxn.readLayout(s, s"$fx/layout", "", "cell")
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ⊕J25 DELETE(ids) against the at-rest LSH ingest index (r17): the
     // index holds ALL docs, every 5th doc is deleted, then the SAME texts
     // re-ingest under shifted ids (doc_id + 1000000). The probe pairs
@@ -5177,6 +5284,64 @@ object SparkEntry {
          |    (t.tf + 1.2 * (0.25 + 0.75 * l.len / c.avglen)) ) * 1e6) / 1e6 AS bm25
          |FROM tf t JOIN dfs d USING (tok) JOIN lens l USING (doc_id), consts c
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // q210: per-batch df-cap windows — batch 0's pairs cap over
+    // (corpus ∪ b0), batch 1's over (corpus ∪ b0 ∪ b1); the x side of
+    // each batch is everything that arrived before it
+    "q210_stream_winnow_ingest" ->
+      s"""$winnowCte,
+         |e0 AS (SELECT doc_id, unnest(fps) AS fp FROM fset),
+         |u0 AS (SELECT doc_id, fp FROM e0 WHERE doc_id % 5 < 3 OR doc_id % 5 = 3),
+         |r0 AS (SELECT doc_id, fp FROM (
+         |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM u0)
+         |  WHERE df <= 10),
+         |p0 AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+         |  FROM r0 x JOIN r0 y ON x.fp = y.fp
+         |  WHERE x.doc_id % 5 < 3 AND y.doc_id % 5 = 3
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |r1 AS (SELECT doc_id, fp FROM (
+         |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM e0)
+         |  WHERE df <= 10),
+         |p1 AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+         |  FROM r1 x JOIN r1 y ON x.fp = y.fp
+         |  WHERE x.doc_id % 5 <> 4 AND y.doc_id % 5 = 4
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT a, b, n_shared FROM p0
+         |UNION ALL SELECT a, b, n_shared FROM p1
+         |ORDER BY a, b""".stripMargin,
+
+    // q211: stage-ordered Hamming pairs — delivered iff arrival(a) <
+    // arrival(b), exact by pigeonhole losslessness
+    "q211_stream_simhash_ingest" -> {
+      val dist = (1 to 16).map(i =>
+        s"(CASE WHEN substring(a.sh, $i, 1) <> substring(b.sh, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $wordsCte, $hashedWordsCte,
+         |sims AS (SELECT doc_id, $simhashSql AS sh FROM hw),
+         |stg AS (SELECT doc_id, sh,
+         |  CASE WHEN doc_id % 5 < 3 THEN 0 WHEN doc_id % 5 = 3 THEN 1
+         |       ELSE 2 END AS stage FROM sims)
+         |SELECT a.doc_id AS a, b.doc_id AS b, CAST($dist AS BIGINT) AS dist
+         |FROM stg a JOIN stg b ON a.stage < b.stage
+         |WHERE $dist <= 2
+         |ORDER BY a, b""".stripMargin
+    },
+
+    // q209: the q151 oracle shape over the SURVIVING pinned corpus — the
+    // hash match proves the IVF delete left exactly a rebuild's layout
+    "q209_ann_delete" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM read_parquet('$q209FixtureSub/corpus.parquet/*.parquet')),
+         |c AS (SELECT cell, CAST(cw AS DOUBLE[]) AS cw
+         |      FROM read_parquet('$q209FixtureSub/centroids.parquet/*.parquet')),
+         |s AS (SELECT v.vec_id, c.cell,
+         |  list_dot_product(v.emb, c.cw)
+         |    / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.cw, c.cw))) AS sim
+         |  FROM v CROSS JOIN c),
+         |a AS (SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM s)
+         |SELECT vec_id, CAST(cell AS INT) AS cell FROM a WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     // q208: BM25 over the table's FINAL logical state — updates applied,
     // deletes absent from N, inserts present under their shifted ids

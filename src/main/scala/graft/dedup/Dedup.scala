@@ -945,6 +945,33 @@ object Dedup {
                         newDocs: DataFrame, idCol: String, text: Column,
                         maxDocFreq: Int = 10, minShared: Int = 2,
                         txnGraceMs: Long = 600000L): DataFrame = {
+    val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
+    val p = winnowProbe(spark, dir, newDocs, idCol, text, maxDocFreq,
+      minShared)
+    graft.layout.LayoutTxn.commit(spark, dir, parent,
+      p.groups(idCol) ++
+        docMapAppendGroup(spark, dir, p.newRows, idCol, "fb", p.partitions))
+    p.pairs
+  }
+
+  private case class WinnowProbe(newRows: DataFrame, touched: Seq[Int],
+                                 existing: DataFrame, pairs: DataFrame,
+                                 partitions: Int) {
+    def groups(idCol: String): Seq[graft.layout.LayoutTxn.Group] =
+      Seq(graft.layout.LayoutTxn.Group("",
+        existing.select(col(idCol), col("fp"), col("fb")).unionByName(newRows),
+        "fb", Seq("fp", idCol), touched.map(b => s"fb=$b")))
+  }
+
+  /** The shared probe behind [[winnowIndexUpsert]] and
+    * [[winnowIngestBatch]] — the [[lshProbe]] shape at the fingerprint
+    * tier: fingerprint the batch, read ONLY its `fb=` partitions, df-cap
+    * over (probed corpus ∪ batch) — EXACT, every occurrence of a
+    * fingerprint shares one partition — and equi-join corpus × batch. */
+  private def winnowProbe(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, newDocs: DataFrame, idCol: String,
+                          text: Column, maxDocFreq: Int,
+                          minShared: Int): WinnowProbe = {
     val p = java.nio.file.Paths.get(dir, WinnowMeta)
     require(java.nio.file.Files.exists(p),
       s"no winnowing index metadata at $dir — writeWinnowIndex first")
@@ -953,7 +980,6 @@ object Dedup {
     try pr.load(in) finally in.close()
     val (k, w, partitions) = (pr.getProperty("k").toInt,
       pr.getProperty("w").toInt, pr.getProperty("partitions").toInt)
-    val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
     val newRows = newDocs.select(col(idCol),
         explode(TextAnalysis.winnowFingerprints(text, k, w)).as("fp"))
       .withColumn("fb", pmod(hash(col("fp")), lit(partitions)))
@@ -979,13 +1005,50 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    graft.layout.LayoutTxn.commit(spark, dir, parent, Seq(
-      graft.layout.LayoutTxn.Group("",
-        existing.select(col(idCol), col("fp"), col("fb")).unionByName(newRows),
-        "fb", Seq("fp", idCol), touched.map(b => s"fb=$b"))) ++
-        docMapAppendGroup(spark, dir, newRows, idCol, "fb", partitions))
-    pairs
+    WinnowProbe(newRows, touched, existing, pairs, partitions)
   }
+
+  /** EXACTLY-ONCE streaming contained-copy ingest (⊕K8 × ⊕J26) — the
+    * [[lshIngestBatch]] discipline at the fingerprint tier: each
+    * micro-batch commits its fingerprint rows, its (a, b, n_shared) pair
+    * log partitioned by batch, AND its `_docmap` rows in ONE LayoutTxn
+    * CAS keyed by the batchId; a crash-replayed batch is skipped WHOLE
+    * (authoritative re-check AFTER begin() — the ADVICE r16 discipline). */
+  def winnowIngestBatch(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, batch: DataFrame, idCol: String,
+                        text: Column, batchId: Long, maxDocFreq: Int = 10,
+                        minShared: Int = 2,
+                        txnGraceMs: Long = 600000L): Unit = {
+    if (batchId >= 0 && graft.layout.LayoutTxn.lastBatchId(dir) >= batchId)
+      return // fast path: the PUBLISHED state already has it
+    val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
+    if (batchId >= 0 && graft.layout.LayoutTxn.lastBatchId(dir) >= batchId)
+      return // claim-without-publish window, rolled forward by begin()
+    val p = winnowProbe(spark, dir, batch, idCol, text, maxDocFreq,
+      minShared)
+    graft.layout.LayoutTxn.commit(spark, dir, parent,
+      p.groups(idCol) ++ Seq(graft.layout.LayoutTxn.Group("pairs",
+        p.pairs.withColumn("batch", lit(batchId)),
+        "batch", Seq("a", "b"), Seq(s"batch=$batchId"))) ++
+        docMapAppendGroup(spark, dir, p.newRows, idCol, "fb", p.partitions),
+      batchId = batchId)
+    ()
+  }
+
+  /** foreachBatch adapter for [[winnowIngestBatch]]. */
+  def winnowIngestSink(dir: String, idCol: String, text: Column,
+                       maxDocFreq: Int = 10, minShared: Int = 2)
+      : (DataFrame, Long) => Unit =
+    (batch, id) =>
+      winnowIngestBatch(batch.sparkSession, dir, batch, idCol, text, id,
+        maxDocFreq, minShared)
+
+  /** Every pair the streaming winnow ingest has delivered, with its
+    * micro-batch id — the [[lshIngestPairs]] surface at this tier. */
+  def winnowIngestPairs(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame =
+    graft.layout.LayoutTxn.readLayout(spark, dir, "pairs", "batch")
+      .select(col("batch"), col("a"), col("b"), col("n_shared"))
 
   /** DELETE(ids) from a [[writeWinnowIndex]] directory (⊕J26, r17): the
     * victims' fingerprint rows and reverse-map rows leave in one commit,
@@ -1071,6 +1134,33 @@ object Dedup {
                          dir: String, newDocs: DataFrame, idCol: String,
                          text: Column,
                          txnGraceMs: Long = 600000L): DataFrame = {
+    val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
+    val p = simhashProbe(spark, dir, newDocs, idCol, text)
+    graft.layout.LayoutTxn.commit(spark, dir, parent,
+      p.groups(idCol) ++
+        docMapAppendGroup(spark, dir, p.newRows, idCol, "sb", p.partitions))
+    p.pairs
+  }
+
+  private case class SimhashProbe(newRows: DataFrame, touched: Seq[Int],
+                                  existing: DataFrame, pairs: DataFrame,
+                                  partitions: Int) {
+    def groups(idCol: String): Seq[graft.layout.LayoutTxn.Group] =
+      Seq(graft.layout.LayoutTxn.Group("",
+        existing.select(col(idCol), col("sh"), col("band"), col("bval"),
+            col("sb"))
+          .unionByName(newRows),
+        "sb", Seq("band", "bval", idCol), touched.map(b => s"sb=$b")))
+  }
+
+  /** The shared probe behind [[simhashIndexUpsert]] and
+    * [[simhashIngestBatch]] — the [[lshProbe]] shape at the Hamming
+    * tier: band the batch, read ONLY its `sb=` partitions, exact Hamming
+    * verify off the carried full fingerprints, first-matching-band
+    * uniqueness. */
+  private def simhashProbe(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, newDocs: DataFrame, idCol: String,
+                           text: Column): SimhashProbe = {
     val p = java.nio.file.Paths.get(dir, SimhashMeta)
     require(java.nio.file.Files.exists(p),
       s"no SimHash index metadata at $dir — writeSimhashIndex first")
@@ -1080,7 +1170,6 @@ object Dedup {
     val (maxDist, partitions) =
       (pr.getProperty("maxDist").toInt, pr.getProperty("partitions").toInt)
     val cuts = simhashBandCuts(maxDist + 1)
-    val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
     val newRows = simhashIndexRows(newDocs, idCol, text, maxDist, partitions)
       .transform(graft.util.Cleanup.checkpoint(_))
     val touched = newRows.select("sb").distinct()
@@ -1107,15 +1196,46 @@ object Dedup {
       .filter(col("a") =!= col("b") && firstMatch)
       .select(col("a"), col("b"), dist.cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
-    graft.layout.LayoutTxn.commit(spark, dir, parent, Seq(
-      graft.layout.LayoutTxn.Group("",
-        existing.select(col(idCol), col("sh"), col("band"), col("bval"),
-            col("sb"))
-          .unionByName(newRows),
-        "sb", Seq("band", "bval", idCol), touched.map(b => s"sb=$b"))) ++
-        docMapAppendGroup(spark, dir, newRows, idCol, "sb", partitions))
-    pairs
+    SimhashProbe(newRows, touched, existing, pairs, partitions)
   }
+
+  /** EXACTLY-ONCE streaming Hamming-tier ingest (⊕K8 × ⊕J27) — the
+    * [[lshIngestBatch]] discipline with the SimHash probe: each
+    * micro-batch commits its band rows, its (a, b, dist) pair log
+    * partitioned by batch, AND its `_docmap` rows in ONE LayoutTxn CAS
+    * keyed by the batchId; a crash-replayed batch is skipped WHOLE
+    * (authoritative re-check AFTER begin()). */
+  def simhashIngestBatch(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, batch: DataFrame, idCol: String,
+                         text: Column, batchId: Long,
+                         txnGraceMs: Long = 600000L): Unit = {
+    if (batchId >= 0 && graft.layout.LayoutTxn.lastBatchId(dir) >= batchId)
+      return // fast path: the PUBLISHED state already has it
+    val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
+    if (batchId >= 0 && graft.layout.LayoutTxn.lastBatchId(dir) >= batchId)
+      return // claim-without-publish window, rolled forward by begin()
+    val p = simhashProbe(spark, dir, batch, idCol, text)
+    graft.layout.LayoutTxn.commit(spark, dir, parent,
+      p.groups(idCol) ++ Seq(graft.layout.LayoutTxn.Group("pairs",
+        p.pairs.withColumn("batch", lit(batchId)),
+        "batch", Seq("a", "b"), Seq(s"batch=$batchId"))) ++
+        docMapAppendGroup(spark, dir, p.newRows, idCol, "sb", p.partitions),
+      batchId = batchId)
+    ()
+  }
+
+  /** foreachBatch adapter for [[simhashIngestBatch]]. */
+  def simhashIngestSink(dir: String, idCol: String, text: Column)
+      : (DataFrame, Long) => Unit =
+    (batch, id) =>
+      simhashIngestBatch(batch.sparkSession, dir, batch, idCol, text, id)
+
+  /** Every pair the streaming SimHash ingest has delivered, with its
+    * micro-batch id — the [[lshIngestPairs]] surface at this tier. */
+  def simhashIngestPairs(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    graft.layout.LayoutTxn.readLayout(spark, dir, "pairs", "batch")
+      .select(col("batch"), col("a"), col("b"), col("dist"))
 
   /** DELETE(ids) from a [[writeSimhashIndex]] directory (⊕J27, r17): the
     * victims' pigeonhole band rows and reverse-map rows leave in one

@@ -338,6 +338,38 @@ object Similarity {
     touched
   }
 
+  /** DELETE(ids) from a [[writeIvfLayout]] directory (⊕K10, r17 — the
+    * VERDICT r16 task-2 delete tier for vectors): victims' cells are
+    * located by the same id-only columnar semi-join the upsert's
+    * stale-find uses (the layout itself is the reverse map at this tier —
+    * `vec_id` and `cell` are its partition structure, no `_docmap`
+    * needed), then exactly those `cell=` dirs rewrite minus the victims
+    * through the LayoutTxn protocol. A cell emptied by the delete is
+    * recorded as a deletion and leaves the snapshot. Passenger columns
+    * survive (the full-schema rewrite discipline from q201). Returns the
+    * touched cell ids. */
+  def ivfDeleteLayout(spark: SparkSession, layoutDir: String,
+                      victims: DataFrame,
+                      txnGraceMs: Long = 600000L): Seq[Int] = {
+    val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
+    val ids = victims.select(col("vec_id")).distinct()
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val existing = graft.layout.LayoutTxn.readLayout(spark, layoutDir, "",
+      "cell")
+    val touched = existing.join(ids, Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return Seq.empty // no victim is in the layout
+    val laySchema = existing.schema
+    val survivors = graft.layout.LayoutTxn.readLayout(spark, layoutDir, "",
+        "cell", Some(touched.map(c => s"cell=$c").toSet))
+      .join(ids, Seq("vec_id"), "left_anti")
+      .select(laySchema.fieldNames.toSeq.map(col): _*)
+    graft.layout.LayoutTxn.commit(spark, layoutDir, parent, Seq(
+      graft.layout.LayoutTxn.Group("", survivors, "cell", Seq("vec_id"),
+        touched.map(c => s"cell=$c"))))
+    touched
+  }
+
   /** foreachBatch adapter for EXACTLY-ONCE streaming vector-index
     * maintenance: each micro-batch upserts through [[ivfUpsertLayout]]
     * with its batchId recorded in the layout's version state, so a

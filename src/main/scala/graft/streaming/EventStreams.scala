@@ -925,6 +925,48 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** [[lshIngestStream]]'s shape at the FINGERPRINT tier: drive
+    * [[graft.dedup.Dedup.winnowIngestSink]] over a parquet file directory
+    * (one micro-batch per file, AvailableNow) — exactly-once streaming
+    * contained-copy ingest. */
+  def winnowIngestStream(spark: SparkSession, filesPath: String,
+                         idxDir: String, idCol: String = "doc_id",
+                         checkpoint: Option[String] = None): Unit = {
+    val ck = checkpoint.getOrElse(graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft_win_ingest"))
+      .toString + "/ck")
+    val q = spark.readStream
+      .schema(spark.read.parquet(filesPath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(filesPath)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch(
+        graft.dedup.Dedup.winnowIngestSink(idxDir, idCol, col("text")))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** [[lshIngestStream]]'s shape at the HAMMING tier: drive
+    * [[graft.dedup.Dedup.simhashIngestSink]] over a parquet file
+    * directory (one micro-batch per file, AvailableNow) — exactly-once
+    * streaming near-dup ingest for token-level perturbations. */
+  def simhashIngestStream(spark: SparkSession, filesPath: String,
+                          idxDir: String, idCol: String = "doc_id",
+                          checkpoint: Option[String] = None): Unit = {
+    val ck = checkpoint.getOrElse(graft.util.Cleanup.registerTempDir(
+      java.nio.file.Files.createTempDirectory("graft_sh_ingest"))
+      .toString + "/ck")
+    val q = spark.readStream
+      .schema(spark.read.parquet(filesPath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(filesPath)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch(
+        graft.dedup.Dedup.simhashIngestSink(idxDir, idCol, col("text")))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** [[lshIngestStream]]'s shape at the VECTOR tier: drive
     * [[graft.sim.Similarity.ivfUpsertSink]] over a parquet file directory
     * (one micro-batch per file, AvailableNow) — exactly-once streaming

@@ -143,6 +143,38 @@ class IvfUpsertSpec extends SparkSpec {
     assert(readCells(dir) === wantCells)
   }
 
+  test("ivfDeleteLayout: delete == rebuild without victims; emptied cells leave; composes with upsert") {
+    val dir = Files.createTempDirectory("ivf_del").toString + "/layout"
+    // cell0 has ONLY id 1 — deleting it must empty the cell
+    Similarity.writeIvfLayout(vecs(
+      1L -> Seq(0.9f, 0.1f, 0f, 0f),
+      2L -> Seq(0.1f, 0.9f, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0.2f),
+      4L -> Seq(0f, 0f, 0.1f, 0.9f),
+      5L -> Seq(0f, 0.2f, 0.9f, 0f)), cents, dir)
+    import spark.implicits._
+    val touched = Similarity.ivfDeleteLayout(spark, dir,
+      Seq(1L, 5L).toDF("vec_id"))
+    assert(touched === Seq(0, 2))
+    val dir2 = Files.createTempDirectory("ivf_del2").toString + "/layout"
+    Similarity.writeIvfLayout(vecs(
+      2L -> Seq(0.1f, 0.9f, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0.2f),
+      4L -> Seq(0f, 0f, 0.1f, 0.9f)), cents, dir2)
+    assert(readCells(dir) === readCells(dir2))
+    assert(!graft.layout.LayoutTxn.resolve(dir, "", "cell").toMap
+      .contains("cell=0"), "emptied cell must leave the snapshot")
+    // deleting absent ids is a no-op (no commit)
+    val v = graft.layout.LayoutTxn.currentVersion(dir)
+    assert(Similarity.ivfDeleteLayout(spark, dir,
+      Seq(99L).toDF("vec_id")) === Seq.empty)
+    assert(graft.layout.LayoutTxn.currentVersion(dir) === v)
+    // composes: a later upsert into the same cells behaves normally
+    Similarity.ivfUpsertLayout(spark, dir, cents,
+      vecs(6L -> Seq(0.95f, 0f, 0f, 0f)))
+    assert(readCells(dir).contains((6L, 0)))
+  }
+
   test("pure insert into one cell touches exactly that cell") {
     val dir = Files.createTempDirectory("ivf_upsert2").toString + "/layout"
     Similarity.writeIvfLayout(vecs(
