@@ -673,7 +673,13 @@ object Dedup {
         "delete support) — rebuild it with the index writer to enable " +
         "DELETE(ids)")
     val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
-    val ids = victims.select(col(idCol)).distinct()
+    // victims' ids must hash EXACTLY like the map's: Murmur3 of an INT 5
+    // differs from a LONG 5, so a caller passing a narrower id type would
+    // probe the wrong dm= partitions and silently delete NOTHING — cast
+    // to the index's own id type first (the type is a layout fact)
+    val idType = graft.layout.LayoutTxn
+      .readLayout(spark, dir, DedupDocMap, "dm").schema(idCol).dataType
+    val ids = victims.select(col(idCol).cast(idType).as(idCol)).distinct()
       .transform(graft.util.Cleanup.checkpoint(_))
     val dmTouched = ids
       .select(pmod(hash(col(idCol)), lit(partitions)).as("dm")).distinct()

@@ -289,6 +289,31 @@ object TextAnalysis {
     writeIndexLayoutImpl(invertedIndex(docs, idCol, text), dir, buckets,
       rawDocs = Some((docs, idCol, text)))
 
+  private val IdxMeta = "_idx_meta"
+
+  /** The layout's bucket count is a LAYOUT FACT (the `_lsh_meta`
+    * discipline at the text tier, r17): a probe/delete/search computing
+    * `tb`/`dm` with a different count would silently find nothing (search)
+    * or miss victim rows (delete). Persisted at write time; readers
+    * REFUSE a mismatched caller value rather than trusting it. Indexes
+    * written before the meta file existed fall back to the caller's value
+    * (the legacy contract: caller-consistent parameters). */
+  private def layoutBuckets(dir: String, caller: Int): Int = {
+    val p = java.nio.file.Paths.get(dir, IdxMeta)
+    if (!java.nio.file.Files.exists(p)) caller
+    else {
+      val pr = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(p)
+      try pr.load(in) finally in.close()
+      val persisted = pr.getProperty("buckets").toInt
+      require(caller == persisted,
+        s"index at $dir was written with buckets=$persisted but the call " +
+          s"passed buckets=$caller — a mismatched bucket count probes the " +
+          "wrong partitions silently; pass the index's own value")
+      persisted
+    }
+  }
+
   private def writeIndexLayoutImpl(index: DataFrame, dir: String,
                                    buckets: Int,
                                    rawDocs: Option[(DataFrame, String, Column)])
@@ -296,6 +321,12 @@ object TextAnalysis {
     val bucketed = index.withColumn("tb", termBucket(col("term"), buckets))
       .transform(graft.util.Cleanup.checkpoint(_))
     bucketed.write.partitionBy("tb").mode("overwrite").parquet(dir)
+    val pr = new java.util.Properties()
+    pr.setProperty("buckets", buckets.toString)
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(dir, IdxMeta))
+    try pr.store(out, "graft inverted-index layout parameters")
+    finally out.close()
     // the doc→bucket reverse map every real index keeps beside its
     // postings (the "doc store"): without it, REPLACING a document cannot
     // find the buckets holding its old terms without scanning the whole
@@ -402,6 +433,7 @@ object TextAnalysis {
     if (batchId >= 0 &&
         graft.layout.LayoutTxn.lastBatchId(layoutDir) >= batchId)
       return Seq.empty // fast path: the PUBLISHED state already has it
+    val bks = layoutBuckets(layoutDir, buckets) // layout fact, refuse mismatch
     // roll forward any crashed commit / conflict on a live one BEFORE
     // reading the layout this delta is computed against
     val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
@@ -411,7 +443,7 @@ object TextAnalysis {
         graft.layout.LayoutTxn.lastBatchId(layoutDir) >= batchId)
       return Seq.empty
     val delta = invertedIndex(newDocs, idCol, text)
-      .withColumn("tb", termBucket(col("term"), buckets))
+      .withColumn("tb", termBucket(col("term"), bks))
       .transform(graft.util.Cleanup.checkpoint(_))
     val deltaIds = newDocs.select(col(idCol).cast("long").as("doc_id"))
       .distinct().transform(graft.util.Cleanup.checkpoint(_))
@@ -457,7 +489,7 @@ object TextAnalysis {
     // emptied by the window becomes a deletion at swap (stale doc→bucket
     // rows would inflate later windows' touched-bucket sets).
     val dmTouched = victimIds
-      .select(pmod(col("doc_id"), lit(buckets.toLong)).as("dm")).distinct()
+      .select(pmod(col("doc_id"), lit(bks.toLong)).as("dm")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val dmSurvivors = graft.layout.LayoutTxn
       .readLayout(spark, layoutDir, DocMapDir, "dm",
@@ -467,7 +499,7 @@ object TextAnalysis {
     // REPLACED with empty text must stay in the doc store (len 0), or
     // bm25SearchLayout's N would silently shrink below bm25()'s
     val dmReplacement = dmSurvivors
-      .unionByName(docMapOf(delta, buckets, Some((newDocs, idCol, text))))
+      .unionByName(docMapOf(delta, bks, Some((newDocs, idCol, text))))
       .select(col("doc_id"), col("tb"), col("len"), col("dm"))
     // ONE stage/CAS-claim/swap commit covers both subtrees — postings and
     // doc store can never diverge under a crash or a racing writer; both
@@ -501,11 +533,12 @@ object TextAnalysis {
                         layoutDir: String, victims: DataFrame, idCol: String,
                         buckets: Int = 16,
                         txnGraceMs: Long = 600000L): Seq[Long] = {
+    val bks = layoutBuckets(layoutDir, buckets) // layout fact, refuse mismatch
     val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
     val ids = victims.select(col(idCol).cast("long").as("doc_id"))
       .distinct().transform(graft.util.Cleanup.checkpoint(_))
     val dmTouched = ids
-      .select(pmod(col("doc_id"), lit(buckets.toLong)).as("dm")).distinct()
+      .select(pmod(col("doc_id"), lit(bks.toLong)).as("dm")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val dmAll = graft.layout.LayoutTxn
       .readLayout(spark, layoutDir, DocMapDir, "dm",
@@ -542,7 +575,7 @@ object TextAnalysis {
     * scan → the same [[searchAll]] postings algebra. */
   def searchIndexLayout(spark: org.apache.spark.sql.SparkSession, dir: String,
                         terms: Seq[String], buckets: Int = 16): DataFrame = {
-    val tbs = terms.map(termBucketJvm(_, buckets)).distinct
+    val tbs = terms.map(termBucketJvm(_, layoutBuckets(dir, buckets))).distinct
     // snapshot-isolated resolve (r15): the query terms' buckets prune
     // the directory list driver-side; each listed dir is immutable, so
     // an index upsert landing mid-search cannot mix two versions here
@@ -565,7 +598,7 @@ object TextAnalysis {
                        terms: Seq[String], buckets: Int = 16,
                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25SearchLayout needs at least one query term")
-    val tbs = terms.map(termBucketJvm(_, buckets)).distinct
+    val tbs = terms.map(termBucketJvm(_, layoutBuckets(dir, buckets))).distinct
     val pruned = graft.layout.LayoutTxn.readLayout(spark, dir, "", "tb",
         Some(tbs.map(x => s"tb=$x").toSet))
       .filter(col("term").isin(terms: _*))

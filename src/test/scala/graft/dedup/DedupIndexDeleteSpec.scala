@@ -80,6 +80,18 @@ class DedupIndexDeleteSpec extends SparkSpec {
     assert(LayoutTxn.currentVersion(d) === v0)
   }
 
+  test("LSH: victim ids of a NARROWER type still delete (hash runs in the index's id type)") {
+    val d = fresh("lsh_int")
+    Dedup.writeLshIndex(corpus, "doc_id", col("text"), d, partitions = 8)
+    // Murmur3 of INT 30 != Murmur3 of LONG 30: pre-fix this probed the
+    // wrong dm= partitions and silently deleted NOTHING
+    val intVictims = Seq(30, 31).toDF("doc_id") // IntegerType
+    val touched = Dedup.lshIndexDelete(spark, d, intVictims, "doc_id")
+    assert(touched.nonEmpty, "int-typed victims must still locate rows")
+    assert(LayoutTxn.readLayout(spark, d, "", "lb")
+      .filter(col("doc_id").isin(30L, 31L)).count() === 0)
+  }
+
   test("LSH: a pre-r17 index (no _docmap) refuses delete loudly") {
     val d = fresh("lsh_leg")
     Dedup.writeLshIndex(corpus, "doc_id", col("text"), d, partitions = 8)

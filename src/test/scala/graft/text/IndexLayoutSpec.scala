@@ -168,6 +168,34 @@ class IndexLayoutSpec extends SparkSpec {
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"doc $k") }
   }
 
+  test("a mismatched bucket count is REFUSED loudly on every read/maintain route (layout fact, r17)") {
+    val d = Files.createTempDirectory("idx_bkts").toString + "/idx"
+    val base = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeIndexLayout(base, "doc_id", col("text"), d, buckets = 4)
+    // pre-fix these would silently search the wrong tb= dirs (empty
+    // results) or miss delete victims — now they fail at the door
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.searchIndexLayout(spark, d, Seq("alpha"), buckets = 8)
+    }
+    assert(e1.getMessage.contains("buckets=4"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25SearchLayout(spark, d, Seq("alpha"), buckets = 16)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.indexUpsertLayout(spark, d,
+        Seq((3L, "new words")).toDF("doc_id", "text"), "doc_id",
+        col("text"), buckets = 8)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.indexDeleteLayout(spark, d,
+        Seq(1L).toDF("doc_id"), "doc_id", buckets = 8)
+    }
+    // the matching value still works
+    assert(TextAnalysis.searchIndexLayout(spark, d, Seq("alpha"),
+      buckets = 4).count() === 1)
+  }
+
   test("a live concurrent committer makes indexUpsertLayout CONFLICT loudly — postings AND doc map untouched") {
     val d = Files.createTempDirectory("idx_conflict").toString + "/idx"
     val base = Seq((4L, "alpha beta"), (5L, "gamma delta"))
