@@ -644,7 +644,16 @@ object Dedup {
                                 partitions: Int)
       : Option[graft.layout.LayoutTxn.Group] = {
     if (!hasDocMap(dir)) return None
-    val nm = dedupDocMapRows(newRows, idCol, pCol, partitions)
+    // the map's dm partitions are hash(id) of the PERSISTED id type — a
+    // batch with a narrower type (Int into a Long index) must be widened
+    // BEFORE hashing, or its rows land under the int-hash dm and a later
+    // delete (which casts victims to the persisted type, the 47673e0 fix)
+    // probes the long-hash partition and silently misses them
+    val idType = graft.layout.LayoutTxn
+      .readLayout(spark, dir, DedupDocMap, "dm").schema(idCol).dataType
+    val nm = dedupDocMapRows(
+      newRows.withColumn(idCol, col(idCol).cast(idType)),
+      idCol, pCol, partitions)
     val touched = nm.select("dm").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val existing = graft.layout.LayoutTxn.readLayout(spark, dir, DedupDocMap,

@@ -93,6 +93,9 @@ object LayoutTxn {
 
   private val VersionFile = "_layout_version"
   private val Tombstone = "_superseded"
+  /** Dirs whose filesystems passed the hard-link probe this JVM. */
+  private val probedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def versionPath(dir: String): Path = Paths.get(dir, VersionFile)
   private def claimPath(dir: String, v: Long): Path =
     Paths.get(dir, s"_layout_commit_v$v")
@@ -391,6 +394,12 @@ object LayoutTxn {
     val newV = parent + 1
     val stage = s"_lstage_v${newV}_${java.util.UUID.randomUUID().toString.take(8)}"
     Files.createDirectories(Paths.get(dir))
+    // front-load the link-support check on a layout's FIRST write this
+    // JVM, as MergeTable CREATE/CLONE do — without it a linkless
+    // filesystem fails deep inside the first casPublish mid-write
+    // (ADVICE r17 low); memoized per canonical dir, probing is not free
+    if (probedDirs.add(Paths.get(dir).toAbsolutePath.normalize.toString))
+      StoreOps.requireHardLinks(Paths.get(dir), "LayoutTxn commit")
     val pr = new Properties()
     pr.setProperty("version", newV.toString)
     pr.setProperty("stage", stage)

@@ -1766,6 +1766,18 @@ object MergeTable {
         val pr = new Properties()
         val in = Files.newInputStream(f.toPath)
         try pr.load(in) finally in.close()
+        // only a CLONE claim rolls forward here — a dst holding some
+        // UNRELATED crashed commit (a crashed CREATE that lost _latest)
+        // must not be published and reported as a clone of srcDir with
+        // wrong contents (ADVICE r17 low); schema must match src too
+        require(pr.getProperty("op") == "clone",
+          s"$dstDir holds a crashed non-clone commit " +
+            s"(op=${pr.getProperty("op")}, ${f.getName}) — not a " +
+            "resumable CLONE; repair or clear the directory first")
+        require(pr.getProperty("schema") == m.schemaJson &&
+            pr.getProperty("key") == m.key,
+          s"$dstDir holds a crashed clone of a DIFFERENT table " +
+            s"(schema/key mismatch with $srcDir) — clear it first")
         finishCommit(dstDir, pr)
         return pr.getProperty("version").toLong
       }

@@ -360,10 +360,19 @@ object TextAnalysis {
     val whole = rawDocs match {
       case None => mapped
       case Some((docs, idCol, text)) =>
+        // null-safe: size(words(NULL)) is NULL, not 0, so a null-text doc
+        // would get neither postings nor a sentinel and drop from the
+        // store (ADVICE r17 low). NULL text counts toward N on both sides
+        // (bm25's count(lit(1)) counts every row) but is EXCLUDED from
+        // avg-len on both sides (bm25's avg skips the null __len) — so
+        // the sentinel's len is NULL for null text, 0 for empty text.
         val sentinels = docs
-          .filter(size(words(text)) === 0)
-          .select(col(idCol).cast("long").as("doc_id")).distinct()
-          .withColumn("tb", lit(-1L)).withColumn("len", lit(0L))
+          .filter(coalesce(size(words(text)), lit(0)) <= 0)
+          .select(col(idCol).cast("long").as("doc_id"),
+            when(text.isNull, lit(null).cast("long")).otherwise(lit(0L))
+              .as("len"))
+          .distinct()
+          .withColumn("tb", lit(-1L))
         mapped.unionByName(sentinels)
     }
     whole.withColumn("dm", pmod(col("doc_id"), lit(buckets)))

@@ -107,6 +107,38 @@ class DedupIndexDeleteSpec extends SparkSpec {
     assert(e.getMessage.contains("_docmap"))
   }
 
+  test("LSH: a narrower-typed ingest batch still lands docmap rows a later delete finds") {
+    // ADVICE r17 medium: a batch ingested with INT ids into a LONG index
+    // must hash its _docmap dm partitions with the PERSISTED long type —
+    // Murmur3(int 30) != Murmur3(long 30), so the un-cast form would
+    // store the rows under the int-hash partition and a later delete
+    // (which casts victims to long, the 47673e0 fix) would probe the
+    // long-hash partition and silently delete NOTHING
+    val a = fresh("lsh_nt_a"); val b = fresh("lsh_nt_b")
+    val base = docsOf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight nine")
+    Dedup.writeLshIndex(base, "doc_id", col("text"), a, partitions = 8)
+    val intBatch = Seq(
+      (30, "alpha beta gamma delta epsilon zeta eta kappa"),
+      (31, "one two three four five six seven eight ten"))
+      .toDF("doc_id", "text") // IntegerType ids
+    Dedup.lshIndexUpsert(spark, a, intBatch, "doc_id", col("text"))
+    // delete the two int-ingested docs by (long-typed) id
+    val touched = Dedup.lshIndexDelete(spark, a,
+      Seq(30L, 31L).toDF("doc_id"), "doc_id")
+    assert(touched.nonEmpty, "delete found no rows — the docmap rows " +
+      "were hashed with the batch's own (narrower) id type")
+    Dedup.writeLshIndex(base, "doc_id", col("text"), b, partitions = 8)
+    def rows(d: String) = LayoutTxn.readLayout(spark, d, "", "lb")
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(rows(a) === rows(b))
+    def dm(d: String) = LayoutTxn.readLayout(spark, d, "_docmap", "dm")
+      .select(col("doc_id"), col("pb")).as[(Long, Int)].collect().toSet
+    assert(dm(a) === dm(b))
+  }
+
   test("winnowing: delete(ids) == rebuild without them; df-cap recomputes over survivors") {
     val a = fresh("win_a"); val b = fresh("win_b")
     Dedup.writeWinnowIndex(corpus, "doc_id", col("text"), a, partitions = 8)

@@ -135,6 +135,36 @@ class MergeCloneSpec extends SparkSpec {
       .filter(col("id") === 1L).select("v").as[Long].head() === 777L)
   }
 
+  test("clone roll-forward refuses a crashed NON-clone claim in the destination") {
+    // ADVICE r17 low: a dst holding an unrelated crashed commit (e.g. a
+    // CREATE of a different table that lost _latest) must NOT be
+    // published and reported as a successful clone of srcDir with wrong
+    // contents — only op=clone claims with matching schema/key resume
+    val src = table("oproll")
+    val dst = freshDir("oproll_dst")
+    // build an unrelated one-commit table at dst, then simulate its crash
+    // between claim and _latest swap
+    MergeTable.merge(spark, dst, Seq((9L, "other-schema-row", "create"))
+      .toDF("k", "payload", "op_flag"), "k", numBuckets = 2)
+    Files.delete(Paths.get(dst, "_latest"))
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.cloneTable(spark, src, dst)
+    }
+    assert(e.getMessage.contains("non-clone") ||
+      e.getMessage.contains("DIFFERENT table"))
+    // and a crashed clone of a DIFFERENT source is refused too
+    val src2dir = freshDir("oproll_src2")
+    MergeTable.merge(spark, src2dir, Seq((1L, 5L, "create"))
+      .toDF("k", "n", "op_flag"), "k", numBuckets = 2)
+    val dst2 = freshDir("oproll_dst2")
+    MergeTable.cloneTable(spark, src2dir, dst2)
+    Files.delete(Paths.get(dst2, "_latest"))
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.cloneTable(spark, src, dst2) // src has a different schema
+    }
+    assert(e2.getMessage.contains("DIFFERENT table"))
+  }
+
   test("cross-device CLONE falls back to per-file copy (EXDEV is not UnsupportedOperation)") {
     val shm = new java.io.File("/dev/shm")
     assume(shm.isDirectory && Files.getFileStore(shm.toPath) !=

@@ -323,4 +323,37 @@ class IndexLayoutSpec extends SparkSpec {
     after2.foreach { case (k, v) =>
       assert(math.abs(v - want2(k)) < 1e-12, s"doc $k after grow") }
   }
+
+  test("NULL-text documents keep the layout ≡ raw bm25 contract (ADVICE r17 low)") {
+    val d = java.nio.file.Files.createTempDirectory("idx_bm25n").toString + "/idx"
+    // size(words(NULL)) is NULL, not 0: pre-fix the null-text doc got
+    // neither postings nor a sentinel and dropped from the doc store,
+    // shrinking bm25SearchLayout's N below bm25()'s (which counts every
+    // row). Contract: NULL text counts toward N on both sides but is
+    // excluded from avg-len on both (bm25's avg skips the null __len).
+    val base = Seq(
+      (1L, "spark rows spark spark table"),
+      (2L, "spark rows"),
+      (3L, "rare word appears once spark"),
+      (4L, null.asInstanceOf[String]),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeIndexLayout(base, "doc_id", col("text"), d, buckets = 4)
+    val terms = Seq("spark", "rare")
+    val a = TextAnalysis.bm25SearchLayout(spark, d, terms, buckets = 4)
+      .as[(Long, Double)].collect().toMap
+    val b = TextAnalysis.bm25(base, "doc_id", col("text"), terms)
+      .as[(Long, Double)].collect().toMap
+    assert(a.keySet === b.keySet && a.keySet === Set(1L, 2L, 3L))
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"doc $k") }
+    // the null-text doc holds a doc-store row (corpus membership: N) with
+    // a NULL length (avg-len exclusion)
+    val store = graft.layout.LayoutTxn.readLayout(spark, d, "_docmap", "dm")
+      .select(col("doc_id"), col("len")).distinct()
+    assert(store.filter(col("doc_id") === 4L).count() === 1L)
+    assert(store.filter(col("doc_id") === 4L && col("len").isNull)
+      .count() === 1L)
+    assert(store.filter(col("doc_id") === 5L && col("len") === 0L)
+      .count() === 1L)
+  }
 }

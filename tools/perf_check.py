@@ -109,8 +109,18 @@ STREAMING_MIN_SPARK = 3.5   # quiet-host; scaled by measured host_load
 # host's measured 1.2-1.5x factor. Pure protocol cost that amortizes over
 # batch duration at scale: the ScaleCheck probe measures per-event cost
 # FALLING (43 -> 3.4 µs/event).
-REPLAY_STREAMING = {"q156_stream_outer_join"}
-REPLAY_STREAMING_MIN_SPARK = 5.0  # quiet-host; scaled by measured host_load
+REPLAY_STREAMING = {"q156_stream_outer_join",
+                    # q141 runs TWO whole streaming queries (crash +
+                    # checkpoint-resume) over two MergeTable commits to
+                    # prove exactly-once replay — the heaviest protocol
+                    # query in the suite (BENCH_r17: 6.1 s at load 1.32,
+                    # normalized ~4.7 s quiet-host)
+                    "q141_stream_replay"}
+# BENCH_r17 measured q156 at 8.55 s under the driver host's 1.32 load
+# (normalized ~6.5 s): the stateful outer-join replay's state-store
+# commits contend with background load super-linearly, so the quiet-host
+# floor carries that measured normalization, not the 3.4 s quiet wall
+REPLAY_STREAMING_MIN_SPARK = 6.5  # quiet-host; scaled by measured host_load
 
 # Multi-stage compositions pay each stage's fixed cost (scan scheduling,
 # codegen, checkpoint materialization at the fan-out) once per stage;
@@ -148,7 +158,15 @@ MULTI_COMMIT = {"q63_merge_upsert", "q64_stream_upsert",
                 "q186_stream_upsert_ck",
                 # q191 runs a whole streaming follower (rate ticker +
                 # transactional sink merge) for one delivered window
-                "q191_cdc_follow"}
+                "q191_cdc_follow",
+                # the r16/r17 protocol queries measured at the same
+                # two-commit MERGE wall on the driver host (BENCH_r17:
+                # 3.5-4.3 s at load 1.32 = 2.6-3.3 s normalized):
+                # q179 widens the schema across two commits, q182 runs
+                # the composite-key SQL MERGE protocol, q184 the whole
+                # SQL lifecycle (CREATE+MERGE+DELETE+OPTIMIZE)
+                "q179_evolution_widen", "q182_sql_merge_composite",
+                "q184_sql_lifecycle"}
 MULTI_COMMIT_MIN_SPARK = 4.5  # quiet-host; scaled by measured host_load
 
 
