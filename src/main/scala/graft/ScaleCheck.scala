@@ -614,6 +614,43 @@ object ScaleCheck {
       util.Cleanup.drain()
     }
 
+    // The merge-on-read claim (r18): a mergeSmall commit costs O(batch)
+    // REGARDLESS of which buckets it touches — even the all-bucket delta
+    // that forces COW merge to rewrite the entire table writes only its
+    // own rows as delta runs. Compare merge_mor_allbucket across mult
+    // values against merge_allbucket above: COW grows ~linearly with the
+    // table, MOR stays flat. The read-after line measures the resolution
+    // overhead (runs broadcast against the base, base never shuffled) —
+    // it grows with the TABLE (it is a full scan) but must stay within a
+    // small factor of the pre-delta scan.
+    if (want("merge_mor")) {
+      val mtDir = java.nio.file.Files.createTempDirectory("scale_mor").toString + "/t"
+      val orders = amplify(model.Tables.orders(spark, d), Seq("o_orderkey"))
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        .withColumn("op_flag", lit("create"))
+      layout.MergeTable.merge(spark, mtDir, orders, "k", numBuckets = 64)
+      time(s"merge_mor_scan_before", 0L) {
+        layout.MergeTable.read(spark, mtDir).agg(max(col("p"))).collect()
+      }
+      val fixedDelta = model.Tables.orders(spark, d)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") + lit(1.0)).as("p"))
+        .withColumn("op_flag", lit("update"))
+      val nDelta = fixedDelta.count()
+      // the COW worst case (random keys -> every bucket) as a MOR run:
+      // THE flat line — O(batch) at every mult
+      time(s"merge_mor_allbucket_delta_${nDelta}_rows", nDelta) {
+        layout.MergeTable.mergeSmall(spark, mtDir, fixedDelta, "k")
+      }
+      // read-through-runs: full resolved scan (newest-run-wins applied)
+      time(s"merge_mor_scan_after", 0L) {
+        layout.MergeTable.read(spark, mtDir).agg(max(col("p"))).collect()
+      }
+      util.Cleanup.registerTempDir(
+        java.nio.file.Paths.get(mtDir).getParent)
+      util.Cleanup.drain()
+    }
+
     // The SQL front door's MERGE INTO must keep merge()'s delta-
     // proportionality: its classification join reads ONLY the buckets the
     // source keys hash into (MergeTable.readForKeys) before dispatching,

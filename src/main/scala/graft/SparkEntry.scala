@@ -3960,7 +3960,39 @@ object SparkEntry {
     "q165_mixture_sample" -> ((s, d) =>
       TextAnalysis.mixtureSample(t(s, d, "documents"), "doc_id", "source",
           col("text"), 200)
-        .orderBy(col("source"), col("pick_rank")))
+        .orderBy(col("source"), col("pick_rank"))),
+
+    // ⊕K7 merge-on-read (r18): the q63 protocol with the two change
+    // batches applied as mergeSmall DELTA RUNS — no base bucket is read
+    // or rewritten (O(batch) per commit, not O(bucket bytes)); the read
+    // resolves newest-run-wins per key with the runs broadcast against
+    // the base. The oracle states the identical final table closed-form,
+    // so the hash match proves MOR ≡ COW semantics end-to-end.
+    "q212_merge_mor" -> ((s, d) => {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_mor_tbl")).toString + "/t"
+      val o = t(s, d, "orders").select(col("o_orderkey").as("okey"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+      graft.layout.MergeTable.merge(s, dir,
+        o.filter(col("okey") % 7 < 3).withColumn("op_flag", lit("create")),
+        "okey", numBuckets = 8)
+      val run1 = o.filter(col("okey") % 7 === 1)
+          .withColumn("price", col("price") + lit(1.0))
+          .withColumn("status", lit("U"))
+          .withColumn("op_flag", lit("update"))
+        .unionByName(o.filter(col("okey") % 7 === 3)
+          .withColumn("op_flag", lit("create")))
+      val run2 = o.filter(col("okey") % 7 === 0)
+          .withColumn("price", col("price") + lit(2.0))
+          .withColumn("status", lit("V"))
+          .withColumn("op_flag", lit("update"))
+        .unionByName(o.filter(col("okey") % 7 === 2)
+          .withColumn("op_flag", lit("delete")))
+      graft.layout.MergeTable.mergeSmall(s, dir, run1, "okey")
+      graft.layout.MergeTable.mergeSmall(s, dir, run2, "okey")
+      graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -6738,6 +6770,19 @@ object SparkEntry {
     // exact 1e12-scaled longs — order-independent), 40-deep shortlist, exact
     // cosine re-rank — so the hash match certifies the product-quantized
     // scan itself, not just its final neighbors.
+    // q212: the merge-on-read final table closed-form — base %7<3, run 1
+    // updates %7==1 (+1.0, 'U') and inserts %7==3, run 2 updates %7==0
+    // (+2.0, 'V') and deletes %7==2
+    "q212_merge_mor" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 2.0
+        |       WHEN o_orderkey % 7 = 1 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS price,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'V'
+        |       WHEN o_orderkey % 7 = 1 THEN 'U'
+        |       ELSE o_orderstatus END AS status
+        |FROM orders WHERE o_orderkey % 7 IN (0, 1, 3) ORDER BY okey""".stripMargin,
+
     "q140_ann_ivfpq" ->
       s"""WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, cell, code
          |      FROM read_parquet('$q140FixtureSub/assign.parquet/*.parquet')),

@@ -143,7 +143,12 @@ object MergeTable {
                               dicts: Map[Int, Map[String, Set[String]]] =
                                 Map.empty,
                               pqBloomCols: Seq[String] = Nil,
-                              pqBloomNdv: Long = 0L) {
+                              pqBloomNdv: Long = 0L,
+                              // merge-on-read delta runs (r18): bucket ->
+                              // ordered (owning version, schema id, rows)
+                              // runs, newest-run-wins per key at read time
+                              deltas: Map[Int, Seq[(Long, Int, Long)]] =
+                                Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     /** The key COLUMNS — `key` is their comma-joined manifest encoding. */
     def keys: Seq[String] = key.split(",").toSeq
@@ -412,6 +417,17 @@ object MergeTable {
     }
     val pqBloomNdv =
       Option(props.getProperty("pqbloomndv")).map(_.toLong).getOrElse(0L)
+    // merge-on-read delta runs (r18): `b:v:sid:n` entries, one per run;
+    // a bucket's runs sort ascending by owning version (commit order).
+    // Absent on pre-MOR manifests.
+    val deltas = props.getProperty("deltas", "") match {
+      case null | "" => Map.empty[Int, Seq[(Long, Int, Long)]]
+      case s => s.split(",").iterator.map { kv =>
+        val Array(b, v, sid, n) = kv.split(":")
+        (b.toInt, (v.toLong, sid.toInt, n.toLong))
+      }.toSeq.groupBy(_._1).view
+        .mapValues(_.map(_._2).sortBy(_._1)).toMap
+    }
     Manifest(props.getProperty("version").toLong,
       props.getProperty("batchId").toLong, props.getProperty("key"),
       props.getProperty("numBuckets").toInt, schemaJson,
@@ -423,7 +439,7 @@ object MergeTable {
       rows = Option(props.getProperty("rows")).map(_.toLong).getOrElse(-1L),
       stats = stats, bucketRows = bucketRows, nullCounts = nullCounts,
       dvs = dvs, dictCols = dictCols, dictMax = dictMax, dicts = dicts,
-      pqBloomCols = pqBloomCols, pqBloomNdv = pqBloomNdv)
+      pqBloomCols = pqBloomCols, pqBloomNdv = pqBloomNdv, deltas = deltas)
   }
 
   private def readManifest(dir: String): Option[Manifest] = {
@@ -480,6 +496,10 @@ object MergeTable {
     if (m.dvs.nonEmpty)
       p.setProperty("dvs", m.dvs.toSeq.sorted
         .map { case (b, (v, n)) => s"$b:$v:$n" }.mkString(","))
+    if (m.deltas.nonEmpty)
+      p.setProperty("deltas", m.deltas.toSeq.sortBy(_._1).flatMap {
+        case (b, runs) => runs.map { case (v, sid, n) => s"$b:$v:$sid:$n" }
+      }.mkString(","))
     if (m.pqBloomCols.nonEmpty) {
       p.setProperty("pqbloom", m.pqBloomCols.mkString(","))
       p.setProperty("pqbloomndv", m.pqBloomNdv.toString)
@@ -715,7 +735,10 @@ object MergeTable {
     * per-bucket counts (pre-r16 manifests) — callers fall back to a scan. */
   def countRows(dir: String): Option[Long] = {
     val m = requireManifest(dir)
-    if (m.buckets.isEmpty) Some(0L)
+    // merge-on-read runs make the net live count a resolution question
+    // (run rows overwrite base rows key-by-key) — honest None, scan answers
+    if (m.deltas.nonEmpty) None
+    else if (m.buckets.isEmpty) Some(0L)
     else if (m.buckets.keySet.forall(m.bucketRows.contains))
       Some(m.buckets.keySet.toSeq.map(m.bucketRows).sum)
     else None
@@ -727,7 +750,7 @@ object MergeTable {
     * `graft_rows('t')` SQL table function. */
   def bucketRowCounts(spark: SparkSession, dir: String): DataFrame = {
     val m = requireManifest(dir)
-    if (m.buckets.keySet.forall(m.bucketRows.contains)) {
+    if (m.deltas.isEmpty && m.buckets.keySet.forall(m.bucketRows.contains)) {
       import spark.implicits._
       m.buckets.keySet.toSeq.sorted.map(b => (b, m.bucketRows(b)))
         .toDF("bucket", "rows")
@@ -768,7 +791,8 @@ object MergeTable {
     val m = requireManifest(dir)
     val row = Row(m.version, m.key, m.numBuckets,
       countRows(dir).map(java.lang.Long.valueOf).orNull,
-      m.buckets.values.toSet.size,
+      m.buckets.values.toSet.size +
+        m.deltas.values.flatten.map { case (v, sid, _) => (v, sid) }.toSet.size,
       java.lang.Long.valueOf(m.dvs.values.map(_._2).sum),
       m.dictCols.mkString(","), m.pqBloomCols.mkString(","))
     spark.createDataFrame(spark.sparkContext.parallelize(Seq(row), 1),
@@ -1159,7 +1183,7 @@ object MergeTable {
     // later key renames; key types can never change (widening keys is
     // forbidden), so the stored types always match the manifest's.
     val dvLive = m.dvs.filter { case (b, _) => live.contains(b) }
-    if (dvLive.isEmpty) base
+    val afterDv = if (dvLive.isEmpty) base
     else {
       val kcols = m.keys.zipWithIndex
       val dvS = StructType(kcols.map { case (k, i) =>
@@ -1180,7 +1204,70 @@ object MergeTable {
         kcols.map { case (k, i) => col(k) === col(s"__dv_k$i") }.reduce(_ && _),
         "left_anti")
     }
+    // merge-on-read delta runs (r18, the DV mechanic generalized): a
+    // bucket may carry ordered upsert/tombstone runs written by
+    // [[mergeSmall]] without rewriting the base. Resolution is
+    // newest-run-wins PER KEY, computed entirely on the delta side (each
+    // run holds at most one row per key, so a window over the runs'
+    // union picks the winner); the base is then anti-joined against the
+    // delta key set — when the runs are small (the design point) they
+    // BROADCAST and the 100 TB base side is never shuffled. DVs compose
+    // by construction: a DV only ever predates a bucket's first delta
+    // run ([[softDelete]] writes tombstone runs, not vectors, for
+    // delta-carrying buckets), so applying it to the base before the
+    // runs stack on top is exactly version order.
+    val deltaLive = m.deltas.filter { case (b, _) => only.forall(_.contains(b)) }
+    if (deltaLive.isEmpty) afterDv
+    else {
+      val outCols = schema.fieldNames.toSeq.map(col) :+ col(BucketCol)
+      val runScans = deltaLive.toSeq
+        .flatMap { case (b, runs) => runs.map { case (v, sid, _) => (v, sid, b) } }
+        .groupBy { case (v, sid, _) => (v, sid) }.toSeq.sortBy(_._1)
+        .map { case ((v, sid), items) =>
+          val ps = m.phys.getOrElse(sid, throw new IllegalStateException(
+            s"manifest v${m.version} at $dir references unknown schema id " +
+              s"$sid in a delta run"))
+          val physSchema = ps.schema
+          val readFields = schema.fields.toSeq.flatMap(lf =>
+            ps.proj.get(lf.name).flatMap(pn =>
+              physSchema.fields.find(_.name == pn)))
+          val readSchema = StructType(readFields)
+            .add(DeltaOpCol, org.apache.spark.sql.types.StringType,
+              nullable = false)
+            .add(BucketCol, IntegerType, nullable = false)
+          val vDir = s"$dir/v$v/_delta"
+          val dirs = items.map(_._3).sorted.map(b => s"$vDir/$BucketCol=$b")
+          dirs.foreach(d => require(Files.isDirectory(Paths.get(d)),
+            s"manifest v${m.version} at $dir references a missing delta " +
+              s"run dir $d — refusing to read (upserts would silently " +
+              "vanish)"))
+          spark.read.option("basePath", vDir).schema(readSchema)
+            .parquet(dirs: _*)
+            .select(schema.fields.toSeq.map { lf =>
+              ps.proj.get(lf.name)
+                .map(pn => col(pn).cast(lf.dataType).as(lf.name))
+                .getOrElse(lit(null).cast(lf.dataType).as(lf.name))
+            } ++ Seq(col(DeltaOpCol), col(BucketCol),
+              lit(v).as("__run")): _*)
+        }
+      val runs = runScans.reduce(_.unionByName(_))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(m.keys.map(col): _*).orderBy(col("__run").desc)
+      val newest = runs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      val deltaKeys = newest.select(m.keys.map(col): _*)
+      val small = deltaLive.values.flatten.map(_._3).sum <= 4000000L
+      val kept = afterDv.join(
+        if (small) broadcast(deltaKeys) else deltaKeys,
+        m.keys, "left_anti")
+      kept.select(outCols: _*).unionByName(
+        newest.filter(col(DeltaOpCol) =!= "delete").select(outCols: _*))
+    }
   }
+
+  /** Column holding a delta-run row's op (create/update/delete) inside
+    * `v<n>/_delta/` files — the run's rows are the MERGE batch verbatim. */
+  private val DeltaOpCol = "__delta_op"
 
   /** Apply one change batch. `changes` carries the payload columns plus
     * `opCol` ∈ {create, update, delete}; at most one row per key (ANSI
@@ -1204,11 +1291,19 @@ object MergeTable {
     * row-per-key check and the classification join run over the key TUPLE,
     * and [[readForKeys]] prunes on the tuple hash. A single-element `keys`
     * is exactly [[merge]]. */
-  def mergeKeys(spark: SparkSession, dir: String, changes: DataFrame,
-                keys: Seq[String], opCol: String = "op_flag",
-                numBuckets: Int = 16, batchId: Long = -1L,
-                updateWhen: Option[(String => Column, String => Column) => Column] = None,
-                expectedParent: Option[Option[Long]] = None): Option[Long] = {
+  /** The validated, bucketed, checkpointed change batch every merge form
+    * (COW [[mergeKeys]], MOR [[mergeSmallKeys]]) starts from. */
+  private case class PreparedBatch(prior: Option[Manifest], nb: Int,
+                                   key: String, widened: StructType,
+                                   payload: Seq[String], ch: DataFrame,
+                                   nRows: Long, changed: Set[Int],
+                                   newV: Long)
+
+  private def prepareMerge(spark: SparkSession, dir: String,
+                           changes: DataFrame, keys: Seq[String],
+                           opCol: String, numBuckets: Int, batchId: Long,
+                           expectedParent: Option[Option[Long]])
+      : Option[PreparedBatch] = {
     val key = joinKeys(keys)
     Files.createDirectories(Paths.get(dir))
     recover(dir) // roll forward any commit interrupted between claim and swap
@@ -1309,8 +1404,20 @@ object MergeTable {
           " — ANSI MERGE forbids multiple source rows per target row"))
     val nRows = stats("n_rows").asInstanceOf[Long]
     val changed = stats("buckets").asInstanceOf[scala.collection.Seq[Int]].toSet
+    Some(PreparedBatch(prior, nb, key, widened, payload, ch, nRows, changed,
+      prior.map(_.version + 1).getOrElse(0L)))
+  }
+
+  def mergeKeys(spark: SparkSession, dir: String, changes: DataFrame,
+                keys: Seq[String], opCol: String = "op_flag",
+                numBuckets: Int = 16, batchId: Long = -1L,
+                updateWhen: Option[(String => Column, String => Column) => Column] = None,
+                expectedParent: Option[Option[Long]] = None): Option[Long] = {
+    val pb = prepareMerge(spark, dir, changes, keys, opCol, numBuckets,
+      batchId, expectedParent).getOrElse(return None)
+    val PreparedBatch(prior, nb, key, widened, payload, ch, nRows, changed,
+      newV) = pb
     val schemaJson = widened.json
-    val newV = prior.map(_.version + 1).getOrElse(0L)
     // attempt-unique staging: concurrent writers racing for version newV
     // must never interleave files in one data dir — the CAS in commit()
     // decides whose stage becomes v<newV>
@@ -1321,7 +1428,8 @@ object MergeTable {
     // batch's create/update rows all insert
     val wopts = prior.map(m => bloomOptions(m.pqBloomCols, m.pqBloomNdv))
       .getOrElse(Map.empty[String, String])
-    val priorData = prior.filter(m => changed.exists(m.buckets.contains))
+    val priorData = prior.filter(m => changed.exists(b =>
+      m.buckets.contains(b) || m.deltas.contains(b)))
     if (changed.nonEmpty && priorData.isEmpty) {
       DataLayout.writePartitionedSortedBy(
         ch.filter(col("__op") =!= "delete").drop("__op"),
@@ -1398,7 +1506,103 @@ object MergeTable {
         // untouched buckets keep theirs
         dvs = prior.map(_.dvs).getOrElse(Map.empty) -- changed,
         dictCols = dcols, dictMax = prior.map(_.dictMax).getOrElse(0),
-        dicts = prior.map(_.dicts).getOrElse(Map.empty) -- changed ++ nd),
+        dicts = prior.map(_.dicts).getOrElse(Map.empty) -- changed ++ nd,
+        pqBloomCols = prior.map(_.pqBloomCols).getOrElse(Nil),
+        pqBloomNdv = prior.map(_.pqBloomNdv).getOrElse(0L),
+        // a rewritten bucket was read THROUGH its delta runs — they are
+        // materialized into the new base; its run list clears
+        deltas = prior.map(_.deltas).getOrElse(Map.empty) -- changed),
+      if (changed.nonEmpty) Some(stage) else None)
+    Some(newV)
+  }
+
+  /** MERGE-ON-READ upsert (r18): apply a change batch by APPENDING it as
+    * per-bucket delta runs — no target bucket is read or rewritten. The
+    * copy-on-write [[merge]] costs O(touched bucket bytes) per commit
+    * (at 100 TB, rewriting whole multi-GB buckets to apply a kilobyte of
+    * changes); this costs O(batch) — the write amplification moves to
+    * read time, where [[readBuckets]] resolves newest-run-wins per key
+    * with the small runs BROADCAST against the base (the deletion-vector
+    * mechanic generalized from delete-only to full upsert), and is paid
+    * off by the next [[compact]] / [[compactStale]] / COW merge of each
+    * bucket, which materializes the runs and clears them — the standard
+    * MOR contract (Hudi MOR, Delta DVs+CDF, Iceberg v2 delete files).
+    *
+    * Semantics are IDENTICAL to [[merge]] for explicit op batches:
+    * create/update upsert by key, delete removes, at most one source row
+    * per key (same ANSI check), same additive schema evolution, same
+    * batchId replay discipline, same CAS commit protocol. The one
+    * exception is `updateWhen` (WHEN MATCHED AND ...): evaluating a
+    * condition against the TARGET row requires reading it, which is the
+    * cost this path exists to avoid — callers needing it use [[merge]].
+    *
+    * Bookkeeping is honest, never stale: delta-carrying buckets drop
+    * their min/max stats, null counts, and dictionaries (a run can move
+    * any bound — missing stats prune nothing, which is correct, just not
+    * fast until the next compaction re-derives them), and [[countRows]]
+    * reports None (the net count needs resolution). Key-hash pruning
+    * ([[readForKeys]], key-equality bucket pruning) still applies — a
+    * key's bucket is invariant. Returns the committed version, or None
+    * for an already-applied batchId. */
+  def mergeSmall(spark: SparkSession, dir: String, changes: DataFrame,
+                 key: String, opCol: String = "op_flag",
+                 numBuckets: Int = 16, batchId: Long = -1L,
+                 expectedParent: Option[Option[Long]] = None): Option[Long] =
+    mergeSmallKeys(spark, dir, changes, Seq(key), opCol, numBuckets,
+      batchId, expectedParent)
+
+  /** [[mergeSmall]] over a COMPOSITE key — see [[mergeKeys]]. */
+  def mergeSmallKeys(spark: SparkSession, dir: String, changes: DataFrame,
+                     keys: Seq[String], opCol: String = "op_flag",
+                     numBuckets: Int = 16, batchId: Long = -1L,
+                     expectedParent: Option[Option[Long]] = None)
+      : Option[Long] = {
+    val pb = prepareMerge(spark, dir, changes, keys, opCol, numBuckets,
+      batchId, expectedParent).getOrElse(return None)
+    val PreparedBatch(prior, nb, key, widened, payload, ch, nRows, changed,
+      newV) = pb
+    val schemaJson = widened.json
+    val stage = s"_stage_v${newV}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val wopts = prior.map(m => bloomOptions(m.pqBloomCols, m.pqBloomNdv))
+      .getOrElse(Map.empty[String, String])
+    // a batch against an EMPTY table (or into untouched buckets only) has
+    // nothing to merge on read — write it as BASE data, not a run: the
+    // result is byte-identical to merge()'s initial-commit path and the
+    // bucket starts its life with stats/counts instead of without
+    val priorData = prior.filter(m => changed.exists(b =>
+      m.buckets.contains(b) || m.deltas.contains(b)))
+    if (priorData.isEmpty)
+      return mergeKeys(spark, dir, changes, keys, opCol, numBuckets,
+        batchId, None, expectedParent)
+    if (changed.nonEmpty) {
+      DataLayout.writePartitionedSortedBy(
+        ch.withColumnRenamed("__op", DeltaOpCol),
+        s"$dir/$stage/_delta", Seq(BucketCol), keys.map(col), wopts)
+    }
+    val m = priorData.get
+    // per-bucket run row counts (drives the read side's broadcast
+    // decision and compactStale's materialization policy) — a delta-sized
+    // job over the just-written stage
+    val counts: Map[Int, Long] =
+      if (changed.isEmpty) Map.empty
+      else collectBucketStats(spark, s"$dir/$stage/_delta", widened).counts
+    val identityProj = widened.fieldNames.toSeq.map(n => n -> n).toMap
+    val priorPhys = m.phys
+    val sid = priorPhys.collectFirst {
+      case (id, ps) if ps.schemaJson == schemaJson && ps.proj == identityProj => id
+    }.getOrElse(priorPhys.keys.maxOption.map(_ + 1).getOrElse(0))
+    val newDeltas = m.deltas ++ changed.map(b =>
+      b -> (m.deltas.getOrElse(b, Seq.empty) :+
+        ((newV, sid, counts.getOrElse(b, 0L)))))
+    commit(dir, m.copy(version = newV, batchId = batchId,
+        schemaJson = schemaJson,
+        phys = priorPhys + (sid -> PhysSchema(schemaJson, identityProj)),
+        ts = commitTs(prior), op = "merge-mor", rows = nRows,
+        stats = m.stats -- changed,
+        bucketRows = m.bucketRows -- changed,
+        nullCounts = m.nullCounts -- changed,
+        dicts = m.dicts -- changed,
+        deltas = newDeltas),
       if (changed.nonEmpty) Some(stage) else None)
     Some(newV)
   }
@@ -1690,31 +1894,67 @@ object MergeTable {
     if (newCounts.isEmpty) return None
     val newV = m.version + 1
     val stage = s"_stage_v${newV}_${java.util.UUID.randomUUID().toString.take(8)}"
+    // a DELTA-CARRYING bucket cannot take a deletion vector: readBuckets
+    // applies vectors to the BASE before the runs stack on top, so a
+    // vector'd key living in a run would silently resurrect. Its victims
+    // become a delete-only DELTA RUN at newV instead — newer than every
+    // existing run, so it kills the key wherever it lives. Both subtrees
+    // ride ONE stage/commit. The invariant this preserves (a DV always
+    // predates its bucket's first run) is what lets the read side apply
+    // vectors base-only.
+    val (morCounts, dvCounts) = newCounts.partition {
+      case (b, _) => m.deltas.contains(b)
+    }
     val dvS = StructType(kcols.map { case (k, i) =>
       org.apache.spark.sql.types.StructField(s"__dv_k$i",
         m.schema(k).dataType, nullable = false) })
     val withB = dvS.add(BucketCol, IntegerType, nullable = false)
-    // fold the touched buckets' EXISTING tombstones into the new vector
-    // (grouped by owning version — the readBuckets discipline); untouched
-    // buckets' vectors are not read or rewritten
-    val prior = newCounts.keySet.toSeq.sorted
-      .flatMap(b => m.dvs.get(b).map { case (v, _) => (v, b) })
-      .groupBy(_._1).toSeq.sortBy(_._1).map { case (v, bs) =>
-        spark.read.option("basePath", s"$dir/v$v/_dv").schema(withB)
-          .parquet(bs.map { case (_, b) => s"$dir/v$v/_dv/$BucketCol=$b" }: _*)
-      }
-    val all = prior.foldLeft(victims)(_.unionByName(_))
-    DataLayout.writePartitionedSortedBy(all, s"$dir/$stage/_dv",
-      Seq(BucketCol), kcols.map { case (_, i) => col(s"__dv_k$i") })
+    if (dvCounts.nonEmpty) {
+      val dvVictims = victims.filter(
+        col(BucketCol).isin(dvCounts.keySet.toSeq: _*))
+      // fold the touched buckets' EXISTING tombstones into the new vector
+      // (grouped by owning version — the readBuckets discipline);
+      // untouched buckets' vectors are not read or rewritten
+      val prior = dvCounts.keySet.toSeq.sorted
+        .flatMap(b => m.dvs.get(b).map { case (v, _) => (v, b) })
+        .groupBy(_._1).toSeq.sortBy(_._1).map { case (v, bs) =>
+          spark.read.option("basePath", s"$dir/v$v/_dv").schema(withB)
+            .parquet(bs.map { case (_, b) => s"$dir/v$v/_dv/$BucketCol=$b" }: _*)
+        }
+      val all = prior.foldLeft(dvVictims)(_.unionByName(_))
+      DataLayout.writePartitionedSortedBy(all, s"$dir/$stage/_dv",
+        Seq(BucketCol), kcols.map { case (_, i) => col(s"__dv_k$i") })
+    }
+    val identityProj = m.schema.fieldNames.toSeq.map(n => n -> n).toMap
+    val sid = m.phys.collectFirst {
+      case (id, ps) if ps.schemaJson == m.schemaJson && ps.proj == identityProj => id
+    }.getOrElse(m.phys.keys.maxOption.map(_ + 1).getOrElse(0))
+    if (morCounts.nonEmpty) {
+      val tombstones = victims
+        .filter(col(BucketCol).isin(morCounts.keySet.toSeq: _*))
+        .select(m.schema.fields.toSeq.map { f =>
+          kcols.find(_._1 == f.name)
+            .map { case (_, i) => col(s"__dv_k$i").as(f.name) }
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
+        } ++ Seq(lit("delete").as(DeltaOpCol), col(BucketCol)): _*)
+      DataLayout.writePartitionedSortedBy(tombstones, s"$dir/$stage/_delta",
+        Seq(BucketCol), m.keys.map(col))
+    }
+    val newDeltas = m.deltas ++ morCounts.map { case (b, n) =>
+      b -> (m.deltas.getOrElse(b, Seq.empty) :+ ((newV, sid, n)))
+    }
     commit(dir, m.copy(version = newV,
+        phys = if (morCounts.isEmpty) m.phys
+          else m.phys + (sid -> PhysSchema(m.schemaJson, identityProj)),
         ts = commitTs(Some(m)), op = "delete", rows = newCounts.values.sum,
-        bucketRows = m.bucketRows ++ newCounts.flatMap { case (b, n) =>
+        bucketRows = m.bucketRows ++ dvCounts.flatMap { case (b, n) =>
           m.bucketRows.get(b).map(c => b -> (c - n)) },
         nullCounts = m.nullCounts.map { case (b, nc) =>
-          b -> (if (newCounts.contains(b)) nc.filter(_._2 == 0L) else nc)
+          b -> (if (dvCounts.contains(b)) nc.filter(_._2 == 0L) else nc)
         }.filter(_._2.nonEmpty),
-        dvs = m.dvs ++ newCounts.map { case (b, n) =>
-          b -> (newV, m.dvs.get(b).map(_._2).getOrElse(0L) + n) }),
+        dvs = m.dvs ++ dvCounts.map { case (b, n) =>
+          b -> (newV, m.dvs.get(b).map(_._2).getOrElse(0L) + n) },
+        deltas = newDeltas),
       Some(stage))
     Some(newV)
   }
@@ -1853,7 +2093,10 @@ object MergeTable {
     }}
     val newV = m.version + 1
     val stage = s"_stage_v${newV}_${java.util.UUID.randomUUID().toString.take(8)}"
-    val chosen = m.buckets.keySet.filter(b => only.forall(_.contains(b)))
+    // delta-only buckets (created purely by merge-on-read runs, no base
+    // yet) compact too: the rewrite materializes their runs into a base
+    val chosen = (m.buckets.keySet ++ m.deltas.keySet)
+      .filter(b => only.forall(_.contains(b)))
     if (chosen.nonEmpty) {
       val data = readBuckets(spark, dir, m, Some(chosen))
       val sortExprs: Seq[Column] = zorderBy match {
@@ -1896,7 +2139,9 @@ object MergeTable {
     }.getOrElse(m.phys.keys.maxOption.map(_ + 1).getOrElse(0))
     val kept = m.buckets.filterNot { case (b, _) => chosen.contains(b) }
     val buckets = kept ++ liveDirs.map(_ -> (newV, sid))
-    val referencedSids = buckets.values.map(_._2).toSet + sid
+    val keptDeltas = m.deltas -- chosen
+    val referencedSids = buckets.values.map(_._2).toSet ++
+      keptDeltas.values.flatten.map(_._2) + sid
     val bs =
       if (chosen.isEmpty) BucketStats(Map.empty, Map.empty, Map.empty)
       else collectBucketStats(spark, s"$dir/$stage", m.schema)
@@ -1914,12 +2159,68 @@ object MergeTable {
           .filter { case (b, _) => buckets.contains(b) },
         nullCounts = (m.nullCounts -- chosen ++ bs.nulls)
           .filter { case (b, _) => buckets.contains(b) },
-        // the rewrite read through the chosen buckets' deletion vectors —
-        // tombstones are materialized, their vectors clear
+        // the rewrite read through the chosen buckets' deletion vectors
+        // AND delta runs — both materialized, both clear
         dvs = m.dvs -- chosen,
         dicts = (m.dicts -- chosen ++ nd)
-          .filter { case (b, _) => buckets.contains(b) }),
+          .filter { case (b, _) => buckets.contains(b) },
+        deltas = keptDeltas),
       if (chosen.nonEmpty) Some(stage) else None)
+    newV
+  }
+
+  /** Re-hash the table into `newBuckets` buckets — `OPTIMIZE t REBUCKET n`
+    * (r18, VERDICT r17 task 2). The bucket count is fixed at CREATE and
+    * sized to bucket-file bytes; a table that has grown 100× since needs
+    * more buckets or every bucket is a multi-GB rewrite unit and the
+    * readForKeys/bucketed-join parallelism is capped at the stale count.
+    * One full resolved read (through deletion vectors and delta runs —
+    * both materialize and clear) re-hashed by `pmod(hash(keys), n)` and
+    * committed through the same CAS protocol as every other rewrite;
+    * stats / row counts / null counts / dictionaries / parquet blooms are
+    * re-derived for the new buckets. Readers keep their snapshot
+    * (time travel reads old versions under their own manifests' bucket
+    * count — key-hash pruning uses each manifest's OWN numBuckets).
+    * Cost is one table rewrite, the same as a full [[compact]] — the
+    * deliberate resize, not a maintenance cadence. */
+  def rebucket(spark: SparkSession, dir: String, newBuckets: Int): Long = {
+    recover(dir)
+    val m = requireManifest(dir)
+    require(newBuckets >= 1,
+      s"REBUCKET $newBuckets: bucket count must be >= 1")
+    val newV = m.version + 1
+    val stage = s"_stage_v${newV}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val hasData = m.buckets.nonEmpty || m.deltas.nonEmpty
+    if (hasData) {
+      val data = readBuckets(spark, dir, m, None).drop(BucketCol)
+        .withColumn(BucketCol,
+          pmod(hash(m.keys.map(col): _*), lit(newBuckets)))
+      DataLayout.writePartitionedSortedBy(data, s"$dir/$stage",
+        Seq(BucketCol), m.keys.map(col),
+        bloomOptions(m.pqBloomCols, m.pqBloomNdv))
+    }
+    val liveDirs = Option(new java.io.File(s"$dir/$stage").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
+      .map(_.getName.stripPrefix(s"$BucketCol=").toInt).toSeq
+    val identityProj = m.schema.fieldNames.toSeq.map(n => n -> n).toMap
+    val sid = m.phys.collectFirst {
+      case (id, ps) if ps.schemaJson == m.schemaJson && ps.proj == identityProj => id
+    }.getOrElse(m.phys.keys.maxOption.map(_ + 1).getOrElse(0))
+    val bs =
+      if (!hasData) BucketStats(Map.empty, Map.empty, Map.empty)
+      else collectBucketStats(spark, s"$dir/$stage", m.schema)
+    val nd =
+      if (m.dictCols.isEmpty || !hasData)
+        Map.empty[Int, Map[String, Set[String]]]
+      else collectDicts(spark, s"$dir/$stage", m.schema, m.dictCols, m.dictMax)
+    commit(dir, m.copy(version = newV, numBuckets = newBuckets,
+        buckets = liveDirs.map(_ -> ((newV, sid))).toMap,
+        phys = Map(sid -> PhysSchema(m.schemaJson, identityProj)),
+        ts = commitTs(Some(m)), op = "rebucket", rows = 0L,
+        stats = bs.stats, bucketRows = bs.counts, nullCounts = bs.nulls,
+        dvs = Map.empty, dicts = nd, deltas = Map.empty),
+      if (hasData) Some(stage) else None)
     newV
   }
 
@@ -1937,30 +2238,43 @@ object MergeTable {
     * already tidy. Returns the committed version, or None for the no-op.
     * (A full `compact()` remains the deliberate whole-table rewrite.) */
   def compactStale(spark: SparkSession, dir: String,
-                   maxGroups: Int = 4): Option[Long] = {
+                   maxGroups: Int = 4, maxDeltaRuns: Int = 8): Option[Long] = {
     require(maxGroups >= 1, s"compactStale: maxGroups $maxGroups must be >= 1")
+    require(maxDeltaRuns >= 1,
+      s"compactStale: maxDeltaRuns $maxDeltaRuns must be >= 1")
     recover(dir)
     val m = requireManifest(dir)
+    // merge-on-read materialization policy (r18): a bucket that has
+    // accumulated maxDeltaRuns or more delta runs pays run-count × probe
+    // cost on every read — fold it back to one base. Delta-shaped cost:
+    // only the run-heavy buckets rewrite.
+    val runHeavy = m.deltas.collect {
+      case (b, runs) if runs.size >= maxDeltaRuns => b
+    }.toSet
     val sizes = m.buckets.groupBy(_._2).view.mapValues(_.size).toMap
-    if (sizes.size <= maxGroups) None
-    else {
-      // the compacted output forms ONE new group, so keep the
-      // (maxGroups - 1) largest as-is and fold everything else
-      val keep = sizes.toSeq
-        .sortBy { case ((v, sid), n) => (-n, -v, sid) }
-        .take(maxGroups - 1).map(_._1).toSet
-      val folded = m.buckets.collect {
-        case (b, g) if !keep.contains(g) => b
-      }.toSet
-      Some(compact(spark, dir, Some(folded)))
-    }
+    val groupFolded =
+      if (sizes.size <= maxGroups) Set.empty[Int]
+      else {
+        // the compacted output forms ONE new group, so keep the
+        // (maxGroups - 1) largest as-is and fold everything else
+        val keep = sizes.toSeq
+          .sortBy { case ((v, sid), n) => (-n, -v, sid) }
+          .take(maxGroups - 1).map(_._1).toSet
+        m.buckets.collect { case (b, g) if !keep.contains(g) => b }.toSet
+      }
+    val folded = groupFolded ++ runHeavy
+    if (folded.isEmpty) None else Some(compact(spark, dir, Some(folded)))
   }
 
   /** Distinct (owning version, physical schema) bucket groups in the
     * current manifest — the read-side fragmentation measure: one pruned
     * scan per group. [[compactStale]] bounds it. */
-  def scanGroups(dir: String): Int =
-    requireManifest(dir).buckets.values.toSet.size
+  def scanGroups(dir: String): Int = {
+    val m = requireManifest(dir)
+    // each distinct delta-run (version, schema) pair adds one scan too
+    m.buckets.values.toSet.size +
+      m.deltas.values.flatten.map { case (v, sid, _) => (v, sid) }.toSet.size
+  }
 
   /** Table contents AS OF `version` — time travel via the immutable
     * per-version manifest. Same pruned-scan mechanics as [[read]]: cost is
@@ -2013,9 +2327,14 @@ object MergeTable {
     // changes that bucket's visible rows (readBuckets applies each
     // manifest's own vectors, so the diff below sees the deletes)
     val touched = (m1.buckets.keySet ++ m2.buckets.keySet ++
-        m1.dvs.keySet ++ m2.dvs.keySet)
+        m1.dvs.keySet ++ m2.dvs.keySet ++
+        m1.deltas.keySet ++ m2.deltas.keySet)
       .filter(b => m1.buckets.get(b) != m2.buckets.get(b) ||
-        m1.dvs.get(b) != m2.dvs.get(b))
+        m1.dvs.get(b) != m2.dvs.get(b) ||
+        // a merge-on-read run changes the bucket's visible rows without
+        // moving it — readBuckets resolves each manifest's own runs, so
+        // the diff sees the upserts/deletes
+        m1.deltas.get(b) != m2.deltas.get(b))
     // align the older snapshot to the newer LOGICAL schema by reading its
     // buckets under the newer manifest's projections (which alter-rename/
     // widen keep updated for every interned schema id): a renamed column
@@ -2157,10 +2476,15 @@ object MergeTable {
           // (often a dir no bucket points at) — those versions are
           // referenced too, or vacuum would resurrect the deleted rows
           h.buckets.values.map(_._1).toSeq ++
-            h.dvs.values.map(_._1) :+ h.version
+            h.dvs.values.map(_._1) ++
+            // merge-on-read delta runs live under their own commit's
+            // v-dir too — their versions are referenced or vacuum would
+            // silently drop the runs' upserts
+            h.deltas.values.flatten.map(_._1) :+ h.version
         } catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
       }
-      .toSet ++ m.buckets.values.map(_._1) ++ m.dvs.values.map(_._1) + m.version
+      .toSet ++ m.buckets.values.map(_._1) ++ m.dvs.values.map(_._1) ++
+      m.deltas.values.flatten.map(_._1) + m.version
     val now = System.currentTimeMillis()
     def idlePastGrace(f: java.io.File): Boolean = {
       // newest mtime anywhere under the stage (the dir itself goes stale

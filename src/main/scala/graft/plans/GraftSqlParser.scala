@@ -44,6 +44,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Ident = """([A-Za-z_][A-Za-z0-9_]*)"""
   private val OptimizeRe = ("""(?is)^\s*OPTIMIZE\s+""" + Ident +
     """(?:\s+(CLUSTER|ZORDER)\s+BY\s+\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\))?\s*;?\s*$""").r
+  // r18 bucket-count resize: `OPTIMIZE t REBUCKET n`
+  private val RebucketRe = ("""(?is)^\s*OPTIMIZE\s+""" + Ident +
+    """\s+REBUCKET\s+(\d+)\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Ident +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
@@ -71,6 +74,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     MergeTableSql.lookup(Seq(name)).map(_._1)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case RebucketRe(name, n) if dirOf(name).isDefined =>
+      GraftRebucketCommand(dirOf(name).get, n.toInt)
     case OptimizeRe(name, verb, cols) if dirOf(name).isDefined =>
       val colSeq = Option(cols).map(_.split(",").toSeq.map(_.trim))
       Option(verb).map(_.toUpperCase) match {
@@ -251,6 +256,20 @@ case class GraftOptimizeCommand(dir: String,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(MergeTable.compact(spark, dir, clusterBy = clusterBy,
       zorderBy = zorderBy)))
+}
+
+/** `OPTIMIZE t REBUCKET n` → [[MergeTable.rebucket]] (r18): re-hash the
+  * grown table into n buckets through the same CAS commit — deletion
+  * vectors and delta runs materialize, stats/dicts/blooms re-derive.
+  * Output: the committed version. */
+case class GraftRebucketCommand(dir: String, newBuckets: Int)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(MergeTable.rebucket(spark, dir, newBuckets)))
 }
 
 /** `VACUUM t [RETAIN n VERSIONS]` → optional [[MergeTable

@@ -70,6 +70,13 @@ class MergeBloomSpec extends SparkSpec {
       "id").get
     // the merge's own version dir carries blooms
     assert(bloomedColumns(s"$dir/v$v") === Set("u"))
+    // ...and the designation SURVIVES that merge's manifest (r18 fix: the
+    // merge commit used to rebuild the manifest without pqBloomCols, so
+    // only the first merge after the alter wrote blooms)
+    val vB = MergeTable.merge(spark, dir,
+      Seq((102L, "u102", 204L, "create")).toDF("id", "u", "v", "op_flag"),
+      "id").get
+    assert(bloomedColumns(s"$dir/v$vB") === Set("u"))
     MergeTable.alterSetParquetBloom(dir, Nil)
     val v2 = MergeTable.merge(spark, dir,
       Seq((101L, "u101", 202L, "create")).toDF("id", "u", "v", "op_flag"),

@@ -69,6 +69,89 @@ class MergeFuzzSpec extends SparkSpec {
     }
   }
 
+  test("random MOR/COW mixes: read / readAt / changesBetween match the model (r18)") {
+    // the r18 merge-on-read tier drawn against the SAME collections model:
+    // each commit randomly picks COW merge, MOR mergeSmall, softDelete of
+    // a random live key, or a compaction (full / compactStale) — MOR and
+    // COW must be observationally identical at every version
+    val rnd = new scala.util.Random(1803)
+    for (t <- 1 to 3) {
+      val dir = graft.util.Cleanup.registerTempDir(
+        java.nio.file.Files.createTempDirectory(s"merge_mor_fuzz_$t"))
+        .toString + "/tbl"
+      var model = Map.empty[Long, Double]
+      var history = Vector.empty[Map[Long, Double]]
+      val nCommits = 6 + rnd.nextInt(4)
+      var c = 0
+      while (c < nCommits) {
+        val action = rnd.nextInt(10)
+        val committed: Boolean =
+          if (action < 4 || model.isEmpty) { // COW or MOR batch
+            val keys = rnd.shuffle((0L to 30L).toList).take(1 + rnd.nextInt(12))
+            val ops = keys.map { k =>
+              (k, (k * 100 + c).toDouble,
+                Seq("create", "update", "delete")(rnd.nextInt(3)))
+            }
+            val batch = ops.toDF("k", "v", "op_flag")
+            if (action % 2 == 0)
+              MergeTable.merge(spark, dir, batch, "k", numBuckets = 4)
+            else
+              MergeTable.mergeSmall(spark, dir, batch, "k", numBuckets = 4)
+            ops.foreach { case (k, v, op) =>
+              if (op == "delete") model -= k else model += k -> v
+            }
+            true
+          } else if (action < 7) { // soft delete of 1-3 live keys
+            val victims = rnd.shuffle(model.keySet.toList)
+              .take(1 + rnd.nextInt(3))
+            val v = MergeTable.softDelete(spark, dir,
+              col("k").isin(victims: _*))
+            if (v.nonEmpty) { victims.foreach(model -= _); true } else false
+          } else if (action < 8) { // delta-shaped maintenance
+            MergeTable.compactStale(spark, dir,
+              maxGroups = 2, maxDeltaRuns = 2).nonEmpty
+          } else if (action < 9) { // full rewrite
+            MergeTable.compact(spark, dir); true
+          } else { // bucket-count resize (r18 REBUCKET)
+            MergeTable.rebucket(spark, dir, Seq(2, 4, 8)(rnd.nextInt(3)))
+            true
+          }
+        if (committed) {
+          history :+= model
+          val got = MergeTable.read(spark, dir).select("k", "v")
+            .as[(Long, Double)].collect().toMap
+          assert(got === model, s"mor table $t after commit $c")
+          c += 1
+        }
+      }
+      history.zipWithIndex.foreach { case (m, v) =>
+        val got = MergeTable.readAt(spark, dir, v.toLong).select("k", "v")
+          .as[(Long, Double)].collect().toMap
+        assert(got === m, s"mor table $t readAt v$v")
+      }
+      for (_ <- 1 to 4) {
+        val a = rnd.nextInt(nCommits)
+        val b = rnd.nextInt(nCommits)
+        val (v1, v2) = (math.min(a, b), math.max(a, b))
+        if (v1 < v2) {
+          val (m1, m2) = (history(v1), history(v2))
+          val exp = (m1.keySet ++ m2.keySet).flatMap { k =>
+            (m1.get(k), m2.get(k)) match {
+              case (None, Some(v))              => Some((k, v, "insert"))
+              case (Some(v), None)              => Some((k, v, "delete"))
+              case (Some(x), Some(y)) if x != y => Some((k, y, "update"))
+              case _                            => None
+            }
+          }
+          val got = MergeTable.changesBetween(spark, dir, v1, v2)
+            .select(col("k"), col("v"), col("op_flag"))
+            .as[(Long, Double, String)].collect().toSet
+          assert(got === exp, s"mor table $t changes v$v1 -> v$v2")
+        }
+      }
+    }
+  }
+
   test("interleaved-writer fuzz: racing random batches never lose a committed write") {
     val rnd = new scala.util.Random(22)
     for (t <- 1 to 3) {
