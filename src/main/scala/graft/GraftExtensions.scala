@@ -172,6 +172,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_stats"),
       (children: Seq[Expression]) =>
         graft.plans.MergeTableSql.statsPlan(children)))
+    // r18 retrieval-tier TVFs: the at-rest inverted index searchable from
+    // pure SQL — conjunctive term search and BM25 top-k (RetrievalSql)
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_search"),
+      new ExpressionInfo(graft.plans.RetrievalSql.getClass.getName,
+        "graft_search"),
+      (children: Seq[Expression]) =>
+        graft.plans.RetrievalSql.searchPlan(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_bm25"),
+      new ExpressionInfo(graft.plans.RetrievalSql.getClass.getName,
+        "graft_bm25"),
+      (children: Seq[Expression]) =>
+        graft.plans.RetrievalSql.bm25Plan(children)))
     ext.injectFunction((
       FunctionIdentifier("entropy_profile"),
       new ExpressionInfo(classOf[graft.functions.EntropyProfile].getName,

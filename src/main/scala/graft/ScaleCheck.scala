@@ -570,6 +570,28 @@ object ScaleCheck {
       time(s"index_delete_lsh_${nVict}_victims", nVict) {
         dedup.Dedup.lshIndexDelete(spark, lshDir, victims, "doc_id")
       }
+      // r18 (VERDICT r17 task 3): the same fixed-victim delete RE-RUN at
+      // a doubled partition count after an in-place rescale — the delete
+      // line must stay victim-proportional at the new count (each victim
+      // now touches a smaller partition fraction), and the rescale line
+      // itself is the O(index) amortized rewrite, tracking the build line
+      val victims2 = model.Tables.documents(spark, d)
+        .select(col("doc_id")).orderBy(col("doc_id").desc).limit(64)
+        .transform(graft.util.Cleanup.checkpoint(_))
+      val nVict2 = victims2.count()
+      time(s"index_delete_rescale_text_${nDocs}_docs", nDocs) {
+        text.TextAnalysis.indexRescaleLayout(spark, idxDir, 32)
+      }
+      time(s"index_delete_text_rescaled_${nVict2}_victims", nVict2) {
+        text.TextAnalysis.indexDeleteLayout(spark, idxDir, victims2,
+          "doc_id")
+      }
+      time(s"index_delete_rescale_lsh_${nDocs}_docs", nDocs) {
+        dedup.Dedup.lshIndexRescale(spark, lshDir, "doc_id", 32)
+      }
+      time(s"index_delete_lsh_rescaled_${nVict2}_victims", nVict2) {
+        dedup.Dedup.lshIndexDelete(spark, lshDir, victims2, "doc_id")
+      }
     }
 
     // The MergeTable claim to verify at scale: commit cost follows the
@@ -961,6 +983,20 @@ object ScaleCheck {
       val nBatch = batch.count()
       time(s"lsh_ingest_probe_${nCorpus}_corpus", nBatch) {
         dedup.Dedup.lshIndexUpsert(spark, dir, batch, "doc_id", col("text"))
+          .count()
+        ()
+      }
+      // r18: the same fixed-size probe RE-RUN after an in-place rescale
+      // to 2× the partitions — probe cost must stay batch-proportional
+      // (it reads the batch's own partitions, now half as heavy each)
+      val batch2 = docs.filter(col("doc_id") % 1000L === 1).limit(50)
+        .transform(util.Cleanup.checkpoint(_))
+      val nBatch2 = batch2.count()
+      time(s"lsh_ingest_rescale_${nCorpus}_corpus", nCorpus) {
+        dedup.Dedup.lshIndexRescale(spark, dir, "doc_id", 128)
+      }
+      time(s"lsh_ingest_probe_rescaled_${nCorpus}_corpus", nBatch2) {
+        dedup.Dedup.lshIndexUpsert(spark, dir, batch2, "doc_id", col("text"))
           .count()
         ()
       }

@@ -658,7 +658,8 @@ object SparkEntry {
     "q200_stream_lsh_ingest", "q201_stream_ivf_ingest", "q202_bm25_index",
     "q204_index_delete", "q205_lsh_index_delete", "q206_winnow_index_delete",
     "q207_simhash_index_delete", "q208_cdc_index_follow", "q209_ann_delete",
-    "q210_stream_winnow_ingest", "q211_stream_simhash_ingest")
+    "q210_stream_winnow_ingest", "q211_stream_simhash_ingest",
+    "q215_index_rescale", "q216_index_compact", "q217_lsh_rescale")
 
   /** Force every memoized fixture build (marker-on-disk AND process-shared)
     * so nothing one-time lands inside a timed window: the marker-memoized
@@ -3992,6 +3993,125 @@ object SparkEntry {
       graft.layout.MergeTable.mergeSmall(s, dir, run1, "okey")
       graft.layout.MergeTable.mergeSmall(s, dir, run2, "okey")
       graft.layout.MergeTable.read(s, dir).orderBy(col("okey"))
+    }),
+
+    // ⊕A53 through PURE SQL (r18 — the retrieval tier's TVF door): the
+    // q166 conjunctive term search issued as `graft_search(dir, query)`
+    // from spark.sql — no Scala API in the query path; the bucket count
+    // resolves from the layout's own persisted _idx_meta and the scan
+    // still reads only the two terms' tb= dirs. Oracle = q166's raw-text
+    // recompute, so the hash match proves the SQL door changes nothing.
+    "q213_sql_search" -> ((s, d) => {
+      val dir = sharedFixture("idx_layout", d) { base =>
+        TextAnalysis.writeIndexLayout(
+          TextAnalysis.invertedIndex(t(s, d, "documents"), "doc_id", col("text")),
+          s"$base/idx")
+      } + "/idx"
+      s.sql(s"""SELECT doc_id, score FROM graft_search('$dir', 'scan batch')
+        ORDER BY doc_id""")
+    }),
+
+    // ⊕A53 × ⊕A55 BM25 through PURE SQL (r18): `graft_bm25(dir, query, k)`
+    // over the q202 maintained fixture — TakeOrderedAndProject inside the
+    // TVF (bounded per-partition heap, k-row driver merge), the doc store
+    // supplying N/avg-len. k exceeds every match so the oracle can state
+    // the full q202 recompute; the k-boundary mechanics are spec-pinned on
+    // a controlled corpus (RetrievalSqlSpec).
+    "q214_sql_bm25" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = sharedFixture("bm25_idx", d) { base =>
+        val isDelta = col("doc_id") % 7 === 0
+        val stale = docs.withColumn("text",
+          when(isDelta, reverse(col("text"))).otherwise(col("text")))
+        TextAnalysis.writeIndexLayout(
+          TextAnalysis.invertedIndex(stale, "doc_id", col("text")),
+          s"$base/idx")
+        TextAnalysis.indexUpsertLayout(s, s"$base/idx",
+          docs.filter(isDelta), "doc_id", col("text"))
+        ()
+      } + "/idx"
+      s.sql(s"""SELECT doc_id, floor(bm25 * 1e6) / 1e6 AS bm25
+        FROM graft_bm25('$dir', 'vector query join', 1000000)
+        ORDER BY doc_id""")
+    }),
+
+    // ⊕A53 RESCALE (r18 — VERDICT r17 task 3, REBUCKET at the index
+    // tier): the q202 maintained fixture re-hashed 16 → 7 buckets via
+    // indexRescaleLayout — tb recomputes from the stored term column (the
+    // corpus is never re-read), the doc store re-derives, and the count
+    // flips atomically with the partition map. The same BM25 point search
+    // then runs with NO caller count (layout-resolved); the oracle is
+    // q202's raw-text recompute, so the hash match proves the rescale
+    // changed nothing — df/tf/len/N all survive the re-hash.
+    "q215_index_rescale" -> ((s, d) => {
+      def t6(c: Column): Column = floor(c * lit(1e6)).cast("double") / lit(1e6)
+      val docs = t(s, d, "documents")
+      val dir = sharedFixture("bm25_rsc", d) { base =>
+        val isDelta = col("doc_id") % 7 === 0
+        val stale = docs.withColumn("text",
+          when(isDelta, reverse(col("text"))).otherwise(col("text")))
+        TextAnalysis.writeIndexLayout(
+          TextAnalysis.invertedIndex(stale, "doc_id", col("text")),
+          s"$base/idx")
+        TextAnalysis.indexUpsertLayout(s, s"$base/idx",
+          docs.filter(isDelta), "doc_id", col("text"))
+        TextAnalysis.indexRescaleLayout(s, s"$base/idx", 7)
+        ()
+      } + "/idx"
+      TextAnalysis.bm25SearchLayout(s, dir, Seq("vector", "query", "join"))
+        .select(col("doc_id"), t6(col("bm25")).as("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ⊕ layout COMPACTION (r18 — MergeTable compactStale at the index
+    // tier): three maintenance commits fragment the index across four
+    // owner dirs (every read unions four scans; one live partition pins a
+    // dir's dead bytes), then indexCompactLayout folds the oldest owners
+    // into ONE — and the conjunctive search must not notice. The fixture
+    // repairs a stale corpus in TWO upserts and deletes every 13th doc;
+    // the oracle recomputes the search from the surviving raw documents.
+    "q216_index_compact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = sharedFixture("idx_compact", d) { base =>
+        val isStale = col("doc_id") % 7 === 0
+        val stale = docs.withColumn("text",
+          when(isStale, reverse(col("text"))).otherwise(col("text")))
+        TextAnalysis.writeIndexLayout(stale, "doc_id", col("text"),
+          s"$base/idx", 16)
+        TextAnalysis.indexUpsertLayout(s, s"$base/idx",
+          docs.filter(col("doc_id") % 14 === 0), "doc_id", col("text"))
+        TextAnalysis.indexUpsertLayout(s, s"$base/idx",
+          docs.filter(col("doc_id") % 14 === 7), "doc_id", col("text"))
+        TextAnalysis.indexDeleteLayout(s, s"$base/idx",
+          docs.filter(col("doc_id") % 13 === 0).select("doc_id"), "doc_id")
+        TextAnalysis.indexCompactLayout(s, s"$base/idx", maxOwners = 1,
+          txnGraceMs = 0L)
+        ()
+      } + "/idx"
+      TextAnalysis.searchIndexLayout(s, dir, Seq("scan", "batch"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ⊕J25 RESCALE (r18): the q192 incremental-ingest protocol with a
+    // lshIndexRescale(16 → 7) between the corpus build and the batch
+    // probe — lb recomputes from the stored (band, bucket) columns, the
+    // _docmap re-derives, and the post-rescale probe resolves the new
+    // count from the layout itself. The candidate pairs are a function of
+    // band collisions alone, so the oracle is EXACTLY q192's — the hash
+    // match proves the rescale is invisible to ingest semantics.
+    "q217_lsh_rescale" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = sharedFixture("lsh_rsc", d) { fx =>
+        Dedup.writeLshIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id",
+          col("text"), s"$fx/idx")
+        Dedup.lshIndexRescale(s, s"$fx/idx", "doc_id", 7)
+        Dedup.lshIndexUpsert(s, s"$fx/idx",
+            docs.filter(col("doc_id") % 5 === 0), "doc_id", col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$fx/pairs")
+      }
+      Dedup.jaccardVerify(s.read.parquet(s"$base/pairs"), docs, "doc_id",
+          col("text"))
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -4161,6 +4281,14 @@ object SparkEntry {
     // q192: corpus-vs-batch band collisions (the 80/20 doc_id%5 split),
     // exact-verified — the q22 algebra restricted across the split
     "q192_lsh_index_upsert" -> jaccardSql(
+      s"""$bandCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0)""".stripMargin),
+
+    // q217: EXACTLY q192's oracle — the mid-sequence rescale must be
+    // invisible to the band-collision algebra
+    "q217_lsh_rescale" -> jaccardSql(
       s"""$bandCte,
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
@@ -6782,6 +6910,59 @@ object SparkEntry {
         |       WHEN o_orderkey % 7 = 1 THEN 'U'
         |       ELSE o_orderstatus END AS status
         |FROM orders WHERE o_orderkey % 7 IN (0, 1, 3) ORDER BY okey""".stripMargin,
+
+    // q213: the q166 conjunctive search restated — the SQL TVF door must
+    // be invisible to the result
+    "q213_sql_search" ->
+      s"""WITH $wordsCte,
+         |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+         |       WHERE term IN ('scan', 'batch') GROUP BY term, doc_id)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+         |GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id""".stripMargin,
+
+    // q215: q202's raw-text BM25 recompute unchanged — the rescale must
+    // be invisible to df/tf/len/N
+    "q215_index_rescale" ->
+      s"""WITH $wordsCte,
+         |lens AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS len FROM w),
+         |consts AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avglen FROM lens),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM w)
+         |  WHERE tok IN ('vector', 'query', 'join') GROUP BY 1, 2),
+         |dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+         |SELECT t.doc_id,
+         |  floor(sum( ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2 /
+         |    (t.tf + 1.2 * (0.25 + 0.75 * l.len / c.avglen)) ) * 1e6) / 1e6 AS bm25
+         |FROM tf t JOIN dfs d USING (tok) JOIN lens l USING (doc_id), consts c
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // q216: the q166 conjunctive search over the SURVIVING corpus (every
+    // 13th doc deleted) — compaction must not change a single row
+    "q216_index_compact" ->
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') ws
+         |  FROM documents WHERE doc_id % 13 <> 0),
+         |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+         |       WHERE term IN ('scan', 'batch') GROUP BY term, doc_id)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+         |GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id""".stripMargin,
+
+    // q214: the q202 BM25 recompute — k covers every match, so the TVF's
+    // top-k equals the full ranked set
+    "q214_sql_bm25" ->
+      s"""WITH $wordsCte,
+         |lens AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS len FROM w),
+         |consts AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avglen FROM lens),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM w)
+         |  WHERE tok IN ('vector', 'query', 'join') GROUP BY 1, 2),
+         |dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+         |SELECT t.doc_id,
+         |  floor(sum( ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2 /
+         |    (t.tf + 1.2 * (0.25 + 0.75 * l.len / c.avglen)) ) * 1e6) / 1e6 AS bm25
+         |FROM tf t JOIN dfs d USING (tok) JOIN lens l USING (doc_id), consts c
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "q140_ann_ivfpq" ->
       s"""WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, cell, code

@@ -674,7 +674,7 @@ object Dedup {
     * two-phase sweep). Returns the touched index partition ids. */
   private def dedupIndexDelete(spark: org.apache.spark.sql.SparkSession,
                                dir: String, victims: DataFrame, idCol: String,
-                               pCol: String, partitions: Int,
+                               pCol: String, partitionsOf: () => Int,
                                sortCols: Seq[String],
                                txnGraceMs: Long): Seq[Int] = {
     require(hasDocMap(dir),
@@ -682,6 +682,11 @@ object Dedup {
         "delete support) — rebuild it with the index writer to enable " +
         "DELETE(ids)")
     val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
+    // the partition count resolves AFTER begin() (r18): a rescale that
+    // committed between the caller's meta read and here would leave dm
+    // probes computed with the OLD count silently missing every victim —
+    // resolved here, any rescale landing later conflicts at the CAS
+    val partitions = partitionsOf()
     // victims' ids must hash EXACTLY like the map's: Murmur3 of an INT 5
     // differs from a LONG 5, so a caller passing a narrower id type would
     // probe the wrong dm= partitions and silently delete NOTHING — cast
@@ -757,7 +762,81 @@ object Dedup {
     val in = java.nio.file.Files.newInputStream(p)
     try pr.load(in) finally in.close()
     (pr.getProperty("numHashes").toInt, pr.getProperty("bands").toInt,
-      pr.getProperty("partitions").toInt, pr.getProperty("k").toInt)
+      layoutPartitions(dir, pr.getProperty("partitions").toInt),
+      pr.getProperty("k").toInt)
+  }
+
+  /** The index's CURRENT partition count: the LayoutTxn version-state
+    * prop wins over the write-time meta-file copy — since r18's rescale
+    * ops the count can change, and it must change atomically with the
+    * partition map (the version state is the only place that can). */
+  private def layoutPartitions(dir: String, metaFileValue: Int): Int =
+    graft.layout.LayoutTxn.currentProps(dir).get("partitions")
+      .map(_.toInt).getOrElse(metaFileValue)
+
+  /** Rewrite `partitions` in an index's legacy meta file after a rescale
+    * commit, preserving its other layout facts (best-effort, post-commit:
+    * every reader prefers the version-state prop). */
+  private def refreshMetaPartitions(dir: String, metaName: String,
+                                    partitions: Int): Unit = {
+    val p = java.nio.file.Paths.get(dir, metaName)
+    val pr = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(p)
+    try pr.load(in) finally in.close()
+    pr.setProperty("partitions", partitions.toString)
+    val out = java.nio.file.Files.newOutputStream(p)
+    try pr.store(out, "graft index parameters") finally out.close()
+  }
+
+  /** Shared RESCALE machinery for the three at-rest dedup indexes (r18 —
+    * VERDICT r17 task 3; the MergeTable REBUCKET shape at the index
+    * tier): every partition key is a pure function of STORED row columns
+    * (`lb = hash(band, bucket)`, `fb = hash(fp)`, `sb = hash(band,
+    * bval)`, all mod the count), so re-partitioning is a column rewrite
+    * over the index rows — the corpus text is never re-read, no
+    * signature/fingerprint recomputes. The `_docmap` reverse map
+    * re-derives from the re-keyed rows (its `pb` values ARE partition
+    * ids) in the SAME commit, and the `partitions` layout prop flips
+    * atomically with the partition map. The `pairs` log (partitioned by
+    * batch) is count-independent and rides untouched. Cost is O(index
+    * bytes) — the deliberate amortized full rewrite. */
+  private def dedupIndexRescale(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, idCol: String, pCol: String,
+                                partExpr: Int => org.apache.spark.sql.Column,
+                                sortCols: Seq[String], metaName: String,
+                                metaFilePartitions: () => Int,
+                                newPartitions: Int,
+                                txnGraceMs: Long): Long = {
+    require(newPartitions >= 1,
+      s"newPartitions must be >= 1, got $newPartitions")
+    val parent = graft.layout.LayoutTxn.begin(dir, txnGraceMs)
+    val snap = graft.layout.LayoutTxn.snapshot(dir)
+    val oldP = snap.props.get("partitions").map(_.toInt)
+      .getOrElse(metaFilePartitions())
+    if (oldP == newPartitions) return snap.version
+    val oldParts = graft.layout.LayoutTxn.resolveSnapshot(snap, "", pCol)
+      .map(_._1)
+    val rows = graft.layout.LayoutTxn.readSnapshot(spark, snap, "", pCol)
+      .withColumn(pCol, partExpr(newPartitions))
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val idxTouched = (oldParts ++ (0 until newPartitions)
+      .map(b => s"$pCol=$b")).distinct.sorted
+    val groups = Seq(graft.layout.LayoutTxn.Group("", rows, pCol, sortCols,
+      idxTouched))
+    val dmGroups = if (!hasDocMap(dir)) Seq.empty else {
+      val oldDm = graft.layout.LayoutTxn
+        .resolveSnapshot(snap, DedupDocMap, "dm").map(_._1)
+      val dmTouched = (oldDm ++ (0 until newPartitions)
+        .map(b => s"dm=$b")).distinct.sorted
+      Seq(graft.layout.LayoutTxn.Group(DedupDocMap,
+        dedupDocMapRows(rows, idCol, pCol, newPartitions), "dm",
+        Seq("pb", idCol), dmTouched))
+    }
+    val v = graft.layout.LayoutTxn.commit(spark, dir, parent,
+      groups ++ dmGroups,
+      props = Map("partitions" -> newPartitions.toString))
+    refreshMetaPartitions(dir, metaName, newPartitions)
+    v
   }
 
   /** The `lb=` partitions a batch's band keys hash into — the probe set
@@ -811,11 +890,32 @@ object Dedup {
     * (LshIndexDeleteSpec). Returns the touched `lb` partition ids. */
   def lshIndexDelete(spark: org.apache.spark.sql.SparkSession, dir: String,
                      victims: DataFrame, idCol: String,
-                     txnGraceMs: Long = 600000L): Seq[Int] = {
-    val (_, _, partitions, _) = readLshMeta(dir)
-    dedupIndexDelete(spark, dir, victims, idCol, "lb", partitions,
-      Seq("band", "bucket", idCol), txnGraceMs)
-  }
+                     txnGraceMs: Long = 600000L): Seq[Int] =
+    dedupIndexDelete(spark, dir, victims, idCol, "lb",
+      () => readLshMeta(dir)._3, Seq("band", "bucket", idCol), txnGraceMs)
+
+  /** RESCALE a [[writeLshIndex]] directory to a new partition count (r18
+    * — see [[dedupIndexRescale]]): `lb` recomputes from the stored
+    * (band, bucket) columns, the reverse map re-derives, the count flips
+    * atomically with the partition map; probes/ingests/deletes then read
+    * the new count from the layout itself. The corpus is never re-read. */
+  def lshIndexRescale(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      idCol: String, newPartitions: Int,
+                      txnGraceMs: Long = 600000L): Long =
+    dedupIndexRescale(spark, dir, idCol, "lb",
+      n => pmod(hash(col("band"), col("bucket")), lit(n)),
+      Seq("band", "bucket", idCol), LshMeta, () => readLshMeta(dir)._3,
+      newPartitions, txnGraceMs)
+
+  /** Fold a fragmented LSH index — [[graft.layout.LayoutTxn
+    * .compactStale]] with this layout's own in-partition sort orders. */
+  def lshIndexCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      idCol: String, maxOwners: Int = 4,
+                      txnGraceMs: Long = 600000L): Long =
+    graft.layout.LayoutTxn.compactStale(spark, dir,
+      Map("" -> Seq("band", "bucket", idCol),
+        DedupDocMap -> Seq("pb", idCol), "pairs" -> Seq("a", "b")),
+      maxOwners, txnGraceMs)
 
   private case class LshProbe(newRows: DataFrame, touched: Seq[Int],
                               existing: DataFrame, pairs: DataFrame) {
@@ -994,7 +1094,8 @@ object Dedup {
     val in = java.nio.file.Files.newInputStream(p)
     try pr.load(in) finally in.close()
     val (k, w, partitions) = (pr.getProperty("k").toInt,
-      pr.getProperty("w").toInt, pr.getProperty("partitions").toInt)
+      pr.getProperty("w").toInt,
+      layoutPartitions(dir, pr.getProperty("partitions").toInt))
     val newRows = newDocs.select(col(idCol),
         explode(TextAnalysis.winnowFingerprints(text, k, w)).as("fp"))
       .withColumn("fb", pmod(hash(col("fp")), lit(partitions)))
@@ -1074,16 +1175,41 @@ object Dedup {
     * touched `fb` partition ids. */
   def winnowIndexDelete(spark: org.apache.spark.sql.SparkSession,
                         dir: String, victims: DataFrame, idCol: String,
-                        txnGraceMs: Long = 600000L): Seq[Int] = {
+                        txnGraceMs: Long = 600000L): Seq[Int] =
+    dedupIndexDelete(spark, dir, victims, idCol, "fb",
+      () => winnowMetaPartitions(dir), Seq("fp", idCol), txnGraceMs)
+
+  private def winnowMetaPartitions(dir: String): Int = {
     val p = java.nio.file.Paths.get(dir, WinnowMeta)
     require(java.nio.file.Files.exists(p),
       s"no winnowing index metadata at $dir — writeWinnowIndex first")
     val pr = new java.util.Properties()
     val in = java.nio.file.Files.newInputStream(p)
     try pr.load(in) finally in.close()
-    dedupIndexDelete(spark, dir, victims, idCol, "fb",
-      pr.getProperty("partitions").toInt, Seq("fp", idCol), txnGraceMs)
+    layoutPartitions(dir, pr.getProperty("partitions").toInt)
   }
+
+  /** RESCALE a [[writeWinnowIndex]] directory (r18 — see
+    * [[dedupIndexRescale]]): `fb` recomputes from the stored fingerprint
+    * column; the df-cap exactness claim survives because a fingerprint's
+    * every occurrence still lands in ONE partition under the new count. */
+  def winnowIndexRescale(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, idCol: String, newPartitions: Int,
+                         txnGraceMs: Long = 600000L): Long =
+    dedupIndexRescale(spark, dir, idCol, "fb",
+      n => pmod(hash(col("fp")), lit(n)),
+      Seq("fp", idCol), WinnowMeta, () => winnowMetaPartitions(dir),
+      newPartitions, txnGraceMs)
+
+  /** Fold a fragmented winnowing index ([[graft.layout.LayoutTxn
+    * .compactStale]]). */
+  def winnowIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, idCol: String, maxOwners: Int = 4,
+                         txnGraceMs: Long = 600000L): Long =
+    graft.layout.LayoutTxn.compactStale(spark, dir,
+      Map("" -> Seq("fp", idCol), DedupDocMap -> Seq("pb", idCol),
+        "pairs" -> Seq("a", "b")),
+      maxOwners, txnGraceMs)
 
   private val SimhashMeta = "_simhash_meta"
 
@@ -1182,8 +1308,8 @@ object Dedup {
     val pr = new java.util.Properties()
     val in = java.nio.file.Files.newInputStream(p)
     try pr.load(in) finally in.close()
-    val (maxDist, partitions) =
-      (pr.getProperty("maxDist").toInt, pr.getProperty("partitions").toInt)
+    val (maxDist, partitions) = (pr.getProperty("maxDist").toInt,
+      layoutPartitions(dir, pr.getProperty("partitions").toInt))
     val cuts = simhashBandCuts(maxDist + 1)
     val newRows = simhashIndexRows(newDocs, idCol, text, maxDist, partitions)
       .transform(graft.util.Cleanup.checkpoint(_))
@@ -1260,17 +1386,42 @@ object Dedup {
     * touched `sb` partition ids. */
   def simhashIndexDelete(spark: org.apache.spark.sql.SparkSession,
                          dir: String, victims: DataFrame, idCol: String,
-                         txnGraceMs: Long = 600000L): Seq[Int] = {
+                         txnGraceMs: Long = 600000L): Seq[Int] =
+    dedupIndexDelete(spark, dir, victims, idCol, "sb",
+      () => simhashMetaPartitions(dir), Seq("band", "bval", idCol),
+      txnGraceMs)
+
+  private def simhashMetaPartitions(dir: String): Int = {
     val p = java.nio.file.Paths.get(dir, SimhashMeta)
     require(java.nio.file.Files.exists(p),
       s"no SimHash index metadata at $dir — writeSimhashIndex first")
     val pr = new java.util.Properties()
     val in = java.nio.file.Files.newInputStream(p)
     try pr.load(in) finally in.close()
-    dedupIndexDelete(spark, dir, victims, idCol, "sb",
-      pr.getProperty("partitions").toInt, Seq("band", "bval", idCol),
-      txnGraceMs)
+    layoutPartitions(dir, pr.getProperty("partitions").toInt)
   }
+
+  /** RESCALE a [[writeSimhashIndex]] directory (r18 — see
+    * [[dedupIndexRescale]]): `sb` recomputes from the stored (band, bval)
+    * columns; the pigeonhole losslessness is a per-pair banding property,
+    * untouched by the partition count. */
+  def simhashIndexRescale(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, idCol: String, newPartitions: Int,
+                          txnGraceMs: Long = 600000L): Long =
+    dedupIndexRescale(spark, dir, idCol, "sb",
+      n => pmod(hash(col("band"), col("bval")), lit(n)),
+      Seq("band", "bval", idCol), SimhashMeta,
+      () => simhashMetaPartitions(dir), newPartitions, txnGraceMs)
+
+  /** Fold a fragmented SimHash index ([[graft.layout.LayoutTxn
+    * .compactStale]]). */
+  def simhashIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, idCol: String, maxOwners: Int = 4,
+                          txnGraceMs: Long = 600000L): Long =
+    graft.layout.LayoutTxn.compactStale(spark, dir,
+      Map("" -> Seq("band", "bval", idCol), DedupDocMap -> Seq("pb", idCol),
+        "pairs" -> Seq("a", "b")),
+      maxOwners, txnGraceMs)
 
   /** Winnowing-fingerprint near-dup candidates (the rolling-hash tier of
     * the dedup ladder — exact ⊂ winnowing ⊂ MinHash/LSH): docs sharing at

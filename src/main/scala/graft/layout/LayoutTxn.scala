@@ -109,8 +109,25 @@ object LayoutTxn {
     * map — every sub root-lists. */
   private case class VersionState(version: Long, ts: Long,
                                   maps: Map[String, (String, Map[String, Long])],
-                                  batchId: Long = -1L) {
+                                  batchId: Long = -1L,
+                                  props: Map[String, String] = Map.empty,
+                                  schemas: Map[String, String] = Map.empty) {
     // maps: sub -> (partCol, partName -> owningVersion)
+    // schemas: sub -> last committed replacement schema (DDL) — what lets
+    // a sub EMPTIED by deletes still read as a typed empty relation
+  }
+
+  private val PropPrefix = "prop."
+
+  private def propsOf(pr: Properties): Map[String, String] = {
+    val it = pr.stringPropertyNames().iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) {
+      val k = it.next()
+      if (k.startsWith(PropPrefix))
+        b += k.stripPrefix(PropPrefix) -> pr.getProperty(k)
+    }
+    b.result()
   }
 
   private def readState(dir: String): Option[VersionState] = {
@@ -133,11 +150,46 @@ object LayoutTxn {
         }
         sub -> (pc, m)
       }.toMap
+      val schemas = (0 until nSubs).flatMap { i =>
+        Option(pr.getProperty(s"sub.$i.schema"))
+          .map(pr.getProperty(s"sub.$i.name") -> _)
+      }.toMap
       Some(VersionState(pr.getProperty("version").toLong,
         Option(pr.getProperty("ts")).map(_.toLong).getOrElse(0L), maps,
-        Option(pr.getProperty("batchId")).map(_.toLong).getOrElse(-1L)))
+        Option(pr.getProperty("batchId")).map(_.toLong).getOrElse(-1L),
+        propsOf(pr), schemas))
     }
   }
+
+  /** One resolved view of a layout: version, replay watermark, the
+    * commit-carried layout properties, and the partition→owning-version
+    * maps — captured in ONE version-file read (r18). A reader that needs
+    * a layout FACT (e.g. its partition count) AND its partition set must
+    * take one snapshot and use it for both: reading them separately races
+    * a concurrent [[rescale-style|commit]] that changes the fact and the
+    * partitions together, and a count paired with the other snapshot's
+    * dirs probes partitions that don't exist — silently empty results. */
+  final case class LayoutSnapshot(
+      dir: String, version: Long, batchId: Long,
+      props: Map[String, String],
+      private[layout] val maps: Map[String, (String, Map[String, Long])],
+      private[layout] val schemas: Map[String, String] = Map.empty)
+
+  /** Capture the current committed snapshot of `dir` in one read. A
+    * pre-protocol layout (no version file) snapshots as version 0 with
+    * no props — its subs root-list at read time (the root dirs are
+    * immutable from the first commit onward, same contract as before). */
+  def snapshot(dir: String): LayoutSnapshot =
+    readState(dir) match {
+      case Some(st) =>
+        LayoutSnapshot(dir, st.version, st.batchId, st.props, st.maps,
+          st.schemas)
+      case None => LayoutSnapshot(dir, 0L, -1L, Map.empty, Map.empty)
+    }
+
+  /** The current layout properties (commit-carried, monotone-merged). */
+  def currentProps(dir: String): Map[String, String] =
+    readState(dir).map(_.props).getOrElse(Map.empty)
 
   /** Highest streaming batchId any commit recorded (monotone — a
     * non-stream commit between micro-batches never lowers it), -1 if none
@@ -173,8 +225,15 @@ object LayoutTxn {
     * never mutates, or an `_lv<k>` version dir). `partCol` is only used
     * for the pre-protocol root-listing fallback. */
   def resolve(dir: String, sub: String, partCol: String)
+      : Seq[(String, String)] =
+    resolveSnapshot(snapshot(dir), sub, partCol)
+
+  /** [[resolve]] against an already-captured [[LayoutSnapshot]] — no
+    * version-file re-read, so facts and partitions stay one snapshot. */
+  def resolveSnapshot(snap: LayoutSnapshot, sub: String, partCol: String)
       : Seq[(String, String)] = {
-    readState(dir).flatMap(_.maps.get(sub)) match {
+    val dir = snap.dir
+    snap.maps.get(sub) match {
       case None => // pre-protocol layout (or sub never committed): root
         rootParts(dir, sub, partCol)
           .map(p => p -> subRoot(Paths.get(dir), sub).resolve(p).toString)
@@ -197,8 +256,15 @@ object LayoutTxn {
     * as a plain hive read would parse them. */
   def readLayout(spark: SparkSession, dir: String, sub: String,
                  partCol: String,
-                 only: Option[Set[String]] = None): DataFrame = {
-    val all = resolve(dir, sub, partCol)
+                 only: Option[Set[String]] = None): DataFrame =
+    readSnapshot(spark, snapshot(dir), sub, partCol, only)
+
+  /** [[readLayout]] against an already-captured [[LayoutSnapshot]]. */
+  def readSnapshot(spark: SparkSession, snap: LayoutSnapshot, sub: String,
+                   partCol: String,
+                   only: Option[Set[String]] = None): DataFrame = {
+    val dir = snap.dir
+    val all = resolveSnapshot(snap, sub, partCol)
     val parts = all.filter { case (p, _) => only.forall(_.contains(p)) }
     // one scan per distinct base (root / each owning version dir): the
     // basePath option is what turns the dir name into the partition
@@ -211,15 +277,27 @@ object LayoutTxn {
     }
     scans.reduceOption(_.unionByName(_)).getOrElse {
       // nothing survived the restriction: an empty frame, its schema
-      // inferred from any live partition (or the sub root for a layout
-      // with none — which throws the standard path error when the layout
-      // truly doesn't exist, the honest outcome)
+      // inferred from any live partition; a sub with NO live partitions
+      // (every doc deleted) reads as a typed empty relation off the
+      // schema its last commit recorded (r18 — before that, an index
+      // emptied by deletes threw UNABLE_TO_INFER_SCHEMA and was wedged
+      // for every later ingest; found by the index fuzz lane). Only a
+      // layout that truly never existed still throws the standard path
+      // error — the honest outcome.
       all.headOption match {
         case Some((p, path)) =>
           spark.read.option("basePath", path.stripSuffix("/" + p))
             .parquet(path).limit(0)
         case None =>
-          spark.read.parquet(subRoot(Paths.get(dir), sub).toString).limit(0)
+          snap.schemas.get(sub) match {
+            case Some(ddl) =>
+              spark.createDataFrame(
+                java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                org.apache.spark.sql.types.StructType.fromDDL(ddl))
+            case None =>
+              spark.read.parquet(subRoot(Paths.get(dir), sub).toString)
+                .limit(0)
+          }
       }
     }
   }
@@ -304,12 +382,29 @@ object LayoutTxn {
       parent.map(_.batchId).getOrElse(-1L),
       Option(pr.getProperty("batchId")).map(_.toLong).getOrElse(-1L))
     if (bid >= 0) vp.setProperty("batchId", bid.toString)
+    // layout properties: the parent's carry forward, this commit's
+    // overwrite — so a fact like the partition count changes ATOMICALLY
+    // with the partition map that embodies it
+    (parent.map(_.props).getOrElse(Map.empty) ++ propsOf(pr)).foreach {
+      case (k, v) => vp.setProperty(PropPrefix + k, v)
+    }
+    // per-sub replacement schemas: parent's carry, this commit's groups
+    // overwrite — what keeps a sub EMPTIED by deletions readable as a
+    // typed empty relation (r18; found by the index fuzz lane: delete
+    // every doc, then the next ingest's probe read threw
+    // UNABLE_TO_INFER_SCHEMA and the index was wedged)
+    val schemas = parent.map(_.schemas).getOrElse(Map.empty) ++
+      (0 until nGroups).flatMap { i =>
+        Option(pr.getProperty(s"group.$i.schema"))
+          .map(pr.getProperty(s"group.$i.sub") -> _)
+      }
     vp.setProperty("subs", maps.size.toString)
     maps.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((sub, (pc, m)), i) =>
       vp.setProperty(s"sub.$i.name", sub)
       vp.setProperty(s"sub.$i.partcol", pc)
       vp.setProperty(s"sub.$i.map",
         m.toSeq.sorted.map { case (p, v) => s"$p:$v" }.mkString(","))
+      schemas.get(sub).foreach(vp.setProperty(s"sub.$i.schema", _))
     }
     if (currentVersion(dir) < version) writeAtomic(dir, vp, versionPath(dir))
   }
@@ -390,7 +485,8 @@ object LayoutTxn {
     * [[ConflictException]] (stage cleaned up) if another writer claimed
     * `parent + 1` first. */
   def commit(spark: SparkSession, dir: String, parent: Long,
-             groups: Seq[Group], batchId: Long = -1L): Long = {
+             groups: Seq[Group], batchId: Long = -1L,
+             props: Map[String, String] = Map.empty): Long = {
     val newV = parent + 1
     val stage = s"_lstage_v${newV}_${java.util.UUID.randomUUID().toString.take(8)}"
     Files.createDirectories(Paths.get(dir))
@@ -404,6 +500,7 @@ object LayoutTxn {
     pr.setProperty("version", newV.toString)
     pr.setProperty("stage", stage)
     if (batchId >= 0) pr.setProperty("batchId", batchId.toString)
+    props.foreach { case (k, v) => pr.setProperty(PropPrefix + k, v) }
     pr.setProperty("ts", System.currentTimeMillis().toString)
     pr.setProperty("groups", groups.size.toString)
     groups.zipWithIndex.foreach { case (g, i) =>
@@ -423,6 +520,12 @@ object LayoutTxn {
           s"touched set: ${unexpected.mkString(",")}")
       pr.setProperty(s"group.$i.sub", g.sub)
       pr.setProperty(s"group.$i.partcol", g.partCol)
+      // the replacement schema, partition column LAST (hive read order) —
+      // recorded so the sub stays readable as a typed empty relation if
+      // a later commit deletes its last partition
+      pr.setProperty(s"group.$i.schema", org.apache.spark.sql.types.StructType(
+        g.replacement.schema.filterNot(_.name == g.partCol) ++
+          g.replacement.schema.find(_.name == g.partCol)).toDDL)
       pr.setProperty(s"group.$i.moves",
         g.touched.filter(present.contains).mkString(","))
       pr.setProperty(s"group.$i.dels",
@@ -438,5 +541,56 @@ object LayoutTxn {
     }
     finish(dir, pr)
     newV
+  }
+
+  /** The number of distinct immutable OWNER dirs (root + `_lv<k>`) the
+    * current snapshot's partitions resolve to — the read fan-out a
+    * fragmented layout pays (one parquet scan per owner, unioned), and
+    * [[compactStale]]'s trigger metric. 0 for a pre-protocol layout. */
+  def ownerCount(dir: String): Int =
+    readState(dir).map(_.maps.valuesIterator
+      .flatMap(_._2.valuesIterator).toSet.size).getOrElse(0)
+
+  /** Fold a FRAGMENTED layout — [[MergeTable.compactStale]]'s shape at
+    * the layout tier (r18, VERDICT r17 task 3). After many incremental
+    * commits a layout's live partitions are owned by many distinct
+    * immutable dirs: each distinct owner is one more parquet scan unioned
+    * into every read, and a version dir stays ON DISK until every one of
+    * its partitions is superseded (reclamation is whole-dir), so a single
+    * live partition pins a dir's dead bytes indefinitely. This op
+    * rewrites the partitions owned by the OLDEST owners verbatim into one
+    * commit until at most `maxOwners` owners remain (the new version
+    * counts as one), unpinning the folded dirs for the next [[begin]]'s
+    * two-phase sweep. Cost follows the FOLDED bytes, never the layout:
+    * the newest owners' partitions — in an append-mostly index the bulk —
+    * are untouched, so calling it with the default keeps read fan-out
+    * bounded at LSM-ish amortized cost. `sortColsBySub` gives each sub
+    * its writer's own in-partition sort columns (parquet locality);
+    * unlisted subs rewrite in read order. Commits through the standard
+    * stage/CAS-claim/publish — concurrent writers conflict loudly,
+    * readers keep their snapshots, batchId and layout props carry. */
+  def compactStale(spark: SparkSession, dir: String,
+                   sortColsBySub: Map[String, Seq[String]] = Map.empty,
+                   maxOwners: Int = 4, txnGraceMs: Long = 600000L): Long = {
+    require(maxOwners >= 1, s"maxOwners must be >= 1, got $maxOwners")
+    val parent = begin(dir, txnGraceMs)
+    val snap = snapshot(dir)
+    if (snap.maps.isEmpty) return parent // pre-protocol: one root owner
+    val owners = snap.maps.valuesIterator
+      .flatMap(_._2.valuesIterator).toSet
+    if (owners.size <= maxOwners) return parent
+    // fold the oldest owners; after the commit the survivors plus the
+    // new version dir number exactly maxOwners
+    val folded = owners.toSeq.sorted
+      .take(owners.size - maxOwners + 1).toSet
+    val groups = snap.maps.toSeq.sortBy(_._1).flatMap { case (sub, (pc, m)) =>
+      val touched = m.collect { case (p, v) if folded(v) => p }.toSeq.sorted
+      if (touched.isEmpty) None
+      else Some(Group(sub,
+        readSnapshot(spark, snap, sub, pc, Some(touched.toSet)),
+        pc, sortColsBySub.getOrElse(sub, Seq.empty), touched))
+    }
+    if (groups.isEmpty) parent
+    else commit(spark, dir, parent, groups)
   }
 }

@@ -298,21 +298,50 @@ object TextAnalysis {
     * REFUSE a mismatched caller value rather than trusting it. Indexes
     * written before the meta file existed fall back to the caller's value
     * (the legacy contract: caller-consistent parameters). */
-  private def layoutBuckets(dir: String, caller: Int): Int = {
+  private def metaFileBuckets(dir: String): Option[Int] = {
     val p = java.nio.file.Paths.get(dir, IdxMeta)
-    if (!java.nio.file.Files.exists(p)) caller
+    if (!java.nio.file.Files.exists(p)) None
     else {
       val pr = new java.util.Properties()
       val in = java.nio.file.Files.newInputStream(p)
       try pr.load(in) finally in.close()
-      val persisted = pr.getProperty("buckets").toInt
-      require(caller == persisted,
-        s"index at $dir was written with buckets=$persisted but the call " +
-          s"passed buckets=$caller — a mismatched bucket count probes the " +
-          "wrong partitions silently; pass the index's own value")
-      persisted
+      Some(pr.getProperty("buckets").toInt)
     }
   }
+
+  /** The layout's PERSISTED bucket count, or None for a pre-r17 index —
+    * the SQL TVFs resolve the count from the layout itself so a pure-SQL
+    * caller never has to know it. Since r18's [[indexRescaleLayout]] the
+    * authoritative copy rides the LayoutTxn version state (it must change
+    * ATOMICALLY with the partition map); `_idx_meta` remains as the
+    * write-time copy for never-rescaled layouts. */
+  def persistedIndexBuckets(dir: String): Option[Int] =
+    graft.layout.LayoutTxn.currentProps(dir).get("buckets").map(_.toInt)
+      .orElse(metaFileBuckets(dir))
+
+  /** Callers pass this (the parameter default) to mean "the layout's own
+    * persisted count" — after an [[indexRescaleLayout]] no caller should
+    * have to know the current value. An EXPLICIT caller count is still
+    * cross-checked against the persisted one and refused on mismatch. */
+  private val LayoutResolvedBuckets = -1
+
+  private def bucketsFromSnapshot(snap: graft.layout.LayoutTxn.LayoutSnapshot,
+                                  caller: Int): Int =
+    snap.props.get("buckets").map(_.toInt)
+      .orElse(metaFileBuckets(snap.dir)) match {
+      case None =>
+        if (caller == LayoutResolvedBuckets) 16 // the historical writer default
+        else caller
+      case Some(persisted) =>
+        require(caller == LayoutResolvedBuckets || caller == persisted,
+          s"index at ${snap.dir} was written with buckets=$persisted but " +
+            s"the call passed buckets=$caller — a mismatched bucket count " +
+            "probes the wrong partitions silently; pass the index's own value")
+        persisted
+    }
+
+  private def layoutBuckets(dir: String, caller: Int): Int =
+    bucketsFromSnapshot(graft.layout.LayoutTxn.snapshot(dir), caller)
 
   private def writeIndexLayoutImpl(index: DataFrame, dir: String,
                                    buckets: Int,
@@ -416,7 +445,7 @@ object TextAnalysis {
     * directory count, is the claim. Returns the touched bucket ids. */
   def indexUpsertLayout(spark: org.apache.spark.sql.SparkSession,
                         layoutDir: String, newDocs: DataFrame, idCol: String,
-                        text: Column, buckets: Int = 16,
+                        text: Column, buckets: Int = LayoutResolvedBuckets,
                         txnGraceMs: Long = 600000L): Seq[Long] =
     indexApplyLayout(spark, layoutDir, newDocs, None, idCol, text, buckets,
       txnGraceMs)
@@ -436,16 +465,19 @@ object TextAnalysis {
   def indexApplyLayout(spark: org.apache.spark.sql.SparkSession,
                        layoutDir: String, newDocs: DataFrame,
                        deleteIds: Option[DataFrame], idCol: String,
-                       text: Column, buckets: Int = 16,
+                       text: Column, buckets: Int = LayoutResolvedBuckets,
                        txnGraceMs: Long = 600000L,
                        batchId: Long = -1L): Seq[Long] = {
     if (batchId >= 0 &&
         graft.layout.LayoutTxn.lastBatchId(layoutDir) >= batchId)
       return Seq.empty // fast path: the PUBLISHED state already has it
-    val bks = layoutBuckets(layoutDir, buckets) // layout fact, refuse mismatch
     // roll forward any crashed commit / conflict on a live one BEFORE
     // reading the layout this delta is computed against
     val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
+    // the bucket count resolves AFTER begin() (r18): a rescale committing
+    // just before would otherwise leave this window computed at the OLD
+    // count; one landing later conflicts at the CAS
+    val bks = layoutBuckets(layoutDir, buckets) // layout fact, refuse mismatch
     // authoritative replay check AFTER begin() (ADVICE r16 high): a
     // commit crashed between claim and publish is invisible above
     if (batchId >= 0 &&
@@ -540,10 +572,11 @@ object TextAnalysis {
     * buckets, never the index. Returns the touched `tb` bucket ids. */
   def indexDeleteLayout(spark: org.apache.spark.sql.SparkSession,
                         layoutDir: String, victims: DataFrame, idCol: String,
-                        buckets: Int = 16,
+                        buckets: Int = LayoutResolvedBuckets,
                         txnGraceMs: Long = 600000L): Seq[Long] = {
-    val bks = layoutBuckets(layoutDir, buckets) // layout fact, refuse mismatch
     val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
+    // count AFTER begin() — the indexApplyLayout rescale-race rule (r18)
+    val bks = layoutBuckets(layoutDir, buckets) // layout fact, refuse mismatch
     val ids = victims.select(col(idCol).cast("long").as("doc_id"))
       .distinct().transform(graft.util.Cleanup.checkpoint(_))
     val dmTouched = ids
@@ -579,16 +612,96 @@ object TextAnalysis {
     tbTouched
   }
 
+  /** RESCALE a [[writeIndexLayout]] directory to a new bucket count (r18
+    * — VERDICT r17 task 3, the `OPTIMIZE REBUCKET` analogue at the index
+    * tier; the count was a write-time-forever fact before). The corpus is
+    * NEVER read: `tb` is a pure function of the stored `term` column and
+    * a (tb, term) postings row maps to exactly one bucket under either
+    * count, so re-bucketing is a column rewrite — df and postings ride
+    * unchanged; the doc store rebuilds from the re-bucketed postings
+    * (lens = Σtf are count-independent) with term-less SENTINEL rows
+    * carried over under their new `dm`. One LayoutTxn commit moves every
+    * partition AND flips the `buckets` layout prop atomically — a reader
+    * snapshotting before sees old count + old dirs, after sees new + new,
+    * never a mix; a concurrent writer's CAS conflicts loudly; batchId
+    * carries so streaming replay protection survives the rescale. Cost is
+    * O(index bytes) — the deliberate amortized full rewrite, exactly
+    * MergeTable REBUCKET's contract. `_idx_meta` is refreshed after the
+    * commit as the legacy copy (the version-state prop is authoritative
+    * and wins in every reader). */
+  def indexRescaleLayout(spark: org.apache.spark.sql.SparkSession,
+                         layoutDir: String, newBuckets: Int,
+                         txnGraceMs: Long = 600000L): Long = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
+    val snap = graft.layout.LayoutTxn.snapshot(layoutDir)
+    val oldBuckets = snap.props.get("buckets").map(_.toInt)
+      .orElse(metaFileBuckets(layoutDir))
+      .getOrElse(throw new IllegalStateException(
+        s"no persisted bucket count at $layoutDir — not an index layout?"))
+    if (oldBuckets == newBuckets) return snap.version
+    val oldTb = graft.layout.LayoutTxn.resolveSnapshot(snap, "", "tb")
+      .map(_._1)
+    val oldDm = graft.layout.LayoutTxn
+      .resolveSnapshot(snap, DocMapDir, "dm").map(_._1)
+    val rebucketed = graft.layout.LayoutTxn.readSnapshot(spark, snap, "", "tb")
+      .withColumn("tb", termBucket(col("term"), newBuckets))
+      .transform(graft.util.Cleanup.checkpoint(_))
+    val sentinels = graft.layout.LayoutTxn
+      .readSnapshot(spark, snap, DocMapDir, "dm")
+      .filter(col("tb") === -1L)
+      .select(col("doc_id"), col("tb"), col("len"))
+      .withColumn("dm", pmod(col("doc_id"), lit(newBuckets.toLong)))
+    val newDocMap = docMapOf(rebucketed, newBuckets).unionByName(sentinels)
+      .select(col("doc_id"), col("tb"), col("len"), col("dm"))
+    val tbTouched = (oldTb ++ (0 until newBuckets).map(b => s"tb=$b"))
+      .distinct.sorted
+    val dmTouched = (oldDm ++ (0 until newBuckets).map(b => s"dm=$b"))
+      .distinct.sorted
+    val v = graft.layout.LayoutTxn.commit(spark, layoutDir, parent,
+      Seq(graft.layout.LayoutTxn.Group("", rebucketed, "tb", Seq("term"),
+          tbTouched),
+        graft.layout.LayoutTxn.Group(DocMapDir, newDocMap, "dm",
+          Seq("doc_id"), dmTouched)),
+      props = Map("buckets" -> newBuckets.toString))
+    // refresh the legacy write-time copy (best-effort, post-commit: every
+    // reader prefers the version-state prop, so a crash between the two
+    // writes is benign)
+    val pr = new java.util.Properties()
+    pr.setProperty("buckets", newBuckets.toString)
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(layoutDir, IdxMeta))
+    try pr.store(out, "graft inverted-index layout parameters")
+    finally out.close()
+    v
+  }
+
+  /** Fold a fragmented index layout — [[graft.layout.LayoutTxn
+    * .compactStale]] with this layout's own in-partition sort orders
+    * (postings by term, doc store by doc_id). See its scaladoc for the
+    * owner-count trigger and cost shape. */
+  def indexCompactLayout(spark: org.apache.spark.sql.SparkSession,
+                         layoutDir: String, maxOwners: Int = 4,
+                         txnGraceMs: Long = 600000L): Long =
+    graft.layout.LayoutTxn.compactStale(spark, layoutDir,
+      Map("" -> Seq("term"), DocMapDir -> Seq("doc_id")),
+      maxOwners, txnGraceMs)
+
   /** Conjunctive search over a [[writeIndexLayout]] directory: terms →
     * bucket literals (driver-side md5, no data touched) → partition-pruned
     * scan → the same [[searchAll]] postings algebra. */
   def searchIndexLayout(spark: org.apache.spark.sql.SparkSession, dir: String,
-                        terms: Seq[String], buckets: Int = 16): DataFrame = {
-    val tbs = terms.map(termBucketJvm(_, layoutBuckets(dir, buckets))).distinct
+                        terms: Seq[String], buckets: Int = LayoutResolvedBuckets): DataFrame = {
+    // ONE snapshot supplies the bucket count AND the partition set (r18):
+    // reading them separately races a concurrent rescale — a count paired
+    // with the other snapshot's dirs probes partitions that don't exist
+    val snap = graft.layout.LayoutTxn.snapshot(dir)
+    val tbs = terms.map(termBucketJvm(_, bucketsFromSnapshot(snap, buckets)))
+      .distinct
     // snapshot-isolated resolve (r15): the query terms' buckets prune
     // the directory list driver-side; each listed dir is immutable, so
     // an index upsert landing mid-search cannot mix two versions here
-    val pruned = graft.layout.LayoutTxn.readLayout(spark, dir, "", "tb",
+    val pruned = graft.layout.LayoutTxn.readSnapshot(spark, snap, "", "tb",
         Some(tbs.map(b => s"tb=$b").toSet))
       .drop("tb")
     searchAll(pruned, terms)
@@ -604,14 +717,18 @@ object TextAnalysis {
     * proves df/tf/len/N all survive incremental maintenance unchanged.
     * Returns (doc_id, bm25) for every doc containing ≥1 query term. */
   def bm25SearchLayout(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       terms: Seq[String], buckets: Int = 16,
+                       terms: Seq[String], buckets: Int = LayoutResolvedBuckets,
                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25SearchLayout needs at least one query term")
-    val tbs = terms.map(termBucketJvm(_, layoutBuckets(dir, buckets))).distinct
-    val pruned = graft.layout.LayoutTxn.readLayout(spark, dir, "", "tb",
+    // ONE snapshot for the count, the postings partitions, AND the doc
+    // store (r18): a rescale or upsert landing mid-plan cannot mix them
+    val snap = graft.layout.LayoutTxn.snapshot(dir)
+    val tbs = terms.map(termBucketJvm(_, bucketsFromSnapshot(snap, buckets)))
+      .distinct
+    val pruned = graft.layout.LayoutTxn.readSnapshot(spark, snap, "", "tb",
         Some(tbs.map(x => s"tb=$x").toSet))
       .filter(col("term").isin(terms: _*))
-    val lens = graft.layout.LayoutTxn.readLayout(spark, dir, DocMapDir, "dm")
+    val lens = graft.layout.LayoutTxn.readSnapshot(spark, snap, DocMapDir, "dm")
       .select(col("doc_id"), col("len")).distinct()
     val c = lens.agg(count(lit(1)).cast("double"),
       avg(col("len").cast("double"))).head()

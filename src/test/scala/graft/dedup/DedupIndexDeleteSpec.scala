@@ -170,4 +170,43 @@ class DedupIndexDeleteSpec extends SparkSpec {
       "doc_id", col("text")).as[(Long, Long, Long)].collect().toSet
     assert(pairs(a) === pairs(b))
   }
+
+  test("an index EMPTIED by deletes stays alive: reads typed-empty, later ingests work (r18, fuzz-found)") {
+    // before r18's schema-in-version-state fix this sequence WEDGED the
+    // index: the emptied layout had no parquet file left to infer a
+    // schema from, so the next probe read threw UNABLE_TO_INFER_SCHEMA
+    // (IndexFuzzSpec found it on its first 100-seed run)
+    val d = fresh("lsh_empty")
+    Dedup.writeLshIndex(corpus, "doc_id", col("text"), d, partitions = 8)
+    Dedup.lshIndexDelete(spark, d, corpus.select("doc_id"), "doc_id")
+    assert(LayoutTxn.readLayout(spark, d, "", "lb").count() === 0L,
+      "emptied index must read as a typed empty relation")
+    assert(LayoutTxn.readLayout(spark, d, "_docmap", "dm").count() === 0L)
+    // the index is still a living layout: a fresh batch ingests cleanly
+    // and a near-dup pair within the batch's own corpus side is empty
+    // (nothing to collide with), then a second batch collides with it
+    val pairs1 = Dedup.lshIndexUpsert(spark, d,
+        docsOf(50L -> "alpha beta gamma delta epsilon zeta eta theta"),
+        "doc_id", col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs1.isEmpty)
+    val pairs2 = Dedup.lshIndexUpsert(spark, d,
+        docsOf(51L -> "alpha beta gamma delta epsilon zeta eta iota"),
+        "doc_id", col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs2 === Set((50L, 51L)),
+      s"post-empty ingests must compose: $pairs2")
+    // the text tier heals the same way
+    val t = fresh("txt_empty")
+    graft.text.TextAnalysis.writeIndexLayout(corpus, "doc_id", col("text"),
+      t, 8)
+    graft.text.TextAnalysis.indexDeleteLayout(spark, t,
+      corpus.select("doc_id"), "doc_id")
+    assert(LayoutTxn.readLayout(spark, t, "", "tb").count() === 0L)
+    graft.text.TextAnalysis.indexUpsertLayout(spark, t,
+      docsOf(60L -> "alpha beta"), "doc_id", col("text"))
+    assert(graft.text.TextAnalysis.searchIndexLayout(spark, t,
+        Seq("alpha", "beta"))
+      .as[(Long, Long)].collect().toSeq === Seq((60L, 2L)))
+  }
 }

@@ -130,4 +130,58 @@ class CdcIndexFollowSpec extends SparkSpec {
       "the watermark must advance past a content-empty window")
     assert(postings(idx) === before)
   }
+
+  test("readers racing the follower each see ONE committed index version, never a mix (r18 — VERDICT r17 task 8)") {
+    val base = freshDir("iso")
+    val tdir = s"$base/t"; val idx = s"$base/idx"
+    val docs = docsOf(
+      1L -> "spark alpha beta",
+      2L -> "spark gamma delta",
+      3L -> "epsilon zeta spark",
+      4L -> "eta theta iota")
+    MergeTable.merge(spark, tdir,
+      docs.withColumn("op_flag", lit("create")), "doc_id", numBuckets = 2)
+    TextAnalysis.writeIndexLayout(docs, "doc_id", col("text"), idx, 4)
+    // each table version CHANGES the 'spark' result set, so a mixed-
+    // version read would produce a result no single version can
+    MergeTable.merge(spark, tdir,
+      docsOf(1L -> "alpha beta only now")
+        .withColumn("op_flag", lit("update")), "doc_id")
+    MergeTable.softDelete(spark, tdir, col("doc_id") === 2L)
+    MergeTable.merge(spark, tdir,
+      docsOf(9L -> "spark spark arrives late")
+        .withColumn("op_flag", lit("create")), "doc_id")
+    // expected: the 'spark' search over EVERY committed table version —
+    // a racing reader must observe exactly one of these
+    val legal = (0L to 3L).map { v =>
+      TextAnalysis.searchAll(
+          TextAnalysis.invertedIndex(
+            MergeTable.readAt(spark, tdir, v).select("doc_id", "text"),
+            "doc_id", col("text")),
+          Seq("spark"))
+        .as[(Long, Long)].collect().toSet
+    }.toSet
+    val observed =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Set[(Long, Long)]]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (0 until 2).map(_ => new Thread(() => {
+      while (!stop.get()) {
+        observed.add(TextAnalysis.searchIndexLayout(spark, idx, Seq("spark"))
+          .as[(Long, Long)].collect().toSet)
+        ()
+      }
+    }))
+    readers.foreach(_.start())
+    try EventStreams.cdcIndexFollow(spark, tdir, idx, buckets = 4,
+      untilVersion = Some(3L), timeoutMs = 120000L)
+    finally { stop.set(true); readers.foreach(_.join(60000)) }
+    assert(LayoutTxn.lastBatchId(idx) === 3L)
+    import scala.jdk.CollectionConverters._
+    val obs = observed.asScala.toSet
+    assert(obs.nonEmpty)
+    val illegal = obs -- legal
+    assert(illegal.isEmpty,
+      s"reader observed a result NO committed version produces: $illegal " +
+        s"(legal: $legal)")
+  }
 }

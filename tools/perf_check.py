@@ -166,7 +166,11 @@ MULTI_COMMIT = {"q63_merge_upsert", "q64_stream_upsert",
                 # the composite-key SQL MERGE protocol, q184 the whole
                 # SQL lifecycle (CREATE+MERGE+DELETE+OPTIMIZE)
                 "q179_evolution_widen", "q182_sql_merge_composite",
-                "q184_sql_lifecycle"}
+                "q184_sql_lifecycle",
+                # q212 runs THREE transactional commits (CREATE + two
+                # merge-on-read mergeSmall runs) — the same per-commit
+                # protocol wall as q63 (measured 2.7-3.5 s quiet-host)
+                "q212_merge_mor"}
 MULTI_COMMIT_MIN_SPARK = 4.5  # quiet-host; scaled by measured host_load
 
 
