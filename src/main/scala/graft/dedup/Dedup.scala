@@ -656,11 +656,9 @@ object Dedup {
       idCol, pCol, partitions)
     val touched = nm.select("dm").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val existing = graft.layout.LayoutTxn.readLayout(spark, dir, DedupDocMap,
-      "dm", Some(touched.map(b => s"dm=$b").toSet))
-    Some(graft.layout.LayoutTxn.Group(DedupDocMap,
-      existing.select(col(idCol), col("pb"), col("dm")).unionByName(nm),
-      "dm", Seq("pb", idCol), touched.map(b => s"dm=$b")))
+    // append-run commit (r18): only the batch's own map rows are written
+    Some(graft.layout.LayoutTxn.Group(DedupDocMap, nm,
+      "dm", Seq("pb", idCol), touched.map(b => s"dm=$b"), append = true))
   }
 
   /** DELETE(ids) against an at-rest dedup index (⊕J25/⊕J26/⊕J27 — VERDICT
@@ -919,11 +917,14 @@ object Dedup {
 
   private case class LshProbe(newRows: DataFrame, touched: Seq[Int],
                               existing: DataFrame, pairs: DataFrame) {
+    // APPEND-RUN commit (r18): the batch's own rows become one more run
+    // of each touched partition — the probed corpus rows are read for
+    // the PAIRS but never rewritten, so ingest WRITE cost is O(batch),
+    // not O(touched partitions); compactStale folds runs back
     def indexGroup(idCol: String): graft.layout.LayoutTxn.Group =
-      graft.layout.LayoutTxn.Group("",
-        existing.select(col(idCol), col("band"), col("bucket"), col("lb"))
-          .unionByName(newRows),
-        "lb", Seq("band", "bucket", idCol), touched.map(b => s"lb=$b"))
+      graft.layout.LayoutTxn.Group("", newRows,
+        "lb", Seq("band", "bucket", idCol), touched.map(b => s"lb=$b"),
+        append = true)
   }
 
   /** The shared probe behind [[lshIndexUpsert]] and [[lshIngestBatch]]:
@@ -1072,10 +1073,10 @@ object Dedup {
   private case class WinnowProbe(newRows: DataFrame, touched: Seq[Int],
                                  existing: DataFrame, pairs: DataFrame,
                                  partitions: Int) {
+    // append-run commit — see LshProbe.indexGroup (r18)
     def groups(idCol: String): Seq[graft.layout.LayoutTxn.Group] =
-      Seq(graft.layout.LayoutTxn.Group("",
-        existing.select(col(idCol), col("fp"), col("fb")).unionByName(newRows),
-        "fb", Seq("fp", idCol), touched.map(b => s"fb=$b")))
+      Seq(graft.layout.LayoutTxn.Group("", newRows,
+        "fb", Seq("fp", idCol), touched.map(b => s"fb=$b"), append = true))
   }
 
   /** The shared probe behind [[winnowIndexUpsert]] and
@@ -1286,12 +1287,11 @@ object Dedup {
   private case class SimhashProbe(newRows: DataFrame, touched: Seq[Int],
                                   existing: DataFrame, pairs: DataFrame,
                                   partitions: Int) {
+    // append-run commit — see LshProbe.indexGroup (r18)
     def groups(idCol: String): Seq[graft.layout.LayoutTxn.Group] =
-      Seq(graft.layout.LayoutTxn.Group("",
-        existing.select(col(idCol), col("sh"), col("band"), col("bval"),
-            col("sb"))
-          .unionByName(newRows),
-        "sb", Seq("band", "bval", idCol), touched.map(b => s"sb=$b")))
+      Seq(graft.layout.LayoutTxn.Group("", newRows,
+        "sb", Seq("band", "bval", idCol), touched.map(b => s"sb=$b"),
+        append = true))
   }
 
   /** The shared probe behind [[simhashIndexUpsert]] and

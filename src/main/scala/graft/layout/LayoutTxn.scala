@@ -87,9 +87,22 @@ object LayoutTxn {
     * `_docmap` doc store rides the same commit as its postings).
     * `touched` are partition DIR names ("cell=3"); partitions in
     * `touched` with no rows in `replacement` are deleted at swap.
-    * Partition dir names may not contain ',' or ':' (map encoding). */
+    * Partition dir names may not contain ',' or ':' or '|' (map
+    * encoding).
+    *
+    * `append = true` (r18) makes the group an APPEND-RUN commit: the
+    * written partitions become an ADDITIONAL run of each partition
+    * (newest last) instead of replacing it — the merge-on-read mechanic
+    * at the layout tier. Reads union a partition's runs; a later
+    * REPLACE of the partition (delete / rescale / compactStale)
+    * materializes its runs back to one. Pure-append maintenance (the
+    * dedup ingest contract: batch ids are NEW) then writes O(batch)
+    * bytes instead of rewriting whole touched partitions. Append groups
+    * have no deletion semantics: a touched partition the replacement
+    * produced no rows for simply isn't appended. */
   case class Group(sub: String, replacement: DataFrame, partCol: String,
-                   sortCols: Seq[String], touched: Seq[String])
+                   sortCols: Seq[String], touched: Seq[String],
+                   append: Boolean = false)
 
   private val VersionFile = "_layout_version"
   private val Tombstone = "_superseded"
@@ -108,11 +121,13 @@ object LayoutTxn {
     * no version file is pre-protocol / freshly rebuilt: version 0, no
     * map — every sub root-lists. */
   private case class VersionState(version: Long, ts: Long,
-                                  maps: Map[String, (String, Map[String, Long])],
+                                  maps: Map[String, (String, Map[String, Seq[Long]])],
                                   batchId: Long = -1L,
                                   props: Map[String, String] = Map.empty,
                                   schemas: Map[String, String] = Map.empty) {
-    // maps: sub -> (partCol, partName -> owningVersion)
+    // maps: sub -> (partCol, partName -> owning RUN versions, oldest
+    // first; one element = the classic replace form, several = append
+    // runs a read unions (r18))
     // schemas: sub -> last committed replacement schema (DDL) — what lets
     // a sub EMPTIED by deletes still read as a typed empty relation
   }
@@ -142,10 +157,11 @@ object LayoutTxn {
         val sub = pr.getProperty(s"sub.$i.name")
         val pc = pr.getProperty(s"sub.$i.partcol")
         val m = pr.getProperty(s"sub.$i.map", "") match {
-          case "" => Map.empty[String, Long]
+          case "" => Map.empty[String, Seq[Long]]
           case s => s.split(",").iterator.map { ent =>
             val idx = ent.lastIndexOf(':')
-            ent.substring(0, idx) -> ent.substring(idx + 1).toLong
+            ent.substring(0, idx) ->
+              ent.substring(idx + 1).split('|').toSeq.map(_.toLong)
           }.toMap
         }
         sub -> (pc, m)
@@ -172,7 +188,7 @@ object LayoutTxn {
   final case class LayoutSnapshot(
       dir: String, version: Long, batchId: Long,
       props: Map[String, String],
-      private[layout] val maps: Map[String, (String, Map[String, Long])],
+      private[layout] val maps: Map[String, (String, Map[String, Seq[Long]])],
       private[layout] val schemas: Map[String, String] = Map.empty)
 
   /** Capture the current committed snapshot of `dir` in one read. A
@@ -238,10 +254,15 @@ object LayoutTxn {
         rootParts(dir, sub, partCol)
           .map(p => p -> subRoot(Paths.get(dir), sub).resolve(p).toString)
       case Some((_, m)) =>
-        m.toSeq.sortBy(_._1).map { case (p, v) =>
-          val base = if (v == 0L) subRoot(Paths.get(dir), sub)
-            else subRoot(lvDir(dir, v), sub)
-          p -> base.resolve(p).toString
+        // one entry PER RUN: a multi-run partition resolves to several
+        // immutable dirs and a read unions them (newest-last order is
+        // irrelevant to the flat row sets the append form is for)
+        m.toSeq.sortBy(_._1).flatMap { case (p, vs) =>
+          vs.map { v =>
+            val base = if (v == 0L) subRoot(Paths.get(dir), sub)
+              else subRoot(lvDir(dir, v), sub)
+            p -> base.resolve(p).toString
+          }
         }
     }
   }
@@ -363,11 +384,19 @@ object LayoutTxn {
           s"cannot roll forward layout claim v$version at $dir: no " +
             s"partition column recorded or derivable for sub '$sub' — " +
             "re-run the interrupted upsert"))
-      val parentMap: Map[String, Long] =
+      val parentMap: Map[String, Seq[Long]] =
         parentEntry.map(_._2).getOrElse(
-          rootParts(dir, sub, pc).map(_ -> 0L).toMap)
-      val touched = (parts("moves") ++ parts("dels")).toSet
-      sub -> (pc, parentMap -- touched ++ parts("moves").map(_ -> version))
+          rootParts(dir, sub, pc).map(_ -> Seq(0L)).toMap)
+      val isAppend = pr.getProperty(s"group.$i.append", "false") == "true"
+      val newMap =
+        if (isAppend) // written partitions gain ONE MORE run; no deletes
+          parentMap ++ parts("moves").map(p =>
+            p -> (parentMap.getOrElse(p, Seq.empty) :+ version))
+        else {
+          val touched = (parts("moves") ++ parts("dels")).toSet
+          parentMap -- touched ++ parts("moves").map(_ -> Seq(version))
+        }
+      sub -> (pc, newMap)
     }.toMap
     val carried = parent.map(_.maps).getOrElse(Map.empty)
       .filterNot { case (sub, _) => committed.contains(sub) }
@@ -403,7 +432,8 @@ object LayoutTxn {
       vp.setProperty(s"sub.$i.name", sub)
       vp.setProperty(s"sub.$i.partcol", pc)
       vp.setProperty(s"sub.$i.map",
-        m.toSeq.sorted.map { case (p, v) => s"$p:$v" }.mkString(","))
+        m.toSeq.sortBy(_._1)
+          .map { case (p, vs) => s"$p:${vs.mkString("|")}" }.mkString(","))
       schemas.get(sub).foreach(vp.setProperty(s"sub.$i.schema", _))
     }
     if (currentVersion(dir) < version) writeAtomic(dir, vp, versionPath(dir))
@@ -447,7 +477,8 @@ object LayoutTxn {
     // snapshot on disk
     readState(dir).foreach { st =>
       val referenced: Set[(Long, String, String)] = st.maps.toSeq.flatMap {
-        case (sub, (_, m)) => m.toSeq.map { case (p, ver) => (ver, sub, p) }
+        case (sub, (_, m)) =>
+          m.toSeq.flatMap { case (p, vs) => vs.map(v => (v, sub, p)) }
       }.toSet
       def sweep(target: java.io.File): Unit = {
         val tomb = new java.io.File(target, Tombstone)
@@ -504,8 +535,10 @@ object LayoutTxn {
     pr.setProperty("ts", System.currentTimeMillis().toString)
     pr.setProperty("groups", groups.size.toString)
     groups.zipWithIndex.foreach { case (g, i) =>
-      require(g.touched.forall(p => !p.contains(",") && !p.contains(":")),
-        s"partition names may not contain ',' or ':': ${g.touched.mkString(" ")}")
+      require(g.touched.forall(p =>
+          !p.contains(",") && !p.contains(":") && !p.contains("|")),
+        s"partition names may not contain ',', ':' or '|': " +
+          g.touched.mkString(" "))
       val stageSub = subRoot(Paths.get(dir, stage), g.sub)
       DataLayout.writePartitionedSorted(
         g.replacement, stageSub.toString, Seq(g.partCol), g.sortCols)
@@ -520,6 +553,7 @@ object LayoutTxn {
           s"touched set: ${unexpected.mkString(",")}")
       pr.setProperty(s"group.$i.sub", g.sub)
       pr.setProperty(s"group.$i.partcol", g.partCol)
+      if (g.append) pr.setProperty(s"group.$i.append", "true")
       // the replacement schema, partition column LAST (hive read order) —
       // recorded so the sub stays readable as a typed empty relation if
       // a later commit deletes its last partition
@@ -549,7 +583,7 @@ object LayoutTxn {
     * [[compactStale]]'s trigger metric. 0 for a pre-protocol layout. */
   def ownerCount(dir: String): Int =
     readState(dir).map(_.maps.valuesIterator
-      .flatMap(_._2.valuesIterator).toSet.size).getOrElse(0)
+      .flatMap(_._2.valuesIterator.flatten).toSet.size).getOrElse(0)
 
   /** Fold a FRAGMENTED layout — [[MergeTable.compactStale]]'s shape at
     * the layout tier (r18, VERDICT r17 task 3). After many incremental
@@ -577,14 +611,18 @@ object LayoutTxn {
     val snap = snapshot(dir)
     if (snap.maps.isEmpty) return parent // pre-protocol: one root owner
     val owners = snap.maps.valuesIterator
-      .flatMap(_._2.valuesIterator).toSet
+      .flatMap(_._2.valuesIterator.flatten).toSet
     if (owners.size <= maxOwners) return parent
     // fold the oldest owners; after the commit the survivors plus the
-    // new version dir number exactly maxOwners
+    // new version dir number exactly maxOwners. A partition with ANY
+    // run in a folded owner rewrites whole — its runs materialize into
+    // one (the append form's compaction contract).
     val folded = owners.toSeq.sorted
       .take(owners.size - maxOwners + 1).toSet
     val groups = snap.maps.toSeq.sortBy(_._1).flatMap { case (sub, (pc, m)) =>
-      val touched = m.collect { case (p, v) if folded(v) => p }.toSeq.sorted
+      val touched = m.collect {
+        case (p, vs) if vs.exists(folded) => p
+      }.toSeq.sorted
       if (touched.isEmpty) None
       else Some(Group(sub,
         readSnapshot(spark, snap, sub, pc, Some(touched.toSet)),
