@@ -1376,6 +1376,17 @@ object MergeTable {
     // join/write action: an AQE broadcast-converted side delivers an
     // EMPTY observation map (measured, r11), so the checkpoint is the one
     // reliable delivery point.
+    // r19 negative result (plans/r19/merge_copartition_negative.txt): a
+    // bucket-aligned variant — batch repartitioned by BucketCol, join
+    // keyed on (bucket, keys), stage writes skipping their shuffle — was
+    // implemented and measured 21.4 s -> 33.6 s (best-of-4) on the DML
+    // bench family. Cause: in Spark 4 neither localCheckpoint nor
+    // persist() exposes the materialized HashPartitioning under AQE
+    // (LogicalRDD reports UnknownPartitioning; cached AQE plans hide
+    // theirs), so EnsureRequirements re-exchanged by (bucket, keys) and
+    // the "pre-shuffled" write fragmented every bucket dir. The shape
+    // below (window exchange by key reused by the join, one write
+    // exchange by bucket) stands as the measured optimum.
     val obs = new org.apache.spark.sql.Observation
     val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
     val ch = changes.select(payload.map(col) :+
@@ -1390,7 +1401,8 @@ object MergeTable {
         count(when(anyKeyNull, 1)).as("null_keys"),
         max(col("__srcdup")).as("max_dup"),
         count(lit(1)).as("n_rows"))
-      .transform(graft.util.Cleanup.checkpoint(_))
+      .transform(d => graft.util.JobLabel(spark, "mergetable: validate+checkpoint batch")(
+        graft.util.Cleanup.checkpoint(d)))
       .drop("__srcdup")
     val stats = obs.get // delivered by the checkpoint job
     val badOps = stats("bad_ops").asInstanceOf[scala.collection.Seq[String]]
@@ -1431,9 +1443,10 @@ object MergeTable {
     val priorData = prior.filter(m => changed.exists(b =>
       m.buckets.contains(b) || m.deltas.contains(b)))
     if (changed.nonEmpty && priorData.isEmpty) {
-      DataLayout.writePartitionedSortedBy(
-        ch.filter(col("__op") =!= "delete").drop("__op"),
-        s"$dir/$stage", Seq(BucketCol), keys.map(col), wopts)
+      graft.util.JobLabel(spark, "mergetable: write stage (insert-only)")(
+        DataLayout.writePartitionedSortedBy(
+          ch.filter(col("__op") =!= "delete").drop("__op"),
+          s"$dir/$stage", Seq(BucketCol), keys.map(col), wopts))
     } else if (changed.nonEmpty) {
       // align the target side to the widened schema: columns this batch
       // adds read as typed nulls from pre-evolution buckets
@@ -1464,8 +1477,9 @@ object MergeTable {
       val out = j.filter(takeSrc || keepTgt).select(
         payload.map(c => when(takeSrc, col(c)).otherwise(col(s"__t_$c")).as(c)) :+
           when(takeSrc, col(BucketCol)).otherwise(col("__t_bucket")).as(BucketCol): _*)
-      DataLayout.writePartitionedSortedBy(out, s"$dir/$stage", Seq(BucketCol),
-        keys.map(col), wopts)
+      graft.util.JobLabel(spark, "mergetable: join+write stage")(
+        DataLayout.writePartitionedSortedBy(out, s"$dir/$stage", Seq(BucketCol),
+          keys.map(col), wopts))
     }
     // intern this commit's physical schema: new files are always written
     // under the CURRENT logical names and types, so the write schema is an
@@ -1480,12 +1494,14 @@ object MergeTable {
     // their recorded stats, all-deleted rewritten buckets lose theirs
     val bs =
       if (changed.isEmpty) BucketStats(Map.empty, Map.empty, Map.empty)
-      else collectBucketStats(spark, s"$dir/$stage", widened)
+      else graft.util.JobLabel(spark, "mergetable: stage stats")(
+        collectBucketStats(spark, s"$dir/$stage", widened))
     val dcols = prior.map(_.dictCols).getOrElse(Nil)
     val nd =
       if (dcols.isEmpty || changed.isEmpty) Map.empty[Int, Map[String, Set[String]]]
-      else collectDicts(spark, s"$dir/$stage", widened, dcols,
-        prior.map(_.dictMax).getOrElse(0))
+      else graft.util.JobLabel(spark, "mergetable: stage dicts")(
+        collectDicts(spark, s"$dir/$stage", widened, dcols,
+          prior.map(_.dictMax).getOrElse(0)))
     val buckets = prior.map(_.buckets).getOrElse(Map.empty) ++
       changed.map(_ -> (newV, sid))
     commit(dir, Manifest(newV, batchId, key, nb, schemaJson,
@@ -1575,9 +1591,10 @@ object MergeTable {
       return mergeKeys(spark, dir, changes, keys, opCol, numBuckets,
         batchId, None, expectedParent)
     if (changed.nonEmpty) {
-      DataLayout.writePartitionedSortedBy(
-        ch.withColumnRenamed("__op", DeltaOpCol),
-        s"$dir/$stage/_delta", Seq(BucketCol), keys.map(col), wopts)
+      graft.util.JobLabel(spark, "mergetable: write delta run")(
+        DataLayout.writePartitionedSortedBy(
+          ch.withColumnRenamed("__op", DeltaOpCol),
+          s"$dir/$stage/_delta", Seq(BucketCol), keys.map(col), wopts))
     }
     val m = priorData.get
     // per-bucket run row counts (drives the read side's broadcast
