@@ -167,9 +167,10 @@ MULTI_COMMIT = {"q63_merge_upsert", "q64_stream_upsert",
                 # SQL lifecycle (CREATE+MERGE+DELETE+OPTIMIZE)
                 "q179_evolution_widen", "q182_sql_merge_composite",
                 "q184_sql_lifecycle",
-                # q212 runs THREE transactional commits (CREATE + two
-                # merge-on-read mergeSmall runs) — the same per-commit
-                # protocol wall as q63 (measured 2.7-3.5 s quiet-host)
+                # q212 runs TWO transactional merge-on-read commits over
+                # the shared seeded base (r19: the identical-every-run
+                # CREATE moved to the q174-class shared fixture) — the
+                # same per-commit protocol wall as q63
                 "q212_merge_mor"}
 MULTI_COMMIT_MIN_SPARK = 4.5  # quiet-host; scaled by measured host_load
 
