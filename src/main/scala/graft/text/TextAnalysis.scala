@@ -366,6 +366,175 @@ object TextAnalysis {
   }
 
   private val DocMapDir = "_docmap"
+
+  /** Tombstone-run subtree (r20 — VERDICT r19 task 1, the merge-on-read
+    * DELETE): [[indexDeleteLayout]] APPENDS its victim doc-ids here as an
+    * O(victims) run instead of eagerly rewriting every `tb=` bucket the
+    * victims' postings touch. At mult 256 the eager 64-victim delete cost
+    * MORE than a whole-index rescale (17.8 vs 14.3 s, BASELINE.md r19):
+    * multi-term victims hash into every bucket, so "rewrite the touched
+    * buckets" degenerates into a near-full rewrite. With runs, the write
+    * side is O(victims) and every reader applies the tombstones with ONE
+    * broadcast (a 1-row collect_set crossJoin; postings filter + exact df
+    * recompute — df == size(postings) is a writer invariant, so the
+    * recompute is identity on live rows). Materialization happens where
+    * the index is rewritten anyway: [[indexRescaleLayout]] folds the
+    * tombstones into its full rewrite, [[indexCompactLayout]] materializes
+    * them in a dedicated commit before folding owners, and
+    * [[indexApplyLayout]] drops its own victims' entries (their postings
+    * leave physically in the same commit — which is also what lets a
+    * DELETED doc be re-upserted without resurrecting stale postings: the
+    * doc store keeps the victims' rows PHYSICALLY, logically filtered, so
+    * a later apply can still locate the stale buckets). */
+  private val TombDir = "_tomb"
+
+  private def tombRunsOf(snap: graft.layout.LayoutTxn.LayoutSnapshot)
+      : Seq[(String, String)] =
+    graft.layout.LayoutTxn.resolveSnapshot(snap, TombDir, "tr")
+
+  /** One snapshot's pending tombstones in the form its readers consume.
+    * [[NoTombs]]: reads stay on their raw, byte-identical plans.
+    * [[SmallTombs]]: the ids INLINE as a literal array — no extra scan,
+    * no broadcast, one predicate (the common case: tombstones are
+    * bounded by victims since the last materialization, and every full
+    * rewrite clears them). [[BigTombs]]: past [[TombLiteralMax]] the ids
+    * stay distributed as a 1-row collect_set frame broadcast into the
+    * read — a literal array that size would bloat every plan. */
+  private sealed trait TombView
+  private case object NoTombs extends TombView
+  private final case class SmallTombs(ids: Array[Long]) extends TombView
+  private final case class BigTombs(df: DataFrame) extends TombView
+  private val TombLiteralMax = 4096
+
+  /** Memoized per (layout dir, snapshot version) — the r19 streaming
+    * schema-cache discipline: a snapshot's version names an IMMUTABLE
+    * state (every commit bumps it), so the resolved view can never go
+    * stale, and a hot search path pays the tombstone read (driver footer
+    * inference + one collect job, ~150 ms measured) once per commit
+    * instead of once per query run. Process-local; dies with the JVM. */
+  private val tombViewCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), TombView]()
+
+  private def tombViewOf(spark: org.apache.spark.sql.SparkSession,
+                         snap: graft.layout.LayoutTxn.LayoutSnapshot)
+      : TombView =
+    if (tombRunsOf(snap).isEmpty) NoTombs
+    else {
+      if (tombViewCache.size > 4096) tombViewCache.clear() // fuzz-lane bound
+      tombViewCache.computeIfAbsent((snap.dir, snap.version), _ => {
+        val idsDf = graft.layout.LayoutTxn
+          .readSnapshot(spark, snap, TombDir, "tr")
+          .select(col("doc_id"))
+        // bounded driver read (the terms→bucket-literal discipline: tiny
+        // metadata steering a plan): one small run file per delete commit.
+        // Raw rows (runs may repeat an id): if the capped collect saw
+        // EVERY row, dedupe driver-side; a truncated read means the set
+        // may exceed the literal cap — stay distributed.
+        val probe = idsDf.limit(TombLiteralMax + 1).collect()
+          .map(_.getLong(0))
+        if (probe.isEmpty) NoTombs
+        else if (probe.length <= TombLiteralMax)
+          SmallTombs(probe.distinct.sorted)
+        else BigTombs(idsDf.distinct()
+          .agg(collect_set(col("doc_id")).as("__tomb")))
+      })
+    }
+
+  /** Apply pending delete tombstones to a postings read by REWRITING the
+    * arrays: drop tombstoned doc-ids from every postings array, drop
+    * terms with no survivors, and recompute df (exact: df ==
+    * size(postings) is a writer invariant). Tombstone-free snapshots
+    * return the plan UNTOUCHED. This is the MATERIALIZATION-GRADE form —
+    * the ArrayFilter lambda is a codegen-fallback expression whose
+    * per-run planning overhead measured ~0.35 s (r20 bisect), so the hot
+    * search paths use [[liveDf]] + [[liveOcc]] instead (exact df
+    * arithmetic pre-explode + a codegen InSet row filter post-explode)
+    * and only [[readIndexPostings]]/[[indexRescaleLayout]] (the full
+    * rewrite, where the lambda amortizes over the rewrite itself) pay
+    * this form. */
+  private def liveIndex(view: TombView, postings: DataFrame): DataFrame =
+    view match {
+      case NoTombs => postings
+      case SmallTombs(ids) =>
+        val tomb = typedLit(ids.toSeq)
+        postings
+          .withColumn("postings", filter(col("postings"),
+            p => not(array_contains(tomb, p("doc_id")))))
+          .filter(size(col("postings")) > 0)
+          .withColumn("df", size(col("postings")).cast("long"))
+      case BigTombs(df) => postings
+        .crossJoin(broadcast(df))
+        .withColumn("postings", filter(col("postings"),
+          p => not(array_contains(col("__tomb"), p("doc_id")))))
+        .filter(size(col("postings")) > 0)
+        .withColumn("df", size(col("postings")).cast("long"))
+        .drop("__tomb")
+    }
+
+  /** Hot-path df adjustment WITHOUT rewriting the postings arrays: df
+    * loses exactly the tombstoned ids present in the row's postings
+    * (|postings ∩ tomb| via array_intersect — df == size(postings) is a
+    * writer invariant, so the arithmetic is exact), and fully-dead terms
+    * drop. The arrays still carry the dead entries — every consumer
+    * explodes right after and must row-filter with [[liveOcc]]. BigTombs
+    * falls back to the materialization-grade [[liveIndex]] (no literal to
+    * intersect against); tombstone-free reads are untouched. */
+  private def liveDf(view: TombView, postings: DataFrame): DataFrame =
+    view match {
+      case NoTombs => postings
+      case SmallTombs(ids) =>
+        val tomb = typedLit(ids.toSeq)
+        postings
+          .withColumn("df", (col("df") - size(array_intersect(
+            col("postings").getField("doc_id"), tomb))).cast("long"))
+          .filter(col("df") > 0)
+      case big: BigTombs => liveIndex(big, postings)
+    }
+
+  /** Hot-path row filter for EXPLODED postings (columns include
+    * `doc_id`): drop tombstoned docs with a codegen InSet — the
+    * post-explode half of [[liveDf]]. BigTombs rows were already
+    * materialized by [[liveDf]]'s fallback, so nothing filters here. */
+  private def liveOcc(view: TombView, occ: DataFrame): DataFrame =
+    view match {
+      case SmallTombs(ids) =>
+        occ.filter(not(col("doc_id").isin(ids.map(Long.box): _*)))
+      case _ => occ
+    }
+
+  /** Apply pending delete tombstones to a doc-store read: tombstoned docs
+    * leave the corpus logically (BM25's N/avg-length shrink) while their
+    * rows stay PHYSICALLY until a materialization commit — they are the
+    * reverse map a later re-upsert needs to find the stale buckets. */
+  private def liveDocMap(view: TombView, dm: DataFrame): DataFrame =
+    view match {
+      case NoTombs => dm
+      case SmallTombs(ids) =>
+        dm.filter(not(col("doc_id").isin(ids.map(Long.box): _*)))
+      case BigTombs(df) => dm
+        .crossJoin(broadcast(df))
+        .filter(not(array_contains(col("__tomb"), col("doc_id"))))
+        .drop("__tomb")
+    }
+
+  /** Snapshot-isolated LOGICAL read of the whole postings layout — the
+    * stored rows with any pending delete tombstones applied (exactly what
+    * search/BM25/maintenance observe). Tombstone-free layouts read raw. */
+  def readIndexPostings(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val snap = graft.layout.LayoutTxn.snapshot(dir)
+    liveIndex(tombViewOf(spark, snap),
+      graft.layout.LayoutTxn.readSnapshot(spark, snap, "", "tb"))
+  }
+
+  /** Snapshot-isolated LOGICAL read of the doc store (tombstones
+    * applied) — the corpus membership BM25's N/avg-length derive from. */
+  def readIndexDocStore(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val snap = graft.layout.LayoutTxn.snapshot(dir)
+    liveDocMap(tombViewOf(spark, snap),
+      graft.layout.LayoutTxn.readSnapshot(spark, snap, DocMapDir, "dm"))
+  }
   /** The doc store rows: (doc_id, tb) pairs plus the document's LENGTH in
     * words (r16: Σ tf over its postings — what BM25's length
     * normalization needs; keeping it here makes the at-rest index
@@ -552,38 +721,92 @@ object TextAnalysis {
       if (touched.isEmpty) Seq.empty
       else Seq(graft.layout.LayoutTxn.Group("", replacement, "tb",
         Seq("term"), touched.map(b => s"tb=$b")))
+    // pending delete tombstones (r20 merge-on-read delete): this window's
+    // victims are materialized PHYSICALLY above (every bucket holding
+    // their postings is in staleTb via the doc store's still-present rows,
+    // and the anti-join removes them), so their tombstone entries leave in
+    // the SAME commit — which is what lets a DELETED doc re-enter through
+    // an upsert without its new postings being filtered. Entries for docs
+    // outside this window stay (their dead postings stay physically too).
+    val tombParts = graft.layout.LayoutTxn.resolve(layoutDir, TombDir, "tr")
+    val tombGroup =
+      if (tombParts.isEmpty) Seq.empty
+      else Seq(graft.layout.LayoutTxn.Group(TombDir,
+        graft.layout.LayoutTxn.readLayout(spark, layoutDir, TombDir, "tr")
+          .select(col("doc_id")).distinct()
+          .join(victimIds, Seq("doc_id"), "left_anti")
+          .withColumn("tr", lit(0)),
+        "tr", Seq("doc_id"), tombParts.map(_._1).distinct))
     graft.layout.LayoutTxn.commit(spark, layoutDir, parent,
-      postingsGroup :+ graft.layout.LayoutTxn.Group(DocMapDir, dmReplacement,
-        "dm", Seq("doc_id"), dmTouched.map(b => s"dm=$b")),
+      postingsGroup ++ tombGroup :+ graft.layout.LayoutTxn.Group(DocMapDir,
+        dmReplacement, "dm", Seq("doc_id"), dmTouched.map(b => s"dm=$b")),
       batchId = batchId)
     touched
   }
 
-  /** DELETE(ids) from a [[writeIndexLayout]] directory (⊕A53, r17 —
-    * VERDICT r16 task 2): removes the victims' postings from exactly the
-    * `tb=` buckets the `_docmap` locates (per-term df re-aggregates over
-    * the survivors; a term losing its last posting leaves the index; a
-    * bucket losing its last term is recorded as a deletion) and removes
-    * the victims' doc-store rows — including term-less sentinels — so
-    * BM25's N/avg-length shrink to the surviving corpus. Both subtrees
-    * ride ONE LayoutTxn commit. Unlike an upsert-to-empty-text (which
-    * KEEPS the doc as a zero-length corpus member), delete removes the
-    * document from the corpus outright. Cost follows the victims'
-    * buckets, never the index. Returns the touched `tb` bucket ids. */
+  /** DELETE(ids) from a [[writeIndexLayout]] directory — MERGE-ON-READ
+    * since r20 (VERDICT r19 task 1; was the r17 eager bucket rewrite):
+    * the victims' doc-ids are APPENDED as a tombstone run under
+    * [[TombDir]] in one O(victims) commit — no postings bucket and no
+    * doc-store dir is rewritten. Every reader (search / BM25 / the SQL
+    * TVFs / maintenance) applies the pending tombstones with one
+    * broadcast anti-filter and recomputes df exactly, so the OBSERVED
+    * index equals a rebuild without the victims (IndexLayoutSpec pins the
+    * equivalence; the q204 oracle proves it against raw text). The
+    * deferred rewrite happens where the index is rewritten anyway:
+    * [[indexRescaleLayout]] and [[indexCompactLayout]] materialize the
+    * tombstones, and [[indexApplyLayout]] clears its own victims'
+    * entries. The eager rewrite cost the whole index at scale — at mult
+    * 256 a 64-victim delete (17.8 s) exceeded a full rescale (14.3 s)
+    * because multi-term victims touch every bucket (BASELINE.md r19).
+    * Unlike an upsert-to-empty-text (which KEEPS the doc as a zero-length
+    * corpus member), delete removes the document from the corpus
+    * outright: BM25's N/avg-length shrink immediately (the doc store is
+    * filtered at read). Returns the touched `tb` bucket ids — empty now,
+    * since merge-on-read touches none. */
   def indexDeleteLayout(spark: org.apache.spark.sql.SparkSession,
                         layoutDir: String, victims: DataFrame, idCol: String,
                         buckets: Int = LayoutResolvedBuckets,
                         txnGraceMs: Long = 600000L): Seq[Long] = {
     val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
-    // count AFTER begin() — the indexApplyLayout rescale-race rule (r18)
-    val bks = layoutBuckets(layoutDir, buckets) // layout fact, refuse mismatch
-    val ids = victims.select(col(idCol).cast("long").as("doc_id"))
+    // count AFTER begin() — the indexApplyLayout rescale-race rule (r18);
+    // resolved purely to REFUSE a mismatched caller count at the door
+    // (the run itself is count-independent: doc-ids only)
+    layoutBuckets(layoutDir, buckets)
+    val tombRows = victims.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().withColumn("tr", lit(0))
+    graft.layout.LayoutTxn.commit(spark, layoutDir, parent,
+      Seq(graft.layout.LayoutTxn.Group(TombDir, tombRows, "tr",
+        Seq("doc_id"), Seq("tr=0"), append = true)))
+    Seq.empty
+  }
+
+  /** Materialize pending delete tombstones — the deferred half of the
+    * merge-on-read [[indexDeleteLayout]], exactly the r17 eager delete
+    * run once for ALL accumulated victims: postings out of the `tb=`
+    * buckets the `_docmap` locates (df re-aggregates over survivors; a
+    * term losing its last posting leaves; an emptied bucket is a
+    * deletion), victims' doc-store rows out (term-less sentinels
+    * included), and the tombstone runs cleared — all in ONE commit, so a
+    * crash never leaves tombstones half-applied. No-op without pending
+    * tombstones. */
+  private def materializeTombstones(spark: org.apache.spark.sql.SparkSession,
+                                    layoutDir: String,
+                                    txnGraceMs: Long): Unit = {
+    val parent = graft.layout.LayoutTxn.begin(layoutDir, txnGraceMs)
+    val snap = graft.layout.LayoutTxn.snapshot(layoutDir)
+    val tombParts = tombRunsOf(snap)
+    if (tombParts.isEmpty) return
+    val bks = bucketsFromSnapshot(snap, LayoutResolvedBuckets)
+    val tombRead = graft.layout.LayoutTxn
+      .readSnapshot(spark, snap, TombDir, "tr")
+    val ids = tombRead.select(col("doc_id"))
       .distinct().transform(graft.util.Cleanup.checkpoint(_))
     val dmTouched = ids
       .select(pmod(col("doc_id"), lit(bks.toLong)).as("dm")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val dmAll = graft.layout.LayoutTxn
-      .readLayout(spark, layoutDir, DocMapDir, "dm",
+      .readSnapshot(spark, snap, DocMapDir, "dm",
         Some(dmTouched.map(b => s"dm=$b").toSet))
     val tbTouched = dmAll.join(ids, Seq("doc_id"), "left_semi")
       .select(col("tb")).filter(col("tb") >= 0) // tb=-1 = term-less sentinel
@@ -591,7 +814,7 @@ object TextAnalysis {
     val dmSurvivors = dmAll.join(ids, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("tb"), col("len"), col("dm"))
     val postingsGroup = if (tbTouched.isEmpty) Seq.empty else {
-      val existing = graft.layout.LayoutTxn.readLayout(spark, layoutDir, "",
+      val existing = graft.layout.LayoutTxn.readSnapshot(spark, snap, "",
         "tb", Some(tbTouched.map(b => s"tb=$b").toSet))
       val replacement = existing
         .select(col("tb"), col("term"), explode(col("postings")).as("p"))
@@ -606,10 +829,13 @@ object TextAnalysis {
       Seq(graft.layout.LayoutTxn.Group("", replacement, "tb", Seq("term"),
         tbTouched.map(b => s"tb=$b")))
     }
+    val tombClear = graft.layout.LayoutTxn.Group(TombDir, tombRead.limit(0),
+      "tr", Seq("doc_id"), tombParts.map(_._1).distinct)
     graft.layout.LayoutTxn.commit(spark, layoutDir, parent,
-      postingsGroup :+ graft.layout.LayoutTxn.Group(DocMapDir, dmSurvivors,
-        "dm", Seq("doc_id"), dmTouched.map(b => s"dm=$b")))
-    tbTouched
+      postingsGroup ++ Seq(graft.layout.LayoutTxn.Group(DocMapDir,
+        dmSurvivors, "dm", Seq("doc_id"), dmTouched.map(b => s"dm=$b")),
+        tombClear))
+    ()
   }
 
   /** RESCALE a [[writeIndexLayout]] directory to a new bucket count (r18
@@ -644,11 +870,19 @@ object TextAnalysis {
       .map(_._1)
     val oldDm = graft.layout.LayoutTxn
       .resolveSnapshot(snap, DocMapDir, "dm").map(_._1)
-    val rebucketed = graft.layout.LayoutTxn.readSnapshot(spark, snap, "", "tb")
+    // pending delete tombstones materialize for free inside the full
+    // rewrite (r20 merge-on-read delete): the liveIndex filter drops the
+    // victims' postings before re-bucketing, the doc store rebuilds from
+    // the filtered postings, sentinel carry-over excludes tombstoned
+    // docs, and the runs clear in the SAME atomic commit
+    val tombParts = tombRunsOf(snap)
+    val tombs = tombViewOf(spark, snap)
+    val rebucketed = liveIndex(tombs,
+        graft.layout.LayoutTxn.readSnapshot(spark, snap, "", "tb"))
       .withColumn("tb", termBucket(col("term"), newBuckets))
       .transform(graft.util.Cleanup.checkpoint(_))
-    val sentinels = graft.layout.LayoutTxn
-      .readSnapshot(spark, snap, DocMapDir, "dm")
+    val sentinels = liveDocMap(tombs, graft.layout.LayoutTxn
+        .readSnapshot(spark, snap, DocMapDir, "dm"))
       .filter(col("tb") === -1L)
       .select(col("doc_id"), col("tb"), col("len"))
       .withColumn("dm", pmod(col("doc_id"), lit(newBuckets.toLong)))
@@ -658,11 +892,17 @@ object TextAnalysis {
       .distinct.sorted
     val dmTouched = (oldDm ++ (0 until newBuckets).map(b => s"dm=$b"))
       .distinct.sorted
+    val tombClear =
+      if (tombParts.isEmpty) Seq.empty
+      else Seq(graft.layout.LayoutTxn.Group(TombDir,
+        graft.layout.LayoutTxn.readSnapshot(spark, snap, TombDir, "tr")
+          .limit(0),
+        "tr", Seq("doc_id"), tombParts.map(_._1).distinct))
     val v = graft.layout.LayoutTxn.commit(spark, layoutDir, parent,
       Seq(graft.layout.LayoutTxn.Group("", rebucketed, "tb", Seq("term"),
           tbTouched),
         graft.layout.LayoutTxn.Group(DocMapDir, newDocMap, "dm",
-          Seq("doc_id"), dmTouched)),
+          Seq("doc_id"), dmTouched)) ++ tombClear,
       props = Map("buckets" -> newBuckets.toString))
     // refresh the legacy write-time copy (best-effort, post-commit: every
     // reader prefers the version-state prop, so a crash between the two
@@ -678,14 +918,20 @@ object TextAnalysis {
 
   /** Fold a fragmented index layout — [[graft.layout.LayoutTxn
     * .compactStale]] with this layout's own in-partition sort orders
-    * (postings by term, doc store by doc_id). See its scaladoc for the
-    * owner-count trigger and cost shape. */
+    * (postings by term, doc store by doc_id). Pending delete tombstones
+    * are MATERIALIZED first (r20: the deferred half of the merge-on-read
+    * [[indexDeleteLayout]]) in their own commit, so a compacted layout is
+    * tombstone-free and its readers return to the raw untouched plans.
+    * See compactStale's scaladoc for the owner-count trigger and cost
+    * shape. */
   def indexCompactLayout(spark: org.apache.spark.sql.SparkSession,
                          layoutDir: String, maxOwners: Int = 4,
-                         txnGraceMs: Long = 600000L): Long =
+                         txnGraceMs: Long = 600000L): Long = {
+    materializeTombstones(spark, layoutDir, txnGraceMs)
     graft.layout.LayoutTxn.compactStale(spark, layoutDir,
       Map("" -> Seq("term"), DocMapDir -> Seq("doc_id")),
       maxOwners, txnGraceMs)
+  }
 
   /** Conjunctive search over a [[writeIndexLayout]] directory: terms →
     * bucket literals (driver-side md5, no data touched) → partition-pruned
@@ -700,11 +946,23 @@ object TextAnalysis {
       .distinct
     // snapshot-isolated resolve (r15): the query terms' buckets prune
     // the directory list driver-side; each listed dir is immutable, so
-    // an index upsert landing mid-search cannot mix two versions here
-    val pruned = graft.layout.LayoutTxn.readSnapshot(spark, snap, "", "tb",
-        Some(tbs.map(b => s"tb=$b").toSet))
+    // an index upsert landing mid-search cannot mix two versions here.
+    // Pending delete tombstones (r20) apply as a codegen row filter on
+    // the exploded postings (searchAll never reads df, so no arithmetic
+    // is needed); tombstone-free layouts keep the raw plan.
+    val view = tombViewOf(spark, snap)
+    val pruned = liveDf(view,
+        graft.layout.LayoutTxn.readSnapshot(spark, snap, "", "tb",
+          Some(tbs.map(b => s"tb=$b").toSet)))
       .drop("tb")
-    searchAll(pruned, terms)
+    val occ = pruned.filter(col("term").isin(terms: _*))
+      .select(explode(col("postings")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+    liveOcc(view, occ)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("score"))
+      .filter(col("n_terms") === terms.length)
+      .select(col("doc_id"), col("score"))
   }
 
   /** BM25-RANKED (disjunctive) search against the at-rest index — a
@@ -725,18 +983,26 @@ object TextAnalysis {
     val snap = graft.layout.LayoutTxn.snapshot(dir)
     val tbs = terms.map(termBucketJvm(_, bucketsFromSnapshot(snap, buckets)))
       .distinct
-    val pruned = graft.layout.LayoutTxn.readSnapshot(spark, snap, "", "tb",
-        Some(tbs.map(x => s"tb=$x").toSet))
-      .filter(col("term").isin(terms: _*))
-    val lens = graft.layout.LayoutTxn.readSnapshot(spark, snap, DocMapDir, "dm")
+    // pending delete tombstones (r20) apply to BOTH sides: exact df
+    // arithmetic pre-explode + a codegen row filter post-explode on the
+    // postings, and the doc store filter that shrinks N/avg-length to the
+    // surviving corpus — ONE view computed for all three; tombstone-free
+    // layouts keep the raw plans
+    val tombs = tombViewOf(spark, snap)
+    val pruned = liveDf(tombs,
+      graft.layout.LayoutTxn.readSnapshot(spark, snap, "", "tb",
+          Some(tbs.map(x => s"tb=$x").toSet))
+        .filter(col("term").isin(terms: _*)))
+    val lens = liveDocMap(tombs, graft.layout.LayoutTxn
+        .readSnapshot(spark, snap, DocMapDir, "dm"))
       .select(col("doc_id"), col("len")).distinct()
     val c = lens.agg(count(lit(1)).cast("double"),
       avg(col("len").cast("double"))).head()
     val (n, avgLen) = (c.getDouble(0), c.getDouble(1))
-    pruned.select(col("df").cast("double").as("__df"),
+    liveOcc(tombs, pruned.select(col("df").cast("double").as("__df"),
         explode(col("postings")).as("p"))
       .select(col("__df"), col("p.doc_id").as("doc_id"),
-        col("p.tf").cast("double").as("__tf"))
+        col("p.tf").cast("double").as("__tf")))
       .join(lens, "doc_id")
       .withColumn("__s",
         log(lit(1.0) + (lit(n) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))) *

@@ -202,7 +202,9 @@ class DedupIndexDeleteSpec extends SparkSpec {
       t, 8)
     graft.text.TextAnalysis.indexDeleteLayout(spark, t,
       corpus.select("doc_id"), "doc_id")
-    assert(LayoutTxn.readLayout(spark, t, "", "tb").count() === 0L)
+    // merge-on-read (r20): the rows stay PHYSICALLY until materialization,
+    // but the logical read — what every search observes — is empty
+    assert(graft.text.TextAnalysis.readIndexPostings(spark, t).count() === 0L)
     graft.text.TextAnalysis.indexUpsertLayout(spark, t,
       docsOf(60L -> "alpha beta"), "doc_id", col("text"))
     assert(graft.text.TextAnalysis.searchIndexLayout(spark, t,

@@ -220,7 +220,13 @@ class IndexFuzzSpec extends SparkSpec {
     // differential for that terminal state is "reads empty"
     if ((family < 4 && model.isEmpty) || (family == 4 && vmodel.isEmpty)) {
       val pc = Seq("lb", "fb", "sb", "tb", "cell")(family)
-      assert(LayoutTxn.readLayout(spark, dir, "", pc).count() === 0L, why)
+      // the text index deletes merge-on-read (r20): rows may remain
+      // physically under live tombstones — the LOGICAL read is the
+      // emptiness that matters (it is what every search observes)
+      val empt =
+        if (family == 3) TextAnalysis.readIndexPostings(spark, dir)
+        else LayoutTxn.readLayout(spark, dir, "", pc)
+      assert(empt.count() === 0L, why)
       if (lastBatch >= 0)
         assert(LayoutTxn.lastBatchId(dir) === lastBatch, s"$why (watermark)")
       return
@@ -255,14 +261,17 @@ class IndexFuzzSpec extends SparkSpec {
         val p = TextAnalysis.persistedIndexBuckets(dir).get
         TextAnalysis.writeIndexLayout(corpus, "doc_id", col("text"),
           rebuilt, p)
-        def postings(x: String) = LayoutTxn.readLayout(spark, x, "", "tb")
+        // LOGICAL reads (r20 merge-on-read delete): tombstones applied on
+        // the maintained side; identical to raw on the tombstone-free
+        // rebuild — so the differential still pins df/tf/tb/len exactly
+        def postings(x: String) = TextAnalysis.readIndexPostings(spark, x)
           .select(col("term"), col("df").cast("long"),
             explode(col("postings")).as("pp"), col("tb").cast("long"))
           .select(col("term"), col("df"), col("pp.doc_id"),
             col("pp.tf").cast("long"), col("tb"))
           .as[(String, Long, Long, Long, Long)].collect().toSet
         assert(postings(dir) === postings(rebuilt), why)
-        def store(x: String) = LayoutTxn.readLayout(spark, x, "_docmap", "dm")
+        def store(x: String) = TextAnalysis.readIndexDocStore(spark, x)
           .select(col("doc_id"), col("tb").cast("long"),
             col("len").cast("long"), col("dm").cast("long"))
           .as[(Long, Long, Option[Long], Long)].collect().toSet

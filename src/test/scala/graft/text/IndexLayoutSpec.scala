@@ -117,7 +117,7 @@ class IndexLayoutSpec extends SparkSpec {
       .count() === 0)
   }
 
-  test("indexDeleteLayout: delete == rebuild without the victims; emptied partitions reclaim; BM25 N shrinks") {
+  test("indexDeleteLayout (merge-on-read, r20): logical read == rebuild without the victims; compact materializes; emptied partitions reclaim; BM25 N shrinks") {
     val d = Files.createTempDirectory("idx_del").toString + "/idx"
     val base = Seq(
       (1L, "spark rows spark spark table"),
@@ -128,37 +128,34 @@ class IndexLayoutSpec extends SparkSpec {
       .toDF("doc_id", "text")
     TextAnalysis.writeIndexLayout(base, "doc_id", col("text"), d, buckets = 4)
     assert(new java.io.File(s"$d/_docmap/dm=3").isDirectory)
-    val touched = TextAnalysis.indexDeleteLayout(spark, d,
+    TextAnalysis.indexDeleteLayout(spark, d,
       Seq(3L, 5L).toDF("doc_id"), "doc_id", buckets = 4)
-    assert(touched.nonEmpty)
-    // maintained-after-delete == scratch rebuild over the survivors
+    // the delete is O(victims): ONE tombstone run appended, no postings
+    // bucket and no doc-store dir rewritten (merge-on-read)
+    assert(graft.layout.LayoutTxn.resolve(d, "_tomb", "tr").nonEmpty,
+      "delete must append a tombstone run")
+    assert(graft.layout.LayoutTxn.readLayout(spark, d, "", "tb")
+      .select(explode(col("postings")).as("p")).select(col("p.doc_id"))
+      .filter(col("doc_id").isin(3L, 5L)).count() > 0,
+      "victims' postings stay PHYSICALLY until materialization")
+    // ...but the LOGICAL read — what every search observes — equals a
+    // scratch rebuild over the survivors, exact df included
     val d2 = Files.createTempDirectory("idx_del2").toString + "/idx"
     val survivors = base.filter(!col("doc_id").isin(3L, 5L))
     TextAnalysis.writeIndexLayout(survivors, "doc_id", col("text"), d2,
       buckets = 4)
-    def postings(dir: String) = graft.layout.LayoutTxn
-      .readLayout(spark, dir, "", "tb")
+    def postings(dir: String) = TextAnalysis.readIndexPostings(spark, dir)
       .select(col("term"), col("df"), explode(col("postings")).as("p"))
       .select(col("term"), col("df"), col("p.doc_id"), col("p.tf"))
       .as[(String, Long, Long, Long)].collect().toSet
     assert(postings(d) === postings(d2))
-    def dmRows(dir: String) = graft.layout.LayoutTxn
-      .readLayout(spark, dir, "_docmap", "dm")
+    def dmRows(dir: String) = TextAnalysis.readIndexDocStore(spark, dir)
       .select(col("doc_id"), col("tb"), col("len"))
       .as[(Long, Long, Long)].collect().toSet
     assert(dmRows(d) === dmRows(d2))
-    // doc 3 was dm=3's sole occupant: the partition left the snapshot and
-    // the two-phase sweep reclaims the root dir physically
-    assert(!graft.layout.LayoutTxn.resolve(d, "_docmap", "dm")
-      .exists(_._1 == "dm=3"),
-      "emptied dm= partition must leave the committed snapshot")
-    graft.layout.LayoutTxn.begin(d, graceMs = 0L)
-    graft.layout.LayoutTxn.begin(d, graceMs = 0L)
-    assert(!new java.io.File(s"$d/_docmap/dm=3").exists(),
-      "swept dm= partition must be deleted from disk")
     // BM25 over the maintained index == bm25 over the surviving raw docs
     // (N shrank from 5 to 3 — delete removes corpus membership, unlike
-    // the upsert-to-empty sentinel path)
+    // the upsert-to-empty sentinel path) — with the tombstones LIVE
     val terms = Seq("spark", "rare")
     val a = TextAnalysis.bm25SearchLayout(spark, d, terms, buckets = 4)
       .as[(Long, Double)].collect().toMap
@@ -166,6 +163,105 @@ class IndexLayoutSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(a.keySet === b.keySet)
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"doc $k") }
+    // compaction MATERIALIZES the tombstones: physical == rebuilt now,
+    // the runs are gone, and doc 3 (dm=3's sole occupant) leaves the
+    // snapshot so the two-phase sweep reclaims the dir physically
+    TextAnalysis.indexCompactLayout(spark, d, maxOwners = 1, txnGraceMs = 0L)
+    assert(graft.layout.LayoutTxn.resolve(d, "_tomb", "tr").isEmpty,
+      "materialization must clear the tombstone runs")
+    def rawPostings(dir: String) = graft.layout.LayoutTxn
+      .readLayout(spark, dir, "", "tb")
+      .select(col("term"), col("df"), explode(col("postings")).as("p"))
+      .select(col("term"), col("df"), col("p.doc_id"), col("p.tf"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(rawPostings(d) === postings(d2),
+      "after materialization the PHYSICAL rows equal the rebuild")
+    assert(!graft.layout.LayoutTxn.resolve(d, "_docmap", "dm")
+      .exists(_._1 == "dm=3"),
+      "emptied dm= partition must leave the committed snapshot")
+    graft.layout.LayoutTxn.begin(d, graceMs = 0L)
+    graft.layout.LayoutTxn.begin(d, graceMs = 0L)
+    assert(!new java.io.File(s"$d/_docmap/dm=3").exists(),
+      "swept dm= partition must be deleted from disk")
+    // and BM25 is unchanged by the materialization
+    val a2 = TextAnalysis.bm25SearchLayout(spark, d, terms, buckets = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(a2.keySet === b.keySet)
+    a2.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"doc $k") }
+  }
+
+  test("merge-on-read delete then RE-UPSERT: the doc re-enters without resurrecting stale postings") {
+    val d = Files.createTempDirectory("idx_del_re").toString + "/idx"
+    val base = Seq(
+      (1L, "spark rows spark spark table"),
+      (2L, "spark rows unique gamma"),
+      (3L, "rare word appears once spark"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeIndexLayout(base, "doc_id", col("text"), d, buckets = 4)
+    TextAnalysis.indexDeleteLayout(spark, d, Seq(2L).toDF("doc_id"), "doc_id")
+    // deleted: invisible everywhere
+    assert(TextAnalysis.searchIndexLayout(spark, d, Seq("gamma")).count() === 0)
+    // re-upsert the SAME id with DIFFERENT text: its old postings
+    // ("gamma", "unique") must not resurrect when the tombstone entry
+    // clears — the apply materializes them away in the same commit
+    TextAnalysis.indexUpsertLayout(spark, d,
+      Seq((2L, "fresh words only")).toDF("doc_id", "text"), "doc_id",
+      col("text"))
+    assert(TextAnalysis.searchIndexLayout(spark, d, Seq("gamma")).count() === 0,
+      "stale postings must not resurrect on re-upsert")
+    assert(TextAnalysis.searchIndexLayout(spark, d, Seq("fresh"))
+      .as[(Long, Long)].collect().toSeq === Seq((2L, 1L)))
+    // whole state == rebuild over the logical corpus
+    val want = base.filter(col("doc_id") =!= 2L)
+      .unionByName(Seq((2L, "fresh words only")).toDF("doc_id", "text"))
+    val terms = Seq("spark", "fresh")
+    val a = TextAnalysis.bm25SearchLayout(spark, d, terms)
+      .as[(Long, Double)].collect().toMap
+    val b = TextAnalysis.bm25(want, "doc_id", col("text"), terms)
+      .as[(Long, Double)].collect().toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"doc $k") }
+    // doc 2 was the only tombstoned id and the apply cleared its entry in
+    // the same commit that removed its postings physically — the runs are
+    // empty again, so readers are back on the raw untouched plans
+    assert(graft.layout.LayoutTxn.resolve(d, "_tomb", "tr").isEmpty,
+      "apply must clear its own victims' tombstone entries")
+  }
+
+  test("merge-on-read delete then RESCALE: the full rewrite materializes the tombstones") {
+    val d = Files.createTempDirectory("idx_del_rs").toString + "/idx"
+    val base = Seq(
+      (1L, "spark rows spark spark table"),
+      (2L, "spark rows"),
+      (3L, "rare word appears once spark"),
+      (4L, ""))  // term-less sentinel
+      .toDF("doc_id", "text")
+    TextAnalysis.writeIndexLayout(base, "doc_id", col("text"), d, buckets = 4)
+    TextAnalysis.indexDeleteLayout(spark, d,
+      Seq(2L, 4L).toDF("doc_id"), "doc_id")
+    TextAnalysis.indexRescaleLayout(spark, d, 7)
+    assert(graft.layout.LayoutTxn.resolve(d, "_tomb", "tr").isEmpty,
+      "rescale must clear the tombstone runs")
+    // physical state == rebuild of the survivors at the new count
+    val d2 = Files.createTempDirectory("idx_del_rs2").toString + "/idx"
+    TextAnalysis.writeIndexLayout(base.filter(!col("doc_id").isin(2L, 4L)),
+      "doc_id", col("text"), d2, buckets = 7)
+    def raw(dir: String, sub: String, pc: String) = graft.layout.LayoutTxn
+      .readLayout(spark, dir, sub, pc)
+    assert(raw(d, "", "tb")
+        .select(col("term"), col("df"), explode(col("postings")).as("p"),
+          col("tb"))
+        .select(col("term"), col("df"), col("p.doc_id"), col("p.tf"), col("tb"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet ===
+      raw(d2, "", "tb")
+        .select(col("term"), col("df"), explode(col("postings")).as("p"),
+          col("tb"))
+        .select(col("term"), col("df"), col("p.doc_id"), col("p.tf"), col("tb"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet)
+    assert(raw(d, "_docmap", "dm").select(col("doc_id"), col("tb"), col("len"))
+        .as[(Long, Long, Option[Long])].collect().toSet ===
+      raw(d2, "_docmap", "dm").select(col("doc_id"), col("tb"), col("len"))
+        .as[(Long, Long, Option[Long])].collect().toSet)
   }
 
   test("a mismatched bucket count is REFUSED loudly on every read/maintain route (layout fact, r17)") {

@@ -33,8 +33,11 @@ class IndexRescaleSpec extends SparkSpec {
     dir
   }
 
+  // LOGICAL reads (r20): the stored rows with pending delete tombstones
+  // applied — identical to the raw read on a tombstone-free layout, and
+  // the surface every search/maintenance observes on one with deletes
   private def postings(dir: String): Set[(String, Long, Long, Long, Long)] =
-    LayoutTxn.readLayout(spark, dir, "", "tb")
+    TextAnalysis.readIndexPostings(spark, dir)
       .select(col("term"), col("df"), explode(col("postings")).as("p"),
         col("tb"))
       .select(col("term"), col("df").cast("long"), col("p.doc_id"),
@@ -42,7 +45,7 @@ class IndexRescaleSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().toSet
 
   private def docStore(dir: String): Set[(Long, Long, Option[Long], Long)] =
-    LayoutTxn.readLayout(spark, dir, "_docmap", "dm")
+    TextAnalysis.readIndexDocStore(spark, dir)
       .select(col("doc_id"), col("tb").cast("long"), col("len").cast("long"),
         col("dm").cast("long"))
       .as[(Long, Long, Option[Long], Long)].collect().toSet
