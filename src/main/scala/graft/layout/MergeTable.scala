@@ -206,11 +206,177 @@ object MergeTable {
     * them. Stat values are cast to string IN the job (session timezone,
     * which the engine pins to UTC) so the manifest encoding is
     * engine-portable; the counts give [[countRows]] its O(1) answer. */
-  private case class BucketStats(stats: Map[Int, Map[String, (String, String)]],
+  private[layout] case class BucketStats(stats: Map[Int, Map[String, (String, String)]],
                                  counts: Map[Int, Long],
                                  nulls: Map[Int, Map[String, Long]])
 
-  private def collectBucketStats(spark: SparkSession, stageDir: String,
+  /** [[collectBucketStats]] derived from the PARQUET FOOTERS of the
+    * just-written stage — r20 (VERDICT r19 task 3): the write itself
+    * already computed per-chunk min/max/null-count/row-count, so reading
+    * ~KB of footer metadata driver-side replaces a whole Spark job
+    * (~60 ms × every commit of the 27-query DML family). The manifest
+    * strings that pruning correctness rests on must be BYTE-IDENTICAL to
+    * the job's `cast(min(col) as string)` output, so:
+    *
+    *  - values decode from footer statistics into CATALYST form and are
+    *    rendered through the SAME `Cast(..., StringType)` expression the
+    *    job uses (session timezone) — identical by construction, pinned
+    *    across types/edge values by FooterStatsSpec;
+    *  - any gap falls back to the job for the WHOLE stage (returns None):
+    *    an unsupported eligible type (e.g. decimal), a chunk whose stats
+    *    parquet dropped (>4 KB binary min+max, unsafe legacy sort order),
+    *    a float/double chunk whose stats carry NaN (parquet's
+    *    Math.min/max propagation disagrees with Spark's NaN-is-greatest
+    *    aggregate ordering), a timestamp stored as INT96 (no stats) or in
+    *    a non-micro/milli unit. Correct, just not fast.
+    *
+    * String order is safe without translation: parquet BINARY stats use
+    * unsigned byte order, exactly UTF8String's comparison. All-null
+    * chunks (numNulls == rows) legitimately carry no min/max and simply
+    * contribute nothing, like the job's null-skipping min/max. */
+  private[layout] def footerBucketStats(spark: SparkSession, stageDir: String,
+                                schema: StructType): Option[BucketStats] = {
+    import org.apache.spark.sql.types._
+    val cols = schema.fields.toSeq.filter(statsEligible(_))
+    val supported = cols.forall(_.dataType match {
+      case IntegerType | LongType | ShortType | ByteType | FloatType |
+           DoubleType | StringType | DateType | TimestampType => true
+      case _ => false
+    })
+    if (!supported) return None
+    val dirs = Option(new java.io.File(stageDir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
+      .sortBy(_.getName)
+    if (dirs.isEmpty) return Some(BucketStats(Map.empty, Map.empty, Map.empty))
+    val conf = spark.sessionState.newHadoopConf()
+    val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    // catalyst-internal value from a footer statistics value, or None for
+    // a shape the footer path refuses (INT96, odd units, NaN)
+    def internal(dt: DataType, pt: org.apache.parquet.schema.PrimitiveType,
+                 v: Any): Option[Any] = dt match {
+      case IntegerType => Some(v.asInstanceOf[Integer].intValue)
+      case LongType => Some(v.asInstanceOf[java.lang.Long].longValue)
+      case ShortType => Some(v.asInstanceOf[Integer].intValue.toShort)
+      case ByteType => Some(v.asInstanceOf[Integer].intValue.toByte)
+      // NaN: parquet's Math.min/max fold disagrees with Spark's
+      // NaN-is-greatest aggregate order. ±0.0: parquet-mr NORMALIZES a
+      // zero bound outward (min → -0.0, max → +0.0, PARQUET-1222) —
+      // conservative for pruning but not byte-identical to the job's
+      // cast. Both refuse → job fallback (FooterStatsSpec pins each).
+      case FloatType =>
+        val f = v.asInstanceOf[java.lang.Float].floatValue
+        if (f.isNaN || f == 0.0f) None else Some(f)
+      case DoubleType =>
+        val d = v.asInstanceOf[java.lang.Double].doubleValue
+        if (d.isNaN || d == 0.0d) None else Some(d)
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+      case DateType => Some(v.asInstanceOf[Integer].intValue)
+      case TimestampType => pt.getLogicalTypeAnnotation match {
+        case ts: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+          val raw = v.asInstanceOf[java.lang.Long].longValue
+          ts.getUnit match {
+            case TimeUnit.MICROS => Some(raw)
+            case TimeUnit.MILLIS => Some(Math.multiplyExact(raw, 1000L))
+            case _ => None
+          }
+        case _ => None // INT96 or unannotated: no trustworthy stats
+      }
+      case _ => None
+    }
+    def render(dt: DataType, v: Any): String =
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(v, dt),
+        StringType, zone).eval(null).toString
+    try {
+      val stats = Map.newBuilder[Int, Map[String, (String, String)]]
+      val counts = Map.newBuilder[Int, Long]
+      val nulls = Map.newBuilder[Int, Map[String, Long]]
+      dirs.foreach { d =>
+        val b = d.getName.split("=").last.toInt
+        val files = Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+        var rows = 0L
+        // per column: (parquet type, running catalyst min, running max)
+        val acc = scala.collection.mutable.LinkedHashMap[String,
+          (org.apache.parquet.schema.PrimitiveType, Option[Any], Option[Any])]()
+        val nullAcc = scala.collection.mutable.LinkedHashMap[String, Long]()
+        cols.foreach(f => nullAcc(f.name) = 0L)
+        files.foreach { f =>
+          val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getPath), conf))
+          val meta = try footer.getFooter finally footer.close()
+          import scala.jdk.CollectionConverters._
+          meta.getBlocks.asScala.foreach { blk =>
+            rows += blk.getRowCount
+            cols.foreach { fld =>
+              val cc = blk.getColumns.asScala
+                .find(_.getPath.toDotString == fld.name)
+                .getOrElse(return None) // column missing: not our writer
+              val st = cc.getStatistics
+              if (st == null || !st.isNumNullsSet) return None
+              nullAcc(fld.name) += st.getNumNulls
+              if (st.hasNonNullValue) {
+                val pt = cc.getPrimitiveType
+                val lo = internal(fld.dataType, pt, st.genericGetMin)
+                  .getOrElse(return None)
+                val hi = internal(fld.dataType, pt, st.genericGetMax)
+                  .getOrElse(return None)
+                // cross-chunk fold uses the same total order as both the
+                // parquet writer and Spark's min/max (NaN excluded above)
+                val cmp: (Any, Any) => Int = fld.dataType match {
+                  case StringType => (a, b) =>
+                    a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                      .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+                  case FloatType => (a, b) =>
+                    java.lang.Float.compare(a.asInstanceOf[Float],
+                      b.asInstanceOf[Float])
+                  case DoubleType => (a, b) =>
+                    java.lang.Double.compare(a.asInstanceOf[Double],
+                      b.asInstanceOf[Double])
+                  case _ => (a, b) =>
+                    java.lang.Long.compare(
+                      a.asInstanceOf[Number].longValue,
+                      b.asInstanceOf[Number].longValue)
+                }
+                acc.get(fld.name) match {
+                  case None => acc(fld.name) = (pt, Some(lo), Some(hi))
+                  case Some((p0, Some(l0), Some(h0))) =>
+                    acc(fld.name) = (p0,
+                      Some(if (cmp(lo, l0) < 0) lo else l0),
+                      Some(if (cmp(hi, h0) > 0) hi else h0))
+                  case Some(_) => return None
+                }
+              } else if (st.getNumNulls != blk.getRowCount)
+                return None // stats dropped (not an all-null chunk)
+            }
+          }
+        }
+        counts += b -> rows
+        nulls += b -> cols.map(f => f.name -> nullAcc(f.name)).toMap
+        stats += b -> cols.flatMap { f =>
+          acc.get(f.name).collect { case (_, Some(lo), Some(hi)) =>
+            f.name -> (render(f.dataType, lo), render(f.dataType, hi))
+          }
+        }.toMap
+      }
+      Some(BucketStats(stats.result(), counts.result(), nulls.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Stage stats: footer-derived when every chunk supports it, else the
+    * r15 Spark job — same [[BucketStats]] either way (FooterStatsSpec
+    * pins byte-identity across the type/edge matrix). */
+  private def stageStats(spark: SparkSession, stageDir: String,
+                         schema: StructType): BucketStats =
+    footerBucketStats(spark, stageDir, schema).getOrElse(
+      collectBucketStats(spark, stageDir, schema))
+
+  private[layout] def collectBucketStats(spark: SparkSession, stageDir: String,
                                  schema: StructType): BucketStats = {
     val cols = schema.fields.toSeq.filter(statsEligible(_))
     val aggs = count(lit(1)).as("__n") +: cols.flatMap(f => Seq(
@@ -1495,7 +1661,7 @@ object MergeTable {
     val bs =
       if (changed.isEmpty) BucketStats(Map.empty, Map.empty, Map.empty)
       else graft.util.JobLabel(spark, "mergetable: stage stats")(
-        collectBucketStats(spark, s"$dir/$stage", widened))
+        stageStats(spark, s"$dir/$stage", widened))
     val dcols = prior.map(_.dictCols).getOrElse(Nil)
     val nd =
       if (dcols.isEmpty || changed.isEmpty) Map.empty[Int, Map[String, Set[String]]]
@@ -1602,7 +1768,7 @@ object MergeTable {
     // job over the just-written stage
     val counts: Map[Int, Long] =
       if (changed.isEmpty) Map.empty
-      else collectBucketStats(spark, s"$dir/$stage/_delta", widened).counts
+      else stageStats(spark, s"$dir/$stage/_delta", widened).counts
     val identityProj = widened.fieldNames.toSeq.map(n => n -> n).toMap
     val priorPhys = m.phys
     val sid = priorPhys.collectFirst {
@@ -2161,7 +2327,7 @@ object MergeTable {
       keptDeltas.values.flatten.map(_._2) + sid
     val bs =
       if (chosen.isEmpty) BucketStats(Map.empty, Map.empty, Map.empty)
-      else collectBucketStats(spark, s"$dir/$stage", m.schema)
+      else stageStats(spark, s"$dir/$stage", m.schema)
     val nd =
       if (m.dictCols.isEmpty || chosen.isEmpty)
         Map.empty[Int, Map[String, Set[String]]]
@@ -2226,7 +2392,7 @@ object MergeTable {
     }.getOrElse(m.phys.keys.maxOption.map(_ + 1).getOrElse(0))
     val bs =
       if (!hasData) BucketStats(Map.empty, Map.empty, Map.empty)
-      else collectBucketStats(spark, s"$dir/$stage", m.schema)
+      else stageStats(spark, s"$dir/$stage", m.schema)
     val nd =
       if (m.dictCols.isEmpty || !hasData)
         Map.empty[Int, Map[String, Set[String]]]
