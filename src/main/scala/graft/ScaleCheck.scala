@@ -564,6 +564,16 @@ object ScaleCheck {
         text.TextAnalysis.indexDeleteLayout(spark, idxDir, victims,
           "doc_id", 16)
       }
+      // r20 (merge-on-read delete): the delete line above is now O(victims)
+      // — the deferred cost lives on the READ side (one broadcast
+      // anti-filter per search) and in the next full rewrite (the rescale
+      // line below materializes the runs). Time a point search against the
+      // live tombstones so the trend records where the cost went.
+      time(s"index_delete_text_search_after_${nVict}_victims", nVict) {
+        text.TextAnalysis.bm25SearchLayout(spark, idxDir,
+            Seq("stream", "window", "batch"))
+          .write.format("noop").mode("overwrite").save()
+      }
       time(s"index_delete_lsh_build_${nDocs}_docs", nDocs) {
         dedup.Dedup.writeLshIndex(docs, "doc_id", col("text"), lshDir)
       }
