@@ -14,7 +14,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      // scale-adaptive: derived from the input bytes, not the core count
+      // (guide §2.2; SessionTuning scaladoc has the full rationale and the
+      // measured 121.9 → 99.3 s full-bench A/B); SPARK_GRAFT_SHUFFLE
+      // still overrides explicitly
+      .config("spark.sql.shuffle.partitions",
+        graft.util.SessionTuning.shufflePartitionsConf(sfDir))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // static conf, default 100: a 168-query suite generates thousands of
       // codegen units, so the default cache thrashes — every eviction is a

@@ -9,7 +9,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shared scale-adaptive default (SessionTuning scaladoc): Verify
+      // must hash-check the same plan shapes Bench times
+      .config("spark.sql.shuffle.partitions",
+        graft.util.SessionTuning.shufflePartitionsConf(sfDir))
       .config("spark.sql.adaptive.enabled", "true")
       // see Bench: the 100-entry default codegen cache thrashes across a
       // 168-query run (static conf, must be set before session creation)

@@ -608,9 +608,43 @@ object MergeTable {
       pqBloomCols = pqBloomCols, pqBloomNdv = pqBloomNdv, deltas = deltas)
   }
 
+  /** Parsed-`_latest` cache (r20 — VERDICT r19 task 4, the DML commit
+    * driver tail): every commit re-parsed `_latest` several times
+    * (recover, prior read, read-backs), each a file read + Properties
+    * parse + stats/dict decode. `_latest` is only ever REPLACED by a
+    * same-dir ATOMIC_MOVE, so its (inode fileKey, size, mtime) identity
+    * changes on every commit — in-process or from another process — and
+    * an identity-matched cache entry can never be stale. Process-local;
+    * dies with the JVM (no cross-run persistence). */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (AnyRef, Long, java.nio.file.attribute.FileTime, Manifest)]()
+
   private def readManifest(dir: String): Option[Manifest] = {
     val p = manifestPath(dir)
-    if (Files.exists(p)) Some(parseManifest(p)) else None
+    if (!Files.exists(p)) None
+    else try {
+      val attrs = Files.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      val fk = attrs.fileKey()
+      if (fk == null) Some(parseManifest(p)) // filesystem without identity
+      else {
+        val cached = manifestCache.get(dir)
+        if (cached != null && cached._1 == fk && cached._2 == attrs.size()
+            && cached._3 == attrs.lastModifiedTime()) Some(cached._4)
+        else {
+          val m = parseManifest(p)
+          if (manifestCache.size > 4096) manifestCache.clear()
+          manifestCache.put(dir,
+            (fk, attrs.size(), attrs.lastModifiedTime(), m))
+          Some(m)
+        }
+      }
+    } catch {
+      // the swap raced our stat/read: retry the plain parse once (the
+      // pre-cache code had the same exists→open window)
+      case _: java.io.IOException =>
+        if (Files.exists(p)) Some(parseManifest(p)) else None
+    }
   }
 
   /** Properties (not JSON) for the manifest: `Properties.store` handles
